@@ -1,13 +1,47 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory of SURVEY §2 (extraction plane A*,
+  * DSL plane B*, transform/sink plane C*, headline analytics, and the
+  * beyond-reference LLM-pipeline operators). Each deterministic query is
+  * paired with a DuckDB oracle in `oracleSql`; probabilistic operators
+  * (LSH-based) are rows-only by design.
+  */
 object SparkEntry {
+
+  /** Recommended session configuration for this engine (reference parity:
+    * LEGACY time parser + non-ANSI lenient casts, light_transform.py:2009-2020;
+    * nanosAsLong for the NANOS-timestamp events table). */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.legacy.timeParserPolicy", "LEGACY")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+
+  private val all: Map[String, Q.Entry] =
+    ExtractionQueries.defs ++ DslQueries.defs ++ PipelineQueries.defs ++
+      BenchQueries.defs ++ LlmQueries.defs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.timeParserPolicy", "LEGACY")
+    PipelineQueries.e2ePipeline(spark, "/root/testdata/sf0.001")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (k, (fn, _)) => k -> fn }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for probabilistic (LSH) operators. */
+  def oracleSql: Map[String, String] =
+    all.collect { case (k, (_, Some(sql))) => k -> sql.trim }
 }

@@ -1,0 +1,196 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Large-scale document deduplication operators (BASELINE north star —
+  * beyond the reference surface, designed for 100 TB).
+  *
+  * All operators are pure DataFrame compositions: shingling/minhashing runs
+  * inside whole-stage codegen via higher-order array functions (no UDFs, no
+  * explode for signature computation), candidate generation is a hash-
+  * partitioned groupBy on band signatures (NOT an O(n²) self-join), and only
+  * verified candidate PAIRS are materialized. At 1000 executors the only
+  * shuffles are the band groupBy and the pair verification join, both keyed
+  * on high-cardinality hashes — no skew hot-spots, no driver collect.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per identical value of `textCol`.
+    * Single map-side-combinable groupBy on a 128-bit content hash —
+    * at 100 TB this is the cheapest possible exact dedup (hash, not raw
+    * text, is the shuffle key). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Word-level w-shingles as a distinct array column. */
+  def wordShingles(textCol: Column, w: Int): Column = {
+    val words = split(trim(textCol), "\\s+")
+    val n = size(words)
+    when(n >= w,
+      array_distinct(transform(sequence(lit(0), n - lit(w)),
+        i => concat_ws(" ", slice(words, i + 1, lit(w))))))
+      .otherwise(array(concat_ws(" ", words)))
+  }
+
+  /** Distinct character n-grams of a string column. */
+  def charNgrams(t: Column, n: Int): Column =
+    when(length(t) >= n,
+      array_distinct(transform(sequence(lit(1), length(t) - lit(n - 1)),
+        i => t.substr(i, lit(n)))))
+      .otherwise(array(t))
+
+  /** MinHash signature: k minimums of per-seed xxhash64 over the shingle
+    * array. Computed entirely with higher-order functions — one pass over
+    * the shingles per row, zero shuffles. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map(j =>
+      array_min(transform(shingles, s => xxhash64(s, lit(j))))): _*)
+
+  /** LSH banding: split a k-signature into b bands of r rows, hash each band.
+    * Output: array of b band-hash structs (band index + hash). */
+  def bands(signature: Column, b: Int, r: Int): Column =
+    array((0 until b).map(i =>
+      struct(lit(i).as("band"),
+        xxhash64(slice(signature, i * r + 1, r).cast(ArrayType(StringType))
+          .cast(StringType)).as("bh"))): _*)
+
+  /** Exact Jaccard between two array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    val union = (size(a) + size(b)).cast(DoubleType) - inter
+    when(union === 0d, lit(1d)).otherwise(inter / union)
+  }
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * shingle → minhash(k) → band(b×r) → groupBy(band, bandHash) buckets →
+    * intra-bucket pairs (id1 < id2) → exact-Jaccard verification ≥ threshold.
+    *
+    * `maxBucket` caps pathological buckets (boilerplate-heavy corpora) so a
+    * single hot band hash can never produce a quadratic blowup — the skew
+    * guard that matters at 100 TB.
+    *
+    * Returns (id1, id2, jaccard) with id1 < id2, deduplicated across bands.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, k: Int = 32, b: Int = 8,
+      threshold: Double = 0.8, maxBucket: Int = 64): DataFrame = {
+    require(k % b == 0, s"k=$k must be divisible by b=$b")
+    val r = k / b
+    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", wordShingles(col("text"), shingleWidth))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("bnd", bands(col("sig"), b, r))
+    val buckets = withSig
+      .select(col("id"), col("sh"), explode(col("bnd")).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bh").as("bh"),
+        col("id"), col("sh"))
+    // intra-bucket pair generation via bounded collect_list (skew-guarded)
+    val pairs = buckets
+      .groupBy("band", "bh")
+      .agg(slice(sort_array(collect_list(struct(col("id"), col("sh")))),
+        1, maxBucket).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(expr(
+        """flatten(transform(members, (x, i) ->
+          |  transform(slice(members, i + 2, size(members)), y ->
+          |    struct(x.id as id1, x.sh as sh1, y.id as id2, y.sh as sh2))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.id1"), col("p.id2"), col("p.sh1"), col("p.sh2"))
+      .dropDuplicates("id1", "id2")
+    pairs
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash from word hashes: per bit, sign of the sum of ±1
+    * contributions. Explode-free: per-row aggregate over the word array per
+    * bit — 64 codegen'd array traversals, no shuffle at all. */
+  def simhash(textCol: Column): Column = {
+    val words = array_distinct(split(trim(lower(textCol)), "\\s+"))
+    val hashes = transform(words, w => xxhash64(w))
+    val bits = (0 until 64).map { j =>
+      val contrib = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L,
+          lit(1L)).otherwise(lit(-1L)))
+      when(contrib > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-duplicate pairs via pigeonhole banding on 4×16-bit chunks
+    * (hamming distance ≤ 3 ⇒ at least one chunk equal). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("simhash"))
+    val chunked = sh.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(i => struct(lit(i).as("chunk"),
+        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))
+          .as("ch"))): _*)).as("c"))
+      .select(col("c.chunk").as("chunk"), col("c.ch").as("ch"),
+        col("id"), col("simhash"))
+    val pairs = chunked.groupBy("chunk", "ch")
+      .agg(slice(sort_array(collect_list(struct(col("id"), col("simhash")))),
+        1, maxBucket).as("m"))
+      .filter(size(col("m")) > 1)
+      .select(explode(expr(
+        """flatten(transform(m, (x, i) ->
+          |  transform(slice(m, i + 2, size(m)), y ->
+          |    struct(x.id as id1, x.simhash as h1, y.id as id2, y.simhash as h2))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.id1"), col("p.id2"), col("p.h1"), col("p.h2"))
+      .dropDuplicates("id1", "id2")
+    pairs
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
+  /** Character-n-gram Jaccard similarity for explicit candidate pairs
+    * (id1, id2). Joins the corpus twice on its id — both joins broadcast
+    * when the pair list is small, shuffle-hash otherwise. */
+  def ngramJaccardPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val grams = docs.select(col(idCol).as("_id"),
+      ngramArray(col(textCol), n).as("_g"))
+    pairs
+      .join(grams.withColumnRenamed("_id", "id1").withColumnRenamed("_g", "g1"),
+        "id1")
+      .join(grams.withColumnRenamed("_id", "id2").withColumnRenamed("_g", "g2"),
+        "id2")
+      .withColumn("jaccard", jaccard(col("g1"), col("g2")))
+      .drop("g1", "g2")
+  }
+
+  /** Alias kept for call-site readability in pair verification. */
+  def ngramArray(t: Column, n: Int): Column = charNgrams(t, n)
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, LSH-bucketed by
+    * random-hyperplane signs so candidate generation is a groupBy, not a
+    * cross join (Similarity.signBuckets). */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 8,
+      maxBucket: Int = 256): DataFrame = {
+    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", Similarity.signBucket(col("v"), planes))
+    val pairs = withBucket.groupBy("bucket")
+      .agg(slice(sort_array(collect_list(struct(col("id"), col("v")))),
+        1, maxBucket).as("m"))
+      .filter(size(col("m")) > 1)
+      .select(explode(expr(
+        """flatten(transform(m, (x, i) ->
+          |  transform(slice(m, i + 2, size(m)), y ->
+          |    struct(x.id as id1, x.v as v1, y.id as id2, y.v as v2))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.id1"), col("p.id2"), col("p.v1"), col("p.v2"))
+      .dropDuplicates("id1", "id2")
+    pairs
+      .withColumn("cosine", Similarity.cosine(col("v1"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (BASELINE north star).
+  *
+  * Media travel as opaque `binary` columns next to typed metadata. The
+  * Spark-side plumbing — schema, partition sizing, per-partition batched
+  * decode, feature schema — is real and tested; the codec itself is a
+  * clearly-marked deterministic STUB because no image/audio libraries exist
+  * in this container (swap `decodeBytes` for a real JNI/library call; the
+  * dataflow does not change).
+  *
+  * Scale design: decode runs as `mapPartitions` so a real codec amortizes
+  * per-partition init (model load, library handles) exactly like a Pandas-UDF
+  * batch would; binary payloads never pass through a shuffle — featurize
+  * first, shuffle the (small) features.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside every media payload. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta_format", StringType, nullable = true)))
+
+  /** Decoded-feature schema produced by the decode stage. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("byte_len", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("checksum", LongType, nullable = false)))
+
+  /** STUB CODEC — deterministic fake decode standing in for a real image/
+    * audio decoder (???-equivalent; see object Scaladoc). Derives plausible
+    * dimensions from the payload deterministically so tests are stable. */
+  private[llm] def decodeBytes(payload: Array[Byte]): (Int, Int, Int, Long) = {
+    val len = payload.length
+    var checksum = 1469598103934665603L // FNV-1a 64
+    var i = 0
+    while (i < len) {
+      checksum = (checksum ^ (payload(i) & 0xff)) * 1099511628211L
+      i += 1
+    }
+    val width = 64 + math.abs(checksum % 1024).toInt
+    val height = 64 + math.abs((checksum >> 10) % 1024).toInt
+    (width, height, 3, checksum)
+  }
+
+  /** Decode/feature-extract stage: binary payloads → feature rows.
+    * Runs per-partition so a real codec initializes once per partition. */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "media_type", "payload").rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = Option(r.getAs[Array[Byte]]("payload"))
+            .getOrElse(Array.emptyByteArray)
+          val (w, h, c, sum) = decodeBytes(payload)
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("media_type"),
+            payload.length, w, h, c, sum)
+        }
+      }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** Frame-sampling plumbing for video-like payloads: split a payload into
+    * fixed-size frames, keep every `stride`-th — all expression-level
+    * (binary slicing with substr on binary works in Spark). */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    media
+      .withColumn("n_frames",
+        floor(length(col("payload")) / lit(frameBytes)).cast(IntegerType))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)),
+          lit(stride))))
+      .withColumn("frame",
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
+      .select(col("media_id"), col("frame_idx"), col("frame"))
+
+  /** Wrap a text table as fake media payloads (UTF-8 bytes) — lets the full
+    * multimodal path run against the `documents` testdata. */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("image/fake").as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("synthetic").as("meta_format"))
+}

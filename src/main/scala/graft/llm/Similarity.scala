@@ -1,0 +1,117 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`) — BASELINE north star.
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: the CORRECTNESS baseline. Query set is
+  *    broadcast (it is small by construction); the corpus is scanned once;
+  *    dot products run inside codegen via zip_with/aggregate; top-k is a
+  *    per-query window. At 100 TB corpus this is one full scan per batch of
+  *    queries — the right plan when recall must be 1.0.
+  *  - IVF (inverted-file) top-k: the SCALE path. Corpus is bucketed once by
+  *    nearest coarse centroid (computed deterministically from a sample);
+  *    queries probe only the `nprobe` nearest buckets, cutting the scan by
+  *    ~nlist/nprobe. Recall < 1.0, tunable.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns, computed in double
+    * precision (codegen'd higher-order functions, no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) =>
+        p.cast(DoubleType) * q.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** L2 norm of a float-array column (double precision). */
+  def l2norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Random-hyperplane sign bucket: `planes` pseudo-random hyperplanes whose
+    * coefficients are derived deterministically from xxhash64(plane, dim) —
+    * no stored model, same bucket function on any cluster. Returns a compact
+    * integer bucket id in [0, 2^planes). */
+  def signBucket(v: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      // deterministic ±1 coefficient stream per (plane, dimension)
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+          x.cast(DoubleType) *
+            when(xxhash64(lit(p), i).bitwiseAND(lit(1L)) === 1L, lit(1.0))
+              .otherwise(lit(-1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1), p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Brute-force cosine top-k. `queries` must be small (broadcast side).
+    * Returns (query_id, neighbor_id, cosine, rank), rank 1..k per query,
+    * self-matches excluded. Ties broken by neighbor id for determinism. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** IVF coarse quantizer: pick `nlist` deterministic centroids (the corpus
+    * rows with the smallest ids — a seed-free, reproducible choice), assign
+    * every vector to its nearest centroid. Returns corpus + `list_id`. */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): DataFrame = {
+    val centroids = corpus.select(col(idCol).as("cent_id"),
+        col(vecCol).as("cent_v"))
+      .orderBy(col("cent_id")).limit(nlist)
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .withColumn("dist", -cosine(col(vecCol), col("cent_v")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("dist").asc, col("cent_id").asc)
+    assigned.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn", "dist", "cent_v").withColumnRenamed("cent_id", "list_id")
+  }
+
+  /** IVF top-k: probe the `nprobe` nearest inverted lists per query, then
+    * exact cosine within the probed lists only. At scale the probed fraction
+    * (~nprobe/nlist of the corpus) bounds the scan. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 64, nprobe: Int = 8): DataFrame = {
+    val indexed = ivfAssign(corpus, idCol, vecCol, nlist)
+    val centroids = indexed.filter(col(idCol) === col("list_id"))
+      .select(col("list_id").as("cent_id"), col(vecCol).as("cent_v"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // nprobe nearest centroids per query (broadcast: nlist is small)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").asc, col("cent_id").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", -cosine(col("qv"), col("cent_v")))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("list_id"))
+    // scan only the probed lists
+    val scored = indexed.join(probes, "list_id")
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col(vecCol)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+}

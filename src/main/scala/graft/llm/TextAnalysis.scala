@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data pipelines (BASELINE north star):
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * Pure Column expressions — every operator is a per-row map inside
+  * whole-stage codegen; at 100 TB these add zero shuffles to a scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(t: Column): Column =
+    when(length(trim(t)) === 0, lit(0))
+      .otherwise(size(split(trim(t), "\\s+")))
+
+  /** BPE-ish subword-unit count: splits on word/number/punct boundaries the
+    * way byte-pair tokenizers fragment text, as a cheap deterministic token
+    * estimate (letters runs + digit runs + individual punctuation). */
+  def bpeishCount(t: Column): Column =
+    size(filter(
+      split(t, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
+      s => length(s) > 0))
+
+  /** Punctuation / digit / uppercase / whitespace character counts. */
+  def countMatches(t: Column, regex: String): Column =
+    length(t) - length(regexp_replace(t, regex, ""))
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with", "for",
+      "it", "was", "on", "are", "this", "be"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las",
+      "un", "una", "con", "por", "para", "es"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den",
+      "ist", "im", "ein", "eine", "auf", "nicht", "als"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "en", "un", "une",
+      "du", "est", "dans", "que", "pour", "qui"))
+
+  /** Distinct-stopword hit count for one language. */
+  def stopwordHits(words: Column, lang: String): Column =
+    size(array_intersect(words, typedLit(stopwords(lang))))
+
+  /** N-gram/stopword-heuristic language ID over {en, es, de, fr, zh}.
+    * zh detection is CJK-character density; the latin languages score by
+    * distinct stopword hits, ties broken by fixed priority order
+    * (en > es > de > fr). Returns the predicted code, "und" if no signal. */
+  def langId(t: Column): Column = {
+    val words = split(lower(trim(t)), "\\s+")
+    val cjk = countMatches(t, "[\\u4e00-\\u9fff]")
+    val scores = Seq("en", "es", "de", "fr").map(l =>
+      struct(stopwordHits(words, l).as("score"), lit(l).as("lang")))
+    // priority order = reverse scan with >= keeps the earlier language on tie
+    val best = scores.reduceLeft((a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    when(cjk * 4 > length(t), lit("zh"))
+      .when(best.getField("score") === 0, lit("und"))
+      .otherwise(best.getField("lang"))
+  }
+
+  /** Quality score in [0,1]: penalizes very short docs, extreme punctuation
+    * or digit density, and no-stopword text (gibberish signal). Deterministic
+    * rational arithmetic; rounded to 4 decimals so distributed summation
+    * order can never change the value. */
+  def qualityScore(t: Column): Column = {
+    val chars = length(t).cast(DoubleType)
+    val toks = tokenCount(t).cast(DoubleType)
+    val punct = countMatches(t, "\\p{Punct}").cast(DoubleType)
+    val digits = countMatches(t, "[0-9]").cast(DoubleType)
+    val words = split(lower(trim(t)), "\\s+")
+    val stopHits = Seq("en", "es", "de", "fr")
+      .map(l => stopwordHits(words, l)).reduce(_ + _).cast(DoubleType)
+    val lenScore = least(toks / lit(20.0), lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - (punct / greatest(chars, lit(1.0))) * 4)
+    val digitScore = greatest(lit(0.0), lit(1.0) - (digits / greatest(chars, lit(1.0))) * 4)
+    val stopScore = least(stopHits / lit(5.0), lit(1.0))
+    round(lenScore * lit(0.3) + punctScore * lit(0.25) +
+      digitScore * lit(0.25) + stopScore * lit(0.2), 4)
+  }
+
+  /** Rolling polynomial fingerprint of normalized text:
+    * hash = Σ code(c_i)·31^i mod 1_000_000_007 over the lowercased,
+    * whitespace-collapsed, punctuation-stripped text. Computed as a
+    * left-fold with higher-order `aggregate` — codegen-friendly, no UDF. */
+  def fingerprint(t: Column): Column = {
+    val norm = regexp_replace(
+      regexp_replace(lower(trim(t)), "[^a-zA-Z0-9 ]", ""), "\\s+", " ")
+    val chars = split(norm, "")
+    aggregate(chars, lit(0L),
+      (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch), lit(0)), lit(1000000007L)))
+  }
+}

@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import Q._
+
+/** Beyond-reference LLM-data-pipeline operators (BASELINE north star):
+  * dedup family, similarity search, text analysis, multimodal plumbing.
+  * Probabilistic operators (LSH recall < 1) ship without an oracle — the
+  * driver records the weaker rows-only check for those; everything
+  * deterministic gets a DuckDB oracle.
+  */
+object LlmQueries {
+
+  val defs: Map[String, Entry] = Map(
+
+    // Exact dedup on content hash
+    "dd_exact" -> (((spark, dir) => {
+      Dedup.exact(load(spark, dir, "documents"), "doc_id", "text")
+        .orderBy("keep_id")
+    }, Some("""
+      SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+             count(*) AS dup_count
+      FROM documents GROUP BY text ORDER BY keep_id"""))),
+
+    // MinHash+LSH near-dup pairs, verified by exact word-3-shingle Jaccard.
+    // Oracle = brute-force exact-Jaccard pairs: matches iff LSH recall is
+    // 1.0 on this corpus (validated on the fixed testdata; threshold 0.8
+    // with k=32,b=8 ⇒ collision prob ≥ 0.985 per qualifying pair).
+    "dd_minhash" -> (((spark, dir) => {
+      Dedup.minhashLshPairs(load(spark, dir, "documents"), "doc_id", "text",
+          shingleWidth = 3, k = 32, b = 8, threshold = 0.8)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("j4"))
+        .orderBy("id1", "id2")
+    }, Some("""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 1, 2)),
+                 i -> concat_ws(' ',
+                        string_split_regex(trim(text), '\s+')[i],
+                        string_split_regex(trim(text), '\s+')[i+1],
+                        string_split_regex(trim(text), '\s+')[i+2]))) AS g
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               len(list_intersect(a.g, b.g)) AS i,
+               len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS u
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id1, id2, round(CAST(i AS DOUBLE) / u, 4) AS j4
+      FROM pairs WHERE CAST(i AS DOUBLE) / u >= 0.8
+      ORDER BY id1, id2"""))),
+
+    // SimHash near-dup pairs (xxhash64-based — no DuckDB twin; rows-only)
+    "dd_simhash" -> (((spark, dir) => {
+      Dedup.simhashPairs(load(spark, dir, "documents"), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy("id1", "id2")
+    }, None)),
+
+    // Character-3-gram Jaccard for explicit candidate pairs (consecutive ids)
+    "dd_ngram" -> (((spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      val pairs = docs.select(col("doc_id").as("id1"))
+        .join(docs.select(col("doc_id").as("id2")),
+          col("id2") === col("id1") + 1)
+      Dedup.ngramJaccardPairs(docs, pairs, "doc_id", "text", n = 3)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("j4"))
+        .orderBy("id1")
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, length(text) - 1),
+                 i -> substring(text, i, 3))) AS ng
+        FROM documents)
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             round(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
+               (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng))), 4) AS j4
+      FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+      ORDER BY id1"""))),
+
+    // Embedding near-dup via multi-table sign-LSH (probabilistic; rows-only)
+    "dd_embed" -> (((spark, dir) => {
+      Dedup.embeddingNearDup(load(spark, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.9)
+        .orderBy("id1", "id2")
+    }, None)),
+
+    // Brute-force cosine top-k (recall-1 baseline): ranks on ROUNDED cosine
+    // so cross-engine fp noise cannot reorder, tie-broken by neighbor id
+    "sim_topk" -> (((spark, dir) => {
+      val emb = load(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val scored = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+        k = 1000000) // rank below on rounded value; k-cut after rounding
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(round(col("cosine"), 4).desc, col("neighbor_id").asc)
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine4"), col("rnk"))
+        .orderBy("query_id", "rnk")
+    }, Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                 FROM embeddings WHERE vec_id < 8),
+      scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(qv::DOUBLE[], e.embedding::DOUBLE[]), 4) AS c4
+        FROM q, embeddings e WHERE e.vec_id <> query_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY c4 DESC, neighbor_id) AS rnk
+        FROM scored)
+      SELECT query_id, neighbor_id, c4 AS cosine4, rnk
+      FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""))),
+
+    // IVF approximate top-k (scale path; recall < 1 ⇒ rows-only)
+    "sim_ivf" -> (((spark, dir) => {
+      val emb = load(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 10,
+          nlist = 32, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine4"), col("rank"))
+        .orderBy("query_id", "rank")
+    }, None)),
+
+    // Embedding L2 norms (deterministic double fold — exact cross-engine)
+    "sim_norms" -> (((spark, dir) => {
+      load(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          round(Similarity.l2norm(col("embedding")), 4).as("norm4"),
+          col("label"))
+        .orderBy("vec_id")
+    }, Some("""
+      SELECT vec_id,
+             round(sqrt(list_reduce(list_transform(embedding::DOUBLE[],
+               x -> x * x), (a, b) -> a + b)), 4) AS norm4,
+             label
+      FROM embeddings ORDER BY vec_id"""))),
+
+    // Token counting (whitespace + char counts)
+    "text_tokens" -> (((spark, dir) => {
+      val d = load(spark, dir, "documents")
+      d.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars_calc"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             length(text) AS n_chars_calc
+      FROM documents ORDER BY doc_id"""))),
+
+    // Quality scoring (length/punct/digit/stopword components)
+    "text_quality" -> (((spark, dir) => {
+      load(spark, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS chars,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS toks,
+               CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS punct,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
+               CAST(
+                 len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+                   ['the','and','of','to','in','is','that','with','for','it','was','on','are','this','be'])) +
+                 len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+                   ['el','la','de','que','y','en','los','del','las','un','una','con','por','para','es'])) +
+                 len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+                   ['der','die','und','das','von','zu','mit','den','ist','im','ein','eine','auf','nicht','als'])) +
+                 len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+                   ['le','la','les','de','des','et','en','un','une','du','est','dans','que','pour','qui']))
+               AS DOUBLE) AS stophits
+        FROM documents)
+      SELECT doc_id,
+             round(least(toks / 20.0, 1.0) * 0.3
+               + greatest(0.0, 1.0 - (punct / greatest(chars, 1.0)) * 4) * 0.25
+               + greatest(0.0, 1.0 - (digits / greatest(chars, 1.0)) * 4) * 0.25
+               + least(stophits / 5.0, 1.0) * 0.2, 4) AS quality
+      FROM f ORDER BY doc_id"""))),
+
+    // Language ID (stopword heuristic + CJK density)
+    "text_langid" -> (((spark, dir) => {
+      load(spark, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH s AS (
+        SELECT doc_id, length(text) AS chars,
+               length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk,
+               len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+                 ['the','and','of','to','in','is','that','with','for','it','was','on','are','this','be'])) AS s_en,
+               len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+                 ['el','la','de','que','y','en','los','del','las','un','una','con','por','para','es'])) AS s_es,
+               len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+                 ['der','die','und','das','von','zu','mit','den','ist','im','ein','eine','auf','nicht','als'])) AS s_de,
+               len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+                 ['le','la','les','de','des','et','en','un','une','du','est','dans','que','pour','qui'])) AS s_fr
+        FROM documents)
+      SELECT doc_id,
+             CASE WHEN cjk * 4 > chars THEN 'zh'
+                  WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                  WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                  WHEN s_de >= s_fr THEN 'de'
+                  ELSE 'fr' END AS lang_pred
+      FROM s ORDER BY doc_id"""))),
+
+    // Rolling polynomial fingerprint (left-fold, mod 1e9+7)
+    "text_fingerprint" -> (((spark, dir) => {
+      load(spark, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   string_split(regexp_replace(regexp_replace(lower(trim(text)),
+                     '[^[:alnum:] ]', '', 'g'), '\s+', ' ', 'g'), ''),
+                   c -> CAST(coalesce(ascii(c), 0) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+      FROM documents ORDER BY doc_id"""))),
+
+    // Multimodal metadata plumbing (binary payload + typed metadata)
+    "mm_meta" -> (((spark, dir) => {
+      Multimodal.fromDocuments(load(spark, dir, "documents"))
+        .select(col("media_id"), col("media_type"),
+          length(col("payload")).as("byte_len"))
+        .orderBy("media_id")
+    }, Some("""
+      SELECT doc_id AS media_id, 'image/fake' AS media_type,
+             octet_length(encode(text)) AS byte_len
+      FROM documents ORDER BY media_id"""))),
+
+    // Multimodal decode stage (mapPartitions batch decode; stub codec ⇒
+    // rows-only — the checksum/dims have no SQL twin)
+    "mm_decode" -> (((spark, dir) => {
+      Multimodal.decodeFeatures(
+        Multimodal.fromDocuments(load(spark, dir, "documents")))
+        .orderBy("media_id")
+    }, None))
+  )
+}

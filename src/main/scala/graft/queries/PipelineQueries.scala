@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.config.ColumnMetadata
+import graft.sink.StageWriter
+import graft.transform.TransformationEngine
+import Q._
+
+/** Transform/sink-plane operators (SURVEY §2C) + the flagship end-to-end
+  * reference-shaped pipeline.
+  */
+object PipelineQueries {
+
+  /** The flagship E2E slice (SURVEY §7.2.1): a BigMagic-shaped all-string
+    * raw table synthesized from `orders`, pushed through config-driven DSL
+    * transform → dedup-latest → ordered output. */
+  def e2ePipeline(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    // raw zone: every column stringified (reference extract_data.py:694)
+    val raw = load(spark, dir, "orders").select(
+      expr("lpad(cast(o_custkey % 5 as string), 3, '0')").as("compania"),
+      col("o_orderkey").cast("string").as("numdoc"),
+      graft.magic.Magic.dateToMagicDay(col("o_orderdate").cast("date"))
+        .cast("string").as("fecmodi"),
+      expr("""concat(lpad(cast(o_orderkey % 24 as string), 2, '0'),
+        lpad(cast((o_orderkey div 7) % 60 as string), 2, '0'),
+        lpad(cast((o_orderkey div 11) % 60 as string), 2, '0'))""")
+        .as("horamodi"),
+      expr("case when o_orderstatus = 'F' then 'F' else 'T' end").as("flgact"),
+      col("o_totalprice").cast("string").as("monto"))
+    val meta = Seq(
+      ColumnMetadata("processdate", 1, false, false, false, false,
+        "timestamp", "t", "fn_transform_Datetime()"),
+      ColumnMetadata("id_venta", 2, false, true, true, false,
+        "string", "t", "fn_transform_Concatenate(compania, numdoc)"),
+      ColumnMetadata("id_compania", 3, false, false, false, true,
+        "string", "t", "fn_transform_ClearString(compania)"),
+      ColumnMetadata("lastmodifydate", 4, true, false, false, false,
+        "timestamp", "t",
+        "fn_transform_DatetimeMagic(fecmodi, horamodi, yyyyMMdd)"),
+      ColumnMetadata("flg_activo", 5, false, false, false, false,
+        "string", "t", "fn_transform_ByteMagic(flgact, $F)"),
+      ColumnMetadata("monto", 6, false, false, false, false,
+        "numeric(18,2)", "t", "fn_transform_Numeric(monto)"))
+    TransformationEngine.run(raw, meta, now = Some(DslQueries.auditNow))
+      .select(col("id_venta"), col("id_compania"),
+        fmtTs(col("processdate")).as("processdate"),
+        fmtTs(col("lastmodifydate")).as("lastmodifydate"),
+        col("flg_activo"), col("monto"))
+      .orderBy("id_venta")
+  }
+
+  val e2eOracle: String = """
+    SELECT concat_ws('|', lpad(CAST(o_custkey % 5 AS VARCHAR), 3, '0'),
+                          CAST(o_orderkey AS VARCHAR)) AS id_venta,
+           lpad(CAST(o_custkey % 5 AS VARCHAR), 3, '0') AS id_compania,
+           '2024-06-25 07:00:00' AS processdate,
+           strftime(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)
+             + (o_orderkey % 24) * INTERVAL 1 HOUR
+             + ((o_orderkey // 7) % 60) * INTERVAL 1 MINUTE
+             + ((o_orderkey // 11) % 60) * INTERVAL 1 SECOND,
+             '%Y-%m-%d %H:%M:%S') AS lastmodifydate,
+           CASE WHEN o_orderstatus = 'F' THEN 'F' ELSE 'T' END AS flg_activo,
+           CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2)) AS monto
+    FROM orders ORDER BY id_venta"""
+
+  val defs: Map[String, Entry] = Map(
+
+    // C3 — dedup-latest-by-key window (latest order per customer)
+    "c3_dedup_latest" -> (((spark, dir) => {
+      TransformationEngine.dedupLatest(load(spark, dir, "orders"),
+        idCols = Seq("o_custkey"), dateCols = Seq("o_orderdate"),
+        tieBreak = Seq("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("od"))
+        .orderBy("o_custkey")
+    }, Some("""
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od
+      FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+      WHERE rn = 1 ORDER BY o_custkey"""))),
+
+    // C6 — MERGE upsert semantics: delta rows (keyed) replace matched rows,
+    // unmatched delta rows insert (anti-join ∪ new)
+    "c6_merge" -> (((spark, dir) => {
+      val orders = load(spark, dir, "orders")
+      val delta = orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      StageWriter.merge(orders, delta, Seq("o_orderkey"))
+        .select(col("o_orderkey"), d18(col("o_totalprice")).as("total"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+             CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+                       ELSE o_totalprice END AS DECIMAL(18,2)) AS total
+      FROM orders ORDER BY o_orderkey"""))),
+
+    // C8 — empty-table bootstrap: typed empty output from declared schema
+    "c8_empty_bootstrap" -> (((spark, dir) => {
+      val schema = StructType(Seq(
+        StructField("id_venta", StringType),
+        StructField("monto", DecimalType(18, 2)),
+        StructField("od", DateType)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }, Some("""
+      SELECT CAST(NULL AS VARCHAR) AS id_venta,
+             CAST(NULL AS DECIMAL(18,2)) AS monto,
+             CAST(NULL AS DATE) AS od
+      WHERE false"""))),
+
+    // E2E — flagship reference-shaped pipeline (also SparkEntry.entry)
+    "e2e_pipeline" -> ((e2ePipeline _, Some(e2eOracle))),
+
+    // Events micro-batch window aggregation (5-minute tumbling windows over
+    // nanosecond timestamps) — the batch equivalent of the streaming path
+    "evt_window_agg" -> (((spark, dir) => {
+      load(spark, dir, "events")
+        .withColumn("win", expr("ts div 300000000000"))
+        .groupBy("win", "event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("win", "event_type")
+    }, Some("""
+      SELECT epoch_ns(ts) // 300000000000 AS win, event_type,
+             count(*) AS n,
+             CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      FROM events GROUP BY 1, 2 ORDER BY win, event_type""")))
+  )
+}

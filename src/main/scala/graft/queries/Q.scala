@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared helpers for the driver-verified query inventory.
+  *
+  * Oracle-hash-match discipline (driver compares a parquet dump of each query
+  * against DuckDB running the paired SQL on the same inputs):
+  *  - every query ends in a deterministic ORDER BY on a unique key
+  *  - aggregates are cast to DECIMAL(18,2) per-row BEFORE summing, so both
+  *    engines do exact decimal arithmetic on identical per-row doubles
+  *  - timestamps in outputs are formatted to strings (or cast to date) —
+  *    parquet timestamp annotations (tz/ntz, micros/nanos) differ per engine
+  *  - events.parquet carries NANOS timestamps which Spark's reader rejects;
+  *    we read them via nanosAsLong (ts becomes a nanos-since-epoch bigint,
+  *    epoch_ns() on the DuckDB side)
+  */
+object Q {
+  type QueryFn = (SparkSession, String) => DataFrame
+  /** name → (query, optional DuckDB oracle SQL). */
+  type Entry = (QueryFn, Option[String])
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** decimal(18,2) per-row cast — the exact-arithmetic bridge to DuckDB. */
+  def d18(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Sum of per-row decimal(18,2), re-cast so scale matches the oracle. */
+  def dsum(c: Column): Column = sum(d18(c)).cast(DecimalType(18, 2))
+
+  def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+}

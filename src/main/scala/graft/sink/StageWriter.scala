@@ -1,0 +1,113 @@
+package graft.sink
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Stage-zone writer (SURVEY C5–C9).
+  *
+  * The reference writes Delta (overwrite or MERGE upsert,
+  * light_transform.py:1363-1409); Delta isn't on this classpath, so the
+  * idiomatic fallback is partitioned Parquet with an atomic temp-dir swap
+  * for overwrite and an anti-join ∪ new for MERGE (semantically
+  * whenMatchedUpdateAll + whenNotMatchedInsertAll — new rows win).
+  * The atomicity gap vs Delta's log-based commit is documented here: the
+  * swap is atomic per-directory rename; a crash between delete and move can
+  * lose the target (Delta's transaction log cannot) — acceptable for the
+  * idempotent re-run model of this pipeline (re-extract rebuilds).
+  */
+object StageWriter {
+
+  /** Partitioned overwrite with temp-write + atomic-ish swap
+    * (light_transform.py:1363-1380). Guards partition cardinality at scale
+    * (SURVEY §7.4.7): refuses > maxPartitionValues distinct values. */
+  def overwrite(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+      maxPartitionValues: Long = 10000): Unit = {
+    if (partitionBy.nonEmpty) {
+      val n = df.select(partitionBy.map(col): _*).distinct().limit(
+        (maxPartitionValues + 1).toInt).count()
+      require(n <= maxPartitionValues,
+        s"partition columns ${partitionBy.mkString(",")} have >" +
+          s"$maxPartitionValues distinct values — refusing high-cardinality " +
+          "partitioning at scale")
+    }
+    val tmp = path + ".__tmp__"
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmp)
+    val target = Paths.get(path)
+    val old = Paths.get(path + ".__old__")
+    deleteRecursively(old)
+    if (Files.exists(target)) Files.move(target, old)
+    Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+  }
+
+  /** MERGE upsert: existing rows matched on id-columns are replaced by new
+    * rows; unmatched new rows are inserted
+    * (light_transform.py:1382-1392 — dropDuplicates → merge →
+    * whenMatchedUpdateAll.whenNotMatchedInsertAll).
+    *
+    * Pure-Spark MERGE: old ⟕anti new (on keys) ∪ new. One shuffle on the
+    * key columns; at 100 TB both sides hash-partition on the same keys so
+    * AQE can pick a sort-merge or (small delta) broadcast anti-join.
+    */
+  def merge(old: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "MERGE requires id columns")
+    val newRows = delta.dropDuplicates(keys)
+    old.join(newRows, keys, "left_anti").unionByName(newRows)
+  }
+
+  /** MERGE into a Parquet path (reads existing, merges, swaps). */
+  def mergeInto(spark: SparkSession, df: DataFrame, path: String,
+      keys: Seq[String], partitionBy: Seq[String] = Nil): Unit = {
+    if (!Files.exists(Paths.get(path))) overwrite(df, path, partitionBy)
+    else {
+      val old = spark.read.parquet(path)
+      // materialize the merge before the swap so we never read-while-overwrite
+      val merged = merge(old, df, keys).cache()
+      merged.count()
+      overwrite(merged, path, partitionBy)
+      merged.unpersist()
+    }
+  }
+
+  /** Empty-table bootstrap: typed empty output, warn-not-fail
+    * (light_transform.py:1444-1462, 1805-1813). */
+  def writeEmpty(spark: SparkSession, schema: StructType, path: String): Unit = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    overwrite(empty, path)
+  }
+
+  /** Small-file compaction — the Parquet-fallback equivalent of Delta
+    * OPTIMIZE (light_transform.py:1394-1409): coalesce to
+    * ceil(bytes / targetFileBytes) files and swap. */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val df = spark.read.parquet(path)
+    val bytes = dirSize(Paths.get(path))
+    val files = math.max(1, (bytes + targetFileBytes - 1) / targetFileBytes)
+    val compacted = df.coalesce(files.toInt).cache()
+    compacted.count()
+    overwrite(compacted, path)
+    compacted.unpersist()
+  }
+
+  private def dirSize(p: java.nio.file.Path): Long =
+    if (!Files.exists(p)) 0L
+    else {
+      val s = Files.walk(p)
+      try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+      finally s.close()
+    }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => { Files.delete(f); () })
+      finally s.close()
+    }
+}

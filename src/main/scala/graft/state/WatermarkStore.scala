@@ -1,0 +1,92 @@
+package graft.state
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Watermark state: per (project, table, column) monotonically-confirmed last
+  * extracted value, with a transactional PENDING → CONFIRMED / ROLLED_BACK
+  * protocol (reference
+  * utils/extract_data_v2/load/watermark_storage/dynamodb_watermark_storage.py:13-103
+  * and transactional_watermark_storage.py:9-189).
+  *
+  * The local implementation is an append-only newline-JSON log per key —
+  * the same (key, timestamp-ordered) shape as the reference's DynamoDB table.
+  * State is tiny (one row per configured table), driver-side by design; the
+  * 100 TB-scale data never flows through here.
+  */
+final case class WatermarkToken(key: String, ts: Long, value: String)
+
+trait WatermarkStore {
+  def savePending(project: String, table: String, column: String,
+      value: String): WatermarkToken
+  def confirm(token: WatermarkToken): Unit
+  def rollback(token: WatermarkToken): Unit
+  def lastConfirmed(project: String, table: String,
+      column: String): Option[String]
+  def delete(project: String, table: String, column: String): Unit
+}
+
+object WatermarkStore {
+  def key(project: String, table: String, column: String) =
+    s"$project#$table#$column"
+}
+
+/** In-memory store for tests. */
+final class InMemoryWatermarkStore extends WatermarkStore {
+  private val state = scala.collection.concurrent.TrieMap[String, String]()
+  private val pending = scala.collection.concurrent.TrieMap[Long, String]()
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+
+  def savePending(p: String, t: String, c: String, v: String) = {
+    val tok = WatermarkToken(WatermarkStore.key(p, t, c), seq.incrementAndGet(), v)
+    pending.put(tok.ts, tok.key); tok
+  }
+  def confirm(tok: WatermarkToken): Unit =
+    if (pending.remove(tok.ts).isDefined) state.put(tok.key, tok.value)
+  def rollback(tok: WatermarkToken): Unit = { pending.remove(tok.ts); () }
+  def lastConfirmed(p: String, t: String, c: String) =
+    state.get(WatermarkStore.key(p, t, c))
+  def delete(p: String, t: String, c: String): Unit =
+    { state.remove(WatermarkStore.key(p, t, c)); () }
+}
+
+/** File-backed store: one log file per key under `dir`, each line
+  * `ts|status|value`; last CONFIRMED line wins (timestamp sort-key semantics
+  * of the reference's DynamoDB schema). Writes are atomic (tmp + move). */
+final class FileWatermarkStore(dir: String) extends WatermarkStore {
+  Files.createDirectories(Paths.get(dir))
+  private def path(key: String): Path =
+    Paths.get(dir, key.replaceAll("[^A-Za-z0-9#_.-]", "_") + ".log")
+
+  private def append(key: String, ts: Long, status: String, v: String): Unit =
+    synchronized {
+      val p = path(key)
+      val line = s"$ts|$status|$v\n"
+      val existing = if (Files.exists(p)) Files.readString(p) else ""
+      val tmp = Files.createTempFile(Paths.get(dir), "wm", ".tmp")
+      Files.writeString(tmp, existing + line)
+      Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+
+  def savePending(p: String, t: String, c: String, v: String) = {
+    val tok = WatermarkToken(WatermarkStore.key(p, t, c),
+      System.nanoTime(), v)
+    append(tok.key, tok.ts, "PENDING", v); tok
+  }
+  def confirm(tok: WatermarkToken): Unit =
+    append(tok.key, tok.ts, "CONFIRMED", tok.value)
+  def rollback(tok: WatermarkToken): Unit =
+    append(tok.key, tok.ts, "ROLLED_BACK", tok.value)
+
+  def lastConfirmed(p: String, t: String, c: String): Option[String] = {
+    val f = path(WatermarkStore.key(p, t, c))
+    if (!Files.exists(f)) None
+    else Files.readAllLines(f).asScala.toSeq.reverse.collectFirst {
+      case l if l.split("\\|", 3)(1) == "CONFIRMED" => l.split("\\|", 3)(2)
+    }
+  }
+  def delete(p: String, t: String, c: String): Unit = {
+    Files.deleteIfExists(path(WatermarkStore.key(p, t, c))); ()
+  }
+}
