@@ -1,0 +1,136 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** LLM-pipeline operators: planted-duplicate recall, similarity-search
+  * correctness vs a driver-side brute-force oracle, text analysis. */
+class LlmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river shore"),
+    (3L, "completely different text about spark distributed query engines"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (5L, "one two three four five six seven eight nine ten eleven twelve")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+    assert(got.count() == 4) // 1&4 collapse
+    assert(got.filter($"dup_count" === 2).select("keep_id")
+      .as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("minhash LSH finds planted near-duplicates and exact dups") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleWidth = 3, k = 32, b = 8, threshold = 0.6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical, jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash: identical texts have distance 0, near-dups small") {
+    val hs = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(hs(1L) == hs(4L))
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(2L)) <= 12)
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) > 12)
+  }
+
+  test("ngram jaccard: identical 1.0, unrelated low") {
+    val pairs = Seq((1L, 4L), (1L, 3L)).toDF("id1", "id2")
+    val m = Dedup.ngramJaccardPairs(docs, pairs, "doc_id", "text")
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)]
+      .collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(m((1L, 4L)) == 1.0)
+    assert(m((1L, 3L)) < 0.3)
+  }
+
+  test("brute-force cosine top-k matches a driver-side oracle") {
+    val vecs = (0 until 50).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, Array.fill(16)(r.nextFloat() - 0.5f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(df.filter($"vec_id" < 3), df,
+      "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    for (q <- 0 until 3) {
+      val expect = vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q)._2, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      assert(got(q.toLong) == expect, s"query $q")
+    }
+  }
+
+  test("IVF top-k achieves high recall vs brute force on clustered data") {
+    // clustered vectors: IVF with nprobe covering most lists
+    val vecs = (0 until 200).map { i =>
+      val r = new scala.util.Random(i % 8) // 8 clusters
+      val jitter = new scala.util.Random(i)
+      (i.toLong, Array.fill(16)(r.nextFloat() + jitter.nextFloat() * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(q, df, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, df, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("langid picks the stopword-matching language, CJK -> zh") {
+    val t = Seq(
+      (1L, "the cat and the dog are in the house with it"),
+      (2L, "el perro y la casa de los gatos en la calle"),
+      (3L, "der Hund und die Katze mit den Kindern ist im Haus"),
+      (4L, "le chat et les chiens dans une maison pour la famille"),
+      (5L, "这是一个中文测试文档内容很长"),
+      (6L, "zzz qqq xxx www")).toDF("doc_id", "text")
+    val got = t.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr",
+      5L -> "zh", 6L -> "und"))
+  }
+
+  test("token count and fingerprint are deterministic and sane") {
+    val t = Seq((1L, "  Hello,  World! 42  "), (2L, "")).toDF("doc_id", "text")
+    val byId = t.select($"doc_id", TextAnalysis.tokenCount($"text").as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(byId(1L) == 3 && byId(2L) == 0)
+    // fingerprint stable across runs
+    val fp1 = t.select(TextAnalysis.fingerprint($"text")).as[Long].collect()
+    val fp2 = t.select(TextAnalysis.fingerprint($"text")).as[Long].collect()
+    assert(fp1.toSeq == fp2.toSeq)
+  }
+
+  test("multimodal decode plumbing: schema, determinism, payload sizes") {
+    val media = Multimodal.fromDocuments(
+      docs.withColumnRenamed("text", "t").withColumn("text", $"t"))
+    val feats = Multimodal.decodeFeatures(media)
+    assert(feats.schema == Multimodal.featureSchema)
+    val rows = feats.orderBy("media_id").collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[Int]("byte_len") > 0))
+    // identical payloads -> identical checksums (1 and 4 share text)
+    val sums = rows.map(r =>
+      r.getAs[Long]("media_id") -> r.getAs[Long]("checksum")).toMap
+    assert(sums(1L) == sums(4L) && sums(1L) != sums(3L))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.sink
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.state.FileWatermarkStore
+
+/** Stage-writer + watermark-store behavior (SURVEY §5.5 pipeline policies). */
+class SinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft").resolve("t").toString
+
+  test("overwrite + re-read roundtrip, swap is idempotent") {
+    val path = tmp()
+    Seq((1, "a"), (2, "b")).toDF("k", "v").write.mode("overwrite").parquet(path)
+    StageWriter.overwrite(Seq((3, "c")).toDF("k", "v"), path)
+    val got = spark.read.parquet(path).as[(Int, String)].collect().toSet
+    assert(got == Set((3, "c")))
+    assert(!Files.exists(java.nio.file.Paths.get(path + ".__tmp__")))
+    assert(!Files.exists(java.nio.file.Paths.get(path + ".__old__")))
+  }
+
+  test("merge: new rows win on key match, unmatched old rows survive") {
+    val old = Seq((1, "old1"), (2, "old2"), (3, "old3")).toDF("k", "v")
+    val delta = Seq((2, "NEW2"), (4, "NEW4"), (2, "NEW2")).toDF("k", "v")
+    val got = StageWriter.merge(old, delta, Seq("k"))
+      .as[(Int, String)].collect().toSet
+    assert(got == Set((1, "old1"), (2, "NEW2"), (3, "old3"), (4, "NEW4")))
+  }
+
+  test("mergeInto bootstraps on first write then upserts") {
+    val path = tmp()
+    StageWriter.mergeInto(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"),
+      path, Seq("k"))
+    StageWriter.mergeInto(spark, Seq((2, "B"), (3, "c")).toDF("k", "v"),
+      path, Seq("k"))
+    val got = spark.read.parquet(path).as[(Int, String)].collect().toSet
+    assert(got == Set((1, "a"), (2, "B"), (3, "c")))
+  }
+
+  test("partition cardinality guard refuses high-cardinality partitioning") {
+    val df = (1 to 100).map(i => (i, s"v$i")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      StageWriter.overwrite(df, tmp(), partitionBy = Seq("k"),
+        maxPartitionValues = 10)
+    }
+  }
+
+  test("empty bootstrap writes a typed empty table") {
+    val path = tmp()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.StringType)))
+    StageWriter.writeEmpty(spark, schema, path)
+    val got = spark.read.parquet(path)
+    assert(got.count() == 0 && got.schema.fieldNames.toSeq == Seq("a"))
+  }
+
+  test("compact coalesces many small files") {
+    val path = tmp()
+    spark.range(1000).repartition(16).write.parquet(path)
+    val before = Files.list(java.nio.file.Paths.get(path))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    StageWriter.compact(spark, path)
+    val after = Files.list(java.nio.file.Paths.get(path))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    assert(before == 16 && after == 1)
+    assert(spark.read.parquet(path).count() == 1000)
+  }
+
+  test("file watermark store: pending is invisible until confirmed; " +
+    "rollback discards; delete clears") {
+    val dir = Files.createTempDirectory("wm").toString
+    val s = new FileWatermarkStore(dir)
+    val t1 = s.savePending("p", "t", "c", "10")
+    assert(s.lastConfirmed("p", "t", "c").isEmpty)
+    s.confirm(t1)
+    assert(s.lastConfirmed("p", "t", "c") == Some("10"))
+    val t2 = s.savePending("p", "t", "c", "20")
+    s.rollback(t2)
+    assert(s.lastConfirmed("p", "t", "c") == Some("10"))
+    val t3 = s.savePending("p", "t", "c", "30")
+    s.confirm(t3)
+    assert(s.lastConfirmed("p", "t", "c") == Some("30"))
+    s.delete("p", "t", "c")
+    assert(s.lastConfirmed("p", "t", "c").isEmpty)
+  }
+}
