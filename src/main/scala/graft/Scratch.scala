@@ -13,7 +13,6 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.entry(spark)
     println(s"entry rows=${df.count()} cols=${df.columns.mkString(",")}")
-    df.show(3, false)
     spark.stop()
   }
 }

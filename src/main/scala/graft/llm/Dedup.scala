@@ -66,12 +66,16 @@ object Dedup {
 
   /** MinHash + LSH near-duplicate pairs.
     *
-    * shingle → minhash(k) → band(b×r) → groupBy(band, bandHash) buckets →
+    * shingle-explode → k per-seed hashes → map-side-combined MIN aggregation
+    * (the signature) → b band hashes → groupBy(band, bandHash) buckets →
     * intra-bucket pairs (id1 < id2) → exact-Jaccard verification ≥ threshold.
     *
-    * `maxBucket` caps pathological buckets (boilerplate-heavy corpora) so a
-    * single hot band hash can never produce a quadratic blowup — the skew
-    * guard that matters at 100 TB.
+    * Scale shape: the signature is ONE shuffle keyed by doc id with partial
+    * min-aggregation (so the shuffle carries k longs per doc, not the
+    * shingles); buckets carry only ids; the shingle sets are joined back just
+    * for the verified candidate pairs. `maxBucket` caps pathological buckets
+    * (boilerplate-heavy corpora) so a hot band hash can never go quadratic —
+    * the skew guard that matters at 100 TB.
     *
     * Returns (id1, id2, jaccard) with id1 < id2, deduplicated across bands.
     */
@@ -80,36 +84,74 @@ object Dedup {
       threshold: Double = 0.8, maxBucket: Int = 64): DataFrame = {
     require(k % b == 0, s"k=$k must be divisible by b=$b")
     val r = k / b
-    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", wordShingles(col("text"), shingleWidth))
-      .withColumn("sig", minhashSignature(col("sh"), k))
-      .withColumn("bnd", bands(col("sig"), b, r))
-    val buckets = withSig
-      .select(col("id"), col("sh"), explode(col("bnd")).as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bh").as("bh"),
-        col("id"), col("sh"))
-    // intra-bucket pair generation via bounded collect_list (skew-guarded)
-    val pairs = buckets
+    // Shingle ROWS via posexplode + lead windows: the array-lambda form
+    // re-evaluates the split() subtree per element (no CSE inside HOF
+    // lambdas), which is quadratic per document — the window form tokenizes
+    // once per doc and is linear. Duplicate shingles are harmless here
+    // because the signature is a MIN aggregation.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val tok = df.select(col(idCol).as("id"),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "word")))
+    val leads = (1 until shingleWidth)
+      .map(i => lead(col("word"), i).over(w).as(s"w$i"))
+    val shingleRows = tok.select(col("id") +: col("pos") +: col("word") +:
+        leads: _*)
+      .withColumn("s",
+        when(col(s"w${shingleWidth - 1}").isNotNull,
+          concat_ws(" ", col("word") +: (1 until shingleWidth)
+            .map(i => col(s"w$i")): _*))
+          .otherwise(when(col("pos") === 0, // short doc: single whole shingle
+            concat_ws(" ", col("word") +: (1 until shingleWidth)
+              .map(i => col(s"w$i")): _*))))
+      .filter(col("s").isNotNull)
+    // signature: hash each shingle ONCE, derive the k per-seed values as
+    // affine permutations h_j = base·A_j + B_j over the wrapping 2^64 ring
+    // (odd A_j ⇒ bijective) — k multiply-adds per row, not k string hashes —
+    // then ONE doc-id shuffle with map-side-combined mins.
+    def permute(base: Column, j: Int): Column =
+      base * lit(2L * j * 0x9E3779B97F4A7C15L + 1L) +
+        lit(j * 0xC2B2AE3D27D4EB4FL)
+    val hashed = shingleRows.select(col("id"), xxhash64(col("s")).as("hb"))
+    val sig = hashed
+      .groupBy("id")
+      .agg(min(permute(col("hb"), 0)).as("h0"),
+        (1 until k).map(j => min(permute(col("hb"), j)).as(s"h$j")): _*)
+    // band hash = xxhash64 over the band's r signature slots (no strings)
+    val banded = sig.select(col("id"), array((0 until b).map(i =>
+      struct(lit(i).as("band"),
+        xxhash64((i * r until (i + 1) * r).map(j => col(s"h$j")): _*)
+          .as("bh"))): _*).as("bnd"))
+      .select(col("id"), explode(col("bnd")).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bh").as("bh"), col("id"))
+    // intra-bucket pair generation via bounded sorted id list (skew-guarded)
+    val pairs = banded
       .groupBy("band", "bh")
-      .agg(slice(sort_array(collect_list(struct(col("id"), col("sh")))),
-        1, maxBucket).as("members"))
-      .filter(size(col("members")) > 1)
+      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("m"))
+      .filter(size(col("m")) > 1)
       .select(explode(expr(
-        """flatten(transform(members, (x, i) ->
-          |  transform(slice(members, i + 2, size(members)), y ->
-          |    struct(x.id as id1, x.sh as sh1, y.id as id2, y.sh as sh2))))"""
-          .stripMargin)).as("p"))
-      .select(col("p.id1"), col("p.id2"), col("p.sh1"), col("p.sh2"))
+        """flatten(transform(m, (x, i) ->
+          |  transform(slice(m, i + 2, size(m)), y ->
+          |    struct(x as id1, y as id2))))""".stripMargin)).as("p"))
+      .select(col("p.id1"), col("p.id2"))
       .dropDuplicates("id1", "id2")
+    // verify only the candidates: join the shingle SETS back by id (built
+    // from the same shingle rows — collect_set dedups, jaccard is
+    // order-independent)
+    val shingleSets = shingleRows.groupBy("id")
+      .agg(collect_set(col("s")).as("sh"))
     pairs
+      .join(shingleSets.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(shingleSets.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
   /** 64-bit SimHash from word hashes: per bit, sign of the sum of ±1
-    * contributions. Explode-free: per-row aggregate over the word array per
-    * bit — 64 codegen'd array traversals, no shuffle at all. */
+    * contributions. Explode-free single-pass form (64 folds over the word
+    * array) — fine for one-off scoring; `simhashTable` below is the
+    * aggregation-shaped form used for corpus-scale pair mining. */
   def simhash(textCol: Column): Column = {
     val words = array_distinct(split(trim(lower(textCol)), "\\s+"))
     val hashes = transform(words, w => xxhash64(w))
@@ -122,11 +164,29 @@ object Dedup {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Corpus-scale SimHash: explode words → one map-side-combined SUM per bit
+    * keyed by doc id (the shuffle carries 64 longs per doc), then assemble
+    * the 64-bit hash from the signs. Same result as `simhash`. */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+      explode(array_distinct(split(trim(lower(col(textCol))), "\\s+"))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    // branch-free ±1 contribution: 2·bit − 1
+    def bitSum(j: Int) = sum(
+      shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j")
+    val sums = words.groupBy("id").agg(bitSum(0),
+      (1 until 64).map(bitSum): _*)
+    val hash = (0 until 64).map(j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    sums.select(col("id"), hash.as("simhash"))
+  }
+
   /** SimHash near-duplicate pairs via pigeonhole banding on 4×16-bit chunks
     * (hamming distance ≤ 3 ⇒ at least one chunk equal). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("simhash"))
+    val sh = simhashTable(df, idCol, textCol)
     val chunked = sh.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(i => struct(lit(i).as("chunk"),
         shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))

@@ -93,7 +93,9 @@ object Similarity {
     * (~nprobe/nlist of the corpus) bounds the scan. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 64, nprobe: Int = 8): DataFrame = {
-    val indexed = ivfAssign(corpus, idCol, vecCol, nlist)
+    // the IVF index is reused by the centroid lookup AND the probe scan —
+    // persist it so assignment (a corpus×centroid scoring pass) runs once
+    val indexed = ivfAssign(corpus, idCol, vecCol, nlist).cache()
     val centroids = indexed.filter(col(idCol) === col("list_id"))
       .select(col("list_id").as("cent_id"), col(vecCol).as("cent_v"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
