@@ -113,6 +113,43 @@ object PipelineQueries {
     // E2E — flagship reference-shaped pipeline (also SparkEntry.entry)
     "e2e_pipeline" -> ((e2ePipeline _, Some(e2eOracle))),
 
+    // Sessionization (gap > 1 h starts a new session) — the batch twin of
+    // streaming.Streams.sessionize, lag/cumsum over a per-user window
+    "evt_sessionize" -> (((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      load(spark, dir, "events")
+        .withColumn("new_s",
+          when(col("ts") - lag("ts", 1).over(w) > 3600L * 1000000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum("new_s")
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        // micros in the output: DuckDB surfaces parquet NANOS at micro
+        // precision, so ns-exact values can never hash-match
+        .agg(count(lit(1)).as("n_events"),
+          expr("min(ts) div 1000").as("start_us"),
+          expr("max(ts) div 1000").as("end_us"),
+          dsum(col("value")).as("total"))
+        .orderBy("user_id", "session_id")
+    }, Some("""
+      WITH marked AS (
+        SELECT user_id, epoch_ns(ts) AS tsn, "value",
+               CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+                      (PARTITION BY user_id ORDER BY epoch_ns(ts))
+                    > 3600 * CAST(1000000000 AS BIGINT) THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      sess AS (
+        SELECT user_id, tsn, "value",
+               CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsn
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM marked)
+      SELECT user_id, session_id, count(*) AS n_events,
+             min(tsn) // 1000 AS start_us, max(tsn) // 1000 AS end_us,
+             CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      FROM sess GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""))),
+
     // Events micro-batch window aggregation (5-minute tumbling windows over
     // nanosecond timestamps) — the batch equivalent of the streaming path
     "evt_window_agg" -> (((spark, dir) => {

@@ -1,0 +1,113 @@
+package graft.run
+
+import java.sql.Timestamp
+import java.time.{Clock, ZoneId}
+import java.util.concurrent.Executors
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+import scala.util.{Failure, Success, Try}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import graft.config.{ColumnMetadata, LoadMode, LoadType, TableConfig}
+import graft.extract.Strategies
+import graft.sink.StageWriter
+import graft.state.WatermarkStore
+import graft.transform.TransformationEngine
+
+/** Per-table raw→stage pipeline + process-group scheduler (SURVEY C12, E1/E2).
+  *
+  * The reference's Step-Functions DAG (Map extract ≤15 ∥, Map transform
+  * ≤60 ∥, 30 s polling) maps to driver-side bounded-parallel futures: Spark's
+  * scheduler parallelizes WITHIN a table's job; the group scheduler overlaps
+  * small tables' jobs the way the SF Map state does.
+  */
+final case class RunRecord(table: String, status: String, rows: Long,
+    durationMs: Long, error: String = "")
+
+object TablePipeline {
+
+  /** Raw zone semantics: every column stringified before landing
+    * (reference extract_data.py:694). */
+  def toRawZone(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => col(c).cast(StringType).as(c)): _*)
+
+  /** Extract one table's source to the raw zone (E1): strategy plan →
+    * read → stringify → date-partitioned path write, then confirm the
+    * watermark. Returns row count. */
+  def extract(spark: SparkSession, sourcePath: String, rawPath: String,
+      cfg: TableConfig, mode: LoadMode, clock: Clock, zone: ZoneId,
+      store: Option[WatermarkStore], project: String = "default"): Long = {
+    val df = Strategies.extract(spark, sourcePath, cfg, mode, clock, zone,
+      store, project)
+    val raw = toRawZone(df)
+    StageWriter.overwrite(raw, rawPath)
+    spark.read.parquet(rawPath).count()
+  }
+
+  /** Transform one table raw→stage (E2): read raw (cache + count-validate,
+    * C1), DSL transform, dedup-latest, then MERGE for incremental loads into
+    * an existing stage table or partitioned overwrite otherwise
+    * (light_transform.py:1553-1564). Empty raw input bootstraps a typed
+    * empty stage table with WARNING-not-fail semantics (C8). */
+  def transform(spark: SparkSession, rawPath: String, stagePath: String,
+      cfg: TableConfig, meta: Seq[ColumnMetadata],
+      now: Option[Timestamp] = None): Long = {
+    val raw = spark.read.parquet(rawPath).cache()
+    try {
+      val n = raw.count()
+      if (n == 0) {
+        val schema = org.apache.spark.sql.types.StructType(
+          meta.sortBy(_.columnId).map(m =>
+            org.apache.spark.sql.types.StructField(m.columnName, m.sparkType)))
+        StageWriter.writeEmpty(spark, schema, stagePath)
+        return 0L
+      }
+      val staged = TransformationEngine.run(raw, meta, now)
+      val ids = meta.filter(_.isId).map(_.columnName)
+      val partitions = meta.filter(_.isPartition).map(_.columnName)
+      val incremental = cfg.loadType == LoadType.Incremental ||
+        cfg.loadType == LoadType.BetweenDate
+      if (incremental && ids.nonEmpty &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(stagePath)))
+        StageWriter.mergeInto(spark, staged, stagePath, ids, partitions)
+      else
+        StageWriter.overwrite(staged, stagePath, partitions)
+      spark.read.parquet(stagePath).count()
+    } finally raw.unpersist()
+  }
+}
+
+/** Bounded-parallel process-group scheduler with a structured run log
+  * (SURVEY C11/C12 — DynamoDB status records + SNS become a run-log table;
+  * RUNNING→SUCCESS/FAILED transitions preserved). */
+object GroupScheduler {
+
+  def run(tables: Seq[(String, () => Long)], maxConcurrency: Int = 15)
+      : Seq[RunRecord] = {
+    val pool = Executors.newFixedThreadPool(math.max(1, maxConcurrency))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = tables.map { case (name, job) =>
+        Future {
+          val t0 = System.nanoTime()
+          Try(job()) match {
+            case Success(rows) =>
+              RunRecord(name, "SUCCESS", rows, (System.nanoTime() - t0) / 1000000)
+            case Failure(e) =>
+              RunRecord(name, "FAILED", -1, (System.nanoTime() - t0) / 1000000,
+                String.valueOf(e.getMessage))
+          }
+        }
+      }
+      Await.result(Future.sequence(futures), Duration.Inf)
+    } finally pool.shutdown()
+  }
+
+  /** Persist the run log as a queryable table (C11). */
+  def writeLog(spark: SparkSession, records: Seq[RunRecord],
+      path: String): Unit = {
+    import spark.implicits._
+    StageWriter.overwrite(records.toDF(), path)
+  }
+}
