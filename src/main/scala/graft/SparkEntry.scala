@@ -24,6 +24,9 @@ object SparkEntry {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // stage partition columns are business codes ("011"); never re-infer
+    // them as ints when reading a partitioned layout back
+    .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
 
   private val all: Map[String, Q.Entry] =
     ExtractionQueries.defs ++ DslQueries.defs ++ PipelineQueries.defs ++

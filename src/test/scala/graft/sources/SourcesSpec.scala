@@ -1,0 +1,72 @@
+package graft.sources
+
+import java.time.{Clock, Instant, LocalDateTime, ZoneId, ZoneOffset}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.config.EndpointConfig
+import graft.extract.{RangeSlicer, ReadPlan}
+
+/** JDBC option building, raw-path templating, catalog registration. */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val ep = EndpointConfig("EP1", "mssql", 1433, "erp", "db01", "svc")
+  private val plan = ReadPlan(Seq("a", "b"), Seq("flg = 'a'"), Some("pk"),
+    30, None)
+
+  test("jdbc urls per dialect") {
+    assert(JdbcSource.url(ep) ==
+      "jdbc:sqlserver://db01:1433;databaseName=erp;encrypt=false")
+    assert(JdbcSource.url(ep.copy(bdType = "oracle", dbPort = 1521)) ==
+      "jdbc:oracle:thin:@db01:1521/erp")
+    assert(JdbcSource.url(ep.copy(bdType = "mysql", dbPort = 3306)) ==
+      "jdbc:mysql://db01:3306/erp")
+  }
+
+  test("pushdown dbtable subquery and slice predicates") {
+    assert(JdbcSource.dbtable(plan, "dbo.t") ==
+      "(SELECT a, b FROM dbo.t WHERE (flg = 'a')) AS src")
+    val preds = JdbcSource.slicePredicates(plan, RangeSlicer.slices(0, 99, 2))
+    assert(preds.toSeq == Seq("pk >= 0 AND pk < 50", "pk >= 50 AND pk < 100"))
+  }
+
+  test("partitioned reader carries Spark JDBC partitioning options") {
+    val r = JdbcSource.partitionedReader(spark, "jdbc:h2:mem:x", plan,
+      "dbo.t", "", 0, 99, JdbcSource.baseProps(ep, "pw"))
+    // options are private; assert via the reader's plan-building not failing
+    // and the dbtable round-trip
+    assert(JdbcSource.dbtable(plan, "dbo.t").contains("SELECT a, b"))
+    assert(r != null)
+  }
+
+  test("partition format tokens incl. week and quarter") {
+    val ts = LocalDateTime.of(2024, 6, 25, 7, 3, 9)
+    assert(PartitionFormat.render(
+      "year={YYYY}/month={MM}/day={DD}/h={HH}{MI}{SS} w{WEEK} q{QUARTER}", ts)
+      == "year=2024/month=06/day=25/h=070309 w26 q2")
+    val clock = Clock.fixed(Instant.parse("2024-06-25T07:00:00Z"),
+      ZoneOffset.UTC)
+    assert(PartitionFormat.rawPath("/lake/raw", "bi", "erp", "ep1", "t1",
+      clock, ZoneId.of("UTC")) ==
+      "/lake/raw/bi/erp/ep1/t1/year=2024/month=06/day=25")
+  }
+
+  test("catalog registers a partitioned stage table queryable by SQL") {
+    val dir = java.nio.file.Files.createTempDirectory("cat").toString
+    Seq((1L, "a", "011"), (2L, "b", "012"), (3L, "c", "011"))
+      .toDF("id", "v", "id_compania")
+      .write.partitionBy("id_compania").parquet(s"$dir/stage_t")
+    val db = Catalog.databaseName("bi", "erp", "ep-1", "stage")
+    assert(db == "bi_erp_ep_1_stage")
+    Catalog.registerStageTable(spark, db, "t1", s"$dir/stage_t",
+      Seq("id_compania"))
+    val got = spark.sql(s"SELECT id, id_compania FROM $db.t1 ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "011"), (2L, "012"), (3L, "011")))
+    // re-register is idempotent
+    Catalog.registerStageTable(spark, db, "t1", s"$dir/stage_t",
+      Seq("id_compania"))
+    assert(spark.sql(s"SELECT count(*) FROM $db.t1").collect()(0).getLong(0) == 3)
+  }
+}
