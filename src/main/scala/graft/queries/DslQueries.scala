@@ -127,6 +127,25 @@ object DslQueries {
              strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS lastmodifydate
       FROM orders ORDER BY o_orderkey"""))),
 
+    // B7 — plain Date parse with format + default
+    "b7_date" -> (((spark, dir) => {
+      val src = load(spark, dir, "orders")
+        .withColumn("fstr", when(col("o_custkey") % 11 === 0, lit("garbage"))
+          .otherwise(date_format(col("o_orderdate"), "yyyyMMdd")))
+      TransformationEngine.apply(src, meta(
+        ("o_orderkey", "bigint", ""),
+        ("parsed", "date", "fn_transform_Date(fstr, yyyyMMdd, to_null)"),
+        ("parsed_dflt", "date",
+          "fn_transform_Date(fstr, yyyyMMdd, $1900-01-01)")))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+             CASE WHEN o_custkey % 11 = 0 THEN NULL
+                  ELSE CAST(o_orderdate AS DATE) END AS parsed,
+             CASE WHEN o_custkey % 11 = 0 THEN DATE '1900-01-01'
+                  ELSE CAST(o_orderdate AS DATE) END AS parsed_dflt
+      FROM orders ORDER BY o_orderkey"""))),
+
     // B8+B9 — PeriodMagic (nulls → 190001) and nested
     // Date_to_String(DateMagic(…)) invocation
     "b9_periodmagic" -> (((spark, dir) => {

@@ -154,6 +154,14 @@ object LlmQueries {
              length(text) AS n_chars_calc
       FROM documents ORDER BY doc_id"""))),
 
+    // BPE-ish subword estimate (lookaround regex — no DuckDB twin; rows-only)
+    "text_bpeish" -> (((spark, dir) => {
+      load(spark, dir, "documents")
+        .select(col("doc_id"),
+          graft.llm.TextAnalysis.bpeishCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    }, None)),
+
     // Quality scoring (length/punct/digit/stopword components)
     "text_quality" -> (((spark, dir) => {
       load(spark, dir, "documents")
