@@ -69,8 +69,20 @@ object CsvConfigLoader {
     tableName = row.getOrElse("TABLE_NAME", "").trim,
     transformation = sanitize(row.getOrElse("TRANSFORMATION", "")))
 
+  def endpointConfig(row: Map[String, String]): EndpointConfig =
+    EndpointConfig(
+      endpointName = row.getOrElse("ENDPOINT_NAME", "").trim,
+      bdType = row.getOrElse("BD_TYPE", "").trim,
+      dbPort = int(row.getOrElse("DB_PORT_NUMBER", "0")),
+      srcDbName = row.getOrElse("SRC_DB_NAME", "").trim,
+      srcServerName = row.getOrElse("SRC_SERVER_NAME", "").trim,
+      srcDbUsername = row.getOrElse("SRC_DB_USERNAME", "").trim)
+
   def loadTables(path: String): Seq[TableConfig] =
     parseFile(path).map(tableConfig)
+
+  def loadEndpoints(path: String): Seq[EndpointConfig] =
+    parseFile(path).map(endpointConfig)
 
   def loadColumns(path: String, tableName: String): Seq[ColumnMetadata] =
     parseFile(path).map(columnMetadata)

@@ -238,6 +238,56 @@ object LlmQueries {
                (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
       FROM documents ORDER BY doc_id"""))),
 
+    // End-to-end corpus cleaning — the composition a training-data pipeline
+    // actually runs: exact-dedup (keep lowest id) → language ID → quality
+    // score → filter. One groupBy + per-row maps; at 100 TB this is one
+    // shuffle on the content hash.
+    "llm_corpus_clean" -> (((spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      val keep = Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      docs.join(keep, "doc_id")
+        .select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .filter(col("quality") >= 0.5 && col("lang_pred") =!= "und")
+        .orderBy("doc_id")
+    }, Some("""
+      WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+      feats AS (
+        SELECT d.doc_id, d.text, length(d.text) AS chars,
+               length(d.text) - length(regexp_replace(d.text, '[一-鿿]', '', 'g')) AS cjk,
+               CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(d.text), '\s+')) END AS DOUBLE) AS toks,
+               CAST(length(d.text) - length(regexp_replace(d.text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS punct,
+               CAST(length(d.text) - length(regexp_replace(d.text, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
+               len(list_intersect(list_distinct(string_split_regex(lower(trim(d.text)), '\s+')),
+                 ['the','and','of','to','in','is','that','with','for','it','was','on','are','this','be'])) AS s_en,
+               len(list_intersect(list_distinct(string_split_regex(lower(trim(d.text)), '\s+')),
+                 ['el','la','de','que','y','en','los','del','las','un','una','con','por','para','es'])) AS s_es,
+               len(list_intersect(list_distinct(string_split_regex(lower(trim(d.text)), '\s+')),
+                 ['der','die','und','das','von','zu','mit','den','ist','im','ein','eine','auf','nicht','als'])) AS s_de,
+               len(list_intersect(list_distinct(string_split_regex(lower(trim(d.text)), '\s+')),
+                 ['le','la','les','de','des','et','en','un','une','du','est','dans','que','pour','qui'])) AS s_fr
+        FROM documents d JOIN keep USING (doc_id)),
+      scored AS (
+        SELECT doc_id,
+               CASE WHEN cjk * 4 > chars THEN 'zh'
+                    WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                    WHEN s_de >= s_fr THEN 'de'
+                    ELSE 'fr' END AS lang_pred,
+               round(least(toks / 20.0, 1.0) * 0.3
+                 + greatest(0.0, 1.0 - (punct / greatest(chars, 1.0)) * 4) * 0.25
+                 + greatest(0.0, 1.0 - (digits / greatest(chars, 1.0)) * 4) * 0.25
+                 + least(CAST(s_en + s_es + s_de + s_fr AS DOUBLE) / 5.0, 1.0) * 0.2,
+                 4) AS quality
+        FROM feats)
+      SELECT doc_id, lang_pred, quality FROM scored
+      WHERE quality >= 0.5 AND lang_pred <> 'und'
+      ORDER BY doc_id"""))),
+
     // Multimodal metadata plumbing (binary payload + typed metadata)
     "mm_meta" -> (((spark, dir) => {
       Multimodal.fromDocuments(load(spark, dir, "documents"))

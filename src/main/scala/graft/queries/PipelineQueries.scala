@@ -113,6 +113,47 @@ object PipelineQueries {
     // E2E — flagship reference-shaped pipeline (also SparkEntry.entry)
     "e2e_pipeline" -> ((e2ePipeline _, Some(e2eOracle))),
 
+    // C12 — process-group scheduler driving two full raw->stage pipelines in
+    // parallel; output is the run log (deterministic: statuses + row counts)
+    "pipeline_group" -> (((spark, dir) => {
+      import spark.implicits._
+      import graft.run.{GroupScheduler, TablePipeline}
+      import graft.config.{ColumnMetadata, LoadMode, LoadType, TableConfig}
+      val work = java.nio.file.Files.createTempDirectory("grp").toString
+      def cfg(t: String) = TableConfig("*", LoadType.Full, "auto", "", 0, 0,
+        "", "", "", "", "", "G1", "dbo", t, "m", s"m_$t", "a", "1")
+      def meta(id: String, cols: (String, String)*): Seq[ColumnMetadata] =
+        cols.zipWithIndex.map { case ((n, tr), i) =>
+          ColumnMetadata(n, i + 1, false, n == id, false, false, "string",
+            "t", tr)
+        }
+      val clock = java.time.Clock.fixed(
+        java.time.Instant.parse("2024-06-25T12:00:00Z"),
+        java.time.ZoneOffset.UTC)
+      val utc = java.time.ZoneId.of("UTC")
+      def job(table: String, m: Seq[ColumnMetadata])(): Long = {
+        TablePipeline.extract(spark, s"$dir/$table.parquet",
+          s"$work/raw/$table", cfg(table), LoadMode.Initial, clock, utc, None)
+        TablePipeline.transform(spark, s"$work/raw/$table",
+          s"$work/stage/$table", cfg(table), m,
+          Some(DslQueries.auditNow))
+      }
+      val recs = GroupScheduler.run(Seq(
+        ("nation", () => job("nation", meta("id_nation",
+          ("id_nation", "fn_transform_Concatenate(n_nationkey, n_name)"),
+          ("cod_nation", "fn_transform_ClearString(n_name)")))),
+        ("region", () => job("region", meta("id_region",
+          ("id_region", "fn_transform_ClearString(r_name)"))))),
+        maxConcurrency = 2)
+      recs.map(r => (r.table, r.status, r.rows)).toDF("table", "status", "rows")
+        .orderBy("table")
+    }, Some("""
+      SELECT 'nation' AS "table", 'SUCCESS' AS status,
+             (SELECT count(*) FROM nation) AS "rows"
+      UNION ALL
+      SELECT 'region', 'SUCCESS', (SELECT count(*) FROM region)
+      ORDER BY "table""""))),
+
     // Sessionization (gap > 1 h starts a new session) — the batch twin of
     // streaming.Streams.sessionize, lag/cumsum over a per-user window
     "evt_sessionize" -> (((spark, dir) => {

@@ -51,6 +51,15 @@ class ConfigSpec extends AnyFunSuite {
     assert(cols(3).sparkType == DecimalType(13, 2))
   }
 
+  test("credentials.csv endpoint rows parse") {
+    val csv =
+      """ENDPOINT_NAME;BD_TYPE;DB_PORT_NUMBER;IS_PRINCIPAL;SRC_DB_NAME;COUNTRIES;SRC_DB_SECRET;SRC_DB_USERNAME;SRC_SERVER_NAME;INSTANCE;ENV
+        |EP1;mssql;1433;T;erp;PE;sec;svc;db01;I1;prod""".stripMargin
+    val eps = CsvConfigLoader.parse(csv).map(CsvConfigLoader.endpointConfig)
+    assert(eps == Seq(EndpointConfig("EP1", "mssql", 1433, "erp", "db01",
+      "svc")))
+  }
+
   test("type mapping covers the reference NEW_DATA_TYPE surface") {
     assert(SparkTypes.fromConfig("string") == StringType)
     assert(SparkTypes.fromConfig("int") == IntegerType)
