@@ -26,6 +26,21 @@ final case class ReadPlan(
     if (projection.isEmpty || projection == Seq("*")) filtered
     else filtered.selectExpr(projection: _*)
   }
+
+  /** SQL-mode application: registers the source (and any tables referenced
+    * by correlated `IN (SELECT …)` FILTER_EXP fragments) as temp views and
+    * runs one generated SELECT — the path that supports subquery filters,
+    * which `Dataset.filter(expr(...))` cannot resolve (SURVEY §7.3 "the one
+    * parsing wrinkle"). Catalyst rewrites the IN-subquery to a semi-join. */
+  def applySql(spark: SparkSession, df: DataFrame, viewName: String,
+      extraViews: Map[String, DataFrame] = Map.empty): DataFrame = {
+    df.createOrReplaceTempView(viewName)
+    extraViews.foreach { case (n, d) => d.createOrReplaceTempView(n) }
+    val proj = if (projection.isEmpty) "*" else projection.mkString(", ")
+    val where = if (filters.isEmpty) ""
+      else " WHERE " + filters.map(f => s"($f)").mkString(" AND ")
+    spark.sql(s"SELECT $proj FROM $viewName$where")
+  }
 }
 
 /** Load-strategy factory (SURVEY A6–A10).
