@@ -28,7 +28,8 @@ object TsqlTranslator {
   private def rewriteFunctions(s: String): String = {
     var out = s
     // func_cas_todatetime(fec, hora): magic day + HHMMSS → timestamp
-    val dtRe = "(?i)dbo\\.func_cas_todatetime\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*,\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)".r
+    // (args may be alias-qualified, e.g. t2.fecultimod)
+    val dtRe = "(?i)dbo\\.func_cas_todatetime\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_.]*)\\s*,\\s*([A-Za-z_][A-Za-z0-9_.]*)\\s*\\)".r
     out = dtRe.replaceAllIn(out, m => {
       val (f, h) = (m.group(1), m.group(2))
       val time = s"lpad(cast($h as string), 6, '0')"
@@ -38,7 +39,7 @@ object TsqlTranslator {
         s"substring($time,5,2))))"
     })
     // func_cas_todateint(fec): magic day → yyyyMMdd int
-    val diRe = "(?i)dbo\\.func_cas_todateint\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)".r
+    val diRe = "(?i)dbo\\.func_cas_todateint\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_.]*)\\s*\\)".r
     out = diRe.replaceAllIn(out, m => {
       val f = m.group(1)
       s"cast(date_format(date_add(date'1900-01-01', " +

@@ -80,6 +80,15 @@ object Streams {
         })
   }
 
+  /** Streaming exact dedup: drops re-deliveries of the same key within the
+    * watermark horizon — state stays bounded by `lateness` instead of
+    * growing with the stream (the streaming twin of Dedup.exact). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      lateness: String = "1 hour"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Incremental micro-batch runner: file-source stream over a raw-zone
     * directory → transform → parquet sink with checkpoint. The streaming
     * twin of the watermark-incremental batch loop (exactly-once via the

@@ -1,0 +1,70 @@
+package graft.config
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dsl.{Parser, TsqlTranslator}
+import graft.transform.TransformationEngine
+
+/** Completeness replay over the REFERENCE'S OWN shipped configuration
+  * (read-only at /root/reference/artifacts/configuration/csv): every active
+  * table's projection/id/filter fragment must translate, and every one of
+  * the ~1800 column transformations must compile to a Column with zero
+  * error-degradation — the "a user of the reference could switch" check.
+  */
+class ReferenceConfigReplaySpec extends AnyFunSuite {
+  private val base = "/root/reference/artifacts/configuration/csv"
+  private def available = java.nio.file.Files.exists(
+    java.nio.file.Paths.get(s"$base/tables.csv"))
+
+  test("every tables.csv fragment parses and translates") {
+    assume(available)
+    val tables = CsvConfigLoader.loadTables(s"$base/tables.csv")
+    assert(tables.nonEmpty)
+    val active = tables.filter(_.status.equalsIgnoreCase("a"))
+    assert(active.size >= 50) // 56 shipped active tables
+    active.foreach { t =>
+      // projection list: splits cleanly and translates item by item
+      if (t.columns.nonEmpty && t.columns != "*") {
+        val items = TsqlTranslator.translateProjection(t.columns)
+        assert(items.nonEmpty, s"${t.sourceTable}: empty projection")
+        assert(items.forall(_.trim.nonEmpty))
+      }
+      if (t.idColumn.nonEmpty) TsqlTranslator.translate(t.idColumn)
+      if (t.filterExp.nonEmpty) {
+        val f = TsqlTranslator.translate(t.filterExp)
+        assert(!f.contains("dbo."), s"${t.sourceTable}: schema prefix left")
+      }
+      // load-type parses (incl. derived-from-table-type)
+      t.loadType
+    }
+  }
+
+  test("all shipped column transformations compile with zero degradation") {
+    assume(available)
+    val rows = CsvConfigLoader.parseFile(s"$base/columns.csv")
+      .map(CsvConfigLoader.columnMetadata)
+    assert(rows.size >= 1500) // 1826 shipped rows
+    val byTable = rows.groupBy(_.tableName)
+    var totalCols = 0
+    byTable.foreach { case (table, meta) =>
+      // input columns: every bare token referenced by any transformation
+      val inputCols = meta.flatMap(m => tokens(m.transformation)).toSet ++
+        meta.map(_.columnName)
+      val compiled = TransformationEngine.compile(meta.sortBy(_.columnId),
+        inputCols.toSeq)
+      assert(compiled.errors.isEmpty,
+        s"$table: ${compiled.errors.mkString("; ")}")
+      totalCols += meta.size
+    }
+    info(s"compiled $totalCols transformations across ${byTable.size} tables")
+    assert(totalCols >= 1500)
+  }
+
+  private def tokens(tr: String): Seq[String] = Parser.parse(tr) match {
+    case graft.dsl.Token(t) => Seq(t)
+    case f: graft.dsl.FnCall => collectTokens(f)
+  }
+  private def collectTokens(e: graft.dsl.DslExpr): Seq[String] = e match {
+    case graft.dsl.Token(t) => Seq(t)
+    case graft.dsl.FnCall(_, args) => args.flatMap(collectTokens)
+  }
+}

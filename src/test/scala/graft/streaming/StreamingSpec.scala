@@ -72,6 +72,21 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming dedup drops re-deliveries within the watermark") {
+    val dir = Files.createTempDirectory("st3").toString
+    // duplicate every event id twice
+    val dup = eventsDf(20).union(eventsDf(20))
+    dup.write.parquet(s"$dir/in")
+    val in = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .parquet(s"$dir/in")
+    val q = Streams.dedupStream(in, Seq("event_id")).writeStream
+      .format("memory").queryName("dedup").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("dedup").count() == 20)
+  }
+
   test("file-source raw->stage stream picks up appended files incrementally") {
     val dir = Files.createTempDirectory("st2").toString
     eventsDf(10).write.parquet(s"$dir/raw")
