@@ -56,14 +56,17 @@ object Similarity {
 
   /** Brute-force cosine top-k. `queries` must be small (broadcast side).
     * Returns (query_id, neighbor_id, cosine, rank), rank 1..k per query,
-    * self-matches excluded. Ties broken by neighbor id for determinism. */
+    * self-matches excluded. Ties broken by neighbor id for determinism.
+    * `roundDigits` ranks on a rounded cosine (and outputs it) so
+    * cross-engine fp noise cannot reorder results — the oracle-stable mode. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
+      vecCol: String, k: Int, roundDigits: Option[Int] = None): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val raw = cosine(col("qv"), col("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", roundDigits.fold(raw)(d => round(raw, d)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored

@@ -90,16 +90,11 @@ object LlmQueries {
     // so cross-engine fp noise cannot reorder, tie-broken by neighbor id
     "sim_topk" -> (((spark, dir) => {
       val emb = load(spark, dir, "embeddings")
-      val q = emb.filter(col("vec_id") < 8)
-      val scored = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
-        k = 1000000) // rank below on rounded value; k-cut after rounding
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(round(col("cosine"), 4).desc, col("neighbor_id").asc)
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 10)
+      // rounded-rank mode: cross-engine fp noise cannot reorder results
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 8), emb,
+          "vec_id", "embedding", k = 10, roundDigits = Some(4))
         .select(col("query_id"), col("neighbor_id"),
-          round(col("cosine"), 4).as("cosine4"), col("rnk"))
+          col("cosine").as("cosine4"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
     }, Some("""
       WITH q AS (SELECT vec_id AS query_id, embedding AS qv
