@@ -12,6 +12,71 @@ object BenchQueries {
 
   val defs: Map[String, Entry] = Map(
 
+    // Set operations (the reference never generates them; Spark surfaces
+    // them free — included so the engine's query capabilities are explicit)
+    "q_setops" -> (((spark, dir) => {
+      val c = load(spark, dir, "customer")
+      val building = c.filter(col("c_mktsegment") === "BUILDING")
+        .select("c_nationkey")
+      val machinery = c.filter(col("c_mktsegment") === "MACHINERY")
+        .select("c_nationkey")
+      val both = building.intersect(machinery)
+        .withColumn("op", lit("intersect"))
+      val onlyB = building.except(machinery).withColumn("op", lit("except"))
+      val all = building.union(machinery).distinct()
+        .withColumn("op", lit("union"))
+      both.unionByName(onlyB).unionByName(all)
+        .groupBy("op").agg(count(lit(1)).as("n"))
+        .orderBy("op")
+    }, Some("""
+      WITH b AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+           m AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'),
+      u AS (
+        SELECT 'intersect' AS op, c_nationkey FROM (SELECT * FROM b INTERSECT SELECT * FROM m)
+        UNION ALL
+        SELECT 'except', c_nationkey FROM (SELECT * FROM b EXCEPT SELECT * FROM m)
+        UNION ALL
+        SELECT 'union', c_nationkey FROM (SELECT * FROM b UNION SELECT * FROM m))
+      SELECT op, count(*) AS n FROM u GROUP BY op ORDER BY op"""))),
+
+    // ROLLUP with grouping indicators (labels via coalesce for stable hash)
+    "q_rollup" -> (((spark, dir) => {
+      load(spark, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy("rf", "ls")
+    }, Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY rf, ls"""))),
+
+    // Ranking windows (rank / dense_rank / ntile per nation by balance)
+    "q_window_rank" -> (((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      load(spark, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .filter(col("rnk") <= 5)
+        .orderBy("c_nationkey", "rnk", "c_custkey")
+    }, Some("""
+      SELECT c_nationkey, c_custkey, rnk, drnk, quartile FROM (
+        SELECT c_nationkey, c_custkey,
+               rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+               ntile(4) OVER w AS quartile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey ASC))
+      WHERE rnk <= 5 ORDER BY c_nationkey, rnk, c_custkey"""))),
+
     // Q1-style pricing summary: single scan, partial-agg, 4-group output
     "q1_pricing" -> (((spark, dir) => {
       load(spark, dir, "lineitem")

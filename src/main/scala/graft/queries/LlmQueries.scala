@@ -79,10 +79,19 @@ object LlmQueries {
       FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
       ORDER BY id1"""))),
 
-    // Embedding near-dup via multi-table sign-LSH (probabilistic; rows-only)
+    // Embedding near-dup via sign-LSH (probabilistic; rows-only). The raw
+    // corpus has no cosine≥0.9 pairs, so plant exact duplicates (scaled
+    // copies, cosine = 1.0) of the first 20 vectors — the detector must
+    // surface them, making the rows-only check non-vacuous.
     "dd_embed" -> (((spark, dir) => {
-      Dedup.embeddingNearDup(load(spark, dir, "embeddings"), "vec_id",
+      val emb = load(spark, dir, "embeddings")
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.1f)).as("embedding"),
+          col("label"))
+      Dedup.embeddingNearDup(emb.unionByName(planted), "vec_id",
           "embedding", threshold = 0.9)
+        .select(col("id1"), col("id2"), round(col("cosine"), 4).as("c4"))
         .orderBy("id1", "id2")
     }, None)),
 
