@@ -191,6 +191,42 @@ object PipelineQueries {
       FROM sess GROUP BY user_id, session_id
       ORDER BY user_id, session_id"""))),
 
+    // JSON column functions: extract typed fields from the events props
+    // JSON strings and aggregate on them
+    "evt_json" -> (((spark, dir) => {
+      load(spark, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+        .orderBy("event_type", "k_mod")
+    }, Some("""
+      SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+             count(*) AS n,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum
+      FROM events GROUP BY 1, 2 ORDER BY event_type, k_mod"""))),
+
+    // Pivot (manual conditional aggregation — identical shape both engines)
+    "q_pivot" -> (((spark, dir) => {
+      val li = load(spark, dir, "lineitem")
+      li.groupBy("l_linestatus")
+        .agg(
+          dsum(when(col("l_returnflag") === "A", col("l_quantity"))
+            .otherwise(lit(0))).as("qty_a"),
+          dsum(when(col("l_returnflag") === "N", col("l_quantity"))
+            .otherwise(lit(0))).as("qty_n"),
+          dsum(when(col("l_returnflag") === "R", col("l_quantity"))
+            .otherwise(lit(0))).as("qty_r"))
+        .orderBy("l_linestatus")
+    }, Some("""
+      SELECT l_linestatus,
+             CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0 END
+                  AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty_a,
+             CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0 END
+                  AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty_n,
+             CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END
+                  AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty_r
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))),
+
     // Events micro-batch window aggregation (5-minute tumbling windows over
     // nanosecond timestamps) — the batch equivalent of the streaming path
     "evt_window_agg" -> (((spark, dir) => {
