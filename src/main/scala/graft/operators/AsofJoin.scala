@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, the single right row with the same key
+  * and the greatest right-time ≤ left-time.
+  *
+  * Spark has no native as-of join; per the custom-operator preference order
+  * this composes existing operators (option (a)) rather than adding a
+  * SparkPlan: union-with-tag → ONE shuffle+sort per (key, time) → running
+  * `last(..., ignoreNulls)` window carries the latest right row forward onto
+  * each left row. Cost at any scale is exactly one hash-partition-by-key
+  * sort — the same shape as a sort-merge join, with no range-explosion and
+  * no skew beyond the key distribution itself.
+  *
+  * Right rows sort BEFORE left rows at equal timestamps, giving the
+  * conventional inclusive (`right.time <= left.time`) semantics — the same
+  * contract as DuckDB's ASOF JOIN (used as the oracle in the query
+  * inventory).
+  */
+object AsofJoin {
+
+  /** @param left       probe side
+    * @param right      reference side (columns prefixed `asof_` in output)
+    * @param keyCols    equality keys present on both sides
+    * @param leftTime   event-time column on `left`
+    * @param rightTime  event-time column on `right`
+    * @param rightCols  right columns to carry (besides keys)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTime: String, rightTime: String,
+      rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // tag and align schemas: left keeps its columns, right contributes the
+    // carried columns under asof_ names; time normalized to one column
+    val taggedLeft = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .select(Seq(col("__t"), col("__side")) ++
+        keyCols.map(col) ++
+        leftCols.filterNot(keyCols.contains).map(col) ++
+        rightCols.map(c => lit(null).cast(
+          right.schema(c).dataType).as(s"asof_$c")): _*)
+    val taggedRight = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .select(Seq(col("__t"), col("__side")) ++
+        keyCols.map(col) ++
+        leftCols.filterNot(keyCols.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(c => col(c).as(s"asof_$c")): _*)
+    // right sorts before left at equal time (inclusive <= semantics)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = rightCols.foldLeft(taggedLeft.unionByName(taggedRight)) {
+      case (df, c) => df.withColumn(s"asof_$c",
+        last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .drop("__t", "__side")
+  }
+}

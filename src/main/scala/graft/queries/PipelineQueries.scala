@@ -191,6 +191,31 @@ object PipelineQueries {
       FROM sess GROUP BY user_id, session_id
       ORDER BY user_id, session_id"""))),
 
+    // As-of join: for each 'error' event, the latest preceding-or-equal
+    // 'click' event of the same user (composed operator, one shuffle+sort;
+    // oracle = DuckDB's native ASOF JOIN)
+    "evt_asof" -> (((spark, dir) => {
+      val ev = load(spark, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      graft.operators.AsofJoin.asofJoin(errors, clicks,
+          keyCols = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          rightCols = Seq("click_id"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_click_id").as("prev_click_id"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH errors AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn
+                      FROM events WHERE event_type = 'error'),
+           clicks AS (SELECT event_id AS click_id, user_id, epoch_ns(ts) AS tsn
+                      FROM events WHERE event_type = 'click')
+      SELECT e.event_id, e.user_id, c.click_id AS prev_click_id
+      FROM errors e ASOF LEFT JOIN clicks c
+        ON e.user_id = c.user_id AND e.tsn >= c.tsn
+      ORDER BY e.event_id"""))),
+
     // JSON column functions: extract typed fields from the events props
     // JSON strings and aggregate on them
     "evt_json" -> (((spark, dir) => {
