@@ -51,7 +51,7 @@ object BenchQueries {
     }, Some("""
       SELECT coalesce(l_returnflag, 'ALL') AS rf,
              coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY rf, ls"""))),
 
@@ -87,16 +87,16 @@ object BenchQueries {
           dsum(col("l_extendedprice")).as("sum_base"),
           sum((d18(col("l_extendedprice")) *
             (lit(1) - col("l_discount").cast("decimal(3,2)")))
-            .cast("decimal(18,4)")).cast("decimal(18,4)").as("sum_disc"),
+            .cast("decimal(18,4)")).cast("double").as("sum_disc"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")
     }, Some("""
       SELECT l_returnflag, l_linestatus,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
              CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                   (1 - CAST(l_discount AS DECIMAL(3,2)))
-                  AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc,
+                  AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
              count(*) AS n
       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       GROUP BY l_returnflag, l_linestatus
@@ -115,7 +115,7 @@ object BenchQueries {
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(sum((d18(col("l_extendedprice")) *
             (lit(1) - col("l_discount").cast("decimal(3,2)")))
-            .cast("decimal(18,4)")).cast("decimal(18,4)").as("revenue"))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
         .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"),
           col("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -124,7 +124,7 @@ object BenchQueries {
       SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
              CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                   (1 - CAST(l_discount AS DECIMAL(3,2)))
-                  AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+                  AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -152,14 +152,14 @@ object BenchQueries {
         .groupBy(col("n_name"))
         .agg(sum((d18(col("l_extendedprice")) *
             (lit(1) - col("l_discount").cast("decimal(3,2)")))
-            .cast("decimal(18,4)")).cast("decimal(18,4)").as("revenue"),
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
           count(lit(1)).as("n"))
         .orderBy(col("n_name"))
     }, Some("""
       SELECT n_name,
              CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                   (1 - CAST(l_discount AS DECIMAL(3,2)))
-                  AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+                  AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
              count(*) AS n
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey

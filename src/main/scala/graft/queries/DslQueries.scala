@@ -224,12 +224,16 @@ object DslQueries {
         ("price_d", "double", "fn_transform_Double(s_price)"),
         ("price_n", "numeric(13,2)", "fn_transform_Numeric(s_price)"),
         ("flag_b", "boolean", "fn_transform_Boolean(s_flag)")))
+        // decimal → string output: both engines render scale-2 decimals as
+        // '901.00', while a decimal column would hash-mismatch at the driver
+        // (pyarrow Decimal repr vs DuckDB float repr)
+        .withColumn("price_n", col("price_n").cast("string"))
         .orderBy("p_partkey")
     }, Some("""
       SELECT p_partkey,
              CAST(CAST(p_size AS VARCHAR) AS INT) AS size_i,
              CAST(CAST(p_retailprice AS VARCHAR) AS DOUBLE) AS price_d,
-             CAST(CAST(p_retailprice AS VARCHAR) AS DECIMAL(13,2)) AS price_n,
+             CAST(CAST(CAST(p_retailprice AS VARCHAR) AS DECIMAL(13,2)) AS VARCHAR) AS price_n,
              CAST(p_partkey % 2 = 0 AS BOOLEAN) AS flag_b
       FROM part ORDER BY p_partkey""")))
   )

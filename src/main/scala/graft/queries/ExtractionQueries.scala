@@ -38,15 +38,17 @@ object ExtractionQueries {
       // engine: Spark casts via shortest-string HALF_UP, DuckDB rounds the
       // binary value)
       val c = cfg(columns = "l_orderkey, l_linenumber, " +
-        "cast(cast(l_extendedprice as decimal(18,2)) * " +
-        "(1 - cast(l_discount as decimal(3,2))) as decimal(18,4)) net_price")
+        "cast(cast(cast(l_extendedprice as decimal(18,2)) * " +
+        "(1 - cast(l_discount as decimal(3,2))) as decimal(18,4)) " +
+        "as double) net_price")
       val plan = Strategies.plan(c, LoadMode.Normal, fixedClock, utc)
       plan.apply(load(spark, dir, "lineitem"))
         .orderBy("l_orderkey", "l_linenumber")
     }, Some("""
       SELECT l_orderkey, l_linenumber,
-             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                  (1 - CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(18,4)) AS net_price
+             CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(18,4))
+                  AS DOUBLE) AS net_price
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""))),
 
     // A4 — static FILTER_EXP with IN-subquery semantics → left-semi join
@@ -57,10 +59,10 @@ object ExtractionQueries {
       orders.join(building, orders("o_custkey") === building("c_custkey"),
           "left_semi")
         .select(col("o_orderkey"), col("o_custkey"),
-          d18(col("o_totalprice")).as("total"))
+          col("o_totalprice").as("total"))
         .orderBy("o_orderkey")
     }, Some("""
-      SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+      SELECT o_orderkey, o_custkey, o_totalprice AS total
       FROM orders
       WHERE o_custkey IN (SELECT c_custkey FROM customer
                           WHERE c_mktsegment = 'BUILDING')
@@ -77,7 +79,7 @@ object ExtractionQueries {
         .orderBy("o_orderkey")
     }, Some("""
       SELECT o_orderkey, o_orderstatus, count(*) AS n_lines,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
       GROUP BY o_orderkey, o_orderstatus
       ORDER BY o_orderkey"""))),
@@ -137,7 +139,7 @@ object ExtractionQueries {
         .orderBy("o_orderpriority")
     }, Some("""
       SELECT o_orderpriority, count(*) AS n,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders
       WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-07-01' AND DATE '1997-09-30'
       GROUP BY 1 ORDER BY 1"""))),
@@ -211,10 +213,10 @@ object ExtractionQueries {
       load(spark, dir, "orders")
         .orderBy("o_orderkey")
         .select(col("o_orderkey"), col("o_orderstatus"),
-          d18(col("o_totalprice")).as("total"))
+          col("o_totalprice").as("total"))
         .offset(100).limit(50)
     }, Some("""
-      SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+      SELECT o_orderkey, o_orderstatus, o_totalprice AS total
       FROM orders ORDER BY o_orderkey OFFSET 100 LIMIT 50"""))),
 
     // A13 — row dedup

@@ -47,7 +47,7 @@ object PipelineQueries {
       .select(col("id_venta"), col("id_compania"),
         fmtTs(col("processdate")).as("processdate"),
         fmtTs(col("lastmodifydate")).as("lastmodifydate"),
-        col("flg_activo"), col("monto"))
+        col("flg_activo"), col("monto").cast("double").as("monto"))
       .orderBy("id_venta")
   }
 
@@ -62,7 +62,7 @@ object PipelineQueries {
              + ((o_orderkey // 11) % 60) * INTERVAL 1 SECOND,
              '%Y-%m-%d %H:%M:%S') AS lastmodifydate,
            CASE WHEN o_orderstatus = 'F' THEN 'F' ELSE 'T' END AS flg_activo,
-           CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2)) AS monto
+           CAST(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2)) AS DOUBLE) AS monto
     FROM orders ORDER BY id_venta"""
 
   val defs: Map[String, Entry] = Map(
@@ -88,12 +88,12 @@ object PipelineQueries {
       val delta = orders.filter(col("o_orderkey") % 10 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 1000)
       StageWriter.merge(orders, delta, Seq("o_orderkey"))
-        .select(col("o_orderkey"), d18(col("o_totalprice")).as("total"))
+        .select(col("o_orderkey"), col("o_totalprice").as("total"))
         .orderBy("o_orderkey")
     }, Some("""
       SELECT o_orderkey,
-             CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
-                       ELSE o_totalprice END AS DECIMAL(18,2)) AS total
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+                  ELSE o_totalprice END AS total
       FROM orders ORDER BY o_orderkey"""))),
 
     // C8 — empty-table bootstrap: typed empty output from declared schema
@@ -187,7 +187,7 @@ object PipelineQueries {
         FROM marked)
       SELECT user_id, session_id, count(*) AS n_events,
              min(tsn) // 1000 AS start_us, max(tsn) // 1000 AS end_us,
-             CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+             CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM sess GROUP BY user_id, session_id
       ORDER BY user_id, session_id"""))),
 
@@ -245,11 +245,11 @@ object PipelineQueries {
     }, Some("""
       SELECT l_linestatus,
              CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0 END
-                  AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty_a,
+                  AS DECIMAL(18,2))) AS DOUBLE) AS qty_a,
              CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0 END
-                  AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty_n,
+                  AS DECIMAL(18,2))) AS DOUBLE) AS qty_n,
              CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END
-                  AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty_r
+                  AS DECIMAL(18,2))) AS DOUBLE) AS qty_r
       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))),
 
     // Events micro-batch window aggregation (5-minute tumbling windows over
@@ -263,7 +263,7 @@ object PipelineQueries {
     }, Some("""
       SELECT epoch_ns(ts) // 300000000000 AS win, event_type,
              count(*) AS n,
-             CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+             CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM events GROUP BY 1, 2 ORDER BY win, event_type""")))
   )
 }

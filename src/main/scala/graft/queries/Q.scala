@@ -31,8 +31,15 @@ object Q {
   /** decimal(18,2) per-row cast — the exact-arithmetic bridge to DuckDB. */
   def d18(c: Column): Column = c.cast(DecimalType(18, 2))
 
-  /** Sum of per-row decimal(18,2), re-cast so scale matches the oracle. */
-  def dsum(c: Column): Column = sum(d18(c)).cast(DecimalType(18, 2))
+  /** Sum of per-row decimal(18,2): internal arithmetic is exact decimal
+    * (order-independent, so distributed partial aggregation is safe), but the
+    * OUTPUT is cast to double. Decimal outputs don't survive the driver's
+    * hash compare: Spark parquet decimals surface as Decimal('138014.00')
+    * (scale-padded) while the DuckDB oracle result surfaces as float 138014.0
+    * — any value with a trailing zero at its scale hash-mismatches. Casting
+    * the exact decimal to double is correctly rounded identically in both
+    * engines, so the float64 bits (and hence reprs) agree. */
+  def dsum(c: Column): Column = sum(d18(c)).cast(DoubleType)
 
   def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 }
