@@ -94,8 +94,11 @@ object Strategies {
         } yield v
         last match {
           case Some(v) =>
-            // typed predicate `pcol > last` (incremental.py:331-344)
-            val lit = if (v.forall(ch => ch.isDigit || ch == '-')) v
+            // typed predicate `pcol > last` (incremental.py:331-344).
+            // Only genuinely numeric literals render unquoted: a DATE
+            // watermark like 2024-01-05 must be quoted or the predicate
+            // becomes integer subtraction (2024-1-5 = 2018).
+            val lit = if (v.matches("-?[0-9]+(\\.[0-9]+)?")) v
                       else s"'$v'"
             ReadPlan(projection, static :+ s"${wmCol.get} > $lit", wmCol,
               RangeSlicer.DefaultMaxPartitions, wmCol)
@@ -109,22 +112,34 @@ object Strategies {
     }
   }
 
-  /** Execute a plan against a local parquet "source" table, then confirm the
-    * new watermark transactionally (PENDING → CONFIRMED,
-    * orchestrator.py:559-627). Returns the extracted DataFrame. */
-  def extract(spark: SparkSession, sourcePath: String, cfg: TableConfig,
+  /** Execute a plan against a local parquet "source" table, hand the
+    * extracted frame to `deliver` (the load step — raw-zone write, count,
+    * …), and only AFTER deliver returns confirm the pending watermark;
+    * rollback on failure (reference orchestrator.py:579-607 confirms only
+    * once all chunks are loaded). Confirming before the data lands would
+    * make a failed write silently skip that batch on the next NORMAL run —
+    * the PENDING→CONFIRMED protocol exists exactly to prevent that. */
+  def extract[T](spark: SparkSession, sourcePath: String, cfg: TableConfig,
       mode: LoadMode, clock: Clock, zone: ZoneId,
-      store: Option[WatermarkStore], project: String = "default"): DataFrame = {
+      store: Option[WatermarkStore], project: String = "default")
+      (deliver: DataFrame => T): T = {
     val p = plan(cfg, mode, clock, zone, store, project)
     val df = p.apply(spark.read.parquet(sourcePath))
-    for (s <- store; c <- p.saveWatermarkFrom) {
-      val mx = df.agg(max(expr(c)).cast("string")).collect()(0)
-      if (!mx.isNullAt(0)) {
-        val token = s.savePending(project, cfg.sourceTable, c, mx.getString(0))
-        s.confirm(token)
-      }
+    val pending = for {
+      s <- store
+      c <- p.saveWatermarkFrom
+      row = df.agg(max(expr(c)).cast("string")).collect()(0)
+      if !row.isNullAt(0)
+    } yield (s, s.savePending(project, cfg.sourceTable, c, row.getString(0)))
+    try {
+      val out = deliver(df)
+      pending.foreach { case (s, t) => s.confirm(t) }
+      out
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        pending.foreach { case (s, t) => s.rollback(t) }
+        throw e
     }
-    df
   }
 }
 

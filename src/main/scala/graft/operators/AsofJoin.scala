@@ -33,33 +33,38 @@ object AsofJoin {
       leftTime: String, rightTime: String,
       rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    // tag and align schemas: left keeps its columns, right contributes the
-    // carried columns under asof_ names; time normalized to one column
+    // The carried right columns travel as ONE struct through a single
+    // last(ignoreNulls): a right row whose carried column is NULL still
+    // contributes a non-null struct, so all output columns come from the
+    // SAME matched right row (per-column carry would backfill a NULL field
+    // from an older right row — diverging from ASOF JOIN semantics).
+    val carryType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)))
     val taggedLeft = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .select(Seq(col("__t"), col("__side")) ++
         keyCols.map(col) ++
-        leftCols.filterNot(keyCols.contains).map(col) ++
-        rightCols.map(c => lit(null).cast(
-          right.schema(c).dataType).as(s"asof_$c")): _*)
+        leftCols.filterNot(keyCols.contains).map(col) :+
+        lit(null).cast(carryType).as("__carry"): _*)
     val taggedRight = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .select(Seq(col("__t"), col("__side")) ++
         keyCols.map(col) ++
         leftCols.filterNot(keyCols.contains)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(s"asof_$c")): _*)
-    // right sorts before left at equal time (inclusive <= semantics)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col): _*).as("__carry"): _*)
+    // right sorts before left at equal time (inclusive <= semantics); the
+    // struct itself is the final ordering term so two right rows with equal
+    // (key, time) resolve deterministically (greatest struct value wins)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc, col("__side").asc, col("__carry").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = rightCols.foldLeft(taggedLeft.unionByName(taggedRight)) {
-      case (df, c) => df.withColumn(s"asof_$c",
-        last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
-      .drop("__t", "__side")
+    val carried = taggedLeft.unionByName(taggedRight)
+      .withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))
+    rightCols.foldLeft(carried.filter(col("__side") === 1)) {
+      case (df, c) => df.withColumn(s"asof_$c", col("__carry").getField(c))
+    }.drop("__t", "__side", "__carry")
   }
 }

@@ -198,9 +198,9 @@ object ExtractionQueries {
         partitionColumn = "o_orderdate")
       val src = s"$dir/orders.parquet"
       val initial = Strategies.extract(spark, src, c, LoadMode.Initial,
-        fixedClock, utc, Some(store), "p1").count()
+        fixedClock, utc, Some(store), "p1")(_.count())
       val normal = Strategies.extract(spark, src, c, LoadMode.Normal,
-        fixedClock, utc, Some(store), "p1").count()
+        fixedClock, utc, Some(store), "p1")(_.count())
       Seq(("initial", initial), ("normal", normal)).toDF("phase", "n")
         .orderBy("phase")
     }, Some("""

@@ -33,15 +33,17 @@ object TablePipeline {
     df.select(df.columns.map(c => col(c).cast(StringType).as(c)): _*)
 
   /** Extract one table's source to the raw zone (E1): strategy plan →
-    * read → stringify → date-partitioned path write, then confirm the
-    * watermark. Returns row count. */
+    * read → stringify → date-partitioned path write. The watermark is
+    * confirmed by Strategies.extract only after the raw write succeeds
+    * (rolled back on failure), so a failed write never skips a batch.
+    * Returns row count. */
   def extract(spark: SparkSession, sourcePath: String, rawPath: String,
       cfg: TableConfig, mode: LoadMode, clock: Clock, zone: ZoneId,
       store: Option[WatermarkStore], project: String = "default"): Long = {
-    val df = Strategies.extract(spark, sourcePath, cfg, mode, clock, zone,
-      store, project)
-    val raw = toRawZone(df)
-    StageWriter.overwrite(raw, rawPath)
+    Strategies.extract(spark, sourcePath, cfg, mode, clock, zone,
+      store, project) { df =>
+      StageWriter.overwrite(toRawZone(df), rawPath)
+    }
     spark.read.parquet(rawPath).count()
   }
 

@@ -69,15 +69,31 @@ final class FileWatermarkStore(dir: String) extends WatermarkStore {
         StandardCopyOption.ATOMIC_MOVE)
     }
 
+  /** Last logged status for a token's timestamp, if any. */
+  private def statusOf(tok: WatermarkToken): Option[String] = {
+    val p = path(tok.key)
+    if (!Files.exists(p)) None
+    else Files.readAllLines(p).asScala.toSeq.reverse.collectFirst {
+      case l if l.split("\\|", 3)(0) == tok.ts.toString => l.split("\\|", 3)(1)
+    }
+  }
+
   def savePending(p: String, t: String, c: String, v: String) = {
     val tok = WatermarkToken(WatermarkStore.key(p, t, c),
       System.nanoTime(), v)
     append(tok.key, tok.ts, "PENDING", v); tok
   }
-  def confirm(tok: WatermarkToken): Unit =
-    append(tok.key, tok.ts, "CONFIRMED", tok.value)
-  def rollback(tok: WatermarkToken): Unit =
-    append(tok.key, tok.ts, "ROLLED_BACK", tok.value)
+  // Only a still-PENDING token may confirm: confirm after rollback (or of a
+  // stale/unknown token) is a no-op, matching InMemoryWatermarkStore — the
+  // two stores must agree on protocol semantics.
+  def confirm(tok: WatermarkToken): Unit = synchronized {
+    if (statusOf(tok).contains("PENDING"))
+      append(tok.key, tok.ts, "CONFIRMED", tok.value)
+  }
+  def rollback(tok: WatermarkToken): Unit = synchronized {
+    if (statusOf(tok).contains("PENDING"))
+      append(tok.key, tok.ts, "ROLLED_BACK", tok.value)
+  }
 
   def lastConfirmed(p: String, t: String, c: String): Option[String] = {
     val f = path(WatermarkStore.key(p, t, c))

@@ -124,4 +124,18 @@ class ExtractSpec extends AnyFunSuite {
     assert(store.lastConfirmed("p", "src", "ts").isEmpty)
     assert(p.filters.isEmpty && p.saveWatermarkFrom == Some("ts"))
   }
+  test("non-numeric watermark literals are quoted (DATE stays a date, " +
+    "not integer subtraction)") {
+    val store = new InMemoryWatermarkStore
+    def planFor(v: String) = {
+      store.confirm(store.savePending("p", "src", "ts", v))
+      Strategies.plan(cfg(LoadType.Incremental), LoadMode.Normal,
+        clock, utc, Some(store), "p")
+    }
+    assert(planFor("2024-01-05").filters == Seq("ts > '2024-01-05'"))
+    assert(planFor("2024-01-05 06:07:08").filters ==
+      Seq("ts > '2024-01-05 06:07:08'"))
+    assert(planFor("123.45").filters == Seq("ts > 123.45"))
+    assert(planFor("-17").filters == Seq("ts > -17"))
+  }
 }

@@ -129,7 +129,7 @@ class PipelineSpec extends AnyFunSuite {
     val c = TableConfig("*", LoadType.Incremental, "auto", "seq", 0, 0, "",
       "", "", "", "", "G1", "dbo", "evt", "t", "s_evt", "a", "1")
     def count(mode: LoadMode): Long =
-      Strategies.extract(spark, src, c, mode, clock, utc, Some(store)).count()
+      Strategies.extract(spark, src, c, mode, clock, utc, Some(store))(_.count())
     assert(count(LoadMode.Initial) == 10)
     assert(store.lastConfirmed("default", "evt", "seq") == Some("10"))
     (1 to 15).map(i => (i.toLong, s"r$i")).toDF("seq", "v")
@@ -137,6 +137,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(count(LoadMode.Normal) == 5) // only seq > 10
     assert(store.lastConfirmed("default", "evt", "seq") == Some("15"))
     assert(count(LoadMode.Reset) == 15) // watermark cleared, full reload
+  }
+
+  test("watermark is rolled back when delivery fails — the batch is NOT " +
+    "skipped on the next NORMAL run") {
+    val store = new InMemoryWatermarkStore
+    val dir = Files.createTempDirectory("wmfail")
+    val src = dir.resolve("src").toString
+    (1 to 10).map(i => (i.toLong, s"r$i")).toDF("seq", "v").write.parquet(src)
+    val c = TableConfig("*", LoadType.Incremental, "auto", "seq", 0, 0, "",
+      "", "", "", "", "G1", "dbo", "evt2", "t", "s_evt2", "a", "1")
+    assert(Strategies.extract(spark, src, c, LoadMode.Initial, clock, utc,
+      Some(store))(_.count()) == 10)
+    (1 to 15).map(i => (i.toLong, s"r$i")).toDF("seq", "v")
+      .write.mode("overwrite").parquet(src)
+    // deliver throws → pending token must roll back, watermark stays at 10
+    intercept[RuntimeException] {
+      Strategies.extract(spark, src, c, LoadMode.Normal, clock, utc,
+        Some(store)) { _ => throw new RuntimeException("write failed") }
+    }
+    assert(store.lastConfirmed("default", "evt2", "seq") == Some("10"))
+    // retry re-extracts the same 5-row batch (nothing silently skipped)
+    assert(Strategies.extract(spark, src, c, LoadMode.Normal, clock, utc,
+      Some(store))(_.count()) == 5)
+    assert(store.lastConfirmed("default", "evt2", "seq") == Some("15"))
   }
 
   // ---- rendering + naming units (A16, A3, A17, A11) ----

@@ -89,4 +89,18 @@ class SinkSpec extends AnyFunSuite {
     s.delete("p", "t", "c")
     assert(s.lastConfirmed("p", "t", "c").isEmpty)
   }
+
+  test("file watermark store: confirm after rollback is a no-op " +
+    "(protocol matches the in-memory store)") {
+    val dir = Files.createTempDirectory("wm2").toString
+    val s = new FileWatermarkStore(dir)
+    val t1 = s.savePending("p", "t", "c", "10")
+    s.confirm(t1)
+    val t2 = s.savePending("p", "t", "c", "20")
+    s.rollback(t2)
+    s.confirm(t2) // stale token: must NOT advance the watermark
+    assert(s.lastConfirmed("p", "t", "c") == Some("10"))
+    s.rollback(t1) // rollback after confirm: must NOT un-confirm
+    assert(s.lastConfirmed("p", "t", "c") == Some("10"))
+  }
 }
