@@ -10,16 +10,25 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Force FULL evaluation of every output column with a noop sink —
+    // df.count() lets Catalyst prune projected expressions (a projection
+    // query would time a row count, not the projection).
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
     // untimed warmup pass: JIT + codegen caches + parquet footer reads, so
-    // the timed pass measures engine throughput, not JVM startup
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-    }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // the timed passes measure engine throughput, not JVM startup
+    SparkEntry.queries.foreach { case (_, fn) => run(fn) }
+    // two timed passes, keep the per-query minimum: single-pass timings at
+    // this scale are GC/JIT-noise-dominated (±30% run-to-run totals)
+    def timedPass(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        run(fn)
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val p1 = timedPass(); val p2 = timedPass()
+    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

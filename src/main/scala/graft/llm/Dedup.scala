@@ -57,12 +57,16 @@ object Dedup {
         xxhash64(slice(signature, i * r + 1, r).cast(ArrayType(StringType))
           .cast(StringType)).as("bh"))): _*)
 
-  /** Exact Jaccard between two array columns. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast(DoubleType)
-    val union = (size(a) + size(b)).cast(DoubleType) - inter
-    when(union === 0d, lit(1d)).otherwise(inter / union)
-  }
+  /** Exact Jaccard between two array columns. The intersection size is
+    * let-bound (TextAnalysis.bindOnce) so the O(|a|+|b|) array_intersect
+    * runs once per row — referencing it via a plain Column in both the
+    * union term and the ratio would re-evaluate it three times. */
+  def jaccard(a: Column, b: Column): Column =
+    TextAnalysis.bindOnce(size(array_intersect(a, b)).cast(DoubleType)) {
+      inter =>
+        val union = (size(a) + size(b)).cast(DoubleType) - inter
+        when(union === 0d, lit(1d)).otherwise(inter / union)
+    }
 
   /** MinHash + LSH near-duplicate pairs.
     *
