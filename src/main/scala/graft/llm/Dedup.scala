@@ -214,6 +214,80 @@ object Dedup {
       .select(col("id1"), col("id2"), col("hamming"))
   }
 
+  // ---- portable (cross-engine verifiable) SimHash variant ----
+  //
+  // The production path above hashes words with xxhash64, which has no SQL
+  // twin. This variant derives the 64 bit contributions from a polynomial-31
+  // word hash mod 1e9+7 via 64 affine permutations — every step stays below
+  // 2^63 so the EXACT same arithmetic runs in DuckDB SQL as the oracle. The
+  // 64-bit simhash is materialized as four 16-bit chunks (the pigeonhole
+  // banding unit; also avoids 1<<63 overflow on the SQL side).
+
+  val PortableP = 1000000007L
+  def portableA(j: Int): Long = (2654435761L * (j + 1)) % PortableP
+  def portableB(j: Int): Long =
+    (2246822519L * (j.toLong * j + 1) + 3266489917L * j) % PortableP
+
+  /** Polynomial-31 hash of an ASCII-sanitized word, mod 1e9+7. */
+  def portableWordHash(w: Column): Column =
+    aggregate(split(regexp_replace(w, "[^\\x20-\\x7e]", "?"), ""), lit(0L),
+      (acc, ch) => (acc * 31 + coalesce(ascii(ch), lit(0))) % PortableP)
+
+  /** ±1 contribution of word-hash `h` to simhash bit `j`. */
+  private def portableSign(h: Column, j: Int): Column =
+    when(((h * portableA(j) + portableB(j)) % PortableP) * 2 < PortableP,
+      lit(1)).otherwise(lit(-1))
+
+  /** Per-doc portable simhash as four 16-bit chunks (c0..c3): explode
+    * distinct words → one map-side-combined SUM per bit keyed by doc id →
+    * chunk assembly from the signs. Same aggregation shape (and scale
+    * behavior) as simhashTable. */
+  def simhashChunksPortable(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+      explode(array_distinct(split(trim(lower(col(textCol))), "\\s+"))).as("w"))
+      .withColumn("h", portableWordHash(col("w")))
+    val sums = words.groupBy("id").agg(
+      sum(portableSign(col("h"), 0)).as("b0"),
+      (1 until 64).map(j => sum(portableSign(col("h"), j)).as(s"b$j")): _*)
+    val chunks = (0 until 4).map { i =>
+      (0 until 16).map(t =>
+        when(col(s"b${16 * i + t}") > 0, lit(1 << t)).otherwise(lit(0)))
+        .reduce(_ + _).as(s"c$i")
+    }
+    sums.select(col("id") +: chunks: _*)
+  }
+
+  /** Portable-simhash near-duplicate pairs (pigeonhole banding on the four
+    * 16-bit chunks; hamming ≤ maxHamming ⇒ at least one chunk equal). */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    val sh = simhashChunksPortable(df, idCol, textCol)
+    val chunked = sh.select(col("id"), col("c0"), col("c1"), col("c2"),
+      col("c3"),
+      explode(array((0 until 4).map(i => struct(lit(i).as("chunk"),
+        col(s"c$i").as("ch"))): _*)).as("cc"))
+      .select(col("cc.chunk").as("chunk"), col("cc.ch").as("ch"),
+        col("id"), col("c0"), col("c1"), col("c2"), col("c3"))
+    val rec = struct(col("id"), col("c0"), col("c1"), col("c2"), col("c3"))
+    val pairs = chunked.groupBy("chunk", "ch")
+      .agg(slice(sort_array(collect_list(rec)), 1, maxBucket).as("m"))
+      .filter(size(col("m")) > 1)
+      .select(explode(expr(
+        """flatten(transform(m, (x, i) ->
+          |  transform(slice(m, i + 2, size(m)), y ->
+          |    struct(x as a, y as b))))""".stripMargin)).as("p"))
+      .select(Seq(col("p.a.id").as("id1"), col("p.b.id").as("id2")) ++
+        (0 until 4).map(i => bit_count(col(s"p.a.c$i")
+          .bitwiseXOR(col(s"p.b.c$i"))).as(s"x$i")): _*)
+      .dropDuplicates("id1", "id2")
+    pairs
+      .withColumn("hamming",
+        (0 until 4).map(i => col(s"x$i")).reduce(_ + _))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
   /** Character-n-gram Jaccard similarity for explicit candidate pairs
     * (id1, id2). Joins the corpus twice on its id — both joins broadcast
     * when the pair list is small, shuffle-hash otherwise. */

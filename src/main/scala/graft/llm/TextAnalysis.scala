@@ -27,13 +27,14 @@ object TextAnalysis {
     when(length(trim(t)) === 0, lit(0))
       .otherwise(size(split(trim(t), "\\s+")))
 
-  /** BPE-ish subword-unit count: splits on word/number/punct boundaries the
-    * way byte-pair tokenizers fragment text, as a cheap deterministic token
-    * estimate (letters runs + digit runs + individual punctuation). */
+  /** BPE-ish subword-unit count: letter runs + digit runs + each individual
+    * punctuation mark, the way byte-pair tokenizers fragment text — a cheap
+    * deterministic token estimate. The pattern uses only constructs RE2 also
+    * supports (no lookarounds), so the exact same regex runs in DuckDB as
+    * the oracle. */
+  val BpeishPattern = "[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]"
   def bpeishCount(t: Column): Column =
-    size(filter(
-      split(t, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
-      s => length(s) > 0))
+    size(regexp_extract_all(t, lit(BpeishPattern), lit(0)))
 
   /** Punctuation / digit / uppercase / whitespace character counts. */
   def countMatches(t: Column, regex: String): Column =

@@ -12,6 +12,43 @@ import Q._
   */
 object LlmQueries {
 
+  /** DuckDB twin of Dedup.simhashChunksPortable + pair mining — generated
+    * from the SAME constants (PortableP, portableA/B) so the two engines run
+    * literally identical arithmetic. */
+  private def simhashOracleSql: String = {
+    val P = Dedup.PortableP
+    val sumCols = (0 until 64).map(j =>
+      s"SUM(CASE WHEN ((hb * ${Dedup.portableA(j)} + ${Dedup.portableB(j)}) " +
+        s"% $P) * 2 < $P THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+    val chunkCols = (0 until 4).map { i =>
+      (0 until 16).map(t =>
+        s"(CASE WHEN s${16 * i + t} > 0 THEN ${1 << t} ELSE 0 END)")
+        .mkString(" + ") + s" AS c$i"
+    }.mkString(", ")
+    s"""
+      WITH words AS (
+        SELECT doc_id, unnest(list_distinct(
+          string_split_regex(lower(trim(text)), '\\s+'))) AS w
+        FROM documents),
+      h AS (
+        SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(
+            string_split(regexp_replace(w, '[^\\x20-\\x7e]', '?', 'g'), ''),
+            c -> CAST(coalesce(ascii(c), 0) AS BIGINT))),
+          (acc, x) -> (acc * 31 + x) % $P) AS hb
+        FROM words),
+      sums AS (SELECT doc_id, $sumCols FROM h GROUP BY doc_id),
+      chunks AS (SELECT doc_id, $chunkCols FROM sums),
+      cand AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+               bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS hamming
+        FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id
+         AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3))
+      SELECT id1, id2, CAST(hamming AS INT) AS hamming
+      FROM cand WHERE hamming <= 3 ORDER BY id1, id2"""
+  }
+
   val defs: Map[String, Entry] = Map(
 
     // Exact dedup on content hash
@@ -51,12 +88,16 @@ object LlmQueries {
       FROM pairs WHERE CAST(i AS DOUBLE) / u >= 0.8
       ORDER BY id1, id2"""))),
 
-    // SimHash near-dup pairs (xxhash64-based — no DuckDB twin; rows-only)
+    // SimHash near-dup pairs. The portable variant derives bit contributions
+    // from a polynomial word hash (identical math in both engines) so the
+    // full pipeline — hash → 64 bit-sums → chunk banding → hamming filter —
+    // is DuckDB-verified; simhashPairs (xxhash64) is the production twin
+    // with the same shape.
     "dd_simhash" -> (((spark, dir) => {
-      Dedup.simhashPairs(load(spark, dir, "documents"), "doc_id", "text",
-          maxHamming = 3)
+      Dedup.simhashPairsPortable(load(spark, dir, "documents"), "doc_id",
+          "text", maxHamming = 3)
         .orderBy("id1", "id2")
-    }, None)),
+    }, Some(simhashOracleSql))),
 
     // Character-3-gram Jaccard for explicit candidate pairs (consecutive ids)
     "dd_ngram" -> (((spark, dir) => {
@@ -158,13 +199,17 @@ object LlmQueries {
              length(text) AS n_chars_calc
       FROM documents ORDER BY doc_id"""))),
 
-    // BPE-ish subword estimate (lookaround regex — no DuckDB twin; rows-only)
+    // BPE-ish subword estimate (RE2-compatible pattern — same regex IS the
+    // oracle)
     "text_bpeish" -> (((spark, dir) => {
       load(spark, dir, "documents")
         .select(col("doc_id"),
           graft.llm.TextAnalysis.bpeishCount(col("text")).as("n_subwords"))
         .orderBy("doc_id")
-    }, None)),
+    }, Some(s"""
+      SELECT doc_id,
+             len(regexp_extract_all(text, '${graft.llm.TextAnalysis.BpeishPattern}')) AS n_subwords
+      FROM documents ORDER BY doc_id"""))),
 
     // Quality scoring (length/punct/digit/stopword components)
     "text_quality" -> (((spark, dir) => {
