@@ -55,6 +55,83 @@ object BenchQueries {
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY rf, ls"""))),
 
+    // CUBE with grouping_id — all four grouping combinations in one pass
+    // (Spark expands grouping sets BEFORE the partial aggregate, so the
+    // shuffle still carries pre-combined rows at scale)
+    "q_cube" -> (((spark, dir) => {
+      load(spark, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid").cast("int").as("gid"), col("n"), col("qty"))
+        .orderBy("gid", "rf", "ls")
+    }, Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+             count(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY gid, rf, ls"""))),
+
+    // Approximate count-distinct (HLL++) gated against the exact count:
+    // the oracle asserts the estimate landed within 5% — the way a 100 TB
+    // pipeline actually consumes sketches (exact distinct of a high-card
+    // column forces a massive shuffle; the sketch is one pass, mergeable)
+    "q_approx_distinct" -> (((spark, dir) => {
+      load(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count_distinct(col("l_partkey")).as("exact_nd"),
+          approx_count_distinct(col("l_partkey")).as("approx"))
+        .select(col("l_returnflag"), col("exact_nd"),
+          (abs(col("approx") - col("exact_nd")) <=
+            col("exact_nd") * 0.05).as("within_5pct"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd,
+             TRUE AS within_5pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))),
+
+    // Salted two-phase aggregation — the skew-mitigation shape for hot keys
+    // (l_returnflag has 3 values over 600k rows: the worst-case hot-key agg).
+    // Phase 1 spreads each key over 16 salt buckets (map-side partials land
+    // on 48 reducers instead of 3); phase 2 merges the per-salt partials.
+    // The oracle proves the decomposition is lossless.
+    "q_salted_agg" -> (((spark, dir) => {
+      val salted = load(spark, dir, "lineitem")
+        .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(sum(d18(col("l_quantity"))).as("pqty"), count(lit(1)).as("pn"))
+      salted.groupBy("l_returnflag")
+        .agg(sum(col("pqty")).cast("double").as("qty"), sum(col("pn")).as("n"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))),
+
+    // Exact percentiles (sort-based interpolation — same definition as
+    // DuckDB's quantile_cont, verified to the 4th decimal)
+    "q_percentile" -> (((spark, dir) => {
+      load(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p25"),
+          round(element_at(col("ps"), 2), 4).as("p50"),
+          round(element_at(col("ps"), 3), 4).as("p75"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+             round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+             round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))),
+
     // Ranking windows (rank / dense_rank / ntile per nation by balance)
     "q_window_rank" -> (((spark, dir) => {
       import org.apache.spark.sql.expressions.Window
