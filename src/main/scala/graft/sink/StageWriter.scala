@@ -81,6 +81,24 @@ object StageWriter {
     overwrite(empty, path)
   }
 
+  /** Bucketed co-located write (SURVEY §2 "partitioning & shuffle"): hash-
+    * partition the table into `numBuckets` files per partition ONCE at write
+    * time so every later join or aggregation on the bucket key runs with
+    * ZERO exchange — the pre-shuffle that pays for itself on the first
+    * reuse. At 100 TB this is the difference between re-shuffling 100 TB
+    * per join and never shuffling the fact table again. Buckets live in the
+    * session catalog (`saveAsTable`) because Spark resolves bucket metadata
+    * through the metastore, mirroring the reference's Glue-catalog
+    * registration (crawler phase, SURVEY C10). */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int = 32, sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "bucketed write requires bucket columns")
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** Small-file compaction — the Parquet-fallback equivalent of Delta
     * OPTIMIZE (light_transform.py:1394-1409): coalesce to
     * ceil(bytes / targetFileBytes) files and swap. */
