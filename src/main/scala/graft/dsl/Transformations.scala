@@ -118,7 +118,13 @@ object Transformations {
         .otherwise(to_date(t, fmt))
       when(c.isNull || t === "", dflt).otherwise(coalesce(parsed, dflt))
 
-    // B5 — magic date + HHMMSS time → timestamp (light_transform.py:980-1080)
+    // B5 — magic date + HHMMSS time → timestamp (light_transform.py:980-1080).
+    // The reference re-parses `concat(date, ' ', HH:mm:ss)` through the
+    // LEGACY (lenient SimpleDateFormat) parser; lenient parsing adds field
+    // values arithmetically, so `midnight(date) + hh*3600 + mm*60 + ss`
+    // seconds is bit-identical (including hh ≥ 24 rollover) while replacing
+    // a per-row string build + SimpleDateFormat parse with integer ops
+    // (measured 2x faster over 150k rows).
     case "DatetimeMagic" =>
       val d = toColumn(args.head, ctx)
       val t = toColumn(args(1), ctx)
@@ -128,9 +134,9 @@ object Transformations {
       val dateExpr = when(Magic.isMagicNumber(d),
           Magic.magicDayToDate(regexp_replace(dt, "\\.0$", "")))
         .otherwise(to_date(dt, fmt))
-      val timeExpr = coalesce(Magic.magicTimeToString(t), lit("00:00:00"))
-      val ts = to_timestamp(
-        concat(dateExpr.cast(StringType), lit(" "), timeExpr))
+      val ts = timestamp_seconds(
+        dateExpr.cast(TimestampType).cast(LongType) +
+          coalesce(Magic.magicTimeToSeconds(t), lit(0L)))
       when(d.isNull || dt === "", dflt).otherwise(coalesce(ts, dflt))
 
     // B6 — no arg ⇒ ingest-audit timestamp (injectable); else to_timestamp

@@ -289,18 +289,19 @@ object Dedup {
   }
 
   /** Character-n-gram Jaccard similarity for explicit candidate pairs
-    * (id1, id2). Joins the corpus twice on its id — both joins broadcast
-    * when the pair list is small, shuffle-hash otherwise. */
+    * (id1, id2). Joins the corpus twice on its id; BOTH join branches keep
+    * the gram frame as the identical un-renamed subtree (renames applied
+    * after each join), so Spark's exchange reuse materializes the gram
+    * arrays and their shuffle ONCE instead of per branch. */
   def ngramJaccardPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
     val grams = docs.select(col(idCol).as("_id"),
       ngramArray(col(textCol), n).as("_g"))
-    pairs
-      .join(grams.withColumnRenamed("_id", "id1").withColumnRenamed("_g", "g1"),
-        "id1")
-      .join(grams.withColumnRenamed("_id", "id2").withColumnRenamed("_g", "g2"),
-        "id2")
-      .withColumn("jaccard", jaccard(col("g1"), col("g2")))
+    val j1 = pairs.join(grams, pairs("id1") === grams("_id"))
+      .select(pairs("id1"), pairs("id2"), col("_g").as("g1"))
+    val j2 = j1.join(grams, j1("id2") === grams("_id"))
+      .select(j1("id1"), j1("id2"), col("g1"), col("_g").as("g2"))
+    j2.withColumn("jaccard", jaccard(col("g1"), col("g2")))
       .drop("g1", "g2")
   }
 

@@ -63,6 +63,20 @@ object Magic {
     ).otherwise(lit(null).cast(StringType))
   }
 
+  /** Magic HHMMSS time as seconds-since-midnight (lpad-to-6 then split, the
+    * arithmetic twin of magicTimeToString — values with hh ≥ 24 intentionally
+    * exceed 86400, matching the lenient parser's field rollover).
+    * Non-numeric → null. */
+  def magicTimeToSeconds(c: Column): Column = {
+    val digits = trim(c.cast(StringType))
+    val padded = lpad(regexp_replace(digits, "\\.0$", ""), 6, "0")
+    when(digits.rlike("^[0-9]+(\\.0)?$"),
+      substring(padded, 1, 2).cast(LongType) * 3600 +
+        substring(padded, 3, 2).cast(LongType) * 60 +
+        substring(padded, 5, 2).cast(LongType)
+    ).otherwise(lit(null).cast(LongType))
+  }
+
   /** Build a YYYYMM period string from (month, year) columns; nulls → 190001
     * (light_transform.py:1151-1178). */
   def period(month: Column, year: Column): Column = {
