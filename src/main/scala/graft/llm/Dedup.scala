@@ -228,10 +228,13 @@ object Dedup {
   def portableB(j: Int): Long =
     (2246822519L * (j.toLong * j + 1) + 3266489917L * j) % PortableP
 
-  /** Polynomial-31 hash of an ASCII-sanitized word, mod 1e9+7. */
+  /** Portable word hash: first 60 bits of md5, mod 1e9+7. md5 digests are
+    * byte-identical across engines (UTF-8 input, lowercase hex), C-speed in
+    * both, and DuckDB parses the hex slice with a '0x…' cast — far cheaper
+    * than a per-character fold. */
   def portableWordHash(w: Column): Column =
-    aggregate(split(regexp_replace(w, "[^\\x20-\\x7e]", "?"), ""), lit(0L),
-      (acc, ch) => (acc * 31 + coalesce(ascii(ch), lit(0))) % PortableP)
+    conv(substring(md5(w.cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType) % PortableP
 
   /** ±1 contribution of word-hash `h` to simhash bit `j`. */
   private def portableSign(h: Column, j: Int): Column =

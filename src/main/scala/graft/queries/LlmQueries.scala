@@ -12,6 +12,12 @@ import Q._
   */
 object LlmQueries {
 
+  /** Skew guard for the oracled simhash query — BINDING at sf0.1 (near-dup
+    * clusters make intra-bucket pair generation quadratic), and replicated
+    * exactly in the oracle SQL (row_number ≤ cap per bucket, same doc_id
+    * order as Spark's sort_array slice). */
+  private val SimhashMaxBucket = 256
+
   /** DuckDB twin of Dedup.simhashChunksPortable + pair mining — generated
     * from the SAME constants (PortableP, portableA/B) so the two engines run
     * literally identical arithmetic. */
@@ -31,20 +37,26 @@ object LlmQueries {
           string_split_regex(lower(trim(text)), '\\s+'))) AS w
         FROM documents),
       h AS (
-        SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-          list_transform(
-            string_split(regexp_replace(w, '[^\\x20-\\x7e]', '?', 'g'), ''),
-            c -> CAST(coalesce(ascii(c), 0) AS BIGINT))),
-          (acc, x) -> (acc * 31 + x) % $P) AS hb
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(w), 1, 15)) AS BIGINT) % $P AS hb
         FROM words),
       sums AS (SELECT doc_id, $sumCols FROM h GROUP BY doc_id),
       chunks AS (SELECT doc_id, $chunkCols FROM sums),
+      chunked AS (
+        SELECT doc_id, c0, c1, c2, c3, x.chunk AS chunk,
+               CASE x.chunk WHEN 0 THEN c0 WHEN 1 THEN c1
+                            WHEN 2 THEN c2 ELSE c3 END AS ch
+        FROM chunks, (VALUES (0), (1), (2), (3)) x(chunk)),
+      kept AS (
+        SELECT * FROM (SELECT *, row_number() OVER
+            (PARTITION BY chunk, ch ORDER BY doc_id) AS rn FROM chunked)
+        WHERE rn <= $SimhashMaxBucket),
       cand AS (
-        SELECT a.doc_id AS id1, b.doc_id AS id2,
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
                bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
                bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS hamming
-        FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id
-         AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3))
+        FROM kept a JOIN kept b ON a.chunk = b.chunk AND a.ch = b.ch
+         AND a.doc_id < b.doc_id)
       SELECT id1, id2, CAST(hamming AS INT) AS hamming
       FROM cand WHERE hamming <= 3 ORDER BY id1, id2"""
   }
@@ -95,7 +107,7 @@ object LlmQueries {
     // with the same shape.
     "dd_simhash" -> (((spark, dir) => {
       Dedup.simhashPairsPortable(load(spark, dir, "documents"), "doc_id",
-          "text", maxHamming = 3)
+          "text", maxHamming = 3, maxBucket = SimhashMaxBucket)
         .orderBy("id1", "id2")
     }, Some(simhashOracleSql))),
 
