@@ -55,6 +55,57 @@ object BenchQueries {
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY rf, ls"""))),
 
+    // String-function battery — the scalar string surface (all codegen'd
+    // built-ins), verified value-exact against DuckDB's twins
+    "q_strings" -> (((spark, dir) => {
+      load(spark, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          translate(col("p_name"), "ao", "40").as("tr"),
+          reverse(col("p_name")).as("rev"),
+          repeat(substring(col("p_name"), 1, 3), 2).as("rep"),
+          levenshtein(col("p_name"), col("p_type")).as("lev"),
+          split_part(col("p_name"), lit(" "), lit(2)).as("word2"),
+          instr(col("p_name"), "a").as("posa"),
+          length(regexp_replace(col("p_name"), "[aeiou]", "")).as("novowel"))
+        .orderBy("p_partkey")
+    }, Some("""
+      SELECT p_partkey, upper(p_name) AS up,
+             translate(p_name, 'ao', '40') AS tr,
+             reverse(p_name) AS rev,
+             repeat(p_name[1:3], 2) AS rep,
+             levenshtein(p_name, p_type) AS lev,
+             split_part(p_name, ' ', 2) AS word2,
+             strpos(p_name, 'a') AS posa,
+             length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS novowel
+      FROM part ORDER BY p_partkey"""))),
+
+    // Date/time-function battery — trunc / boundaries / field extraction /
+    // day arithmetic, value-exact against DuckDB
+    "q_datefuncs" -> (((spark, dir) => {
+      load(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("mstart"),
+          last_day(col("o_orderdate").cast("date")).as("mend"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          weekofyear(col("o_orderdate")).as("woy"),
+          date_add(col("o_orderdate").cast("date"), 90).as("plus90"),
+          datediff(lit("1999-01-01").cast("date"),
+            col("o_orderdate").cast("date")).as("to_eoy"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart,
+             last_day(CAST(o_orderdate AS DATE)) AS mend,
+             year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+             dayofweek(o_orderdate) + 1 AS dow,
+             weekofyear(o_orderdate) AS woy,
+             CAST(o_orderdate AS DATE) + 90 AS plus90,
+             datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS to_eoy
+      FROM orders ORDER BY o_orderkey"""))),
+
     // CUBE with grouping_id — all four grouping combinations in one pass
     // (Spark expands grouping sets BEFORE the partial aggregate, so the
     // shuffle still carries pre-combined rows at scale)
