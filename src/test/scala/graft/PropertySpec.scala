@@ -1,0 +1,114 @@
+package graft
+
+import java.time.LocalDate
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.magic.Magic
+
+/** Property-based invariants promised by SURVEY §5: magic-date inversion,
+  * period formatting, ClearString idempotence, dedup-latest ≡ groupBy-max,
+  * MERGE ≡ anti-join ∪ new. ScalaCheck generators drive the inputs (the
+  * scalatestplus bridge isn't on the offline classpath, so samples are
+  * drawn explicitly); column-level properties evaluate through a real
+  * (small) Spark job so the tested code path is the production expression,
+  * not a scalar re-implementation. */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dates: Gen[LocalDate] = Gen.choose(0L, 80000L)
+    .map(LocalDate.of(1800, 1, 1).plusDays(_)) // 1800..~2019
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Gen.listOfN(n, g).sample.get
+
+  test("magic day number inverts to the same date (scalar, wide range)") {
+    samples(dates, 500).foreach { d =>
+      assert(Magic.fromMagicDay(Magic.toMagicDay(d)) == d)
+    }
+  }
+
+  test("magic constants pin the encoding: 1900-01-01 = 693596") {
+    assert(Magic.toMagicDay(LocalDate.of(1900, 1, 1)) == 693596L)
+    assert(Magic.fromMagicDay(693596L) == LocalDate.of(1900, 1, 1))
+  }
+
+  test("column-level magic codec round-trips a batch of generated dates") {
+    val sample = Gen.listOfN(300, dates).sample.get.distinct
+    val df = sample.map(_.toString).toDF("iso")
+      .withColumn("d", col("iso").cast("date"))
+      .withColumn("magic", Magic.dateToMagicDay(col("d")))
+      .withColumn("back", Magic.magicDayToDate(col("magic")))
+    assert(df.filter(col("back") =!= col("d")).count() == 0)
+    // and every encoded value clears the >100000 detection heuristic
+    assert(df.filter(col("magic") <= Magic.DetectThreshold).count() == 0)
+  }
+
+  test("period formatting: YYYYMM for any (month, year); nulls → 190001") {
+    val cases = (for { y <- 1900 to 2100 by 37; m <- 1 to 12 } yield
+      (y.toString, m.toString)).toSeq
+    val df = cases.toDF("y", "m")
+      .withColumn("p", Magic.period(col("m"), col("y")))
+    val bad = df.filter(!col("p").rlike("^[0-9]{4}(0[1-9]|1[0-2])$")).count()
+    assert(bad == 0)
+    val nulls = Seq((null: String, "5"), ("2000", null: String))
+      .toDF("y", "m").withColumn("p", Magic.period(col("m"), col("y")))
+    assert(nulls.select("p").as[String].collect().toSeq == Seq("190001", "190001"))
+  }
+
+  test("ClearString is idempotent: applying it twice equals once") {
+    import graft.config.ColumnMetadata
+    import graft.transform.TransformationEngine
+    val gen = Gen.oneOf(Gen.const(null: String), Gen.const(""),
+      Gen.const("  "), Gen.const("None"), Gen.const(" null "),
+      Gen.alphaNumStr.map(s => s"  $s  "))
+    val vals = Gen.listOfN(200, gen).sample.get
+    val df = vals.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "raw")
+    def meta(src: String, out: String) = Seq(
+      ColumnMetadata("i", 1, false, false, false, false, "int", "t", ""),
+      ColumnMetadata(out, 2, false, false, false, false, "string", "t",
+        s"fn_transform_ClearString($src)"))
+    val once = TransformationEngine.apply(df, meta("raw", "c1"))
+    val twice = TransformationEngine.apply(once, meta("c1", "c2"))
+      .withColumnRenamed("c2", "c1")
+    assert(once.except(twice).count() == 0 && twice.except(once).count() == 0)
+  }
+
+  test("dedup-latest equals groupBy-max selection on generated data") {
+    import graft.transform.TransformationEngine
+    val rows = Gen.listOfN(400,
+      for {
+        k <- Gen.choose(0, 20); ts <- Gen.choose(0, 50); v <- Gen.alphaStr
+      } yield (k, ts, v)).sample.get
+    val df = rows.toDF("k", "ts", "v")
+    val got = TransformationEngine.dedupLatest(df, Seq("k"), Seq("ts"),
+      tieBreak = Seq("v"))
+    // oracle: max (ts, v) pair per key (same tiebreak order)
+    val want = df.groupBy("k")
+      .agg(max(struct(col("ts"), col("v"))).as("s"))
+      .select(col("k"), col("s.ts").as("ts"), col("s.v").as("v"))
+    assert(got.select("k", "ts", "v").except(want).count() == 0 &&
+      want.except(got.select("k", "ts", "v")).count() == 0)
+  }
+
+  test("MERGE keeps anti-join ∪ new semantics on generated keyed data") {
+    import graft.sink.StageWriter
+    val rows = Gen.listOfN(300,
+      for { k <- Gen.choose(0, 60); v <- Gen.choose(0, 1000) } yield (k, v))
+      .sample.get
+    val old = rows.toDF("k", "v").dropDuplicates("k")
+    val delta = rows.take(80).map { case (k, v) => (k, v + 10000) }
+      .toDF("k", "v").dropDuplicates("k")
+    val merged = StageWriter.merge(old, delta, Seq("k"))
+    // every delta key carries the delta value; untouched keys keep old value
+    val deltaKeys = delta.select("k").as[Int].collect().toSet
+    val out = merged.as[(Int, Int)].collect().toMap
+    val oldM = old.as[(Int, Int)].collect().toMap
+    val dM = delta.as[(Int, Int)].collect().toMap
+    assert(out.keySet == oldM.keySet ++ dM.keySet)
+    out.foreach { case (k, v) =>
+      if (deltaKeys(k)) assert(v == dM(k)) else assert(v == oldM(k))
+    }
+  }
+}
