@@ -183,6 +183,57 @@ object BenchQueries {
              round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))),
 
+    // Moving-window aggregation (ROWS frame): 3-month trailing average of
+    // monthly order totals — frame semantics verified cross-engine
+    "q_moving_agg" -> (((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val monthly = load(spark, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+        .agg(dsum(col("o_totalprice")).as("mtotal"), count(lit(1)).as("n"))
+      val w = Window.orderBy("m").rowsBetween(-2, 0)
+      monthly
+        .select(col("m"), col("n"),
+          round(avg(col("mtotal")).over(w), 2).as("avg3m"),
+          sum(col("n")).over(w).as("n3m"))
+        .orderBy("m")
+    }, Some("""
+      WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mtotal,
+               count(*) AS n
+        FROM orders GROUP BY 1)
+      SELECT m, n,
+             round(avg(mtotal) OVER w, 2) AS avg3m,
+             CAST(sum(n) OVER w AS BIGINT) AS n3m
+      FROM monthly
+      WINDOW w AS (ORDER BY m ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY m"""))),
+
+    // Date-spine densification: sequence + explode generates every month in
+    // the data range, left join fills gaps with zero — the standard
+    // time-series completion shape (a generated dimension, no source scan
+    // for the spine)
+    "q_date_spine" -> (((spark, dir) => {
+      val o = load(spark, dir, "orders")
+        .withColumn("m", date_trunc("month", col("o_orderdate")).cast("date"))
+      val bounds = o.agg(min("m").as("lo"), max("m").as("hi"))
+      val spine = bounds.select(explode(expr(
+        "sequence(lo, hi, interval 1 month)")).as("m"))
+      spine.join(o.groupBy("m").agg(count(lit(1)).as("n")), Seq("m"), "left")
+        .select(col("m"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("m")
+    }, Some("""
+      WITH o AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+                 FROM orders),
+      spine AS (
+        SELECT CAST(unnest(generate_series(
+          (SELECT CAST(min(m) AS TIMESTAMP) FROM o),
+          (SELECT CAST(max(m) AS TIMESTAMP) FROM o),
+          INTERVAL 1 MONTH)) AS DATE) AS m),
+      agg AS (SELECT m, count(*) AS n FROM o GROUP BY m)
+      SELECT spine.m, coalesce(agg.n, 0) AS n
+      FROM spine LEFT JOIN agg USING (m) ORDER BY m"""))),
+
     // Ranking windows (rank / dense_rank / ntile per nation by balance)
     "q_window_rank" -> (((spark, dir) => {
       import org.apache.spark.sql.expressions.Window
