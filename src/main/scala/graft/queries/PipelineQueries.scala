@@ -252,6 +252,34 @@ object PipelineQueries {
                   AS DECIMAL(18,2))) AS DOUBLE) AS qty_r
       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))),
 
+    // REAL Structured Streaming inside the gate: the events parquet replayed
+    // as a stream (Trigger.AvailableNow) through the watermarked tumbling-
+    // window aggregation, collected from a memory sink — the STREAMED result
+    // hash-matches the same DuckDB oracle shape as the batch twin. Complete
+    // output mode so the final (unclosed) window is emitted deterministically.
+    "evt_stream_window" -> (((spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      // the file source needs a directory; glob-filter the single file
+      val in = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val agg = graft.streaming.Streams.windowedAgg(in,
+          windowLen = "5 minutes", lateness = "10 minutes")
+        .select(col("window.start").cast("long").as("win_s"),
+          col("event_type"), col("n"),
+          col("total").cast("double").as("total"))
+      val sink = s"evt_stream_window_${System.nanoTime()}"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(sink).orderBy("win_s", "event_type")
+    }, Some("""
+      SELECT (epoch_ns(ts) // 1000) // 300000000 * 300 AS win_s, event_type,
+             count(*) AS n,
+             CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2 ORDER BY win_s, event_type"""))),
+
     // Events micro-batch window aggregation (5-minute tumbling windows over
     // nanosecond timestamps) — the batch equivalent of the streaming path
     "evt_window_agg" -> (((spark, dir) => {

@@ -30,7 +30,10 @@ object Streams {
     withEventTime(events)
       .withWatermark("event_time", lateness)
       .groupBy(window(col("event_time"), windowLen), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      // decimal sum: exact and order-independent, so the incremental
+      // (per-micro-batch) accumulation equals the batch result bit-for-bit
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total"))
 
   final case class Event(user_id: Long, event_time: java.sql.Timestamp,
       value: Double)

@@ -33,11 +33,11 @@ class StreamingSpec extends AnyFunSuite {
     q.awaitTermination(60000)
     val streamed = spark.table("winagg")
       .select(col("window.start").as("ws"), col("event_type"), col("n"),
-        col("total"))
+        col("total").cast("double").as("total"))
       .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
     val batch = Streams.windowedAgg(spark.read.parquet(s"$dir/in"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"),
-        col("total"))
+        col("total").cast("double").as("total"))
       .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
