@@ -32,7 +32,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val note = s"${results.size} queries, full evaluation via noop sink " +
+      "(count() lets Catalyst prune projections), min of 2 timed passes"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","note":"$note"}""")
     spark.stop()
   }
 }
