@@ -55,6 +55,77 @@ object BenchQueries {
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY rf, ls"""))),
 
+    // Anti join: customers that never ordered (the NOT EXISTS shape — same
+    // operator MERGE builds on)
+    "q_anti_join" -> (((spark, dir) => {
+      val c = load(spark, dir, "customer")
+      val recent = load(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01"))
+      c.join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey, c_mktsegment FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+      ORDER BY c_custkey"""))),
+
+    // Full outer join: month × two market segments, mismatched months kept
+    // from both sides with nulls
+    "q_outer_join" -> (((spark, dir) => {
+      val o = load(spark, dir, "orders")
+      val c = load(spark, dir, "customer")
+      def seg(s: String, alias: String) =
+        o.join(c.filter(col("c_mktsegment") === s),
+            o("o_custkey") === c("c_custkey"))
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+          .agg(count(lit(1)).as(alias))
+      val a = seg("BUILDING", "n_building")
+      val b = seg("FURNITURE", "n_furniture").withColumnRenamed("m", "m2")
+      a.join(b, a("m") === b("m2"), "full_outer")
+        .select(coalesce(col("m"), col("m2")).as("m"),
+          coalesce(col("n_building"), lit(0L)).as("n_building"),
+          coalesce(col("n_furniture"), lit(0L)).as("n_furniture"))
+        .orderBy("m")
+    }, Some("""
+      WITH a AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               count(*) AS n_building
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING' GROUP BY 1),
+      b AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               count(*) AS n_furniture
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'FURNITURE' GROUP BY 1)
+      SELECT coalesce(a.m, b.m) AS m,
+             coalesce(n_building, 0) AS n_building,
+             coalesce(n_furniture, 0) AS n_furniture
+      FROM a FULL OUTER JOIN b ON a.m = b.m ORDER BY m"""))),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys match
+    // each other instead of disappearing
+    "q_null_safe" -> (((spark, dir) => {
+      val o = load(spark, dir, "orders")
+        .withColumn("k", when(col("o_orderkey") % 7 === 0, lit(null))
+          .otherwise(col("o_orderpriority")))
+      val dim = o.groupBy("k").agg(count(lit(1)).as("n_k"))
+        .withColumnRenamed("k", "k2")
+      o.join(dim, col("k") <=> col("k2"))
+        .groupBy(col("k").as("key"))
+        .agg(count(lit(1)).as("n"), max("n_k").as("n_k"))
+        .orderBy(col("key").asc_nulls_first)
+    }, Some("""
+      WITH o AS (
+        SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderpriority END AS k
+        FROM orders),
+      dim AS (SELECT k, count(*) AS n_k FROM o GROUP BY k)
+      SELECT o.k AS key, count(*) AS n, max(n_k) AS n_k
+      FROM o JOIN dim ON o.k IS NOT DISTINCT FROM dim.k
+      GROUP BY o.k ORDER BY key NULLS FIRST"""))),
+
     // String-function battery — the scalar string surface (all codegen'd
     // built-ins), verified value-exact against DuckDB's twins
     "q_strings" -> (((spark, dir) => {
