@@ -311,6 +311,53 @@ object Dedup {
   /** Alias kept for call-site readability in pair verification. */
   def ngramArray(t: Column, n: Int): Column = charNgrams(t, n)
 
+  /** Deterministic ±1 hyperplane coefficients from a fixed LCG — plain
+    * CONSTANTS, so the identical plane matrix can be inlined into oracle
+    * SQL (the portable twin of Similarity.signBucket's xxhash stream). */
+  def portablePlanes(planes: Int, dim: Int): Seq[Seq[Double]] = {
+    var state = 42L
+    def next(): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L; state
+    }
+    Seq.fill(planes)(Seq.fill(dim)(
+      if (((next() >>> 32) & 1L) == 1L) 1.0 else -1.0))
+  }
+
+  /** Embedding near-dup with an explicit plane matrix and ROUNDED-cosine
+    * threshold — same bucket/pair machinery as embeddingNearDup, but every
+    * arithmetic step (sign projections, cosine formula, round-4 threshold)
+    * has an exact DuckDB twin, so the full pipeline is oracle-verifiable.
+    * Returns (id1, id2, c4). */
+  def embeddingNearDupPortable(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Seq[Seq[Double]],
+      maxBucket: Int = 256): DataFrame = {
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) =>
+        x.cast(DoubleType) * y.cast(DoubleType)), lit(0.0), (acc, v) => acc + v)
+    val v = col("v")
+    val bucket = planes.zipWithIndex.map { case (cs, p) =>
+      when(dot(v, typedLit(cs)) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", bucket)
+    val pairs = withBucket.groupBy("bucket")
+      .agg(slice(sort_array(collect_list(struct(col("id"), col("v")))),
+        1, maxBucket).as("m"))
+      .filter(size(col("m")) > 1)
+      .select(explode(expr(
+        """flatten(transform(m, (x, i) ->
+          |  transform(slice(m, i + 2, size(m)), y ->
+          |    struct(x.id as id1, x.v as v1, y.id as id2, y.v as v2))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.id1"), col("p.id2"), col("p.v1"), col("p.v2"))
+      .dropDuplicates("id1", "id2")
+    pairs
+      .withColumn("c4", round(dot(col("v1"), col("v2")) /
+        (sqrt(dot(col("v1"), col("v1"))) * sqrt(dot(col("v2"), col("v2")))), 4))
+      .filter(col("c4") >= threshold)
+      .select(col("id1"), col("id2"), col("c4"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, LSH-bucketed by
     * random-hyperplane signs so candidate generation is a groupBy, not a
     * cross join (Similarity.signBuckets). */

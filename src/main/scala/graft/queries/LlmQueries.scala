@@ -61,6 +61,45 @@ object LlmQueries {
       FROM cand WHERE hamming <= 3 ORDER BY id1, id2"""
   }
 
+  /** Shared plane matrix for the oracled embedding near-dup (8 planes ×
+    * 64 dims, deterministic LCG constants — inlined into both engines). */
+  private val EmbedPlanes = Dedup.portablePlanes(8, 64)
+  private val EmbedMaxBucket = 256
+
+  /** Strict left-fold dot product in DuckDB — matches Spark's
+    * aggregate(zip_with(...)) summation ORDER so doubles agree to the ulp. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
+      s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
+
+  private def embedOracleSql: String = {
+    val bucketExpr = EmbedPlanes.zipWithIndex.map { case (cs, p) =>
+      val lit = cs.mkString("[", ", ", "]")
+      s"(CASE WHEN ${dotSql("v", lit)} > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_transform(embedding,
+                 x -> CAST(x * CAST(1.1 AS FLOAT) AS FLOAT))::DOUBLE[]
+        FROM embeddings WHERE vec_id < 20),
+      b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM base),
+      kept AS (
+        SELECT * FROM (SELECT *, row_number() OVER
+            (PARTITION BY bucket ORDER BY vec_id) AS rn FROM b)
+        WHERE rn <= $EmbedMaxBucket),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2,
+               round(${dotSql("a.v", "b2.v")} /
+                 (sqrt(${dotSql("a.v", "a.v")}) *
+                  sqrt(${dotSql("b2.v", "b2.v")})), 4) AS c4
+        FROM kept a JOIN kept b2
+          ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+      SELECT id1, id2, c4 FROM cand WHERE c4 >= 0.9 ORDER BY id1, id2"""
+  }
+
   val defs: Map[String, Entry] = Map(
 
     // Exact dedup on content hash
@@ -132,21 +171,25 @@ object LlmQueries {
       FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
       ORDER BY id1"""))),
 
-    // Embedding near-dup via sign-LSH (probabilistic; rows-only). The raw
-    // corpus has no cosine≥0.9 pairs, so plant exact duplicates (scaled
-    // copies, cosine = 1.0) of the first 20 vectors — the detector must
-    // surface them, making the rows-only check non-vacuous.
+    // Embedding near-dup via sign-LSH. The raw corpus has no cosine≥0.9
+    // pairs, so plant exact duplicates (scaled copies, cosine = 1.0) of the
+    // first 20 vectors — the detector must surface them. The portable
+    // variant pins the hyperplane matrix to shared constants and computes
+    // every dot product as the same left fold in both engines, so the full
+    // pipeline (projection signs → buckets → capped pairs → rounded-cosine
+    // threshold) is DuckDB-verified; embeddingNearDup (xxhash planes) is
+    // the production twin.
     "dd_embed" -> (((spark, dir) => {
       val emb = load(spark, dir, "embeddings")
       val planted = emb.filter(col("vec_id") < 20)
         .select((col("vec_id") + 1000000).as("vec_id"),
           transform(col("embedding"), x => x * lit(1.1f)).as("embedding"),
           col("label"))
-      Dedup.embeddingNearDup(emb.unionByName(planted), "vec_id",
-          "embedding", threshold = 0.9)
-        .select(col("id1"), col("id2"), round(col("cosine"), 4).as("c4"))
+      Dedup.embeddingNearDupPortable(emb.unionByName(planted), "vec_id",
+          "embedding", threshold = 0.9, planes = EmbedPlanes,
+          maxBucket = EmbedMaxBucket)
         .orderBy("id1", "id2")
-    }, None)),
+    }, Some(embedOracleSql))),
 
     // Brute-force cosine top-k (recall-1 baseline): ranks on ROUNDED cosine
     // so cross-engine fp noise cannot reorder, tie-broken by neighbor id
