@@ -95,7 +95,8 @@ object Similarity {
     * exact cosine within the probed lists only. At scale the probed fraction
     * (~nprobe/nlist of the corpus) bounds the scan. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 64, nprobe: Int = 8): DataFrame = {
+      vecCol: String, k: Int, nlist: Int = 64, nprobe: Int = 8,
+      roundDigits: Option[Int] = None): DataFrame = {
     // the IVF index is reused by the centroid lookup AND the probe scan —
     // persist it so assignment (a corpus×centroid scoring pass) runs once
     val indexed = ivfAssign(corpus, idCol, vecCol, nlist).cache()
@@ -110,9 +111,13 @@ object Similarity {
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("cent_id").as("list_id"))
     // scan only the probed lists
+    val raw = cosine(col("qv"), col(vecCol))
     val scored = indexed.join(probes, "list_id")
       .filter(col(idCol) =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qv"), col(vecCol)))
+      .withColumn("cosine", roundDigits.fold(raw)(d => round(raw, d)))
+    // rounded-rank mode (`roundDigits`): rank on the rounded score with an
+    // id tiebreak so cross-engine fp noise cannot reorder — oracle-stable,
+    // same contract as bruteForceTopK
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -215,16 +215,52 @@ object LlmQueries {
       SELECT query_id, neighbor_id, c4 AS cosine4, rnk
       FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""))),
 
-    // IVF approximate top-k (scale path; recall < 1 ⇒ rows-only)
+    // IVF approximate top-k (scale path). Recall < 1 vs brute force, but the
+    // ALGORITHM is deterministic — smallest-id centroids, fold-ordered
+    // cosine assignment, rounded-rank probes — so the oracle replays the
+    // exact same index build + probe in SQL and the output hash-matches.
     "sim_ivf" -> (((spark, dir) => {
       val emb = load(spark, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
       Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 10,
-          nlist = 32, nprobe = 8)
+          nlist = 32, nprobe = 8, roundDigits = Some(4))
         .select(col("query_id"), col("neighbor_id"),
-          round(col("cosine"), 4).as("cosine4"), col("rank"))
+          col("cosine").as("cosine4"), col("rank"))
         .orderBy("query_id", "rank")
-    }, None)),
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+               ORDER BY vec_id LIMIT 32),
+      assign AS (
+        SELECT vec_id, v, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY
+                 ${dotSql("v", "cv")} /
+                   (sqrt(${dotSql("v", "v")}) * sqrt(${dotSql("cv", "cv")}))
+                 DESC, cent_id ASC) AS rn
+        FROM e, cent),
+      idx AS (SELECT vec_id, v, cent_id AS list_id FROM assign WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+      probes AS (
+        SELECT query_id, qv, cent_id AS list_id FROM (
+          SELECT query_id, qv, cent_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY
+                   ${dotSql("qv", "cv")} /
+                     (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")}))
+                   DESC, cent_id ASC) AS rn
+          FROM q, cent)
+        WHERE rn <= 8),
+      scored AS (
+        SELECT query_id, i.vec_id AS neighbor_id,
+               round(${dotSql("qv", "i.v")} /
+                 (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("i.v", "i.v")})), 4)
+                 AS cosine4
+        FROM probes p JOIN idx i USING (list_id)
+        WHERE i.vec_id <> p.query_id),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine4 DESC, neighbor_id ASC) AS rank
+                 FROM scored)
+      SELECT query_id, neighbor_id, cosine4, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""))),
 
     // Embedding L2 norms (deterministic double fold — exact cross-engine)
     "sim_norms" -> (((spark, dir) => {
