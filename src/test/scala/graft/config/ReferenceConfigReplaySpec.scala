@@ -59,6 +59,40 @@ class ReferenceConfigReplaySpec extends AnyFunSuite {
     assert(totalCols >= 1500)
   }
 
+  test("every shipped stage table EXECUTES end-to-end on synthesized raw rows") {
+    assume(available)
+    val spark = graft.TestSpark.spark
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val rows = CsvConfigLoader.parseFile(s"$base/columns.csv")
+      .map(CsvConfigLoader.columnMetadata)
+    val now = Some(java.sql.Timestamp.valueOf("2024-06-25 07:00:00"))
+    var executed = 0
+    rows.groupBy(_.tableName).foreach { case (table, meta) =>
+      val sorted = meta.sortBy(_.columnId)
+      val inputCols = (meta.flatMap(m => tokens(m.transformation)) ++
+        meta.map(_.columnName)).distinct
+      // raw-zone shape: every input column a string; values chosen so both
+      // the magic and the parse branches are reachable (value semantics are
+      // not asserted — nulls from unparseable inputs are the contract)
+      val schema = StructType(inputCols.map(StructField(_, StringType)))
+      val data = Seq("785432", "20240105", ""). map(v =>
+        Row(inputCols.map(_ => v): _*))
+      val raw = spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1), schema)
+      val out = TransformationEngine.run(raw, sorted, now)
+      val got = out.schema.fields.map(f => f.name -> f.dataType).toMap
+      sorted.foreach { m =>
+        assert(got(m.columnName) == m.sparkType,
+          s"$table.${m.columnName}: ${got(m.columnName)} != ${m.sparkType}")
+      }
+      assert(out.count() >= 1) // forces full evaluation through codegen
+      executed += 1
+    }
+    info(s"executed $executed stage tables end-to-end")
+    assert(executed >= 80) // 84 shipped stage tables
+  }
+
   private def tokens(tr: String): Seq[String] = Parser.parse(tr) match {
     case graft.dsl.Token(t) => Seq(t)
     case f: graft.dsl.FnCall => collectTokens(f)
