@@ -114,31 +114,35 @@ object Strategies {
 
   /** Execute a plan against a local parquet "source" table, hand the
     * extracted frame to `deliver` (the load step — raw-zone write, count,
-    * …), and only AFTER deliver returns confirm the pending watermark;
-    * rollback on failure (reference orchestrator.py:579-607 confirms only
-    * once all chunks are loaded). Confirming before the data lands would
-    * make a failed write silently skip that batch on the next NORMAL run —
-    * the PENDING→CONFIRMED protocol exists exactly to prevent that. */
+    * …), and advance the watermark only AFTER delivery succeeds (reference
+    * orchestrator.py:579-607 confirms only once all chunks are loaded;
+    * confirming before the data lands would make a failed write silently
+    * skip that batch on the next NORMAL run).
+    *
+    * The new watermark (max of the partition column) is collected with
+    * `observe` DURING delivery's action — the reference tracks a running
+    * max while chunks stream through (orchestrator.py:559-565); a separate
+    * `df.agg(max)` action would scan the 100 TB source a second time.
+    * `deliver` must therefore run exactly one Spark action on the frame it
+    * is given (a write or a count — both call sites do). If delivery
+    * throws, no PENDING entry was ever written, which is equivalent to a
+    * rollback. */
   def extract[T](spark: SparkSession, sourcePath: String, cfg: TableConfig,
       mode: LoadMode, clock: Clock, zone: ZoneId,
       store: Option[WatermarkStore], project: String = "default")
       (deliver: DataFrame => T): T = {
     val p = plan(cfg, mode, clock, zone, store, project)
     val df = p.apply(spark.read.parquet(sourcePath))
-    val pending = for {
-      s <- store
-      c <- p.saveWatermarkFrom
-      row = df.agg(max(expr(c)).cast("string")).collect()(0)
-      if !row.isNullAt(0)
-    } yield (s, s.savePending(project, cfg.sourceTable, c, row.getString(0)))
-    try {
-      val out = deliver(df)
-      pending.foreach { case (s, t) => s.confirm(t) }
-      out
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        pending.foreach { case (s, t) => s.rollback(t) }
-        throw e
+    (for { s <- store; c <- p.saveWatermarkFrom } yield (s, c)) match {
+      case None => deliver(df)
+      case Some((s, c)) =>
+        val obs = org.apache.spark.sql.Observation(
+          s"wm_${java.util.UUID.randomUUID()}")
+        val out = deliver(df.observe(obs, max(expr(c)).cast("string").as("mx")))
+        obs.get.get("mx").flatMap(Option(_)).map(_.toString).foreach { mx =>
+          s.confirm(s.savePending(project, cfg.sourceTable, c, mx))
+        }
+        out
     }
   }
 }
