@@ -14,8 +14,12 @@ object Bench {
     // df.count() lets Catalyst prune projected expressions (a projection
     // query would time a row count, not the projection).
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        // isolate queries: operator-internal caches (e.g. the IVF index)
+        // must not survive into the next measurement
+        spark.catalog.clearCache()
+      } catch { case _: Throwable => () }
     // untimed warmup pass: JIT + codegen caches + parquet footer reads, so
     // the timed passes measure engine throughput, not JVM startup
     SparkEntry.queries.foreach { case (_, fn) => run(fn) }
