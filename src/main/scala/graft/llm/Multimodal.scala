@@ -38,31 +38,34 @@ object Multimodal {
     StructField("checksum", LongType, nullable = false)))
 
   /** STUB CODEC — deterministic fake decode standing in for a real image/
-    * audio decoder (???-equivalent; see object Scaladoc). Derives plausible
-    * dimensions from the payload deterministically so tests are stable. */
-  private[llm] def decodeBytes(payload: Array[Byte]): (Int, Int, Int, Long) = {
-    val len = payload.length
-    var checksum = 1469598103934665603L // FNV-1a 64
-    var i = 0
-    while (i < len) {
-      checksum = (checksum ^ (payload(i) & 0xff)) * 1099511628211L
-      i += 1
-    }
-    val width = 64 + math.abs(checksum % 1024).toInt
-    val height = 64 + math.abs((checksum >> 10) % 1024).toInt
+    * audio decoder (???-equivalent; see object Scaladoc). Features derive
+    * from the first 60 bits of the payload's md5 (positive, no wrapping
+    * arithmetic), so the stub has an exact SQL twin and the decode stage is
+    * oracle-verifiable end-to-end. */
+  private[llm] def decodeBytes(digest: java.security.MessageDigest,
+      payload: Array[Byte]): (Int, Int, Int, Long) = {
+    digest.reset()
+    val hex = String.format("%032x",
+      new java.math.BigInteger(1, digest.digest(payload)))
+    val checksum = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val width = 64 + (checksum % 1024).toInt
+    val height = 64 + ((checksum >> 10) % 1024).toInt
     (width, height, 3, checksum)
   }
 
   /** Decode/feature-extract stage: binary payloads → feature rows.
-    * Runs per-partition so a real codec initializes once per partition. */
+    * Runs per-partition so a real codec initializes once per partition
+    * (here: one MessageDigest per partition, reset per record — the same
+    * amortization a real model/library handle needs). */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select("media_id", "media_type", "payload").rdd
       .mapPartitions { rows =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
           val payload = Option(r.getAs[Array[Byte]]("payload"))
             .getOrElse(Array.emptyByteArray)
-          val (w, h, c, sum) = decodeBytes(payload)
+          val (w, h, c, sum) = decodeBytes(digest, payload)
           Row(r.getAs[Long]("media_id"), r.getAs[String]("media_type"),
             payload.length, w, h, c, sum)
         }

@@ -439,12 +439,24 @@ object LlmQueries {
              octet_length(encode(text)) AS byte_len
       FROM documents ORDER BY media_id"""))),
 
-    // Multimodal decode stage (mapPartitions batch decode; stub codec ⇒
-    // rows-only — the checksum/dims have no SQL twin)
+    // Multimodal decode stage: mapPartitions batch decode with a per-
+    // partition codec handle. The stub codec derives features from the
+    // payload md5 (DuckDB's md5(text) hashes the same UTF-8 bytes as
+    // Spark's md5 over encode(text)), so even the RDD-side decode is
+    // hash-verified.
     "mm_decode" -> (((spark, dir) => {
       Multimodal.decodeFeatures(
         Multimodal.fromDocuments(load(spark, dir, "documents")))
         .orderBy("media_id")
-    }, None))
+    }, Some("""
+      SELECT media_id, media_type, byte_len,
+             64 + CAST(h % 1024 AS INT) AS width,
+             64 + CAST((h >> 10) % 1024 AS INT) AS height,
+             3 AS channels, h AS checksum
+      FROM (SELECT doc_id AS media_id, 'image/fake' AS media_type,
+                   octet_length(encode(text)) AS byte_len,
+                   CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
+            FROM documents)
+      ORDER BY media_id""")))
   )
 }
