@@ -6,10 +6,11 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` is the operator inventory of SURVEY §2 (extraction plane A*,
-  * DSL plane B*, transform/sink plane C*, headline analytics, and the
-  * beyond-reference LLM-pipeline operators). Each deterministic query is
-  * paired with a DuckDB oracle in `oracleSql`; probabilistic operators
-  * (LSH-based) are rows-only by design.
+  * DSL plane B*, transform/sink plane C*, headline analytics, streaming,
+  * and the beyond-reference LLM-pipeline operators of §2D). Every query is
+  * paired with a DuckDB oracle in `oracleSql` — hash/randomness-dependent
+  * operators use portable twins whose oracle SQL is generated from the
+  * same constants.
   */
 object SparkEntry {
 
@@ -44,7 +45,7 @@ object SparkEntry {
     all.map { case (k, (fn, _)) => k -> fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for probabilistic (LSH) operators. */
+    * the same parquet tables — one oracle per query, none omitted. */
   def oracleSql: Map[String, String] =
     all.collect { case (k, (_, Some(sql))) => k -> sql.trim }
 }

@@ -6,9 +6,11 @@ import Q._
 
 /** Beyond-reference LLM-data-pipeline operators (BASELINE north star):
   * dedup family, similarity search, text analysis, multimodal plumbing.
-  * Probabilistic operators (LSH recall < 1) ship without an oracle — the
-  * driver records the weaker rows-only check for those; everything
-  * deterministic gets a DuckDB oracle.
+  * EVERY query here is DuckDB-oracled — where an operator is hash- or
+  * randomness-dependent, the query uses a portable twin (md5-derived
+  * hashes, pinned plane/permutation constants, fold-ordered float math)
+  * whose oracle SQL is GENERATED from the same Scala constants, so both
+  * engines run literally identical arithmetic.
   */
 object LlmQueries {
 
