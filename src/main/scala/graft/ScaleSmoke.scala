@@ -55,6 +55,7 @@ object ScaleSmoke {
     val qs = SparkEntry.queries
     for (q <- Seq("q1_pricing", "q3_topk", "q5_starjoin", "a6_range_slices",
       "c3_dedup_latest", "dd_exact", "dd_minhash", "dd_simhash", "sim_topk",
+      "sim_ivf", "llm_corpus_clean", "mm_decode", "q_salted_agg",
       "text_quality", "evt_sessionize", "e2e_pipeline"))
       time(q) { qs(q)(spark, dst).count() }
     spark.stop()
