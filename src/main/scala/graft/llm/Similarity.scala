@@ -21,15 +21,24 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Strict left-fold dot product of two float-array columns in double
+    * precision — the summation order every oracle replicates. */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) =>
+      p.cast(DoubleType) * q.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Cosine similarity between two float-array columns, computed in double
     * precision (codegen'd higher-order functions, no UDF). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) =>
-        p.cast(DoubleType) * q.cast(DoubleType)),
-        lit(0.0), (acc, v) => acc + v)
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+
+  /** Cosine from a precomputed-norm pair: one array fold per PAIR instead
+    * of three (the per-row norms are factored out and computed once per
+    * row). Same operations in the same order, so the resulting double is
+    * bit-identical to `cosine` — oracle parity is preserved. */
+  def cosineWithNorms(a: Column, na: Column, b: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
 
   /** L2 norm of a float-array column (double precision). */
   def l2norm(v: Column): Column =
@@ -62,8 +71,10 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, roundDigits: Option[Int] = None): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("_qn", sqrt(dot(col("qv"), col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val raw = cosine(col("qv"), col("cv"))
+      .withColumn("_cn", sqrt(dot(col("cv"), col("cv"))))
+    val raw = cosineWithNorms(col("qv"), col("_qn"), col("cv"), col("_cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", roundDigits.fold(raw)(d => round(raw, d)))
@@ -75,20 +86,28 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  private val NormCol = "_vnorm"
+
   /** IVF coarse quantizer: pick `nlist` deterministic centroids (the corpus
     * rows with the smallest ids — a seed-free, reproducible choice), assign
     * every vector to its nearest centroid. Returns corpus + `list_id`. */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int): DataFrame = {
-    val centroids = corpus.select(col(idCol).as("cent_id"),
-        col(vecCol).as("cent_v"))
+    // norms once per row/centroid: assignment then costs ONE fold per
+    // (vector, centroid) pair instead of three
+    val normed = corpus.withColumn(NormCol,
+      sqrt(dot(col(vecCol), col(vecCol))))
+    val centroids = normed.select(col(idCol).as("cent_id"),
+        col(vecCol).as("cent_v"), col(NormCol).as("cent_n"))
       .orderBy(col("cent_id")).limit(nlist)
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .withColumn("dist", -cosine(col(vecCol), col("cent_v")))
+    val assigned = normed.crossJoin(broadcast(centroids))
+      .withColumn("dist", -cosineWithNorms(col(vecCol), col(NormCol),
+        col("cent_v"), col("cent_n")))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("dist").asc, col("cent_id").asc)
     assigned.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .drop("rn", "dist", "cent_v").withColumnRenamed("cent_id", "list_id")
+      .drop("rn", "dist", "cent_v", "cent_n")
+      .withColumnRenamed("cent_id", "list_id")
   }
 
   /** IVF top-k: probe the `nprobe` nearest inverted lists per query, then
@@ -101,17 +120,21 @@ object Similarity {
     // persist it so assignment (a corpus×centroid scoring pass) runs once
     val indexed = ivfAssign(corpus, idCol, vecCol, nlist).cache()
     val centroids = indexed.filter(col(idCol) === col("list_id"))
-      .select(col("list_id").as("cent_id"), col(vecCol).as("cent_v"))
+      .select(col("list_id").as("cent_id"), col(vecCol).as("cent_v"),
+        col(NormCol).as("cent_n"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("_qn", sqrt(dot(col("qv"), col("qv"))))
     // nprobe nearest centroids per query (broadcast: nlist is small)
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").asc, col("cent_id").asc)
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("cdist", -cosine(col("qv"), col("cent_v")))
+      .withColumn("cdist", -cosineWithNorms(col("qv"), col("_qn"),
+        col("cent_v"), col("cent_n")))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cent_id").as("list_id"))
+      .select(col("query_id"), col("qv"), col("_qn"),
+        col("cent_id").as("list_id"))
     // scan only the probed lists
-    val raw = cosine(col("qv"), col(vecCol))
+    val raw = cosineWithNorms(col("qv"), col("_qn"), col(vecCol), col(NormCol))
     val scored = indexed.join(probes, "list_id")
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("cosine", roundDigits.fold(raw)(d => round(raw, d)))
