@@ -43,6 +43,30 @@ class LlmSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) > 12)
   }
 
+  test("production simhash pair mining surfaces the identical pair") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 4L && h == 0 })
+    assert(!pairs.exists { case (a, b, _) => a == 3L || b == 3L })
+  }
+
+  test("production embedding near-dup (xxhash planes) finds planted clones") {
+    val vecs = (0 until 40).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, Array.fill(16)(r.nextFloat() - 0.5f))
+    }
+    val base = vecs.toDF("vec_id", "embedding")
+    val clones = vecs.take(5)
+      .map { case (id, v) => (id + 1000, v.map(_ * 2.0f)) }
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(base.unionByName(clones), "vec_id",
+        "embedding", threshold = 0.99)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    (0 until 5).foreach { i =>
+      assert(pairs.contains((i.toLong, i + 1000L)), s"missing clone pair $i")
+    }
+  }
+
   test("ngram jaccard: identical 1.0, unrelated low") {
     val pairs = Seq((1L, 4L), (1L, 3L)).toDF("id1", "id2")
     val m = Dedup.ngramJaccardPairs(docs, pairs, "doc_id", "text")
