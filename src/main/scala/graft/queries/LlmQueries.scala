@@ -441,6 +441,28 @@ object LlmQueries {
              octet_length(encode(text)) AS byte_len
       FROM documents ORDER BY media_id"""))),
 
+    // Multimodal frame sampling: split each payload into fixed-size frames,
+    // keep every 2nd. DuckDB cannot byte-slice blobs, so the oracle verifies
+    // the sampling GEOMETRY (stride selection, frame boundaries, short-
+    // payload truncation) arithmetically; the slicing itself is Spark's
+    // built-in substring-on-binary.
+    "mm_frames" -> (((spark, dir) => {
+      Multimodal.sampleFrames(
+          Multimodal.fromDocuments(load(spark, dir, "documents")),
+          frameBytes = 32, stride = 2)
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame")).as("frame_len"))
+        .orderBy("media_id", "frame_idx")
+    }, Some("""
+      WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS len
+                 FROM documents),
+      f AS (SELECT media_id, len,
+                   unnest(range(0, greatest(len // 32, 1), 2)) AS frame_idx
+            FROM m)
+      SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+             CAST(CASE WHEN len < 32 THEN len ELSE 32 END AS INT) AS frame_len
+      FROM f ORDER BY media_id, frame_idx"""))),
+
     // Multimodal decode stage: mapPartitions batch decode with a per-
     // partition codec handle. The stub codec derives features from the
     // payload md5 (DuckDB's md5(text) hashes the same UTF-8 bytes as
