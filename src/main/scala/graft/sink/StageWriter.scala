@@ -81,6 +81,42 @@ object StageWriter {
     overwrite(empty, path)
   }
 
+  /** Raw-zone CSV fallback format (SURVEY A14; reference
+    * extract_data.py:739-741 — pipe-delimited, every field quoted). Used
+    * when the Parquet write path is exhausted; also a valid standalone
+    * export format. */
+  def writeCsvRaw(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("delimiter", "|")
+      .option("quoteAll", "true")
+      .option("header", "true")
+      .csv(path)
+
+  /** Retry-then-fallback write (SURVEY A14; extract_data.py:897-921 —
+    * 10 Parquet attempts 2 s apart, then the CSV fallback, then fail). */
+  def overwriteWithRetry(df: DataFrame, path: String, retries: Int = 10,
+      delayMs: Long = 2000, csvFallbackPath: Option[String] = None): Unit = {
+    var attempt = 0
+    var done = false
+    var lastError: Throwable = null
+    while (!done && attempt < retries) {
+      try { overwrite(df, path); done = true }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          lastError = e; attempt += 1
+          if (attempt < retries) Thread.sleep(delayMs)
+      }
+    }
+    if (!done) csvFallbackPath match {
+      case Some(p) =>
+        writeCsvRaw(df, p)
+        throw new RuntimeException(
+          s"parquet write failed after $retries attempts; CSV fallback " +
+            s"written to $p", lastError)
+      case None => throw lastError
+    }
+  }
+
   /** Bucketed co-located write (SURVEY §2 "partitioning & shuffle"): hash-
     * partition the table into `numBuckets` files per partition ONCE at write
     * time so every later join or aggregation on the bucket key runs with

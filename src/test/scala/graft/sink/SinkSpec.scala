@@ -90,6 +90,36 @@ class SinkSpec extends AnyFunSuite {
     assert(s.lastConfirmed("p", "t", "c").isEmpty)
   }
 
+  test("CSV raw fallback is pipe-delimited QUOTE_ALL and round-trips") {
+    import spark.implicits._
+    val path = tmp()
+    val df = Seq((1L, "a|b", "x\"y"), (2L, "", "z")).toDF("id", "v1", "v2")
+    StageWriter.writeCsvRaw(df, path)
+    // every field quoted, pipe-delimited (reference extract_data.py:739-741)
+    val lines = Files.list(java.nio.file.Paths.get(path)).toArray
+      .map(_.toString).filter(_.endsWith(".csv"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+    assert(lines.exists(_.startsWith("\"id\"|\"v1\"|\"v2\"")))
+    val back = spark.read.option("delimiter", "|").option("header", "true")
+      .csv(path)
+    assert(back.count() == 2)
+    assert(back.filter($"v1" === "a|b").count() == 1) // quoting preserved |
+  }
+
+  test("retry write falls back to CSV after exhausting attempts") {
+    import spark.implicits._
+    val df = Seq((1, "x")).toDF("a", "b")
+    val bad = "/proc/definitely/not/writable/p"
+    val csv = tmp()
+    val e = intercept[RuntimeException] {
+      StageWriter.overwriteWithRetry(df, bad, retries = 2, delayMs = 1,
+        csvFallbackPath = Some(csv))
+    }
+    assert(e.getMessage.contains("CSV fallback"))
+    assert(spark.read.option("delimiter", "|").option("header", "true")
+      .csv(csv).count() == 1)
+  }
+
   test("file watermark store: confirm after rollback is a no-op " +
     "(protocol matches the in-memory store)") {
     val dir = Files.createTempDirectory("wm2").toString
