@@ -8,7 +8,7 @@ object Prof {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     val qs = SparkEntry.queries
-    for (name <- Seq("llm_corpus_clean", "dd_simhash", "dd_minhash", "e2e_pipeline")) {
+    for (name <- Seq("dd_minhash", "dd_ngram")) {
       for (i <- 1 to 3) {
         val df = qs(name)(spark, dir)
         val t0 = System.nanoTime()

@@ -25,15 +25,18 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Word-level w-shingles as a distinct array column. */
-  def wordShingles(textCol: Column, w: Int): Column = {
-    val words = split(trim(textCol), "\\s+")
-    val n = size(words)
-    when(n >= w,
-      array_distinct(transform(sequence(lit(0), n - lit(w)),
-        i => concat_ws(" ", slice(words, i + 1, lit(w))))))
-      .otherwise(array(concat_ws(" ", words)))
-  }
+  /** Word-level w-shingles as a distinct array column. The split is
+    * LET-BOUND (TextAnalysis.bindOnce): a plain Column reference inside the
+    * transform lambda would re-tokenize the document per shingle position
+    * (quadratic per doc); the bound array is tokenized once and sliced. */
+  def wordShingles(textCol: Column, w: Int): Column =
+    TextAnalysis.bindOnce(split(trim(textCol), "\\s+")) { words =>
+      val n = size(words)
+      when(n >= w,
+        array_distinct(transform(sequence(lit(0), n - lit(w)),
+          i => concat_ws(" ", slice(words, i + 1, lit(w))))))
+        .otherwise(array(concat_ws(" ", words)))
+    }
 
   /** Distinct character n-grams of a string column. */
   def charNgrams(t: Column, n: Int): Column =
@@ -88,27 +91,13 @@ object Dedup {
       threshold: Double = 0.8, maxBucket: Int = 64): DataFrame = {
     require(k % b == 0, s"k=$k must be divisible by b=$b")
     val r = k / b
-    // Shingle ROWS via posexplode + lead windows: the array-lambda form
-    // re-evaluates the split() subtree per element (no CSE inside HOF
-    // lambdas), which is quadratic per document — the window form tokenizes
-    // once per doc and is linear. Duplicate shingles are harmless here
-    // because the signature is a MIN aggregation.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy("pos")
-    val tok = df.select(col(idCol).as("id"),
-      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "word")))
-    val leads = (1 until shingleWidth)
-      .map(i => lead(col("word"), i).over(w).as(s"w$i"))
-    val shingleRows = tok.select(col("id") +: col("pos") +: col("word") +:
-        leads: _*)
-      .withColumn("s",
-        when(col(s"w${shingleWidth - 1}").isNotNull,
-          concat_ws(" ", col("word") +: (1 until shingleWidth)
-            .map(i => col(s"w$i")): _*))
-          .otherwise(when(col("pos") === 0, // short doc: single whole shingle
-            concat_ws(" ", col("word") +: (1 until shingleWidth)
-              .map(i => col(s"w$i")): _*))))
-      .filter(col("s").isNotNull)
+    // Shingle rows via the let-bound HOF shingler + a narrow explode —
+    // tokenizes once per doc and adds ZERO shuffles (the previous
+    // posexplode + lead-window form paid a full shuffle+sort of the token
+    // stream just to avoid quadratic lambda re-evaluation, which bindOnce
+    // now prevents directly).
+    val shingleRows = df.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), shingleWidth)).as("s"))
     // signature: hash each shingle ONCE, derive the k per-seed values as
     // affine permutations h_j = base·A_j + B_j over the wrapping 2^64 ring
     // (odd A_j ⇒ bijective) — k multiply-adds per row, not k string hashes —
