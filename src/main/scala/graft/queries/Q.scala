@@ -11,11 +11,19 @@ import org.apache.spark.sql.types._
   *  - every query ends in a deterministic ORDER BY on a unique key
   *  - aggregates are cast to DECIMAL(18,2) per-row BEFORE summing, so both
   *    engines do exact decimal arithmetic on identical per-row doubles
+  *  - OUTPUT columns are never decimal: parquet decimals surface scale-
+  *    padded (Decimal('138014.00')) while the DuckDB result surfaces as
+  *    float — cast final decimals to double (correctly rounded identically
+  *    in both engines) or string on BOTH sides
   *  - timestamps in outputs are formatted to strings (or cast to date) —
   *    parquet timestamp annotations (tz/ntz, micros/nanos) differ per engine
   *  - events.parquet carries NANOS timestamps which Spark's reader rejects;
   *    we read them via nanosAsLong (ts becomes a nanos-since-epoch bigint,
   *    epoch_ns() on the DuckDB side)
+  *  - hash/randomness-dependent operators pin their constants driver-side
+  *    and GENERATE the oracle SQL from the same constants; double summation
+  *    uses the same left-fold order in both engines so even sign
+  *    comparisons agree to the ulp
   */
 object Q {
   type QueryFn = (SparkSession, String) => DataFrame
