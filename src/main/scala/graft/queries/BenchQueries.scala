@@ -305,6 +305,33 @@ object BenchQueries {
       SELECT spine.m, coalesce(agg.n, 0) AS n
       FROM spine LEFT JOIN agg USING (m) ORDER BY m"""))),
 
+    // Navigation windows: first/last/nth over an explicit full-partition
+    // ROWS frame with a deterministic order (frame semantics verified
+    // cross-engine)
+    "q_window_nav" -> (((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      load(spark, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"),
+          first("c_custkey").over(w).as("richest"),
+          last("c_custkey").over(w).as("poorest"),
+          nth_value(col("c_custkey"), 2).over(w).as("second"))
+        .filter(col("c_custkey") === col("richest"))
+        .orderBy("c_nationkey")
+    }, Some("""
+      SELECT c_nationkey, c_custkey, richest, poorest, second FROM (
+        SELECT c_nationkey, c_custkey,
+               first_value(c_custkey) OVER w AS richest,
+               last_value(c_custkey) OVER w AS poorest,
+               nth_value(c_custkey, 2) OVER w AS second
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      WHERE c_custkey = richest ORDER BY c_nationkey"""))),
+
     // Ranking windows (rank / dense_rank / ntile per nation by balance)
     "q_window_rank" -> (((spark, dir) => {
       import org.apache.spark.sql.expressions.Window
