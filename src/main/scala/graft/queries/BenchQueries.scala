@@ -305,6 +305,39 @@ object BenchQueries {
       SELECT spine.m, coalesce(agg.n, 0) AS n
       FROM spine LEFT JOIN agg USING (m) ORDER BY m"""))),
 
+    // Ordered array aggregation, rendered as a string (array outputs don't
+    // compare portably; the joined string does)
+    "q_array_agg" -> (((spark, dir) => {
+      load(spark, dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name"))))
+          .as("nations"))
+        .orderBy("n_regionkey")
+    }, Some("""
+      SELECT n_regionkey,
+             array_to_string(list(n_name ORDER BY n_name), ',') AS nations
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))),
+
+    // Statistical aggregates (sample stddev/variance, correlation,
+    // covariance) — rounded so the engines' different accumulation
+    // algorithms (Welford vs naive) cannot surface ulp noise
+    "q_stats" -> (((spark, dir) => {
+      load(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+            .as("cov_qp"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+             round(stddev_samp(l_extendedprice), 2) AS sd_price,
+             round(var_samp(l_discount), 6) AS var_disc,
+             round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+             round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))),
+
     // Navigation windows: first/last/nth over an explicit full-partition
     // ROWS frame with a deterministic order (frame semantics verified
     // cross-engine)
