@@ -305,6 +305,32 @@ object BenchQueries {
       SELECT spine.m, coalesce(agg.n, 0) AS n
       FROM spine LEFT JOIN agg USING (m) ORDER BY m"""))),
 
+    // Correlated scalar subqueries through the SQL interface — Catalyst
+    // rewrites both into aggregate+join (RewriteCorrelatedScalarSubquery).
+    // "orders above twice their customer's average" is expressed as
+    // price*count > 2*sum so every comparison is exact decimal/integer
+    // arithmetic (an avg would divide differently per engine)
+    "q_corr_scalar" -> (((spark, dir) => {
+      load(spark, dir, "orders").createOrReplaceTempView("v_orders")
+      spark.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+              (SELECT count(*) FROM v_orders o2
+               WHERE o2.o_custkey = o.o_custkey)
+              > 2 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FROM v_orders o2 WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders o
+      WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+            (SELECT count(*) FROM orders o2
+             WHERE o2.o_custkey = o.o_custkey)
+            > 2 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                   FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey"""))),
+
     // Ordered array aggregation, rendered as a string (array outputs don't
     // compare portably; the joined string does)
     "q_array_agg" -> (((spark, dir) => {
