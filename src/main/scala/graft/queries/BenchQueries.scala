@@ -305,6 +305,35 @@ object BenchQueries {
       SELECT spine.m, coalesce(agg.n, 0) AS n
       FROM spine LEFT JOIN agg USING (m) ORDER BY m"""))),
 
+    // Range (non-equi) join: facts against a generated interval dimension
+    // (quarter windows), lo <= ts < hi. The dim is broadcast — at any fact
+    // scale this is the right plan for a small interval table (each fact row
+    // probes the broadcast list; no shuffle, no cross-join explosion)
+    "q_range_join" -> (((spark, dir) => {
+      val quarters = spark.range(0, 28).select(
+        col("id").as("q_idx"),
+        expr("add_months(date'1992-01-01', cast(id * 3 as int))").as("q_lo"),
+        expr("add_months(date'1992-01-01', cast((id + 1) * 3 as int))")
+          .as("q_hi"))
+      val o = load(spark, dir, "orders")
+        .withColumn("od", col("o_orderdate").cast("date"))
+      o.join(broadcast(quarters),
+          col("od") >= col("q_lo") && col("od") < col("q_hi"))
+        .groupBy("q_idx", "q_lo")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("q_idx")
+    }, Some("""
+      WITH quarters AS (
+        SELECT i AS q_idx,
+               (DATE '1992-01-01' + (i * 3) * INTERVAL 1 MONTH) AS q_lo,
+               (DATE '1992-01-01' + ((i + 1) * 3) * INTERVAL 1 MONTH) AS q_hi
+        FROM range(0, 28) t(i))
+      SELECT q_idx, CAST(q_lo AS DATE) AS q_lo, count(*) AS n
+      FROM orders JOIN quarters
+        ON CAST(o_orderdate AS DATE) >= q_lo
+       AND CAST(o_orderdate AS DATE) < q_hi
+      GROUP BY q_idx, q_lo ORDER BY q_idx"""))),
+
     // Correlated scalar subqueries through the SQL interface — Catalyst
     // rewrites both into aggregate+join (RewriteCorrelatedScalarSubquery).
     // "orders above twice their customer's average" is expressed as
