@@ -13,32 +13,40 @@ object Bench {
     // Force FULL evaluation of every output column with a noop sink —
     // df.count() lets Catalyst prune projected expressions (a projection
     // query would time a row count, not the projection).
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+    // Returns elapsed seconds, or -1.0 when the query FAILED — failures are
+    // recorded explicitly, never as near-zero "successes". clearCache runs
+    // in finally so a failed query's operator-internal caches cannot leak
+    // into the next measurement.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        // isolate queries: operator-internal caches (e.g. the IVF index)
-        // must not survive into the next measurement
-        spark.catalog.clearCache()
-      } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      } catch { case scala.util.control.NonFatal(_) => -1.0 }
+      finally spark.catalog.clearCache()
+    }
     // untimed warmup pass: JIT + codegen caches + parquet footer reads, so
     // the timed passes measure engine throughput, not JVM startup
     SparkEntry.queries.foreach { case (_, fn) => run(fn) }
     // two timed passes, keep the per-query minimum: single-pass timings at
-    // this scale are GC/JIT-noise-dominated (±30% run-to-run totals)
+    // this scale are GC/JIT-noise-dominated (±30% run-to-run totals).
+    // A failure in EITHER pass marks the query -1 (failed).
     def timedPass(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        run(fn)
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+      SparkEntry.queries.map { case (name, fn) => name -> run(fn) }
     val p1 = timedPass(); val p2 = timedPass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val results = p1.map { case (k, v) =>
+      val v2 = p2(k)
+      k -> (if (v < 0 || v2 < 0) -1.0 else math.min(v, v2))
+    }
+    val failures = results.count(_._2 < 0)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val note = s"${results.size} queries, full evaluation via noop sink " +
-      "(count() lets Catalyst prune projections), min of 2 timed passes"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","note":"$note"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val note = s"${results.size} queries ($failures failed; failed queries " +
+      "recorded as -1 and excluded from total), full evaluation via noop " +
+      "sink (count() lets Catalyst prune projections), min of 2 timed passes"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir","note":"$note"}""")
     spark.stop()
   }
 }

@@ -102,7 +102,8 @@ object Transformations {
     case "Concatenate_ws" =>
       val sep = args.last match {
         case Token(t) => t.stripPrefix("$")
-        case other    => sys.error(s"Concatenate_ws separator must be a token")
+        case other    =>
+          sys.error(s"Concatenate_ws separator must be a token, got: $other")
       }
       concat_ws(sep,
         args.dropRight(1).map(a => coalesce(trim(str(toColumn(a, ctx))), lit(""))): _*)

@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
 
 /** Large-scale document deduplication operators (BASELINE north star —
   * beyond the reference surface, designed for 100 TB).
@@ -59,6 +60,29 @@ object Dedup {
       struct(lit(i).as("band"),
         xxhash64(slice(signature, i * r + 1, r).cast(ArrayType(StringType))
           .cast(StringType)).as("bh"))): _*)
+
+  /** Bucket membership capped BEFORE aggregation: a row_number window over
+    * the bucket key keeps only the `maxBucket` smallest rows by `orderCol`,
+    * so the collect_list buffer is provably bounded even for a degenerate
+    * bucket holding the whole corpus (every doc sharing one band hash). The
+    * previous slice-after-collect_list shape produced identical RESULTS but
+    * materialized the uncapped bucket in one aggregation buffer first — the
+    * memory blow-up that matters at 100 TB. The window's sort is external
+    * (spillable) and the following groupBy reuses the window's hash
+    * partitioning, so the cap costs a sort, not a second shuffle.
+    * Output: one row per bucket with `m` = the sorted capped member list
+    * (sort_array of the N smallest-by-orderCol rows ≡ the old
+    * slice(sort_array(...), 1, N) because orderCol leads the struct and is
+    * unique), buckets of size 1 dropped. */
+  private def cappedBuckets(df: DataFrame, bucketKeys: Seq[String],
+      rec: Column, orderCol: String, maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(bucketKeys.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucket)
+      .groupBy(bucketKeys.map(col): _*)
+      .agg(sort_array(collect_list(rec)).as("m"))
+      .filter(size(col("m")) > 1)
+  }
 
   /** Exact Jaccard between two array columns. The intersection size is
     * let-bound (TextAnalysis.bindOnce) so the O(|a|+|b|) array_intersect
@@ -117,11 +141,10 @@ object Dedup {
           .as("bh"))): _*).as("bnd"))
       .select(col("id"), explode(col("bnd")).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bh").as("bh"), col("id"))
-    // intra-bucket pair generation via bounded sorted id list (skew-guarded)
-    val pairs = banded
-      .groupBy("band", "bh")
-      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("m"))
-      .filter(size(col("m")) > 1)
+    // intra-bucket pair generation via bounded sorted id list (skew-guarded
+    // BEFORE the aggregation buffer fills — see cappedBuckets)
+    val pairs = cappedBuckets(banded, Seq("band", "bh"), col("id"), "id",
+        maxBucket)
       .select(explode(expr(
         """flatten(transform(m, (x, i) ->
           |  transform(slice(m, i + 2, size(m)), y ->
@@ -179,6 +202,11 @@ object Dedup {
     * (hamming distance ≤ 3 ⇒ at least one chunk equal). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+    // 4 chunks pigeonhole at most 3 differing bits: maxHamming = 4 would
+    // need 5 chunks or recall silently drops (1 differing bit per chunk
+    // means NO chunk matches and the pair is never a candidate)
+    require(maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4-chunk pigeonhole bound (3)")
     val sh = simhashTable(df, idCol, textCol)
     val chunked = sh.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(i => struct(lit(i).as("chunk"),
@@ -186,10 +214,8 @@ object Dedup {
           .as("ch"))): _*)).as("c"))
       .select(col("c.chunk").as("chunk"), col("c.ch").as("ch"),
         col("id"), col("simhash"))
-    val pairs = chunked.groupBy("chunk", "ch")
-      .agg(slice(sort_array(collect_list(struct(col("id"), col("simhash")))),
-        1, maxBucket).as("m"))
-      .filter(size(col("m")) > 1)
+    val pairs = cappedBuckets(chunked, Seq("chunk", "ch"),
+        struct(col("id"), col("simhash")), "id", maxBucket)
       .select(explode(expr(
         """flatten(transform(m, (x, i) ->
           |  transform(slice(m, i + 2, size(m)), y ->
@@ -254,6 +280,8 @@ object Dedup {
     * 16-bit chunks; hamming ≤ maxHamming ⇒ at least one chunk equal). */
   def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    require(maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4-chunk pigeonhole bound (3)")
     val sh = simhashChunksPortable(df, idCol, textCol)
     val chunked = sh.select(col("id"), col("c0"), col("c1"), col("c2"),
       col("c3"),
@@ -262,9 +290,8 @@ object Dedup {
       .select(col("cc.chunk").as("chunk"), col("cc.ch").as("ch"),
         col("id"), col("c0"), col("c1"), col("c2"), col("c3"))
     val rec = struct(col("id"), col("c0"), col("c1"), col("c2"), col("c3"))
-    val pairs = chunked.groupBy("chunk", "ch")
-      .agg(slice(sort_array(collect_list(rec)), 1, maxBucket).as("m"))
-      .filter(size(col("m")) > 1)
+    val pairs = cappedBuckets(chunked, Seq("chunk", "ch"), rec, "id",
+        maxBucket)
       .select(explode(expr(
         """flatten(transform(m, (x, i) ->
           |  transform(slice(m, i + 2, size(m)), y ->
@@ -329,10 +356,8 @@ object Dedup {
     }.reduce(_ + _)
     val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", bucket)
-    val pairs = withBucket.groupBy("bucket")
-      .agg(slice(sort_array(collect_list(struct(col("id"), col("v")))),
-        1, maxBucket).as("m"))
-      .filter(size(col("m")) > 1)
+    val pairs = cappedBuckets(withBucket, Seq("bucket"),
+        struct(col("id"), col("v")), "id", maxBucket)
       .select(explode(expr(
         """flatten(transform(m, (x, i) ->
           |  transform(slice(m, i + 2, size(m)), y ->
@@ -355,10 +380,8 @@ object Dedup {
       maxBucket: Int = 256): DataFrame = {
     val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", Similarity.signBucket(col("v"), planes))
-    val pairs = withBucket.groupBy("bucket")
-      .agg(slice(sort_array(collect_list(struct(col("id"), col("v")))),
-        1, maxBucket).as("m"))
-      .filter(size(col("m")) > 1)
+    val pairs = cappedBuckets(withBucket, Seq("bucket"),
+        struct(col("id"), col("v")), "id", maxBucket)
       .select(explode(expr(
         """flatten(transform(m, (x, i) ->
           |  transform(slice(m, i + 2, size(m)), y ->

@@ -88,40 +88,57 @@ object Similarity {
 
   private val NormCol = "_vnorm"
 
-  /** IVF coarse quantizer: pick `nlist` deterministic centroids (the corpus
-    * rows with the smallest ids — a seed-free, reproducible choice), assign
-    * every vector to its nearest centroid. Returns corpus + `list_id`. */
+  /** IVF coarse centroid set: the `nlist` corpus rows with the smallest ids
+    * (a seed-free, reproducible choice) with precomputed norms — the small
+    * "model" every other IVF step broadcasts. A TakeOrdered over two pruned
+    * columns: no shuffle, no collect. */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): DataFrame =
+    corpus.select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
+      .orderBy(col("cent_id")).limit(nlist)
+      .withColumn("cent_n", sqrt(dot(col("cent_v"), col("cent_v"))))
+
+  /** IVF coarse quantizer: assign every vector to its nearest centroid.
+    * Returns (id, vec, norm, list_id).
+    *
+    * The nearest centroid is picked with `min(struct(dist, cent_id))`
+    * grouped by vector id — a map-side-combinable aggregation, so the
+    * shuffle carries ONE row per vector per map partition. (The previous
+    * row_number-window form shuffled nlist× the corpus just to keep rank 1 —
+    * the index-build scale-killer.) Struct ordering is lexicographic, so
+    * min ≡ ORDER BY dist ASC, cent_id ASC LIMIT 1 — tie on distance falls
+    * to the smallest centroid id, the same contract the oracle replays. */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int): DataFrame = {
     // norms once per row/centroid: assignment then costs ONE fold per
     // (vector, centroid) pair instead of three
-    val normed = corpus.withColumn(NormCol,
+    val normed = corpus.select(col(idCol), col(vecCol)).withColumn(NormCol,
       sqrt(dot(col(vecCol), col(vecCol))))
-    val centroids = normed.select(col(idCol).as("cent_id"),
-        col(vecCol).as("cent_v"), col(NormCol).as("cent_n"))
-      .orderBy(col("cent_id")).limit(nlist)
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nlist)
     val assigned = normed.crossJoin(broadcast(centroids))
       .withColumn("dist", -cosineWithNorms(col(vecCol), col(NormCol),
         col("cent_v"), col("cent_n")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("dist").asc, col("cent_id").asc)
-    assigned.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .drop("rn", "dist", "cent_v", "cent_n")
-      .withColumnRenamed("cent_id", "list_id")
+    assigned.groupBy(col(idCol))
+      .agg(min(struct(col("dist"), col("cent_id"))).as("_best"),
+        first(col(vecCol)).as("_v"), first(col(NormCol)).as("_n"))
+      .select(col(idCol), col("_v").as(vecCol), col("_n").as(NormCol),
+        col("_best.cent_id").as("list_id"))
   }
 
   /** IVF top-k: probe the `nprobe` nearest inverted lists per query, then
     * exact cosine within the probed lists only. At scale the probed fraction
-    * (~nprobe/nlist of the corpus) bounds the scan. */
+    * (~nprobe/nlist of the corpus) bounds the scan.
+    *
+    * Probe centroids come from ivfCentroids — the true nlist-row model, NOT
+    * recovered from the assignment (self-filtering `id === list_id` loses a
+    * centroid whenever a duplicate vector ties its assignment to a smaller
+    * cent_id). The assignment subtree is referenced exactly once (the probe
+    * join), so nothing needs caching and no persisted index can leak. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 64, nprobe: Int = 8,
       roundDigits: Option[Int] = None): DataFrame = {
-    // the IVF index is reused by the centroid lookup AND the probe scan —
-    // persist it so assignment (a corpus×centroid scoring pass) runs once
-    val indexed = ivfAssign(corpus, idCol, vecCol, nlist).cache()
-    val centroids = indexed.filter(col(idCol) === col("list_id"))
-      .select(col("list_id").as("cent_id"), col(vecCol).as("cent_v"),
-        col(NormCol).as("cent_n"))
+    val indexed = ivfAssign(corpus, idCol, vecCol, nlist)
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nlist)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("_qn", sqrt(dot(col("qv"), col("qv"))))
     // nprobe nearest centroids per query (broadcast: nlist is small)

@@ -475,8 +475,12 @@ object BenchQueries {
         .filter(col("o_orderdate") < lit("1997-06-01"))
       val l = load(spark, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1997-06-01"))
+      // customer GROWS with scale factor — no broadcast hint (a forced
+      // broadcast is an executor OOM at sf100); AQE picks broadcast at
+      // small SF from its size estimate and SMJ once it outgrows the
+      // threshold. Verified: sf0.1 plan still broadcasts.
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(sum((d18(col("l_extendedprice")) *
             (lit(1) - col("l_discount").cast("decimal(3,2)")))
@@ -509,9 +513,13 @@ object BenchQueries {
         .filter(col("o_orderdate") >= lit("1995-01-01") &&
           col("o_orderdate") < lit("1997-01-01"))
       val lineitem = load(spark, dir, "lineitem")
+      // broadcast hints only on the FIXED-size dims (nation 25 / region 5
+      // rows at any SF); customer grows with scale factor, so its join
+      // strategy is left to AQE's size estimate (broadcast at small SF,
+      // shuffle join beyond the threshold — never a forced OOM)
       lineitem
         .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
-        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
         .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
         .groupBy(col("n_name"))

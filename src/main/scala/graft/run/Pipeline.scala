@@ -36,15 +36,22 @@ object TablePipeline {
     * read → stringify → date-partitioned path write. The watermark is
     * confirmed by Strategies.extract only after the raw write succeeds
     * (rolled back on failure), so a failed write never skips a batch.
-    * Returns row count. */
+    * Returns row count, collected by `observe` DURING the write action —
+    * re-reading the raw zone just to count it would scan the source a
+    * second time (at 100 TB, a second full pass); this is the same
+    * single-action discipline the watermark max already uses
+    * (Strategies.extract). */
   def extract(spark: SparkSession, sourcePath: String, rawPath: String,
       cfg: TableConfig, mode: LoadMode, clock: Clock, zone: ZoneId,
       store: Option[WatermarkStore], project: String = "default"): Long = {
+    val obs = org.apache.spark.sql.Observation(
+      s"rows_${java.util.UUID.randomUUID()}")
     Strategies.extract(spark, sourcePath, cfg, mode, clock, zone,
       store, project) { df =>
-      StageWriter.overwrite(toRawZone(df), rawPath)
+      StageWriter.overwrite(
+        toRawZone(df).observe(obs, count(lit(1)).as("n")), rawPath)
     }
-    spark.read.parquet(rawPath).count()
+    obs.get.get("n").flatMap(Option(_)).fold(0L)(_.toString.toLong)
   }
 
   /** Transform one table raw→stage (E2): read raw (cache + count-validate,
@@ -54,7 +61,16 @@ object TablePipeline {
     * empty stage table with WARNING-not-fail semantics (C8). */
   def transform(spark: SparkSession, rawPath: String, stagePath: String,
       cfg: TableConfig, meta: Seq[ColumnMetadata],
-      now: Option[Timestamp] = None): Long = {
+      now: Option[Timestamp] = None): Long =
+    transformWithStatus(spark, rawPath, stagePath, cfg, meta, now)._1
+
+  /** As `transform`, but also surfaces the error-tier status: "WARNING"
+    * when 10–50% of columns degraded to typed nulls (rows still written —
+    * light_transform.py:1487-1509), "SUCCESS" otherwise; >50% throws.
+    * Empty raw input is the C8 warn-not-fail bootstrap → WARNING. */
+  def transformWithStatus(spark: SparkSession, rawPath: String,
+      stagePath: String, cfg: TableConfig, meta: Seq[ColumnMetadata],
+      now: Option[Timestamp] = None): (Long, String) = {
     val raw = spark.read.parquet(rawPath).cache()
     try {
       val n = raw.count()
@@ -63,9 +79,9 @@ object TablePipeline {
           meta.sortBy(_.columnId).map(m =>
             org.apache.spark.sql.types.StructField(m.columnName, m.sparkType)))
         StageWriter.writeEmpty(spark, schema, stagePath)
-        return 0L
+        return (0L, "WARNING")
       }
-      val staged = TransformationEngine.run(raw, meta, now)
+      val (staged, status) = TransformationEngine.runWithStatus(raw, meta, now)
       val ids = meta.filter(_.isId).map(_.columnName)
       val partitions = meta.filter(_.isPartition).map(_.columnName)
       val incremental = cfg.loadType == LoadType.Incremental ||
@@ -75,18 +91,21 @@ object TablePipeline {
         StageWriter.mergeInto(spark, staged, stagePath, ids, partitions)
       else
         StageWriter.overwrite(staged, stagePath, partitions)
-      spark.read.parquet(stagePath).count()
+      (spark.read.parquet(stagePath).count(), status)
     } finally raw.unpersist()
   }
 }
 
 /** Bounded-parallel process-group scheduler with a structured run log
   * (SURVEY C11/C12 — DynamoDB status records + SNS become a run-log table;
-  * RUNNING→SUCCESS/FAILED transitions preserved). */
+  * RUNNING→SUCCESS/WARNING/FAILED transitions preserved — WARNING is the
+  * partially-degraded-but-written tier, light_transform.py:227-522). */
 object GroupScheduler {
 
-  def run(tables: Seq[(String, () => Long)], maxConcurrency: Int = 15)
-      : Seq[RunRecord] = {
+  /** Jobs that report (rows, status): status flows into the run log, so a
+    * WARNING transform (10–50% degraded columns) is visible, not silent. */
+  def runDetailed(tables: Seq[(String, () => (Long, String))],
+      maxConcurrency: Int = 15): Seq[RunRecord] = {
     val pool = Executors.newFixedThreadPool(math.max(1, maxConcurrency))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
@@ -94,8 +113,8 @@ object GroupScheduler {
         Future {
           val t0 = System.nanoTime()
           Try(job()) match {
-            case Success(rows) =>
-              RunRecord(name, "SUCCESS", rows, (System.nanoTime() - t0) / 1000000)
+            case Success((rows, status)) =>
+              RunRecord(name, status, rows, (System.nanoTime() - t0) / 1000000)
             case Failure(e) =>
               RunRecord(name, "FAILED", -1, (System.nanoTime() - t0) / 1000000,
                 String.valueOf(e.getMessage))
@@ -105,6 +124,12 @@ object GroupScheduler {
       Await.result(Future.sequence(futures), Duration.Inf)
     } finally pool.shutdown()
   }
+
+  def run(tables: Seq[(String, () => Long)], maxConcurrency: Int = 15)
+      : Seq[RunRecord] =
+    runDetailed(tables.map { case (name, job) =>
+      (name, () => (job(), "SUCCESS"))
+    }, maxConcurrency)
 
   /** Persist the run log as a queryable table (C11). */
   def writeLog(spark: SparkSession, records: Seq[RunRecord],

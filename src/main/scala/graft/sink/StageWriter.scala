@@ -52,11 +52,22 @@ object StageWriter {
     * Pure-Spark MERGE: old ⟕anti new (on keys) ∪ new. One shuffle on the
     * key columns; at 100 TB both sides hash-partition on the same keys so
     * AQE can pick a sort-merge or (small delta) broadcast anti-join.
-    */
+    *
+    * Schema evolution matches Delta's autoMerge (the reference enables
+    * `spark.databricks.delta.schema.autoMerge.enabled`,
+    * light_transform.py:2013): a column added to the delta (a new
+    * columns.csv entry on an incremental table) appends to the output
+    * schema with old rows null-filled; a column the delta dropped is kept
+    * with new rows null-filled — `unionByName(allowMissingColumns = true)`
+    * is exactly that contract. */
   def merge(old: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "MERGE requires id columns")
+    require(keys.forall(old.columns.contains) &&
+      keys.forall(delta.columns.contains),
+      s"MERGE keys ${keys.mkString(",")} must exist on both sides")
     val newRows = delta.dropDuplicates(keys)
-    old.join(newRows, keys, "left_anti").unionByName(newRows)
+    old.join(newRows, keys, "left_anti")
+      .unionByName(newRows, allowMissingColumns = true)
   }
 
   /** MERGE into a Parquet path (reads existing, merges, swaps). */
@@ -96,6 +107,7 @@ object StageWriter {
     * 10 Parquet attempts 2 s apart, then the CSV fallback, then fail). */
   def overwriteWithRetry(df: DataFrame, path: String, retries: Int = 10,
       delayMs: Long = 2000, csvFallbackPath: Option[String] = None): Unit = {
+    require(retries >= 1, s"retries must be >= 1 (got $retries)")
     var attempt = 0
     var done = false
     var lastError: Throwable = null
@@ -109,7 +121,13 @@ object StageWriter {
     }
     if (!done) csvFallbackPath match {
       case Some(p) =>
-        writeCsvRaw(df, p)
+        // a fallback failure must not MASK the original parquet failure:
+        // attach it as suppressed so both stack traces surface
+        try writeCsvRaw(df, p)
+        catch {
+          case scala.util.control.NonFatal(fb) =>
+            fb.addSuppressed(lastError); throw fb
+        }
         throw new RuntimeException(
           s"parquet write failed after $retries attempts; CSV fallback " +
             s"written to $p", lastError)

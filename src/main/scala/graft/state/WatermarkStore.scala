@@ -14,7 +14,11 @@ import scala.jdk.CollectionConverters._
   * State is tiny (one row per configured table), driver-side by design; the
   * 100 TB-scale data never flows through here.
   */
-final case class WatermarkToken(key: String, ts: Long, value: String)
+/** `id` is a unique token identity: timestamps alone can collide (coarse
+  * nanoTime, concurrent savePending), and confirming/rolling back on a
+  * collided timestamp would resolve the WRONG pending entry. */
+final case class WatermarkToken(key: String, ts: Long, value: String,
+    id: String = java.util.UUID.randomUUID().toString)
 
 trait WatermarkStore {
   def savePending(project: String, table: String, column: String,
@@ -34,16 +38,16 @@ object WatermarkStore {
 /** In-memory store for tests. */
 final class InMemoryWatermarkStore extends WatermarkStore {
   private val state = scala.collection.concurrent.TrieMap[String, String]()
-  private val pending = scala.collection.concurrent.TrieMap[Long, String]()
+  private val pending = scala.collection.concurrent.TrieMap[String, String]()
   private val seq = new java.util.concurrent.atomic.AtomicLong()
 
   def savePending(p: String, t: String, c: String, v: String) = {
     val tok = WatermarkToken(WatermarkStore.key(p, t, c), seq.incrementAndGet(), v)
-    pending.put(tok.ts, tok.key); tok
+    pending.put(tok.id, tok.key); tok
   }
   def confirm(tok: WatermarkToken): Unit =
-    if (pending.remove(tok.ts).isDefined) state.put(tok.key, tok.value)
-  def rollback(tok: WatermarkToken): Unit = { pending.remove(tok.ts); () }
+    if (pending.remove(tok.id).isDefined) state.put(tok.key, tok.value)
+  def rollback(tok: WatermarkToken): Unit = { pending.remove(tok.id); () }
   def lastConfirmed(p: String, t: String, c: String) =
     state.get(WatermarkStore.key(p, t, c))
   def delete(p: String, t: String, c: String): Unit =
@@ -51,55 +55,61 @@ final class InMemoryWatermarkStore extends WatermarkStore {
 }
 
 /** File-backed store: one log file per key under `dir`, each line
-  * `ts|status|value`; last CONFIRMED line wins (timestamp sort-key semantics
-  * of the reference's DynamoDB schema). Writes are atomic (tmp + move). */
+  * `ts|tokenId|status|value`; last CONFIRMED line wins (timestamp sort-key
+  * semantics of the reference's DynamoDB schema). Writes are atomic
+  * (tmp + move) and serialized on the store's monitor — savePending,
+  * confirm and rollback all read-modify-write under the SAME lock, so a
+  * concurrent save can never interleave with a confirm's status check.
+  * Tokens are matched by their unique id, never by timestamp alone
+  * (coarse nanoTime can collide across concurrent saves). */
 final class FileWatermarkStore(dir: String) extends WatermarkStore {
   Files.createDirectories(Paths.get(dir))
   private def path(key: String): Path =
     Paths.get(dir, key.replaceAll("[^A-Za-z0-9#_.-]", "_") + ".log")
 
-  private def append(key: String, ts: Long, status: String, v: String): Unit =
-    synchronized {
-      val p = path(key)
-      val line = s"$ts|$status|$v\n"
-      val existing = if (Files.exists(p)) Files.readString(p) else ""
-      val tmp = Files.createTempFile(Paths.get(dir), "wm", ".tmp")
-      Files.writeString(tmp, existing + line)
-      Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.ATOMIC_MOVE)
-    }
+  private def append(key: String, ts: Long, id: String, status: String,
+      v: String): Unit = {
+    val p = path(key)
+    val line = s"$ts|$id|$status|$v\n"
+    val existing = if (Files.exists(p)) Files.readString(p) else ""
+    val tmp = Files.createTempFile(Paths.get(dir), "wm", ".tmp")
+    Files.writeString(tmp, existing + line)
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
 
-  /** Last logged status for a token's timestamp, if any. */
+  /** Last logged status for a token's unique id, if any. */
   private def statusOf(tok: WatermarkToken): Option[String] = {
     val p = path(tok.key)
     if (!Files.exists(p)) None
     else Files.readAllLines(p).asScala.toSeq.reverse.collectFirst {
-      case l if l.split("\\|", 3)(0) == tok.ts.toString => l.split("\\|", 3)(1)
+      case l if l.split("\\|", 4)(1) == tok.id => l.split("\\|", 4)(2)
     }
   }
 
-  def savePending(p: String, t: String, c: String, v: String) = {
-    val tok = WatermarkToken(WatermarkStore.key(p, t, c),
-      System.nanoTime(), v)
-    append(tok.key, tok.ts, "PENDING", v); tok
-  }
+  def savePending(p: String, t: String, c: String, v: String) =
+    synchronized {
+      val tok = WatermarkToken(WatermarkStore.key(p, t, c),
+        System.nanoTime(), v)
+      append(tok.key, tok.ts, tok.id, "PENDING", v); tok
+    }
   // Only a still-PENDING token may confirm: confirm after rollback (or of a
   // stale/unknown token) is a no-op, matching InMemoryWatermarkStore — the
   // two stores must agree on protocol semantics.
   def confirm(tok: WatermarkToken): Unit = synchronized {
     if (statusOf(tok).contains("PENDING"))
-      append(tok.key, tok.ts, "CONFIRMED", tok.value)
+      append(tok.key, tok.ts, tok.id, "CONFIRMED", tok.value)
   }
   def rollback(tok: WatermarkToken): Unit = synchronized {
     if (statusOf(tok).contains("PENDING"))
-      append(tok.key, tok.ts, "ROLLED_BACK", tok.value)
+      append(tok.key, tok.ts, tok.id, "ROLLED_BACK", tok.value)
   }
 
   def lastConfirmed(p: String, t: String, c: String): Option[String] = {
     val f = path(WatermarkStore.key(p, t, c))
     if (!Files.exists(f)) None
     else Files.readAllLines(f).asScala.toSeq.reverse.collectFirst {
-      case l if l.split("\\|", 3)(1) == "CONFIRMED" => l.split("\\|", 3)(2)
+      case l if l.split("\\|", 4)(2) == "CONFIRMED" => l.split("\\|", 4)(3)
     }
   }
   def delete(p: String, t: String, c: String): Unit = {

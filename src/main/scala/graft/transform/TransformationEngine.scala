@@ -30,6 +30,13 @@ object TransformationEngine {
   val FailThresholdPct = 50.0
   val WarnThresholdPct = 10.0
 
+  /** Error-tier policy (light_transform.py:1487-1509): >50% degraded
+    * columns FAILED, >10% WARNING (rows still written), else SUCCESS. */
+  def statusOf(errorPct: Double): String =
+    if (errorPct > FailThresholdPct) "FAILED"
+    else if (errorPct > WarnThresholdPct) "WARNING"
+    else "SUCCESS"
+
   def compile(meta: Seq[ColumnMetadata], inputCols: Seq[String],
       now: Option[Timestamp] = None): CompiledTransform = {
     val sorted = meta.sortBy(_.columnId)
@@ -47,16 +54,26 @@ object TransformationEngine {
     CompiledTransform(cols, errors.result())
   }
 
-  /** Apply the full configured projection as a single select. */
-  def apply(df: DataFrame, meta: Seq[ColumnMetadata],
-      now: Option[Timestamp] = None): DataFrame = {
+  /** Apply the full configured projection as a single select, surfacing the
+    * error-tier status: FAILED throws, WARNING (10–50% degraded columns)
+    * returns the frame with status "WARNING" so the run log can record a
+    * partially-degraded-but-written table — a config typo on a wide table
+    * must surface, not proceed silently (light_transform.py:1487-1509 +
+    * the WARNING run-log status, light_transform.py:227-522). */
+  def applyWithStatus(df: DataFrame, meta: Seq[ColumnMetadata],
+      now: Option[Timestamp] = None): (DataFrame, String) = {
     val compiled = compile(meta, df.columns.toSeq, now)
     val pct = compiled.errorPct(meta.size)
     if (pct > FailThresholdPct)
       sys.error(f"transform failed: $pct%.1f%% of columns degraded " +
         s"(${compiled.errors.keys.mkString(", ")})")
-    df.select(compiled.columns: _*)
+    (df.select(compiled.columns: _*), statusOf(pct))
   }
+
+  /** Apply the full configured projection as a single select. */
+  def apply(df: DataFrame, meta: Seq[ColumnMetadata],
+      now: Option[Timestamp] = None): DataFrame =
+    applyWithStatus(df, meta, now)._1
 
   /** Dedup-latest-by-key: keep the newest row per id-column group, newest
     * judged by the is_filter_date columns descending (reference
@@ -84,12 +101,20 @@ object TransformationEngine {
     if (orderCols.isEmpty) df else df.orderBy(orderCols.map(col): _*)
   }
 
-  /** Full post-transform pipeline: transform → dedup-latest → order. */
-  def run(df: DataFrame, meta: Seq[ColumnMetadata],
-      now: Option[Timestamp] = None, tieBreak: Seq[String] = Nil): DataFrame = {
-    val transformed = apply(df, meta, now)
+  /** Full post-transform pipeline: transform → dedup-latest → order,
+    * surfacing the error-tier status (SUCCESS / WARNING; FAILED throws). */
+  def runWithStatus(df: DataFrame, meta: Seq[ColumnMetadata],
+      now: Option[Timestamp] = None, tieBreak: Seq[String] = Nil)
+      : (DataFrame, String) = {
+    val (transformed, status) = applyWithStatus(df, meta, now)
     val ids = meta.filter(_.isId).map(_.columnName)
     val dates = meta.filter(_.isFilterDate).map(_.columnName)
-    orderedOutput(dedupLatest(transformed, ids, dates, tieBreak), meta)
+    (orderedOutput(dedupLatest(transformed, ids, dates, tieBreak), meta),
+      status)
   }
+
+  /** Full post-transform pipeline: transform → dedup-latest → order. */
+  def run(df: DataFrame, meta: Seq[ColumnMetadata],
+      now: Option[Timestamp] = None, tieBreak: Seq[String] = Nil): DataFrame =
+    runWithStatus(df, meta, now, tieBreak)._1
 }
