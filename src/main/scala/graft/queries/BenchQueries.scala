@@ -254,6 +254,28 @@ object BenchQueries {
              round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))),
 
+    // Approximate percentile (Greenwald-Khanna sketch) gated against the
+    // exact sort-based percentile — the 100 TB twin of q_percentile: the
+    // exact form is the oracle-able one, the sketch is one mergeable pass
+    // (no full sort shuffle) and the gate asserts it landed within 1% —
+    // same consumption pattern as q_approx_distinct's HLL gate
+    "q_approx_percentile" -> (((spark, dir) => {
+      load(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(percentile(col("l_extendedprice"), lit(0.5)), 4)
+            .as("exact_p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("ap"))
+        .select(col("l_returnflag"), col("exact_p50"),
+          (abs(col("ap") - col("exact_p50")) <= col("exact_p50") * 0.01)
+            .as("within_1pct"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+             TRUE AS within_1pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))),
+
     // Moving-window aggregation (ROWS frame): 3-month trailing average of
     // monthly order totals — frame semantics verified cross-engine
     "q_moving_agg" -> (((spark, dir) => {

@@ -17,8 +17,10 @@ import graft.extract.{ReadPlan, Slice, SqlRender}
   *
   * Connection hygiene from the reference (sql_server_extractor.py:28-77):
   * fetchsize bounds memory per round-trip, queryTimeout caps runaways.
-  * No live DB exists in this environment — the option-building is unit
-  * tested; execution paths are exercised on any reachable JDBC endpoint.
+  * Execution is integration-tested against embedded Derby (SourcesSpec:
+  * partitioned read, predicate slices, keyset pagination — live SQL, not
+  * just option construction); the mssql/oracle/mysql dialect renderings
+  * remain unit-tested since those engines need a network endpoint.
   */
 object JdbcSource {
 

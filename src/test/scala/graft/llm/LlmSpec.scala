@@ -119,6 +119,98 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("LSH bucket cap is applied BEFORE aggregation (bounded buffers) " +
+    "and keeps the smallest ids on a degenerate all-identical corpus") {
+    // every doc identical → ONE bucket per band holds the whole corpus:
+    // the worst-case hot bucket. The cap must (a) bound the pair set to
+    // C(cap,2) over the smallest ids, (b) sit BELOW the collect_list
+    // aggregate in the plan as a rank limit, so the aggregation buffer can
+    // never see more than `cap` rows per bucket.
+    val same = (1L to 20L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val capped = Dedup.minhashLshPairs(same, "doc_id", "text",
+      shingleWidth = 3, k = 32, b = 8, threshold = 0.5, maxBucket = 4)
+    val pairs = capped.select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toSet)
+    // structural: every collect_list aggregate has a Window (row_number
+    // rank-limit) below it — the pre-aggregation cap, not a post-slice
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = capped.queryExecution.optimizedPlan
+    val aggs = plan.collect {
+      case a: Aggregate
+        if a.aggregateExpressions.exists(_.toString.contains("collect_list")) => a
+    }
+    assert(aggs.nonEmpty)
+    aggs.foreach { a =>
+      assert(a.find { case _: LWindow => true; case _ => false }.isDefined,
+        "collect_list aggregate without a pre-aggregation window cap")
+      assert(!a.aggregateExpressions.exists(_.toString.contains("slice(")),
+        "post-aggregation slice cap found — unbounded buffer")
+    }
+    // same contract for the simhash + embedding shapes
+    Seq(
+      Dedup.simhashPairsPortable(same, "doc_id", "text", maxBucket = 4),
+      Dedup.embeddingNearDupPortable(
+        (1L to 9L).map(i => (i, Array.fill(8)(0.5f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", 0.5, Dedup.portablePlanes(4, 8), maxBucket = 3)
+    ).foreach { df =>
+      val as = df.queryExecution.optimizedPlan.collect {
+        case a: Aggregate
+          if a.aggregateExpressions.exists(_.toString.contains("collect_list")) => a
+      }
+      assert(as.nonEmpty && as.forall(
+        _.find { case _: LWindow => true; case _ => false }.isDefined))
+    }
+  }
+
+  test("simhash pair miners refuse maxHamming beyond the pigeonhole bound") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairsPortable(docs, "doc_id", "text", maxHamming = 4)
+    }
+  }
+
+  test("ivfAssign: map-side aggregation shape (no window), deterministic " +
+    "tie-break to the smaller centroid id") {
+    val df = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(0.5f, 0.5f)), // exactly equidistant from both centroids
+      (3L, Array(0.9f, 0.1f)), (4L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(df, "vec_id", "embedding", nlist = 2)
+    // scale shape: nearest-centroid via min(struct) aggregation, NOT a
+    // row_number window over the nlist-replicated corpus
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assert(assigned.queryExecution.optimizedPlan.find {
+      case _: LWindow => true; case _ => false
+    }.isEmpty, "ivfAssign must not use a window for nearest-centroid")
+    val m = assigned.select("vec_id", "list_id").as[(Long, Long)]
+      .collect().toMap
+    assert(m == Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+
+  test("ivfTopK with full probe equals brute force even with duplicate " +
+    "vectors among the centroid ids") {
+    // vec 0 and 1 are IDENTICAL: assignment ties both to centroid 0. The
+    // old centroid recovery (indexed.filter(id === list_id)) lost centroid
+    // 1 in this corpus; the probe set must still be the full nlist model.
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(0f, 0f, 1f)),
+      (4L, Array(0.7f, 0.7f, 0f)), (5L, Array(0f, 0.7f, 0.7f)),
+      (6L, Array(0.5f, 0.5f, 0.7f)), (7L, Array(0.2f, 0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" === 7L)
+    val brute = Similarity.bruteForceTopK(q, df, "vec_id", "embedding", k = 7)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, df, "vec_id", "embedding", k = 7,
+      nlist = 4, nprobe = 4)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSet
+    assert(ivf == brute)
+  }
+
   test("langid picks the stopword-matching language, CJK -> zh") {
     val t = Seq(
       (1L, "the cat and the dog are in the house with it"),

@@ -195,6 +195,93 @@ class PipelineSpec extends AnyFunSuite {
       Seq("a", "b", "a_1", "A_2", "b_1"))
   }
 
+  test("warn tier: 10-50% degraded columns -> WARNING, rows still written") {
+    val dir = Files.createTempDirectory("warn")
+    val raw = dir.resolve("raw").toString
+    Seq(("1", "a"), ("2", "b")).toDF("id", "v").write.parquet(raw)
+    val meta = Seq(
+      ColumnMetadata("id_doc", 1, false, true, false, false, "string", "t",
+        "fn_transform_ClearString(id)"),
+      ColumnMetadata("v_ok", 2, false, false, false, false, "string", "t",
+        "fn_transform_ClearString(v)"),
+      ColumnMetadata("bad1", 3, false, false, false, false, "string", "t",
+        "fn_transform_NoSuchFunction(v)"),
+      ColumnMetadata("bad2", 4, false, false, false, false, "string", "t",
+        "fn_transform_AlsoMissing(v)"))
+    val stage = dir.resolve("stage").toString
+    val (rows, status) = TablePipeline.transformWithStatus(spark, raw, stage,
+      cfg(), meta, now)
+    assert(rows == 2 && status == "WARNING") // 2/4 degraded = 50% -> warn tier
+    val out = spark.read.parquet(stage)
+    assert(out.filter(col("bad1").isNull && col("bad2").isNull).count() == 2)
+    assert(out.filter(col("v_ok").isNotNull).count() == 2) // good cols intact
+  }
+
+  test("fail tier: >50% degraded columns throws (no silent garbage table)") {
+    val dir = Files.createTempDirectory("fail")
+    val raw = dir.resolve("raw").toString
+    Seq(("1", "a")).toDF("id", "v").write.parquet(raw)
+    val meta = Seq(
+      ColumnMetadata("id_doc", 1, false, true, false, false, "string", "t",
+        "fn_transform_ClearString(id)"),
+      ColumnMetadata("bad1", 2, false, false, false, false, "string", "t",
+        "fn_transform_NoSuchFunction(v)"),
+      ColumnMetadata("bad2", 3, false, false, false, false, "string", "t",
+        "fn_transform_AlsoMissing(v)"),
+      ColumnMetadata("bad3", 4, false, false, false, false, "string", "t",
+        "fn_transform_StillMissing(v)"))
+    val e = intercept[RuntimeException] {
+      TablePipeline.transformWithStatus(spark, raw,
+        dir.resolve("stage").toString, cfg(), meta, now)
+    }
+    assert(e.getMessage.contains("75.0%"))
+  }
+
+  test("clean transform reports SUCCESS; scheduler carries WARNING into " +
+    "the run log") {
+    val recs = GroupScheduler.runDetailed(Seq(
+      ("clean", () => (10L, "SUCCESS")),
+      ("degraded", () => (5L, "WARNING")),
+      ("broken", () => sys.error("boom"))), maxConcurrency = 2)
+    val byName = recs.map(r => r.table -> r).toMap
+    assert(byName("clean").status == "SUCCESS")
+    assert(byName("degraded").status == "WARNING" &&
+      byName("degraded").rows == 5)
+    assert(byName("broken").status == "FAILED")
+  }
+
+  test("extract runs exactly ONE action: the row count is observed during " +
+    "the raw write, never by re-scanning") {
+    val dir = Files.createTempDirectory("onepass")
+    val src = dir.resolve("src").toString
+    (1 to 7).map(i => (i.toLong, s"r$i")).toDF("seq", "v").write.parquet(src)
+    val marker = dir.toString
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (qe.analyzed.toString.contains(marker)) { actions.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val n = TablePipeline.extract(spark, src, dir.resolve("raw").toString,
+        cfg(), LoadMode.Initial, clock, utc, None)
+      assert(n == 7)
+      // listener delivery is async — wait until the count settles
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      var last = -1
+      while (System.nanoTime() < deadline && actions.get() != last) {
+        last = actions.get(); Thread.sleep(250)
+      }
+      assert(actions.get() == 1,
+        s"expected exactly one Spark action for extract, saw ${actions.get()}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("group scheduler: bounded parallel, failures recorded not thrown") {
     val recs = GroupScheduler.run(Seq(
       ("t1", () => 10L),

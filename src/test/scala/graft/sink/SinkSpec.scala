@@ -32,6 +32,49 @@ class SinkSpec extends AnyFunSuite {
     assert(got == Set((1, "old1"), (2, "NEW2"), (3, "old3"), (4, "NEW4")))
   }
 
+  test("merge schema evolution: delta-added column appends with old rows " +
+    "null-filled; delta-dropped column kept with new rows null-filled " +
+    "(Delta autoMerge contract, light_transform.py:2013)") {
+    val old = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val delta = Seq((2, "B", "x2"), (3, "c", "x3")).toDF("k", "v", "extra")
+    val evolved = StageWriter.merge(old, delta, Seq("k"))
+    assert(evolved.columns.toSeq == Seq("k", "v", "extra"))
+    val byK = evolved.collect()
+      .map(r => r.getInt(0) -> Option(r.getString(2))).toMap
+    assert(byK == Map(1 -> None, 2 -> Some("x2"), 3 -> Some("x3")))
+    // the other direction: delta missing an old column
+    val narrow = Seq((4, "zz")).toDF("k", "extra")
+    val kept = StageWriter.merge(evolved, narrow, Seq("k"))
+    assert(kept.columns.toSeq == Seq("k", "v", "extra"))
+    assert(kept.filter($"k" === 4).collect().head.getString(1) == null)
+  }
+
+  test("mergeInto evolves the on-disk schema across incremental batches") {
+    val path = tmp()
+    StageWriter.mergeInto(spark, Seq((1, "a")).toDF("k", "v"), path, Seq("k"))
+    StageWriter.mergeInto(spark,
+      Seq((1, "A", 7L), (2, "b", 9L)).toDF("k", "v", "n"), path, Seq("k"))
+    val out = spark.read.parquet(path)
+    assert(out.columns.toSeq == Seq("k", "v", "n"))
+    assert(out.orderBy("k").collect().map(r =>
+      (r.getInt(0), r.getString(1), r.get(2))).toSeq ==
+      Seq((1, "A", 7L), (2, "b", 9L)))
+  }
+
+  test("merge refuses keys missing from either side") {
+    intercept[IllegalArgumentException] {
+      StageWriter.merge(Seq((1, "a")).toDF("k", "v"),
+        Seq((1, "a")).toDF("other", "v"), Seq("k"))
+    }
+  }
+
+  test("overwriteWithRetry refuses retries < 1 (no null rethrow)") {
+    intercept[IllegalArgumentException] {
+      StageWriter.overwriteWithRetry(Seq((1, "a")).toDF("k", "v"), tmp(),
+        retries = 0)
+    }
+  }
+
   test("mergeInto bootstraps on first write then upserts") {
     val path = tmp()
     StageWriter.mergeInto(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"),
@@ -118,6 +161,33 @@ class SinkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("CSV fallback"))
     assert(spark.read.option("delimiter", "|").option("header", "true")
       .csv(csv).count() == 1)
+  }
+
+  test("failed CSV fallback surfaces BOTH errors (parquet cause suppressed)") {
+    import spark.implicits._
+    val df = Seq((1, "x")).toDF("a", "b")
+    val bad = "/proc/definitely/not/writable/p"
+    val badCsv = "/proc/also/not/writable/c"
+    val e = intercept[Throwable] {
+      StageWriter.overwriteWithRetry(df, bad, retries = 1, delayMs = 1,
+        csvFallbackPath = Some(badCsv))
+    }
+    assert(e.getSuppressed.nonEmpty,
+      "fallback failure must carry the original parquet error as suppressed")
+  }
+
+  test("watermark tokens with colliding timestamps resolve independently") {
+    val dir = Files.createTempDirectory("wmcol").toString
+    val s = new FileWatermarkStore(dir)
+    val t1 = s.savePending("p", "t", "c", "10")
+    val t2 = s.savePending("p", "t", "c", "20")
+    // force a timestamp collision: identity must come from the token id
+    val t2collided = t2.copy(ts = t1.ts)
+    s.rollback(t1)
+    s.confirm(t2collided)
+    // t1 rolled back, t2 confirmed — a ts-keyed store would have matched
+    // t2's confirm against t1's ROLLED_BACK line and dropped the update
+    assert(s.lastConfirmed("p", "t", "c") == Some("20"))
   }
 
   test("file watermark store: confirm after rollback is a no-op " +
