@@ -131,14 +131,16 @@ object PipelineQueries {
         java.time.Instant.parse("2024-06-25T12:00:00Z"),
         java.time.ZoneOffset.UTC)
       val utc = java.time.ZoneId.of("UTC")
-      def job(table: String, m: Seq[ColumnMetadata])(): Long = {
+      def job(table: String, m: Seq[ColumnMetadata])(): (Long, String) = {
         TablePipeline.extract(spark, s"$dir/$table.parquet",
           s"$work/raw/$table", cfg(table), LoadMode.Initial, clock, utc, None)
-        TablePipeline.transform(spark, s"$work/raw/$table",
+        // status-carrying path: the run log records the error tier
+        // (SUCCESS here; WARNING when 10-50% of columns degrade)
+        TablePipeline.transformWithStatus(spark, s"$work/raw/$table",
           s"$work/stage/$table", cfg(table), m,
           Some(DslQueries.auditNow))
       }
-      val recs = GroupScheduler.run(Seq(
+      val recs = GroupScheduler.runDetailed(Seq(
         ("nation", () => job("nation", meta("id_nation",
           ("id_nation", "fn_transform_Concatenate(n_nationkey, n_name)"),
           ("cod_nation", "fn_transform_ClearString(n_name)")))),
