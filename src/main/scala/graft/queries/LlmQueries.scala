@@ -102,7 +102,152 @@ object LlmQueries {
       SELECT id1, id2, c4 FROM cand WHERE c4 >= 0.9 ORDER BY id1, id2"""
   }
 
+  /** DuckDB twin of TextAnalysis.qualityScore — shared by `text_quality`
+    * and the curation queries so the exact same arithmetic ranks both. */
+  private val qualityOracleBody: String = """
+      WITH f AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS chars,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS toks,
+               CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS punct,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
+               CAST(
+                 len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+                   ['the','and','of','to','in','is','that','with','for','it','was','on','are','this','be'])) +
+                 len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+                   ['el','la','de','que','y','en','los','del','las','un','una','con','por','para','es'])) +
+                 len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+                   ['der','die','und','das','von','zu','mit','den','ist','im','ein','eine','auf','nicht','als'])) +
+                 len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+                   ['le','la','les','de','des','et','en','un','une','du','est','dans','que','pour','qui']))
+               AS DOUBLE) AS stophits
+        FROM documents)
+      SELECT doc_id,
+             round(least(toks / 20.0, 1.0) * 0.3
+               + greatest(0.0, 1.0 - (punct / greatest(chars, 1.0)) * 4) * 0.25
+               + greatest(0.0, 1.0 - (digits / greatest(chars, 1.0)) * 4) * 0.25
+               + least(stophits / 5.0, 1.0) * 0.2, 4) AS quality
+      FROM f"""
+
+  /** DuckDB twin of the word-3-shingle set (Dedup.wordShingles w=3): same
+    * boundaries, same whole-doc fallback for short texts (concat_ws skips
+    * the NULL slots past the array end). */
+  private val gram3Sql: String = """
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 2)),
+               i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS g
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+            FROM documents)"""
+
   val defs: Map[String, Entry] = Map(
+
+    // ---- training-data curation operators ----
+
+    // Decontamination: flag training docs sharing any word-3-gram with the
+    // eval set (doc_id % 100 == 0 plays the held-out benchmark; real
+    // pipelines use longer grams — width is a parameter, 3 collides
+    // meaningfully on this synthetic vocab). Shape: explode grams on both
+    // sides, inner-join on the gram, count distinct shared grams per doc —
+    // at 100 TB the join keys would be xxhash64(g) (longs, not strings)
+    // and the eval side (tiny by construction) broadcasts; the string join
+    // here keeps the oracle exact.
+    "llm_decontaminate" -> (((spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      def grams(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"),
+          explode(Dedup.wordShingles(col("text"), 3)).as("g"))
+      val evalGrams = grams(docs.filter(col("doc_id") % 100 === 0))
+        .select("g").distinct()
+      grams(docs.filter(col("doc_id") % 100 =!= 0))
+        .join(broadcast(evalGrams), "g")
+        .groupBy("doc_id")
+        .agg(count_distinct(col("g")).as("n_shared"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH g AS ($gram3Sql),
+      e AS (SELECT DISTINCT g FROM g WHERE doc_id % 100 = 0),
+      t AS (SELECT * FROM g WHERE doc_id % 100 <> 0)
+      SELECT t.doc_id, count(DISTINCT t.g) AS n_shared
+      FROM t JOIN e USING (g)
+      GROUP BY t.doc_id ORDER BY doc_id"""))),
+
+    // Deterministic hash sampling: a reproducible ~10% corpus sample keyed
+    // on md5(doc_id) — the way a 100 TB pipeline samples (pure per-row
+    // predicate, no RNG state, no shuffle; pushdown-friendly and stable
+    // across re-runs/engines, unlike TABLESAMPLE)
+    "llm_hash_sample" -> (((spark, dir) => {
+      load(spark, dir, "documents")
+        .filter(Dedup.portableWordHash(col("doc_id")) % 100 < 10)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+      WHERE (CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % ${Dedup.PortableP}) % 100 < 10
+      ORDER BY doc_id"""))),
+
+    // Sequence packing: assemble docs into fixed token-budget training
+    // sequences (2048) with a per-SHARD running token sum — the window is
+    // partitioned by shard so packing parallelizes across executors (a
+    // global cumsum would serialize 100 TB through one partition); each
+    // shard packs its docs in id order, first-fit
+    "llm_pack_sequences" -> (((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = load(spark, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+          TextAnalysis.tokenCount(col("text")).as("tok"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+      toks.withColumn("cum", sum("tok").over(w))
+        .withColumn("seq_id",
+          ((col("cum") - col("tok")) / lit(2048)).cast("long"))
+        .groupBy("shard", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("seq_tokens"))
+        .orderBy("shard", "seq_id")
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+        FROM documents),
+      c AS (
+        SELECT shard, doc_id, tok,
+               CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM t)
+      SELECT shard, (cum - tok) // 2048 AS seq_id, count(*) AS n_docs,
+             CAST(SUM(tok) AS BIGINT) AS seq_tokens
+      FROM c GROUP BY 1, 2 ORDER BY shard, seq_id"""))),
+
+    // Quality-ranked curation: keep the top-3 docs per language by quality
+    // score (rounded-score ranking + id tiebreak, the fp-stable contract) —
+    // the "take the best N per stratum" selection every curated corpus runs
+    "llm_curate_topk" -> (((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("lang"), col("rn").as("rank_in_lang"), col("doc_id"),
+          col("quality"))
+        .orderBy("lang", "rank_in_lang")
+    }, Some(s"""
+      WITH q AS ($qualityOracleBody),
+      ranked AS (
+        SELECT d.lang, q.doc_id, q.quality,
+               row_number() OVER (PARTITION BY d.lang
+                 ORDER BY q.quality DESC, q.doc_id ASC) AS rank_in_lang
+        FROM q JOIN documents d USING (doc_id))
+      SELECT lang, CAST(rank_in_lang AS INT) AS rank_in_lang, doc_id, quality
+      FROM ranked WHERE rank_in_lang <= 3
+      ORDER BY lang, rank_in_lang"""))),
 
     // Exact dedup on content hash
     "dd_exact" -> (((spark, dir) => {
@@ -310,31 +455,7 @@ object LlmQueries {
         .select(col("doc_id"),
           TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
-    }, Some("""
-      WITH f AS (
-        SELECT doc_id,
-               CAST(length(text) AS DOUBLE) AS chars,
-               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS toks,
-               CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS punct,
-               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
-               CAST(
-                 len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
-                   ['the','and','of','to','in','is','that','with','for','it','was','on','are','this','be'])) +
-                 len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
-                   ['el','la','de','que','y','en','los','del','las','un','una','con','por','para','es'])) +
-                 len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
-                   ['der','die','und','das','von','zu','mit','den','ist','im','ein','eine','auf','nicht','als'])) +
-                 len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
-                   ['le','la','les','de','des','et','en','un','une','du','est','dans','que','pour','qui']))
-               AS DOUBLE) AS stophits
-        FROM documents)
-      SELECT doc_id,
-             round(least(toks / 20.0, 1.0) * 0.3
-               + greatest(0.0, 1.0 - (punct / greatest(chars, 1.0)) * 4) * 0.25
-               + greatest(0.0, 1.0 - (digits / greatest(chars, 1.0)) * 4) * 0.25
-               + least(stophits / 5.0, 1.0) * 0.2, 4) AS quality
-      FROM f ORDER BY doc_id"""))),
+    }, Some(qualityOracleBody + " ORDER BY doc_id"))),
 
     // Language ID (stopword heuristic + CJK density)
     "text_langid" -> (((spark, dir) => {
