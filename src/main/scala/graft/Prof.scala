@@ -1,5 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc stage profiler for the slowest bench queries. */
 object Prof {
   def main(args: Array[String]): Unit = {
     val spark = SparkEntry.configure(SparkSession.builder().master("local[32]")
@@ -7,17 +10,30 @@ object Prof {
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    val qs = SparkEntry.queries
-    for (name <- Seq("dd_minhash", "dd_ngram")) {
-      for (i <- 1 to 3) {
-        val df = qs(name)(spark, dir)
-        val t0 = System.nanoTime()
-        val plan = df.queryExecution.executedPlan // forces analysis+optimization+planning
-        val t1 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
-        val t2 = System.nanoTime()
-        println(f"$name%-18s iter$i plan=${(t1-t0)/1e9}%.2fs exec=${(t2-t1)/1e9}%.2fs")
-      }
+
+    def time(label: String)(f: => Unit): Unit = {
+      f // warmup
+      val t0 = System.nanoTime(); f
+      println(f"[prof] $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
+    val docs = graft.queries.Q.load(spark, dir, "documents")
+    // stage 1: portable chunks (md5 word hash + 64 bit-sums)
+    time("simhash chunks only") {
+      graft.llm.Dedup.simhashChunksPortable(docs, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    // words+hash only (md5 cost isolated)
+    time("explode+md5 only") {
+      docs.select(col("doc_id"),
+        explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("w"))
+        .withColumn("h", graft.llm.Dedup.portableWordHash(col("w")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    // full pair mining
+    time("simhash pairs full") {
+      graft.llm.Dedup.simhashPairsPortable(docs, "doc_id", "text",
+        maxHamming = 3, maxBucket = 256)
+        .write.format("noop").mode("overwrite").save()
     }
     spark.stop()
   }

@@ -55,8 +55,10 @@ object ScaleSmoke {
     val qs = SparkEntry.queries
     for (q <- Seq("q1_pricing", "q3_topk", "q5_starjoin", "a6_range_slices",
       "c3_dedup_latest", "dd_exact", "dd_minhash", "dd_simhash", "sim_topk",
-      "sim_ivf", "llm_corpus_clean", "mm_decode", "q_salted_agg",
-      "text_quality", "evt_sessionize", "e2e_pipeline"))
+      "sim_ivf", "llm_corpus_clean", "llm_decontaminate", "llm_hash_sample",
+      "llm_pack_sequences", "llm_curate_topk", "mm_decode", "q_salted_agg",
+      "q_approx_percentile", "text_quality", "evt_sessionize",
+      "e2e_pipeline"))
       time(q) { qs(q)(spark, dst).count() }
     spark.stop()
   }
