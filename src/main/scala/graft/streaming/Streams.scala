@@ -92,6 +92,29 @@ object Streams {
       .withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Watermarked stream-stream interval join: each left event joins right
+    * events of the same key whose event time falls within
+    * [left.event_time − window, left.event_time] — the streaming
+    * "enrich each event with its recent context" shape (streaming twin of
+    * the batch as-of join family). Both sides carry watermarks and the join
+    * condition is time-bounded, so Spark evicts buffered rows once the
+    * watermark passes the interval — state stays bounded no matter how long
+    * the streams run. `rightCols` are projected with an `r_` prefix. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      rightCols: Seq[String], window: String = "5 minutes",
+      lateness: String = "10 minutes"): DataFrame = {
+    val l = withEventTime(left).withWatermark("event_time", lateness)
+    val r = withEventTime(right)
+      .select((keyCol +: rightCols :+ "event_time").distinct.map(c =>
+        col(c).as(s"r_$c")): _*)
+      .withWatermark("r_event_time", lateness)
+    l.join(r,
+      col(keyCol) === col(s"r_$keyCol") &&
+        col("r_event_time") >= col("event_time") - expr(s"interval $window") &&
+        col("r_event_time") <= col("event_time"))
+      .drop(s"r_$keyCol")
+  }
+
   /** Incremental micro-batch runner: file-source stream over a raw-zone
     * directory → transform → parquet sink with checkpoint. The streaming
     * twin of the watermark-incremental batch loop (exactly-once via the

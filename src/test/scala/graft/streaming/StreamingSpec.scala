@@ -87,6 +87,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup").count() == 20)
   }
 
+  test("stream-stream interval join matches its batch twin (bounded state)") {
+    val dir = Files.createTempDirectory("st4").toString
+    eventsDf(120).write.parquet(s"$dir/in")
+    def src() = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .parquet(s"$dir/in")
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      (df.filter(col("event_type") === "click"),
+        df.filter(col("event_type") === "view"))
+    val (lc, lv) = shape(src())
+    val q = Streams.intervalJoin(lc, lv, "user_id", Seq("event_id"),
+        window = "10 minutes").writeStream
+      .format("memory").queryName("ssjoin").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("ssjoin")
+      .select("event_id", "r_event_id").as[(Long, Long)].collect().toSet
+    val (bc, bv) = shape(spark.read.parquet(s"$dir/in"))
+    val batch = Streams.intervalJoin(bc, bv, "user_id", Seq("event_id"),
+        window = "10 minutes")
+      .select("event_id", "r_event_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("file-source raw->stage stream picks up appended files incrementally") {
     val dir = Files.createTempDirectory("st2").toString
     eventsDf(10).write.parquet(s"$dir/raw")
