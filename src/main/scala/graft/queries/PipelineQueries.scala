@@ -218,6 +218,28 @@ object PipelineQueries {
         ON e.user_id = c.user_id AND e.tsn >= c.tsn
       ORDER BY e.event_id"""))),
 
+    // Interval join (batch twin of streaming.Streams.intervalJoin — the
+    // SAME operator, watermarks no-op in batch): each error event counts
+    // the same user's clicks in the preceding 24 hours
+    "evt_interval_join" -> (((spark, dir) => {
+      val ev = load(spark, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.streaming.Streams.intervalJoin(errors, clicks, "user_id",
+          Seq("event_id"), window = "24 hours")
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu
+                 FROM events WHERE event_type = 'error'),
+           c AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu
+                 FROM events WHERE event_type = 'click')
+      SELECT e.event_id, e.user_id, count(*) AS n_clicks
+      FROM e JOIN c ON e.user_id = c.user_id
+       AND c.tsu >= e.tsu - CAST(86400 AS BIGINT) * 1000000 AND c.tsu <= e.tsu
+      GROUP BY 1, 2 ORDER BY e.event_id"""))),
+
     // JSON column functions: extract typed fields from the events props
     // JSON strings and aggregate on them
     "evt_json" -> (((spark, dir) => {
