@@ -254,6 +254,26 @@ object BenchQueries {
              round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))),
 
+    // Z-order (Morton) clustering values — the arithmetic behind
+    // Layout.zorderWrite's multi-dimensional file clustering (Delta
+    // OPTIMIZE ZORDER twin), verified bit-for-bit: the oracle computes the
+    // identical interleave as a sum of disjoint-bit products
+    "q_zvalue" -> (((spark, dir) => {
+      load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.sink.Layout.zValue2(pmod(col("l_orderkey"), lit(4096)),
+            pmod(col("l_partkey"), lit(4096)), bits = 12).as("z"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }, Some {
+      val terms = (0 until 12).flatMap { j =>
+        Seq(s"(((l_orderkey % 4096) >> $j) & 1) * ${1L << (2 * j)}",
+          s"(((l_partkey % 4096) >> $j) & 1) * ${1L << (2 * j + 1)}")
+      }.mkString(" + ")
+      s"""
+      SELECT l_orderkey, l_linenumber, $terms AS z
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+    })),
+
     // Approximate percentile (Greenwald-Khanna sketch) gated against the
     // exact sort-based percentile — the 100 TB twin of q_percentile: the
     // exact form is the oracle-able one, the sketch is one mergeable pass

@@ -1,0 +1,63 @@
+package graft.sink
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Z-order layout clustering: Morton-value arithmetic plus the property
+  * that actually matters at scale — per-file min/max stats localize BOTH
+  * clustering dimensions, so a filter on either key prunes most files
+  * (single-key sorting only localizes its own key). */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("zValue2 interleaves bits (known Morton values)") {
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L), (7L, 7L))
+      .toDF("x", "y")
+      .select(Layout.zValue2(col("x"), col("y"), bits = 8).as("z"))
+      .as[Long].collect().toSeq
+    // z(3,5): x bits 0,1 -> pos 0,2 = 1+4; y bits 0,2 -> pos 1,5 = 2+32 = 39
+    assert(got == Seq(0L, 1L, 2L, 3L, 39L, 63L))
+  }
+
+  /** Per-file [min,max] of a column across the files of a parquet dir. */
+  private def fileBounds(path: String, c: String): Seq[(Long, Long)] = {
+    val files = Files.list(java.nio.file.Paths.get(path)).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col(c)), max(col(c))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+  }
+
+  test("zorderWrite localizes BOTH dimensions; a single-key sort does not") {
+    // the full 256×256 grid: x and y perfectly independent
+    val n = 1 << 16
+    val df = spark.range(n).select(
+      (col("id") % 256).as("x"),
+      (col("id") / 256).cast("long").as("y"))
+    val dir = Files.createTempDirectory("zo")
+    val zPath = dir.resolve("z").toString
+    Layout.zorderWrite(df, zPath, "x", "y", bits = 8, numFiles = 16)
+    assert(spark.read.parquet(zPath).count() == n)
+    // x-sorted baseline: localizes x, leaves y unconstrained per file
+    val xPath = dir.resolve("xsort").toString
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(xPath)
+    // a y-only range filter: count files whose [min,max] y-bounds overlap
+    def overlapping(path: String): Int =
+      fileBounds(path, "y").count { case (lo, hi) => lo <= 31L && hi >= 0L }
+    val zHit = overlapping(zPath)
+    val xHit = overlapping(xPath)
+    // single-key layout: every file spans the full y range -> no pruning
+    assert(xHit == 16, s"x-sorted baseline should never prune y, got $xHit")
+    // z-order: y in [0,32) touches ~1/4 of the curve -> most files prunable
+    assert(zHit <= 8, s"z-order should localize y, got $zHit/16 files")
+    // and x stays localized too (z-order trades a little x-locality)
+    val zxHit = fileBounds(zPath, "x").count { case (lo, hi) =>
+      lo <= 31L && hi >= 0L }
+    assert(zxHit <= 8, s"z-order should still localize x, got $zxHit/16")
+  }
+}
