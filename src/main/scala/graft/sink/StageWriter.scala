@@ -167,6 +167,41 @@ object StageWriter {
     compacted.unpersist()
   }
 
+  /** Symlink-format manifest — the engine-neutral file inventory Delta
+    * generates for Presto/Athena (light_transform.py:1394-1409 runs
+    * manifest generation after every write): one line per data file under
+    * `_symlink_format_manifest/manifest`. External engines (and humans)
+    * can then read the table without listing the directory. */
+  def writeManifest(path: String): Unit = {
+    val dir = Paths.get(path)
+    val files = {
+      val s = Files.list(dir)
+      try s.toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted
+      finally s.close()
+    }
+    val mdir = dir.resolve("_symlink_format_manifest")
+    Files.createDirectories(mdir)
+    val tmp = Files.createTempFile(mdir, "manifest", ".tmp")
+    Files.writeString(tmp, files.map(f => s"file://$f").mkString("", "\n", "\n"))
+    Files.move(tmp, mdir.resolve("manifest"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** VACUUM for the Parquet fallback (Delta VACUUM(168h) twin,
+    * light_transform.py:1394-1409): removes swap leftovers (`.__tmp__`,
+    * `.__old__`) older than `retentionMs` — the directories a crash
+    * between overwrite's write and move can strand. Current data is never
+    * touched; the default retention mirrors Delta's 168 h. */
+  def vacuum(path: String, retentionMs: Long = 168L * 3600 * 1000): Unit = {
+    val cutoff = System.currentTimeMillis() - retentionMs
+    Seq(path + ".__tmp__", path + ".__old__").foreach { p =>
+      val d = Paths.get(p)
+      if (Files.exists(d) &&
+          Files.getLastModifiedTime(d).toMillis < cutoff)
+        deleteRecursively(d)
+    }
+  }
+
   private def dirSize(p: java.nio.file.Path): Long =
     if (!Files.exists(p)) 0L
     else {

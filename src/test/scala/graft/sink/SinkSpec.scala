@@ -93,6 +93,28 @@ class SinkSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest lists every data file; vacuum clears stranded swap dirs " +
+    "only past retention") {
+    val path = tmp()
+    Seq((1, "a"), (2, "b")).toDF("k", "v").repartition(3)
+      .write.parquet(path)
+    StageWriter.writeManifest(path)
+    val manifest = Files.readString(java.nio.file.Paths.get(
+      path, "_symlink_format_manifest", "manifest")).trim.split("\n")
+    val dataFiles = Files.list(java.nio.file.Paths.get(path)).toArray
+      .map(_.toString).filter(_.endsWith(".parquet"))
+    assert(manifest.length == dataFiles.length && manifest.nonEmpty)
+    assert(manifest.forall(_.startsWith("file://")))
+    // stranded swap dir from a crashed overwrite
+    val stranded = java.nio.file.Paths.get(path + ".__old__")
+    Files.createDirectories(stranded)
+    Files.writeString(stranded.resolve("junk"), "x")
+    StageWriter.vacuum(path) // inside retention -> kept
+    assert(Files.exists(stranded))
+    StageWriter.vacuum(path, retentionMs = -1) // past retention -> removed
+    assert(!Files.exists(stranded))
+  }
+
   test("empty bootstrap writes a typed empty table") {
     val path = tmp()
     val schema = org.apache.spark.sql.types.StructType(Seq(
