@@ -45,6 +45,19 @@ object Similarity {
     sqrt(aggregate(transform(v, x => x.cast(DoubleType) * x.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x))
 
+  /** Max absolute component of a float-array column — a strict left fold
+    * (max is exact and associative, so the fold order is moot, but the
+    * shape stays oracle-replayable). */
+  def maxAbs(v: Column): Column =
+    aggregate(transform(v, x => abs(x.cast(DoubleType))),
+      lit(0.0), (acc, x) => greatest(acc, x))
+
+  /** Scalar int8 quantization against a per-vector scale (max-abs / 127):
+    * the 4× storage compression every embedding store applies before
+    * serving. round() half-away-from-zero matches the oracle engine. */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(v, x => round(x.cast(DoubleType) / scale).cast(IntegerType))
+
   /** Random-hyperplane sign bucket: `planes` pseudo-random hyperplanes whose
     * coefficients are derived deterministically from xxhash64(plane, dim) —
     * no stored model, same bucket function on any cluster. Returns a compact

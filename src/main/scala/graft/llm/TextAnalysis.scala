@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -99,6 +99,42 @@ object TextAnalysis {
       round(lenScore * lit(0.3) + punctScore * lit(0.25) +
         digitScore * lit(0.25) + stopScore * lit(0.2), 4)
     }
+  }
+
+  /** PII scrubbing: replace every (pattern → token) pair left to right —
+    * emails, long digit runs (ids/phones), whatever the corpus policy
+    * needs. Pure per-row regexp_replace chain (codegen'd); patterns must
+    * stay in the RE2-compatible subset so the same regexes verify in the
+    * oracle. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumberPattern = "[0-9]{6,}"
+  def redact(t: Column,
+      rules: Seq[(String, String)] = Seq(EmailPattern -> "<EMAIL>",
+        LongNumberPattern -> "<NUM>")): Column =
+    rules.foldLeft(t) { case (c, (re, token)) =>
+      regexp_replace(c, re, token)
+    }
+
+  /** Gopher-style repetition statistics: per document, the most frequent
+    * word-2-gram's share of all 2-grams — boilerplate/spam detection
+    * (a high ratio means the doc repeats itself). Two map-side-combinable
+    * aggregations keyed by (doc, gram) then doc: at 100 TB the shuffle
+    * carries gram counts, never text. Returns
+    * (id, max_c, n_grams, rep_ratio). */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val grams = bindOnce(split(trim(lower(col(textCol))), "\\s+")) { ws =>
+      when(size(ws) >= 2,
+        transform(sequence(lit(1), size(ws) - 1),
+          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+        .otherwise(array(concat_ws(" ", ws)))
+    }
+    df.select(col(idCol).as("id"), explode(grams).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max(col("c")).as("max_c"),
+        sum(col("c")).as("n_grams"))
+      .select(col("id"), col("max_c"), col("n_grams"),
+        round(col("max_c") / col("n_grams"), 4).as("rep_ratio"))
   }
 
   /** Rolling polynomial fingerprint of normalized text:

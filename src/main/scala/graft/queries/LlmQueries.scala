@@ -423,6 +423,101 @@ object LlmQueries {
              label
       FROM embeddings ORDER BY vec_id"""))),
 
+    // Int8 embedding quantization: per-vector max-abs scale, rounded
+    // components — every arithmetic step (fold max, division, half-away
+    // rounding) has an exact DuckDB twin, so the quantized checksums
+    // hash-match
+    "sim_quantize" -> (((spark, dir) => {
+      val v = col("embedding")
+      load(spark, dir, "embeddings")
+        .select(col("vec_id"), TextAnalysis.bindOnce(
+          Similarity.maxAbs(v) / 127.0) { scale =>
+          TextAnalysis.bindOnce(Similarity.quantizeInt8(v, scale)) { q =>
+            struct(round(scale, 8).as("scale8"),
+              aggregate(q, lit(0L), (a, x) => a + x).as("qsum"),
+              array_min(q).as("qmin"), array_max(q).as("qmax"))
+          }
+        }.as("s"))
+        .select(col("vec_id"), col("s.scale8"), col("s.qsum"),
+          col("s.qmin"), col("s.qmax"))
+        .orderBy("vec_id")
+    }, Some("""
+      WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_reduce(list_prepend(0.0,
+                 list_transform(embedding::DOUBLE[], x -> abs(x))),
+                 (a, x) -> greatest(a, x)) / 127.0 AS scale
+        FROM embeddings),
+      q AS (
+        SELECT vec_id, scale,
+               list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qv
+        FROM b)
+      SELECT vec_id, round(scale, 8) AS scale8,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(qv, x -> CAST(x AS BIGINT))),
+               (a, x) -> a + x) AS BIGINT) AS qsum,
+             list_min(qv) AS qmin, list_max(qv) AS qmax
+      FROM q ORDER BY vec_id"""))),
+
+    // PII redaction: emails + long digit runs replaced with tokens. The
+    // corpus is word soup, so deterministic synthetic PII is appended in
+    // BOTH engines (same concat) and the gate verifies counts AND the md5
+    // of the scrubbed text — byte-identical redaction, not just counts
+    "llm_redact" -> (((spark, dir) => {
+      val pii = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com ref "),
+        (col("doc_id") * 7654321L + 1000000L).cast("string"))
+      load(spark, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.bindOnce(pii) { t =>
+          struct(
+            regexp_count(t, lit(TextAnalysis.EmailPattern)).as("n_emails"),
+            regexp_count(t, lit(TextAnalysis.LongNumberPattern)).as("n_nums"),
+            md5(TextAnalysis.redact(t)).as("redacted_md5"))
+        }.as("s"))
+        .select(col("doc_id"), col("s.n_emails"), col("s.n_nums"),
+          col("s.redacted_md5"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH p AS (
+        SELECT doc_id,
+               concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                 '@example.com ref ',
+                 CAST(doc_id * 7654321 + 1000000 AS VARCHAR)) AS t
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t,
+               '${TextAnalysis.EmailPattern}')) AS INT)
+               AS n_emails,
+             CAST(len(regexp_extract_all(t,
+               '${TextAnalysis.LongNumberPattern}')) AS INT) AS n_nums,
+             md5(regexp_replace(regexp_replace(t,
+               '${TextAnalysis.EmailPattern}',
+               '<EMAIL>', 'g'),
+               '${TextAnalysis.LongNumberPattern}', '<NUM>', 'g'))
+               AS redacted_md5
+      FROM p ORDER BY doc_id"""))),
+
+    // Repetition filter (Gopher-style): most-frequent word-2-gram share per
+    // doc — boilerplate detection via two map-side-combinable aggregations
+    "text_repetition" -> (((spark, dir) => {
+      TextAnalysis.repetitionStats(load(spark, dir, "documents"),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS ws
+                 FROM documents),
+      g AS (SELECT doc_id, unnest(list_transform(
+              range(1, greatest(len(ws), 2)),
+              i -> concat_ws(' ', ws[i], ws[i+1]))) AS g
+            FROM w),
+      c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+      SELECT doc_id, max(c) AS max_c, CAST(SUM(c) AS BIGINT) AS n_grams,
+             round(CAST(max(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 4)
+               AS rep_ratio
+      FROM c GROUP BY doc_id ORDER BY doc_id"""))),
+
     // Token counting (whitespace + char counts)
     "text_tokens" -> (((spark, dir) => {
       val d = load(spark, dir, "documents")
