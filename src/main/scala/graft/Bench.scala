@@ -29,23 +29,24 @@ object Bench {
     // untimed warmup pass: JIT + codegen caches + parquet footer reads, so
     // the timed passes measure engine throughput, not JVM startup
     SparkEntry.queries.foreach { case (_, fn) => run(fn) }
-    // two timed passes, keep the per-query minimum: single-pass timings at
-    // this scale are GC/JIT-noise-dominated (±30% run-to-run totals).
-    // A failure in EITHER pass marks the query -1 (failed).
+    // three timed passes, keep the per-query minimum: single-pass timings
+    // at this scale are GC/JIT-noise-dominated (±30% run-to-run totals;
+    // min-of-2 still drifted ~20% between runs). A failure in ANY pass
+    // marks the query -1 (failed).
     def timedPass(): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) => name -> run(fn) }
-    val p1 = timedPass(); val p2 = timedPass()
-    val results = p1.map { case (k, v) =>
-      val v2 = p2(k)
-      k -> (if (v < 0 || v2 < 0) -1.0 else math.min(v, v2))
-    }
+    val passes = Seq(timedPass(), timedPass(), timedPass())
+    val results = passes.head.keys.map { k =>
+      val vs = passes.map(_(k))
+      k -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
+    }.toMap
     val failures = results.count(_._2 < 0)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val note = s"${results.size} queries ($failures failed; failed queries " +
       "recorded as -1 and excluded from total), full evaluation via noop " +
-      "sink (count() lets Catalyst prune projections), min of 2 timed passes"
+      "sink (count() lets Catalyst prune projections), min of 3 timed passes"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir","note":"$note"}""")
     spark.stop()
   }

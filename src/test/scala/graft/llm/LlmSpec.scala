@@ -211,6 +211,54 @@ class LlmSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("int8 quantization stays within [-127, 127] and round-trips within " +
+    "one scale step") {
+    val vecs = (0 until 30).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, Array.fill(16)((r.nextFloat() - 0.5f) * (i + 1)))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val scale = Similarity.maxAbs($"embedding") / 127.0
+    val rows = df.select($"vec_id", scale.as("s"),
+      Similarity.quantizeInt8($"embedding", scale).as("q"), $"embedding")
+      .collect()
+    rows.foreach { r =>
+      val s = r.getDouble(1)
+      val q = r.getSeq[Int](2)
+      val v = r.getSeq[Float](3)
+      assert(q.forall(x => x >= -127 && x <= 127))
+      // dequantized error bounded by half a quantization step
+      q.zip(v).foreach { case (qi, vi) =>
+        assert(math.abs(qi * s - vi) <= s / 2 + 1e-12)
+      }
+    }
+  }
+
+  test("redaction is idempotent and replacement tokens never re-match") {
+    val t = Seq((1L, "mail a.b+c@ex-ample.org and id 12345678 now"),
+      (2L, "clean text"), (3L, "x@y.io 999999"))
+      .toDF("doc_id", "text")
+    val once = t.select($"doc_id", TextAnalysis.redact($"text").as("r"))
+    val twice = once.select($"doc_id", TextAnalysis.redact($"r").as("r"))
+    assert(once.collect().toSeq.map(_.toString) ==
+      twice.collect().toSeq.map(_.toString))
+    val m = once.as[(Long, String)].collect().toMap
+    assert(m(1L) == "mail <EMAIL> and id <NUM> now")
+    assert(m(2L) == "clean text")
+    assert(m(3L) == "<EMAIL> <NUM>")
+  }
+
+  test("repetition stats flag a self-repeating doc and not a diverse one") {
+    val t = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "each word here appears exactly once in this doc"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionStats(t, "doc_id", "text")
+      .select("id", "rep_ratio").as[(Long, Double)].collect().toMap
+    assert(m(1L) == 1.0)  // every 2-gram is "spam spam"
+    assert(m(2L) < 0.2)
+  }
+
   test("langid picks the stopword-matching language, CJK -> zh") {
     val t = Seq(
       (1L, "the cat and the dog are in the house with it"),

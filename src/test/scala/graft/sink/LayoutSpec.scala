@@ -40,6 +40,9 @@ class LayoutSpec extends AnyFunSuite {
       (col("id") / 256).cast("long").as("y"))
     val dir = Files.createTempDirectory("zo")
     val zPath = dir.resolve("z").toString
+    // the interleave is a bijection on the 256×256 grid
+    assert(df.select(Layout.zValue2(col("x"), col("y"), bits = 8))
+      .distinct().count() == n)
     Layout.zorderWrite(df, zPath, "x", "y", bits = 8, numFiles = 16)
     assert(spark.read.parquet(zPath).count() == n)
     // x-sorted baseline: localizes x, leaves y unconstrained per file
