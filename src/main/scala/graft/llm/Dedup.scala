@@ -110,37 +110,42 @@ object Dedup {
     *
     * Returns (id1, id2, jaccard) with id1 < id2, deduplicated across bands.
     */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleWidth: Int = 3, k: Int = 32, b: Int = 8,
-      threshold: Double = 0.8, maxBucket: Int = 64): DataFrame = {
+  /** Shingle rows (id, s): the let-bound HOF shingler + a narrow explode —
+    * tokenizes once per doc and adds ZERO shuffles. */
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), shingleWidth)).as("s"))
+
+  /** Banded MinHash table (band, bh, id): hash each shingle ONCE, derive
+    * the k per-seed values as affine permutations h_j = base·A_j + B_j over
+    * the wrapping 2^64 ring (odd A_j ⇒ bijective) — k multiply-adds per
+    * row, not k string hashes — then ONE doc-id shuffle with map-side-
+    * combined mins, then b band hashes per doc. */
+  private def bandTable(shingles: DataFrame, k: Int, b: Int): DataFrame = {
     require(k % b == 0, s"k=$k must be divisible by b=$b")
     val r = k / b
-    // Shingle rows via the let-bound HOF shingler + a narrow explode —
-    // tokenizes once per doc and adds ZERO shuffles (the previous
-    // posexplode + lead-window form paid a full shuffle+sort of the token
-    // stream just to avoid quadratic lambda re-evaluation, which bindOnce
-    // now prevents directly).
-    val shingleRows = df.select(col(idCol).as("id"),
-      explode(wordShingles(col(textCol), shingleWidth)).as("s"))
-    // signature: hash each shingle ONCE, derive the k per-seed values as
-    // affine permutations h_j = base·A_j + B_j over the wrapping 2^64 ring
-    // (odd A_j ⇒ bijective) — k multiply-adds per row, not k string hashes —
-    // then ONE doc-id shuffle with map-side-combined mins.
     def permute(base: Column, j: Int): Column =
       base * lit(2L * j * 0x9E3779B97F4A7C15L + 1L) +
         lit(j * 0xC2B2AE3D27D4EB4FL)
-    val hashed = shingleRows.select(col("id"), xxhash64(col("s")).as("hb"))
+    val hashed = shingles.select(col("id"), xxhash64(col("s")).as("hb"))
     val sig = hashed
       .groupBy("id")
       .agg(min(permute(col("hb"), 0)).as("h0"),
         (1 until k).map(j => min(permute(col("hb"), j)).as(s"h$j")): _*)
-    // band hash = xxhash64 over the band's r signature slots (no strings)
-    val banded = sig.select(col("id"), array((0 until b).map(i =>
+    sig.select(col("id"), array((0 until b).map(i =>
       struct(lit(i).as("band"),
         xxhash64((i * r until (i + 1) * r).map(j => col(s"h$j")): _*)
           .as("bh"))): _*).as("bnd"))
       .select(col("id"), explode(col("bnd")).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bh").as("bh"), col("id"))
+  }
+
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, k: Int = 32, b: Int = 8,
+      threshold: Double = 0.8, maxBucket: Int = 64): DataFrame = {
+    val shingles = shingleRows(df, idCol, textCol, shingleWidth)
+    val banded = bandTable(shingles, k, b)
     // intra-bucket pair generation via bounded sorted id list (skew-guarded
     // BEFORE the aggregation buffer fills — see cappedBuckets)
     val pairs = cappedBuckets(banded, Seq("band", "bh"), col("id"), "id",
@@ -154,7 +159,7 @@ object Dedup {
     // verify only the candidates: join the shingle SETS back by id (built
     // from the same shingle rows — collect_set dedups, jaccard is
     // order-independent)
-    val shingleSets = shingleRows.groupBy("id")
+    val shingleSets = shingles.groupBy("id")
       .agg(collect_set(col("s")).as("sh"))
     pairs
       .join(shingleSets.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
@@ -162,6 +167,42 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Incremental MinHash+LSH: near-duplicates of a NEW batch against an
+    * EXISTING corpus — the production ingest path (dedup arriving documents
+    * without re-mining the corpus). Both sides are banded with the same
+    * signature constants; candidates come from joining the batch's band
+    * table against the corpus's (at scale the corpus band table is
+    * PRECOMPUTED and stored bucketed on (band, bh), so each ingest batch
+    * joins without reshuffling the corpus). The corpus side of each bucket
+    * is capped pre-join by the same row_number guard as the intra-corpus
+    * miners. Returns (batch_id, corpus_id, jaccard). */
+  def minhashLshNewVsCorpus(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, shingleWidth: Int = 3, k: Int = 32,
+      b: Int = 8, threshold: Double = 0.8, maxBucket: Int = 256): DataFrame = {
+    val corpusShingles = shingleRows(corpus, idCol, textCol, shingleWidth)
+    val batchShingles = shingleRows(batch, idCol, textCol, shingleWidth)
+    val w = Window.partitionBy("band", "bh").orderBy("id")
+    val corpusBands = bandTable(corpusShingles, k, b)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+      .select(col("band"), col("bh"), col("id").as("corpus_id"))
+    val batchBands = bandTable(batchShingles, k, b)
+      .select(col("band"), col("bh"), col("id").as("batch_id"))
+    val pairs = batchBands.join(corpusBands, Seq("band", "bh"))
+      .select(col("batch_id"), col("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+    val corpusSets = corpusShingles.groupBy("id")
+      .agg(collect_set(col("s")).as("sh_c"))
+      .withColumnRenamed("id", "corpus_id")
+    val batchSets = batchShingles.groupBy("id")
+      .agg(collect_set(col("s")).as("sh_b"))
+      .withColumnRenamed("id", "batch_id")
+    pairs.join(batchSets, "batch_id").join(corpusSets, "corpus_id")
+      .withColumn("jaccard", jaccard(col("sh_b"), col("sh_c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
   }
 
   /** 64-bit SimHash from word hashes: per bit, sign of the sum of ±1

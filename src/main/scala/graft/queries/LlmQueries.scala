@@ -286,6 +286,39 @@ object LlmQueries {
       FROM pairs WHERE CAST(i AS DOUBLE) / u >= 0.8
       ORDER BY id1, id2"""))),
 
+    // Incremental dedup: a NEW batch (doc_id % 5 == 0) mined against the
+    // EXISTING corpus (the rest) — band-join, never an all-pairs scan.
+    // Oracle = brute-force Jaccard of batch × corpus (recall 1.0 on this
+    // corpus at threshold 0.8, same argument as dd_minhash).
+    "dd_incremental" -> (((spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      Dedup.minhashLshNewVsCorpus(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", shingleWidth = 3, k = 32, b = 8, threshold = 0.8)
+        .select(col("batch_id"), col("corpus_id"),
+          round(col("jaccard"), 4).as("j4"))
+        .orderBy("batch_id", "corpus_id")
+    }, Some("""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 1, 2)),
+                 i -> concat_ws(' ',
+                        string_split_regex(trim(text), '\s+')[i],
+                        string_split_regex(trim(text), '\s+')[i+1],
+                        string_split_regex(trim(text), '\s+')[i+2]))) AS g
+        FROM documents),
+      pairs AS (
+        SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+               len(list_intersect(b.g, c.g)) AS i,
+               len(b.g) + len(c.g) - len(list_intersect(b.g, c.g)) AS u
+        FROM sh b JOIN sh c
+          ON b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0)
+      SELECT batch_id, corpus_id, round(CAST(i AS DOUBLE) / u, 4) AS j4
+      FROM pairs WHERE CAST(i AS DOUBLE) / u >= 0.8
+      ORDER BY batch_id, corpus_id"""))),
+
     // SimHash near-dup pairs. The portable variant derives bit contributions
     // from a polynomial word hash (identical math in both engines) so the
     // full pipeline — hash → 64 bit-sums → chunk banding → hamming filter —
