@@ -35,6 +35,22 @@ class LlmSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("incremental dedup finds a new batch's near-dups in the corpus " +
+    "without pairing corpus docs with each other") {
+    val corpus = docs // ids 1..5
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (101L, "totally novel content that matches nothing in the corpus at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashLshNewVsCorpus(corpus, batch, "doc_id", "text",
+        shingleWidth = 3, k = 32, b = 8, threshold = 0.6)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got.contains((100L, 1L)) && got.contains((100L, 4L))) // identical
+    assert(got.contains((100L, 2L))) // near-dup
+    assert(!got.exists(_._1 == 101L)) // novel doc matches nothing
+    assert(got.forall(p => p._1 >= 100L && p._2 < 100L)) // batch × corpus only
+  }
+
   test("simhash: identical texts have distance 0, near-dups small") {
     val hs = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
       .as[(Long, Long)].collect().toMap

@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.TestSpark
+
+/** Structural plan hygiene for the headline queries — the properties
+  * PlanAudit eyeballs, asserted: filters REACH the parquet scan
+  * (PushedFilters) and the scan reads only the referenced columns
+  * (pruned ReadSchema). A scan that reads every column for a 4-column
+  * aggregate is wrong at any scale; at 100 TB it is the whole job. */
+class PushdownSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** All file scans in a query's executed plan (walking through AQE). */
+  private def scans(name: String): Seq[FileSourceScanExec] = {
+    val plan = graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan
+    val root = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    root.collect { case s: FileSourceScanExec => s }
+  }
+
+  test("q1_pricing: shipdate filter pushed to the scan, schema pruned") {
+    val ss = scans("q1_pricing")
+    assert(ss.nonEmpty)
+    val li = ss.find(_.relation.location.inputFiles.exists(
+      _.contains("lineitem"))).get
+    assert(li.dataFilters.nonEmpty, "filter must reach the lineitem scan")
+    val read = li.requiredSchema.fieldNames.toSet
+    assert(read.contains("l_shipdate") && read.contains("l_quantity"))
+    // the 11-column table is pruned to just the referenced columns
+    assert(read.size <= 6, s"expected pruned ReadSchema, got $read")
+  }
+
+  test("q3_topk: every scan carries its filter and a pruned schema") {
+    val ss = scans("q3_topk")
+    assert(ss.size >= 3)
+    ss.foreach { s =>
+      assert(s.requiredSchema.fieldNames.length <= 4,
+        s"unpruned scan: ${s.requiredSchema.fieldNames.mkString(",")}")
+    }
+    // the three filtered tables all push their predicates
+    assert(ss.count(_.dataFilters.nonEmpty) >= 3)
+  }
+
+  test("a1_projection: a 4-column projection reads 4 columns, no filters") {
+    val ss = scans("a1_projection")
+    assert(ss.nonEmpty)
+    assert(ss.head.requiredSchema.fieldNames.length <= 5)
+  }
+}
