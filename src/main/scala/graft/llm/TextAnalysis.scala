@@ -137,6 +137,51 @@ object TextAnalysis {
         round(col("max_c") / col("n_grams"), 4).as("rep_ratio"))
   }
 
+  /** Context-window chunking: split each document into token windows of
+    * `chunkTokens` words sliding by `chunkTokens - overlap` — the shape
+    * every pretraining pipeline runs before packing. Pure per-row HOF
+    * (the bound word array is tokenized once; slices are O(chunk)) +
+    * one narrow explode; zero shuffles at any corpus size. Returns
+    * (id, chunk_start, n_chunk_tokens, chunk_md5). */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 32, overlap: Int = 8): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val stride = chunkTokens - overlap
+    val starts = bindOnce(split(trim(col(textCol)), "\\s+")) { ws =>
+      transform(
+        sequence(lit(0), greatest(size(ws) - overlap - 1, lit(0)), lit(stride)),
+        start => struct(start.as("chunk_start"),
+          least(lit(chunkTokens), size(ws) - start).as("n_chunk_tokens"),
+          md5(concat_ws(" ", slice(ws, start + 1, lit(chunkTokens))))
+            .as("chunk_md5")))
+    }
+    df.select(col(idCol).as("id"), explode(starts).as("c"))
+      .select(col("id"), col("c.chunk_start"), col("c.n_chunk_tokens"),
+        col("c.chunk_md5"))
+  }
+
+  /** TF-IDF keyword extraction: tf(w, d) · ln(N / df(w)), top `k` terms per
+    * document on the ROUNDED score with a term tiebreak (fp-stable across
+    * engines). Three map-side-combinable aggregations + one per-doc rank
+    * window; the shuffles carry (doc, term) counts, never text. */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int = 3)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df.select(col(idCol).as("id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+    val tf = words.groupBy("id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "w").crossJoin(broadcast(n))
+      .withColumn("score4",
+        round(col("tf") * log(col("n_docs").cast(DoubleType) /
+          col("df").cast(DoubleType)), 4))
+    val w = Window.partitionBy("id")
+      .orderBy(col("score4").desc, col("w").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("id"), col("rnk"), col("w").as("term"), col("score4"))
+  }
+
   /** Rolling polynomial fingerprint of normalized text:
     * hash = Σ code(c_i)·31^i mod 1_000_000_007 over the lowercased,
     * whitespace-collapsed, punctuation-stripped text. Computed as a

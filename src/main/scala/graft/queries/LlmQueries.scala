@@ -456,6 +456,51 @@ object LlmQueries {
              label
       FROM embeddings ORDER BY vec_id"""))),
 
+    // Context-window chunking: 32-token windows sliding by 24 (8 overlap) —
+    // per-row HOF + narrow explode, zero shuffles; the gate verifies chunk
+    // boundaries AND content (md5 of each chunk's text)
+    "llm_chunk_docs" -> (((spark, dir) => {
+      TextAnalysis.chunkDocs(load(spark, dir, "documents"),
+          "doc_id", "text", chunkTokens = 32, overlap = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_start")
+    }, Some("""
+      WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                 FROM documents),
+      s AS (SELECT doc_id, ws,
+                   unnest(range(0, greatest(len(ws) - 9, 0) + 1, 24))
+                     AS chunk_start
+            FROM w)
+      SELECT doc_id, CAST(chunk_start AS INT) AS chunk_start,
+             CAST(least(32, len(ws) - chunk_start) AS INT) AS n_chunk_tokens,
+             md5(array_to_string(ws[chunk_start+1 : chunk_start+32], ' '))
+               AS chunk_md5
+      FROM s ORDER BY doc_id, chunk_start"""))),
+
+    // TF-IDF keyword extraction: top-3 terms per doc by tf·ln(N/df) on the
+    // rounded score — three combinable aggregations + a per-doc rank window
+    "text_tfidf" -> (((spark, dir) => {
+      TextAnalysis.tfidfTopK(load(spark, dir, "documents"),
+          "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rnk")
+    }, Some("""
+      WITH words AS (SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+                     FROM documents),
+      tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2),
+      dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, w,
+               round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 4)
+                 AS score4
+        FROM tf JOIN dfreq USING (w) CROSS JOIN n),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score4 DESC, w ASC) AS rnk FROM scored)
+      SELECT doc_id, CAST(rnk AS INT) AS rnk, w AS term, score4
+      FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk"""))),
+
     // Int8 embedding quantization: per-vector max-abs scale, rounded
     // components — every arithmetic step (fold max, division, half-away
     // rounding) has an exact DuckDB twin, so the quantized checksums

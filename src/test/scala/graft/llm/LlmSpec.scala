@@ -264,6 +264,21 @@ class LlmSpec extends AnyFunSuite {
     assert(m(3L) == "<EMAIL> <NUM>")
   }
 
+  test("chunking covers every token; consecutive chunks overlap by the " +
+    "configured amount; the tail chunk is short") {
+    val t = Seq((1L, (1 to 81).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.chunkDocs(t, "doc_id", "text",
+        chunkTokens = 32, overlap = 8)
+      .orderBy("chunk_start").collect()
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 24, 48, 72))
+    assert(rows.map(_.getInt(2)).toSeq == Seq(32, 32, 32, 9))
+    // a short doc yields exactly one whole-doc chunk
+    val short = Seq((2L, "a b c")).toDF("doc_id", "text")
+    val one = TextAnalysis.chunkDocs(short, "doc_id", "text", 32, 8).collect()
+    assert(one.length == 1 && one.head.getInt(2) == 3)
+  }
+
   test("repetition stats flag a self-repeating doc and not a diverse one") {
     val t = Seq(
       (1L, "spam spam spam spam spam spam spam spam"),
