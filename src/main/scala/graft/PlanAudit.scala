@@ -15,7 +15,9 @@ object PlanAudit {
     val dir = "/root/testdata/sf0.01"
     val targets = if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing", "q3_topk", "q5_starjoin", "a1_projection",
-        "a4_filter_semijoin", "c3_dedup_latest", "dd_exact", "sim_topk")
+        "a4_filter_semijoin", "c3_dedup_latest", "dd_exact", "sim_topk",
+        "dd_incremental", "llm_decontaminate", "text_tfidf",
+        "llm_pack_sequences", "q_zvalue")
     val qs = SparkEntry.queries
     targets.foreach { name =>
       println(s"\n########## $name ##########")
