@@ -25,7 +25,7 @@ object ScaleSmoke {
         val base = spark.read.parquet(s"$src/$table.parquet")
         val shifted = base
           .crossJoin(spark.range(rep).withColumnRenamed("id", "__rep"))
-          .select(base.columns.map { c =>
+          .select(base.columns.toSeq.map { c =>
             keyCols.get(c) match {
               case Some(stride) => (col(c) + col("__rep") * stride).as(c)
               case None => col(c)
@@ -54,11 +54,13 @@ object ScaleSmoke {
     println(s"[scale] dataset at $dst (${rep}x sf0.1)")
     val qs = SparkEntry.queries
     for (q <- Seq("q1_pricing", "q3_topk", "q5_starjoin", "a6_range_slices",
-      "c3_dedup_latest", "dd_exact", "dd_minhash", "dd_simhash", "sim_topk",
-      "sim_ivf", "llm_corpus_clean", "llm_decontaminate", "llm_hash_sample",
-      "llm_pack_sequences", "llm_curate_topk", "mm_decode", "q_salted_agg",
-      "q_approx_percentile", "text_quality", "evt_sessionize",
-      "e2e_pipeline"))
+      "c3_dedup_latest", "dd_exact", "dd_minhash", "dd_simhash",
+      "dd_incremental", "sim_topk", "sim_ivf", "sim_quantize",
+      "llm_corpus_clean", "llm_decontaminate", "llm_hash_sample",
+      "llm_pack_sequences", "llm_curate_topk", "llm_chunk_docs",
+      "llm_redact", "text_tfidf", "text_repetition", "mm_decode",
+      "q_salted_agg", "q_approx_percentile", "q_zvalue", "text_quality",
+      "evt_sessionize", "e2e_pipeline"))
       time(q) { qs(q)(spark, dst).count() }
     spark.stop()
   }

@@ -131,7 +131,7 @@ object PipelineQueries {
         java.time.Instant.parse("2024-06-25T12:00:00Z"),
         java.time.ZoneOffset.UTC)
       val utc = java.time.ZoneId.of("UTC")
-      def job(table: String, m: Seq[ColumnMetadata])(): (Long, String) = {
+      def job(table: String, m: Seq[ColumnMetadata]): (Long, String) = {
         TablePipeline.extract(spark, s"$dir/$table.parquet",
           s"$work/raw/$table", cfg(table), LoadMode.Initial, clock, utc, None)
         // status-carrying path: the run log records the error tier

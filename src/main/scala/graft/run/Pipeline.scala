@@ -30,7 +30,7 @@ object TablePipeline {
   /** Raw zone semantics: every column stringified before landing
     * (reference extract_data.py:694). */
   def toRawZone(df: DataFrame): DataFrame =
-    df.select(df.columns.map(c => col(c).cast(StringType).as(c)): _*)
+    df.select(df.columns.toSeq.map(c => col(c).cast(StringType).as(c)): _*)
 
   /** Extract one table's source to the raw zone (E1): strategy plan →
     * read → stringify → date-partitioned path write. The watermark is
