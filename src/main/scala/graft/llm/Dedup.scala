@@ -205,6 +205,40 @@ object Dedup {
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** Connected components over a near-duplicate pair graph — the step that
+    * turns PAIRS into duplicate CLUSTERS so one canonical doc per cluster
+    * survives (pairwise keep-the-smaller is wrong for chains A~B~C).
+    *
+    * Iterative min-label propagation: every node starts as its own label;
+    * each round takes the min of its neighbors' labels; stop at fixpoint.
+    * The driver loop is CONTROL only (rounds ≤ graph diameter — near-dup
+    * clusters are shallow); all data work is distributed joins/aggregations
+    * keyed by node id, and `localCheckpoint` truncates the growing lineage
+    * each round. maxIter bounds pathological chains.
+    *
+    * Returns (id, cluster) for every node that appears in `pairs`, where
+    * cluster = the smallest id in the component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("next"))
+        .localCheckpoint()
+      changed = updated.filter(col("next") < col("label")).count()
+      labels = updated.select(col("id"), col("next").as("label"))
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** 64-bit SimHash from word hashes: per bit, sign of the sum of ±1
     * contributions. Explode-free single-pass form (64 folds over the word
     * array) — fine for one-off scoring; `simhashTable` below is the

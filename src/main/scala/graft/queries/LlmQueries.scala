@@ -286,6 +286,40 @@ object LlmQueries {
       FROM pairs WHERE CAST(i AS DOUBLE) / u >= 0.8
       ORDER BY id1, id2"""))),
 
+    // Duplicate CLUSTERS: connected components over the minhash pair graph
+    // (pairs alone mishandle chains A~B~C — the canonical survivor must be
+    // chosen per component). Oracle = DuckDB recursive CTE reachability
+    // over the brute-force pair set.
+    "dd_cluster" -> (((spark, dir) => {
+      val pairs = Dedup.minhashLshPairs(load(spark, dir, "documents"),
+        "doc_id", "text", shingleWidth = 3, k = 32, b = 8, threshold = 0.8)
+      Dedup.connectedComponents(pairs.select(col("id1"), col("id2")))
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 1, 2)),
+                 i -> concat_ws(' ',
+                        string_split_regex(trim(text), '\s+')[i],
+                        string_split_regex(trim(text), '\s+')[i+1],
+                        string_split_regex(trim(text), '\s+')[i+2]))) AS g
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+              (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8),
+      edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                UNION SELECT id2, id1 FROM pairs),
+      r AS (
+        SELECT src AS id, src AS reach FROM edges
+        UNION
+        SELECT r.id, e.dst FROM r JOIN edges e ON r.reach = e.src)
+      SELECT id AS doc_id, min(reach) AS cluster
+      FROM r GROUP BY id ORDER BY doc_id"""))),
+
     // Incremental dedup: a NEW batch (doc_id % 5 == 0) mined against the
     // EXISTING corpus (the rest) — band-join, never an all-pairs scan.
     // Oracle = brute-force Jaccard of batch × corpus (recall 1.0 on this

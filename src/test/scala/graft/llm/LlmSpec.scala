@@ -51,6 +51,14 @@ class LlmSpec extends AnyFunSuite {
     assert(got.forall(p => p._1 >= 100L && p._2 < 100L)) // batch × corpus only
   }
 
+  test("connected components merge duplicate chains into one cluster") {
+    // chain 1~2, 2~3 (transitive), separate pair 7~9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("simhash: identical texts have distance 0, near-dups small") {
     val hs = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
       .as[(Long, Long)].collect().toMap
