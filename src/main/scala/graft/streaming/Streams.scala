@@ -115,6 +115,28 @@ object Streams {
       .drop(s"r_$keyCol")
   }
 
+  /** Streaming MERGE upsert: file-source stream → transform → per-micro-
+    * batch MERGE into the stage table via foreachBatch — the streaming twin
+    * of the C6 incremental upsert (each micro-batch's keyed rows replace
+    * matched stage rows, new keys insert). The checkpoint makes re-delivery
+    * replay the same batch ids; MERGE is idempotent per batch, so restarts
+    * converge to the same table. */
+  def rawToStageMerge(spark: SparkSession, rawPath: String, stagePath: String,
+      checkpoint: String, keys: Seq[String],
+      transform: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(rawPath).schema
+    val in = spark.readStream.schema(schema).parquet(rawPath)
+    transform(in).writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sink.StageWriter.mergeInto(batch.sparkSession, batch.toDF(),
+          stagePath, keys)
+      }
+      .outputMode(OutputMode.Update)
+      .start()
+  }
+
   /** Incremental micro-batch runner: file-source stream over a raw-zone
     * directory → transform → parquet sink with checkpoint. The streaming
     * twin of the watermark-incremental batch loop (exactly-once via the

@@ -59,6 +59,28 @@ class LlmSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("connected components match a driver-side union-find on random graphs") {
+    for (seed <- Seq(7, 42, 1337)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      // reference: classic union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id1", "id2"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect, s"seed $seed")
+    }
+  }
+
   test("simhash: identical texts have distance 0, near-dups small") {
     val hs = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
       .as[(Long, Long)].collect().toMap

@@ -111,6 +111,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming MERGE upsert: later micro-batches replace matched keys") {
+    val dir = Files.createTempDirectory("st5").toString
+    Seq((1L, "v1"), (2L, "v2")).toDF("k", "v").write.parquet(s"$dir/raw")
+    val q = Streams.rawToStageMerge(spark, s"$dir/raw", s"$dir/stage",
+      s"$dir/chk", Seq("k"), identity)
+    q.processAllAvailable()
+    assert(spark.read.parquet(s"$dir/stage").as[(Long, String)]
+      .collect().toSet == Set((1L, "v1"), (2L, "v2")))
+    // second file updates key 2 and inserts key 3
+    Seq((2L, "V2b"), (3L, "v3")).toDF("k", "v")
+      .write.mode("append").parquet(s"$dir/raw")
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(s"$dir/stage").as[(Long, String)]
+      .collect().toSet == Set((1L, "v1"), (2L, "V2b"), (3L, "v3")))
+  }
+
   test("file-source raw->stage stream picks up appended files incrementally") {
     val dir = Files.createTempDirectory("st2").toString
     eventsDf(10).write.parquet(s"$dir/raw")
