@@ -182,6 +182,30 @@ object TextAnalysis {
       .select(col("id"), col("rnk"), col("w").as("term"), col("score4"))
   }
 
+  /** Unigram language-model score: per-doc mean negative log-likelihood
+    * under the corpus's own unigram distribution — the cheap perplexity
+    * proxy quality filters use (gibberish and boilerplate both score far
+    * from the corpus center). Per-word contributions are ROUNDED to 6
+    * decimals and summed as exact decimals, so the distributed summation
+    * order cannot perturb the result (raw double sums are order-dependent
+    * and would never hash-match an oracle). Shapes: one vocab aggregation,
+    * one count scalar, one join back, one per-doc aggregation — all
+    * map-side combinable. Returns (id, n_tokens, nll4). */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+    val freq = words.groupBy("w").agg(count(lit(1)).as("wc"))
+    val total = words.select(count(lit(1)).as("tc"))
+    words.join(freq, "w").crossJoin(broadcast(total))
+      .withColumn("nll6",
+        round(-log(col("wc").cast(DoubleType) / col("tc").cast(DoubleType)), 6)
+          .cast(DecimalType(18, 6)))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round((sum(col("nll6")).cast(DoubleType) / count(lit(1))), 4)
+          .as("nll4"))
+  }
+
   /** Rolling polynomial fingerprint of normalized text:
     * hash = Σ code(c_i)·31^i mod 1_000_000_007 over the lowercased,
     * whitespace-collapsed, punctuation-stripped text. Computed as a

@@ -691,6 +691,25 @@ object LlmQueries {
                   ELSE 'fr' END AS lang_pred
       FROM s ORDER BY doc_id"""))),
 
+    // Unigram LM score (perplexity proxy): mean -ln p(w) per doc under the
+    // corpus unigram distribution; contributions rounded to 6 decimals and
+    // decimal-summed so summation order is moot cross-engine
+    "text_lm_score" -> (((spark, dir) => {
+      TextAnalysis.unigramNll(load(spark, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }, Some("""
+      WITH words AS (SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+                     FROM documents),
+      freq AS (SELECT w, count(*) AS wc FROM words GROUP BY 1),
+      t AS (SELECT count(*) AS tc FROM words)
+      SELECT doc_id, count(*) AS n_tokens,
+             round(CAST(SUM(CAST(round(-ln(CAST(wc AS DOUBLE) / tc), 6)
+               AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS nll4
+      FROM words JOIN freq USING (w) CROSS JOIN t
+      GROUP BY doc_id ORDER BY doc_id"""))),
+
     // Rolling polynomial fingerprint (left-fold, mod 1e9+7)
     "text_fingerprint" -> (((spark, dir) => {
       load(spark, dir, "documents")
