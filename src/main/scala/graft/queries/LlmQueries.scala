@@ -191,6 +191,31 @@ object LlmQueries {
                AS BIGINT) % ${Dedup.PortableP}) % 100 < 10
       ORDER BY doc_id"""))),
 
+    // Corpus mixing: per-source (domain) sampling rates — the pretraining
+    // mixture step (upweight clean domains, downsample the rest). The keep
+    // decision is the same deterministic md5(doc_id) predicate as
+    // llm_hash_sample, thresholded per source: rate% = 100 − 4·source_idx.
+    // Pure per-row predicate + one aggregation; reproducible across runs
+    // and engines, no RNG state.
+    "llm_mix_sources" -> (((spark, dir) => {
+      val srcIdx = regexp_replace(col("source"), "[^0-9]", "").cast("int")
+      val bucket = Dedup.portableWordHash(col("doc_id")) % 100
+      load(spark, dir, "documents")
+        .withColumn("kept",
+          when(bucket < lit(100) - srcIdx * 4, 1L).otherwise(0L))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+        .orderBy("source")
+    }, Some(s"""
+      SELECT source, count(*) AS n_total,
+             CAST(SUM(CASE WHEN (CAST(concat('0x',
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % ${Dedup.PortableP}) % 100
+                 < 100 - 4 * CAST(regexp_replace(source, '[^0-9]', '', 'g')
+                   AS INT)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM documents GROUP BY source ORDER BY source"""))),
+
     // Sequence packing: assemble docs into fixed token-budget training
     // sequences (2048) with a per-SHARD running token sum — the window is
     // partitioned by shard so packing parallelizes across executors (a
