@@ -87,6 +87,26 @@ object Multimodal {
         expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
       .select(col("media_id"), col("frame_idx"), col("frame"))
 
+  /** Resize planning: aspect-preserving letterbox geometry into a target
+    * box — scale = min(W/w, H/h), output dims floored (≥1), symmetric
+    * padding. The pixel resample itself belongs to the stubbed codec
+    * (mapPartitions, like decode); the GEOMETRY is what the pipeline
+    * schedules on and is pure arithmetic, verified cross-engine. */
+  def resizePlan(features: DataFrame, targetW: Int, targetH: Int)
+      : DataFrame =
+    features
+      .withColumn("scale", least(lit(targetW) / col("width"),
+        lit(targetH) / col("height")))
+      .withColumn("out_w", greatest(lit(1),
+        floor(col("width") * col("scale"))).cast(IntegerType))
+      .withColumn("out_h", greatest(lit(1),
+        floor(col("height") * col("scale"))).cast(IntegerType))
+      .withColumn("pad_x",
+        ((lit(targetW) - col("out_w")) / lit(2)).cast(IntegerType))
+      .withColumn("pad_y",
+        ((lit(targetH) - col("out_h")) / lit(2)).cast(IntegerType))
+      .drop("scale")
+
   /** Wrap a text table as fake media payloads (UTF-8 bytes) — lets the full
     * multimodal path run against the `documents` testdata. */
   def fromDocuments(docs: DataFrame): DataFrame =

@@ -835,6 +835,38 @@ object LlmQueries {
              CAST(CASE WHEN len < 32 THEN len ELSE 32 END AS INT) AS frame_len
       FROM f ORDER BY media_id, frame_idx"""))),
 
+    // Multimodal resize planning: aspect-preserving letterbox geometry into
+    // 224x224 over the decoded dims — the scheduling arithmetic of the
+    // resize stage, verified on top of the oracle-exact stub decode
+    "mm_resize" -> (((spark, dir) => {
+      Multimodal.resizePlan(
+          Multimodal.decodeFeatures(
+            Multimodal.fromDocuments(load(spark, dir, "documents"))),
+          targetW = 224, targetH = 224)
+        .select(col("media_id"), col("width"), col("height"),
+          col("out_w"), col("out_h"), col("pad_x"), col("pad_y"))
+        .orderBy("media_id")
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id AS media_id,
+               64 + CAST(h % 1024 AS INT) AS width,
+               64 + CAST((h >> 10) % 1024 AS INT) AS height
+        FROM (SELECT doc_id,
+                     CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
+              FROM documents)),
+      r AS (
+        SELECT media_id, width, height,
+               least(224 / width, 224 / height) AS scale
+        FROM d)
+      SELECT media_id, width, height,
+             CAST(greatest(1, floor(width * scale)) AS INT) AS out_w,
+             CAST(greatest(1, floor(height * scale)) AS INT) AS out_h,
+             CAST((224 - CAST(greatest(1, floor(width * scale)) AS INT)) // 2
+               AS INT) AS pad_x,
+             CAST((224 - CAST(greatest(1, floor(height * scale)) AS INT)) // 2
+               AS INT) AS pad_y
+      FROM r ORDER BY media_id"""))),
+
     // Multimodal decode stage: mapPartitions batch decode with a per-
     // partition codec handle. The stub codec derives features from the
     // payload md5 (DuckDB's md5(text) hashes the same UTF-8 bytes as
