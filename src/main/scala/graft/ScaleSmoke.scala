@@ -58,7 +58,8 @@ object ScaleSmoke {
       "dd_incremental", "sim_topk", "sim_ivf", "sim_quantize",
       "llm_corpus_clean", "llm_decontaminate", "llm_hash_sample",
       "llm_pack_sequences", "llm_curate_topk", "llm_chunk_docs",
-      "llm_redact", "text_tfidf", "text_repetition", "mm_decode",
+      "llm_redact", "llm_mix_sources", "text_tfidf", "text_repetition",
+      "text_lm_score", "dd_cluster", "mm_decode", "mm_resize",
       "q_salted_agg", "q_approx_percentile", "q_zvalue", "text_quality",
       "evt_sessionize", "e2e_pipeline"))
       time(q) { qs(q)(spark, dst).count() }

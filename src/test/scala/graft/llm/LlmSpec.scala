@@ -345,6 +345,24 @@ class LlmSpec extends AnyFunSuite {
     assert(fp1.toSeq == fp2.toSeq)
   }
 
+  test("resize geometry: aspect preserved, letterbox centered, tiny dims " +
+    "clamp to 1") {
+    val feats = Seq(
+      (1L, 448, 224),   // wide 2:1 -> 224x112, pad_y 56
+      (2L, 224, 448),   // tall 1:2 -> 112x224, pad_x 56
+      (3L, 224, 224),   // exact fit
+      (4L, 100000, 1)   // degenerate: height clamps to 1
+    ).toDF("media_id", "width", "height")
+    val got = Multimodal.resizePlan(feats, 224, 224)
+      .select("media_id", "out_w", "out_h", "pad_x", "pad_y")
+      .as[(Long, Int, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, 224, 112, 0, 56))
+    assert(got(2L) == (2L, 112, 224, 56, 0))
+    assert(got(3L) == (3L, 224, 224, 0, 0))
+    // fp floor: 224/100000*100000 lands a hair under 224 — either is fine
+    assert(got(4L)._3 == 1 && got(4L)._2 >= 223 && got(4L)._2 <= 224)
+  }
+
   test("multimodal decode plumbing: schema, determinism, payload sizes") {
     val media = Multimodal.fromDocuments(
       docs.withColumnRenamed("text", "t").withColumn("text", $"t"))
