@@ -509,6 +509,84 @@ object BenchQueries {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))),
 
+    // Q6-style selective scan: all three filters reach the parquet scan
+    // (PushedFilters), one partial-agg — the pure scan-throughput shape
+    "q6_selective" -> (((spark, dir) => {
+      load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1994-01-01") &&
+          col("l_shipdate") < lit("1995-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum((d18(col("l_extendedprice")) *
+            col("l_discount").cast("decimal(3,2)"))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    }, Some("""
+      SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  CAST(l_discount AS DECIMAL(3,2))
+                  AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             count(*) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24"""))),
+
+    // Q14-style promo share: join + conditional aggregation; the ratio is
+    // a division of two exact-decimal sums cast to double (identical in
+    // both engines), rounded for output stability
+    "q14_promo" -> (((spark, dir) => {
+      val l = load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-09-01") &&
+          col("l_shipdate") < lit("1995-10-01"))
+      val p = load(spark, dir, "part")
+      val rev = (d18(col("l_extendedprice")) *
+        (lit(1) - col("l_discount").cast("decimal(3,2)")))
+        .cast("decimal(18,4)")
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type").startsWith("PROMO"), rev)
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+          sum(rev).cast("double"), 4).as("promo_pct"),
+          count(lit(1)).as("n"))
+    }, Some("""
+      SELECT round(100.0 *
+               CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (1 - CAST(l_discount AS DECIMAL(3,2)))
+                         AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(3,2)))
+                    AS DECIMAL(18,4))) AS DOUBLE), 4) AS promo_pct,
+             count(*) AS n
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'"""))),
+
+    // Q18-style large orders: aggregate-then-join with a HAVING filter on
+    // the exact decimal sum (the "find the whales" shape)
+    "q18_big_orders" -> (((spark, dir) => {
+      val big = load(spark, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(d18(col("l_quantity"))).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      val o = load(spark, dir, "orders")
+      o.join(big, o("o_orderkey") === big("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("od"),
+          col("sum_qty").cast("double").as("sum_qty"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od,
+             CAST(sum_qty AS DOUBLE) AS sum_qty
+      FROM orders JOIN (
+        SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+      ) ON o_orderkey = l_orderkey
+      ORDER BY o_orderkey"""))),
+
     // Q3-style shipping priority: 3-way join, top-10 by exact decimal revenue
     "q3_topk" -> (((spark, dir) => {
       val c = load(spark, dir, "customer")
