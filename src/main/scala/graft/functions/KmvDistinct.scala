@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** KMV (k-minimum-values) distinct-count sketch as a typed Catalyst
+  * `Aggregator` — the custom-aggregation rung of the extension ladder
+  * (a scalar/agg function Spark lacks; HLL++ exists built-in, but KMV is
+  * the sketch whose estimate is a pure DETERMINISTIC function of the hash
+  * set, so the exact same estimate is computable in any engine — our
+  * oracle recomputes it in SQL and the values hash-match, something
+  * approx_count_distinct can never do cross-engine).
+  *
+  * State: the k smallest DISTINCT hash values (sorted array, bounded at k
+  * longs). Insert/merge are set operations, so aggregation order and
+  * partitioning cannot change the result — fully mergeable, map-side
+  * combinable, 8k bytes of state per group at any scale.
+  *
+  * Estimator: with hashes uniform in [0, P), the k-th smallest distinct
+  * value x_(k) estimates n ≈ (k−1)·P / x_(k); fewer than k distinct
+  * hashes means the sketch IS the exact distinct count.
+  */
+class KmvDistinct(k: Int, normalizer: Double)
+    extends Aggregator[Long, Array[Long], Double] {
+  require(k >= 2, s"k must be >= 2, got $k")
+
+  override def zero: Array[Long] = Array.emptyLongArray
+
+  private def insert(buf: Array[Long], h: Long): Array[Long] = {
+    val idx = java.util.Arrays.binarySearch(buf, h)
+    if (idx >= 0) buf // already present — KMV tracks DISTINCT minima
+    else {
+      val ins = -idx - 1
+      if (buf.length < k) {
+        val out = new Array[Long](buf.length + 1)
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
+        out
+      } else if (ins < k) { // displaces the current maximum
+        val out = new Array[Long](k)
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(buf, ins, out, ins + 1, k - ins - 1)
+        out
+      } else buf
+    }
+  }
+
+  override def reduce(buf: Array[Long], h: Long): Array[Long] = insert(buf, h)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    b.foldLeft(a)(insert)
+
+  override def finish(buf: Array[Long]): Double =
+    if (buf.length < k) buf.length.toDouble
+    else (k - 1).toDouble / (buf.last.toDouble / normalizer)
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
+object KmvDistinct {
+  /** Column-level KMV estimate over a pre-hashed Long column whose values
+    * are uniform in [0, normalizer). */
+  def kmv(hashCol: Column, k: Int, normalizer: Double): Column =
+    udaf(new KmvDistinct(k, normalizer)).apply(hashCol)
+}

@@ -216,6 +216,45 @@ object BenchQueries {
              TRUE AS within_5pct
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))),
 
+    // KMV distinct sketch (custom typed Aggregator): unlike HLL, the KMV
+    // estimate is a deterministic function of the hash SET, so the oracle
+    // recomputes the identical estimate in SQL and the VALUES hash-match —
+    // a cross-engine-verifiable sketch. Exact count shown beside it.
+    "q_kmv_distinct" -> (((spark, dir) => {
+      val p = graft.llm.Dedup.PortableP
+      val h = graft.llm.Dedup.portableWordHash(col("l_partkey"))
+      load(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count_distinct(col("l_partkey")).as("exact_nd"),
+          round(graft.functions.KmvDistinct.kmv(h, 64, p.toDouble), 4)
+            .as("kmv_est"))
+        .orderBy("l_returnflag")
+    }, Some {
+      val p = graft.llm.Dedup.PortableP
+      s"""
+      WITH hset AS (
+        SELECT DISTINCT l_returnflag,
+               CAST(concat('0x', substring(md5(CAST(l_partkey AS VARCHAR)),
+                 1, 15)) AS BIGINT) % $p AS h
+        FROM lineitem),
+      ranked AS (
+        SELECT l_returnflag, h,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS nd
+        FROM hset),
+      est AS (
+        SELECT l_returnflag,
+               CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+                    ELSE 63.0 / (CAST(h AS DOUBLE) / $p) END AS kmv_est
+        FROM ranked WHERE rn = least(64, nd)),
+      exact AS (
+        SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, exact_nd, round(kmv_est, 4) AS kmv_est
+      FROM exact JOIN est USING (l_returnflag)
+      ORDER BY l_returnflag"""
+    })),
+
     // Salted two-phase aggregation — the skew-mitigation shape for hot keys
     // (l_returnflag has 3 values over 600k rows: the worst-case hot-key agg).
     // Phase 1 spreads each key over 16 salt buckets (map-side partials land
