@@ -1,0 +1,266 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Round-3 additions to the analytics battery: bloom-pruned joins, complex
+  * predicate pushdown (TPC-H Q19/Q22 shapes), data profiling, histograms,
+  * blocked fuzzy matching, and time-series gap-fill interpolation — each
+  * paired with a DuckDB oracle and shaped for 100 TB (bounded blocks, no
+  * driver loops, partial-aggregable everything).
+  */
+object AnalyticsQueries {
+
+  val defs: Map[String, Entry] = Map(
+
+    // Bloom-pruned selective join (operators.BloomPrune): the dim keys are
+    // aggregated into an 800 KB bloom INSIDE the plan (scalar subquery) and
+    // the fact scan is pre-filtered with the codegen'd probe, so the fact
+    // exchange carries ~20% of rows instead of 100%. False positives are
+    // removed by the join itself — the oracle is the PLAIN join.
+    "q_bloom_join" -> (((spark, dir) => {
+      graft.operators.BloomPrune.register(spark)
+      load(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey").createOrReplaceTempView("bloom_dim")
+      load(spark, dir, "lineitem").createOrReplaceTempView("bloom_fact")
+      spark.sql("""
+        WITH pruned AS (
+          SELECT l_orderkey, l_extendedprice, l_discount FROM bloom_fact
+          WHERE graft_might_contain(
+            (SELECT graft_bloom_agg(xxhash64(o_orderkey),
+                      CAST(100000 AS BIGINT), CAST(800000 AS BIGINT))
+             FROM bloom_dim),
+            xxhash64(l_orderkey)))
+        SELECT count(*) AS n, count(DISTINCT p.l_orderkey) AS nk,
+               CAST(SUM(CAST(CAST(p.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(p.l_discount AS DECIMAL(3,2)))
+                    AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        FROM pruned p JOIN bloom_dim d ON p.l_orderkey = d.o_orderkey""")
+    }, Some("""
+      SELECT count(*) AS n, count(DISTINCT l.l_orderkey) AS nk,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                  (1 - CAST(l.l_discount AS DECIMAL(3,2)))
+                  AS DECIMAL(18,4))) AS DOUBLE) AS rev
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderpriority = '1-URGENT'"""))),
+
+    // TPC-H Q19 shape: OR-of-conjuncts spanning both join sides. Catalyst
+    // extracts the common `p_brand IN (...)` + `p_size >= 1` and the
+    // quantity envelope as single-side conjuncts and pushes them INTO both
+    // parquet scans (verified in PlanHygieneSpec) — the OR itself runs post-
+    // join. At 100 TB that scan-level pre-filter is the difference between
+    // reading 3 brands and reading all of them.
+    "q19_discount" -> (((spark, dir) => {
+      val li = load(spark, dir, "lineitem")
+      val p = load(spark, dir, "part")
+      def clause(brand: String, szHi: Int, qLo: Int, qHi: Int) =
+        col("p_brand") === brand && col("p_size").between(1, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(clause("Brand#1", 15, 1, 11) ||
+          clause("Brand#2", 25, 10, 20) || clause("Brand#3", 35, 20, 30))
+        .agg(count(lit(1)).as("n"),
+          sum((d18(col("l_extendedprice")) *
+            (lit(1) - col("l_discount").cast("decimal(3,2)")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+    }, Some("""
+      SELECT count(*) AS n,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(3,2)))
+                  AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+             AND l.l_quantity BETWEEN 1 AND 11)
+         OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+             AND l.l_quantity BETWEEN 10 AND 20)
+         OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+             AND l.l_quantity BETWEEN 20 AND 30)"""))),
+
+    // TPC-H Q22 shape: scalar-aggregate threshold + anti join. The "above
+    // average balance" predicate is computed as ONE aggregated row and
+    // broadcast; the comparison is exact decimal (bal*n > total avoids
+    // engine-specific double-avg summation order entirely).
+    "q22_no_urgent" -> (((spark, dir) => {
+      val c = load(spark, dir, "customer")
+      val thr = c.filter(col("c_acctbal") > 0)
+        .agg(sum(d18(col("c_acctbal"))).as("total"),
+          count(lit(1)).as("n_pos"))
+      val urgent = load(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      c.crossJoin(broadcast(thr))
+        .filter(d18(col("c_acctbal")) * col("n_pos") > col("total"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("c_nationkey")
+    }, Some("""
+      WITH t AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total,
+                        count(*) AS n_pos
+                 FROM customer WHERE c_acctbal > 0)
+      SELECT c_nationkey, count(*) AS numcust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS totacctbal
+      FROM customer c, t
+      WHERE CAST(c_acctbal AS DECIMAL(18,2)) * t.n_pos > t.total
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+      GROUP BY 1 ORDER BY 1"""))),
+
+    // Equi-width histogram (profiling primitive): one partial-aggregable
+    // groupBy on a computed bucket — the 100 TB way to eyeball a
+    // distribution (vs. sampling or sorting). Bucket arithmetic is plain
+    // IEEE double math, identical in both engines.
+    "q_histogram" -> (((spark, dir) => {
+      load(spark, dir, "lineitem")
+        .select(least(greatest(floor(col("l_extendedprice") / 10000.0),
+          lit(0L)), lit(10L)).cast("int").as("bucket"),
+          col("l_extendedprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("l_extendedprice").as("lo"),
+          max("l_extendedprice").as("hi"))
+        .orderBy("bucket")
+    }, Some("""
+      SELECT CAST(LEAST(GREATEST(FLOOR(l_extendedprice / 10000.0), 0), 10)
+               AS INT) AS bucket,
+             count(*) AS n, min(l_extendedprice) AS lo,
+             max(l_extendedprice) AS hi
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))),
+
+    // Column profiling summary (long format): rows / nulls / exact NDV /
+    // min / max in ONE scan (stack pivots the single agg row). Exact NDV
+    // shuffles distinct values — the approx twin for 100 TB casual use is
+    // q_approx_distinct; this is the audit-grade variant.
+    "q_profile" -> (((spark, dir) => {
+      load(spark, dir, "customer")
+        .agg(count(lit(1)).cast("double").as("n_rows"),
+          sum(when(col("c_acctbal").isNull, 1).otherwise(0)).cast("double")
+            .as("acctbal_nulls"),
+          countDistinct(col("c_acctbal")).cast("double").as("acctbal_ndv"),
+          min(col("c_acctbal")).as("acctbal_min"),
+          max(col("c_acctbal")).as("acctbal_max"),
+          countDistinct(col("c_mktsegment")).cast("double")
+            .as("mktsegment_ndv"))
+        .select(expr("""stack(6,
+          'rows', n_rows,
+          'acctbal_nulls', acctbal_nulls,
+          'acctbal_ndv', acctbal_ndv,
+          'acctbal_min', acctbal_min,
+          'acctbal_max', acctbal_max,
+          'mktsegment_ndv', mktsegment_ndv) AS (metric, value)"""))
+        .orderBy("metric")
+    }, Some("""
+      WITH a AS (SELECT count(*) AS n_rows,
+        SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS acctbal_nulls,
+        count(DISTINCT c_acctbal) AS acctbal_ndv,
+        min(c_acctbal) AS acctbal_min, max(c_acctbal) AS acctbal_max,
+        count(DISTINCT c_mktsegment) AS mktsegment_ndv FROM customer)
+      SELECT 'rows' AS metric, CAST(n_rows AS DOUBLE) AS value FROM a
+      UNION ALL SELECT 'acctbal_nulls', CAST(acctbal_nulls AS DOUBLE) FROM a
+      UNION ALL SELECT 'acctbal_ndv', CAST(acctbal_ndv AS DOUBLE) FROM a
+      UNION ALL SELECT 'acctbal_min', acctbal_min FROM a
+      UNION ALL SELECT 'acctbal_max', acctbal_max FROM a
+      UNION ALL SELECT 'mktsegment_ndv', CAST(mktsegment_ndv AS DOUBLE) FROM a
+      ORDER BY metric"""))),
+
+    // Blocked fuzzy matching: edit-distance candidate pairs WITHIN a
+    // blocking key (brand, size) — the classic entity-resolution shape. The
+    // block bounds the quadratic term (max block here is 7 rows; at 100 TB
+    // the blocking key is chosen so blocks fit a task), and the join itself
+    // is an equi-join on the block key, so it shuffles linearly.
+    "q_fuzzy" -> (((spark, dir) => {
+      val p = load(spark, dir, "part")
+        .select("p_partkey", "p_brand", "p_size", "p_name")
+      val a = p.toDF("a_key", "p_brand", "p_size", "a_name")
+      val b = p.toDF("b_key", "p_brand", "p_size", "b_name")
+      a.join(b, Seq("p_brand", "p_size"))
+        .filter(col("a_key") < col("b_key") &&
+          levenshtein(col("a_name"), col("b_name")) <= 4)
+        .select(col("p_brand"), col("a_key"), col("b_key"),
+          levenshtein(col("a_name"), col("b_name")).as("dist"))
+        .orderBy("a_key", "b_key")
+    }, Some("""
+      SELECT a.p_brand, a.p_partkey AS a_key, b.p_partkey AS b_key,
+             levenshtein(a.p_name, b.p_name) AS dist
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 4
+      ORDER BY a_key, b_key"""))),
+
+    // Time-series gap-fill + linear interpolation: hourly per-type value
+    // series, missing hours generated from a sequence spine and filled by
+    // interpolating between the nearest observed neighbours (edge gaps take
+    // the single existing neighbour). Windows are partitioned by the series
+    // key, so each series interpolates in parallel — no global sort.
+    "evt_gapfill" -> (((spark, dir) => {
+      val hourly = load(spark, dir, "events")
+        .select(col("event_type"), expr("ts div 3600000000000").as("h"),
+          col("value"))
+        .groupBy("event_type", "h").agg(dsum(col("value")).as("v"))
+      graft.operators.GapFill.fill(hourly, "event_type", "h", "v")
+        .select(col("event_type"), col("h"),
+          round(col("filled"), 6).as("filled"), col("was_gap"))
+        .orderBy("event_type", "h")
+    }, Some("""
+      WITH hourly AS (
+        SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+               CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2),
+      bounds AS (SELECT event_type, min(h) AS lo, max(h) AS hi
+                 FROM hourly GROUP BY 1),
+      spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS h
+                FROM bounds),
+      j AS (SELECT s.event_type, s.h, hr.v
+            FROM spine s LEFT JOIN hourly hr
+              ON s.event_type = hr.event_type AND s.h = hr.h),
+      w AS (SELECT event_type, h, v,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING) AS ph,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        FROM j)
+      SELECT event_type, h,
+        ROUND(CASE WHEN v IS NOT NULL THEN v
+              WHEN pv IS NULL THEN nv
+              WHEN nv IS NULL THEN pv
+              ELSE pv + (nv - pv) * (h - ph) / (nh - ph) END, 6) AS filled,
+        CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_gap
+      FROM w ORDER BY event_type, h"""))),
+
+    // REAL stream-static enrichment in the gate: the events parquet
+    // replayed as a stream, joined per-micro-batch against a STATIC dim
+    // (broadcast — the static side never shuffles or re-reads per batch),
+    // aggregated in complete mode. Oracle = the batch join.
+    "evt_stream_static" -> (((spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val in = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val dim = load(spark, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+      val agg = in.withColumn("nk", col("user_id") % 25)
+        .join(broadcast(dim), "nk")
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      val sink = s"evt_stream_static_${System.nanoTime()}"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(sink).orderBy("n_name")
+    }, Some("""
+      SELECT n_name, count(*) AS n,
+             CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+      GROUP BY 1 ORDER BY 1""")))
+  )
+}
