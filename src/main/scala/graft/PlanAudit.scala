@@ -17,7 +17,8 @@ object PlanAudit {
       else Seq("q1_pricing", "q3_topk", "q5_starjoin", "a1_projection",
         "a4_filter_semijoin", "c3_dedup_latest", "dd_exact", "sim_topk",
         "dd_incremental", "llm_decontaminate", "text_tfidf",
-        "llm_pack_sequences", "q_zvalue")
+        "llm_pack_sequences", "q_zvalue", "q_bloom_join", "q19_discount",
+        "q22_no_urgent", "evt_gapfill", "q_fuzzy")
     val qs = SparkEntry.queries
     targets.foreach { name =>
       println(s"\n########## $name ##########")

@@ -46,11 +46,11 @@ object AnalyticsQueries {
       WHERE o.o_orderpriority = '1-URGENT'"""))),
 
     // TPC-H Q19 shape: OR-of-conjuncts spanning both join sides. Catalyst
-    // extracts the common `p_brand IN (...)` + `p_size >= 1` and the
-    // quantity envelope as single-side conjuncts and pushes them INTO both
-    // parquet scans (verified in PlanHygieneSpec) — the OR itself runs post-
-    // join. At 100 TB that scan-level pre-filter is the difference between
-    // reading 3 brands and reading all of them.
+    // extracts each side's OR envelope (brand/size disjunction, quantity
+    // disjunction) as single-side predicates and pushes them INTO both
+    // parquet scans (asserted in PushdownSpec) — the cross-side OR itself
+    // runs post-join. At 100 TB that scan-level pre-filter is the
+    // difference between reading 3 brands and reading all of them.
     "q19_discount" -> (((spark, dir) => {
       val li = load(spark, dir, "lineitem")
       val p = load(spark, dir, "part")

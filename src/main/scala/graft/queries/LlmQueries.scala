@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis, Vocab}
 import Q._
 
 /** Beyond-reference LLM-data-pipeline operators (BASELINE north star):
@@ -885,6 +885,36 @@ object LlmQueries {
                    octet_length(encode(text)) AS byte_len,
                    CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
             FROM documents)
-      ORDER BY media_id""")))
+      ORDER BY media_id"""))),
+
+    // Vocabulary build + token-id encoding (llm/Vocab.scala): top-16
+    // tokens by (freq desc, token asc) get dense ids, every document is
+    // encoded to its (pos, token_id) stream, OOV → -1. Top-K plans as
+    // TakeOrderedAndProject (per-task heap, no full sort) and the encode
+    // join broadcasts the 16-row vocab — the text never shuffles.
+    "llm_vocab_encode" -> (((spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      val vocab = Vocab.build(docs, "text", 16)
+      Vocab.encode(docs, vocab, "doc_id", "text")
+        .orderBy("doc_id", "pos")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS token,
+               unnest(generate_series(0,
+                 len(string_split_regex(lower(trim(text)), '\s+')) - 1))
+                 AS pos
+        FROM documents),
+      tf AS (SELECT token, count(*) AS freq FROM toks
+             WHERE token <> '' GROUP BY 1),
+      vocab AS (SELECT token,
+                  CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT)
+                    - 1 AS token_id
+                FROM tf ORDER BY freq DESC, token LIMIT 16)
+      SELECT t.doc_id, CAST(t.pos AS INT) AS pos,
+             coalesce(v.token_id, -1) AS token_id, t.token
+      FROM toks t LEFT JOIN vocab v USING (token)
+      WHERE t.token <> ''
+      ORDER BY doc_id, pos""")))
   )
 }

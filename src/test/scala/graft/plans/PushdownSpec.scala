@@ -53,4 +53,28 @@ class PushdownSpec extends AnyFunSuite {
     assert(ss.nonEmpty)
     assert(ss.head.requiredSchema.fieldNames.length <= 5)
   }
+
+  test("q19_discount: cross-side OR pushes each side's envelope to its scan") {
+    val ss = scans("q19_discount")
+    val li = ss.find(_.relation.location.inputFiles.exists(
+      _.contains("lineitem"))).get
+    val p = ss.find(_.relation.location.inputFiles.exists(
+      _.contains("part"))).get
+    // Catalyst extracts the per-side disjunction from the OR-of-conjuncts
+    // that spans the join: quantity envelope → lineitem scan, brand/size
+    // envelope → part scan
+    assert(li.dataFilters.exists(_.toString.contains("l_quantity")),
+      s"quantity envelope missing from lineitem scan: ${li.dataFilters}")
+    assert(p.dataFilters.exists(_.toString.contains("p_brand")),
+      s"brand envelope missing from part scan: ${p.dataFilters}")
+    assert(li.requiredSchema.fieldNames.length <= 4)
+    assert(p.requiredSchema.fieldNames.length <= 3)
+  }
+
+  test("q_bloom_join: the bloom probe filters the fact scan's row stream") {
+    val df = graft.SparkEntry.queries("q_bloom_join")(spark, dir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom probe missing from optimized plan:\n$plan")
+  }
 }
