@@ -61,7 +61,9 @@ object ScaleSmoke {
       "llm_redact", "llm_mix_sources", "text_tfidf", "text_repetition",
       "text_lm_score", "dd_cluster", "mm_decode", "mm_resize",
       "q_salted_agg", "q_approx_percentile", "q_zvalue", "text_quality",
-      "evt_sessionize", "e2e_pipeline"))
+      "evt_sessionize", "e2e_pipeline",
+      "q_bloom_join", "q19_discount", "q22_no_urgent", "q_histogram",
+      "q_profile", "q_fuzzy", "evt_gapfill", "llm_vocab_encode"))
       time(q) { qs(q)(spark, dst).count() }
     spark.stop()
   }

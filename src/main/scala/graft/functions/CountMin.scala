@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Count-min sketch as a typed Catalyst `Aggregator` — bounded-state
+  * frequency estimation for heavy-hitter mining over unbounded key domains.
+  *
+  * State: a d×w counter matrix flattened to `Array[Long]` (d·w·8 bytes per
+  * group at ANY corpus size). `reduce` increments one counter per hash row;
+  * `merge` is element-wise sum — fully associative/commutative, so map-side
+  * combine applies and the whole corpus reduces to ONE 2 KB row. Estimate
+  * for key x = min over rows i of counter[i][bucket_i(x)]: an upper bound
+  * on the true count that overestimates only on collisions (never under).
+  *
+  * Bucket hashes are the engine's portable md5 derivation (seeded twin of
+  * `llm.Dedup.portableWordHash`), so a SQL engine can replay the EXACT
+  * counters and estimates — the gate hash-matches values, not just shapes.
+  */
+class CountMin(d: Int, w: Int)
+    extends Aggregator[Seq[Int], Array[Long], Seq[Long]] {
+  require(d >= 1 && w >= 1)
+
+  override def zero: Array[Long] = new Array[Long](d * w)
+
+  override def reduce(buf: Array[Long], buckets: Seq[Int]): Array[Long] = {
+    var i = 0
+    while (i < d) { buf(i * w + buckets(i)) += 1L; i += 1 }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+}
+
+object CountMin {
+
+  /** Seeded portable bucket: md5("s{i}:" ++ key) → 60-bit int → mod w.
+    * DuckDB twin: `CAST('0x' || substring(md5('s{i}:' || key), 1, 15)
+    * AS BIGINT) % w`. */
+  def bucket(i: Int, key: Column, w: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"s$i:"), key.cast(StringType))),
+      1, 15), 16, 10).cast("long"), lit(w.toLong)).cast("int")
+
+  /** All d buckets for a key, as the array the Aggregator consumes. */
+  def buckets(key: Column, d: Int, w: Int): Column =
+    array((0 until d).map(bucket(_, key, w)): _*)
+
+  /** Sketch an entire keys column into one d×w counter row. */
+  def sketch(df: DataFrame, key: Column, d: Int, w: Int): DataFrame =
+    df.select(buckets(key, d, w).as("__cms_buckets"))
+      .agg(udaf(new CountMin(d, w)).apply(col("__cms_buckets")).as("cms"))
+
+  /** Point estimate for `key` against a `cms` counters column (the one-row
+    * sketch crossJoin/broadcast onto the candidates): min over hash rows. */
+  def estimate(cms: Column, key: Column, d: Int, w: Int): Column =
+    least((0 until d).map(i =>
+      element_at(cms, bucket(i, key, w) + lit(i * w) + 1)): _*)
+}

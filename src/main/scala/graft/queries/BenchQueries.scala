@@ -255,6 +255,46 @@ object BenchQueries {
       ORDER BY l_returnflag"""
     })),
 
+    // Count-min sketch heavy hitters (functions.CountMin): the corpus token
+    // stream reduces to ONE 4×64-counter row (element-wise-sum merge = map-
+    // side combinable, 2 KB state at any scale); per-token estimates are
+    // min-over-rows probes of the broadcast counters. Like KMV, the sketch
+    // is a deterministic function of pinned portable hashes, so the oracle
+    // replays the exact counters — estimates hash-match as VALUES, and the
+    // exact counts beside them exhibit the ≥-true guarantee.
+    "q_cms_heavy" -> (((spark, dir) => {
+      import graft.functions.CountMin
+      val words = load(spark, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+      val sk = CountMin.sketch(words, col("w"), 4, 64)
+      words.groupBy("w").agg(count(lit(1)).as("true_cnt"))
+        .crossJoin(broadcast(sk))
+        .select(col("w").as("token"),
+          CountMin.estimate(col("cms"), col("w"), 4, 64).as("cms_est"),
+          col("true_cnt"))
+        .orderBy("token")
+    }, Some("""
+      WITH wf AS (SELECT w FROM (SELECT unnest(string_split_regex(
+          lower(trim(text)), '\s+')) AS w FROM documents) WHERE w <> ''),
+      buck AS (SELECT w,
+        CAST('0x' || substring(md5('s0:' || w), 1, 15) AS BIGINT) % 64 AS b0,
+        CAST('0x' || substring(md5('s1:' || w), 1, 15) AS BIGINT) % 64 AS b1,
+        CAST('0x' || substring(md5('s2:' || w), 1, 15) AS BIGINT) % 64 AS b2,
+        CAST('0x' || substring(md5('s3:' || w), 1, 15) AS BIGINT) % 64 AS b3
+        FROM wf),
+      c0 AS (SELECT b0 AS b, count(*) AS c FROM buck GROUP BY 1),
+      c1 AS (SELECT b1 AS b, count(*) AS c FROM buck GROUP BY 1),
+      c2 AS (SELECT b2 AS b, count(*) AS c FROM buck GROUP BY 1),
+      c3 AS (SELECT b3 AS b, count(*) AS c FROM buck GROUP BY 1),
+      cand AS (SELECT w AS token, count(*) AS true_cnt, min(b0) AS b0,
+                      min(b1) AS b1, min(b2) AS b2, min(b3) AS b3
+               FROM buck GROUP BY 1)
+      SELECT token, LEAST(c0.c, c1.c, c2.c, c3.c) AS cms_est, true_cnt
+      FROM cand JOIN c0 ON c0.b = cand.b0 JOIN c1 ON c1.b = cand.b1
+                JOIN c2 ON c2.b = cand.b2 JOIN c3 ON c3.b = cand.b3
+      ORDER BY token"""))),
+
     // Salted two-phase aggregation — the skew-mitigation shape for hot keys
     // (l_returnflag has 3 values over 600k rows: the worst-case hot-key agg).
     // Phase 1 spreads each key over 16 salt buckets (map-side partials land

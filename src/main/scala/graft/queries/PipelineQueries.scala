@@ -96,6 +96,27 @@ object PipelineQueries {
                   ELSE o_totalprice END AS total
       FROM orders ORDER BY o_orderkey"""))),
 
+    // C5+ — versioned snapshots with time travel (sink.VersionedTable, the
+    // Delta versionAsOf twin): two commits INSIDE the gate, then the v1
+    // read (time travel) and the latest read are compared against the
+    // source-table oracle. The _latest pointer flip is the atomic commit.
+    "c5_time_travel" -> (((spark, dir) => {
+      val t = java.nio.file.Files.createTempDirectory("vt_gate")
+        .resolve("docs").toString
+      val docs = load(spark, dir, "documents")
+      graft.sink.VersionedTable.commit(docs.filter(col("lang") === "en"), t)
+      graft.sink.VersionedTable.commit(docs, t)
+      val v1 = graft.sink.VersionedTable.read(spark, t, asOf = Some(1))
+        .agg(count(lit(1)).as("n")).withColumn("version", lit(1))
+      val v2 = graft.sink.VersionedTable.read(spark, t)
+        .agg(count(lit(1)).as("n")).withColumn("version", lit(2))
+      v1.unionByName(v2).select("version", "n").orderBy("version")
+    }, Some("""
+      SELECT 1 AS version, count(*) AS n FROM documents WHERE lang = 'en'
+      UNION ALL
+      SELECT 2 AS version, count(*) AS n FROM documents
+      ORDER BY version"""))),
+
     // C8 — empty-table bootstrap: typed empty output from declared schema
     "c8_empty_bootstrap" -> (((spark, dir) => {
       val schema = StructType(Seq(
