@@ -236,6 +236,58 @@ object AnalyticsQueries {
         CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_gap
       FROM w ORDER BY event_type, h"""))),
 
+    // Rolling z-score anomaly detection: hourly per-type series, trailing
+    // 24-bucket mean/variance from EXACT decimal window sums (S, Q) — the
+    // double math happens once at the end with identical formula text in
+    // both engines, so round(z,4) hash-matches. Series-partitioned windows:
+    // every series scores in parallel, no global sort. The warm-up guard
+    // (n >= 12) suppresses the unstable early frames.
+    "evt_anomaly" -> (((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = load(spark, dir, "events")
+        .select(col("event_type"), expr("ts div 3600000000000").as("h"),
+          col("value"))
+        .groupBy("event_type", "h")
+        .agg(sum(d18(col("value"))).cast("decimal(18,2)").as("vd"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(-23, 0)
+      val win = hourly.select(col("event_type"), col("h"), col("vd"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("vd")).over(w).cast("double").as("s"),
+        sum(col("vd") * col("vd")).over(w).cast("double").as("q"))
+      val z = win.filter(col("n") >= 12)
+        .withColumn("v", col("vd").cast("double"))
+        .withColumn("variance",
+          (col("q") - col("s") * col("s") / col("n")) / (col("n") - 1))
+        .withColumn("dev", col("v") - col("s") / col("n"))
+      z.filter(col("variance") > 0 &&
+          abs(col("dev") / sqrt(col("variance"))) > 2.0)
+        .select(col("event_type"), col("h"), col("v"),
+          round(col("dev") / sqrt(col("variance")), 4).as("z"))
+        .orderBy("event_type", "h")
+    }, Some("""
+      WITH hourly AS (
+        SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+               CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                 AS vd
+        FROM events GROUP BY 1, 2),
+      win AS (
+        SELECT event_type, h, vd,
+          COUNT(*) OVER w AS n,
+          CAST(SUM(vd) OVER w AS DOUBLE) AS s,
+          CAST(SUM(vd * vd) OVER w AS DOUBLE) AS q
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+      z AS (
+        SELECT event_type, h, CAST(vd AS DOUBLE) AS v, n,
+               (q - s * s / n) / (n - 1) AS var,
+               CAST(vd AS DOUBLE) - s / n AS dev
+        FROM win WHERE n >= 12)
+      SELECT event_type, h, v, ROUND(dev / sqrt(var), 4) AS z
+      FROM z WHERE var > 0 AND abs(dev / sqrt(var)) > 2.0
+      ORDER BY event_type, h"""))),
+
     // REAL stream-static enrichment in the gate: the events parquet
     // replayed as a stream, joined per-micro-batch against a STATIC dim
     // (broadcast — the static side never shuffles or re-reads per batch),

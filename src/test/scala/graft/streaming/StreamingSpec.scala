@@ -146,4 +146,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() == 10)
     assert(out.columns.contains("v2"))
   }
+
+  test("restart from checkpoint: a NEW query resumes exactly-once") {
+    val dir = Files.createTempDirectory("st3").toString
+    eventsDf(10).write.parquet(s"$dir/raw")
+    val q1 = Streams.rawToStage(spark, s"$dir/raw", s"$dir/stage",
+      s"$dir/chk", df => df.filter(col("event_type") === "click"))
+    q1.processAllAvailable()
+    q1.stop() // simulate driver death after a committed batch
+    assert(spark.read.parquet(s"$dir/stage").count() == 5)
+
+    eventsDf(20).filter(col("event_id") >= 10)
+      .write.mode("append").parquet(s"$dir/raw")
+    // a brand-new query against the SAME checkpoint must process ONLY the
+    // appended delta — the already-committed batch is never replayed
+    val q2 = Streams.rawToStage(spark, s"$dir/raw", s"$dir/stage",
+      s"$dir/chk", df => df.filter(col("event_type") === "click"))
+    q2.processAllAvailable()
+    q2.stop()
+    val out = spark.read.parquet(s"$dir/stage")
+    assert(out.count() == 10, "restart must not duplicate or drop rows")
+    assert(out.select("event_id").distinct().count() == 10)
+  }
 }
