@@ -236,6 +236,64 @@ object AnalyticsQueries {
         CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_gap
       FROM w ORDER BY event_type, h"""))),
 
+    // Funnel conversion: per user, first 'view' then first 'purchase'
+    // within 24 h of it. Both phases key on user_id, so the groupBy after
+    // the join REUSES the join's hash partitioning — one effective shuffle
+    // of the events per phase, no windows, no per-user sorts.
+    "evt_funnel" -> (((spark, dir) => {
+      val ev = load(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val u = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts")))
+          .as("first_view"))
+        .filter(col("first_view").isNotNull)
+      u.join(ev, "user_id")
+        .groupBy(col("user_id"), col("first_view"))
+        .agg(min(when(col("event_type") === "purchase" &&
+          col("ts") >= col("first_view") &&
+          col("ts") < col("first_view") + lit(86400000000000L),
+          col("ts"))).as("first_purchase"))
+        .agg(count(lit(1)).as("viewers"),
+          count(col("first_purchase")).as("converted"))
+    }, Some("""
+      WITH u AS (
+        SELECT user_id,
+          min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END)
+            AS first_view
+        FROM events GROUP BY 1),
+      conv AS (
+        SELECT u.user_id, u.first_view,
+          min(CASE WHEN e.event_type = 'purchase'
+                   AND epoch_ns(e.ts) >= u.first_view
+                   AND epoch_ns(e.ts) < u.first_view + 86400000000000
+              THEN epoch_ns(e.ts) END) AS first_purchase
+        FROM u JOIN events e ON e.user_id = u.user_id
+        WHERE u.first_view IS NOT NULL
+        GROUP BY 1, 2)
+      SELECT count(*) AS viewers, count(first_purchase) AS converted
+      FROM conv"""))),
+
+    // Cohort retention: cohort = each user's first active day; count
+    // distinct users active at each day offset. Classic engagement matrix —
+    // two user-keyed aggregations plus one join, all hash-partitioned on
+    // user_id (the day-offset regroup is the only extra exchange).
+    "evt_retention" -> (((spark, dir) => {
+      val act = load(spark, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("d"))
+        .distinct()
+      val coh = act.groupBy("user_id").agg(min("d").as("cohort"))
+      act.join(coh, "user_id")
+        .groupBy((col("d") - col("cohort")).as("offset_days"))
+        .agg(count_distinct(col("user_id")).as("n"))
+        .orderBy("offset_days")
+    }, Some("""
+      WITH act AS (SELECT DISTINCT user_id,
+                     epoch_ns(ts) // 86400000000000 AS d FROM events),
+      coh AS (SELECT user_id, min(d) AS cohort FROM act GROUP BY 1)
+      SELECT a.d - c.cohort AS offset_days, count(DISTINCT a.user_id) AS n
+      FROM act a JOIN coh c USING (user_id)
+      GROUP BY 1 ORDER BY 1"""))),
+
     // Rolling z-score anomaly detection: hourly per-type series, trailing
     // 24-bucket mean/variance from EXACT decimal window sums (S, Q) — the
     // double math happens once at the end with identical formula text in
@@ -287,6 +345,57 @@ object AnalyticsQueries {
       SELECT event_type, h, v, ROUND(dev / sqrt(var), 4) AS z
       FROM z WHERE var > 0 AND abs(dev / sqrt(var)) > 2.0
       ORDER BY event_type, h"""))),
+
+    // Distribution window functions: ntile / percent_rank / cume_dist over
+    // a deterministic (value, key) order — the window-family gap the rank/
+    // navigation batteries don't cover. Both engines define all three
+    // identically; the composite sort key removes tie ambiguity.
+    "q_window_dist" -> (((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      load(spark, dir, "customer")
+        .filter(col("c_custkey") <= 200)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("c_mktsegment", "c_custkey")
+    }, Some("""
+      SELECT c_mktsegment, c_custkey,
+             ntile(4) OVER w AS quartile,
+             round(percent_rank() OVER w, 6) AS pr,
+             round(cume_dist() OVER w, 6) AS cd
+      FROM customer WHERE c_custkey <= 200
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_mktsegment, c_custkey"""))),
+
+    // Explicit GROUPING SETS (beyond the cube/rollup specializations):
+    // arbitrary aggregation lattice in ONE pass over the scan — Spark
+    // expands to a single shuffle with a grouping-id, not one job per set.
+    "q_grouping_sets" -> (((spark, dir) => {
+      load(spark, dir, "orders").createOrReplaceTempView("gs_orders")
+      spark.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        ORDER BY status, priority""")
+    }, Some("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                              (o_orderstatus, o_orderpriority))
+      ORDER BY status, priority"""))),
 
     // REAL stream-static enrichment in the gate: the events parquet
     // replayed as a stream, joined per-micro-batch against a STATIC dim
