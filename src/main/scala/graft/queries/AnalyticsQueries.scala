@@ -237,17 +237,18 @@ object AnalyticsQueries {
       FROM w ORDER BY event_type, h"""))),
 
     // Funnel conversion: per user, first 'view' then first 'purchase'
-    // within 24 h of it. Both phases key on user_id, so the groupBy after
-    // the join REUSES the join's hash partitioning — one effective shuffle
-    // of the events per phase, no windows, no per-user sorts.
+    // within 24 h of it. The per-user anchor comes from a user-partitioned
+    // window MIN, so the events scan ONCE and shuffle once on user_id; the
+    // per-user regroup reuses that partitioning (an agg-then-join-back form
+    // would scan and shuffle twice).
     "evt_funnel" -> (((spark, dir) => {
-      val ev = load(spark, dir, "events")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+      load(spark, dir, "events")
         .select(col("user_id"), col("event_type"), col("ts"))
-      val u = ev.groupBy("user_id")
-        .agg(min(when(col("event_type") === "view", col("ts")))
-          .as("first_view"))
+        .withColumn("first_view",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
         .filter(col("first_view").isNotNull)
-      u.join(ev, "user_id")
         .groupBy(col("user_id"), col("first_view"))
         .agg(min(when(col("event_type") === "purchase" &&
           col("ts") >= col("first_view") &&
@@ -274,15 +275,17 @@ object AnalyticsQueries {
       FROM conv"""))),
 
     // Cohort retention: cohort = each user's first active day; count
-    // distinct users active at each day offset. Classic engagement matrix —
-    // two user-keyed aggregations plus one join, all hash-partitioned on
-    // user_id (the day-offset regroup is the only extra exchange).
+    // distinct users active at each day offset. The cohort comes from a
+    // user-partitioned window MIN over the distinct activity — ONE events
+    // scan and one distinct shuffle (the agg-then-join-back form scans the
+    // events twice and shuffles the distinct twice; verified in PlanAudit).
     "evt_retention" -> (((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val act = load(spark, dir, "events")
         .select(col("user_id"), expr("ts div 86400000000000").as("d"))
         .distinct()
-      val coh = act.groupBy("user_id").agg(min("d").as("cohort"))
-      act.join(coh, "user_id")
+      act.withColumn("cohort",
+          min("d").over(Window.partitionBy("user_id")))
         .groupBy((col("d") - col("cohort")).as("offset_days"))
         .agg(count_distinct(col("user_id")).as("n"))
         .orderBy("offset_days")
