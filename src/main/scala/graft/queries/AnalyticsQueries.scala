@@ -349,6 +349,38 @@ object AnalyticsQueries {
       FROM z WHERE var > 0 AND abs(dev / sqrt(var)) > 2.0
       ORDER BY event_type, h"""))),
 
+    // Built-in session windows (session_window, the declarative twin of
+    // streaming.Streams' flatMapGroupsWithState sessionizer in
+    // evt_sessionize): gap-merged sessions as a grouping expression — one
+    // shuffle on (user, window), merging handled by the aggregation
+    // itself. Same oracle shape as the custom sessionizer.
+    "evt_session_window" -> (((spark, dir) => {
+      load(spark, dir, "events")
+        .withColumn("tst", timestamp_micros(expr("ts div 1000")))
+        .groupBy(col("user_id"), session_window(col("tst"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          col("n_events"), col("total"))
+        .orderBy("user_id", "start_us")
+    }, Some("""
+      WITH marked AS (
+        SELECT user_id, epoch_ns(ts) AS tsn, "value",
+               CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+                      (PARTITION BY user_id ORDER BY epoch_ns(ts))
+                    > 3600 * CAST(1000000000 AS BIGINT) THEN 1 ELSE 0 END
+                 AS new_s
+        FROM events),
+      sess AS (
+        SELECT user_id, tsn, "value",
+               CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsn
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        FROM marked)
+      SELECT user_id, min(tsn) // 1000 AS start_us, count(*) AS n_events,
+             CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, start_us"""))),
+
     // Distribution window functions: ntile / percent_rank / cume_dist over
     // a deterministic (value, key) order — the window-family gap the rank/
     // navigation batteries don't cover. Both engines define all three
