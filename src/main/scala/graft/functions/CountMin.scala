@@ -48,16 +48,23 @@ class CountMin(d: Int, w: Int)
 
 object CountMin {
 
-  /** Seeded portable bucket: md5("s{i}:" ++ key) → 60-bit int → mod w.
-    * DuckDB twin: `CAST('0x' || substring(md5('s{i}:' || key), 1, 15)
-    * AS BIGINT) % w`. */
-  def bucket(i: Int, key: Column, w: Int): Column =
-    pmod(conv(substring(md5(concat(lit(s"s$i:"), key.cast(StringType))),
-      1, 15), 16, 10).cast("long"), lit(w.toLong)).cast("int")
+  /** Portable bucket for hash row `i` (i < 4): ONE md5 per key supplies all
+    * four rows — row i takes hex chars [8i+1, 8i+8] (independent 32-bit
+    * chunks of the digest) → mod w. DuckDB twin:
+    * `CAST('0x' || substring(md5(key), 8*i+1, 8) AS BIGINT) % w`. */
+  def bucket(i: Int, key: Column, w: Int): Column = {
+    require(i < 4, s"md5 supplies 4 chunk rows, got row $i")
+    pmod(conv(substring(md5(key.cast(StringType)), i * 8 + 1, 8), 16, 10)
+      .cast("long"), lit(w.toLong)).cast("int")
+  }
 
-  /** All d buckets for a key, as the array the Aggregator consumes. */
-  def buckets(key: Column, d: Int, w: Int): Column =
+  /** All d buckets for a key, as the array the Aggregator consumes. The d
+    * md5 calls share one digest via whole-stage-codegen subexpression
+    * elimination — one hash per key, not d. */
+  def buckets(key: Column, d: Int, w: Int): Column = {
+    require(d <= 4, s"one md5 digest supplies at most 4 hash rows, got d=$d")
     array((0 until d).map(bucket(_, key, w)): _*)
+  }
 
   /** Sketch an entire keys column into one d×w counter row. */
   def sketch(df: DataFrame, key: Column, d: Int, w: Int): DataFrame =

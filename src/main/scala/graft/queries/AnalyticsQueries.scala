@@ -176,10 +176,10 @@ object AnalyticsQueries {
       val a = p.toDF("a_key", "p_brand", "p_size", "a_name")
       val b = p.toDF("b_key", "p_brand", "p_size", "b_name")
       a.join(b, Seq("p_brand", "p_size"))
-        .filter(col("a_key") < col("b_key") &&
-          levenshtein(col("a_name"), col("b_name")) <= 4)
-        .select(col("p_brand"), col("a_key"), col("b_key"),
-          levenshtein(col("a_name"), col("b_name")).as("dist"))
+        .filter(col("a_key") < col("b_key"))
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+        .filter(col("dist") <= 4) // computed once, filter + output reuse it
+        .select("p_brand", "a_key", "b_key", "dist")
         .orderBy("a_key", "b_key")
     }, Some("""
       SELECT a.p_brand, a.p_partkey AS a_key, b.p_partkey AS b_key,

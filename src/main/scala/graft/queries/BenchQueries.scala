@@ -278,10 +278,10 @@ object BenchQueries {
       WITH wf AS (SELECT w FROM (SELECT unnest(string_split_regex(
           lower(trim(text)), '\s+')) AS w FROM documents) WHERE w <> ''),
       buck AS (SELECT w,
-        CAST('0x' || substring(md5('s0:' || w), 1, 15) AS BIGINT) % 64 AS b0,
-        CAST('0x' || substring(md5('s1:' || w), 1, 15) AS BIGINT) % 64 AS b1,
-        CAST('0x' || substring(md5('s2:' || w), 1, 15) AS BIGINT) % 64 AS b2,
-        CAST('0x' || substring(md5('s3:' || w), 1, 15) AS BIGINT) % 64 AS b3
+        CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % 64 AS b0,
+        CAST('0x' || substring(md5(w), 9, 8) AS BIGINT) % 64 AS b1,
+        CAST('0x' || substring(md5(w), 17, 8) AS BIGINT) % 64 AS b2,
+        CAST('0x' || substring(md5(w), 25, 8) AS BIGINT) % 64 AS b3
         FROM wf),
       c0 AS (SELECT b0 AS b, count(*) AS c FROM buck GROUP BY 1),
       c1 AS (SELECT b1 AS b, count(*) AS c FROM buck GROUP BY 1),
