@@ -349,6 +349,31 @@ object AnalyticsQueries {
       FROM z WHERE var > 0 AND abs(dev / sqrt(var)) > 2.0
       ORDER BY event_type, h"""))),
 
+    // Higher-order array functions battery: filter / transform / aggregate
+    // (left fold) / sort+slice over the embedding vectors — all per-row,
+    // zero shuffles, fully codegen-adjacent (no UDFs). The fold runs left-
+    // to-right in both engines, so even float→double sums are ulp-equal.
+    "q_array_hof" -> (((spark, dir) => {
+      val e = col("embedding")
+      load(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          size(filter(e, x => x > 0f)).as("n_pos"),
+          round(aggregate(e, lit(0.0),
+            (acc, x) => acc + abs(x.cast("double"))), 4).as("l1"),
+          round(sort_array(e, asc = false).getItem(0).cast("double"), 4)
+            .as("top1"),
+          round(sort_array(e, asc = false).getItem(1).cast("double"), 4)
+            .as("top2"))
+        .orderBy("vec_id")
+    }, Some("""
+      SELECT vec_id,
+             len(list_filter(embedding, x -> x > 0)) AS n_pos,
+             round(list_reduce(list_transform(embedding::DOUBLE[],
+               x -> abs(x)), (a, b) -> a + b), 4) AS l1,
+             round((list_sort(embedding::DOUBLE[], 'DESC'))[1], 4) AS top1,
+             round((list_sort(embedding::DOUBLE[], 'DESC'))[2], 4) AS top2
+      FROM embeddings ORDER BY vec_id"""))),
+
     // Built-in session windows (session_window, the declarative twin of
     // streaming.Streams' flatMapGroupsWithState sessionizer in
     // evt_sessionize): gap-merged sessions as a grouping expression — one
