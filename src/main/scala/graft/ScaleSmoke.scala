@@ -63,7 +63,10 @@ object ScaleSmoke {
       "q_salted_agg", "q_approx_percentile", "q_zvalue", "text_quality",
       "evt_sessionize", "e2e_pipeline",
       "q_bloom_join", "q19_discount", "q22_no_urgent", "q_histogram",
-      "q_profile", "q_fuzzy", "evt_gapfill", "llm_vocab_encode"))
+      "q_profile", "q_fuzzy", "evt_gapfill", "llm_vocab_encode",
+      "q_cms_heavy", "evt_anomaly", "evt_funnel", "evt_retention",
+      "evt_session_window", "q_array_hof", "q_grouping_sets",
+      "q_window_dist", "c5_time_travel"))
       time(q) { qs(q)(spark, dst).count() }
     spark.stop()
   }
