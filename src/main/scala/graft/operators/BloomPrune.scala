@@ -84,7 +84,9 @@ object BloomPrune {
       numBits: Long = 8000000L): DataFrame = {
     register(fact.sparkSession)
     val bloom = buildBloom(dim, dimKey, expectedItems, numBits)
-    fact.filter(mightContain(lit(bloom), col(factKey)))
-      .join(dim, col(factKey) === col(dimKey))
+    // Resolve keys against their OWNING frames — `col(...)` would be
+    // ambiguous at analysis whenever fact and dim share the key name.
+    fact.filter(mightContain(lit(bloom), fact(factKey)))
+      .join(dim, fact(factKey) === dim(dimKey))
   }
 }

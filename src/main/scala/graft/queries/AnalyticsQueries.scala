@@ -368,8 +368,9 @@ object AnalyticsQueries {
     }, Some("""
       SELECT vec_id,
              len(list_filter(embedding, x -> x > 0)) AS n_pos,
-             round(list_reduce(list_transform(embedding::DOUBLE[],
-               x -> abs(x)), (a, b) -> a + b), 4) AS l1,
+             round(list_reduce(list_prepend(0.0,
+               list_transform(embedding::DOUBLE[], x -> abs(x))),
+               (a, b) -> a + b), 4) AS l1,
              round((list_sort(embedding::DOUBLE[], 'DESC'))[1], 4) AS top1,
              round((list_sort(embedding::DOUBLE[], 'DESC'))[2], 4) AS top2
       FROM embeddings ORDER BY vec_id"""))),
@@ -378,7 +379,10 @@ object AnalyticsQueries {
     // streaming.Streams' flatMapGroupsWithState sessionizer in
     // evt_sessionize): gap-merged sessions as a grouping expression — one
     // shuffle on (user, window), merging handled by the aggregation
-    // itself. Same oracle shape as the custom sessionizer.
+    // itself. The oracle mirrors session_window's END-EXCLUSIVE boundary
+    // (an event exactly `gap` after the previous one starts a NEW
+    // session: delta >= gap) on microsecond-truncated timestamps — the
+    // precision Spark actually compares at (`timestamp_micros`).
     "evt_session_window" -> (((spark, dir) => {
       load(spark, dir, "events")
         .withColumn("tst", timestamp_micros(expr("ts div 1000")))
@@ -390,18 +394,19 @@ object AnalyticsQueries {
         .orderBy("user_id", "start_us")
     }, Some("""
       WITH marked AS (
-        SELECT user_id, epoch_ns(ts) AS tsn, "value",
-               CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER
-                      (PARTITION BY user_id ORDER BY epoch_ns(ts))
-                    > 3600 * CAST(1000000000 AS BIGINT) THEN 1 ELSE 0 END
+        SELECT user_id, epoch_ns(ts) // 1000 AS tsu, "value",
+               CASE WHEN epoch_ns(ts) // 1000
+                      - lag(epoch_ns(ts) // 1000) OVER
+                        (PARTITION BY user_id ORDER BY epoch_ns(ts))
+                    >= 3600 * CAST(1000000 AS BIGINT) THEN 1 ELSE 0 END
                  AS new_s
         FROM events),
       sess AS (
-        SELECT user_id, tsn, "value",
-               CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsn
+        SELECT user_id, tsu, "value",
+               CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu
                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
         FROM marked)
-      SELECT user_id, min(tsn) // 1000 AS start_us, count(*) AS n_events,
+      SELECT user_id, min(tsu) AS start_us, count(*) AS n_events,
              CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM sess GROUP BY user_id, sid
       ORDER BY user_id, start_us"""))),

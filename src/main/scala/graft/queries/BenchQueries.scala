@@ -314,12 +314,29 @@ object BenchQueries {
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))),
 
-    // Exact percentiles (sort-based interpolation — same definition as
-    // DuckDB's quantile_cont, verified to the 4th decimal)
+    // Percentiles with a BOUNDED-MEMORY primary plan: exact `percentile`
+    // buffers every group value in ONE aggregation buffer (3 groups over
+    // lineitem = the whole fact in 3 buffers — a 100 TB memory killer), so
+    // the first-class path is a deterministic k-minimum-hash sample
+    // (functions.KmhSample: ≤ 32·k bytes of state per group, map-side
+    // combinable) followed by exact interpolation over the ≤ k sampled
+    // values. The kept set is the k rows smallest by (md5-hash, pk) — a
+    // pure function of the data — so DuckDB replays the IDENTICAL sample
+    // via row_number() and the estimates hash-match exactly (stronger than
+    // a tolerance gate). Rank error ~0.5/sqrt(k) ≈ 0.6% at k = 8192.
     "q_percentile" -> (((spark, dir) => {
+      val k = 8192
+      val h = conv(substring(md5(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"))), 1, 15), 16, 10)
+        .cast("long")
       load(spark, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(percentile(col("l_extendedprice"),
+        .agg(graft.functions.KmhSample.sample(h,
+          col("l_orderkey").cast("long"), col("l_linenumber").cast("long"),
+          col("l_extendedprice").cast("double"), k).as("vals"))
+        .select(col("l_returnflag"), explode(col("vals")).as("v"))
+        .groupBy("l_returnflag")
+        .agg(percentile(col("v"),
           array(lit(0.25), lit(0.5), lit(0.75))).as("ps"))
         .select(col("l_returnflag"),
           round(element_at(col("ps"), 1), 4).as("p25"),
@@ -327,10 +344,50 @@ object BenchQueries {
           round(element_at(col("ps"), 3), 4).as("p75"))
         .orderBy("l_returnflag")
     }, Some("""
+      WITH h AS (
+        SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+               CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '|'
+                 || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+        FROM lineitem),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY hk, l_orderkey, l_linenumber) AS rn
+        FROM h)
       SELECT l_returnflag,
              round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
              round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
              round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+      FROM r WHERE rn <= 8192
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))),
+
+    // t-digest quantile sketch (functions.TDigest, Dunning's merging
+    // digest) gated against the exact percentile — the mergeable-sketch
+    // quantile twin beside KMV/CMS: ≤ ~δ/2 centroids of state per group at
+    // any scale. Estimates are merge-order-dependent within the error
+    // bound, so the gate is a tolerance band (q_approx_percentile's
+    // pattern); the exact values here are the sf0.01 ORACLE GATE, not the
+    // scale path — KmhSample/q_percentile is the replayable bounded path.
+    "q_tdigest" -> (((spark, dir) => {
+      load(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_extendedprice"),
+            array(lit(0.25), lit(0.5), lit(0.75))).as("ps"),
+          graft.functions.TDigest.quantiles(
+            col("l_extendedprice").cast("double"), 200,
+            Seq(0.25, 0.5, 0.75)).as("td"))
+        .select(col("l_returnflag") +: (1 to 3).flatMap(i =>
+          Seq(round(element_at(col("ps"), i), 4).as(s"p$i"),
+            (abs(element_at(col("td"), i) - element_at(col("ps"), i))
+              <= element_at(col("ps"), i) * 0.01).as(s"p${i}_ok"))): _*)
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.25), 4) AS p1,
+             TRUE AS p1_ok,
+             round(quantile_cont(l_extendedprice, 0.50), 4) AS p2,
+             TRUE AS p2_ok,
+             round(quantile_cont(l_extendedprice, 0.75), 4) AS p3,
+             TRUE AS p3_ok
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))),
 
     // Z-order (Morton) clustering values — the arithmetic behind

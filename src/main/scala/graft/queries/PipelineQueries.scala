@@ -101,16 +101,20 @@ object PipelineQueries {
     // read (time travel) and the latest read are compared against the
     // source-table oracle. The _latest pointer flip is the atomic commit.
     "c5_time_travel" -> (((spark, dir) => {
-      val t = java.nio.file.Files.createTempDirectory("vt_gate")
-        .resolve("docs").toString
+      val tmpRoot = java.nio.file.Files.createTempDirectory("vt_gate")
+      val t = tmpRoot.resolve("docs").toString
       val docs = load(spark, dir, "documents")
       graft.sink.VersionedTable.commit(docs.filter(col("lang") === "en"), t)
       graft.sink.VersionedTable.commit(docs, t)
-      val v1 = graft.sink.VersionedTable.read(spark, t, asOf = Some(1))
-        .agg(count(lit(1)).as("n")).withColumn("version", lit(1))
-      val v2 = graft.sink.VersionedTable.read(spark, t)
-        .agg(count(lit(1)).as("n")).withColumn("version", lit(2))
-      v1.unionByName(v2).select("version", "n").orderBy("version")
+      // Materialize both snapshot counts EAGERLY so the scratch dir can be
+      // reclaimed before returning (repeated Verify/ScaleSmoke runs must
+      // not accumulate snapshots in /tmp).
+      val n1 = graft.sink.VersionedTable.read(spark, t, asOf = Some(1))
+        .count()
+      val n2 = graft.sink.VersionedTable.read(spark, t).count()
+      graft.sink.StageWriter.deleteRecursively(tmpRoot)
+      spark.createDataFrame(Seq((1, n1), (2, n2))).toDF("version", "n")
+        .orderBy("version")
     }, Some("""
       SELECT 1 AS version, count(*) AS n FROM documents WHERE lang = 'en'
       UNION ALL

@@ -210,7 +210,7 @@ object StageWriter {
       finally s.close()
     }
 
-  private[sink] def deleteRecursively(p: java.nio.file.Path): Unit =
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)
       try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())

@@ -77,13 +77,17 @@ object VersionedTable {
   }
 
   /** Drop all version directories except the newest `keepLast` committed
-    * ones (never the pointed version). Returns the removed versions. */
+    * ones (never the pointed version). Directories NEWER than the pointer
+    * are stranded by definition (a crashed commit wrote data but never
+    * flipped `_latest`; readers can't see them) and are reclaimed too —
+    * that makes vacuum the full stranded-swap cleaner its StageWriter twin
+    * is. Returns the removed versions. */
   def vacuum(table: String, keepLast: Int): Seq[Int] = {
     require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast)")
     val committed = latestVersion(table).getOrElse(return Seq.empty)
     val keep = versions(table).filter(_ <= committed).takeRight(keepLast)
       .toSet + committed
-    val drop = versions(table).filterNot(keep).filter(_ <= committed)
+    val drop = versions(table).filterNot(keep)
     drop.foreach { v =>
       StageWriter.deleteRecursively(Paths.get(versionDir(table, v)))
     }
