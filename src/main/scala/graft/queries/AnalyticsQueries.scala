@@ -274,6 +274,35 @@ object AnalyticsQueries {
       SELECT count(*) AS viewers, count(first_purchase) AS converted
       FROM conv"""))),
 
+    // N-step ordered funnel (operators.Funnel): view → click within 24 h
+    // of the first view → purchase within 24 h of THAT click. Chained
+    // window MINs over one user partitioning — one events scan, one
+    // shuffle, no join-backs (the per-step windows all reuse the same
+    // exchange). Oracle = the identical chained-window form in DuckDB.
+    "evt_funnel_steps" -> (((spark, dir) => {
+      val day = 86400000000000L
+      graft.operators.Funnel.counts(load(spark, dir, "events"),
+        "user_id", "event_type", "ts", "view",
+        Seq(("click", day), ("purchase", day)))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
+      s1 AS (
+        SELECT *, min(CASE WHEN event_type = 'view' THEN t END)
+                    OVER (PARTITION BY user_id) AS t1 FROM e),
+      s2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND t >= t1
+                        AND t < t1 + 86400000000000 THEN t END)
+                    OVER (PARTITION BY user_id) AS t2 FROM s1),
+      s3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND t >= t2
+                        AND t < t2 + 86400000000000 THEN t END)
+                    OVER (PARTITION BY user_id) AS t3 FROM s2),
+      u AS (SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+            FROM s3 WHERE t1 IS NOT NULL GROUP BY 1)
+      SELECT count(t1) AS step1_users, count(t2) AS step2_users,
+             count(t3) AS step3_users
+      FROM u"""))),
+
     // Cohort retention: cohort = each user's first active day; count
     // distinct users active at each day offset. The cohort comes from a
     // user-partitioned window MIN over the distinct activity — ONE events
