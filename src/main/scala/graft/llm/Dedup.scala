@@ -209,34 +209,75 @@ object Dedup {
     * turns PAIRS into duplicate CLUSTERS so one canonical doc per cluster
     * survives (pairwise keep-the-smaller is wrong for chains A~B~C).
     *
-    * Iterative min-label propagation: every node starts as its own label;
-    * each round takes the min of its neighbors' labels; stop at fixpoint.
-    * The driver loop is CONTROL only (rounds ≤ graph diameter — near-dup
-    * clusters are shallow); all data work is distributed joins/aggregations
-    * keyed by node id, and `localCheckpoint` truncates the growing lineage
-    * each round. maxIter bounds pathological chains.
+    * Alternating large-star / small-star rounds (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): each round
+    * rewires every node toward its neighborhood minimum —
+    *
+    *  - LARGE-STAR (centered at every node u over BOTH edge orientations):
+    *    attach each neighbor bigger than u to m = min(Γ(u) ∪ u);
+    *  - SMALL-STAR (edges oriented big→small, centered at the big end):
+    *    attach u and all its smaller neighbors to m = min(Γ(u)).
+    *
+    * The edge set contracts toward stars rooted at each component minimum
+    * in O(log n) rounds — vs O(diameter) for min-label propagation, the
+    * difference between 4 and 1000 rounds on a 1000-link near-dup chain.
+    * The driver loop stays CONTROL only (one fixpoint count per round);
+    * each star step is ONE window aggregation over a node-keyed exchange
+    * (no join-backs), and `localCheckpoint` truncates lineage per round.
+    * maxIter (default 20 ⇒ components up to ~2^20 nodes) bounds runaway
+    * graphs.
     *
     * Returns (id, cluster) for every node that appears in `pairs`, where
     * cluster = the smallest id in the component. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    ccWithRounds(pairs, maxIter)._1
+
+  /** `connectedComponents` plus the number of star rounds it took —
+    * exposed so the scale smoke can assert O(log n) convergence. */
+  private[graft] def ccWithRounds(pairs: DataFrame, maxIter: Int = 20)
+      : (DataFrame, Int) = {
+    val wU = Window.partitionBy("u")
+    val nodes = pairs.select(col("id1").as("id"))
+      .unionByName(pairs.select(col("id2").as("id")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr"))
-      val updated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("next"))
-        .localCheckpoint()
-      changed = updated.filter(col("next") < col("label")).count()
-      labels = updated.select(col("id"), col("next").as("label"))
+    // canonical big→small orientation; self-loops carry no connectivity
+    var edges = pairs
+      .select(greatest(col("id1"), col("id2")).as("u"),
+        least(col("id1"), col("id2")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      // large-star: center at BOTH endpoints (dual orientation), then one
+      // unordered window min per center — no aggregate-join-back
+      val dual = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val large = dual
+        .withColumn("m", least(min("v").over(wU), col("u")))
+        .filter(col("v") > col("u")) // bigger neighbors re-attach to m
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: neighbors are all < u here; u and every non-min
+      // neighbor attach to the minimum — orientation stays big→small
+      val withMin = large.withColumn("m", min("v").over(wU))
+      val small = withMin.select(col("u"), col("m").as("v")).distinct()
+        .unionByName(withMin.filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v")))
+        .distinct().localCheckpoint()
+      val smallCount = small.count()
+      converged = smallCount == edgeCount &&
+        small.exceptAll(edges).isEmpty
+      edges = small
+      edgeCount = smallCount
+      rounds += 1
     }
-    labels.select(col("id"), col("label").as("cluster"))
+    // fixpoint edges are stars (node → component min); roots and isolated
+    // nodes label themselves
+    val labels = nodes
+      .join(edges, nodes("id") === edges("u"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("cluster"))
+    (labels, rounds)
   }
 
   /** 64-bit SimHash from word hashes: per bit, sign of the sum of ±1

@@ -81,6 +81,17 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components converge in O(log n) rounds on a 1000-link chain") {
+    // a planted path 0-1-2-…-1000: diameter 1000, so min-label propagation
+    // needs 1000 rounds; alternating star rounds must finish in ~log2(n)
+    val chain = (0L until 1000L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val (labels, rounds) = Dedup.ccWithRounds(chain, maxIter = 20)
+    assert(rounds <= 12, s"expected O(log n) rounds, took $rounds")
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == 1001 && got.forall(_._2 == 0L),
+      s"all 1001 chain nodes must label to 0")
+  }
+
   test("simhash: identical texts have distance 0, near-dups small") {
     val hs = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
       .as[(Long, Long)].collect().toMap
