@@ -20,14 +20,31 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *  - old versions stay readable (`asOf`) until `vacuum`, which keeps the
   *    last K (Delta VACUUM-retention twin, same role as
   *    `StageWriter.vacuum` for stranded swaps);
-  *  - concurrent writers are NOT arbitrated (no optimistic-concurrency
-  *    log); the pipeline's per-table single-writer model makes that
-  *    acceptable, and it is the documented difference vs real Delta.
+  *  - concurrent writers ARE arbitrated, optimistically: a commit first
+  *    CLAIMS its version number via an atomic create-if-absent marker
+  *    (`_claims/N`), so of two writers racing from the same base exactly
+  *    one proceeds and the loser FAILS with
+  *    [[VersionedTable.ConcurrentCommitException]] — never silent
+  *    last-writer-wins. This is Delta's optimistic-concurrency insight
+  *    (the commit file's atomic create IS the lock,
+  *    `light_transform.py:1363-1409` relies on it via the Delta log)
+  *    reduced to one marker file. A writer that crashes between claim and
+  *    pointer flip strands its claim + data dir; both are invisible to
+  *    readers and reclaimed by `vacuum` (the documented recovery step,
+  *    like cleaning Delta's orphaned files).
   */
 object VersionedTable {
 
+  /** A concurrent writer won the race for this version (or the table head
+    * moved past the caller's expected base). The table is untouched by the
+    * loser; re-read the head and retry, or vacuum stranded claims. */
+  final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
+
   private def pointer(table: String) = Paths.get(table, "_latest")
   private def versionDir(table: String, v: Int) = s"$table/v=$v"
+  private def claim(table: String, v: Int) =
+    Paths.get(table, "_claims", v.toString)
 
   def latestVersion(table: String): Option[Int] = {
     val p = pointer(table)
@@ -54,9 +71,31 @@ object VersionedTable {
   }
 
   /** Write `df` as the next version and atomically repoint `_latest`.
-    * Returns the committed version number. */
-  def commit(df: DataFrame, table: String): Int = {
-    val next = latestVersion(table).getOrElse(0) + 1
+    * Returns the committed version number.
+    *
+    * Concurrency: fails (never overwrites) when another writer holds the
+    * next version's claim, or — with `expectedBase` — when the head has
+    * moved since the caller read it (the read-version check of an
+    * optimistic transaction). The claim is taken BEFORE the expensive
+    * data write, so the loser fails fast. */
+  def commit(df: DataFrame, table: String,
+      expectedBase: Option[Int] = None): Int = {
+    val base = latestVersion(table).getOrElse(0)
+    expectedBase.filter(_ != base).foreach { e =>
+      throw new ConcurrentCommitException(
+        s"$table: expected committed base $e but head is $base — " +
+          "a concurrent writer committed first")
+    }
+    val next = base + 1
+    Files.createDirectories(Paths.get(table, "_claims"))
+    try Files.createFile(claim(table, next))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentCommitException(
+          s"$table: version $next is already claimed by a concurrent " +
+            s"writer (committed head is $base) — retry from the new head, " +
+            "or vacuum if the claimant crashed")
+    }
     df.write.mode(SaveMode.Overwrite).parquet(versionDir(table, next))
     val tmp = Paths.get(table, s"_latest.tmp$next")
     Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
@@ -90,6 +129,18 @@ object VersionedTable {
     val drop = versions(table).filterNot(keep)
     drop.foreach { v =>
       StageWriter.deleteRecursively(Paths.get(versionDir(table, v)))
+      Files.deleteIfExists(claim(table, v))
+    }
+    // a crashed commit may have claimed a version without ever writing its
+    // dir — release those too (they'd block the head forever otherwise)
+    val claimsDir = Paths.get(table, "_claims")
+    if (Files.isDirectory(claimsDir)) {
+      val it = Files.list(claimsDir).iterator()
+      while (it.hasNext) {
+        val c = it.next()
+        val v = scala.util.Try(c.getFileName.toString.toInt).getOrElse(-1)
+        if (v > committed) Files.deleteIfExists(c)
+      }
     }
     drop
   }

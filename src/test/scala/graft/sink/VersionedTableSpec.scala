@@ -42,6 +42,54 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, t).as[Int].collect().toSeq == Seq(7))
   }
 
+  test("two-writer race: exactly one commit wins, the table stays consistent") {
+    val t = freshTable()
+    VersionedTable.commit(Seq(0).toDF("x"), t)
+    // both writers read head=1, then race their commits on a barrier
+    val base = VersionedTable.latestVersion(t).get
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = (1 to 2).map { i =>
+      val f = new java.util.concurrent.FutureTask(() => {
+        barrier.await()
+        try Right(VersionedTable.commit(Seq(i * 10).toDF("x"), t,
+          expectedBase = Some(base)))
+        catch {
+          case e: VersionedTable.ConcurrentCommitException => Left(e)
+        }
+      })
+      new Thread(f).start(); f
+    }.map(_.get())
+    assert(results.count(_.isRight) == 1, s"exactly one writer must win: $results")
+    assert(results.count(_.isLeft) == 1, s"the loser must FAIL, not silently overwrite: $results")
+    assert(VersionedTable.latestVersion(t).contains(2))
+    val v = VersionedTable.read(spark, t).as[Int].collect().toSeq
+    assert(v == Seq(10) || v == Seq(20)) // the winner's data, intact
+  }
+
+  test("stale expectedBase fails fast without touching the table") {
+    val t = freshTable()
+    VersionedTable.commit(Seq(1).toDF("x"), t)
+    VersionedTable.commit(Seq(2).toDF("x"), t) // head moves to 2
+    intercept[VersionedTable.ConcurrentCommitException] {
+      VersionedTable.commit(Seq(99).toDF("x"), t, expectedBase = Some(1))
+    }
+    assert(VersionedTable.latestVersion(t).contains(2))
+    assert(VersionedTable.read(spark, t).as[Int].collect().toSeq == Seq(2))
+  }
+
+  test("a crashed claimant blocks the head until vacuum releases the claim") {
+    val t = freshTable()
+    VersionedTable.commit(Seq(1).toDF("x"), t)
+    // simulate: a writer claimed v2 then died before writing anything
+    Files.createFile(java.nio.file.Paths.get(t, "_claims", "2"))
+    intercept[VersionedTable.ConcurrentCommitException] {
+      VersionedTable.commit(Seq(2).toDF("x"), t)
+    }
+    VersionedTable.vacuum(t, keepLast = 5) // recovery: releases the claim
+    assert(VersionedTable.commit(Seq(2).toDF("x"), t) == 2)
+    assert(VersionedTable.read(spark, t).as[Int].collect().toSeq == Seq(2))
+  }
+
   test("vacuum keeps the newest K committed versions") {
     val t = freshTable()
     (1 to 5).foreach(i => VersionedTable.commit(Seq(i).toDF("x"), t))
