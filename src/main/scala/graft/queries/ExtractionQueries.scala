@@ -28,7 +28,7 @@ object ExtractionQueries {
     Clock.fixed(Instant.parse("1997-09-15T12:00:00Z"), ZoneOffset.UTC)
   private val utc = ZoneId.of("UTC")
 
-  val defs: Map[String, Entry] = Map(
+  val defs: Map[String, Entry] = Map[String, Entry](
 
     // A1/A2 — projection-list builder with expression + implicit alias,
     // driven through Parsing.projectionList (top-level comma split)
@@ -228,5 +228,5 @@ object ExtractionQueries {
     }, Some("""
       SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
       ORDER BY l_returnflag, l_linestatus""")))
-  )
+  ) ++ DialectQueries.defs
 }
