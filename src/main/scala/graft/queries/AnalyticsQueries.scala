@@ -507,7 +507,7 @@ object AnalyticsQueries {
         .join(broadcast(dim), "nk")
         .groupBy("n_name")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
-      val sink = s"evt_stream_static_${System.nanoTime()}"
+      val sink = s"evt_stream_static_${Q.nextSinkId()}"
       val q = agg.writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -516,6 +516,40 @@ object AnalyticsQueries {
       SELECT n_name, count(*) AS n,
              CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
-      GROUP BY 1 ORDER BY 1""")))
+      GROUP BY 1 ORDER BY 1"""))),
+
+    // Kill-restart EXACTLY-ONCE in the gate: half the events stream through
+    // rawToStage, the query is STOPPED (simulated driver death after a
+    // committed batch), the other half lands in raw, and a brand-new query
+    // resumes from the SAME checkpoint. The oracle is the full batch over
+    // ALL events — any replay (duplicates) or loss at the restart boundary
+    // breaks n / n_ids / the decimal-exact total. Scratch dirs are
+    // reclaimed after the counts materialize.
+    "evt_stream_restart" -> (((spark, dir) => {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = java.nio.file.Files.createTempDirectory("restart_gate")
+      val (raw, stage, chk) = (tmp.resolve("raw").toString,
+        tmp.resolve("stage").toString, tmp.resolve("chk").toString)
+      val ev = load(spark, dir, "events")
+      ev.filter(col("event_id") % 2 === 0).write.parquet(raw)
+      def run(): Unit = {
+        val q = graft.streaming.Streams.rawToStage(spark, raw, stage, chk,
+          df => df.filter(col("event_type").isin("click", "view", "purchase")))
+        q.processAllAvailable(); q.stop()
+      }
+      run() // first life commits the even half
+      ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(raw)
+      run() // restart: only the delta may be processed
+      val row = spark.read.parquet(stage)
+        .agg(count(lit(1)).as("n"), count_distinct(col("event_id")).as("ids"),
+          dsum(col("value")).as("total")).head()
+      graft.sink.StageWriter.deleteRecursively(tmp)
+      spark.createDataFrame(Seq(
+        (row.getLong(0), row.getLong(1), row.getDouble(2))))
+        .toDF("n", "n_ids", "total")
+    }, Some("""
+      SELECT count(*) AS n, count(DISTINCT event_id) AS n_ids,
+             CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')""")))
   )
 }

@@ -50,4 +50,9 @@ object Q {
   def dsum(c: Column): Column = sum(d18(c)).cast(DoubleType)
 
   def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  private val sinkIds = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Per-JVM unique suffix for memory-sink names — a deterministic counter,
+    * not a wall clock, so the battery stays nondeterminism-free. */
+  def nextSinkId(): Long = sinkIds.incrementAndGet()
 }
