@@ -26,28 +26,48 @@ object Bench {
       } catch { case scala.util.control.NonFatal(_) => -1.0 }
       finally spark.catalog.clearCache()
     }
+    // optional comma-separated subset (battery-size A/B runs: the same
+    // queries timed in a small battery vs the full one isolate JVM/GC
+    // pressure from genuine plan regressions)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // untimed warmup pass: JIT + codegen caches + parquet footer reads, so
     // the timed passes measure engine throughput, not JVM startup
-    SparkEntry.queries.foreach { case (_, fn) => run(fn) }
+    queries.foreach { case (_, fn) => run(fn) }
     // three timed passes, keep the per-query minimum: single-pass timings
     // at this scale are GC/JIT-noise-dominated (±30% run-to-run totals;
     // min-of-2 still drifted ~20% between runs). A failure in ANY pass
-    // marks the query -1 (failed).
+    // marks the query -1 (failed). The per-query relative spread
+    // (max-min)/min across the three passes is recorded alongside — the
+    // within-JVM noise floor a cross-round comparison must clear before a
+    // delta means anything.
     def timedPass(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) => name -> run(fn) }
+      queries.map { case (name, fn) => name -> run(fn) }
     val passes = Seq(timedPass(), timedPass(), timedPass())
     val results = passes.head.keys.map { k =>
       val vs = passes.map(_(k))
       k -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
     }.toMap
+    val spreads = passes.head.keys.map { k =>
+      val vs = passes.map(_(k))
+      k -> (if (vs.exists(_ < 0) || vs.min <= 0) -1.0
+            else BigDecimal((vs.max - vs.min) / vs.min)
+              .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
     val failures = results.count(_._2 < 0)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sp = spreads.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val note = s"${results.size} queries ($failures failed; failed queries " +
       "recorded as -1 and excluded from total), full evaluation via noop " +
-      "sink (count() lets Catalyst prune projections), min of 3 timed passes"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir","note":"$note"}""")
+      "sink (count() lets Catalyst prune projections), min of 3 timed " +
+      "passes; variance[q] = (max-min)/min across the passes (within-JVM " +
+      "noise floor)"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"variance":$sp,"failures":$failures,"sf":"$sfDir","note":"$note"}""")
     spark.stop()
   }
 }

@@ -40,6 +40,26 @@ object ScaleSmoke {
       println(f"[scale] $label%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
 
+    // max per-task peak execution memory (Spark's memory-consumer high-water
+    // mark: aggregation maps, sorts, joins) across everything run inside f —
+    // the measured twin of "the aggregation buffer is bounded"
+    val peak = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null)
+            peak.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+        }
+      })
+    def peakMemMb(f: => Long): (Long, Double) = {
+      peak.set(0)
+      val n = f
+      Thread.sleep(500) // let the listener bus drain task-end events
+      (n, peak.get() / 1e6)
+    }
+
     val M = 10000000L
     replicate("lineitem", Map("l_orderkey" -> M))
     replicate("orders", Map("o_orderkey" -> M, "o_custkey" -> M))
@@ -65,9 +85,62 @@ object ScaleSmoke {
       "q_bloom_join", "q19_discount", "q22_no_urgent", "q_histogram",
       "q_profile", "q_fuzzy", "evt_gapfill", "llm_vocab_encode",
       "q_cms_heavy", "evt_anomaly", "evt_funnel", "evt_retention",
-      "evt_session_window", "q_array_hof", "q_grouping_sets",
-      "q_window_dist", "c5_time_travel"))
+      "evt_funnel_steps", "evt_session_window", "q_array_hof",
+      "q_grouping_sets", "q_window_dist", "c5_time_travel", "q_tdigest"))
       time(q) { qs(q)(spark, dst).count() }
+
+    // ---- bounded-percentile proof: peak task memory FLAT as data grows ----
+    // q_percentile's primary plan is the KmhSample bounded sample; its
+    // aggregation state is ≤ 32·k bytes per group no matter the input, so
+    // the task-level memory high-water mark must not scale with rep.
+    val (_, mem1) = peakMemMb { qs("q_percentile")(spark, src).count() }
+    val (_, memN) = peakMemMb { qs("q_percentile")(spark, dst).count() }
+    println(f"[scale] q_percentile peak task mem: 1x ${mem1}%.1f MB -> " +
+      f"${rep}x ${memN}%.1f MB (bounded sample: must stay flat)")
+    assert(memN <= math.max(mem1 * 2, mem1 + 64),
+      f"q_percentile peak memory grew ${memN / math.max(mem1, 0.1)}%.1fx " +
+        s"at ${rep}x — the sample buffer is supposed to be bounded")
+
+    // ---- LSH skew-in-anger: ONE band hash covering 20% of documents ----
+    // A fifth of the corpus becomes the same boilerplate text, so every
+    // band of those docs hashes identically — the degenerate hot bucket.
+    // cappedBuckets must (a) keep the aggregation buffers bounded (peak
+    // memory comparable to the organic corpus) and (b) emit exactly
+    // C(maxBucket,2) hot-pair candidates, not C(0.2·N,2).
+    val docs = spark.read.parquet(s"$dst/documents.parquet")
+    val boiler = "the same boilerplate terms of service text stamped onto " +
+      "a fifth of every page in this corpus by the site template"
+    val skewed = docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(5)) === 0, lit(boiler))
+        .otherwise(col("text")))
+    val cap = 64
+    def lshPairs(d: org.apache.spark.sql.DataFrame) =
+      graft.llm.Dedup.minhashLshPairs(d, "doc_id", "text",
+        shingleWidth = 3, k = 32, b = 8, threshold = 0.8, maxBucket = cap)
+    val (nOrganic, memOrganic) = peakMemMb { lshPairs(docs).count() }
+    val t0 = System.nanoTime()
+    val (nSkew, memSkew) = peakMemMb { lshPairs(skewed).count() }
+    println(f"[scale] lsh skew 20%% hot band   ${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+      f"($nSkew pairs; organic $nOrganic; peak mem organic ${memOrganic}%.1f MB " +
+      f"-> skewed ${memSkew}%.1f MB)")
+    val hotIds = skewed.filter(col("text") === boiler)
+      .select(col("doc_id").as("hid"))
+    val hotPairs = lshPairs(skewed)
+      .join(hotIds, col("id1") === col("hid")).drop("hid")
+      .join(hotIds, col("id2") === col("hid"))
+      .count()
+    // every band keeps the SAME `cap` smallest hot ids, so after cross-band
+    // dedup the hot clique contributes exactly C(cap,2) pairs — not
+    // C(0.2·N,2), which at 10x would be ~2e9
+    val expectHot = cap.toLong * (cap - 1) / 2
+    assert(hotPairs == expectHot,
+      s"hot-clique pairs $hotPairs != C($cap,2)=$expectHot — " +
+        "bucket capping failed under 20% skew")
+    assert(memSkew <= math.max(memOrganic * 3, memOrganic + 64),
+      f"skewed-corpus peak memory ${memSkew}%.1f MB vs organic " +
+        f"${memOrganic}%.1f MB — aggregation buffers not bounded under skew")
+    println(s"[scale] lsh skew assertions OK: hot pairs $hotPairs <= " +
+      s"$expectHot, peak mem bounded")
     spark.stop()
   }
 }
