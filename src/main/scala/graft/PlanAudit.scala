@@ -18,7 +18,8 @@ object PlanAudit {
         "a4_filter_semijoin", "c3_dedup_latest", "dd_exact", "sim_topk",
         "dd_incremental", "llm_decontaminate", "text_tfidf",
         "llm_pack_sequences", "q_zvalue", "q_bloom_join", "q19_discount",
-        "q22_no_urgent", "evt_gapfill", "q_fuzzy")
+        "q22_no_urgent", "evt_gapfill", "q_fuzzy", "q_percentile",
+        "q_tdigest", "evt_funnel_steps")
     val qs = SparkEntry.queries
     targets.foreach { name =>
       println(s"\n########## $name ##########")

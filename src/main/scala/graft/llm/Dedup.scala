@@ -245,31 +245,40 @@ object Dedup {
       .select(greatest(col("id1"), col("id2")).as("u"),
         least(col("id1"), col("id2")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
-    var edgeCount = edges.count()
-    var converged = edgeCount == 0
+    // fixpoint detection by (count, hash-sum) fingerprint of the edge SET:
+    // one tiny scan of the fresh checkpoint instead of a full-shuffle
+    // set-difference per round (a collision would need two different edge
+    // sets with equal count AND equal 64-bit hash sum — the same uniform-
+    // hash assumption the sketch family already rests on)
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var fp = fingerprint(edges)
+    var converged = fp._1 == 0
     var rounds = 0
     while (!converged && rounds < maxIter) {
       // large-star: center at BOTH endpoints (dual orientation), then one
-      // unordered window min per center — no aggregate-join-back
+      // unordered window min per center — no aggregate-join-back. Row count
+      // is CONSERVED (each undirected edge survives as exactly one of its
+      // two orientations), so no dedup is needed before the next window.
       val dual = edges.unionByName(
         edges.select(col("v").as("u"), col("u").as("v")))
       val large = dual
         .withColumn("m", least(min("v").over(wU), col("u")))
         .filter(col("v") > col("u")) // bigger neighbors re-attach to m
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
       // small-star: neighbors are all < u here; u and every non-min
       // neighbor attach to the minimum — orientation stays big→small
       val withMin = large.withColumn("m", min("v").over(wU))
-      val small = withMin.select(col("u"), col("m").as("v")).distinct()
+      val small = withMin.select(col("u"), col("m").as("v"))
         .unionByName(withMin.filter(col("v") =!= col("m"))
           .select(col("v").as("u"), col("m").as("v")))
         .distinct().localCheckpoint()
-      val smallCount = small.count()
-      converged = smallCount == edgeCount &&
-        small.exceptAll(edges).isEmpty
+      val fpNext = fingerprint(small)
+      converged = fpNext == fp
       edges = small
-      edgeCount = smallCount
+      fp = fpNext
       rounds += 1
     }
     // fixpoint edges are stars (node → component min); roots and isolated
