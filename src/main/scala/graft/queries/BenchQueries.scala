@@ -390,6 +390,70 @@ object BenchQueries {
              TRUE AS p3_ok
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))),
 
+    // Winsorized (outlier-clipped) aggregation with BOUNDED state: the
+    // p05/p95 clip cutoffs come from the deterministic KmhSample — but as
+    // DISCRETE order statistics (an element of the sorted sample, i.e. a
+    // raw data value), never an interpolated midpoint, so the decimal cast
+    // of the clipped value is always a cast of raw data (midpoints round
+    // differently per engine at the half-cent). Cutoffs broadcast (3 tiny
+    // rows) onto the full scan; one pass, no group-sized buffers anywhere.
+    "q_winsorize" -> (((spark, dir) => {
+      val k = 8192
+      val h = conv(substring(md5(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"))), 1, 15), 16, 10)
+        .cast("long")
+      val cuts = load(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(graft.functions.KmhSample.sample(h,
+          col("l_orderkey").cast("long"), col("l_linenumber").cast("long"),
+          col("l_extendedprice").cast("double"), k).as("vals"))
+        .select(col("l_returnflag"), sort_array(col("vals")).as("sv"),
+          size(col("vals")).as("n"))
+        .select(col("l_returnflag"),
+          element_at(col("sv"), greatest(lit(1),
+            ceil(lit(0.05) * col("n")).cast("int"))).as("lo"),
+          element_at(col("sv"),
+            ceil(lit(0.95) * col("n")).cast("int")).as("hi"))
+      load(spark, dir, "lineitem")
+        .join(broadcast(cuts), "l_returnflag")
+        .select(col("l_returnflag"),
+          least(greatest(col("l_extendedprice").cast("double"), col("lo")),
+            col("hi")).as("w"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(d18(col("w"))).cast("double")
+          .as("wsum"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      WITH h AS (
+        SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+               CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '|'
+                 || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+        FROM lineitem),
+      s AS (
+        SELECT l_returnflag, l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY hk, l_orderkey, l_linenumber) AS rn
+        FROM h),
+      samp AS (SELECT l_returnflag, l_extendedprice FROM s WHERE rn <= 8192),
+      idx AS (SELECT l_returnflag, count(*) AS n FROM samp GROUP BY 1),
+      srt AS (
+        SELECT l_returnflag, l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice) AS rv
+        FROM samp),
+      cut AS (
+        SELECT srt.l_returnflag,
+               max(CASE WHEN rv = greatest(1, CAST(ceil(0.05 * n) AS BIGINT))
+                   THEN l_extendedprice END) AS lo,
+               max(CASE WHEN rv = CAST(ceil(0.95 * n) AS BIGINT)
+                   THEN l_extendedprice END) AS hi
+        FROM srt JOIN idx USING (l_returnflag) GROUP BY 1)
+      SELECT f.l_returnflag, count(*) AS n,
+             CAST(SUM(CAST(least(greatest(f.l_extendedprice, cut.lo), cut.hi)
+               AS DECIMAL(18,2))) AS DOUBLE) AS wsum
+      FROM lineitem f JOIN cut ON f.l_returnflag = cut.l_returnflag
+      GROUP BY 1 ORDER BY 1"""))),
+
     // Z-order (Morton) clustering values — the arithmetic behind
     // Layout.zorderWrite's multi-dimensional file clustering (Delta
     // OPTIMIZE ZORDER twin), verified bit-for-bit: the oracle computes the

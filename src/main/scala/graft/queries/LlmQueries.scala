@@ -216,6 +216,54 @@ object LlmQueries {
                  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       FROM documents GROUP BY source ORDER BY source"""))),
 
+    // Temperature-based multilingual rebalancing (the α=0.5 upsampling of
+    // low-resource languages from multilingual-LM data work): target share
+    // per language ∝ n^α, keep-rate r = min(1, share·T/n) materialized as
+    // an integer PPM threshold against the portable doc hash — fully
+    // deterministic (per-language sqrt terms go through a 6-dp decimal sum
+    // so the normalizer is exact and order-independent), one scan + one
+    // broadcast of 4 tiny rate rows.
+    "llm_temperature_mix" -> (((spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val z = counts.agg(
+        sum(round(sqrt(col("n")), 6).cast("decimal(18,6)")).cast("double")
+          .as("z"),
+        sum(col("n")).as("total"))
+      val rates = counts.crossJoin(broadcast(z))
+        .withColumn("rate_ppm", least(lit(1000000L),
+          floor(round(sqrt(col("n")), 6).cast("double") / col("z") *
+            floor(col("total") * 0.4) / col("n") * 1000000).cast("long")))
+        .select(col("lang"), col("rate_ppm"))
+      docs
+        .withColumn("b",
+          graft.llm.Dedup.portableWordHash(col("doc_id")) % 1000000)
+        .join(broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("b") < col("rate_ppm"), 1L).otherwise(0L))
+            .as("n_kept"),
+          max(col("rate_ppm")).as("rate_ppm"))
+        .orderBy("lang")
+    }, Some(s"""
+      WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      zt AS (SELECT CAST(SUM(CAST(round(sqrt(n), 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) AS z,
+                    CAST(SUM(n) AS BIGINT) AS total FROM c),
+      r AS (SELECT lang,
+              least(1000000, CAST(floor(CAST(round(sqrt(n), 6) AS DOUBLE)
+                / z * floor(total * 0.4) / n * 1000000) AS BIGINT))
+                AS rate_ppm
+            FROM c, zt)
+      SELECT d.lang, count(*) AS n_total,
+             CAST(SUM(CASE WHEN (CAST(concat('0x',
+                   substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % ${graft.llm.Dedup.PortableP}) % 1000000
+                 < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             max(r.rate_ppm) AS rate_ppm
+      FROM documents d JOIN r USING (lang)
+      GROUP BY 1 ORDER BY 1"""))),
+
     // Sequence packing: assemble docs into fixed token-budget training
     // sequences (2048) with a per-SHARD running token sum — the window is
     // partitioned by shard so packing parallelizes across executors (a
