@@ -519,4 +519,51 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))
   }
+
+  /** EXACT set-similarity self-join via prefix filtering (Chaudhuri et al.
+    * SSJoin / Bayardo et al. "Scaling Up All Pairs" / PPJoin family) — the
+    * exact complement to the probabilistic LSH miners: returns EVERY pair
+    * with token-set Jaccard ≥ threshold, no false negatives.
+    *
+    * Theorem: order every set by one GLOBAL total order (here ascending
+    * token frequency, rarest first, ties by token) — if J(x,y) ≥ t then
+    * |x∩y| ≥ ⌈t·|x|⌉, so the first |x| − ⌈t·|x|⌉ + 1 tokens of x (its
+    * PREFIX) must intersect y's prefix. Candidate generation is therefore
+    * an equi-join on prefix tokens only — and because the global order
+    * puts the RAREST tokens in prefixes, candidate lists are naturally
+    * short (the frequency skew works FOR us, unlike a join on raw tokens).
+    *
+    * Scale shape: token-frequency join keyed by token; per-doc ordering is
+    * one collect_list bounded by document length; candidates carry only
+    * (id1, id2); the token arrays are joined back ONLY for verified
+    * candidates (the minhashLshPairs discipline). */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
+    val toks = df.select(col(idCol).as("id"),
+      array_distinct(split(trim(lower(col(textCol))), "\\s+")).as("ts"))
+    val tokenRows = toks.select(col("id"), explode(col("ts")).as("tok"))
+    val freq = tokenRows.groupBy("tok").agg(count(lit(1)).as("f"))
+    val ordered = tokenRows.join(freq, "tok")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("f"), col("tok")))).as("st"))
+      .select(col("id"),
+        transform(col("st"), _.getField("tok")).as("ots"))
+      .withColumn("plen",
+        size(col("ots")) - ceil(size(col("ots")) * threshold).cast("int")
+          + 1)
+    val prefixRows = ordered.select(col("id"),
+      explode(slice(col("ots"), lit(1), col("plen"))).as("ptok"))
+    val cands = prefixRows.select(col("id").as("id1"), col("ptok"))
+      .join(prefixRows.select(col("id").as("id2"), col("ptok")), "ptok")
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val sets = ordered.select(col("id"), col("ots"))
+    cands
+      .join(sets.select(col("id").as("id1"), col("ots").as("ts1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("ots").as("ts2")), "id2")
+      .withColumn("jaccard", jaccard(col("ts1"), col("ts2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
 }

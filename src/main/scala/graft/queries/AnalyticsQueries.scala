@@ -550,6 +550,37 @@ object AnalyticsQueries {
     }, Some("""
       SELECT count(*) AS n, count(DISTINCT event_id) AS n_ids,
              CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
-      FROM events WHERE event_type IN ('click', 'view', 'purchase')""")))
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')"""))),
+
+    // Streaming exact dedup in the gate (Streams.dedupStream /
+    // dropDuplicatesWithinWatermark): every event is delivered TWICE and
+    // the stream must emit each event_id exactly once, with state bounded
+    // by the watermark horizon instead of the stream length. Oracle = the
+    // plain batch over the ORIGINAL (single-delivery) events.
+    "evt_stream_dedup" -> (((spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = java.nio.file.Files.createTempDirectory("sdedup_gate")
+      val raw = tmp.resolve("raw").toString
+      val ev = load(spark, dir, "events")
+      ev.unionByName(ev).write.parquet(raw) // duplicate delivery
+      val schema = spark.read.parquet(raw).schema
+      val in = spark.readStream.schema(schema).parquet(raw)
+      val deduped = graft.streaming.Streams.dedupStream(in, Seq("event_id"))
+      val sink = s"evt_stream_dedup_${Q.nextSinkId()}"
+      val q = deduped.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val row = spark.table(sink)
+        .agg(count(lit(1)).as("n"), count_distinct(col("event_id")).as("ids"),
+          dsum(col("value")).as("total")).head()
+      graft.sink.StageWriter.deleteRecursively(tmp)
+      spark.createDataFrame(Seq(
+        (row.getLong(0), row.getLong(1), row.getDouble(2))))
+        .toDF("n", "n_ids", "total")
+    }, Some("""
+      SELECT count(*) AS n, count(DISTINCT event_id) AS n_ids,
+             CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events""")))
   )
 }

@@ -458,6 +458,39 @@ object LlmQueries {
       FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
       ORDER BY id1"""))),
 
+    // EXACT set-similarity self-join via prefix filtering (PPJoin family,
+    // Dedup.prefixJaccardPairs): every pair with word-set Jaccard ≥ 0.8,
+    // no false negatives — the exact complement to the LSH miners. The
+    // oracle is the O(n²) brute force over ALL pairs, so the hash match
+    // proves the prefix filter dropped nothing. Gated on a FIXED 500-doc
+    // slice (the full corpus at sf0.01): this synthetic corpus shares a
+    // template vocabulary so ~25% of ALL pairs pass even at 0.8 — output
+    // is inherently quadratic in corpus size on this data, and the bounded
+    // slice keeps the bench measuring the operator, not the data's
+    // pathology. (On natural corpora the rare-token prefixes are the
+    // selectivity; LSH miners remain the first-line tool either way.)
+    "dd_prefix_join" -> (((spark, dir) => {
+      Dedup.prefixJaccardPairs(
+          load(spark, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text", threshold = 0.8)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("j4"))
+        .orderBy("id1", "id2")
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_distinct(string_split_regex(lower(trim(text)), '\s+'))
+                 AS ts
+        FROM documents WHERE doc_id < 500)
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+               (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 4)
+               AS j4
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+              (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+            >= 0.8
+      ORDER BY id1, id2"""))),
+
     // Embedding near-dup via sign-LSH. The raw corpus has no cosine≥0.9
     // pairs, so plant exact duplicates (scaled copies, cosine = 1.0) of the
     // first 20 vectors — the detector must surface them. The portable

@@ -81,6 +81,30 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-filtered set-similarity join equals brute force (no false negatives)") {
+    val corpus = (1 to 60).map { i =>
+      // overlapping sliding vocabularies: plenty of pairs straddle the
+      // threshold from both sides
+      val words = (i until i + 10).map(w => s"w${w % 25}").distinct
+      (i.toLong, words.mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8)) {
+      val got = Dedup.prefixJaccardPairs(df, "doc_id", "text", t)
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2)).toSet
+      val sets = corpus.map { case (id, tx) =>
+        id -> tx.split("\\s+").toSet }.toMap
+      val expect = (for {
+        a <- corpus.map(_._1); b <- corpus.map(_._1) if a < b
+        inter = sets(a).intersect(sets(b)).size.toDouble
+        j = inter / (sets(a).size + sets(b).size - inter)
+        if j >= t
+      } yield (a, b)).toSet
+      assert(got == expect, s"threshold $t")
+    }
+  }
+
   test("connected components converge in O(log n) rounds on a 1000-link chain") {
     // a planted path 0-1-2-…-1000: diameter 1000, so min-label propagation
     // needs 1000 rounds; alternating star rounds must finish in ~log2(n)
