@@ -96,6 +96,29 @@ object PipelineQueries {
                   ELSE o_totalprice END AS total
       FROM orders ORDER BY o_orderkey"""))),
 
+    // C6+ — CDC MERGE with tombstones: the delta carries op U/D; deletes
+    // remove matched keys, upserts replace-or-insert, one key shuffle
+    // (StageWriter.mergeCdc — the whenMatchedDelete leg Delta adds over
+    // plain upsert MERGE).
+    "c6_cdc" -> (((spark, dir) => {
+      val orders = load(spark, dir, "orders")
+      val ups = orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        .withColumn("op", lit("U"))
+      val dels = orders
+        .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 10 =!= 0)
+        .withColumn("op", lit("D"))
+      StageWriter.mergeCdc(orders, ups.unionByName(dels), Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice").as("total"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+                  ELSE o_totalprice END AS total
+      FROM orders
+      WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0)
+      ORDER BY o_orderkey"""))),
+
     // C5+ — versioned snapshots with time travel (sink.VersionedTable, the
     // Delta versionAsOf twin): two commits INSIDE the gate, then the v1
     // read (time travel) and the latest read are compared against the

@@ -70,6 +70,25 @@ object StageWriter {
       .unionByName(newRows, allowMissingColumns = true)
   }
 
+  /** CDC MERGE: delta rows carry an op column — 'D' deletes the matched
+    * key (tombstone), anything else upserts (the Delta
+    * whenMatchedDelete / whenMatchedUpdateAll / whenNotMatchedInsertAll
+    * triple as one Spark plan). One shuffle on the key columns: the
+    * anti-join removes EVERY delta key (deleted or replaced) from the old
+    * side, then the surviving upserts append. A key carrying both a
+    * delete and an upsert in one batch resolves to the upsert (the row
+    * exists after the batch) — dropDuplicates keeps the upsert row. */
+  def mergeCdc(old: DataFrame, delta: DataFrame, keys: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    require(keys.nonEmpty, "CDC MERGE requires id columns")
+    require(delta.columns.contains(opCol),
+      s"CDC delta must carry the '$opCol' op column")
+    val upserts = delta.filter(col(opCol) =!= "D").drop(opCol)
+      .dropDuplicates(keys)
+    old.join(delta.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(upserts, allowMissingColumns = true)
+  }
+
   /** MERGE into a Parquet path (reads existing, merges, swaps). */
   def mergeInto(spark: SparkSession, df: DataFrame, path: String,
       keys: Seq[String], partitionBy: Seq[String] = Nil): Unit = {

@@ -32,6 +32,24 @@ class SinkSpec extends AnyFunSuite {
     assert(got == Set((1, "old1"), (2, "NEW2"), (3, "old3"), (4, "NEW4")))
   }
 
+  test("mergeCdc: deletes tombstone, upserts replace/insert, same-batch " +
+    "delete+upsert resolves to the upsert") {
+    val old = Seq((1, "old1"), (2, "old2"), (3, "old3"), (4, "old4"))
+      .toDF("k", "v")
+    val delta = Seq((2, "NEW2", "U"), (3, "x", "D"), (5, "NEW5", "U"),
+      (4, "x", "D"), (4, "NEW4", "U")).toDF("k", "v", "op")
+    val got = StageWriter.mergeCdc(old, delta, Seq("k"))
+      .as[(Int, String)].collect().toSet
+    assert(got == Set((1, "old1"), (2, "NEW2"), (4, "NEW4"), (5, "NEW5")))
+  }
+
+  test("mergeCdc refuses a delta without the op column") {
+    val old = Seq((1, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      StageWriter.mergeCdc(old, Seq((1, "b")).toDF("k", "v"), Seq("k"))
+    }
+  }
+
   test("merge schema evolution: delta-added column appends with old rows " +
     "null-filled; delta-dropped column kept with new rows null-filled " +
     "(Delta autoMerge contract, light_transform.py:2013)") {
