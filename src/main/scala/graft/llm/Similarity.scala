@@ -177,4 +177,50 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         col("cosine"), col("rank"))
   }
+
+  /** Product-quantization encoding — the compressed-index rung of the ANN
+    * family (brute force → IVF lists → int8 scalar → PQ codes): split each
+    * `dim`-vector into `m` subvectors and store, per subspace, only the id
+    * of the nearest codebook entry — `m` small ints instead of `dim`
+    * floats (here 4 bytes vs 256: a 64× memory cut for list scanning).
+    *
+    * The codebook is seed-free like ivfCentroids (the `ncodes`
+    * smallest-id corpus rows, subvector j of row r = code (j, r)) and the
+    * per-subspace assignment is a `min(struct(dist, code_id))` over a
+    * broadcast codebook — ONE map-side-combinable aggregation for all m
+    * subspaces, no window, no shuffle of the vectors beyond their own
+    * groupBy. Distances are rounded before the argmin (`roundDigits`) so
+    * the ordering — and therefore the codes and the reconstruction
+    * error — replays exactly in the SQL oracle.
+    *
+    * Output: (id, code_0..code_{m-1} as csv string, recon = Σ_j best
+    * subspace distance) — recon is the ADC self-distance, the quantization
+    * error a PQ search would see. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int, ncodes: Int, roundDigits: Int = 4): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subvectors")
+    val sub = dim / m
+    val codebook = corpus.select(col(idCol).as("code_id"),
+      col(vecCol).as("cv")).orderBy(col("code_id")).limit(ncodes)
+    def subDist(j: Int): Column = {
+      val a = slice(col(vecCol), j * sub + 1, sub)
+      val b = slice(col("cv"), j * sub + 1, sub)
+      round(sqrt(aggregate(zip_with(a, b, (x, y) =>
+        (x.cast(DoubleType) - y.cast(DoubleType)) *
+          (x.cast(DoubleType) - y.cast(DoubleType))),
+        lit(0.0), (acc, v) => acc + v)), roundDigits)
+    }
+    val best = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(codebook))
+      .groupBy(col(idCol))
+      .agg(min(struct(subDist(0).as("d"), col("code_id").as("c"))).as("b0"),
+        (1 until m).map(j =>
+          min(struct(subDist(j).as("d"), col("code_id").as("c")))
+            .as(s"b$j")): _*)
+    best.select(col(idCol),
+      concat_ws(",", (0 until m).map(j =>
+        col(s"b$j").getField("c").cast(StringType)): _*).as("codes"),
+      round((0 until m).map(j => col(s"b$j").getField("d"))
+        .reduce(_ + _), roundDigits).as("recon"))
+  }
 }

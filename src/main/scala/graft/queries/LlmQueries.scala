@@ -677,6 +677,46 @@ object LlmQueries {
              list_min(qv) AS qmin, list_max(qv) AS qmax
       FROM q ORDER BY vec_id"""))),
 
+    // Product-quantization codes (Similarity.pqEncode): 64-dim vectors →
+    // 4 subspace code ids from a seed-free 16-entry codebook — the
+    // compressed-index rung of the ANN family. Assignment is one
+    // map-side-combinable min(struct(rounded_dist, code_id)) aggregation
+    // over a broadcast codebook; the oracle unpivots the 4 subspaces and
+    // replays the identical argmin + reconstruction error.
+    "sim_pq" -> (((spark, dir) => {
+      Similarity.pqEncode(load(spark, dir, "embeddings"), "vec_id",
+          "embedding", dim = 64, m = 4, ncodes = 16)
+        .orderBy("vec_id")
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cb AS (SELECT vec_id AS code_id, v AS cv FROM e
+             ORDER BY vec_id LIMIT 16),
+      d AS (
+        SELECT e.vec_id, cb.code_id, j.j,
+               round(CASE j.j
+                 WHEN 0 THEN list_distance(e.v[1:16],  cb.cv[1:16])
+                 WHEN 1 THEN list_distance(e.v[17:32], cb.cv[17:32])
+                 WHEN 2 THEN list_distance(e.v[33:48], cb.cv[33:48])
+                 ELSE        list_distance(e.v[49:64], cb.cv[49:64])
+               END, 4) AS dist
+        FROM e, cb, (SELECT unnest(range(4)) AS j) j),
+      r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                       ORDER BY dist, code_id) AS rn FROM d),
+      b AS (SELECT vec_id,
+              max(CASE WHEN j = 0 THEN code_id END) AS c0,
+              max(CASE WHEN j = 0 THEN dist END) AS d0,
+              max(CASE WHEN j = 1 THEN code_id END) AS c1,
+              max(CASE WHEN j = 1 THEN dist END) AS d1,
+              max(CASE WHEN j = 2 THEN code_id END) AS c2,
+              max(CASE WHEN j = 2 THEN dist END) AS d2,
+              max(CASE WHEN j = 3 THEN code_id END) AS c3,
+              max(CASE WHEN j = 3 THEN dist END) AS d3
+            FROM r WHERE rn = 1 GROUP BY 1)
+      SELECT vec_id,
+             c0 || ',' || c1 || ',' || c2 || ',' || c3 AS codes,
+             round(d0 + d1 + d2 + d3, 4) AS recon
+      FROM b ORDER BY vec_id"""))),
+
     // PII redaction: emails + long digit runs replaced with tokens. The
     // corpus is word soup, so deterministic synthetic PII is appended in
     // BOTH engines (same concat) and the gate verifies counts AND the md5
