@@ -217,4 +217,39 @@ object TextAnalysis {
     aggregate(chars, lit(0L),
       (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch), lit(0)), lit(1000000007L)))
   }
+
+  /** Adjacent-word co-occurrence with PMI scoring — the word-association
+    * miner behind collocation detection and phrase vocabularies (a
+    * wordpiece/BPE pre-step): count every adjacent (w1, w2) pair, count
+    * unigram occurrences at bigram positions, and score
+    * pmi = log2(n_ab·N / (n_a·n_b)).
+    *
+    * Scale shape: bigram explode → ONE map-side-combined count per pair
+    * (the shuffle carries (w1, w2, partial n)); unigram counts derive from
+    * the same bigram rows; the scalar N broadcasts as a one-row
+    * cross join. Top-k by (count, pair) is a TakeOrderedAndProject — a
+    * per-task heap, never a global sort of the pair table. The PMI double
+    * math runs once per surviving pair with fixed operation order, so
+    * round(pmi, 4) replays cross-engine. */
+  def cooccurrencePmi(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val ws = split(trim(lower(col(textCol))), "\\s+")
+    // pre-filter 0/1-word docs: sequence(1, 0) would run DESCENDING
+    val pairs = df.select(ws.as("w")).filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("w1"),
+          element_at(col("w"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val bigramCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    val leftCounts = pairs.groupBy("w1").agg(count(lit(1)).as("n_a"))
+    val rightCounts = pairs.groupBy("w2").agg(count(lit(1)).as("n_b"))
+    val total = pairs.agg(count(lit(1)).as("n_total"))
+    bigramCounts
+      .join(leftCounts, "w1").join(rightCounts, "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        round(log2(col("n_ab").cast(DoubleType) * col("n_total") /
+          col("n_a") / col("n_b")), 4).as("pmi4"))
+      .orderBy(col("n_ab").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

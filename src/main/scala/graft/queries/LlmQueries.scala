@@ -677,6 +677,30 @@ object LlmQueries {
              list_min(qv) AS qmin, list_max(qv) AS qmax
       FROM q ORDER BY vec_id"""))),
 
+    // Adjacent-word PMI collocations (TextAnalysis.cooccurrencePmi): the
+    // word-association miner behind phrase vocabularies — one bigram
+    // explode, map-side-combined pair/unigram counts, scalar-N broadcast,
+    // per-task-heap top-k. (n_ab, w1, w2) totally orders the cutoff so the
+    // LIMIT is deterministic; PMI double math has fixed operation order.
+    "text_pmi" -> (((spark, dir) => {
+      graft.llm.TextAnalysis.cooccurrencePmi(
+        load(spark, dir, "documents"), "text", topK = 40)
+    }, Some("""
+      WITH w AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS ws
+                 FROM documents),
+      bg AS (SELECT unnest(ws[1:len(ws)-1]) AS w1,
+                    unnest(ws[2:len(ws)]) AS w2
+             FROM w WHERE len(ws) >= 2),
+      ab AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+      a AS (SELECT w1, count(*) AS n_a FROM bg GROUP BY 1),
+      b AS (SELECT w2, count(*) AS n_b FROM bg GROUP BY 1),
+      t AS (SELECT count(*) AS n_total FROM bg)
+      SELECT w1, w2, n_ab,
+             round(log2(CAST(n_ab AS DOUBLE) * n_total / n_a / n_b), 4)
+               AS pmi4
+      FROM ab JOIN a USING (w1) JOIN b USING (w2), t
+      ORDER BY n_ab DESC, w1, w2 LIMIT 40"""))),
+
     // Product-quantization codes (Similarity.pqEncode): 64-dim vectors →
     // 4 subspace code ids from a seed-free 16-entry codebook — the
     // compressed-index rung of the ANN family. Assignment is one
