@@ -314,6 +314,26 @@ object BenchQueries {
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))),
 
+    // Salted JOIN (operators.SkewSalt, the join-side twin of q_salted_agg):
+    // lineitem joined on its 3-value returnflag — the degenerate hot-key
+    // join — with the fact side salted 16 ways and the dim replicated, so
+    // the fact exchange spreads each hot key over 16 reducers. The oracle
+    // is the PLAIN join: salting changes parallelism, never semantics.
+    "q_salted_join" -> (((spark, dir) => {
+      val li = load(spark, dir, "lineitem")
+      val dim = li.select(col("l_returnflag").as("rf")).distinct()
+        .withColumn("label", concat(lit("G-"), col("rf")))
+      graft.operators.SkewSalt.saltedJoin(li, dim, "l_returnflag", "rf",
+          col("l_orderkey"), buckets = 16)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("rev"))
+        .orderBy("label")
+    }, Some("""
+      SELECT 'G-' || l_returnflag AS label, count(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS rev
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))),
+
     // Percentiles with a BOUNDED-MEMORY primary plan: exact `percentile`
     // buffers every group value in ONE aggregation buffer (3 groups over
     // lineitem = the whole fact in 3 buffers — a 100 TB memory killer), so
