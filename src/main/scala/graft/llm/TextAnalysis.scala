@@ -239,10 +239,14 @@ object TextAnalysis {
         i => struct(element_at(col("w"), i).as("w1"),
           element_at(col("w"), i + 1).as("w2")))).as("p"))
       .select(col("p.w1"), col("p.w2"))
+    // unigram/total counts derive from the bigram COUNTS, not from three
+    // more passes over the exploded pairs: the (w1, w2) aggregation
+    // exchange is identical in all four subtrees, so Catalyst reuses ONE
+    // explode + shuffle (the dd_ngram exchange-reuse discipline)
     val bigramCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
-    val leftCounts = pairs.groupBy("w1").agg(count(lit(1)).as("n_a"))
-    val rightCounts = pairs.groupBy("w2").agg(count(lit(1)).as("n_b"))
-    val total = pairs.agg(count(lit(1)).as("n_total"))
+    val leftCounts = bigramCounts.groupBy("w1").agg(sum("n_ab").as("n_a"))
+    val rightCounts = bigramCounts.groupBy("w2").agg(sum("n_ab").as("n_b"))
+    val total = bigramCounts.agg(sum("n_ab").as("n_total"))
     bigramCounts
       .join(leftCounts, "w1").join(rightCounts, "w2")
       .crossJoin(broadcast(total))
