@@ -245,11 +245,12 @@ object Dedup {
       .select(greatest(col("id1"), col("id2")).as("u"),
         least(col("id1"), col("id2")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
-    // fixpoint detection by (count, hash-sum) fingerprint of the edge SET:
-    // one tiny scan of the fresh checkpoint instead of a full-shuffle
-    // set-difference per round (a collision would need two different edge
-    // sets with equal count AND equal 64-bit hash sum — the same uniform-
-    // hash assumption the sketch family already rests on)
+    // fixpoint detection by (count, hash-sum) fingerprint of the edge SET,
+    // collected by observe() DURING the per-round checkpoint
+    // materialization — zero extra jobs, vs a full-shuffle set-difference
+    // per round (a collision would need two different edge sets with equal
+    // count AND equal 64-bit hash sum — the same uniform-hash assumption
+    // the sketch family already rests on)
     def fingerprint(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
@@ -271,11 +272,17 @@ object Dedup {
       // small-star: neighbors are all < u here; u and every non-min
       // neighbor attach to the minimum — orientation stays big→small
       val withMin = large.withColumn("m", min("v").over(wU))
+      val obs = org.apache.spark.sql.Observation(s"cc_fp_$rounds")
       val small = withMin.select(col("u"), col("m").as("v"))
         .unionByName(withMin.filter(col("v") =!= col("m"))
           .select(col("v").as("u"), col("m").as("v")))
-        .distinct().localCheckpoint()
-      val fpNext = fingerprint(small)
+        .distinct()
+        .observe(obs, count(lit(1)).as("n"),
+          sum(xxhash64(col("u"), col("v"))).as("h"))
+        .localCheckpoint() // the action that fills the observation
+      val row = obs.get
+      val fpNext = (row("n").asInstanceOf[Long],
+        Option(row("h")).fold(0L)(_.asInstanceOf[Long]))
       converged = fpNext == fp
       edges = small
       fp = fpNext
