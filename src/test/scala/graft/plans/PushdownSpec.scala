@@ -77,4 +77,33 @@ class PushdownSpec extends AnyFunSuite {
     assert(plan.contains("might_contain"),
       s"bloom probe missing from optimized plan:\n$plan")
   }
+
+  test("hive-style partition directories are PRUNED, not filtered: a " +
+    "partition predicate cuts the files the scan even lists") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("prune").toString
+    spark.range(1000)
+      .withColumn("p", (col("id") % 10).cast("string"))
+      .write.partitionBy("p").parquet(s"$root/t")
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def all(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          all(q.plan)
+        case other => other.children.flatMap(all)
+      })
+      all(df.queryExecution.executedPlan)
+        .collect { case s: FileSourceScanExec => s }
+        .map(_.metrics("numFiles").value).sum
+    }
+    val t = spark.read.parquet(s"$root/t")
+    val all = filesRead(t.groupBy("p").count())
+    val one = filesRead(t.filter(col("p") === "3").groupBy("p").count())
+    assert(all >= 10, s"expected >=10 partition dirs, read $all files")
+    assert(one * 5 <= all,
+      s"partition filter must prune listed files: $one of $all read")
+    graft.sink.StageWriter.deleteRecursively(java.nio.file.Paths.get(root))
+  }
 }
