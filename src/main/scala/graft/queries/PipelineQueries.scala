@@ -144,6 +144,25 @@ object PipelineQueries {
       SELECT 2 AS version, count(*) AS n FROM documents
       ORDER BY version"""))),
 
+    // C5+ — change-data feed between snapshots (VersionedTable.diff, the
+    // Delta CDF read twin): v1 = English docs, v2 = all docs; the diff
+    // must be exactly the non-English inserts and nothing else.
+    "c5_diff" -> (((spark, dir) => {
+      val tmpRoot = java.nio.file.Files.createTempDirectory("vt_diff")
+      val t = tmpRoot.resolve("docs").toString
+      val docs = load(spark, dir, "documents")
+      graft.sink.VersionedTable.commit(docs.filter(col("lang") === "en"), t)
+      graft.sink.VersionedTable.commit(docs, t)
+      val rows = graft.sink.VersionedTable.diff(spark, t, 1, 2)
+        .groupBy("change").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      graft.sink.StageWriter.deleteRecursively(tmpRoot)
+      spark.createDataFrame(rows).toDF("change", "n").orderBy("change")
+    }, Some("""
+      SELECT 'insert' AS change, count(*) AS n
+      FROM documents WHERE lang <> 'en'
+      ORDER BY change"""))),
+
     // C8 — empty-table bootstrap: typed empty output from declared schema
     "c8_empty_bootstrap" -> (((spark, dir) => {
       val schema = StructType(Seq(

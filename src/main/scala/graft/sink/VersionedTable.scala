@@ -115,6 +115,31 @@ object VersionedTable {
     spark.read.parquet(versionDir(table, v))
   }
 
+  /** Change-data feed between two snapshots (Delta CDF twin, read side):
+    * full-row diff of `fromV` → `toV` as (change, row...) with change ∈
+    * {insert, delete} — an update surfaces as delete+insert of the keyed
+    * row versions. One anti-join each way on all columns; at scale both
+    * sides hash-partition on the same row hash so AQE picks the join. */
+  def diff(spark: SparkSession, table: String, fromV: Int, toV: Int)
+      : DataFrame = {
+    val a = read(spark, table, Some(fromV))
+    val b = read(spark, table, Some(toV))
+    import org.apache.spark.sql.functions._
+    b.exceptAll(a).withColumn("change", lit("insert"))
+      .unionByName(a.exceptAll(b).withColumn("change", lit("delete")))
+  }
+
+  /** Restore an old snapshot as the NEW head (Delta RESTORE twin): commits
+    * version `v`'s data as the next version — history is preserved (the
+    * restore is itself a commit), readers flip atomically, and the
+    * optimistic-concurrency claim applies like any other commit. */
+  def rollback(spark: SparkSession, table: String, v: Int): Int = {
+    val committed = latestVersion(table).getOrElse(
+      throw new IllegalStateException(s"no committed version at $table"))
+    require(v <= committed, s"cannot restore $v: head is $committed")
+    commit(read(spark, table, Some(v)), table, expectedBase = Some(committed))
+  }
+
   /** Drop all version directories except the newest `keepLast` committed
     * ones (never the pointed version). Directories NEWER than the pointer
     * are stranded by definition (a crashed commit wrote data but never

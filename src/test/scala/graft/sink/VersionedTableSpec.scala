@@ -90,6 +90,24 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, t).as[Int].collect().toSeq == Seq(2))
   }
 
+  test("diff reports inserts and deletes between snapshots; rollback " +
+    "restores an old snapshot as a NEW commit") {
+    val t = freshTable()
+    VersionedTable.commit(Seq(1, 2, 3).toDF("x"), t)
+    VersionedTable.commit(Seq(2, 3, 4, 5).toDF("x"), t) // -1, +4, +5
+    val d = VersionedTable.diff(spark, t, 1, 2)
+      .as[(Int, String)].collect().toSet
+    assert(d == Set((4, "insert"), (5, "insert"), (1, "delete")))
+    // restore v1: history preserved, head data = v1's
+    assert(VersionedTable.rollback(spark, t, 1) == 3)
+    assert(VersionedTable.read(spark, t).as[Int].collect().sorted.toSeq
+      == Seq(1, 2, 3))
+    assert(VersionedTable.read(spark, t, asOf = Some(2)).count() == 4)
+    intercept[IllegalArgumentException] {
+      VersionedTable.rollback(spark, t, 9)
+    }
+  }
+
   test("vacuum keeps the newest K committed versions") {
     val t = freshTable()
     (1 to 5).foreach(i => VersionedTable.commit(Seq(i).toDF("x"), t))
