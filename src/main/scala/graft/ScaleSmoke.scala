@@ -54,9 +54,10 @@ object ScaleSmoke {
         }
       })
     def peakMemMb(f: => Long): (Long, Double) = {
+      Thread.sleep(1000) // drain stragglers from PRIOR queries first
       peak.set(0)
       val n = f
-      Thread.sleep(500) // let the listener bus drain task-end events
+      Thread.sleep(1000) // let this run's task-end events land
       (n, peak.get() / 1e6)
     }
 
@@ -120,17 +121,21 @@ object ScaleSmoke {
       graft.llm.Dedup.minhashLshPairs(d, "doc_id", "text",
         shingleWidth = 3, k = 32, b = 8, threshold = 0.8, maxBucket = cap)
     val (nOrganic, memOrganic) = peakMemMb { lshPairs(docs).count() }
+    // persist the mined pairs so the hot-clique check below reuses this
+    // run instead of re-mining the whole replicated corpus
+    val skewPairs = lshPairs(skewed).persist()
     val t0 = System.nanoTime()
-    val (nSkew, memSkew) = peakMemMb { lshPairs(skewed).count() }
+    val (nSkew, memSkew) = peakMemMb { skewPairs.count() }
     println(f"[scale] lsh skew 20%% hot band   ${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
       f"($nSkew pairs; organic $nOrganic; peak mem organic ${memOrganic}%.1f MB " +
       f"-> skewed ${memSkew}%.1f MB)")
     val hotIds = skewed.filter(col("text") === boiler)
       .select(col("doc_id").as("hid"))
-    val hotPairs = lshPairs(skewed)
+    val hotPairs = skewPairs
       .join(hotIds, col("id1") === col("hid")).drop("hid")
       .join(hotIds, col("id2") === col("hid"))
       .count()
+    skewPairs.unpersist()
     // every band keeps the SAME `cap` smallest hot ids, so after cross-band
     // dedup the hot clique contributes exactly C(cap,2) pairs — not
     // C(0.2·N,2), which at 10x would be ~2e9

@@ -346,9 +346,7 @@ object BenchQueries {
     // a tolerance gate). Rank error ~0.5/sqrt(k) ≈ 0.6% at k = 8192.
     "q_percentile" -> (((spark, dir) => {
       val k = 8192
-      val h = conv(substring(md5(concat_ws("|",
-        col("l_orderkey"), col("l_linenumber"))), 1, 15), 16, 10)
-        .cast("long")
+      val h = portableHash60(col("l_orderkey"), col("l_linenumber"))
       load(spark, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(graft.functions.KmhSample.sample(h,
@@ -419,9 +417,7 @@ object BenchQueries {
     // rows) onto the full scan; one pass, no group-sized buffers anywhere.
     "q_winsorize" -> (((spark, dir) => {
       val k = 8192
-      val h = conv(substring(md5(concat_ws("|",
-        col("l_orderkey"), col("l_linenumber"))), 1, 15), 16, 10)
-        .cast("long")
+      val h = portableHash60(col("l_orderkey"), col("l_linenumber"))
       val cuts = load(spark, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(graft.functions.KmhSample.sample(h,

@@ -51,6 +51,15 @@ object Q {
 
   def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** 60-bit md5 portable hash of pipe-joined columns — the one uniform
+    * row hash the sampling queries share. DuckDB twin:
+    * `CAST('0x' || substring(md5(CAST(a AS VARCHAR) || '|' ||
+    * CAST(b AS VARCHAR)), 1, 15) AS BIGINT)`. Any change here must land
+    * in every oracle that replays it. */
+  def portableHash60(cols: Column*): Column =
+    conv(substring(md5(concat_ws("|", cols: _*)), 1, 15), 16, 10)
+      .cast(LongType)
+
   private val sinkIds = new java.util.concurrent.atomic.AtomicLong(0)
   /** Per-JVM unique suffix for memory-sink names — a deterministic counter,
     * not a wall clock, so the battery stays nondeterminism-free. */

@@ -54,10 +54,13 @@ object ScaleConfig {
   def dirBytes(path: String): Long = {
     def walk(p: Path): Long =
       if (Files.isDirectory(p)) {
-        val it = Files.list(p).iterator()
-        var sum = 0L
-        while (it.hasNext) sum += walk(it.next())
-        sum
+        val st = Files.list(p) // close eagerly: one open fd per level
+        try {
+          val it = st.iterator()
+          var sum = 0L
+          while (it.hasNext) sum += walk(it.next())
+          sum
+        } finally st.close()
       } else if (Files.isRegularFile(p)) Files.size(p)
       else 0L
     walk(Paths.get(path))

@@ -83,7 +83,10 @@ object StageWriter {
     require(keys.nonEmpty, "CDC MERGE requires id columns")
     require(delta.columns.contains(opCol),
       s"CDC delta must carry the '$opCol' op column")
-    val upserts = delta.filter(col(opCol) =!= "D").drop(opCol)
+    // null-safe comparison: a NULL/absent op means "anything else" =
+    // upsert — a plain =!= would drop the row from upserts while its key
+    // still anti-joins old away, silently deleting it
+    val upserts = delta.filter(!(col(opCol) <=> "D")).drop(opCol)
       .dropDuplicates(keys)
     old.join(delta.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(upserts, allowMissingColumns = true)

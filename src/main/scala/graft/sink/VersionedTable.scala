@@ -141,31 +141,49 @@ object VersionedTable {
   }
 
   /** Drop all version directories except the newest `keepLast` committed
-    * ones (never the pointed version). Directories NEWER than the pointer
-    * are stranded by definition (a crashed commit wrote data but never
-    * flipped `_latest`; readers can't see them) and are reclaimed too —
-    * that makes vacuum the full stranded-swap cleaner its StageWriter twin
-    * is. Returns the removed versions. */
-  def vacuum(table: String, keepLast: Int): Seq[Int] = {
+    * ones (never the pointed version). Directories and claims NEWER than
+    * the pointer are stranded ONLY if their claimant died — an in-flight
+    * commit between claim and pointer flip looks identical — so they are
+    * reclaimed only past `strandedRetentionMs` (claim-file age), the same
+    * live-work guard as StageWriter.vacuum's 168 h swap retention.
+    * Reclaiming a LIVE writer's claim would let a second writer take the
+    * same version number — exactly the silent overwrite the claim CAS
+    * exists to prevent. Returns the removed versions. */
+  def vacuum(table: String, keepLast: Int,
+      strandedRetentionMs: Long = 24L * 3600 * 1000): Seq[Int] = {
     require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast)")
     val committed = latestVersion(table).getOrElse(return Seq.empty)
+    val now = System.currentTimeMillis()
+    def strandedExpired(v: Int): Boolean = {
+      val c = claim(table, v)
+      val stamp =
+        if (Files.exists(c)) Files.getLastModifiedTime(c).toMillis
+        else scala.util.Try(Files.getLastModifiedTime(
+          Paths.get(versionDir(table, v))).toMillis).getOrElse(0L)
+      now - stamp >= strandedRetentionMs
+    }
     val keep = versions(table).filter(_ <= committed).takeRight(keepLast)
       .toSet + committed
     val drop = versions(table).filterNot(keep)
+      .filter(v => v <= committed || strandedExpired(v))
     drop.foreach { v =>
       StageWriter.deleteRecursively(Paths.get(versionDir(table, v)))
       Files.deleteIfExists(claim(table, v))
     }
     // a crashed commit may have claimed a version without ever writing its
-    // dir — release those too (they'd block the head forever otherwise)
+    // dir — release those too (they'd block the head forever otherwise),
+    // under the same retention guard
     val claimsDir = Paths.get(table, "_claims")
     if (Files.isDirectory(claimsDir)) {
-      val it = Files.list(claimsDir).iterator()
-      while (it.hasNext) {
-        val c = it.next()
-        val v = scala.util.Try(c.getFileName.toString.toInt).getOrElse(-1)
-        if (v > committed) Files.deleteIfExists(c)
-      }
+      val st = Files.list(claimsDir)
+      try {
+        val it = st.iterator()
+        while (it.hasNext) {
+          val c = it.next()
+          val v = scala.util.Try(c.getFileName.toString.toInt).getOrElse(-1)
+          if (v > committed && strandedExpired(v)) Files.deleteIfExists(c)
+        }
+      } finally st.close()
     }
     drop
   }

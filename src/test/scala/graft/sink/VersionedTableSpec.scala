@@ -85,7 +85,13 @@ class VersionedTableSpec extends AnyFunSuite {
     intercept[VersionedTable.ConcurrentCommitException] {
       VersionedTable.commit(Seq(2).toDF("x"), t)
     }
-    VersionedTable.vacuum(t, keepLast = 5) // recovery: releases the claim
+    // default retention protects a possibly-LIVE claimant — nothing freed
+    VersionedTable.vacuum(t, keepLast = 5)
+    intercept[VersionedTable.ConcurrentCommitException] {
+      VersionedTable.commit(Seq(2).toDF("x"), t)
+    }
+    // operator recovery: explicitly waive the retention for the dead claim
+    VersionedTable.vacuum(t, keepLast = 5, strandedRetentionMs = 0)
     assert(VersionedTable.commit(Seq(2).toDF("x"), t) == 2)
     assert(VersionedTable.read(spark, t).as[Int].collect().toSeq == Seq(2))
   }
