@@ -530,23 +530,26 @@ object AnalyticsQueries {
       val tmp = java.nio.file.Files.createTempDirectory("restart_gate")
       val (raw, stage, chk) = (tmp.resolve("raw").toString,
         tmp.resolve("stage").toString, tmp.resolve("chk").toString)
-      val ev = load(spark, dir, "events")
-      ev.filter(col("event_id") % 2 === 0).write.parquet(raw)
-      def run(): Unit = {
-        val q = graft.streaming.Streams.rawToStage(spark, raw, stage, chk,
-          df => df.filter(col("event_type").isin("click", "view", "purchase")))
-        q.processAllAvailable(); q.stop()
-      }
-      run() // first life commits the even half
-      ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(raw)
-      run() // restart: only the delta may be processed
-      val row = spark.read.parquet(stage)
-        .agg(count(lit(1)).as("n"), count_distinct(col("event_id")).as("ids"),
-          dsum(col("value")).as("total")).head()
-      graft.sink.StageWriter.deleteRecursively(tmp)
-      spark.createDataFrame(Seq(
-        (row.getLong(0), row.getLong(1), row.getDouble(2))))
-        .toDF("n", "n_ids", "total")
+      try {
+        val ev = load(spark, dir, "events")
+        ev.filter(col("event_id") % 2 === 0).write.parquet(raw)
+        def run(): Unit = {
+          val q = graft.streaming.Streams.rawToStage(spark, raw, stage, chk,
+            df =>
+              df.filter(col("event_type").isin("click", "view", "purchase")))
+          q.processAllAvailable(); q.stop()
+        }
+        run() // first life commits the even half
+        ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(raw)
+        run() // restart: only the delta may be processed
+        val row = spark.read.parquet(stage)
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("event_id")).as("ids"),
+            dsum(col("value")).as("total")).head()
+        spark.createDataFrame(Seq(
+          (row.getLong(0), row.getLong(1), row.getDouble(2))))
+          .toDF("n", "n_ids", "total")
+      } finally graft.sink.StageWriter.deleteRecursively(tmp) // even on failure
     }, Some("""
       SELECT count(*) AS n, count(DISTINCT event_id) AS n_ids,
              CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -562,22 +565,24 @@ object AnalyticsQueries {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tmp = java.nio.file.Files.createTempDirectory("sdedup_gate")
       val raw = tmp.resolve("raw").toString
-      val ev = load(spark, dir, "events")
-      ev.unionByName(ev).write.parquet(raw) // duplicate delivery
-      val schema = spark.read.parquet(raw).schema
-      val in = spark.readStream.schema(schema).parquet(raw)
-      val deduped = graft.streaming.Streams.dedupStream(in, Seq("event_id"))
-      val sink = s"evt_stream_dedup_${Q.nextSinkId()}"
-      val q = deduped.writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val row = spark.table(sink)
-        .agg(count(lit(1)).as("n"), count_distinct(col("event_id")).as("ids"),
-          dsum(col("value")).as("total")).head()
-      graft.sink.StageWriter.deleteRecursively(tmp)
-      spark.createDataFrame(Seq(
-        (row.getLong(0), row.getLong(1), row.getDouble(2))))
-        .toDF("n", "n_ids", "total")
+      try {
+        val ev = load(spark, dir, "events")
+        ev.unionByName(ev).write.parquet(raw) // duplicate delivery
+        val schema = spark.read.parquet(raw).schema
+        val in = spark.readStream.schema(schema).parquet(raw)
+        val deduped = graft.streaming.Streams.dedupStream(in, Seq("event_id"))
+        val sink = s"evt_stream_dedup_${Q.nextSinkId()}"
+        val q = deduped.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val row = spark.table(sink)
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("event_id")).as("ids"),
+            dsum(col("value")).as("total")).head()
+        spark.createDataFrame(Seq(
+          (row.getLong(0), row.getLong(1), row.getDouble(2))))
+          .toDF("n", "n_ids", "total")
+      } finally graft.sink.StageWriter.deleteRecursively(tmp) // even on failure
     }, Some("""
       SELECT count(*) AS n, count(DISTINCT event_id) AS n_ids,
              CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -125,19 +125,20 @@ object PipelineQueries {
     // source-table oracle. The _latest pointer flip is the atomic commit.
     "c5_time_travel" -> (((spark, dir) => {
       val tmpRoot = java.nio.file.Files.createTempDirectory("vt_gate")
-      val t = tmpRoot.resolve("docs").toString
-      val docs = load(spark, dir, "documents")
-      graft.sink.VersionedTable.commit(docs.filter(col("lang") === "en"), t)
-      graft.sink.VersionedTable.commit(docs, t)
-      // Materialize both snapshot counts EAGERLY so the scratch dir can be
-      // reclaimed before returning (repeated Verify/ScaleSmoke runs must
-      // not accumulate snapshots in /tmp).
-      val n1 = graft.sink.VersionedTable.read(spark, t, asOf = Some(1))
-        .count()
-      val n2 = graft.sink.VersionedTable.read(spark, t).count()
-      graft.sink.StageWriter.deleteRecursively(tmpRoot)
-      spark.createDataFrame(Seq((1, n1), (2, n2))).toDF("version", "n")
-        .orderBy("version")
+      try {
+        val t = tmpRoot.resolve("docs").toString
+        val docs = load(spark, dir, "documents")
+        graft.sink.VersionedTable.commit(docs.filter(col("lang") === "en"), t)
+        graft.sink.VersionedTable.commit(docs, t)
+        // Materialize both snapshot counts EAGERLY so the scratch dir can
+        // be reclaimed before returning (repeated Verify/ScaleSmoke runs
+        // must not accumulate snapshots in /tmp).
+        val n1 = graft.sink.VersionedTable.read(spark, t, asOf = Some(1))
+          .count()
+        val n2 = graft.sink.VersionedTable.read(spark, t).count()
+        spark.createDataFrame(Seq((1, n1), (2, n2))).toDF("version", "n")
+          .orderBy("version")
+      } finally graft.sink.StageWriter.deleteRecursively(tmpRoot)
     }, Some("""
       SELECT 1 AS version, count(*) AS n FROM documents WHERE lang = 'en'
       UNION ALL
@@ -149,15 +150,16 @@ object PipelineQueries {
     // must be exactly the non-English inserts and nothing else.
     "c5_diff" -> (((spark, dir) => {
       val tmpRoot = java.nio.file.Files.createTempDirectory("vt_diff")
-      val t = tmpRoot.resolve("docs").toString
-      val docs = load(spark, dir, "documents")
-      graft.sink.VersionedTable.commit(docs.filter(col("lang") === "en"), t)
-      graft.sink.VersionedTable.commit(docs, t)
-      val rows = graft.sink.VersionedTable.diff(spark, t, 1, 2)
-        .groupBy("change").agg(count(lit(1)).as("n"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
-      graft.sink.StageWriter.deleteRecursively(tmpRoot)
-      spark.createDataFrame(rows).toDF("change", "n").orderBy("change")
+      try {
+        val t = tmpRoot.resolve("docs").toString
+        val docs = load(spark, dir, "documents")
+        graft.sink.VersionedTable.commit(docs.filter(col("lang") === "en"), t)
+        graft.sink.VersionedTable.commit(docs, t)
+        val rows = graft.sink.VersionedTable.diff(spark, t, 1, 2)
+          .groupBy("change").agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+        spark.createDataFrame(rows).toDF("change", "n").orderBy("change")
+      } finally graft.sink.StageWriter.deleteRecursively(tmpRoot)
     }, Some("""
       SELECT 'insert' AS change, count(*) AS n
       FROM documents WHERE lang <> 'en'
