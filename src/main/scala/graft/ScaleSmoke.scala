@@ -87,7 +87,10 @@ object ScaleSmoke {
       "q_profile", "q_fuzzy", "evt_gapfill", "llm_vocab_encode",
       "q_cms_heavy", "evt_anomaly", "evt_funnel", "evt_retention",
       "evt_funnel_steps", "evt_session_window", "q_array_hof",
-      "q_grouping_sets", "q_window_dist", "c5_time_travel", "q_tdigest",
+      // q_tdigest is NOT in this list on purpose: its plan carries the
+      // exact-percentile ORACLE GATE (whole-group buffers) — the banned
+      // shape. q_percentile below is the bounded scale path.
+      "q_grouping_sets", "q_window_dist", "c5_time_travel",
       "q_winsorize", "q_salted_join", "text_pmi", "sim_pq",
       "llm_temperature_mix", "c6_cdc", "dd_prefix_join"))
       time(q) { qs(q)(spark, dst).count() }

@@ -288,10 +288,14 @@ object Dedup {
       fp = fpNext
       rounds += 1
     }
-    // fixpoint edges are stars (node → component min); roots and isolated
-    // nodes label themselves
+    // fixpoint edges are stars (node → component min). Mid-algorithm a
+    // node can legitimately carry edges to TWO different minima, so a
+    // maxIter exit would fan the label join out — reduce to one label per
+    // node first (min = the best-known component min; a no-op once
+    // converged). Roots and isolated nodes label themselves.
+    val stars = edges.groupBy("u").agg(min("v").as("v"))
     val labels = nodes
-      .join(edges, nodes("id") === edges("u"), "left")
+      .join(stars, nodes("id") === stars("u"), "left")
       .select(col("id"), coalesce(col("v"), col("id")).as("cluster"))
     (labels, rounds)
   }
@@ -375,13 +379,19 @@ object Dedup {
   def portableB(j: Int): Long =
     (2246822519L * (j.toLong * j + 1) + 3266489917L * j) % PortableP
 
-  /** Portable word hash: first 60 bits of md5, mod 1e9+7. md5 digests are
-    * byte-identical across engines (UTF-8 input, lowercase hex), C-speed in
-    * both, and DuckDB parses the hex slice with a '0x…' cast — far cheaper
-    * than a per-character fold. */
-  def portableWordHash(w: Column): Column =
-    conv(substring(md5(w.cast(StringType)), 1, 15), 16, 10)
-      .cast(LongType) % PortableP
+  /** THE portable 60-bit hash core — first 15 hex chars of md5 as a
+    * positive long. md5 digests are byte-identical across engines (UTF-8
+    * input, lowercase hex); DuckDB twin:
+    * `CAST('0x' || substring(md5(CAST(x AS VARCHAR)), 1, 15) AS BIGINT)`.
+    * Every portable-hash recipe in the engine derives from THIS ONE
+    * definition (word hashes here, row-sampling hashes in queries.Q) so a
+    * change lands everywhere at once. */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+
+  /** Portable word hash: the 60-bit core mod 1e9+7 (keeps every later
+    * affine-permutation step below 2^63 for the SQL twin). */
+  def portableWordHash(w: Column): Column = portableHash60(w) % PortableP
 
   /** ±1 contribution of word-hash `h` to simhash bit `j`. */
   private def portableSign(h: Column, j: Int): Column =

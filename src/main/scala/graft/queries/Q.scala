@@ -52,13 +52,16 @@ object Q {
   def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
   /** 60-bit md5 portable hash of pipe-joined columns — the one uniform
-    * row hash the sampling queries share. DuckDB twin:
-    * `CAST('0x' || substring(md5(CAST(a AS VARCHAR) || '|' ||
-    * CAST(b AS VARCHAR)), 1, 15) AS BIGINT)`. Any change here must land
-    * in every oracle that replays it. */
+    * row hash the sampling queries share; the hash core is
+    * [[graft.llm.Dedup.portableHash60]] (single definition engine-wide).
+    * DuckDB twin: `CAST('0x' || substring(md5(CAST(a AS VARCHAR) || '|'
+    * || CAST(b AS VARCHAR)), 1, 15) AS BIGINT)` — NOTE the `||` twin
+    * matches only for NON-NULL key columns (Spark's concat_ws skips
+    * NULLs, `||` propagates them); pass row keys, and for nullable
+    * columns write the oracle with DuckDB's concat_ws, which skips NULLs
+    * identically. */
   def portableHash60(cols: Column*): Column =
-    conv(substring(md5(concat_ws("|", cols: _*)), 1, 15), 16, 10)
-      .cast(LongType)
+    graft.llm.Dedup.portableHash60(concat_ws("|", cols: _*))
 
   private val sinkIds = new java.util.concurrent.atomic.AtomicLong(0)
   /** Per-JVM unique suffix for memory-sink names — a deterministic counter,

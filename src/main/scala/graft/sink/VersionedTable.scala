@@ -96,11 +96,23 @@ object VersionedTable {
             s"writer (committed head is $base) — retry from the new head, " +
             "or vacuum if the claimant crashed")
     }
-    df.write.mode(SaveMode.Overwrite).parquet(versionDir(table, next))
-    val tmp = Paths.get(table, s"_latest.tmp$next")
-    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // from here on we HOLD the claim: an in-process failure before the
+    // pointer flip must release it, or every retry of this same commit
+    // would fail "already claimed" until vacuum's stranded retention
+    // elapses — an observed failure is not a crash, so clean up eagerly
+    try {
+      df.write.mode(SaveMode.Overwrite).parquet(versionDir(table, next))
+      val tmp = Paths.get(table, s"_latest.tmp$next")
+      Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        scala.util.Try(StageWriter.deleteRecursively(
+          Paths.get(versionDir(table, next))))
+        scala.util.Try(Files.deleteIfExists(claim(table, next)))
+        throw e
+    }
     next
   }
 
@@ -145,12 +157,15 @@ object VersionedTable {
     * the pointer are stranded ONLY if their claimant died — an in-flight
     * commit between claim and pointer flip looks identical — so they are
     * reclaimed only past `strandedRetentionMs` (claim-file age), the same
-    * live-work guard as StageWriter.vacuum's 168 h swap retention.
-    * Reclaiming a LIVE writer's claim would let a second writer take the
-    * same version number — exactly the silent overwrite the claim CAS
-    * exists to prevent. Returns the removed versions. */
+    * live-work guard (and same 168 h default) as StageWriter.vacuum's
+    * swap retention. Reclaiming a LIVE writer's claim would let a second
+    * writer take the same version number — exactly the silent overwrite
+    * the claim CAS exists to prevent — so the retention MUST exceed the
+    * longest possible data write; age is the only signal a lock file
+    * offers (no heartbeats), which is the documented limit of this
+    * single-filesystem protocol. Returns the removed versions. */
   def vacuum(table: String, keepLast: Int,
-      strandedRetentionMs: Long = 24L * 3600 * 1000): Seq[Int] = {
+      strandedRetentionMs: Long = 168L * 3600 * 1000): Seq[Int] = {
     require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast)")
     val committed = latestVersion(table).getOrElse(return Seq.empty)
     val now = System.currentTimeMillis()

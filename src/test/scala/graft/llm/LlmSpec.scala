@@ -116,6 +116,17 @@ class LlmSpec extends AnyFunSuite {
       s"all 1001 chain nodes must label to 0")
   }
 
+  test("connected components emit ONE label per node even on a maxIter exit") {
+    // a long chain cut off mid-contraction: labels may be non-minimal but
+    // must never fan out to contradictory rows per node
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val (labels, rounds) = Dedup.ccWithRounds(chain, maxIter = 2)
+    assert(rounds == 2)
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == 201, s"one row per node, got ${got.length}")
+    assert(got.map(_._1).distinct.length == 201)
+  }
+
   test("simhash: identical texts have distance 0, near-dups small") {
     val hs = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
       .as[(Long, Long)].collect().toMap

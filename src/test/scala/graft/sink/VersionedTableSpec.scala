@@ -96,6 +96,20 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, t).as[Int].collect().toSeq == Seq(2))
   }
 
+  test("a FAILED write releases its claim so the caller's retry succeeds") {
+    val t = freshTable()
+    VersionedTable.commit(Seq(1).toDF("x"), t)
+    val boom = org.apache.spark.sql.functions.udf(
+      () => { if (System.nanoTime() != 0) sys.error("boom"); 1 })
+    val bad = spark.range(1).select(boom().as("x"))
+    intercept[Exception] { VersionedTable.commit(bad, t) }
+    // observed (non-crash) failure: claim released, head untouched, and a
+    // plain retry takes the same version number
+    assert(VersionedTable.latestVersion(t).contains(1))
+    assert(VersionedTable.commit(Seq(5).toDF("x"), t) == 2)
+    assert(VersionedTable.read(spark, t).as[Int].collect().toSeq == Seq(5))
+  }
+
   test("diff reports inserts and deletes between snapshots; rollback " +
     "restores an old snapshot as a NEW commit") {
     val t = freshTable()
