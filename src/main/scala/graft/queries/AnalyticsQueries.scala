@@ -518,6 +518,39 @@ object AnalyticsQueries {
       FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
       GROUP BY 1 ORDER BY 1"""))),
 
+    // REAL stream-stream interval join in the gate (evt_interval_join's
+    // batch twin promoted): errors and clicks replayed as TWO watermarked
+    // file streams, joined on user within a 24 h lookback — Spark buffers
+    // both sides in state and evicts past the watermark. Oracle = the
+    // batch interval join.
+    "evt_stream_interval" -> (((spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      def in = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val joined = graft.streaming.Streams.intervalJoin(
+        in.filter(col("event_type") === "error"),
+        in.filter(col("event_type") === "click"),
+        "user_id", Seq("event_id"), window = "24 hours")
+      val sink = s"evt_stream_interval_${Q.nextSinkId()}"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(sink)
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu
+                 FROM events WHERE event_type = 'error'),
+           c AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu
+                 FROM events WHERE event_type = 'click')
+      SELECT e.event_id, e.user_id, count(*) AS n_clicks
+      FROM e JOIN c ON e.user_id = c.user_id
+       AND c.tsu >= e.tsu - CAST(86400 AS BIGINT) * 1000000 AND c.tsu <= e.tsu
+      GROUP BY 1, 2 ORDER BY e.event_id"""))),
+
     // Kill-restart EXACTLY-ONCE in the gate: half the events stream through
     // rawToStage, the query is STOPPED (simulated driver death after a
     // committed batch), the other half lands in raw, and a brand-new query
