@@ -323,13 +323,22 @@ object Dedup {
     val words = df.select(col(idCol).as("id"),
       explode(array_distinct(split(trim(lower(col(textCol))), "\\s+"))).as("w"))
       .withColumn("h", xxhash64(col("w")))
-    // branch-free ±1 contribution: 2·bit − 1
-    def bitSum(j: Int) = sum(
-      shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j")
-    val sums = words.groupBy("id").agg(bitSum(0),
-      (1 until 64).map(bitSum): _*)
+    // four 16-bit COUNT-ONES lanes per aggregate: 16 packed sums + one
+    // count instead of 64 sums — quarter the aggregation state and the
+    // shuffle carries 17 longs per doc, not 64. Lane bound: distinct
+    // words per doc < 2^15 (the top lane's n·2^48 must stay under 2^63) —
+    // far beyond any real document's distinct vocabulary.
+    // sign recovery: Σ(±1) > 0  ⇔  2·count_ones > n.
+    def lane(j: Int) = shiftright(col("h"), j).bitwiseAND(lit(1L))
+    def packedSum(k: Int) = sum(lane(4 * k) +
+      shiftleft(lane(4 * k + 1), 16) + shiftleft(lane(4 * k + 2), 32) +
+      shiftleft(lane(4 * k + 3), 48)).as(s"p$k")
+    val sums = words.groupBy("id").agg(count(lit(1)).as("n"),
+      (0 until 16).map(packedSum): _*)
+    def ones(j: Int) = shiftright(col(s"p${j / 4}"), 16 * (j % 4))
+      .bitwiseAND(lit(0xFFFFL))
     val hash = (0 until 64).map(j =>
-      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      when(ones(j) * 2 > col("n"), shiftleft(lit(1L), j)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     sums.select(col("id"), hash.as("simhash"))
   }
@@ -407,12 +416,23 @@ object Dedup {
     val words = df.select(col(idCol).as("id"),
       explode(array_distinct(split(trim(lower(col(textCol))), "\\s+"))).as("w"))
       .withColumn("h", portableWordHash(col("w")))
-    val sums = words.groupBy("id").agg(
-      sum(portableSign(col("h"), 0)).as("b0"),
-      (1 until 64).map(j => sum(portableSign(col("h"), j)).as(s"b$j")): _*)
+    // same 4-lane packing as simhashTable: 16 packed count-ones sums + a
+    // count replace 64 ±1 sums (Σ(±1) > 0 ⇔ 2·ones > n — chunk values
+    // are bit-identical, so the SQL oracle, which recomputes its own
+    // sums, is untouched). Lane bound: < 2^15 distinct words per doc.
+    def bit(j: Int) = when(
+      ((col("h") * portableA(j) + portableB(j)) % PortableP) * 2 < PortableP,
+      lit(1L)).otherwise(lit(0L))
+    def packedSum(k: Int) = sum(bit(4 * k) +
+      shiftleft(bit(4 * k + 1), 16) + shiftleft(bit(4 * k + 2), 32) +
+      shiftleft(bit(4 * k + 3), 48)).as(s"p$k")
+    val sums = words.groupBy("id").agg(count(lit(1)).as("n"),
+      (0 until 16).map(packedSum): _*)
+    def ones(j: Int) = shiftright(col(s"p${j / 4}"), 16 * (j % 4))
+      .bitwiseAND(lit(0xFFFFL))
     val chunks = (0 until 4).map { i =>
       (0 until 16).map(t =>
-        when(col(s"b${16 * i + t}") > 0, lit(1 << t)).otherwise(lit(0)))
+        when(ones(16 * i + t) * 2 > col("n"), lit(1 << t)).otherwise(lit(0)))
         .reduce(_ + _).as(s"c$i")
     }
     sums.select(col("id") +: chunks: _*)
