@@ -22,8 +22,20 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
 
   /** Strict left-fold dot product of two float-array columns in double
-    * precision — the summation order every oracle replicates. */
+    * precision — the summation order every oracle replicates.
+    *
+    * Dispatches to the native codegen'd expression
+    * [[graft.functions.DotProductFloat]] (a tight `acc += x[i]*y[i]` loop,
+    * no per-row products array); [[dotHof]] is the HOF twin whose fold order
+    * the native loop reproduces BIT-IDENTICALLY (spec-asserted), so every
+    * oracle derived from the fold semantics stays valid. */
   def dot(x: Column, y: Column): Column =
+    graft.functions.VectorOps.vecDot(x, y)
+
+  /** Higher-order-function twin of [[dot]] — `aggregate(zip_with(...))` —
+    * kept as the executable specification of the summation order (and the
+    * shape the DuckDB oracles mirror via `list_reduce`). */
+  def dotHof(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) =>
       p.cast(DoubleType) * q.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)

@@ -596,6 +596,29 @@ object LlmQueries {
              label
       FROM embeddings ORDER BY vec_id"""))),
 
+    // Native codegen'd dot product (graft.functions.DotProductFloat) on the
+    // ANN hot path: every (query × corpus-row) pair scored by the tight
+    // float loop instead of the HOF zip/aggregate — same strict left fold
+    // in double, so the oracle replays the identical list_reduce. The
+    // VectorOpsSpec proves native ≡ HOF at the BIT level; this gate proves
+    // the native path end-to-end against the second engine.
+    "sim_dot_native" -> (((spark, dir) => {
+      val emb = load(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      emb.crossJoin(broadcast(q))
+        .select(col("query_id"), col("vec_id"),
+          round(graft.functions.VectorOps.vecDot(col("embedding"), col("qv")), 4)
+            .as("dot4"))
+        .orderBy("query_id", "vec_id")
+    }, Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                 FROM embeddings WHERE vec_id < 8)
+      SELECT query_id, e.vec_id,
+             round(${dotSql("e.embedding", "qv")}, 4) AS dot4
+      FROM embeddings e, q
+      ORDER BY query_id, e.vec_id"""))),
+
     // Context-window chunking: 32-token windows sliding by 24 (8 overlap) —
     // per-row HOF + narrow explode, zero shuffles; the gate verifies chunk
     // boundaries AND content (md5 of each chunk's text)
