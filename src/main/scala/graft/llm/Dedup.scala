@@ -603,4 +603,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
+
+  /** Cross-document duplicated-span rate (the exact-substring duplication
+    * metric of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better" — public paper): per document, the fraction
+    * of its word-`width`-gram positions whose gram also occurs in at
+    * least one OTHER document.
+    *
+    * Scale shape: grams are hashed to 60-bit longs immediately after the
+    * per-row transform, so every shuffle (per-hash distinct-doc count, the
+    * hash join back, the per-doc rollup) carries longs and ids, never
+    * text. Documents shorter than `width` words contribute no grams and
+    * report a 0.0 rate. Returns (id, n_grams, n_dup, dup_frac). */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 8): DataFrame = {
+    // positional grams (NOT distinct — the metric counts positions, so a
+    // doc repeating its own duplicated span counts each occurrence)
+    val grams = TextAnalysis.bindOnce(
+      split(lower(trim(col(textCol))), "\\s+")) { ws =>
+      when(size(ws) >= width,
+        transform(sequence(lit(1), size(ws) - lit(width - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(width)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val g = df.select(col(idCol).as("id"), explode(grams).as("gram"))
+      .select(col("id"), portableHash60(col("gram")).as("h"))
+    val nd = g.groupBy("h").agg(countDistinct(col("id")).as("nd"))
+    val perDoc = g.join(nd, "h")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1).otherwise(0)).as("n_dup"))
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("n_dup").cast("double") / col("n_grams"), 4))
+          .as("dup_frac"))
+  }
 }

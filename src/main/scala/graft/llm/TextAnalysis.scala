@@ -137,6 +137,34 @@ object TextAnalysis {
         round(col("max_c") / col("n_grams"), 4).as("rep_ratio"))
   }
 
+  /** Gopher-style quality-rule statistics (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", §A1.1 — public paper): word-count
+    * bounds, mean word length, type-token ratio, alphabetic-word fraction,
+    * stopword presence, and the combined keep/drop verdict. All pure
+    * per-row Column expressions over ONE bound tokenization — zero
+    * shuffles at any corpus size; at 100 TB this is a free rider on
+    * whatever scan already reads the text. Returns a struct
+    * (n_words, mean_wlen, ttr, alpha_frac, n_stop, keep). */
+  def gopherStats(t: Column): Column =
+    bindOnce(split(lower(trim(t)), "\\s+")) { ws =>
+      val n = when(length(trim(t)) === 0, lit(0)).otherwise(size(ws))
+      val sumLen = aggregate(transform(ws, w => length(w)),
+        lit(0L), (acc, x) => acc + x)
+      val nAlpha = size(filter(ws, w => w.rlike("[a-z]")))
+      val nDistinct = size(array_distinct(ws))
+      val nStop = stopwordHits(ws, "en")
+      val meanW = when(n === 0, lit(0.0))
+        .otherwise(round(sumLen.cast(DoubleType) / n, 4))
+      val ttr = when(n === 0, lit(0.0))
+        .otherwise(round(nDistinct.cast(DoubleType) / n, 4))
+      val alphaFrac = when(n === 0, lit(0.0))
+        .otherwise(round(nAlpha.cast(DoubleType) / n, 4))
+      val keep = when(n.between(50, 100000) && meanW.between(3.0, 10.0) &&
+        alphaFrac >= 0.8 && ttr >= 0.2 && nStop >= 2, lit(1)).otherwise(lit(0))
+      struct(n.as("n_words"), meanW.as("mean_wlen"), ttr.as("ttr"),
+        alphaFrac.as("alpha_frac"), nStop.as("n_stop"), keep.as("keep"))
+    }
+
   /** Context-window chunking: split each document into token windows of
     * `chunkTokens` words sliding by `chunkTokens - overlap` — the shape
     * every pretraining pipeline runs before packing. Pure per-row HOF

@@ -849,6 +849,131 @@ object LlmQueries {
              len(regexp_extract_all(text, '${graft.llm.TextAnalysis.BpeishPattern}')) AS n_subwords
       FROM documents ORDER BY doc_id"""))),
 
+    // Gopher quality rules (Rae et al. 2021): word-count bounds, mean word
+    // length, type-token ratio, alpha-word fraction, stopword presence —
+    // pure per-row expressions over one bound tokenization, zero shuffles
+    "text_gopher" -> (((spark, dir) => {
+      load(spark, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.gopherStats(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words"), col("g.mean_wlen"),
+          col("g.ttr"), col("g.alpha_frac"), col("g.n_stop"), col("g.keep"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS ws,
+                   length(trim(text)) AS lt
+                 FROM documents),
+      s AS (SELECT doc_id,
+              CASE WHEN lt = 0 THEN 0 ELSE len(ws) END AS n_words,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(ws, x -> CAST(length(x) AS BIGINT))),
+                (a, b) -> a + b) AS suml,
+              len(list_distinct(ws)) AS n_distinct,
+              len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+              len(list_intersect(list_distinct(ws),
+                ['the','and','of','to','in','is','that','with','for','it',
+                 'was','on','are','this','be'])) AS n_stop
+            FROM w),
+      m AS (SELECT doc_id, n_words,
+              CASE WHEN n_words = 0 THEN 0.0
+                   ELSE round(CAST(suml AS DOUBLE) / n_words, 4) END AS mean_wlen,
+              CASE WHEN n_words = 0 THEN 0.0
+                   ELSE round(CAST(n_distinct AS DOUBLE) / n_words, 4) END AS ttr,
+              CASE WHEN n_words = 0 THEN 0.0
+                   ELSE round(CAST(n_alpha AS DOUBLE) / n_words, 4) END AS alpha_frac,
+              n_stop
+            FROM s)
+      SELECT doc_id, n_words, mean_wlen, ttr, alpha_frac, n_stop,
+             CASE WHEN n_words BETWEEN 50 AND 100000
+                   AND mean_wlen BETWEEN 3.0 AND 10.0
+                   AND alpha_frac >= 0.8 AND ttr >= 0.2 AND n_stop >= 2
+                  THEN 1 ELSE 0 END AS keep
+      FROM m ORDER BY doc_id"""))),
+
+    // Cross-document duplicated-span rate (Lee et al. 2022 exact-substring
+    // metric): fraction of word-8-gram positions whose gram occurs in 2+
+    // docs — shuffles carry 60-bit gram hashes and ids, never text
+    "dd_dup_spans" -> (((spark, dir) => {
+      Dedup.dupSpanStats(load(spark, dir, "documents"), "doc_id", "text",
+          width = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS ws
+                 FROM documents),
+      g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 6),
+              i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
+                             ws[i+4], ws[i+5], ws[i+6], ws[i+7]))) AS gram
+            FROM w WHERE len(ws) >= 8),
+      h AS (SELECT doc_id,
+              CAST('0x' || substring(md5(gram), 1, 15) AS BIGINT) AS h
+            FROM g),
+      nd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM h GROUP BY 1),
+      pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+             FROM h JOIN nd USING (h) GROUP BY 1)
+      SELECT d.doc_id,
+             coalesce(n_grams, 0) AS n_grams,
+             coalesce(n_dup, 0) AS n_dup,
+             CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+                  ELSE round(CAST(n_dup AS DOUBLE) / n_grams, 4) END AS dup_frac
+      FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id"""))),
+
+    // DSIR importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling" — public paper): hashed
+    // unigram features (64 buckets), add-1-smoothed target/raw bucket
+    // distributions (target proxy: doc_id % 10 = 0), per-doc importance
+    // log-weight = Σ_b n_b · λ_b with λ_b = ln(p_b/q_b) rounded to 6dp
+    // and decimal-summed (order-independent). Scale shape: the bucket
+    // distribution is 64 rows (broadcast); shuffles carry (doc, bucket)
+    // counts, never words.
+    "llm_dsir" -> (((spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      val words = docs.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      val b = words.select(col("doc_id"),
+        pmod(Dedup.portableHash60(col("w")), lit(64)).as("b"))
+      val isTarget = col("doc_id") % 10 === 0
+      val dist = b.groupBy("b").agg(
+        sum(when(isTarget, 1).otherwise(0)).as("ct"),
+        sum(when(!isTarget, 1).otherwise(0)).as("cr"))
+      val tot = dist.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("rt"))
+      val lam = dist.crossJoin(broadcast(tot))
+        .select(col("b"),
+          round(log((col("ct") + 1).cast("double") / (col("tt") + 64)) -
+            log((col("cr") + 1).cast("double") / (col("rt") + 64)), 6)
+            .cast("decimal(18,6)").as("lam"))
+      val db = b.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      db.join(broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(sum(col("n")).as("n_tokens"),
+          round(sum(col("n") * col("lam")).cast("double"), 4).as("dsir4"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH words AS (SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+                     FROM documents),
+      b AS (SELECT doc_id,
+              CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) % 64 AS b
+            FROM words),
+      dist AS (SELECT b,
+                 CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                 CAST(SUM(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cr
+               FROM b GROUP BY 1),
+      tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+                     CAST(SUM(cr) AS BIGINT) AS rt FROM dist),
+      lam AS (SELECT b,
+                CAST(round(ln(CAST(ct + 1 AS DOUBLE) / (tt + 64)) -
+                           ln(CAST(cr + 1 AS DOUBLE) / (rt + 64)), 6)
+                  AS DECIMAL(18,6)) AS lam
+              FROM dist CROSS JOIN tot),
+      db AS (SELECT doc_id, b, count(*) AS n FROM b GROUP BY 1, 2)
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+             round(CAST(SUM(n * lam) AS DOUBLE), 4) AS dsir4
+      FROM db JOIN lam USING (b) GROUP BY doc_id ORDER BY doc_id"""))),
+
     // Quality scoring (length/punct/digit/stopword components)
     "text_quality" -> (((spark, dir) => {
       load(spark, dir, "documents")

@@ -366,6 +366,43 @@ class LlmSpec extends AnyFunSuite {
     assert(m(2L) < 0.2)
   }
 
+  test("gopher stats: keep needs every rule; counts match hand calculation") {
+    // 60 words, mean length in [3,10], all alpha, high TTR, stopwords present
+    val good = ((1 to 55).map(i => s"word$i") ++
+      Seq("the", "and", "of", "to", "in")).mkString(" ")
+    val shortDoc = "too short to pass the fifty word minimum rule now"
+    val noStop = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val t = Seq((1L, good), (2L, shortDoc), (3L, noStop)).toDF("doc_id", "text")
+    val byId = t.select(col("doc_id"), TextAnalysis.gopherStats(col("text")).as("g"))
+      .select("doc_id", "g.n_words", "g.n_stop", "g.keep")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(byId(1L) == ((60, 5, 1)))
+    assert(byId(2L)._1 == 10 && byId(2L)._3 == 0) // word count rule fails
+    assert(byId(3L) == ((60, 0, 0))) // no stopwords -> drop
+  }
+
+  test("dup spans: planted shared 8-gram counted in both docs, unique doc 0") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 words
+    val t = Seq(
+      (1L, s"$shared unique1a unique1b unique1c"),
+      (2L, s"prefix2a prefix2b $shared"),
+      (3L, "nothing here matches any other document at all ok"),
+      (4L, "tiny doc")) // < 8 words -> zero grams
+      .toDF("doc_id", "text")
+    val got = Dedup.dupSpanStats(t, "doc_id", "text", width = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc1: 4 gram positions, exactly position 1 is the shared gram
+    assert(got(1L) == ((4L, 1L, 0.25)))
+    // doc2: 3 gram positions, the last is shared
+    assert(got(2L) == ((3L, 1L, round4(1.0 / 3))))
+    assert(got(3L)._2 == 0L)
+    assert(got(4L) == ((0L, 0L, 0.0)))
+  }
+
+  private def round4(d: Double): Double =
+    BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("langid picks the stopword-matching language, CJK -> zh") {
     val t = Seq(
       (1L, "the cat and the dog are in the house with it"),
