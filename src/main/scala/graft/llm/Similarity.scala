@@ -235,4 +235,38 @@ object Similarity {
       round((0 until m).map(j => col(s"b$j").getField("d"))
         .reduce(_ + _), roundDigits).as("recon"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023 — public
+    * paper): cluster the corpus by the IVF coarse quantizer, then drop,
+    * within each cluster, every vector that has a ≥ `tau` cosine neighbor
+    * with a smaller id (greedy keep-first — a deterministic stand-in for
+    * the paper's keep-one-per-dup-group choice).
+    *
+    * Scale shape: the pairwise step runs WITHIN clusters only — one
+    * shuffle keyed by `list_id`, cost O(Σ sᵢ²) bounded by the largest
+    * cluster, the same bucket-bound discipline as the sign-LSH near-dup
+    * path ([[graft.llm.Dedup.embeddingNearDup]]). At 100 TB raise `nlist`
+    * (clusters shrink linearly) or cap cluster size with
+    * `Dedup.cappedBuckets` before pairing; norms are computed once per
+    * vector and reused for every pair. Cosines compare on `roundDigits`
+    * decimals so cross-engine fp noise cannot flip a drop decision.
+    * Returns (id, list_id, dropped). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, tau: Double, roundDigits: Int = 4): DataFrame = {
+    val assigned = ivfAssign(df, idCol, vecCol, nlist)
+    val a = assigned.select(col("list_id"), col(idCol).as("id1"),
+      col(vecCol).as("v1"), col(NormCol).as("n1"))
+    val b = assigned.select(col("list_id"), col(idCol).as("id2"),
+      col(vecCol).as("v2"), col(NormCol).as("n2"))
+    val dropped = a.join(b, "list_id")
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", round(cosineWithNorms(col("v1"), col("n1"),
+        col("v2"), col("n2")), roundDigits))
+      .filter(col("cos") >= tau)
+      .select(col("id2").as("id")).distinct()
+    assigned.select(col(idCol).as("id"), col("list_id"))
+      .join(dropped.withColumn("dropped", lit(1)), Seq("id"), "left")
+      .select(col("id"), col("list_id"),
+        coalesce(col("dropped"), lit(0)).as("dropped"))
+  }
 }

@@ -511,6 +511,53 @@ object LlmQueries {
         .orderBy("id1", "id2")
     }, Some(embedOracleSql))),
 
+    // SemDeDup (Abbas et al. 2023): IVF-cluster the corpus, drop within
+    // each cluster every vector with a >= tau cosine neighbor of smaller
+    // id. 20 planted scaled copies (cosine exactly 1.0 with their
+    // originals) land in their original's cluster and MUST drop; the
+    // oracle replays the whole pipeline — centroid choice, min-struct
+    // assignment, rounded within-cluster cosines
+    "dd_semantic" -> (((spark, dir) => {
+      val emb = load(spark, dir, "embeddings")
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.1f)).as("embedding"))
+      val base = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(planted)
+      Similarity.semanticDedup(base, "vec_id", "embedding",
+          nlist = 16, tau = 0.9)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    }, Some(s"""
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_transform(embedding,
+                 x -> CAST(x * CAST(1.1 AS FLOAT) AS FLOAT))::DOUBLE[]
+        FROM embeddings WHERE vec_id < 20),
+      cent AS (SELECT vec_id AS cent_id, v AS cv FROM base
+               ORDER BY vec_id LIMIT 16),
+      assign AS (
+        SELECT vec_id, v, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY
+                 ${dotSql("v", "cv")} /
+                   (sqrt(${dotSql("v", "v")}) * sqrt(${dotSql("cv", "cv")}))
+                 DESC, cent_id ASC) AS rn
+        FROM base, cent),
+      idx AS (SELECT vec_id, v, cent_id AS list_id FROM assign WHERE rn = 1),
+      drops AS (
+        SELECT DISTINCT b2.vec_id AS id
+        FROM idx a JOIN idx b2
+          ON a.list_id = b2.list_id AND a.vec_id < b2.vec_id
+        WHERE round(${dotSql("a.v", "b2.v")} /
+                (sqrt(${dotSql("a.v", "a.v")}) *
+                 sqrt(${dotSql("b2.v", "b2.v")})), 4) >= 0.9)
+      SELECT i.vec_id, i.list_id,
+             CASE WHEN d.id IS NULL THEN 0 ELSE 1 END AS dropped
+      FROM idx i LEFT JOIN drops d ON i.vec_id = d.id
+      ORDER BY i.vec_id"""))),
+
     // Brute-force cosine top-k (recall-1 baseline): ranks on ROUNDED cosine
     // so cross-engine fp noise cannot reorder, tie-broken by neighbor id
     "sim_topk" -> (((spark, dir) => {

@@ -403,6 +403,24 @@ class LlmSpec extends AnyFunSuite {
   private def round4(d: Double): Double =
     BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("semantic dedup drops the scaled copy, keeps the original, and " +
+    "leaves orthogonal vectors alone") {
+    // 4 near-orthogonal base vectors + a scaled copy of id 0 (cosine 1.0)
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.1f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 1.0f, 0.1f)),
+      (3L, Seq(0.1f, 0.0f, 0.0f, 1.0f)),
+      (100L, Seq(1.1f, 0.11f, 0.0f, 0.0f))) // copy of 0, scaled
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        nlist = 2, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got(100L) == 1) // the copy drops (same cluster as its original)
+    assert(got(0L) == 0) // keep-first: the smaller id survives
+    assert(got(1L) == 0 && got(2L) == 0 && got(3L) == 0)
+  }
+
   test("langid picks the stopword-matching language, CJK -> zh") {
     val t = Seq(
       (1L, "the cat and the dog are in the house with it"),
