@@ -57,17 +57,38 @@ object Bench {
               .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }.toMap
     val failures = results.count(_._2 < 0)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val sp = spreads.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    val note = s"${results.size} queries ($failures failed; failed queries " +
-      "recorded as -1 and excluded from total), full evaluation via noop " +
-      "sink (count() lets Catalyst prune projections), min of 3 timed " +
-      "passes; variance[q] = (max-min)/min across the passes (within-JVM " +
-      "noise floor)"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"variance":$sp,"failures":$failures,"sf":"$sfDir","note":"$note"}""")
+    def r3(d: Double): Double =
+      BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def jmap(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+    val total = r3(results.values.filter(_ >= 0).sum)
+    // The driver captures only the LAST ~2000 characters of stdout and
+    // parses the JSON line out of that tail — a line carrying all
+    // per-query timings is 2x too long and parses to null (it did in
+    // rounds 1-3). So: ONE compact line (total + a fixed headline subset,
+    // 3dp) that fits the tail with room for sbt's trailer, and the full
+    // per-query map + variance written to BENCH_FULL.json alongside.
+    val headline = Seq(
+      "q1_pricing", "q5_starjoin", "q6_selective", "q19_discount",
+      "a5_join", "a9_watermark_incr", "c3_dedup_latest", "c6_merge",
+      "dd_exact", "dd_minhash", "dd_simhash", "dd_ngram", "dd_embed",
+      "dd_cluster", "dd_semantic", "sim_topk", "sim_ivf", "text_langid",
+      "text_quality", "text_tokens", "text_fingerprint", "text_gopher",
+      "llm_corpus_clean", "llm_pack_sequences", "llm_dsir", "evt_window_agg",
+      "evt_sessionize", "q_percentile", "q_approx_distinct", "q_salted_agg",
+      "q_bloom_join", "q_cms_heavy", "mm_decode", "q_zvalue",
+      "dd_dup_spans").filter(results.contains)
+    val qs = jmap(headline.map(k => k -> results(k)).toMap)
+    val note = s"${results.size} queries ($failures failed, as -1, " +
+      "excluded from total), noop-sink full eval, min of 3 passes; " +
+      "headline subset here, ALL timings + variance in BENCH_FULL.json"
+    val full = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${jmap(results)},"variance":${jmap(spreads)},""" +
+      s""""failures":$failures,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      full.getBytes("UTF-8"))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failures":$failures,"sf":"$sfDir","queries":$qs,"note":"$note"}""")
     spark.stop()
   }
 }

@@ -236,6 +236,31 @@ object Similarity {
         .reduce(_ + _), roundDigits).as("recon"))
   }
 
+  /** Johnson-Lindenstrauss random projection (Achlioptas ±1 construction —
+    * public result): project `dim`-d float vectors to `outDim` components,
+    * `p_j = dot(v, s_j) / sqrt(outDim)`, with the deterministic ±1 sign
+    * matrix from [[graft.llm.Dedup.portablePlanes]] (the same LCG family
+    * the sign-LSH path uses, so both engines can replay it exactly).
+    *
+    * Scale shape: the sign matrix is a driver-side literal broadcast into
+    * the plan (outDim×dim doubles — bytes, not data); the projection is a
+    * pure per-row map inside codegen, zero shuffles at any corpus size.
+    * This is the standard pre-step that cuts ANN/clustering cost by
+    * dim/outDim while approximately preserving pairwise distances.
+    * Returns one row per (id, proj_id) with the ROUNDED component. */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, outDim: Int, roundDigits: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val signs = Dedup.portablePlanes(outDim, dim).zipWithIndex
+      .map { case (s, j) => (j, s.map(_.toFloat)) }.toDF("proj_id", "s")
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(signs))
+      .select(col("id"), col("proj_id"),
+        round(dot(col("v"), col("s")) / math.sqrt(outDim.toDouble),
+          roundDigits).as("p4"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023 — public
     * paper): cluster the corpus by the IVF coarse quantizer, then drop,
     * within each cluster, every vector that has a ≥ `tau` cosine neighbor

@@ -284,4 +284,96 @@ object TextAnalysis {
       .orderBy(col("n_ab").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** BM25 retrieval scoring (Robertson et al.; the Lucene
+    * `ln(1 + (N - df + .5)/(df + .5))` idf variant): top-`k` documents per
+    * query for a FIXED query set. Scale shape: the corpus prunes to the
+    * query vocabulary BEFORE the tf aggregation (a broadcast semi-join on
+    * the term column), so the big shuffle carries only matching (doc, term)
+    * counts — at 100 TB the cost is one pass over the scan plus
+    * aggregations proportional to the hit set, not the corpus vocabulary.
+    * df/idf and the query list ride along as broadcasts; per-term
+    * contributions round to 6 decimals and sum as exact decimals so the
+    * distributed summation order cannot perturb a rank. Returns
+    * (query_id, rnk, id, score4). */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, Seq[String])], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(col(idCol).as("id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+    val doclen = words.groupBy("id").agg(count(lit(1)).as("dl"))
+    val stats = doclen.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_len"))
+    val qterms = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "w")
+    val tf = words.join(broadcast(qterms.select("w").distinct()), "w")
+      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val avgdl = col("tot_len").cast(DoubleType) / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
+      (col("df") + 0.5))
+    val den = col("tf") + lit(k1) *
+      (lit(1 - b) + lit(b) * col("dl") / avgdl)
+    val contrib = tf.join(broadcast(dfreq), "w")
+      .join(broadcast(qterms), "w")
+      .join(doclen, "id").crossJoin(broadcast(stats))
+      .select(col("query_id"), col("id"),
+        round(idf * col("tf") * lit(k1 + 1) / den, 6)
+          .cast(DecimalType(18, 6)).as("c6"))
+    val scored = contrib.groupBy("query_id", "id")
+      .agg(round(sum("c6").cast(DoubleType), 4).as("score4"))
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("score4").desc, col("id").asc)
+    scored.withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("id"), col("score4"))
+  }
+
+  /** Inverted-index posting lists: per term, the document frequency plus
+    * the first `maxPostings` doc ids in sorted order (the head of the
+    * posting list — enough to seed a conjunctive scan). The cap is applied
+    * by a row_number window BEFORE collect_list, so per-term aggregation
+    * state is bounded by `maxPostings` regardless of how hot the term is
+    * (an uncapped collect on a stopword at 100 TB would buffer millions of
+    * ids); the window and both aggregations hash on the term column, so
+    * Catalyst reuses one exchange. Returns (term, df, head_csv). */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      maxPostings: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = df.select(col(idCol).as("id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .distinct()
+    val dfreq = pairs.groupBy("w").agg(count(lit(1)).as("df"))
+    val headW = Window.partitionBy("w").orderBy("id")
+    val heads = pairs.withColumn("rn", row_number().over(headW))
+      .filter(col("rn") <= maxPostings)
+      .groupBy("w")
+      .agg(concat_ws(",", sort_array(collect_list(col("id")))).as("head_csv"))
+    dfreq.join(heads, "w")
+      .select(col("w").as("term"), col("df"), col("head_csv"))
+  }
+
+  /** BPE merge-pair statistics (Sennrich et al.): the first tokenizer-
+    * training step — count every adjacent character pair inside each
+    * distinct word, weighted by the word's corpus frequency, and rank the
+    * merge candidates. Aggregating to distinct words FIRST means the pair
+    * explosion runs once per vocabulary entry, not once per corpus token —
+    * at 100 TB the heavy pass is the word count (map-side combinable);
+    * the pair stage works on the (tiny) vocabulary. Top-k by
+    * (count desc, pair asc) is a per-task heap (TakeOrderedAndProject),
+    * never a global sort. Returns (pair, n_pair). */
+  def bpePairStats(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val vocab = df.select(explode(
+        split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .filter(length(col("w")) >= 2)
+    vocab.select(col("wc"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("wc").as("n_pair"))
+      .orderBy(col("n_pair").desc, col("pair").asc)
+      .limit(topK)
+  }
 }

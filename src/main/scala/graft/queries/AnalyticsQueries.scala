@@ -619,6 +619,105 @@ object AnalyticsQueries {
     }, Some("""
       SELECT count(*) AS n, count(DISTINCT event_id) AS n_ids,
              CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
-      FROM events""")))
+      FROM events"""))),
+
+    // Weighted PageRank over the nation trade network (operators.PageRank):
+    // edges = customer-nation -> supplier-nation trade counts aggregated
+    // from lineitem|x|orders|x|customer|x|supplier|x|nation^2 (the 100 TB
+    // part — one map-side-combinable groupBy over the star join); 3 power
+    // iterations then run on the aggregated graph, every iteration two
+    // src-keyed joins + one dst-keyed decimal-exact aggregation. The oracle
+    // unrolls the same 3 iterations as CTEs.
+    "q_pagerank" -> (((spark, dir) => {
+      val li = load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+      val ord = load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = load(spark, dir, "customer")
+        .select("c_custkey", "c_nationkey")
+      val supp = load(spark, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+      val nat = load(spark, dir, "nation").select("n_nationkey", "n_name")
+      val edges = li
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .join(broadcast(nat).as("cn"),
+          cust("c_nationkey") === col("cn.n_nationkey"))
+        .join(broadcast(nat).as("sn"),
+          supp("s_nationkey") === col("sn.n_nationkey"))
+        .groupBy(col("cn.n_name").as("src"), col("sn.n_name").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.PageRank.run(edges, "src", "dst", "w", iters = 3)
+        .select(col("node").as("nation"), col("r").as("pr6"))
+        .orderBy("nation")
+    }, Some("""
+      WITH e AS (
+        SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        GROUP BY 1, 2),
+      outw AS (SELECT src, sum(w) AS out_w FROM e GROUP BY 1),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      n AS (SELECT count(*) AS nn FROM nodes),
+      r0 AS (SELECT node, round(1.0 / nn, 6) AS r FROM nodes CROSS JOIN n),
+      c1 AS (SELECT e.dst, CAST(round(r0.r * e.w / outw.out_w, 8)
+                      AS DECIMAL(28,8)) AS c8
+             FROM e JOIN outw USING (src) JOIN r0 ON r0.node = e.src),
+      s1 AS (SELECT dst, sum(c8) AS s FROM c1 GROUP BY 1),
+      r1 AS (SELECT node, round(0.15 / nn + 0.85 *
+               COALESCE(CAST(s AS DOUBLE), 0.0), 6) AS r
+             FROM nodes CROSS JOIN n LEFT JOIN s1 ON s1.dst = nodes.node),
+      c2 AS (SELECT e.dst, CAST(round(r1.r * e.w / outw.out_w, 8)
+                      AS DECIMAL(28,8)) AS c8
+             FROM e JOIN outw USING (src) JOIN r1 ON r1.node = e.src),
+      s2 AS (SELECT dst, sum(c8) AS s FROM c2 GROUP BY 1),
+      r2 AS (SELECT node, round(0.15 / nn + 0.85 *
+               COALESCE(CAST(s AS DOUBLE), 0.0), 6) AS r
+             FROM nodes CROSS JOIN n LEFT JOIN s2 ON s2.dst = nodes.node),
+      c3 AS (SELECT e.dst, CAST(round(r2.r * e.w / outw.out_w, 8)
+                      AS DECIMAL(28,8)) AS c8
+             FROM e JOIN outw USING (src) JOIN r2 ON r2.node = e.src),
+      s3 AS (SELECT dst, sum(c8) AS s FROM c3 GROUP BY 1),
+      r3 AS (SELECT node, round(0.15 / nn + 0.85 *
+               COALESCE(CAST(s AS DOUBLE), 0.0), 6) AS r
+             FROM nodes CROSS JOIN n LEFT JOIN s3 ON s3.dst = nodes.node)
+      SELECT node AS nation, r AS pr6 FROM r3 ORDER BY nation"""))),
+
+    // Per-user event-type transition matrix (first-order Markov counts):
+    // one user_id-keyed window to pair each event with its predecessor,
+    // then a tiny |types|^2 aggregation; transition probabilities
+    // normalize inside a prev-keyed window. At 100 TB the only large
+    // exchange is the user_id window; its output aggregates map-side.
+    "evt_transitions" -> (((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val prevW = Window.partitionBy("prev")
+      load(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy("prev", "event_type").agg(count(lit(1)).as("n"))
+        .withColumn("p4", round(col("n").cast("double") /
+          sum("n").over(prevW), 4))
+        .select(col("prev"), col("event_type").as("next"), col("n"),
+          col("p4"))
+        .orderBy("prev", "next")
+    }, Some("""
+      WITH seq AS (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_ns(ts), event_id) AS prev
+        FROM events),
+      t AS (SELECT prev, event_type AS next, count(*) AS n
+            FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
+      SELECT prev, next, n,
+             round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev), 4)
+               AS p4
+      FROM t ORDER BY prev, next""")))
   )
 }

@@ -421,6 +421,57 @@ class LlmSpec extends AnyFunSuite {
     assert(got(1L) == 0 && got(2L) == 0 && got(3L) == 0)
   }
 
+  test("bm25: higher tf ranks first, absent docs absent, rare term " +
+    "out-scores a ubiquitous one") {
+    val docs = Seq(
+      (1L, "hash join hash"), (2L, "scan filter"), (3L, "hash scan"),
+      (4L, "scan scan")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq(1 -> Seq("hash"), 2 -> Seq("filter")), k = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    val q1 = got.filter(_._1 == 1).sortBy(_._2)
+    assert(q1.map(_._3).toSeq == Seq(1L, 3L)) // tf=2 doc first; d2/d4 absent
+    // 'filter' (df=1) on d2 must out-score 'hash' (df=2) anywhere:
+    val filterScore = got.filter(_._1 == 2).head._4
+    assert(filterScore > q1.head._4)
+  }
+
+  test("inverted index caps posting heads at maxPostings but df stays " +
+    "exact") {
+    val docs = Seq((10L, "a b"), (20L, "a"), (30L, "a c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(docs, "doc_id", "text",
+      maxPostings = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(got("a") == (3L, "10,20")) // df counts all 3; head keeps 2
+    assert(got("b") == (1L, "10") && got("c") == (1L, "30"))
+  }
+
+  test("bpe pair stats weight pairs by word frequency") {
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "x")).toDF("doc_id", "text")
+    // aaab (wc 2) -> aa, aa, ab each x2 => aa:4, ab:2; ab (wc 1) -> ab:1
+    // single-char x is excluded (no pairs)
+    val got = TextAnalysis.bpePairStats(docs, "text", topK = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toSeq == Seq("aa" -> 4L, "ab" -> 3L))
+  }
+
+  test("jl projection matches the hand-computed signed fold") {
+    val v = Seq(1.0f, 2.0f, -1.0f, 0.5f)
+    val df = Seq((7L, v)).toDF("vec_id", "embedding")
+    val got = Similarity.jlProject(df, "vec_id", "embedding",
+      dim = 4, outDim = 2)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    val planes = Dedup.portablePlanes(2, 4)
+    val want = planes.zipWithIndex.map { case (s, j) =>
+      j -> round4(v.zip(s).map { case (x, sg) => x.toDouble * sg }.sum /
+        math.sqrt(2.0))
+    }.toMap
+    assert(got == want)
+  }
+
   test("langid picks the stopword-matching language, CJK -> zh") {
     val t = Seq(
       (1L, "the cat and the dog are in the house with it"),
