@@ -30,8 +30,14 @@ object PageRank {
 
   def run(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
       iters: Int, damping: Double = 0.85, roundDigits: Int = 6): DataFrame = {
+    // Materialize the aggregated edge list ONCE: every iteration (and the
+    // outw/nodes/n derivations) re-reads it, and without the checkpoint
+    // each re-read would re-execute the caller's full edge build — for the
+    // gate query that is a 5-way star join over lineitem, re-run ~6 times.
+    // At cluster scale this is "persist the graph, iterate on it".
     val e = edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
       .agg(sum(col(wCol)).as("w"))
+      .localCheckpoint()
     val outw = e.groupBy("src").agg(sum("w").as("out_w"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct()
