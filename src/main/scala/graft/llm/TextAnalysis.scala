@@ -331,6 +331,74 @@ object TextAnalysis {
       .select(col("query_id"), col("rnk"), col("id"), col("score4"))
   }
 
+  /** Query-likelihood ranking with Dirichlet smoothing (Ponte & Croft /
+    * Zhai & Lafferty — public IR models): per query, rank candidate
+    * documents by `Σ_t ln((tf + μ·cf_t/|C|) / (dl + μ))`. Candidates are
+    * restricted to documents containing at least one query term (the
+    * inverted-index discipline — scoring the whole corpus per query would
+    * be a cross product at 100 TB); missing terms smooth through tf=0.
+    * Same scale shape as [[bm25TopK]]: vocabulary-pruned tf shuffle,
+    * broadcast collection stats, decimal-summed contributions. Returns
+    * (query_id, rnk, id, score4). */
+  def queryLikelihoodTopK(df: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, Seq[String])], k: Int = 10, mu: Double = 100.0)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(col(idCol).as("id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+    val doclen = words.groupBy("id").agg(count(lit(1)).as("dl"))
+    val total = words.agg(count(lit(1)).as("tc"))
+    val qterms = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "w")
+    val tf = words.join(broadcast(qterms.select("w").distinct()), "w")
+      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("w").agg(sum("tf").as("cf"))
+    val cand = tf.join(broadcast(qterms), "w")
+      .select("query_id", "id").distinct()
+    val pairs = cand.join(broadcast(qterms), "query_id")
+    val scored = pairs.join(tf, Seq("id", "w"), "left")
+      .na.fill(0L, Seq("tf"))
+      .join(broadcast(cf), "w").join(doclen, "id")
+      .crossJoin(broadcast(total))
+      .select(col("query_id"), col("id"),
+        round(log((col("tf") + lit(mu) *
+          (col("cf").cast(DoubleType) / col("tc"))) /
+          (col("dl") + lit(mu))), 6)
+          .cast(DecimalType(18, 6)).as("c6"))
+      .groupBy("query_id", "id")
+      .agg(round(sum("c6").cast(DoubleType), 4).as("score4"))
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("score4").desc, col("id").asc)
+    scored.withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("id"), col("score4"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. — public method): combine two
+    * rankers' lists, `fused = Σ_r 1/(kConst + rank_r)`, re-rank, top `k`.
+    * Inputs are (query_id, …, id-col, …) frames carrying a `rnk` column
+    * (e.g. [[bm25TopK]] and [[queryLikelihoodTopK]] outputs). A union +
+    * one aggregation — no outer join; contributions round to 8 decimals
+    * and sum exactly so fusion replays cross-engine. Returns
+    * (query_id, rnk, id, fused6). */
+  def rrfFuse(a: DataFrame, b: DataFrame, kConst: Int = 60, k: Int = 10)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def contrib(r: DataFrame) = r.select(col("query_id"), col("id"),
+      round(lit(1.0) / (lit(kConst) + col("rnk")), 8)
+        .cast(DecimalType(18, 8)).as("c8"))
+    val fused = contrib(a).unionByName(contrib(b))
+      .groupBy("query_id", "id")
+      .agg(round(sum("c8").cast(DoubleType), 6).as("fused6"))
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("fused6").desc, col("id").asc)
+    fused.withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("id"), col("fused6"))
+  }
+
   /** Inverted-index posting lists: per term, the document frequency plus
     * the first `maxPostings` doc ids in sorted order (the head of the
     * posting list — enough to seed a conjunctive scan). The cap is applied

@@ -718,6 +718,32 @@ object AnalyticsQueries {
       SELECT prev, next, n,
              round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev), 4)
                AS p4
-      FROM t ORDER BY prev, next""")))
+      FROM t ORDER BY prev, next"""))),
+
+    // Frequent event trigrams (sequential-pattern head): two lags over ONE
+    // user_id window (single exchange + sort serves both), a types^3 agg,
+    // per-task-heap top-20. The behavioral-mining twin of evt_transitions.
+    "evt_seq3" -> (((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      load(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("e3"))
+        .withColumn("e2", lag("e3", 1).over(w))
+        .withColumn("e1", lag("e3", 2).over(w))
+        .filter(col("e1").isNotNull)
+        .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(20)
+    }, Some("""
+      WITH seq AS (
+        SELECT event_type AS e3,
+               lag(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY epoch_ns(ts), event_id) AS e2,
+               lag(event_type, 2) OVER (PARTITION BY user_id
+                 ORDER BY epoch_ns(ts), event_id) AS e1
+        FROM events)
+      SELECT e1, e2, e3, count(*) AS n FROM seq WHERE e1 IS NOT NULL
+      GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 20""")))
   )
 }

@@ -28,6 +28,58 @@ object RetrievalQueries {
   /** JL sign matrix shared by the Spark plan and the oracle (8×64 ±1). */
   private val JlPlanes = Dedup.portablePlanes(8, 64)
 
+  /** Shared ranker CTE chain (DuckDB): corpus stats + the BM25 and
+    * query-likelihood ranking pipelines over `Bm25Queries`. The three
+    * retrieval oracles (text_bm25 / text_ql / text_rrf) each SELECT from a
+    * different stage of the same chain — DuckDB prunes the unreferenced
+    * CTEs, and sharing the text keeps the chains from drifting apart. */
+  private def rankerCtes: String = s"""
+      words AS (SELECT doc_id AS id,
+                  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+                FROM documents),
+      doclen AS (SELECT id, count(*) AS dl FROM words GROUP BY 1),
+      stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_len FROM doclen),
+      tot AS (SELECT count(*) AS tc FROM words),
+      qt AS (SELECT * FROM (VALUES ${Bm25Queries.flatMap { case (q, ts) =>
+        ts.map(t => s"($q, '$t')") }.mkString(", ")}) AS t(query_id, w)),
+      tf AS (SELECT id, w, count(*) AS tf FROM words
+             WHERE w IN (SELECT w FROM qt) GROUP BY 1, 2),
+      dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      cf AS (SELECT w, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+      bm25c AS (
+        SELECT qt.query_id, tf.id,
+               CAST(round(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) /
+                     (dfreq.df + 0.5)) * tf.tf * 2.2 /
+                     (tf.tf + 1.2 * (0.25 + 0.75 * doclen.dl /
+                       (CAST(stats.tot_len AS DOUBLE) / stats.n_docs))), 6)
+                 AS DECIMAL(18,6)) AS c6
+        FROM tf JOIN dfreq USING (w) JOIN qt USING (w)
+             JOIN doclen ON doclen.id = tf.id CROSS JOIN stats),
+      bm25s AS (SELECT query_id, id,
+                  round(CAST(sum(c6) AS DOUBLE), 4) AS score4
+                FROM bm25c GROUP BY 1, 2),
+      bm25r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score4 DESC, id) AS rnk FROM bm25s),
+      qlcand AS (SELECT DISTINCT qt.query_id, tf.id
+                 FROM tf JOIN qt USING (w)),
+      qlpairs AS (SELECT c.query_id, c.id, q.w
+                  FROM qlcand c JOIN qt q USING (query_id)),
+      qlc AS (
+        SELECT p.query_id, p.id,
+               CAST(round(ln((COALESCE(tf.tf, 0) + 100.0 *
+                     (CAST(cf.cf AS DOUBLE) / tot.tc)) /
+                     (doclen.dl + 100.0)), 6) AS DECIMAL(18,6)) AS c6
+        FROM qlpairs p
+        LEFT JOIN tf ON tf.id = p.id AND tf.w = p.w
+        JOIN cf ON cf.w = p.w
+        JOIN doclen ON doclen.id = p.id
+        CROSS JOIN tot),
+      qls AS (SELECT query_id, id,
+                round(CAST(sum(c6) AS DOUBLE), 4) AS score4
+              FROM qlc GROUP BY 1, 2),
+      qlr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score4 DESC, id) AS rnk FROM qls)"""
+
   val defs: Map[String, Entry] = Map(
 
     // BM25 top-10 per query (TextAnalysis.bm25TopK): corpus pruned to the
@@ -39,33 +91,67 @@ object RetrievalQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("query_id", "rnk")
     }, Some(s"""
-      WITH words AS (SELECT doc_id AS id,
-                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
-                         AS w
-                     FROM documents),
-      doclen AS (SELECT id, count(*) AS dl FROM words GROUP BY 1),
-      stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_len FROM doclen),
-      qt AS (SELECT * FROM (VALUES ${Bm25Queries.flatMap { case (q, ts) =>
-        ts.map(t => s"($q, '$t')") }.mkString(", ")}) AS t(query_id, w)),
-      tf AS (SELECT id, w, count(*) AS tf FROM words
-             WHERE w IN (SELECT w FROM qt) GROUP BY 1, 2),
-      dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
-      contrib AS (
-        SELECT qt.query_id, tf.id,
-               CAST(round(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) /
-                     (dfreq.df + 0.5)) * tf.tf * 2.2 /
-                     (tf.tf + 1.2 * (0.25 + 0.75 * doclen.dl /
-                       (CAST(stats.tot_len AS DOUBLE) / stats.n_docs))), 6)
-                 AS DECIMAL(18,6)) AS c6
-        FROM tf JOIN dfreq USING (w) JOIN qt USING (w)
-             JOIN doclen ON doclen.id = tf.id CROSS JOIN stats),
-      scored AS (SELECT query_id, id,
-                   round(CAST(sum(c6) AS DOUBLE), 4) AS score4
-                 FROM contrib GROUP BY 1, 2),
-      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                   ORDER BY score4 DESC, id) AS rnk FROM scored)
+      WITH $rankerCtes
       SELECT query_id, CAST(rnk AS INT) AS rnk, id AS doc_id, score4
-      FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""))),
+      FROM bm25r WHERE rnk <= 10 ORDER BY query_id, rnk"""))),
+
+    // Query-likelihood (Dirichlet, mu=100) top-10: candidates restricted
+    // to docs holding >= 1 query term (inverted-index discipline); missing
+    // terms smooth through tf=0 against broadcast collection stats
+    "text_ql" -> (((spark, dir) => {
+      TextAnalysis.queryLikelihoodTopK(load(spark, dir, "documents"),
+          "doc_id", "text", Bm25Queries, k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("query_id", "rnk")
+    }, Some(s"""
+      WITH $rankerCtes
+      SELECT query_id, CAST(rnk AS INT) AS rnk, id AS doc_id, score4
+      FROM qlr WHERE rnk <= 10 ORDER BY query_id, rnk"""))),
+
+    // Reciprocal-rank fusion of the BM25 and QL top-20 lists (k=60):
+    // union + one aggregation, 8dp-decimal contributions — no outer join
+    "text_rrf" -> (((spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      TextAnalysis.rrfFuse(
+          TextAnalysis.bm25TopK(docs, "doc_id", "text", Bm25Queries, k = 20),
+          TextAnalysis.queryLikelihoodTopK(docs, "doc_id", "text",
+            Bm25Queries, k = 20),
+          kConst = 60, k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("query_id", "rnk")
+    }, Some(s"""
+      WITH $rankerCtes,
+      rrfc AS (
+        SELECT query_id, id, CAST(round(1.0 / (60 + rnk), 8)
+                 AS DECIMAL(18,8)) AS c8
+        FROM bm25r WHERE rnk <= 20
+        UNION ALL
+        SELECT query_id, id, CAST(round(1.0 / (60 + rnk), 8)
+                 AS DECIMAL(18,8)) AS c8
+        FROM qlr WHERE rnk <= 20),
+      rrfs AS (SELECT query_id, id,
+                 round(CAST(sum(c8) AS DOUBLE), 6) AS fused6
+               FROM rrfc GROUP BY 1, 2),
+      rrfr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY fused6 DESC, id) AS rnk FROM rrfs)
+      SELECT query_id, CAST(rnk AS INT) AS rnk, id AS doc_id, fused6
+      FROM rrfr WHERE rnk <= 10 ORDER BY query_id, rnk"""))),
+
+    // Per-source score calibration: percent_rank of the (pushdown-pruned)
+    // n_chars quality proxy within each source — makes scores comparable
+    // across domains before a global curation cut. One source-keyed window.
+    "llm_calibrate" -> (((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+      load(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("pct6", round(percent_rank().over(w), 6))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, source, n_chars,
+             round(percent_rank() OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id), 6) AS pct6
+      FROM documents ORDER BY doc_id"""))),
 
     // Inverted-index posting heads (TextAnalysis.invertedIndex): per-term
     // df + first-16 sorted doc ids; the cap applies BEFORE collect, so

@@ -437,6 +437,26 @@ class LlmSpec extends AnyFunSuite {
     assert(filterScore > q1.head._4)
   }
 
+  test("query likelihood: candidates restricted to term-holding docs; " +
+    "higher tf ranks first") {
+    val docs = Seq((1L, "hash hash x"), (2L, "hash y z"), (3L, "scan only"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.queryLikelihoodTopK(docs, "doc_id", "text",
+      Seq(1 -> Seq("hash")), k = 10)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.sortBy(_._1).map(_._2).toSeq == Seq(1L, 2L)) // d3 excluded
+  }
+
+  test("rrf fusion: a doc on both lists beats single-list docs; " +
+    "rank order follows summed reciprocals") {
+    val a = Seq((1, 1, 10L), (1, 2, 20L)).toDF("query_id", "rnk", "id")
+    val b = Seq((1, 1, 20L), (1, 2, 30L)).toDF("query_id", "rnk", "id")
+    val got = TextAnalysis.rrfFuse(a, b, kConst = 60, k = 10)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    // 20: 1/62+1/61 > 10: 1/61 > 30: 1/62
+    assert(got == Seq(20L, 10L, 30L))
+  }
+
   test("inverted index caps posting heads at maxPostings but df stays " +
     "exact") {
     val docs = Seq((10L, "a b"), (20L, "a"), (30L, "a c"))
