@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.llm.{Dedup, Similarity, TextAnalysis}
@@ -212,6 +213,103 @@ object RetrievalQueries {
                         FROM embeddings)
           $unions ORDER BY vec_id, proj_id"""
     })),
+
+    // KMV sketch SET OPERATIONS (Beyer et al. / theta-sketch style —
+    // public): per-source k-minimum-hash sets over word-3-shingles, then
+    // union / intersection / Jaccard ESTIMATES from the sketches next to
+    // the exact answers. Everything after the distinct-(source, hash)
+    // aggregation touches <= 2k rows — the sketch algebra is free at any
+    // corpus size; the one big exchange is the distinct. Estimates are
+    // exact-rational until the final rounds, so DuckDB replays them.
+    "q_kmv_setops" -> (((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val estScale = (k - 1).toDouble * Dedup.PortableP // (k-1)·M
+      val (sA, sB) = ("src0", "src1")
+      val elems = load(spark, dir, "documents")
+        .filter(col("source").isin(sA, sB))
+        .select(col("source"),
+          explode(Dedup.wordShingles(col("text"), 3)).as("g"))
+        .select(col("source"), Dedup.portableWordHash(col("g")).as("h"))
+        .distinct()
+      val rnW = Window.partitionBy("source").orderBy("h")
+      val kmin = elems.withColumn("rn", row_number().over(rnW))
+        .filter(col("rn") <= k)
+      def est(hk: Column, nk: Column) =
+        when(nk < k, nk.cast("double"))
+          .otherwise(lit(estScale) / hk)
+      val perSrc = kmin.groupBy("source")
+        .agg(max("h").as("hk"), count(lit(1)).as("n_k"))
+        .agg(max(when(col("source") === sA,
+            round(est(col("hk"), col("n_k")), 4))).as("est_a4"),
+          max(when(col("source") === sB,
+            round(est(col("hk"), col("n_k")), 4))).as("est_b4"))
+      val theta = kmin.select("h").distinct().orderBy("h").limit(k)
+        .agg(max("h").as("theta"), count(lit(1)).as("n_u"))
+      val matches = kmin.groupBy("h")
+        .agg(count_distinct(col("source")).as("ns"))
+        .filter(col("ns") === 2)
+        .crossJoin(broadcast(theta.select("theta")))
+        .filter(col("h") <= col("theta"))
+        .agg(count(lit(1)).as("n_match"))
+      val exact = elems.agg(
+        count(when(col("source") === sA, 1)).as("n_a"),
+        count(when(col("source") === sB, 1)).as("n_b"),
+        count_distinct(col("h")).as("union_exact"))
+      val estU = est(col("theta"), col("n_u"))
+      exact.crossJoin(broadcast(perSrc)).crossJoin(broadcast(matches))
+        .crossJoin(broadcast(theta))
+        .select(col("n_a"), col("n_b"),
+          (col("n_a") + col("n_b") - col("union_exact")).as("inter_exact"),
+          col("union_exact"),
+          col("est_a4"), col("est_b4"),
+          round(estU, 4).as("est_union4"),
+          round(col("n_match") / lit(k.toDouble), 4).as("jacc4"),
+          round(col("n_match") / lit(k.toDouble) * estU, 4).as("est_inter4"))
+    }, Some(s"""
+      WITH sh AS (
+        SELECT source, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(ws) - 1, 2)),
+                 i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS g
+        FROM (SELECT source, string_split_regex(trim(text), '\\s+') AS ws
+              FROM documents WHERE source IN ('src0', 'src1'))),
+      elems AS (SELECT DISTINCT source,
+                  (CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
+                    % ${Dedup.PortableP}) AS h
+                FROM sh),
+      kmin AS (SELECT * FROM (SELECT source, h, row_number() OVER
+                 (PARTITION BY source ORDER BY h) AS rn FROM elems)
+               WHERE rn <= 64),
+      persrc AS (
+        SELECT max(CASE WHEN source = 'src0' THEN e4 END) AS est_a4,
+               max(CASE WHEN source = 'src1' THEN e4 END) AS est_b4
+        FROM (SELECT source,
+                round(CASE WHEN count(*) < 64
+                  THEN CAST(count(*) AS DOUBLE)
+                  ELSE ${(63).toDouble * Dedup.PortableP} / max(h) END, 4)
+                  AS e4
+              FROM kmin GROUP BY source)),
+      u AS (SELECT DISTINCT h FROM kmin ORDER BY h LIMIT 64),
+      th AS (SELECT max(h) AS theta, count(*) AS n_u FROM u),
+      mt AS (SELECT count(*) AS n_match
+             FROM (SELECT h FROM kmin GROUP BY h
+                   HAVING count(DISTINCT source) = 2) b
+             CROSS JOIN th WHERE b.h <= th.theta),
+      ex AS (SELECT count(CASE WHEN source = 'src0' THEN 1 END) AS n_a,
+                    count(CASE WHEN source = 'src1' THEN 1 END) AS n_b,
+                    count(DISTINCT h) AS union_exact
+             FROM elems)
+      SELECT n_a, n_b, n_a + n_b - union_exact AS inter_exact, union_exact,
+             est_a4, est_b4,
+             round(CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE)
+               ELSE ${(63).toDouble * Dedup.PortableP} / theta END, 4)
+               AS est_union4,
+             round(n_match / 64.0, 4) AS jacc4,
+             round(n_match / 64.0 *
+               (CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE)
+                ELSE ${(63).toDouble * Dedup.PortableP} / theta END), 4)
+               AS est_inter4
+      FROM ex CROSS JOIN persrc CROSS JOIN mt CROSS JOIN th"""))),
 
     // Exact proportional stratified sample: 20% per source, chosen by the
     // portable doc-hash order (deterministic, reproducible cross-engine).
