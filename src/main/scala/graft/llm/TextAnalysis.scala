@@ -423,6 +423,66 @@ object TextAnalysis {
       .select(col("w").as("term"), col("df"), col("head_csv"))
   }
 
+  /** Character-distribution entropy over a FIXED alphabet (a–z + space) —
+    * the cheap gibberish/boilerplate signal quality filters stack next to
+    * [[qualityStats]]: natural text sits near the language's typical
+    * ~2.8–3.1 nats, base64/URL noise runs higher on its alphabet, repeated
+    * boilerplate collapses low. Counts come from the classic
+    * `length(t) - length(replace(t, c, ''))` identity (no explode, no
+    * per-char array), the 27 counts bind ONCE into an array, and the
+    * `-Σ p·ln p` fold runs in fixed alphabet order — a pure per-row map
+    * inside codegen with a deterministic summation order any engine
+    * replays. Returns NULL-free doubles rounded to `roundDigits`. */
+  def charEntropy(textCol: Column, roundDigits: Int = 6): Column = {
+    val alphabet = ('a' to 'z').map(_.toString) :+ " "
+    bindOnce(lower(textCol)) { t =>
+      bindOnce(array(alphabet.map(c =>
+        (length(t) - length(translate(t, c, ""))).cast("long")): _*)) { cs =>
+        bindOnce(aggregate(cs, lit(0L), (acc, x) => acc + x)) { n =>
+          when(n === 0, lit(0.0)).otherwise(
+            round(-aggregate(transform(cs, c =>
+              when(c > 0, (c.cast(DoubleType) / n) *
+                log(c.cast(DoubleType) / n)).otherwise(lit(0.0))),
+              lit(0.0), (acc, x) => acc + x), roundDigits))
+        }
+      }
+    }
+  }
+
+  /** Content-defined chunking (Rabin/LBFS-style — public technique): cut
+    * the token stream after position `i` whenever the portable hash of the
+    * (token(i-1), token(i)) window is ≡ 0 mod `modulus` — boundaries
+    * depend only on LOCAL content, so an insertion early in a document
+    * shifts chunk edges only until the next boundary (the property
+    * fixed-size chunking lacks, and why CDC is the standard pre-step for
+    * chunk-level dedup). Pure per-row HOFs over one bound tokenization +
+    * zero shuffles. Returns (id, n_chunks, max_chunk, lens_md5) where
+    * lens_md5 fingerprints the chunk-length sequence. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      modulus: Int = 8): DataFrame = {
+    val out = bindOnce(split(trim(lower(col(textCol))), "\\s+")) { ws =>
+      bindOnce(size(ws)) { n =>
+        val bnd = filter(sequence(lit(2), greatest(n, lit(2))),
+          i => i <= n && Dedup.portableWordHash(
+            concat_ws(" ", element_at(ws, i - 1), element_at(ws, i)))
+            % modulus === 0)
+        bindOnce(concat(array(lit(0)), bnd.cast("array<int>"),
+            array(n))) { p =>
+          bindOnce(transform(sequence(lit(1), size(p) - 1),
+            j => element_at(p, j + 1) - element_at(p, j))) { lens =>
+            struct(size(lens).as("n_chunks"),
+              array_max(lens).as("max_chunk"),
+              md5(concat_ws(",", transform(lens, x => x.cast("string"))))
+                .as("lens_md5"))
+          }
+        }
+      }
+    }
+    df.select(col(idCol).as("id"), out.as("c"))
+      .select(col("id"), col("c.n_chunks"), col("c.max_chunk"),
+        col("c.lens_md5"))
+  }
+
   /** BPE merge-pair statistics (Sennrich et al.): the first tokenizer-
     * training step — count every adjacent character pair inside each
     * distinct word, weighted by the word's corpus frequency, and rank the

@@ -74,6 +74,44 @@ object LlmQueries {
     s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
       s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
 
+  /** Shared IVF index-build + probe CTE chain (DuckDB): smallest-id
+    * centroids, fold-ordered cosine assignment, rounded-rank probes —
+    * the exact replay of `Similarity.ivfTopK(nlist=32, nprobe=8)` on the
+    * `vec_id < 8` query set. sim_ivf SELECTs its top-10 from `ivfranked`;
+    * sim_recall joins `ivfranked` against a brute-force chain. */
+  private def ivfCtes: String = s"""
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+               ORDER BY vec_id LIMIT 32),
+      assign AS (
+        SELECT vec_id, v, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY
+                 ${dotSql("v", "cv")} /
+                   (sqrt(${dotSql("v", "v")}) * sqrt(${dotSql("cv", "cv")}))
+                 DESC, cent_id ASC) AS rn
+        FROM e, cent),
+      idx AS (SELECT vec_id, v, cent_id AS list_id FROM assign WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+      probes AS (
+        SELECT query_id, qv, cent_id AS list_id FROM (
+          SELECT query_id, qv, cent_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY
+                   ${dotSql("qv", "cv")} /
+                     (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")}))
+                   DESC, cent_id ASC) AS rn
+          FROM q, cent)
+        WHERE rn <= 8),
+      ivfscored AS (
+        SELECT query_id, i.vec_id AS neighbor_id,
+               round(${dotSql("qv", "i.v")} /
+                 (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("i.v", "i.v")})), 4)
+                 AS cosine4
+        FROM probes p JOIN idx i USING (list_id)
+        WHERE i.vec_id <> p.query_id),
+      ivfranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine4 DESC, neighbor_id ASC) AS rank
+                    FROM ivfscored)"""
+
   private def embedOracleSql: String = {
     val bucketExpr = EmbedPlanes.zipWithIndex.map { case (cs, p) =>
       val lit = cs.mkString("[", ", ", "]")
@@ -595,39 +633,47 @@ object LlmQueries {
           col("cosine").as("cosine4"), col("rank"))
         .orderBy("query_id", "rank")
     }, Some(s"""
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
-               ORDER BY vec_id LIMIT 32),
-      assign AS (
-        SELECT vec_id, v, cent_id,
-               row_number() OVER (PARTITION BY vec_id ORDER BY
-                 ${dotSql("v", "cv")} /
-                   (sqrt(${dotSql("v", "v")}) * sqrt(${dotSql("cv", "cv")}))
-                 DESC, cent_id ASC) AS rn
-        FROM e, cent),
-      idx AS (SELECT vec_id, v, cent_id AS list_id FROM assign WHERE rn = 1),
-      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
-      probes AS (
-        SELECT query_id, qv, cent_id AS list_id FROM (
-          SELECT query_id, qv, cent_id,
-                 row_number() OVER (PARTITION BY query_id ORDER BY
-                   ${dotSql("qv", "cv")} /
-                     (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")}))
-                   DESC, cent_id ASC) AS rn
-          FROM q, cent)
-        WHERE rn <= 8),
-      scored AS (
-        SELECT query_id, i.vec_id AS neighbor_id,
-               round(${dotSql("qv", "i.v")} /
-                 (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("i.v", "i.v")})), 4)
-                 AS cosine4
-        FROM probes p JOIN idx i USING (list_id)
-        WHERE i.vec_id <> p.query_id),
-      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                   ORDER BY cosine4 DESC, neighbor_id ASC) AS rank
-                 FROM scored)
+      WITH $ivfCtes
       SELECT query_id, neighbor_id, cosine4, CAST(rank AS INT) AS rank
-      FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""))),
+      FROM ivfranked WHERE rank <= 10 ORDER BY query_id, rank"""))),
+
+    // ANN recall evaluation ("measure, don't guess"): recall@10 of the IVF
+    // path against the exact brute-force list, per query. Both rankers use
+    // rounded-rank mode with identical tiebreaks, so the lists — and the
+    // recall — are deterministic cross-engine. At scale this is the
+    // tuning harness for (nlist, nprobe): the brute pass runs on a SAMPLE
+    // of queries, the IVF pass is the production config under test.
+    "sim_recall" -> (((spark, dir) => {
+      val emb = load(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+          k = 10, roundDigits = Some(4))
+        .select(col("query_id"), col("neighbor_id"))
+      val iv = Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 10,
+          nlist = 32, nprobe = 8, roundDigits = Some(4))
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1))
+      bf.join(iv, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id").agg(count(col("hit")).as("n_hit"))
+        .select(col("query_id"), col("n_hit"),
+          round(col("n_hit") / lit(10.0), 4).as("recall4"))
+        .orderBy("query_id")
+    }, Some(s"""
+      WITH $ivfCtes,
+      bscored AS (
+        SELECT q.query_id, e2.vec_id AS neighbor_id,
+               round(list_cosine_similarity(qv, e2.v), 4) AS c4
+        FROM q, e e2 WHERE e2.vec_id <> q.query_id),
+      branked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY c4 DESC, neighbor_id) AS rnk FROM bscored),
+      rec AS (
+        SELECT b.query_id, count(i.neighbor_id) AS n_hit
+        FROM branked b LEFT JOIN ivfranked i
+          ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         AND i.rank <= 10
+        WHERE b.rnk <= 10 GROUP BY 1)
+      SELECT query_id, n_hit, round(n_hit / 10.0, 4) AS recall4
+      FROM rec ORDER BY query_id"""))),
 
     // Embedding L2 norms (deterministic double fold — exact cross-engine)
     "sim_norms" -> (((spark, dir) => {

@@ -214,6 +214,68 @@ object RetrievalQueries {
           $unions ORDER BY vec_id, proj_id"""
     })),
 
+    // Char-distribution entropy (a–z + space): counts via the
+    // length-minus-translate identity, one bound 27-count array, fixed-
+    // order -Σ p·ln p fold — per-row codegen map, zero shuffles
+    "text_entropy" -> (((spark, dir) => {
+      load(spark, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.charEntropy(col("text")).as("ent6"))
+        .orderBy("doc_id")
+    }, Some {
+      val csSql = (('a' to 'z').map(_.toString) :+ " ")
+        .map(c => s"CAST(length(t) - length(replace(t, '$c', '')) " +
+          "AS BIGINT)")
+        .mkString("[", ", ", "]")
+      s"""
+      WITH raw AS (SELECT doc_id, lower(text) AS t FROM documents),
+      cnt AS (SELECT doc_id, $csSql AS cs FROM raw),
+      tot AS (SELECT doc_id, cs,
+                list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+                  (a, x) -> a + x) AS n
+              FROM cnt)
+      SELECT doc_id,
+             CASE WHEN n = 0 THEN 0.0 ELSE
+               round(-list_reduce(list_prepend(0.0, list_transform(cs,
+                 c -> CASE WHEN c > 0
+                      THEN (CAST(c AS DOUBLE) / n) *
+                           ln(CAST(c AS DOUBLE) / n)
+                      ELSE 0.0 END)), (a, x) -> a + x), 6) END AS ent6
+      FROM tot ORDER BY doc_id"""
+    })),
+
+    // Content-defined chunking (Rabin/LBFS boundaries): cut after token i
+    // when hash(token[i-1] token[i]) % 8 = 0 — local-content boundaries,
+    // the chunk-level-dedup pre-step; per-row HOFs, zero shuffles
+    "llm_cdc_chunks" -> (((spark, dir) => {
+      TextAnalysis.cdcChunks(load(spark, dir, "documents"),
+          "doc_id", "text", modulus = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH t AS (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS ws
+                 FROM documents),
+      b AS (SELECT doc_id, len(ws) AS n,
+              list_filter(range(2, greatest(len(ws), 2) + 1),
+                i -> i <= len(ws) AND
+                  (CAST(concat('0x', substring(md5(
+                     concat_ws(' ', ws[CAST(i AS INT)-1],
+                       ws[CAST(i AS INT)])), 1, 15)) AS BIGINT)
+                   % ${Dedup.PortableP}) % 8 = 0) AS bnd
+            FROM t),
+      p AS (SELECT doc_id,
+              list_concat(list_concat([CAST(0 AS BIGINT)], bnd),
+                [CAST(n AS BIGINT)]) AS pos
+            FROM b),
+      l AS (SELECT doc_id, list_transform(range(1, len(pos)),
+              j -> pos[CAST(j AS INT)+1] - pos[CAST(j AS INT)]) AS lens
+            FROM p)
+      SELECT doc_id, CAST(len(lens) AS INT) AS n_chunks,
+             CAST(list_max(lens) AS INT) AS max_chunk,
+             md5(array_to_string(lens, ',')) AS lens_md5
+      FROM l ORDER BY doc_id"""))),
+
     // KMV sketch SET OPERATIONS (Beyer et al. / theta-sketch style —
     // public): per-source k-minimum-hash sets over word-3-shingles, then
     // union / intersection / Jaccard ESTIMATES from the sketches next to

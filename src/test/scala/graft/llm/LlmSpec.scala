@@ -437,6 +437,33 @@ class LlmSpec extends AnyFunSuite {
     assert(filterScore > q1.head._4)
   }
 
+  test("char entropy: uniform pair = ln 2, single char = 0, " +
+    "non-alphabet chars ignored") {
+    val df = Seq((1L, "ab"), (2L, "aaaa"), (3L, "a1b2"), (4L, "123"))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextAnalysis.charEntropy(col("text")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == round6(math.log(2.0)))
+    assert(got(2L) == 0.0)
+    assert(got(3L) == round6(math.log(2.0))) // digits drop out
+    assert(got(4L) == 0.0) // nothing in-alphabet -> n=0 guard
+  }
+
+  test("cdc chunks: modulus=1 cuts after every window; lens cover the " +
+    "doc; identical text => identical fingerprint") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val rows = TextAnalysis.cdcChunks(df, "doc_id", "text", modulus = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3)))
+    // bnd = [2,3,4] -> pos [0,2,3,4,4] -> lens [2,1,1,0]
+    assert(rows.forall(r => r._2 == 4 && r._3 == 2))
+    assert(rows(0)._4 == rows(1)._4)
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("query likelihood: candidates restricted to term-holding docs; " +
     "higher tf ranks first") {
     val docs = Seq((1L, "hash hash x"), (2L, "hash y z"), (3L, "scan only"))
