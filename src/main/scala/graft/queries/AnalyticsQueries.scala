@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import Q._
 
 /** Round-3 additions to the analytics battery: bloom-pruned joins, complex
@@ -744,6 +745,85 @@ object AnalyticsQueries {
                  ORDER BY epoch_ns(ts), event_id) AS e1
         FROM events)
       SELECT e1, e2, e3, count(*) AS n FROM seq WHERE e1 IS NOT NULL
-      GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 20""")))
+      GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 20"""))),
+
+    // Equi-DEPTH histogram (the equi-width twin of D35): ntile(8) over
+    // price with a rowkey tiebreak (ntile's remainder rule is identical
+    // cross-engine once the order is total), then per-bucket bounds +
+    // decimal-exact sums. One global-sort window at gate scale; at 100 TB
+    // the same result shape comes from approx quantile cutpoints
+    // (q_approx_percentile) + a free per-partition bucket join.
+    "q_equidepth" -> (((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"))
+      load(spark, dir, "lineitem")
+        .select(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"))
+        .withColumn("bucket", ntile(8).over(w))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("l_extendedprice").as("lo"),
+          max("l_extendedprice").as("hi"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"))
+        .orderBy("bucket")
+    }, Some("""
+      SELECT bucket, count(*) AS n,
+             min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM (SELECT l_extendedprice,
+              ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey,
+                l_linenumber) AS bucket
+            FROM lineitem)
+      GROUP BY 1 ORDER BY 1"""))),
+
+    // Data-quality assertion battery (the ingest-pipeline "expectations"
+    // op): null fractions, domain-range violations, and FK orphan counts
+    // in ONE row — the null/range checks ride a single scan's partial
+    // aggregation; the orphan check is a broadcast-able anti-join count.
+    "q_dq_checks" -> (((spark, dir) => {
+      val li = load(spark, dir, "lineitem")
+      val ord = load(spark, dir, "orders").select("o_orderkey")
+      val orphans = li.select("l_orderkey")
+        .join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("fk_orphans"))
+      val checks = li.agg(
+        count(lit(1)).as("n_rows"),
+        round(avg(when(col("l_returnflag").isNull, 1.0).otherwise(0.0)), 6)
+          .as("null_flag_frac"),
+        count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1))
+          .as("qty_range_viol"),
+        count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1))
+          .as("disc_range_viol"),
+        count(when(col("l_tax") < 0 || col("l_tax") > 0.08, 1))
+          .as("tax_range_viol"),
+        count(when(col("l_shipdate") < lit("1992-01-01").cast("timestamp")
+          || col("l_shipdate") >= lit("2002-01-01").cast("timestamp"), 1))
+          .as("date_range_viol"))
+      checks.crossJoin(broadcast(orphans))
+    }, Some("""
+      WITH orphans AS (
+        SELECT count(*) AS fk_orphans FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)),
+      checks AS (
+        SELECT count(*) AS n_rows,
+               round(avg(CASE WHEN l_returnflag IS NULL THEN 1.0
+                 ELSE 0.0 END), 6) AS null_flag_frac,
+               count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1
+                 END) AS qty_range_viol,
+               count(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1
+                 END) AS disc_range_viol,
+               count(CASE WHEN l_tax < 0 OR l_tax > 0.08 THEN 1
+                 END) AS tax_range_viol,
+               count(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01'
+                 OR l_shipdate >= TIMESTAMP '2002-01-01' THEN 1 END)
+                 AS date_range_viol
+        FROM lineitem)
+      SELECT n_rows, null_flag_frac, qty_range_viol, disc_range_viol,
+             tax_range_viol, date_range_viol, fk_orphans
+      FROM checks CROSS JOIN orphans""")))
   )
 }
