@@ -123,6 +123,44 @@ object PipelineQueries {
     // Delta versionAsOf twin): two commits INSIDE the gate, then the v1
     // read (time travel) and the latest read are compared against the
     // source-table oracle. The _latest pointer flip is the atomic commit.
+    // C14 — multi-format interchange: the SAME slice written to ORC, CSV
+    // and JSON, read back through each codec, and aggregated — count,
+    // decimal-exact revenue and timestamp non-null count must survive
+    // every roundtrip (type fidelity through text formats is where
+    // ingest pipelines silently corrupt). Oracle: the parquet truth,
+    // repeated per format. Scratch dir reclaimed eagerly (c5 discipline).
+    "c14_formats" -> (((spark, dir) => {
+      val li = load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate")
+      val tmpRoot = java.nio.file.Files.createTempDirectory("fmt_gate")
+      try {
+        val rows = Seq("csv", "json", "orc").map { f =>
+          val p = tmpRoot.resolve(f).toString
+          val w = li.write.mode("overwrite")
+          (if (f == "csv") w.option("header", "true") else w)
+            .format(f).save(p)
+          val rd = spark.read
+          val back = (f match {
+            case "csv" => rd.schema(li.schema).option("header", "true")
+            case "json" => rd.schema(li.schema)
+            case _ => rd
+          }).format(f).load(p)
+          val a = back.agg(count(lit(1)).as("n"),
+            dsum(col("l_extendedprice")).as("total"),
+            count(col("l_shipdate")).as("n_ts")).head()
+          (f, a.getLong(0), a.getDouble(1), a.getLong(2))
+        }
+        spark.createDataFrame(rows).toDF("fmt", "n", "total", "n_ts")
+          .orderBy("fmt")
+      } finally graft.sink.StageWriter.deleteRecursively(tmpRoot)
+    }, Some("""
+      SELECT fmt, count(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total,
+             count(l_shipdate) AS n_ts
+      FROM lineitem CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) AS f(fmt)
+      GROUP BY fmt ORDER BY fmt"""))),
+
     "c5_time_travel" -> (((spark, dir) => {
       val tmpRoot = java.nio.file.Files.createTempDirectory("vt_gate")
       try {
