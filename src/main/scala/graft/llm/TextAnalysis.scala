@@ -462,8 +462,10 @@ object TextAnalysis {
       modulus: Int = 8): DataFrame = {
     val out = bindOnce(split(trim(lower(col(textCol))), "\\s+")) { ws =>
       bindOnce(size(ws)) { n =>
+        // i < n: a cut after the LAST token is a no-op — allowing it would
+        // emit a phantom zero-length trailing chunk for ~1/modulus of docs
         val bnd = filter(sequence(lit(2), greatest(n, lit(2))),
-          i => i <= n && Dedup.portableWordHash(
+          i => i < n && Dedup.portableWordHash(
             concat_ws(" ", element_at(ws, i - 1), element_at(ws, i)))
             % modulus === 0)
         bindOnce(concat(array(lit(0)), bnd.cast("array<int>"),

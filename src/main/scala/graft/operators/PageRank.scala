@@ -30,6 +30,10 @@ object PageRank {
 
   def run(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
       iters: Int, damping: Double = 0.85, roundDigits: Int = 6): DataFrame = {
+    // Decimal subtraction: the double expression 1 - 0.85 evaluates to
+    // 0.15000000000000002 (1 ulp above the literal 0.15 an oracle writes);
+    // going through exact decimals lands on the same double as `0.15`.
+    val teleport = (BigDecimal(1) - BigDecimal(damping)).toDouble
     // Materialize the aggregated edge list ONCE: every iteration (and the
     // outw/nodes/n derivations) re-reads it, and without the checkpoint
     // each re-read would re-execute the caller's full edge build — for the
@@ -56,7 +60,7 @@ object PageRank {
       r = r.select(col("node"), col("n_nodes"))
         .join(inSum.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
-          round(lit(1 - damping) / col("n_nodes") + lit(damping) *
+          round(lit(teleport) / col("n_nodes") + lit(damping) *
             coalesce(col("insum").cast(DoubleType), lit(0.0)),
             roundDigits).as("r"),
           col("n_nodes"))

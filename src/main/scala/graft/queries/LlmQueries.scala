@@ -68,11 +68,6 @@ object LlmQueries {
   private val EmbedPlanes = Dedup.portablePlanes(8, 64)
   private val EmbedMaxBucket = 256
 
-  /** Strict left-fold dot product in DuckDB — matches Spark's
-    * aggregate(zip_with(...)) summation ORDER so doubles agree to the ulp. */
-  private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
-      s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
 
   /** Shared IVF index-build + probe CTE chain (DuckDB): smallest-id
     * centroids, fold-ordered cosine assignment, rounded-rank probes —
@@ -606,12 +601,15 @@ object LlmQueries {
         .select(col("query_id"), col("neighbor_id"),
           col("cosine").as("cosine4"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
-    }, Some("""
-      WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+    }, Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                  FROM embeddings WHERE vec_id < 8),
       scored AS (
         SELECT query_id, e.vec_id AS neighbor_id,
-               round(list_cosine_similarity(qv::DOUBLE[], e.embedding::DOUBLE[]), 4) AS c4
+               round(${dotSql("qv", "e.embedding::DOUBLE[]")} /
+                 (sqrt(${dotSql("qv", "qv")}) *
+                  sqrt(${dotSql("e.embedding::DOUBLE[]",
+                    "e.embedding::DOUBLE[]")})), 4) AS c4
         FROM q, embeddings e WHERE e.vec_id <> query_id),
       ranked AS (
         SELECT *, row_number() OVER (PARTITION BY query_id
@@ -662,7 +660,9 @@ object LlmQueries {
       WITH $ivfCtes,
       bscored AS (
         SELECT q.query_id, e2.vec_id AS neighbor_id,
-               round(list_cosine_similarity(qv, e2.v), 4) AS c4
+               round(${dotSql("qv", "e2.v")} /
+                 (sqrt(${dotSql("qv", "qv")}) *
+                  sqrt(${dotSql("e2.v", "e2.v")})), 4) AS c4
         FROM q, e e2 WHERE e2.vec_id <> q.query_id),
       branked AS (SELECT *, row_number() OVER (PARTITION BY query_id
                     ORDER BY c4 DESC, neighbor_id) AS rnk FROM bscored),

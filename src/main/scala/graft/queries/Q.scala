@@ -51,6 +51,14 @@ object Q {
 
   def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** Strict left-fold dot product in DuckDB — matches Spark's
+    * aggregate(zip_with(...)) / the native DotProductFloat loop's summation
+    * ORDER so doubles agree to the ulp. The ONE canonical copy: every ANN /
+    * projection oracle's bit-for-bit parity depends on this exact shape. */
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
+      s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
+
   /** 60-bit md5 portable hash of pipe-joined columns — the one uniform
     * row hash the sampling queries share; the hash core is
     * [[graft.llm.Dedup.portableHash60]] (single definition engine-wide).

@@ -14,11 +14,6 @@ import Q._
   */
 object RetrievalQueries {
 
-  /** Strict left-fold dot product in DuckDB — the same summation order as
-    * Spark's aggregate(zip_with(...)) / the native DotProductFloat loop. */
-  private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
-      s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
 
   /** Fixed BM25 query set over the synthetic corpus vocabulary. */
   private val Bm25Queries = Seq(
@@ -258,7 +253,7 @@ object RetrievalQueries {
                  FROM documents),
       b AS (SELECT doc_id, len(ws) AS n,
               list_filter(range(2, greatest(len(ws), 2) + 1),
-                i -> i <= len(ws) AND
+                i -> i < len(ws) AND
                   (CAST(concat('0x', substring(md5(
                      concat_ws(' ', ws[CAST(i AS INT)-1],
                        ws[CAST(i AS INT)])), 1, 15)) AS BIGINT)
@@ -319,6 +314,10 @@ object RetrievalQueries {
         count(when(col("source") === sB, 1)).as("n_b"),
         count_distinct(col("h")).as("union_exact"))
       val estU = est(col("theta"), col("n_u"))
+      // Jaccard divides by the union-sketch SIZE min(k, n_u), not k: when
+      // both strata hold fewer than k distinct hashes the sketch IS the
+      // exact union and n_match/k would understate similarity.
+      val sketchK = least(lit(k.toDouble), col("n_u").cast("double"))
       exact.crossJoin(broadcast(perSrc)).crossJoin(broadcast(matches))
         .crossJoin(broadcast(theta))
         .select(col("n_a"), col("n_b"),
@@ -326,8 +325,8 @@ object RetrievalQueries {
           col("union_exact"),
           col("est_a4"), col("est_b4"),
           round(estU, 4).as("est_union4"),
-          round(col("n_match") / lit(k.toDouble), 4).as("jacc4"),
-          round(col("n_match") / lit(k.toDouble) * estU, 4).as("est_inter4"))
+          round(col("n_match") / sketchK, 4).as("jacc4"),
+          round(col("n_match") / sketchK * estU, 4).as("est_inter4"))
     }, Some(s"""
       WITH sh AS (
         SELECT source, unnest(list_distinct(list_transform(
@@ -366,8 +365,8 @@ object RetrievalQueries {
              round(CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE)
                ELSE ${(63).toDouble * Dedup.PortableP} / theta END, 4)
                AS est_union4,
-             round(n_match / 64.0, 4) AS jacc4,
-             round(n_match / 64.0 *
+             round(n_match / least(64.0, CAST(n_u AS DOUBLE)), 4) AS jacc4,
+             round(n_match / least(64.0, CAST(n_u AS DOUBLE)) *
                (CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE)
                 ELSE ${(63).toDouble * Dedup.PortableP} / theta END), 4)
                AS est_inter4

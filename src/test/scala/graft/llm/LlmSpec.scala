@@ -456,8 +456,9 @@ class LlmSpec extends AnyFunSuite {
     val rows = TextAnalysis.cdcChunks(df, "doc_id", "text", modulus = 1)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
         r.getString(3)))
-    // bnd = [2,3,4] -> pos [0,2,3,4,4] -> lens [2,1,1,0]
-    assert(rows.forall(r => r._2 == 4 && r._3 == 2))
+    // bnd = [2,3] (no cut after the last token) -> pos [0,2,3,4]
+    // -> lens [2,1,1]
+    assert(rows.forall(r => r._2 == 3 && r._3 == 2))
     assert(rows(0)._4 == rows(1)._4)
   }
 
