@@ -69,6 +69,30 @@ object LlmQueries {
   private val EmbedMaxBucket = 256
 
 
+  /** Shared connected-components CTE chain (DuckDB, recursive): exact
+    * word-3-shingle Jaccard pairs → symmetric edges → reachability closure
+    * `r`. dd_cluster labels from it; dd_canonical picks keepers from it. */
+  private def ccCtes: String = """sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 1, 2)),
+                 i -> concat_ws(' ',
+                        string_split_regex(trim(text), '\s+')[i],
+                        string_split_regex(trim(text), '\s+')[i+1],
+                        string_split_regex(trim(text), '\s+')[i+2]))) AS g
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+              (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8),
+      edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                UNION SELECT id2, id1 FROM pairs),
+      r AS (
+        SELECT src AS id, src AS reach FROM edges
+        UNION
+        SELECT r.id, e.dst FROM r JOIN edges e ON r.reach = e.src)"""
+
   /** Shared IVF index-build + probe CTE chain (DuckDB): smallest-id
     * centroids, fold-ordered cosine assignment, rounded-rank probes —
     * the exact replay of `Similarity.ivfTopK(nlist=32, nprobe=8)` on the
@@ -402,29 +426,43 @@ object LlmQueries {
       Dedup.connectedComponents(pairs.select(col("id1"), col("id2")))
         .select(col("id").as("doc_id"), col("cluster"))
         .orderBy("doc_id")
-    }, Some("""
-      WITH RECURSIVE sh AS (
-        SELECT doc_id,
-               list_distinct(list_transform(
-                 range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 1, 2)),
-                 i -> concat_ws(' ',
-                        string_split_regex(trim(text), '\s+')[i],
-                        string_split_regex(trim(text), '\s+')[i+1],
-                        string_split_regex(trim(text), '\s+')[i+2]))) AS g
-        FROM documents),
-      pairs AS (
-        SELECT a.doc_id AS id1, b.doc_id AS id2
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-              (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8),
-      edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
-                UNION SELECT id2, id1 FROM pairs),
-      r AS (
-        SELECT src AS id, src AS reach FROM edges
-        UNION
-        SELECT r.id, e.dst FROM r JOIN edges e ON r.reach = e.src)
+    }, Some(s"""
+      WITH RECURSIVE $ccCtes
       SELECT id AS doc_id, min(reach) AS cluster
       FROM r GROUP BY id ORDER BY doc_id"""))),
+
+    // Canonical-representative selection (the curation step AFTER dup
+    // clustering): every doc joins its connected component (singletons
+    // form their own), and exactly one KEEPER per cluster survives — the
+    // longest doc, doc_id tiebreak. One left join against the (small)
+    // component table + one cluster-keyed window.
+    "dd_canonical" -> (((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = load(spark, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleWidth = 3, k = 32, b = 8, threshold = 0.8)
+      val cc = Dedup.connectedComponents(pairs.select(col("id1"),
+          col("id2")))
+        .withColumnRenamed("id", "doc_id")
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      docs.select("doc_id", "n_chars")
+        .join(cc, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+        .withColumn("keep",
+          when(row_number().over(w) === 1, 1).otherwise(0))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH RECURSIVE $ccCtes,
+      cc AS (SELECT id AS doc_id, min(reach) AS cluster FROM r GROUP BY id),
+      alldocs AS (
+        SELECT d.doc_id, d.n_chars, COALESCE(cc.cluster, d.doc_id)
+                 AS cluster
+        FROM documents d LEFT JOIN cc USING (doc_id))
+      SELECT doc_id, n_chars, cluster,
+             CASE WHEN row_number() OVER (PARTITION BY cluster
+               ORDER BY n_chars DESC, doc_id) = 1 THEN 1 ELSE 0 END AS keep
+      FROM alldocs ORDER BY doc_id"""))),
 
     // Incremental dedup: a NEW batch (doc_id % 5 == 0) mined against the
     // EXISTING corpus (the rest) — band-join, never an all-pairs scan.
