@@ -302,23 +302,45 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
-    val words = df.select(col(idCol).as("id"),
-      explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
-    val doclen = words.groupBy("id").agg(count(lit(1)).as("dl"))
-    val stats = doclen.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_len"))
+    // Per-doc length is computed INLINE on the scan and carried through
+    // the vocabulary-pruned tf rows (first(dl) per group) — there is no
+    // corpus-sized doclen aggregation and no corpus-keyed join anywhere in
+    // the plan (PlanShapeSpec counts the exchanges). The only full-corpus
+    // pass is the scan itself; every shuffle after it carries hit-set or
+    // scalar-sized data.
+    val withDl = df.select(col(idCol).as("id"),
+      split(trim(lower(col(textCol))), "\\s+").as("ws"))
+      .withColumn("dl", size(col("ws")))
+    val stats = withDl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_len"))
+    val words = withDl.select(col("id"), col("dl"),
+      explode(col("ws")).as("w"))
     val qterms = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("query_id", "w")
-    val tf = words.join(broadcast(qterms.select("w").distinct()), "w")
-      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    // vocab distinct runs on the DRIVER (it is a literal list — an in-plan
+    // distinct would add a pointless exchange under the broadcast), and dl
+    // rides the group via max() — first() is order-dependent, which blocks
+    // exchange/stage reuse of the tf subtree between the dfreq and contrib
+    // branches (max is deterministic, so the shuffle materializes ONCE).
+    val vocab = queries.flatMap(_._2).distinct.toDF("w")
+    val tf = words.join(broadcast(vocab), "w")
+      .groupBy("id", "w")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    // df comes from a term-keyed window over the (vocab-pruned, tiny) tf
+    // set — NOT a separate aggregation branch: column pruning specializes
+    // a re-referenced tf subtree per branch, which blocks exchange reuse
+    // and re-scans the corpus. This shape scans the text ONCE for tf
+    // (plus the scalar stats pass) — PlanShapeSpec counts both.
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("w")))
     val avgdl = col("tot_len").cast(DoubleType) / col("n_docs")
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
       (col("df") + 0.5))
     val den = col("tf") + lit(k1) *
       (lit(1 - b) + lit(b) * col("dl") / avgdl)
-    val contrib = tf.join(broadcast(dfreq), "w")
+    val contrib = withDf
       .join(broadcast(qterms), "w")
-      .join(doclen, "id").crossJoin(broadcast(stats))
+      .crossJoin(broadcast(stats))
       .select(col("query_id"), col("id"),
         round(idf * col("tf") * lit(k1 + 1) / den, 6)
           .cast(DecimalType(18, 6)).as("c6"))
@@ -346,21 +368,30 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
-    val words = df.select(col(idCol).as("id"),
-      explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
-    val doclen = words.groupBy("id").agg(count(lit(1)).as("dl"))
-    val total = words.agg(count(lit(1)).as("tc"))
+    // Same no-corpus-join shape as [[bm25TopK]]: dl rides the pruned tf
+    // rows; candidates aggregate (query_id, id, max(dl)) so a missing
+    // term's tf=0 row still knows its document length without ever
+    // shuffling a corpus-sized doclen table.
+    val withDl = df.select(col(idCol).as("id"),
+      split(trim(lower(col(textCol))), "\\s+").as("ws"))
+      .withColumn("dl", size(col("ws")))
+    val total = withDl.agg(sum("dl").as("tc"))
+    val words = withDl.select(col("id"), col("dl"),
+      explode(col("ws")).as("w"))
     val qterms = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("query_id", "w")
-    val tf = words.join(broadcast(qterms.select("w").distinct()), "w")
-      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+    val vocab = queries.flatMap(_._2).distinct.toDF("w")
+    val tf = words.join(broadcast(vocab), "w")
+      .groupBy("id", "w")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
     val cf = tf.groupBy("w").agg(sum("tf").as("cf"))
     val cand = tf.join(broadcast(qterms), "w")
-      .select("query_id", "id").distinct()
+      .groupBy("query_id", "id").agg(max("dl").as("dl"))
     val pairs = cand.join(broadcast(qterms), "query_id")
-    val scored = pairs.join(tf, Seq("id", "w"), "left")
+    val scored = pairs.join(tf.select("id", "w", "tf"), Seq("id", "w"),
+        "left")
       .na.fill(0L, Seq("tf"))
-      .join(broadcast(cf), "w").join(doclen, "id")
+      .join(broadcast(cf), "w")
       .crossJoin(broadcast(total))
       .select(col("query_id"), col("id"),
         round(log((col("tf") + lit(mu) *
@@ -413,13 +444,18 @@ object TextAnalysis {
     val pairs = df.select(col(idCol).as("id"),
       explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
       .distinct()
-    val dfreq = pairs.groupBy("w").agg(count(lit(1)).as("df"))
     val headW = Window.partitionBy("w").orderBy("id")
-    val heads = pairs.withColumn("rn", row_number().over(headW))
-      .filter(col("rn") <= maxPostings)
+    // ONE aggregation computes both outputs off the window's partitioning:
+    // df = max(rn) (rn runs over ALL of the term's postings), and the head
+    // keeps only rn <= cap ids — collect_list skips the nulls the `when`
+    // leaves, so per-term state stays bounded on stopword-hot terms. The
+    // final groupBy hashes on the window's own key, so it adds NO exchange
+    // (PlanShapeSpec counts: distinct + the term window = 2 total).
+    pairs.withColumn("rn", row_number().over(headW))
       .groupBy("w")
-      .agg(concat_ws(",", sort_array(collect_list(col("id")))).as("head_csv"))
-    dfreq.join(heads, "w")
+      .agg(max("rn").cast("long").as("df"),
+        concat_ws(",", sort_array(collect_list(
+          when(col("rn") <= maxPostings, col("id"))))).as("head_csv"))
       .select(col("w").as("term"), col("df"), col("head_csv"))
   }
 

@@ -1,0 +1,75 @@
+package graft.llm
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Executed-plan shape proofs for the scale claims the operator scaladocs
+  * make: the zero-shuffle per-row ops really add no exchange to a scan,
+  * the capped inverted index runs window + both aggregations off ONE
+  * term-keyed exchange, and BM25 prunes the corpus through a broadcast
+  * join (never shuffling the query side). Counting happens on the
+  * EXECUTED adaptive plan — claims about plans are worthless if made
+  * about the unoptimized logical tree. */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def count(p: SparkPlan)(f: PartialFunction[SparkPlan, Int]): Int = {
+    val self = f.applyOrElse(p, (_: SparkPlan) => 0)
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    self + kids.map(count(_)(f)).sum
+  }
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    count(df.queryExecution.executedPlan) {
+      case _: ShuffleExchangeExec => 1
+    }
+  }
+  private def broadcasts(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    count(df.queryExecution.executedPlan) {
+      case _: BroadcastExchangeExec => 1
+    }
+  }
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("per-row text ops add ZERO exchanges to a scan") {
+    assert(shuffles(docs.select(
+      TextAnalysis.charEntropy(col("text")).as("e"))) == 0)
+    assert(shuffles(TextAnalysis.cdcChunks(docs, "doc_id", "text")) == 0)
+  }
+
+  test("jl projection is broadcast-only: zero shuffles") {
+    val df = Similarity.jlProject(emb, "vec_id", "embedding",
+      dim = 64, outDim = 8)
+    assert(shuffles(df) == 0)
+    assert(broadcasts(df) == 1) // the sign matrix rides as a plan literal
+  }
+
+  test("inverted index reuses ONE term-keyed exchange for window + aggs") {
+    // df-count agg, row_number window, and collect_list agg all hash on
+    // the term column: one real exchange, the rest reused
+    val df = TextAnalysis.invertedIndex(docs, "doc_id", "text", 4)
+    assert(shuffles(df) == 2) // distinct + the shared term exchange
+  }
+
+  test("bm25 prunes the corpus via broadcast joins — no corpus-keyed " +
+    "shuffle join; every post-scan exchange is hit-set- or scalar-sized") {
+    val df = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq(1 -> Seq("hash", "join")), k = 5)
+    assert(broadcasts(df) >= 3) // vocab prune, dfreq, qterms, stats
+    // tf agg (pruned), dfreq (vocab-sized), score agg, rank window,
+    // scalar stats agg
+    assert(shuffles(df) <= 5)
+  }
+}
