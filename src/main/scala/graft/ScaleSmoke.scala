@@ -92,7 +92,13 @@ object ScaleSmoke {
       // shape. q_percentile below is the bounded scale path.
       "q_grouping_sets", "q_window_dist", "c5_time_travel",
       "q_winsorize", "q_salted_join", "text_pmi", "sim_pq",
-      "llm_temperature_mix", "c6_cdc", "dd_prefix_join"))
+      "llm_temperature_mix", "c6_cdc", "dd_prefix_join",
+      "text_bm25", "text_ql", "text_rrf", "text_postings",
+      "text_bpe_pairs", "text_entropy", "text_gopher", "llm_cdc_chunks",
+      "llm_stratified_sample", "llm_calibrate", "llm_dsir", "dd_semantic",
+      "dd_canonical", "dd_dup_spans", "sim_jl", "sim_recall",
+      "q_pagerank", "q_kmv_setops", "q_equidepth", "q_dq_checks",
+      "evt_transitions", "evt_seq3", "c14_formats"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----
@@ -151,6 +157,26 @@ object ScaleSmoke {
         f"${memOrganic}%.1f MB — aggregation buffers not bounded under skew")
     println(s"[scale] lsh skew assertions OK: hot pairs $hotPairs <= " +
       s"$expectHot, peak mem bounded")
+
+    // ---- inverted-index cap: posting-head state bounded on hot terms ----
+    // The same 20%-boilerplate corpus turns every boilerplate word into a
+    // stopword-hot term (df = 0.2·N). The row_number cap inside the single
+    // term aggregation keeps per-term collect state <= maxPostings, so the
+    // peak task memory on the skewed corpus must stay comparable to the
+    // organic one (the window sort spills; the AGGREGATION must not grow).
+    val (_, memPostOrg) = peakMemMb {
+      graft.llm.TextAnalysis.invertedIndex(docs, "doc_id", "text", 16)
+        .count()
+    }
+    val (_, memPostSkew) = peakMemMb {
+      graft.llm.TextAnalysis.invertedIndex(skewed, "doc_id", "text", 16)
+        .count()
+    }
+    println(f"[scale] postings peak task mem: organic ${memPostOrg}%.1f MB" +
+      f" -> 20%% hot terms ${memPostSkew}%.1f MB (cap must bound state)")
+    assert(memPostSkew <= math.max(memPostOrg * 3, memPostOrg + 64),
+      f"inverted-index peak memory ${memPostSkew}%.1f MB vs organic " +
+        f"${memPostOrg}%.1f MB — posting cap not bounding state")
     spark.stop()
   }
 }

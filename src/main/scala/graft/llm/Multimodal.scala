@@ -107,6 +107,56 @@ object Multimodal {
         ((lit(targetH) - col("out_h")) / lit(2)).cast(IntegerType))
       .drop("scale")
 
+  /** Perceptual hash over media payloads: 16 equal byte-blocks per
+    * payload, bit j = parity of block j's byte sum — a locality-preserving
+    * (block-local edits flip few bits) stand-in for a real pHash's
+    * DCT-mean bits, running where a real one would: inside the
+    * mapPartitions decode stage, so payloads NEVER pass through a shuffle
+    * — only the 16-bit hash and id leave the scan. Block bounds use
+    * integer floor(j·n/16) arithmetic an oracle replays exactly. */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val bytes = if (payload == null) Array.empty[Byte] else payload
+        val n = bytes.length
+        var hash = 0
+        var j = 0
+        while (j < 16) {
+          val from = (j.toLong * n / 16).toInt
+          val until = ((j + 1).toLong * n / 16).toInt
+          var s = 0L
+          var i = from
+          while (i < until) { s += bytes(i) & 0xff; i += 1 }
+          if ((s & 1L) == 1L) hash |= (1 << j)
+          j += 1
+        }
+        (id, hash)
+      }).toDF("media_id", "phash")
+  }
+
+  /** Near-duplicate media pairs by perceptual-hash hamming distance:
+    * 4-bit-chunk pigeonhole banding (hamming ≤ 3 ⇒ at least one of the 4
+    * chunks matches) turns the all-pairs scan into a chunk-keyed
+    * equi-join — the simhash banding discipline applied to media. */
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = hashes.select(col("media_id"), col("phash"),
+      explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+        shiftright(col("phash"), c * 4).bitwiseAND(lit(15)).as("v"))): _*))
+        .as("ch"))
+      .select(col("media_id"), col("phash"),
+        col("ch.c").as("c"), col("ch.v").as("v"))
+    val a = chunks.toDF("id1", "ph1", "c", "v")
+    val b = chunks.toDF("id2", "ph2", "c", "v")
+    a.join(b, Seq("c", "v")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        expr("bit_count(ph1 ^ ph2)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Wrap a text table as fake media payloads (UTF-8 bytes) — lets the full
     * multimodal path run against the `documents` testdata. */
   def fromDocuments(docs: DataFrame): DataFrame =

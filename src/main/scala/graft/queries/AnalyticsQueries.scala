@@ -747,6 +747,49 @@ object AnalyticsQueries {
       SELECT e1, e2, e3, count(*) AS n FROM seq WHERE e1 IS NOT NULL
       GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 20"""))),
 
+    // Per-window distinct-user sketches: the KMV bounded aggregator
+    // (functions.KmvDistinct — mergeable, map-side-combinable, <= 16·8
+    // bytes of state per hour group at ANY scale) beside the exact count;
+    // the windowed twin of q_kmv_distinct, the shape streaming dashboards
+    // aggregate 100 TB of events with. Oracle replays the k-min set per
+    // hour via row_number.
+    "evt_window_distinct" -> (((spark, dir) => {
+      val p = graft.llm.Dedup.PortableP
+      val h = graft.llm.Dedup.portableWordHash(col("user_id"))
+      load(spark, dir, "events")
+        .withColumn("hr", expr("ts div 3600000000000"))
+        .groupBy("hr")
+        .agg(count_distinct(col("user_id")).as("exact_nd"),
+          round(graft.functions.KmvDistinct.kmv(h, 16, p.toDouble), 4)
+            .as("kmv_est"))
+        .orderBy("hr")
+    }, Some {
+      val p = graft.llm.Dedup.PortableP
+      s"""
+      WITH hset AS (
+        SELECT DISTINCT epoch_ns(ts) // 3600000000000 AS hr,
+               CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)),
+                 1, 15)) AS BIGINT) % $p AS h
+        FROM events),
+      ranked AS (
+        SELECT hr, h,
+               row_number() OVER (PARTITION BY hr ORDER BY h) AS rn,
+               count(*) OVER (PARTITION BY hr) AS nd
+        FROM hset),
+      est AS (
+        SELECT hr,
+               CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE)
+                    ELSE 15.0 / (CAST(h AS DOUBLE) / $p) END AS kmv_est
+        FROM ranked WHERE rn = least(16, nd)),
+      exact AS (
+        SELECT epoch_ns(ts) // 3600000000000 AS hr,
+               count(DISTINCT user_id) AS exact_nd
+        FROM events GROUP BY 1)
+      SELECT hr, exact_nd, round(kmv_est, 4) AS kmv_est
+      FROM exact JOIN est USING (hr)
+      ORDER BY hr"""
+    })),
+
     // Equi-DEPTH histogram (the equi-width twin of D35): ntile(8) over
     // price with a rowkey tiebreak (ntile's remainder rule is identical
     // cross-engine once the order is total), then per-bucket bounds +

@@ -1311,6 +1311,41 @@ object LlmQueries {
             FROM documents)
       ORDER BY media_id"""))),
 
+    // Perceptual-hash near-dup over media payloads (Multimodal.phashPairs):
+    // 16 block-parity bits computed INSIDE the mapPartitions decode stage
+    // (payloads never shuffle — only id + 16-bit hash leave the scan),
+    // then 4-bit-chunk pigeonhole banding + hamming <= 3 verify. The
+    // oracle recomputes the block sums from ascii() on the text twin of
+    // the payload bytes (the corpus is ASCII; payload = encode(text)).
+    "mm_phash_dedup" -> (((spark, dir) => {
+      val media = Multimodal.fromDocuments(load(spark, dir, "documents"))
+      Multimodal.phashPairs(Multimodal.perceptualHash(media),
+          maxHamming = 3)
+        .orderBy("id1", "id2")
+    }, Some("""
+      WITH ph AS (
+        SELECT doc_id AS media_id,
+               CAST(list_reduce(list_prepend(0, list_transform(range(0, 16),
+                 j -> CASE WHEN (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(j * length(text) // 16,
+                                            (j+1) * length(text) // 16),
+                          i -> CAST(ascii(text[CAST(i+1 AS INT):
+                                 CAST(i+1 AS INT)]) AS BIGINT))),
+                        (a, x) -> a + x) & 1) = 1
+                      THEN (1 << CAST(j AS INT)) ELSE 0 END)),
+                 (a, b) -> a + b) AS INT) AS phash
+        FROM documents),
+      chunks AS (SELECT media_id, phash,
+                        c, (phash >> (CAST(c AS INT) * 4)) & 15 AS v
+                 FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS c) t),
+      cand AS (SELECT DISTINCT a.media_id AS id1, b.media_id AS id2,
+                      CAST(bit_count(xor(a.phash, b.phash)) AS INT)
+                        AS hamming
+               FROM chunks a JOIN chunks b
+                 ON a.c = b.c AND a.v = b.v AND a.media_id < b.media_id)
+      SELECT id1, id2, hamming FROM cand WHERE hamming <= 3
+      ORDER BY id1, id2"""))),
+
     // Vocabulary build + token-id encoding (llm/Vocab.scala): top-16
     // tokens by (freq desc, token asc) get dense ids, every document is
     // encoded to its (pos, token_id) stream, OOV → -1. Top-K plans as

@@ -520,6 +520,21 @@ class LlmSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("phash: identical payloads collide at hamming 0; a single odd " +
+    "byte delta flips exactly one block bit") {
+    val base = "a" * 32
+    val oneOff = "b" + base.substring(1) // +1 in block 0's byte sum
+    val docs = Seq((1L, base), (2L, base), (3L, oneOff))
+      .toDF("doc_id", "text")
+    val media = Multimodal.fromDocuments(docs)
+    val pairs = Multimodal.phashPairs(
+      Multimodal.perceptualHash(media), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    assert(pairs((1L, 2L)) == 0) // identical payloads
+    assert(pairs((1L, 3L)) == 1 && pairs((2L, 3L)) == 1) // one parity flip
+  }
+
   test("langid picks the stopword-matching language, CJK -> zh") {
     val t = Seq(
       (1L, "the cat and the dog are in the house with it"),
