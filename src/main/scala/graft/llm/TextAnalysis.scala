@@ -459,6 +459,106 @@ object TextAnalysis {
       .select(col("w").as("term"), col("df"), col("head_csv"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between the distributions of
+    * `valueCol` in two strata — the standard corpus-drift alarm (did this
+    * week's crawl shift the length/quality distribution?). Exact, not
+    * sampled: counts aggregate per DISTINCT VALUE (one map-side-combinable
+    * shuffle keyed on the value), then one window pass over the distinct
+    * values computes both ECDFs — the window is global but runs over the
+    * value DOMAIN (bounded, e.g. ≤ 65k distinct lengths), never the rows.
+    * Per-value |F1−F2| rounds to 6 decimals BEFORE the max, so the result
+    * replays cross-engine. Returns one row (n_a, n_b, ks6). */
+  def ksDrift(df: DataFrame, valueCol: String, stratumCol: String,
+      a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val twoStrata = df.filter(col(stratumCol).isin(a, b))
+      .select(col(stratumCol).as("s"), col(valueCol).as("v"))
+    val perValue = twoStrata.groupBy("v")
+      .agg(count(when(col("s") === a, 1)).as("ca"),
+        count(when(col("s") === b, 1)).as("cb"))
+    val totals = twoStrata.agg(
+      count(when(col("s") === a, 1)).as("n_a"),
+      count(when(col("s") === b, 1)).as("n_b"))
+    val cdfW = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perValue
+      .withColumn("cum_a", sum("ca").over(cdfW))
+      .withColumn("cum_b", sum("cb").over(cdfW))
+      .crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"),
+        round(abs(col("cum_a").cast(DoubleType) / col("n_a") -
+          col("cum_b").cast(DoubleType) / col("n_b")), 6).as("d6"))
+      .groupBy("n_a", "n_b").agg(max("d6").as("ks6"))
+  }
+
+  /** Chi-square token-frequency drift between two strata: per token, the
+    * 2×2 contingency statistic against the pooled expectation — surfaces
+    * WHICH tokens moved, not just that the distribution did (the
+    * actionable half of drift monitoring next to [[ksDrift]]). One
+    * token-keyed map-side-combinable aggregation; expectations and the
+    * statistic compute per token from broadcast grand totals; top-k by
+    * (rounded chi2, token) is a per-task heap. */
+  def chi2Drift(df: DataFrame, textCol: String, stratumCol: String,
+      a: String, b: String, topK: Int): DataFrame = {
+    val words = df.filter(col(stratumCol).isin(a, b))
+      .select(col(stratumCol).as("s"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+    val perTok = words.groupBy("w")
+      .agg(count(when(col("s") === a, 1)).as("oa"),
+        count(when(col("s") === b, 1)).as("ob"))
+    val totals = words.agg(
+      count(when(col("s") === a, 1)).as("ta"),
+      count(when(col("s") === b, 1)).as("tb"))
+    val grand = (col("ta") + col("tb")).cast(DoubleType)
+    val rowTot = (col("oa") + col("ob")).cast(DoubleType)
+    val ea = rowTot * col("ta") / grand
+    val eb = rowTot * col("tb") / grand
+    val chi2 = (col("oa") - ea) * (col("oa") - ea) / ea +
+      (col("ob") - eb) * (col("ob") - eb) / eb
+    perTok.crossJoin(broadcast(totals))
+      .select(col("w"), col("oa"), col("ob"),
+        round(chi2, 4).as("chi2_4"))
+      .orderBy(col("chi2_4").desc, col("w"))
+      .limit(topK)
+  }
+
+  /** Per-document bigram language-model score: mean negative log-likelihood
+    * under the corpus's own add-half-smoothed bigram model,
+    * `P(w2|w1) = (c(w1,w2) + 0.5) / (c(w1,·) + 0.5·V)` — the sharper
+    * perplexity proxy above [[unigramNll]] (catches scrambled word ORDER
+    * that unigrams cannot). Shapes: one (w1,w2)-keyed count aggregation
+    * (its w1 margin and the vocab size V derive FROM those counts — the
+    * PMI exchange-reuse discipline), one join of doc bigrams back to the
+    * model, one per-doc aggregation. Per-bigram contributions round to 6
+    * decimals and sum exactly. Returns (id, n_bigrams, nll4). */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // pre-filter 0/1-word docs (sequence(1, 0) would run DESCENDING) —
+    // the PMI shingle discipline; the ws attribute is materialized once
+    val docBi = df.select(col(idCol).as("id"),
+        split(trim(lower(col(textCol))), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("p"))
+      .select(col("id"), col("p.w1"), col("p.w2"))
+    val counts = docBi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val margin = counts.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = counts.select("w1")
+      .union(counts.select("w2")).distinct()
+      .agg(count(lit(1)).as("v"))
+    docBi.join(counts, Seq("w1", "w2"))
+      .join(margin, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("id"),
+        round(-log((col("c12") + 0.5) / (col("c1") + lit(0.5) * col("v"))),
+            6)
+          .cast(DecimalType(18, 6)).as("nll6"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum("nll6").cast(DoubleType) / count(lit(1)), 4).as("nll4"))
+  }
+
   /** Character-distribution entropy over a FIXED alphabet (a–z + space) —
     * the cheap gibberish/boilerplate signal quality filters stack next to
     * [[qualityStats]]: natural text sits near the language's typical

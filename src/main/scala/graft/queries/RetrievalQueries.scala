@@ -271,6 +271,95 @@ object RetrievalQueries {
              md5(array_to_string(lens, ',')) AS lens_md5
       FROM l ORDER BY doc_id"""))),
 
+    // Two-sample KS drift: n_chars distribution of src0 vs src1 — exact
+    // ECDFs over the value DOMAIN (per-value counts first, window second)
+    "llm_ks_drift" -> (((spark, dir) => {
+      TextAnalysis.ksDrift(load(spark, dir, "documents"),
+        "n_chars", "source", "src0", "src1")
+    }, Some("""
+      WITH two AS (SELECT source AS s, n_chars AS v FROM documents
+                   WHERE source IN ('src0', 'src1')),
+      pv AS (SELECT v,
+               count(CASE WHEN s = 'src0' THEN 1 END) AS ca,
+               count(CASE WHEN s = 'src1' THEN 1 END) AS cb
+             FROM two GROUP BY 1),
+      tot AS (SELECT count(CASE WHEN s = 'src0' THEN 1 END) AS n_a,
+                     count(CASE WHEN s = 'src1' THEN 1 END) AS n_b
+              FROM two),
+      cdf AS (SELECT v,
+                sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS cum_a,
+                sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS cum_b
+              FROM pv)
+      SELECT n_a, n_b,
+             max(round(abs(CAST(cum_a AS DOUBLE) / n_a -
+               CAST(cum_b AS DOUBLE) / n_b), 6)) AS ks6
+      FROM cdf CROSS JOIN tot GROUP BY n_a, n_b"""))),
+
+    // Chi-square token drift: WHICH tokens moved between src0 and src1 —
+    // 2x2 contingency per token against pooled expectations, heap top-15
+    "text_chi2_drift" -> (((spark, dir) => {
+      TextAnalysis.chi2Drift(load(spark, dir, "documents"),
+        "text", "source", "src0", "src1", topK = 15)
+    }, Some("""
+      WITH words AS (SELECT source AS s,
+                       unnest(string_split_regex(lower(trim(text)), '\s+'))
+                         AS w
+                     FROM documents WHERE source IN ('src0', 'src1')),
+      pt AS (SELECT w,
+               count(CASE WHEN s = 'src0' THEN 1 END) AS oa,
+               count(CASE WHEN s = 'src1' THEN 1 END) AS ob
+             FROM words GROUP BY 1),
+      tot AS (SELECT count(CASE WHEN s = 'src0' THEN 1 END) AS ta,
+                     count(CASE WHEN s = 'src1' THEN 1 END) AS tb
+              FROM words)
+      SELECT w, oa, ob,
+             round((oa - CAST(oa + ob AS DOUBLE) * ta /
+                     CAST(ta + tb AS DOUBLE)) *
+                   (oa - CAST(oa + ob AS DOUBLE) * ta /
+                     CAST(ta + tb AS DOUBLE)) /
+                   (CAST(oa + ob AS DOUBLE) * ta /
+                     CAST(ta + tb AS DOUBLE)) +
+                   (ob - CAST(oa + ob AS DOUBLE) * tb /
+                     CAST(ta + tb AS DOUBLE)) *
+                   (ob - CAST(oa + ob AS DOUBLE) * tb /
+                     CAST(ta + tb AS DOUBLE)) /
+                   (CAST(oa + ob AS DOUBLE) * tb /
+                     CAST(ta + tb AS DOUBLE)), 4) AS chi2_4
+      FROM pt CROSS JOIN tot
+      ORDER BY chi2_4 DESC, w LIMIT 15"""))),
+
+    // Bigram LM scoring: per-doc mean NLL under the corpus's own
+    // add-half-smoothed bigram model — order-sensitive perplexity proxy
+    "text_bigram_nll" -> (((spark, dir) => {
+      TextAnalysis.bigramNll(load(spark, dir, "documents"),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }, Some("""
+      WITH docbi AS (
+        SELECT doc_id, ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT)+1] AS w2
+        FROM (SELECT doc_id,
+                string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents),
+             (SELECT unnest(range(1, 10000)) AS i) t
+        WHERE len(ws) >= 2 AND i <= len(ws) - 1),
+      counts AS (SELECT w1, w2, count(*) AS c12 FROM docbi GROUP BY 1, 2),
+      margin AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+                 FROM counts GROUP BY 1),
+      voc AS (SELECT count(*) AS v FROM
+                (SELECT w1 FROM counts UNION SELECT w2 FROM counts)),
+      contrib AS (
+        SELECT d.doc_id,
+               CAST(round(-ln((c.c12 + 0.5) / (m.c1 + 0.5 * voc.v)), 6)
+                 AS DECIMAL(18,6)) AS nll6
+        FROM docbi d JOIN counts c USING (w1, w2)
+             JOIN margin m USING (w1) CROSS JOIN voc)
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(CAST(sum(nll6) AS DOUBLE) / count(*), 4) AS nll4
+      FROM contrib GROUP BY 1 ORDER BY doc_id"""))),
+
     // KMV sketch SET OPERATIONS (Beyer et al. / theta-sketch style —
     // public): per-source k-minimum-hash sets over word-3-shingles, then
     // union / intersection / Jaccard ESTIMATES from the sketches next to

@@ -437,6 +437,37 @@ class LlmSpec extends AnyFunSuite {
     assert(filterScore > q1.head._4)
   }
 
+  test("ks drift: hand-computed two-sample statistic") {
+    // F_a steps at {1,2}, F_b at {2,3}: max |F_a - F_b| = 0.5 (at v=1 or 2)
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L))
+      .toDF("source", "n")
+    val r = TextAnalysis.ksDrift(df, "n", "source", "a", "b").head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 0.5)
+  }
+
+  test("chi2 drift ranks the stratum-exclusive token first, balanced " +
+    "tokens at zero") {
+    val df = Seq(("a", "common shifted"), ("b", "common common"))
+      .toDF("source", "text")
+    val got = TextAnalysis.chi2Drift(df, "text", "source", "a", "b", 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(3))
+    assert(got.head._1 == "shifted" && got.head._2 > 0)
+    assert(got.toMap.apply("common") < got.head._2)
+  }
+
+  test("bigram nll: the corpus-frequent order scores lower than the " +
+    "scrambled one") {
+    val df = Seq((1L, "x y"), (2L, "x y"), (3L, "y x"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramNll(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got(1L)._1 == 1 && got(3L)._1 == 1)
+    assert(got(1L)._2 == got(2L)._2)
+    assert(got(3L)._2 > got(1L)._2) // rare order = higher NLL
+  }
+
   test("char entropy: uniform pair = ln 2, single char = 0, " +
     "non-alphabet chars ignored") {
     val df = Seq((1L, "ab"), (2L, "aaaa"), (3L, "a1b2"), (4L, "123"))
