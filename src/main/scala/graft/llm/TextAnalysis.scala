@@ -621,6 +621,42 @@ object TextAnalysis {
         col("c.lens_md5"))
   }
 
+  /** Distributed BPE tokenizer TRAINING (Sennrich et al.) — `merges`
+    * rounds of the count-pairs → pick-top → apply-merge loop, entirely
+    * in-plan (the winning pair is a 1-row broadcast, never a driver
+    * value, so a SQL oracle replays every round). Words live as padded
+    * space-separated symbol strings (" h e l l o "); applying a merge is
+    * a non-regex left-to-right `replace(' x y ' → ' xy ')`, which is
+    * exactly BPE's greedy leftmost application. Scale shape: the ONE
+    * corpus-sized pass is the word-count aggregation; every round after
+    * runs on the (tiny) vocabulary — the reason BPE training
+    * parallelizes. Returns the merge table (iter, pair, n). */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    var vocab = df.select(explode(
+        split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
+        .as("s"), col("wc"))
+    val rounds = (1 to merges).map { it =>
+      val pairs = vocab
+        .select(col("wc"), split(trim(col("s")), " ").as("sym"))
+        .filter(size(col("sym")) >= 2)
+        .select(col("wc"), explode(transform(
+          sequence(lit(1), size(col("sym")) - 1),
+          i => concat_ws(" ", element_at(col("sym"), i),
+            element_at(col("sym"), i + 1)))).as("pair"))
+        .groupBy("pair").agg(sum("wc").as("n"))
+      val top = pairs.orderBy(col("n").desc, col("pair")).limit(1)
+        .withColumn("iter", lit(it))
+      vocab = vocab.crossJoin(broadcast(top.select(col("pair").as("_m"))))
+        .select(expr("replace(s, concat(' ', _m, ' '), " +
+          "concat(' ', replace(_m, ' ', ''), ' '))").as("s"), col("wc"))
+      top
+    }
+    rounds.reduce(_ unionByName _)
+      .select(col("iter"), col("pair"), col("n"))
+  }
+
   /** BPE merge-pair statistics (Sennrich et al.): the first tokenizer-
     * training step — count every adjacent character pair inside each
     * distinct word, weighted by the word's corpus frequency, and rank the

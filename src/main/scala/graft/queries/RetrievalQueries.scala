@@ -271,6 +271,55 @@ object RetrievalQueries {
              md5(array_to_string(lens, ',')) AS lens_md5
       FROM l ORDER BY doc_id"""))),
 
+    // Distributed BPE training: 3 merge rounds, in-plan winning pairs,
+    // greedy leftmost application as non-regex replace on padded symbol
+    // strings — the oracle unrolls the identical 3 rounds
+    "llm_bpe_train" -> (((spark, dir) => {
+      TextAnalysis.bpeTrain(load(spark, dir, "documents"), "text",
+          merges = 3)
+        .orderBy("iter")
+    }, Some("""
+      WITH v0 AS (
+        SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s, wc
+        FROM (SELECT w, count(*) AS wc FROM (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+                  AS w
+                FROM documents) GROUP BY 1)),
+      p1 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (
+               SELECT wc, unnest(list_transform(range(1, len(sym)),
+                 i -> sym[CAST(i AS INT)] || ' ' ||
+                      sym[CAST(i AS INT)+1])) AS pair
+               FROM (SELECT wc, string_split(trim(s), ' ') AS sym FROM v0))
+             GROUP BY 1),
+      t1 AS (SELECT 1 AS iter, pair, n FROM p1
+             ORDER BY n DESC, pair LIMIT 1),
+      v1 AS (SELECT replace(s, ' ' || t1.pair || ' ',
+               ' ' || replace(t1.pair, ' ', '') || ' ') AS s, wc
+             FROM v0 CROSS JOIN t1),
+      p2 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (
+               SELECT wc, unnest(list_transform(range(1, len(sym)),
+                 i -> sym[CAST(i AS INT)] || ' ' ||
+                      sym[CAST(i AS INT)+1])) AS pair
+               FROM (SELECT wc, string_split(trim(s), ' ') AS sym FROM v1))
+             GROUP BY 1),
+      t2 AS (SELECT 2 AS iter, pair, n FROM p2
+             ORDER BY n DESC, pair LIMIT 1),
+      v2 AS (SELECT replace(s, ' ' || t2.pair || ' ',
+               ' ' || replace(t2.pair, ' ', '') || ' ') AS s, wc
+             FROM v1 CROSS JOIN t2),
+      p3 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (
+               SELECT wc, unnest(list_transform(range(1, len(sym)),
+                 i -> sym[CAST(i AS INT)] || ' ' ||
+                      sym[CAST(i AS INT)+1])) AS pair
+               FROM (SELECT wc, string_split(trim(s), ' ') AS sym FROM v2))
+             GROUP BY 1),
+      t3 AS (SELECT 3 AS iter, pair, n FROM p3
+             ORDER BY n DESC, pair LIMIT 1)
+      SELECT iter, pair, n FROM (
+        SELECT * FROM t1 UNION ALL SELECT * FROM t2
+        UNION ALL SELECT * FROM t3)
+      ORDER BY iter"""))),
+
     // Two-sample KS drift: n_chars distribution of src0 vs src1 — exact
     // ECDFs over the value DOMAIN (per-value counts first, window second)
     "llm_ks_drift" -> (((spark, dir) => {

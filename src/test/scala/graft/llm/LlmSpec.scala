@@ -437,6 +437,17 @@ class LlmSpec extends AnyFunSuite {
     assert(filterScore > q1.head._4)
   }
 
+  test("bpe training replays the hand-computed merge sequence") {
+    val df = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(df, "text", merges = 3)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // r1: pairs {a a:4, a b:3} -> merge "a a"; vocab " aa a b "(2) " a b "(1)
+    // r2: {aa a:2, a b:3} -> "a b"; vocab " aa ab "(2) " ab "(1)
+    // r3: {aa ab:2} -> "aa ab"
+    assert(got == Seq((1, "a a", 4L), (2, "a b", 3L), (3, "aa ab", 2L)))
+  }
+
   test("ks drift: hand-computed two-sample statistic") {
     // F_a steps at {1,2}, F_b at {2,3}: max |F_a - F_b| = 0.5 (at v=1 or 2)
     val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L))
