@@ -236,6 +236,51 @@ object Similarity {
         .reduce(_ + _), roundDigits).as("recon"))
   }
 
+  /** K-means Lloyd iterations (the IVF coarse-quantizer TRAINER the
+    * `ivfAssign` seed centroids stand in for): `iters` rounds of
+    * assign-to-nearest (rounded cosine, the ivf tiebreak) then
+    * recompute-centroid. Centroid means are DECIMAL-exact per component
+    * (sum of 8dp decimals, then one rounded division), so the distributed
+    * summation order cannot move a centroid and a SQL oracle replays the
+    * whole training run. Scale shape per round: one broadcast of k
+    * centroids, one id-keyed window for the argmax, one (cid, pos)-keyed
+    * mean aggregation — all map-side-combinable; the points never
+    * shuffle by anything but their own id. Returns per-cluster
+    * (cid, n, csum6) after the final assignment. */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, dim: Int): DataFrame = {
+    val pts = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy("id")
+        .orderBy(col("cos4").desc, col("cid").asc)
+      pts.crossJoin(broadcast(cents))
+        .withColumn("cos4", round(dotHof(col("v"), col("cv")) /
+          (sqrt(dotHof(col("v"), col("v"))) *
+           sqrt(dotHof(col("cv"), col("cv")))), 4))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("v"), col("cid"))
+    }
+    var cents = pts.orderBy("id").limit(k)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      cents = assign(cents)
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(round(sum(col("x").cast(DecimalType(18, 8)))
+          .cast(DoubleType) / count(lit(1)), 6).as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          col("m")))), s => s.getField("m")).as("cv"))
+    }
+    assign(cents).groupBy("cid").agg(count(lit(1)).as("n"))
+      .join(cents.select(col("cid"),
+        round(aggregate(col("cv"), lit(0.0), (a, x) => a + x), 6)
+          .as("csum6")), Seq("cid"))
+      .orderBy("cid")
+  }
+
   /** Johnson-Lindenstrauss random projection (Achlioptas ±1 construction —
     * public result): project `dim`-d float vectors to `outDim` components,
     * `p_j = dot(v, s_j) / sqrt(outDim)`, with the deterministic ±1 sign

@@ -271,6 +271,45 @@ object RetrievalQueries {
              md5(array_to_string(lens, ',')) AS lens_md5
       FROM l ORDER BY doc_id"""))),
 
+    // K-means training (2 Lloyd rounds, k=8): decimal-exact centroid
+    // means, rounded-cosine assignment with the ivf tiebreak — the oracle
+    // unrolls both rounds and replays the final assignment
+    "sim_kmeans" -> (((spark, dir) => {
+      Similarity.kmeans(load(spark, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 2, dim = 64)
+    }, Some {
+      def assignSql(cents: String): String = s"""
+        SELECT id, v, cid FROM (
+          SELECT e.id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.id ORDER BY
+                   round(${dotSql("e.v", "c.cv")} /
+                     (sqrt(${dotSql("e.v", "e.v")}) *
+                      sqrt(${dotSql("c.cv", "c.cv")})), 4) DESC,
+                   c.cid) AS rn
+          FROM e CROSS JOIN $cents c) WHERE rn = 1"""
+      def meanSql(assigned: String): String = s"""
+        SELECT cid, list(m ORDER BY i) AS cv FROM (
+          SELECT cid, i,
+                 round(CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(18,8)))
+                   AS DOUBLE) / count(*), 6) AS m
+          FROM $assigned CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+          GROUP BY cid, i) GROUP BY cid"""
+      s"""
+      WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      c0 AS (SELECT id AS cid, v AS cv FROM e ORDER BY id LIMIT 8),
+      a1 AS (${assignSql("c0")}),
+      c1 AS (${meanSql("a1")}),
+      a2 AS (${assignSql("c1")}),
+      c2 AS (${meanSql("a2")}),
+      af AS (${assignSql("c2")}),
+      cs AS (SELECT cid, round(list_reduce(list_prepend(0.0, cv),
+               (a, x) -> a + x), 6) AS csum6 FROM c2)
+      SELECT nn.cid, nn.n, cs.csum6
+      FROM (SELECT cid, count(*) AS n FROM af GROUP BY 1) nn
+      JOIN cs USING (cid) ORDER BY cid"""
+    })),
+
     // Distributed BPE training: 3 merge rounds, in-plan winning pairs,
     // greedy leftmost application as non-regex replace on padded symbol
     // strings — the oracle unrolls the identical 3 rounds

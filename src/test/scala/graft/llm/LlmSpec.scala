@@ -437,6 +437,18 @@ class LlmSpec extends AnyFunSuite {
     assert(filterScore > q1.head._4)
   }
 
+  test("kmeans separates two obvious cosine clusters from a mixed init") {
+    val vs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val got = Similarity.kmeans(vs, "vec_id", "embedding",
+      k = 2, iters = 2, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 1L -> 2L)) // ids {0,2} and {1,3}
+  }
+
   test("bpe training replays the hand-computed merge sequence") {
     val df = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
     val got = TextAnalysis.bpeTrain(df, "text", merges = 3)
