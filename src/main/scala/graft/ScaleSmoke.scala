@@ -98,7 +98,9 @@ object ScaleSmoke {
       "llm_stratified_sample", "llm_calibrate", "llm_dsir", "dd_semantic",
       "dd_canonical", "dd_dup_spans", "sim_jl", "sim_recall",
       "q_pagerank", "q_kmv_setops", "q_equidepth", "q_dq_checks",
-      "evt_transitions", "evt_seq3", "c14_formats"))
+      "evt_transitions", "evt_seq3", "c14_formats",
+      "sim_kmeans", "llm_bpe_train", "llm_ks_drift", "text_chi2_drift",
+      "text_bigram_nll", "evt_window_distinct", "mm_phash_dedup"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

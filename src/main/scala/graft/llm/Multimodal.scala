@@ -142,6 +142,11 @@ object Multimodal {
     * chunks matches) turns the all-pairs scan into a chunk-keyed
     * equi-join — the simhash banding discipline applied to media. */
   def phashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // 4 chunks only guarantee a shared chunk for hamming <= 3 (pigeonhole:
+    // h+1 chunks cover hamming h) — a larger threshold would silently
+    // miss pairs whose diff bits spread one-per-chunk
+    require(maxHamming <= 3,
+      s"4-chunk banding covers hamming <= 3, got $maxHamming")
     val chunks = hashes.select(col("media_id"), col("phash"),
       explode(array((0 until 4).map(c => struct(lit(c).as("c"),
         shiftright(col("phash"), c * 4).bitwiseAND(lit(15)).as("v"))): _*))

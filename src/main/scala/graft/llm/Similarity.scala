@@ -248,7 +248,7 @@ object Similarity {
     * shuffle by anything but their own id. Returns per-cluster
     * (cid, n, csum6) after the final assignment. */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int, dim: Int): DataFrame = {
+      iters: Int): DataFrame = {
     val pts = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     def assign(cents: DataFrame): DataFrame = {
@@ -265,6 +265,10 @@ object Similarity {
     var cents = pts.orderBy("id").limit(k)
       .select(col("id").as("cid"), col("v").as("cv"))
     for (_ <- 1 to iters) {
+      // localCheckpoint per round (k rows): the next assign references
+      // cents inside a broadcast AND the final summary joins it again —
+      // without the cut each round re-embeds and re-executes every
+      // earlier round's assignment (the PageRank/BPE loop discipline)
       cents = assign(cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
@@ -273,6 +277,7 @@ object Similarity {
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"),
           col("m")))), s => s.getField("m")).as("cv"))
+        .localCheckpoint()
     }
     assign(cents).groupBy("cid").agg(count(lit(1)).as("n"))
       .join(cents.select(col("cid"),

@@ -476,15 +476,19 @@ object TextAnalysis {
     val perValue = twoStrata.groupBy("v")
       .agg(count(when(col("s") === a, 1)).as("ca"),
         count(when(col("s") === b, 1)).as("cb"))
-    val totals = twoStrata.agg(
-      count(when(col("s") === a, 1)).as("n_a"),
-      count(when(col("s") === b, 1)).as("n_b"))
+    // totals derive FROM the per-value counts as global windows — a
+    // separate corpus aggregation branch would re-scan and re-tokenize
+    // the input (column pruning blocks exchange reuse across branches);
+    // both window specs share the one single-partition exchange over the
+    // value DOMAIN
     val cdfW = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.partitionBy()
     perValue
       .withColumn("cum_a", sum("ca").over(cdfW))
       .withColumn("cum_b", sum("cb").over(cdfW))
-      .crossJoin(broadcast(totals))
+      .withColumn("n_a", sum("ca").over(allW))
+      .withColumn("n_b", sum("cb").over(allW))
       .select(col("n_a"), col("n_b"),
         round(abs(col("cum_a").cast(DoubleType) / col("n_a") -
           col("cum_b").cast(DoubleType) / col("n_b")), 6).as("d6"))
@@ -492,32 +496,35 @@ object TextAnalysis {
   }
 
   /** Chi-square token-frequency drift between two strata: per token, the
-    * 2×2 contingency statistic against the pooled expectation — surfaces
-    * WHICH tokens moved, not just that the distribution did (the
-    * actionable half of drift monitoring next to [[ksDrift]]). One
-    * token-keyed map-side-combinable aggregation; expectations and the
-    * statistic compute per token from broadcast grand totals; top-k by
-    * (rounded chi2, token) is a per-task heap. */
+    * FULL 2×2 contingency statistic `N·(ad−bc)² / (r₁·r₂·c₁·c₂)` over
+    * (token vs rest) × (stratum a vs b) — surfaces WHICH tokens moved,
+    * not just that the distribution did (the actionable half of drift
+    * monitoring next to [[ksDrift]]). One token-keyed map-side-combinable
+    * aggregation; the stratum totals derive FROM the per-token counts as
+    * global windows (a separate totals branch would re-scan the corpus);
+    * top-k by (rounded chi2, token) is a per-task heap. */
   def chi2Drift(df: DataFrame, textCol: String, stratumCol: String,
       a: String, b: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val words = df.filter(col(stratumCol).isin(a, b))
       .select(col(stratumCol).as("s"),
         explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
     val perTok = words.groupBy("w")
       .agg(count(when(col("s") === a, 1)).as("oa"),
         count(when(col("s") === b, 1)).as("ob"))
-    val totals = words.agg(
-      count(when(col("s") === a, 1)).as("ta"),
-      count(when(col("s") === b, 1)).as("tb"))
-    val grand = (col("ta") + col("tb")).cast(DoubleType)
-    val rowTot = (col("oa") + col("ob")).cast(DoubleType)
-    val ea = rowTot * col("ta") / grand
-    val eb = rowTot * col("tb") / grand
-    val chi2 = (col("oa") - ea) * (col("oa") - ea) / ea +
-      (col("ob") - eb) * (col("ob") - eb) / eb
-    perTok.crossJoin(broadcast(totals))
+    val allW = Window.partitionBy()
+    val aD = col("oa").cast(DoubleType)
+    val bD = col("ob").cast(DoubleType)
+    val cD = (col("ta") - col("oa")).cast(DoubleType)
+    val dD = (col("tb") - col("ob")).cast(DoubleType)
+    val num = (aD * dD - bD * cD) * (aD * dD - bD * cD)
+    perTok
+      .withColumn("ta", sum("oa").over(allW))
+      .withColumn("tb", sum("ob").over(allW))
       .select(col("w"), col("oa"), col("ob"),
-        round(chi2, 4).as("chi2_4"))
+        round((col("ta") + col("tb")).cast(DoubleType) * num /
+          ((aD + bD) * (cD + dD) * col("ta").cast(DoubleType) *
+            col("tb").cast(DoubleType)), 4).as("chi2_4"))
       .orderBy(col("chi2_4").desc, col("w"))
       .limit(topK)
   }
@@ -625,9 +632,13 @@ object TextAnalysis {
     * rounds of the count-pairs → pick-top → apply-merge loop, entirely
     * in-plan (the winning pair is a 1-row broadcast, never a driver
     * value, so a SQL oracle replays every round). Words live as padded
-    * space-separated symbol strings (" h e l l o "); applying a merge is
-    * a non-regex left-to-right `replace(' x y ' → ' xy ')`, which is
-    * exactly BPE's greedy leftmost application. Scale shape: the ONE
+    * space-separated symbol strings (" h e l l o "); a merge applies as
+    * THREE nested non-regex `replace(' x y ' → ' xy ')` passes: one
+    * replace alone is NOT greedy-leftmost — matching consumes the shared
+    * delimiter space, so in a chain like " x y x y " every other site is
+    * skipped; the skipped sites are isolated after a pass, so the second
+    * pass catches them all and the third is safety margin (the oracle
+    * replays the identical triple). Scale shape: the ONE
     * corpus-sized pass is the word-count aggregation; every round after
     * runs on the (tiny) vocabulary — the reason BPE training
     * parallelizes. Returns the merge table (iter, pair, n). */
@@ -646,11 +657,19 @@ object TextAnalysis {
           i => concat_ws(" ", element_at(col("sym"), i),
             element_at(col("sym"), i + 1)))).as("pair"))
         .groupBy("pair").agg(sum("wc").as("n"))
+      // localCheckpoint both per round: the next round references vocab
+      // twice (pair counts + merge application) and the final union
+      // references every top — without the cut, round r's plan re-embeds
+      // and RE-EXECUTES all earlier rounds (the PageRank discipline)
       val top = pairs.orderBy(col("n").desc, col("pair")).limit(1)
         .withColumn("iter", lit(it))
+        .localCheckpoint()
+      def rep(inner: String): String =
+        s"replace($inner, concat(' ', _m, ' '), " +
+          "concat(' ', replace(_m, ' ', ''), ' '))"
       vocab = vocab.crossJoin(broadcast(top.select(col("pair").as("_m"))))
-        .select(expr("replace(s, concat(' ', _m, ' '), " +
-          "concat(' ', replace(_m, ' ', ''), ' '))").as("s"), col("wc"))
+        .select(expr(rep(rep(rep("s")))).as("s"), col("wc"))
+        .localCheckpoint()
       top
     }
     rounds.reduce(_ unionByName _)

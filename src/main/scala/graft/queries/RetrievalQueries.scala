@@ -276,7 +276,7 @@ object RetrievalQueries {
     // unrolls both rounds and replays the final assignment
     "sim_kmeans" -> (((spark, dir) => {
       Similarity.kmeans(load(spark, dir, "embeddings"),
-        "vec_id", "embedding", k = 8, iters = 2, dim = 64)
+        "vec_id", "embedding", k = 8, iters = 2)
     }, Some {
       def assignSql(cents: String): String = s"""
         SELECT id, v, cid FROM (
@@ -332,8 +332,13 @@ object RetrievalQueries {
              GROUP BY 1),
       t1 AS (SELECT 1 AS iter, pair, n FROM p1
              ORDER BY n DESC, pair LIMIT 1),
-      v1 AS (SELECT replace(s, ' ' || t1.pair || ' ',
-               ' ' || replace(t1.pair, ' ', '') || ' ') AS s, wc
+      v1 AS (SELECT replace(replace(replace(s,
+                 ' ' || t1.pair || ' ',
+                 ' ' || replace(t1.pair, ' ', '') || ' '),
+                 ' ' || t1.pair || ' ',
+                 ' ' || replace(t1.pair, ' ', '') || ' '),
+                 ' ' || t1.pair || ' ',
+                 ' ' || replace(t1.pair, ' ', '') || ' ') AS s, wc
              FROM v0 CROSS JOIN t1),
       p2 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (
                SELECT wc, unnest(list_transform(range(1, len(sym)),
@@ -343,8 +348,13 @@ object RetrievalQueries {
              GROUP BY 1),
       t2 AS (SELECT 2 AS iter, pair, n FROM p2
              ORDER BY n DESC, pair LIMIT 1),
-      v2 AS (SELECT replace(s, ' ' || t2.pair || ' ',
-               ' ' || replace(t2.pair, ' ', '') || ' ') AS s, wc
+      v2 AS (SELECT replace(replace(replace(s,
+                 ' ' || t2.pair || ' ',
+                 ' ' || replace(t2.pair, ' ', '') || ' '),
+                 ' ' || t2.pair || ' ',
+                 ' ' || replace(t2.pair, ' ', '') || ' '),
+                 ' ' || t2.pair || ' ',
+                 ' ' || replace(t2.pair, ' ', '') || ' ') AS s, wc
              FROM v1 CROSS JOIN t2),
       p3 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (
                SELECT wc, unnest(list_transform(range(1, len(sym)),
@@ -371,19 +381,18 @@ object RetrievalQueries {
                count(CASE WHEN s = 'src0' THEN 1 END) AS ca,
                count(CASE WHEN s = 'src1' THEN 1 END) AS cb
              FROM two GROUP BY 1),
-      tot AS (SELECT count(CASE WHEN s = 'src0' THEN 1 END) AS n_a,
-                     count(CASE WHEN s = 'src1' THEN 1 END) AS n_b
-              FROM two),
       cdf AS (SELECT v,
                 sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
                   AND CURRENT ROW) AS cum_a,
                 sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
-                  AND CURRENT ROW) AS cum_b
+                  AND CURRENT ROW) AS cum_b,
+                CAST(sum(ca) OVER () AS BIGINT) AS n_a,
+                CAST(sum(cb) OVER () AS BIGINT) AS n_b
               FROM pv)
       SELECT n_a, n_b,
              max(round(abs(CAST(cum_a AS DOUBLE) / n_a -
                CAST(cum_b AS DOUBLE) / n_b), 6)) AS ks6
-      FROM cdf CROSS JOIN tot GROUP BY n_a, n_b"""))),
+      FROM cdf GROUP BY n_a, n_b"""))),
 
     // Chi-square token drift: WHICH tokens moved between src0 and src1 —
     // 2x2 contingency per token against pooled expectations, heap top-15
@@ -399,23 +408,20 @@ object RetrievalQueries {
                count(CASE WHEN s = 'src0' THEN 1 END) AS oa,
                count(CASE WHEN s = 'src1' THEN 1 END) AS ob
              FROM words GROUP BY 1),
-      tot AS (SELECT count(CASE WHEN s = 'src0' THEN 1 END) AS ta,
-                     count(CASE WHEN s = 'src1' THEN 1 END) AS tb
-              FROM words)
+      wt AS (SELECT w, oa, ob,
+               sum(oa) OVER () AS ta, sum(ob) OVER () AS tb
+             FROM pt)
       SELECT w, oa, ob,
-             round((oa - CAST(oa + ob AS DOUBLE) * ta /
-                     CAST(ta + tb AS DOUBLE)) *
-                   (oa - CAST(oa + ob AS DOUBLE) * ta /
-                     CAST(ta + tb AS DOUBLE)) /
-                   (CAST(oa + ob AS DOUBLE) * ta /
-                     CAST(ta + tb AS DOUBLE)) +
-                   (ob - CAST(oa + ob AS DOUBLE) * tb /
-                     CAST(ta + tb AS DOUBLE)) *
-                   (ob - CAST(oa + ob AS DOUBLE) * tb /
-                     CAST(ta + tb AS DOUBLE)) /
-                   (CAST(oa + ob AS DOUBLE) * tb /
-                     CAST(ta + tb AS DOUBLE)), 4) AS chi2_4
-      FROM pt CROSS JOIN tot
+             round(CAST(ta + tb AS DOUBLE) *
+                   ((CAST(oa AS DOUBLE) * CAST(tb - ob AS DOUBLE) -
+                     CAST(ob AS DOUBLE) * CAST(ta - oa AS DOUBLE)) *
+                    (CAST(oa AS DOUBLE) * CAST(tb - ob AS DOUBLE) -
+                     CAST(ob AS DOUBLE) * CAST(ta - oa AS DOUBLE))) /
+                   ((CAST(oa AS DOUBLE) + CAST(ob AS DOUBLE)) *
+                    (CAST(ta - oa AS DOUBLE) + CAST(tb - ob AS DOUBLE)) *
+                    CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 4)
+               AS chi2_4
+      FROM wt
       ORDER BY chi2_4 DESC, w LIMIT 15"""))),
 
     // Bigram LM scoring: per-doc mean NLL under the corpus's own
@@ -427,12 +433,15 @@ object RetrievalQueries {
         .orderBy("doc_id")
     }, Some("""
       WITH docbi AS (
-        SELECT doc_id, ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT)+1] AS w2
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)),
+                 i -> ws[CAST(i AS INT)])) AS w1,
+               unnest(list_transform(range(1, len(ws)),
+                 i -> ws[CAST(i AS INT)+1])) AS w2
         FROM (SELECT doc_id,
                 string_split_regex(lower(trim(text)), '\s+') AS ws
-              FROM documents),
-             (SELECT unnest(range(1, 10000)) AS i) t
-        WHERE len(ws) >= 2 AND i <= len(ws) - 1),
+              FROM documents)
+        WHERE len(ws) >= 2),
       counts AS (SELECT w1, w2, count(*) AS c12 FROM docbi GROUP BY 1, 2),
       margin AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
                  FROM counts GROUP BY 1),

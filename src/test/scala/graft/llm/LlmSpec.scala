@@ -444,7 +444,7 @@ class LlmSpec extends AnyFunSuite {
       (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
       (3L, Seq(0.0f, 0.0f, 0.9f, 0.1f))).toDF("vec_id", "embedding")
     val got = Similarity.kmeans(vs, "vec_id", "embedding",
-      k = 2, iters = 2, dim = 4)
+      k = 2, iters = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(0L -> 2L, 1L -> 2L)) // ids {0,2} and {1,3}
   }
@@ -469,14 +469,25 @@ class LlmSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 0.5)
   }
 
-  test("chi2 drift ranks the stratum-exclusive token first, balanced " +
-    "tokens at zero") {
-    val df = Seq(("a", "common shifted"), ("b", "common common"))
-      .toDF("source", "text")
+  test("chi2 drift: balanced token scores 0, stratum-exclusive tokens " +
+    "hit the hand-computed 2x2 statistic") {
+    val df = Seq(("a", "z x x"), ("b", "z y y")).toDF("source", "text")
     val got = TextAnalysis.chi2Drift(df, "text", "source", "a", "b", 5)
-      .collect().map(r => r.getString(0) -> r.getDouble(3))
-    assert(got.head._1 == "shifted" && got.head._2 > 0)
-    assert(got.toMap.apply("common") < got.head._2)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // x: cells (2,0),(1,3) -> 6*(2*3-0*1)^2/(2*4*3*3) = 3.0; z balanced
+    assert(got("z") == 0.0)
+    assert(got("x") == 3.0 && got("y") == 3.0)
+  }
+
+  test("bpe merge application is greedy-leftmost across overlapping " +
+    "chain sites (one replace pass would skip every other site)") {
+    val df = Seq((1L, "abab abab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(df, "text", merges = 2)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // r1: "a b" (4) applied to " a b a b " must give " ab ab " (NOT
+    // " ab a b "); r2's winner is then ("ab ab", 2)
+    assert(got == Seq((1, "a b", 4L), (2, "ab ab", 2L)))
   }
 
   test("bigram nll: the corpus-frequent order scores lower than the " +
