@@ -628,6 +628,24 @@ object TextAnalysis {
         col("c.lens_md5"))
   }
 
+  /** Feature-hashed document vectors (Weinberger et al.'s hashing trick —
+    * public method): φ(doc)[j] = Σ over tokens hashing to bucket j of the
+    * token's ±1 sign, with bucket = h(w) mod `m` and sign = parity of the
+    * next hash bit. INTEGER-exact (no rounding anywhere), so the sketch
+    * replays bit-for-bit in any engine; one (id, bucket)-keyed map-side-
+    * combinable aggregation is the only shuffle. The cheap way to give
+    * text a fixed-width vector for ANN/clustering when no learned
+    * embedding exists. Returns sparse rows (id, j, v). */
+  def featureHash(df: DataFrame, idCol: String, textCol: String, m: Int)
+      : DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+    val h = Dedup.portableWordHash(col("w"))
+    words.select(col("id"), pmod(h, lit(m)).as("j"),
+        when(shiftright(h, 3) % 2 === 0, 1L).otherwise(-1L).as("s"))
+      .groupBy("id", "j").agg(sum("s").as("v"))
+  }
+
   /** Distributed BPE tokenizer TRAINING (Sennrich et al.) — `merges`
     * rounds of the count-pairs → pick-top → apply-merge loop, entirely
     * in-plan (the winning pair is a 1-row broadcast, never a driver

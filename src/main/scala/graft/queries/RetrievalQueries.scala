@@ -310,6 +310,65 @@ object RetrievalQueries {
       JOIN cs USING (cid) ORDER BY cid"""
     })),
 
+    // Feature-hashed doc vectors (hashing trick): integer-exact ±1 bucket
+    // sums, one (id, bucket) aggregation — text gets a fixed-width vector
+    // with no learned embedding
+    "text_feature_hash" -> (((spark, dir) => {
+      TextAnalysis.featureHash(load(spark, dir, "documents"),
+          "doc_id", "text", m = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "j")
+    }, Some(s"""
+      WITH words AS (SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                         AS w
+                     FROM documents),
+      hashed AS (SELECT doc_id,
+                   (CAST(concat('0x', substring(md5(w), 1, 15)) AS BIGINT)
+                     % ${Dedup.PortableP}) AS h
+                 FROM words)
+      SELECT doc_id, h % 8 AS j,
+             CAST(sum(CASE WHEN (h >> 3) % 2 = 0 THEN 1 ELSE -1 END)
+               AS BIGINT) AS v
+      FROM hashed GROUP BY 1, 2 ORDER BY doc_id, j"""))),
+
+    // Grouped order-statistic monitoring: exact discrete P50/P95 of event
+    // values per (event_type, hour-of-day) — one window + one pivot agg,
+    // the per-group twin of q_winsorize's order-statistic discipline
+    "evt_group_percentiles" -> (((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grpW = Window.partitionBy("event_type", "hod")
+      val rankW = grpW.orderBy("value", "event_id")
+      load(spark, dir, "events")
+        .select(col("event_type"),
+          expr("(ts div 3600000000000) % 24").as("hod"),
+          col("value"), col("event_id"))
+        .withColumn("n", count(lit(1)).over(grpW))
+        .withColumn("rn", row_number().over(rankW))
+        .groupBy("event_type", "hod")
+        .agg(max("n").as("n"),
+          max(when(col("rn") === ceil(col("n") * lit(0.5)), col("value")))
+            .as("p50"),
+          max(when(col("rn") === ceil(col("n") * lit(0.95)), col("value")))
+            .as("p95"))
+        .orderBy("event_type", "hod")
+    }, Some("""
+      WITH e AS (SELECT event_type,
+                   (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+                   "value", event_id,
+                   count(*) OVER (PARTITION BY event_type,
+                     (epoch_ns(ts) // 3600000000000) % 24) AS n,
+                   row_number() OVER (PARTITION BY event_type,
+                     (epoch_ns(ts) // 3600000000000) % 24
+                     ORDER BY "value", event_id) AS rn
+                 FROM events)
+      SELECT event_type, hod, max(n) AS n,
+             max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+               THEN "value" END) AS p50,
+             max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+               THEN "value" END) AS p95
+      FROM e GROUP BY 1, 2 ORDER BY 1, 2"""))),
+
     // Distributed BPE training: 3 merge rounds, in-plan winning pairs,
     // greedy leftmost application as non-regex replace on padded symbol
     // strings — the oracle unrolls the identical 3 rounds
