@@ -310,6 +310,77 @@ object RetrievalQueries {
       JOIN cs USING (cid) ORDER BY cid"""
     })),
 
+    // Next-token table: per preceding word, the top-3 most frequent
+    // successors from the corpus bigram counts — the LM-serving companion
+    // of text_bigram_nll; one bigram agg + one w1-keyed rank window
+    "text_next_token" -> (((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = load(spark, dir, "documents")
+        .select(split(trim(lower(col("text"))), "\\s+").as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val counts = docs.select(explode(transform(
+          sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("p"))
+        .select(col("p.w1"), col("p.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("w1")
+        .orderBy(col("n").desc, col("w2"))
+      counts.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("w1"), col("rnk"), col("w2"), col("n"))
+        .orderBy("w1", "rnk")
+    }, Some("""
+      WITH docbi AS (
+        SELECT unnest(list_transform(range(1, len(ws)),
+                 i -> ws[CAST(i AS INT)])) AS w1,
+               unnest(list_transform(range(1, len(ws)),
+                 i -> ws[CAST(i AS INT)+1])) AS w2
+        FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents)
+        WHERE len(ws) >= 2),
+      counts AS (SELECT w1, w2, count(*) AS n FROM docbi GROUP BY 1, 2),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY w1
+                   ORDER BY n DESC, w2) AS rnk FROM counts)
+      SELECT w1, CAST(rnk AS INT) AS rnk, w2, n
+      FROM ranked WHERE rnk <= 3 ORDER BY w1, rnk"""))),
+
+    // Vocabulary coverage curve: what fraction of corpus TOKENS the top-k
+    // vocabulary covers at k = 4/8/16 — the tokenizer-sizing diagnostic;
+    // one vocab agg, one global rank window over the (tiny) vocabulary
+    "text_vocab_coverage" -> (((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vocab = load(spark, dir, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+      val rankW = Window.orderBy(col("wc").desc, col("w"))
+      val cumW = rankW.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val allW = Window.partitionBy()
+      vocab.withColumn("rk", row_number().over(rankW))
+        .withColumn("cum", sum("wc").over(cumW))
+        .withColumn("total", sum("wc").over(allW))
+        .filter(col("rk").isin(4, 8, 16))
+        .select(col("rk").as("k"), col("cum"),
+          round(col("cum").cast("double") / col("total"), 6)
+            .as("coverage6"))
+        .orderBy("k")
+    }, Some("""
+      WITH vocab AS (SELECT w, count(*) AS wc FROM (
+                       SELECT unnest(string_split_regex(lower(trim(text)),
+                         '\s+')) AS w
+                       FROM documents) GROUP BY 1),
+      ranked AS (SELECT w, wc,
+                   row_number() OVER (ORDER BY wc DESC, w) AS rk,
+                   CAST(sum(wc) OVER (ORDER BY wc DESC, w
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum,
+                   CAST(sum(wc) OVER () AS BIGINT) AS total
+                 FROM vocab)
+      SELECT CAST(rk AS INT) AS k, cum,
+             round(CAST(cum AS DOUBLE) / total, 6) AS coverage6
+      FROM ranked WHERE rk IN (4, 8, 16) ORDER BY k"""))),
+
     // Feature-hashed doc vectors (hashing trick): integer-exact ±1 bucket
     // sums, one (id, bucket) aggregation — text gets a fixed-width vector
     // with no learned embedding
