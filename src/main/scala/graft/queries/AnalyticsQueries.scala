@@ -790,6 +790,123 @@ object AnalyticsQueries {
       ORDER BY hr"""
     })),
 
+    // Triangle counting on the nation trade graph (degree-ordered
+    // orientation — each triangle counted ONCE, and the oriented join
+    // fan-out is bounded by the max ORIENTED degree, the standard trick
+    // that makes triangle counting feasible on power-law graphs): edges
+    // orient from lower (degree, node) to higher, one self-join builds
+    // wedges, one join closes them. The edge build is the 100 TB star
+    // join; the triangle algebra runs on the aggregated graph.
+    "q_triangles" -> (((spark, dir) => {
+      val li = load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = load(spark, dir, "customer")
+        .select("c_custkey", "c_nationkey")
+      val supp = load(spark, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+      val nat = load(spark, dir, "nation").select("n_nationkey", "n_name")
+      val raw = li
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .join(broadcast(nat).as("cn"),
+          cust("c_nationkey") === col("cn.n_nationkey"))
+        .join(broadcast(nat).as("sn"),
+          supp("s_nationkey") === col("sn.n_nationkey"))
+        .filter(col("cn.n_name") =!= col("sn.n_name"))
+        .select(least(col("cn.n_name"), col("sn.n_name")).as("u"),
+          greatest(col("cn.n_name"), col("sn.n_name")).as("v"))
+        .distinct().localCheckpoint()
+      val deg = raw.select(col("u").as("x")).union(raw.select(col("v")))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+      // orient each undirected edge from the (degree, name)-smaller
+      // endpoint to the larger
+      val oriented = raw
+        .join(deg.toDF("x", "du"), col("u") === col("x")).drop("x")
+        .join(deg.toDF("y", "dv"), col("v") === col("y")).drop("y")
+        .select(
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+            struct(col("u").as("a"), col("v").as("b")))
+            .otherwise(struct(col("v").as("a"), col("u").as("b")))
+            .as("e"))
+        .select(col("e.a"), col("e.b"))
+      val wedges = oriented.toDF("a", "b")
+        .join(oriented.toDF("a", "c"), "a")
+        .filter(col("b") < col("c"))
+      val tris = wedges.join(
+        raw.select(least(col("u"), col("v")).as("b"),
+          greatest(col("u"), col("v")).as("c")),
+        Seq("b", "c"))
+      tris.agg(count(lit(1)).as("n_triangles"),
+        count_distinct(col("a")).as("n_apex_nations"))
+    }, Some("""
+      WITH raw AS (
+        SELECT DISTINCT least(cn.n_name, sn.n_name) AS u,
+               greatest(cn.n_name, sn.n_name) AS v
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE cn.n_name <> sn.n_name),
+      deg AS (SELECT x, count(*) AS d FROM (
+                SELECT u AS x FROM raw UNION ALL SELECT v FROM raw)
+              GROUP BY 1),
+      oriented AS (
+        SELECT CASE WHEN (du.d, r.u) < (dv.d, r.v) THEN r.u ELSE r.v END
+                 AS a,
+               CASE WHEN (du.d, r.u) < (dv.d, r.v) THEN r.v ELSE r.u END
+                 AS b
+        FROM raw r JOIN deg du ON r.u = du.x JOIN deg dv ON r.v = dv.x),
+      wedges AS (SELECT e1.a, e1.b, e2.b AS c
+                 FROM oriented e1 JOIN oriented e2 ON e1.a = e2.a
+                 WHERE e1.b < e2.b)
+      SELECT count(*) AS n_triangles,
+             count(DISTINCT w.a) AS n_apex_nations
+      FROM wedges w JOIN raw ON raw.u = least(w.b, w.c)
+                           AND raw.v = greatest(w.b, w.c)"""))),
+
+    // First/last-touch attribution: each purchase credits the first and
+    // the most recent preceding non-purchase event of the same user — two
+    // running aggregates over ONE user-keyed window pass, then a tiny
+    // channel rollup. The event-analytics twin of the as-of join.
+    "evt_attribution" -> (((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      load(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("first_touch", first(
+          when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+        .withColumn("last_touch", last(
+          when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("first_touch").isNotNull)
+        .groupBy("first_touch", "last_touch")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("first_touch", "last_touch")
+    }, Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               first_value(CASE WHEN event_type <> 'purchase'
+                 THEN event_type END IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS first_touch,
+               last_value(CASE WHEN event_type <> 'purchase'
+                 THEN event_type END IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_touch
+        FROM events)
+      SELECT first_touch, last_touch, count(*) AS n
+      FROM seq WHERE event_type = 'purchase' AND first_touch IS NOT NULL
+      GROUP BY 1, 2 ORDER BY 1, 2"""))),
+
     // Equi-DEPTH histogram (the equi-width twin of D35): ntile(8) over
     // price with a rowkey tiebreak (ntile's remainder rule is identical
     // cross-engine once the order is total), then per-bucket bounds +
