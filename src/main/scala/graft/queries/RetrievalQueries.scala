@@ -310,6 +310,92 @@ object RetrievalQueries {
       JOIN cs USING (cid) ORDER BY cid"""
     })),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis — public
+    // algorithm): key = u^(1/w) with u = portable-hash uniform and
+    // w = n_chars, top-16 by key — ONE pass + a per-task heap
+    // (TakeOrderedAndProject), the distributed-weighted-sample shape.
+    // Keys round to 8dp before ranking so cross-engine pow() ulps can't
+    // flip an order; doc_id breaks residual ties.
+    "llm_weighted_sample" -> (((spark, dir) => {
+      val u = Dedup.portableWordHash(col("doc_id")).cast("double") /
+        lit(Dedup.PortableP.toDouble)
+      load(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          round(pow(u, lit(1.0) / col("n_chars")), 8).as("key8"))
+        .orderBy(col("key8").desc, col("doc_id"))
+        .limit(16)
+    }, Some(s"""
+      SELECT doc_id, n_chars,
+             round(pow(CAST((CAST(concat('0x', substring(md5(
+                 CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % ${Dedup.PortableP}) AS DOUBLE) / ${Dedup.PortableP}.0,
+               1.0 / n_chars), 8) AS key8
+      FROM documents
+      ORDER BY key8 DESC, doc_id LIMIT 16"""))),
+
+    // Text ANN end-to-end over the feature-hashed vectors: integer-exact
+    // dot products from the 8 pivoted bucket sums (no learned embeddings
+    // anywhere), rounded-cosine top-3 per query doc — composes D84 into
+    // the similarity plane
+    "text_ann" -> (((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sparse = TextAnalysis.featureHash(load(spark, dir, "documents"),
+        "doc_id", "text", m = 8)
+      val buckets = (0 until 8).map(j =>
+        sum(when(col("j") === j, col("v")).otherwise(0L)).as(s"v$j"))
+      val dense = sparse.groupBy("id").agg(buckets.head, buckets.tail: _*)
+      def dotCols(a: String, b: String) = (0 until 8)
+        .map(j => col(s"$a.v$j") * col(s"$b.v$j"))
+        .reduce(_ + _)
+      val q = dense.filter(col("id") < 3).as("qv")
+      val c = dense.as("cv")
+      val rankW = Window.partitionBy("query_id")
+        .orderBy(col("cos4").desc, col("neighbor_id"))
+      q.crossJoin(c)
+        .filter(col("qv.id") =!= col("cv.id"))
+        .select(col("qv.id").as("query_id"), col("cv.id").as("neighbor_id"),
+          round(dotCols("qv", "cv").cast("double") /
+            (sqrt(dotCols("qv", "qv").cast("double")) *
+             sqrt(dotCols("cv", "cv").cast("double"))), 4).as("cos4"))
+        .withColumn("rnk", row_number().over(rankW))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          col("cos4"))
+        .orderBy("query_id", "rnk")
+    }, Some {
+      val dot = (0 until 8).map(j => s"a.v$j * b.v$j").mkString(" + ")
+      val qdot = (0 until 8).map(j => s"a.v$j * a.v$j").mkString(" + ")
+      val cdot = (0 until 8).map(j => s"b.v$j * b.v$j").mkString(" + ")
+      val piv = (0 until 8).map(j =>
+        s"CAST(sum(CASE WHEN j = $j THEN v ELSE 0 END) AS BIGINT) AS v$j")
+        .mkString(", ")
+      s"""
+      WITH words AS (SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                         AS w
+                     FROM documents),
+      hashed AS (SELECT doc_id,
+                   (CAST(concat('0x', substring(md5(w), 1, 15)) AS BIGINT)
+                     % ${Dedup.PortableP}) AS h
+                 FROM words),
+      sparse AS (SELECT doc_id AS id, h % 8 AS j,
+                   CAST(sum(CASE WHEN (h >> 3) % 2 = 0 THEN 1 ELSE -1 END)
+                     AS BIGINT) AS v
+                 FROM hashed GROUP BY 1, 2),
+      dense AS (SELECT id, $piv FROM sparse GROUP BY id),
+      scored AS (
+        SELECT a.id AS query_id, b.id AS neighbor_id,
+               round(CAST($dot AS DOUBLE) /
+                 (sqrt(CAST($qdot AS DOUBLE)) *
+                  sqrt(CAST($cdot AS DOUBLE))), 4) AS cos4
+        FROM dense a CROSS JOIN dense b
+        WHERE a.id < 3 AND a.id <> b.id),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos4 DESC, neighbor_id) AS rnk FROM scored)
+      SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, cos4
+      FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk"""
+    })),
+
     // Next-token table: per preceding word, the top-3 most frequent
     // successors from the corpus bigram counts — the LM-serving companion
     // of text_bigram_nll; one bigram agg + one w1-keyed rank window
