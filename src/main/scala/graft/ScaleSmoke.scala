@@ -100,7 +100,10 @@ object ScaleSmoke {
       "q_pagerank", "q_kmv_setops", "q_equidepth", "q_dq_checks",
       "evt_transitions", "evt_seq3", "c14_formats",
       "sim_kmeans", "llm_bpe_train", "llm_ks_drift", "text_chi2_drift",
-      "text_bigram_nll", "evt_window_distinct", "mm_phash_dedup"))
+      "text_bigram_nll", "evt_window_distinct", "mm_phash_dedup",
+      "text_feature_hash", "evt_group_percentiles", "text_next_token",
+      "text_vocab_coverage", "q_triangles", "evt_attribution",
+      "llm_weighted_sample", "text_ann"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----
