@@ -107,13 +107,19 @@ object Multimodal {
         ((lit(targetH) - col("out_h")) / lit(2)).cast(IntegerType))
       .drop("scale")
 
-  /** Perceptual hash over media payloads: 16 equal byte-blocks per
+  /** Perceptual hash over media payloads: 64 equal byte-blocks per
     * payload, bit j = parity of block j's byte sum — a locality-preserving
     * (block-local edits flip few bits) stand-in for a real pHash's
     * DCT-mean bits, running where a real one would: inside the
     * mapPartitions decode stage, so payloads NEVER pass through a shuffle
-    * — only the 16-bit hash and id leave the scan. Block bounds use
-    * integer floor(j·n/16) arithmetic an oracle replays exactly. */
+    * — only the 64-bit hash and id leave the scan. Block bounds use
+    * integer floor(j·n/64) arithmetic an oracle replays exactly.
+    *
+    * 64 bits is a SCALE decision, found by the 10× smoke: a 16-bit
+    * variant birthday-saturates around 10⁴ items (~n²/2¹⁷ accidental
+    * hamming-0 collisions — 13.5 M junk pairs at 50 k docs); at 64 bits
+    * accidental collision pressure is n²/2⁶⁵ — negligible at any corpus
+    * size this engine targets. */
   def perceptualHash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -122,15 +128,15 @@ object Multimodal {
       .mapPartitions(_.map { case (id, payload) =>
         val bytes = if (payload == null) Array.empty[Byte] else payload
         val n = bytes.length
-        var hash = 0
+        var hash = 0L
         var j = 0
-        while (j < 16) {
-          val from = (j.toLong * n / 16).toInt
-          val until = ((j + 1).toLong * n / 16).toInt
+        while (j < 64) {
+          val from = (j.toLong * n / 64).toInt
+          val until = ((j + 1).toLong * n / 64).toInt
           var s = 0L
           var i = from
           while (i < until) { s += bytes(i) & 0xff; i += 1 }
-          if ((s & 1L) == 1L) hash |= (1 << j)
+          if ((s & 1L) == 1L) hash |= (1L << j)
           j += 1
         }
         (id, hash)
@@ -138,7 +144,7 @@ object Multimodal {
   }
 
   /** Near-duplicate media pairs by perceptual-hash hamming distance:
-    * 4-bit-chunk pigeonhole banding (hamming ≤ 3 ⇒ at least one of the 4
+    * 16-bit-chunk pigeonhole banding (hamming ≤ 3 ⇒ at least one of the 4
     * chunks matches) turns the all-pairs scan into a chunk-keyed
     * equi-join — the simhash banding discipline applied to media. */
   def phashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
@@ -149,7 +155,8 @@ object Multimodal {
       s"4-chunk banding covers hamming <= 3, got $maxHamming")
     val chunks = hashes.select(col("media_id"), col("phash"),
       explode(array((0 until 4).map(c => struct(lit(c).as("c"),
-        shiftright(col("phash"), c * 4).bitwiseAND(lit(15)).as("v"))): _*))
+        shiftright(col("phash"), c * 16).bitwiseAND(lit(0xFFFFL))
+          .as("v"))): _*))
         .as("ch"))
       .select(col("media_id"), col("phash"),
         col("ch.c").as("c"), col("ch.v").as("v"))

@@ -1318,25 +1318,37 @@ object LlmQueries {
     // oracle recomputes the block sums from ascii() on the text twin of
     // the payload bytes (the corpus is ASCII; payload = encode(text)).
     "mm_phash_dedup" -> (((spark, dir) => {
-      val media = Multimodal.fromDocuments(load(spark, dir, "documents"))
+      val docs = load(spark, dir, "documents")
+      val planted = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val media = Multimodal.fromDocuments(
+        docs.select("doc_id", "text").unionByName(planted))
       Multimodal.phashPairs(Multimodal.perceptualHash(media),
           maxHamming = 3)
         .orderBy("id1", "id2")
     }, Some("""
-      WITH ph AS (
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20),
+      ph AS (
         SELECT doc_id AS media_id,
-               CAST(list_reduce(list_prepend(0, list_transform(range(0, 16),
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(0, 64),
                  j -> CASE WHEN (list_reduce(list_prepend(CAST(0 AS BIGINT),
-                        list_transform(range(j * length(text) // 16,
-                                            (j+1) * length(text) // 16),
+                        list_transform(range(j * length(text) // 64,
+                                            (j+1) * length(text) // 64),
                           i -> CAST(ascii(text[CAST(i+1 AS INT):
                                  CAST(i+1 AS INT)]) AS BIGINT))),
                         (a, x) -> a + x) & 1) = 1
-                      THEN (1 << CAST(j AS INT)) ELSE 0 END)),
-                 (a, b) -> a + b) AS INT) AS phash
-        FROM documents),
+                      THEN (CASE WHEN CAST(j AS INT) = 63
+                            THEN CAST(-9223372036854775808 AS BIGINT)
+                            ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END)
+                      ELSE CAST(0 AS BIGINT) END)),
+                 (a, b) -> a + b) AS phash
+        FROM base),
       chunks AS (SELECT media_id, phash,
-                        c, (phash >> (CAST(c AS INT) * 4)) & 15 AS v
+                        c, (phash >> (CAST(c AS INT) * 16)) & 65535 AS v
                  FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS c) t),
       cand AS (SELECT DISTINCT a.media_id AS id1, b.media_id AS id2,
                       CAST(bit_count(xor(a.phash, b.phash)) AS INT)
