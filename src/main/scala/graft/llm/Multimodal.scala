@@ -116,10 +116,11 @@ object Multimodal {
     * integer floor(j·n/64) arithmetic an oracle replays exactly.
     *
     * 64 bits is a SCALE decision, found by the 10× smoke: a 16-bit
-    * variant birthday-saturates around 10⁴ items (~n²/2¹⁷ accidental
-    * hamming-0 collisions — 13.5 M junk pairs at 50 k docs); at 64 bits
-    * accidental collision pressure is n²/2⁶⁵ — negligible at any corpus
-    * size this engine targets. */
+    * variant saturates around 10⁴ items — accidental pairs within
+    * hamming h grow as n²/2 · Σ_{k≤h} C(16,k)/2¹⁶ (≈ n²/188 at h=3,
+    * 13.5 M junk pairs at 50 k docs; even exact collisions alone are
+    * n²/2¹⁷ ≈ 19 k). At 64 bits the same sums are ≈ n²·2⁻⁵⁰ —
+    * negligible at any corpus size this engine targets. */
   def perceptualHash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -500,27 +500,27 @@ object TextAnalysis {
     * (token vs rest) × (stratum a vs b) — surfaces WHICH tokens moved,
     * not just that the distribution did (the actionable half of drift
     * monitoring next to [[ksDrift]]). One token-keyed map-side-combinable
-    * aggregation; the stratum totals derive FROM the per-token counts as
-    * global windows (a separate totals branch would re-scan the corpus);
-    * top-k by (rounded chi2, token) is a per-task heap. */
+    * aggregation; the stratum totals re-aggregate FROM perTok and ride
+    * back as a broadcast — the two branches share the identical token
+    * exchange (same keys, same aggregates → ReuseExchange fires; a
+    * words-level totals branch would re-scan the corpus, and a global
+    * window would serialize the whole vocabulary through one partition);
+    * per-token chi2 stays fully parallel and top-k is a per-task heap. */
   def chi2Drift(df: DataFrame, textCol: String, stratumCol: String,
       a: String, b: String, topK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val words = df.filter(col(stratumCol).isin(a, b))
       .select(col(stratumCol).as("s"),
         explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
     val perTok = words.groupBy("w")
       .agg(count(when(col("s") === a, 1)).as("oa"),
         count(when(col("s") === b, 1)).as("ob"))
-    val allW = Window.partitionBy()
+    val totals = perTok.agg(sum("oa").as("ta"), sum("ob").as("tb"))
     val aD = col("oa").cast(DoubleType)
     val bD = col("ob").cast(DoubleType)
     val cD = (col("ta") - col("oa")).cast(DoubleType)
     val dD = (col("tb") - col("ob")).cast(DoubleType)
     val num = (aD * dD - bD * cD) * (aD * dD - bD * cD)
-    perTok
-      .withColumn("ta", sum("oa").over(allW))
-      .withColumn("tb", sum("ob").over(allW))
+    perTok.crossJoin(broadcast(totals))
       .select(col("w"), col("oa"), col("ob"),
         round((col("ta") + col("tb")).cast(DoubleType) * num /
           ((aD + bD) * (cD + dD) * col("ta").cast(DoubleType) *
@@ -638,25 +638,33 @@ object TextAnalysis {
     * embedding exists. Returns sparse rows (id, j, v). */
   def featureHash(df: DataFrame, idCol: String, textCol: String, m: Int)
       : DataFrame = {
+    // the sign bit must be DISJOINT from the bucket bits or the hashing
+    // trick's sign-independence collapses (with sign = bit 3 and m >= 16,
+    // sign would be a pure function of the bucket and v degenerates to
+    // ± the raw count): bucket uses the low log2(m) bits, sign uses bit
+    // 20 — independent for any m <= 2^20 (the hash itself is < 2^30)
+    require(m <= (1 << 20), s"bucket count $m would overlap the sign bit")
     val words = df.select(col(idCol).as("id"),
       explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
     val h = Dedup.portableWordHash(col("w"))
     words.select(col("id"), pmod(h, lit(m)).as("j"),
-        when(shiftright(h, 3) % 2 === 0, 1L).otherwise(-1L).as("s"))
+        when(shiftright(h, 20) % 2 === 0, 1L).otherwise(-1L).as("s"))
       .groupBy("id", "j").agg(sum("s").as("v"))
   }
 
   /** Distributed BPE tokenizer TRAINING (Sennrich et al.) — `merges`
     * rounds of the count-pairs → pick-top → apply-merge loop, entirely
     * in-plan (the winning pair is a 1-row broadcast, never a driver
-    * value, so a SQL oracle replays every round). Words live as padded
-    * space-separated symbol strings (" h e l l o "); a merge applies as
-    * THREE nested non-regex `replace(' x y ' → ' xy ')` passes: one
-    * replace alone is NOT greedy-leftmost — matching consumes the shared
-    * delimiter space, so in a chain like " x y x y " every other site is
-    * skipped; the skipped sites are isolated after a pass, so the second
-    * pass catches them all and the third is safety margin (the oracle
-    * replays the identical triple). Scale shape: the ONE
+    * value, so a SQL oracle replays every round). Words live as
+    * DOUBLE-space-delimited symbol strings ("  h  e  l  l  o  "): the
+    * merge pattern ' x  y ' consumes ONE space from each flanking double
+    * boundary and the replacement ' xy ' restores it, so adjacent merge
+    * sites never fight over a shared delimiter and a single non-regex
+    * left-to-right replace IS exactly BPE's greedy leftmost application —
+    * including same-symbol runs (' a  a  a  a  a ' → ' aa  aa  a '),
+    * where single-space padding provably under-merges (the match eats the
+    * next site's leading space) and regex lookarounds are unavailable
+    * because the oracle's RE2 engine lacks them. Scale shape: the ONE
     * corpus-sized pass is the word-count aggregation; every round after
     * runs on the (tiny) vocabulary — the reason BPE training
     * parallelizes. Returns the merge table (iter, pair, n). */
@@ -664,11 +672,11 @@ object TextAnalysis {
     var vocab = df.select(explode(
         split(trim(lower(col(textCol))), "\\s+")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
-      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
-        .as("s"), col("wc"))
+      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", " $1 "),
+        lit(" ")).as("s"), col("wc"))
     val rounds = (1 to merges).map { it =>
       val pairs = vocab
-        .select(col("wc"), split(trim(col("s")), " ").as("sym"))
+        .select(col("wc"), split(trim(col("s")), " +").as("sym"))
         .filter(size(col("sym")) >= 2)
         .select(col("wc"), explode(transform(
           sequence(lit(1), size(col("sym")) - 1),
@@ -682,11 +690,11 @@ object TextAnalysis {
       val top = pairs.orderBy(col("n").desc, col("pair")).limit(1)
         .withColumn("iter", lit(it))
         .localCheckpoint()
-      def rep(inner: String): String =
-        s"replace($inner, concat(' ', _m, ' '), " +
-          "concat(' ', replace(_m, ' ', ''), ' '))"
+      // pair is stored "x y"; the in-string pattern needs the double-gap
+      // form " x  y " and the replacement re-wraps the fused symbol
       vocab = vocab.crossJoin(broadcast(top.select(col("pair").as("_m"))))
-        .select(expr(rep(rep(rep("s")))).as("s"), col("wc"))
+        .select(expr("replace(s, concat(' ', replace(_m, ' ', '  '), ' '), " +
+          "concat(' ', replace(_m, ' ', ''), ' '))").as("s"), col("wc"))
         .localCheckpoint()
       top
     }

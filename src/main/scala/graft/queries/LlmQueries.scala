@@ -1312,9 +1312,10 @@ object LlmQueries {
       ORDER BY media_id"""))),
 
     // Perceptual-hash near-dup over media payloads (Multimodal.phashPairs):
-    // 16 block-parity bits computed INSIDE the mapPartitions decode stage
-    // (payloads never shuffle — only id + 16-bit hash leave the scan),
-    // then 4-bit-chunk pigeonhole banding + hamming <= 3 verify. The
+    // 64 block-parity bits computed INSIDE the mapPartitions decode stage
+    // (payloads never shuffle — only id + 64-bit hash leave the scan),
+    // then 16-bit-chunk pigeonhole banding + hamming <= 3 verify; 20
+    // planted identical copies MUST surface as hamming-0 pairs. The
     // oracle recomputes the block sums from ascii() on the text twin of
     // the payload bytes (the corpus is ASCII; payload = encode(text)).
     "mm_phash_dedup" -> (((spark, dir) => {

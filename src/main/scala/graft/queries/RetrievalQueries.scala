@@ -379,7 +379,7 @@ object RetrievalQueries {
                      % ${Dedup.PortableP}) AS h
                  FROM words),
       sparse AS (SELECT doc_id AS id, h % 8 AS j,
-                   CAST(sum(CASE WHEN (h >> 3) % 2 = 0 THEN 1 ELSE -1 END)
+                   CAST(sum(CASE WHEN (h >> 20) % 2 = 0 THEN 1 ELSE -1 END)
                      AS BIGINT) AS v
                  FROM hashed GROUP BY 1, 2),
       dense AS (SELECT id, $piv FROM sparse GROUP BY id),
@@ -485,7 +485,7 @@ object RetrievalQueries {
                      % ${Dedup.PortableP}) AS h
                  FROM words)
       SELECT doc_id, h % 8 AS j,
-             CAST(sum(CASE WHEN (h >> 3) % 2 = 0 THEN 1 ELSE -1 END)
+             CAST(sum(CASE WHEN (h >> 20) % 2 = 0 THEN 1 ELSE -1 END)
                AS BIGINT) AS v
       FROM hashed GROUP BY 1, 2 ORDER BY doc_id, j"""))),
 
@@ -535,7 +535,7 @@ object RetrievalQueries {
         .orderBy("iter")
     }, Some("""
       WITH v0 AS (
-        SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s, wc
+        SELECT ' ' || regexp_replace(w, '(.)', ' \1 ', 'g') || ' ' AS s, wc
         FROM (SELECT w, count(*) AS wc FROM (
                 SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
                   AS w
@@ -544,39 +544,31 @@ object RetrievalQueries {
                SELECT wc, unnest(list_transform(range(1, len(sym)),
                  i -> sym[CAST(i AS INT)] || ' ' ||
                       sym[CAST(i AS INT)+1])) AS pair
-               FROM (SELECT wc, string_split(trim(s), ' ') AS sym FROM v0))
+               FROM (SELECT wc, string_split_regex(trim(s), ' +') AS sym FROM v0))
              GROUP BY 1),
       t1 AS (SELECT 1 AS iter, pair, n FROM p1
              ORDER BY n DESC, pair LIMIT 1),
-      v1 AS (SELECT replace(replace(replace(s,
-                 ' ' || t1.pair || ' ',
-                 ' ' || replace(t1.pair, ' ', '') || ' '),
-                 ' ' || t1.pair || ' ',
-                 ' ' || replace(t1.pair, ' ', '') || ' '),
-                 ' ' || t1.pair || ' ',
+      v1 AS (SELECT replace(s,
+                 ' ' || replace(t1.pair, ' ', '  ') || ' ',
                  ' ' || replace(t1.pair, ' ', '') || ' ') AS s, wc
              FROM v0 CROSS JOIN t1),
       p2 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (
                SELECT wc, unnest(list_transform(range(1, len(sym)),
                  i -> sym[CAST(i AS INT)] || ' ' ||
                       sym[CAST(i AS INT)+1])) AS pair
-               FROM (SELECT wc, string_split(trim(s), ' ') AS sym FROM v1))
+               FROM (SELECT wc, string_split_regex(trim(s), ' +') AS sym FROM v1))
              GROUP BY 1),
       t2 AS (SELECT 2 AS iter, pair, n FROM p2
              ORDER BY n DESC, pair LIMIT 1),
-      v2 AS (SELECT replace(replace(replace(s,
-                 ' ' || t2.pair || ' ',
-                 ' ' || replace(t2.pair, ' ', '') || ' '),
-                 ' ' || t2.pair || ' ',
-                 ' ' || replace(t2.pair, ' ', '') || ' '),
-                 ' ' || t2.pair || ' ',
+      v2 AS (SELECT replace(s,
+                 ' ' || replace(t2.pair, ' ', '  ') || ' ',
                  ' ' || replace(t2.pair, ' ', '') || ' ') AS s, wc
              FROM v1 CROSS JOIN t2),
       p3 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (
                SELECT wc, unnest(list_transform(range(1, len(sym)),
                  i -> sym[CAST(i AS INT)] || ' ' ||
                       sym[CAST(i AS INT)+1])) AS pair
-               FROM (SELECT wc, string_split(trim(s), ' ') AS sym FROM v2))
+               FROM (SELECT wc, string_split_regex(trim(s), ' +') AS sym FROM v2))
              GROUP BY 1),
       t3 AS (SELECT 3 AS iter, pair, n FROM p3
              ORDER BY n DESC, pair LIMIT 1)
@@ -624,9 +616,9 @@ object RetrievalQueries {
                count(CASE WHEN s = 'src0' THEN 1 END) AS oa,
                count(CASE WHEN s = 'src1' THEN 1 END) AS ob
              FROM words GROUP BY 1),
-      wt AS (SELECT w, oa, ob,
-               sum(oa) OVER () AS ta, sum(ob) OVER () AS tb
-             FROM pt)
+      tot AS (SELECT CAST(sum(oa) AS BIGINT) AS ta,
+                     CAST(sum(ob) AS BIGINT) AS tb FROM pt),
+      wt AS (SELECT w, oa, ob, ta, tb FROM pt CROSS JOIN tot)
       SELECT w, oa, ob,
              round(CAST(ta + tb AS DOUBLE) *
                    ((CAST(oa AS DOUBLE) * CAST(tb - ob AS DOUBLE) -

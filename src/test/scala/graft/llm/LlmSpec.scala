@@ -449,6 +449,18 @@ class LlmSpec extends AnyFunSuite {
     assert(got == Map(0L -> 2L, 1L -> 2L)) // ids {0,2} and {1,3}
   }
 
+  test("bpe merge is greedy-leftmost on SAME-symbol runs (the shared-" +
+    "delimiter skip would merge sites 1,4,7 instead of 1,3,5)") {
+    val df = Seq((1L, "aaaaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(df, "text", merges = 2)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // r1: ("a a", 4); greedy apply -> tokens [aa, aa, a]; r2 candidates
+    // {("aa aa",1), ("aa a",1)} tie -> lexicographic -> ("aa a", 1).
+    // The skip bug would leave [aa, a, aa] and r2 = ("a aa", 1).
+    assert(got == Seq((1, "a a", 4L), (2, "aa a", 1L)))
+  }
+
   test("bpe training replays the hand-computed merge sequence") {
     val df = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
     val got = TextAnalysis.bpeTrain(df, "text", merges = 3)
