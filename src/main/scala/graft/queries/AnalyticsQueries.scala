@@ -907,6 +907,77 @@ object AnalyticsQueries {
       FROM seq WHERE event_type = 'purchase' AND first_touch IS NOT NULL
       GROUP BY 1, 2 ORDER BY 1, 2"""))),
 
+    // Skyline / Pareto frontier (maximize quantity, minimize price): a
+    // point survives iff it is max-quantity at its price AND strictly
+    // out-quantities every cheaper price. One distinct + one price-keyed
+    // aggregation collapse the fact to the price DOMAIN; the running-max
+    // window then walks that bounded domain (the ksDrift discipline),
+    // never the rows.
+    "q_skyline" -> (((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      load(spark, dir, "lineitem")
+        .select(col("l_extendedprice").as("price"),
+          col("l_quantity").as("qty"))
+        .groupBy("price").agg(max("qty").as("max_qty"))
+        .withColumn("best_cheaper", max("max_qty").over(w))
+        .filter(col("best_cheaper").isNull ||
+          col("max_qty") > col("best_cheaper"))
+        .select(col("price"), col("max_qty"))
+        .orderBy("price")
+    }, Some("""
+      WITH pts AS (SELECT l_extendedprice AS price,
+                          max(l_quantity) AS max_qty
+                   FROM lineitem GROUP BY 1),
+      run AS (SELECT price, max_qty,
+                max(max_qty) OVER (ORDER BY price
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS best_cheaper
+              FROM pts)
+      SELECT price, max_qty FROM run
+      WHERE best_cheaper IS NULL OR max_qty > best_cheaper
+      ORDER BY price"""))),
+
+    // Grouped trend regression: OLS slope/intercept of event value over
+    // time per event_type, assembled from DECIMAL-EXACT sums (n, Σx, Σy,
+    // Σxy, Σx²) — one map-side-combinable aggregation per group carries
+    // five numbers at any scale; the closed-form division is the only
+    // floating step and rounds once.
+    "evt_trend" -> (((spark, dir) => {
+      val x = expr("ts div 3600000000000") - lit(473000L) // hour index
+      val yD = col("value").cast(DecimalType(18, 2))
+      load(spark, dir, "events")
+        .select(col("event_type"), x.as("x"), yD.as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("n"),
+          round((col("n") * col("sxy").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+            (col("n") * col("sxx").cast(DoubleType) -
+             col("sx").cast(DoubleType) * col("sx").cast(DoubleType)), 8)
+            .as("slope8"))
+        .orderBy("event_type")
+    }, Some("""
+      WITH pts AS (SELECT event_type,
+                     (epoch_ns(ts) // 3600000000000) - 473000 AS x,
+                     CAST("value" AS DECIMAL(18,2)) AS y
+                   FROM events),
+      agg AS (SELECT event_type, count(*) AS n,
+                CAST(sum(x) AS BIGINT) AS sx, sum(y) AS sy,
+                sum(x * y) AS sxy,
+                CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM pts GROUP BY 1)
+      SELECT event_type, n,
+             round((n * CAST(sxy AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+               (n * CAST(sxx AS DOUBLE) -
+                CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8) AS slope8
+      FROM agg ORDER BY event_type"""))),
+
     // Equi-DEPTH histogram (the equi-width twin of D35): ntile(8) over
     // price with a rowkey tiebreak (ntile's remainder rule is identical
     // cross-engine once the order is total), then per-bucket bounds +
