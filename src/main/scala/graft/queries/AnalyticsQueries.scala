@@ -907,6 +907,77 @@ object AnalyticsQueries {
       FROM seq WHERE event_type = 'purchase' AND first_touch IS NOT NULL
       GROUP BY 1, 2 ORDER BY 1, 2"""))),
 
+    // Weighted median (price weighted by quantity): collapse to the price
+    // DOMAIN first (decimal-exact weight per distinct price), then one
+    // running-sum window over the bounded domain picks the first price
+    // whose cumulative weight crosses half the (exact) total — the
+    // weighted twin of the q_percentile order-statistic discipline.
+    "q_weighted_median" -> (((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cumW = Window.orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val allW = Window.partitionBy()
+      load(spark, dir, "lineitem")
+        .select(col("l_extendedprice").as("price"),
+          col("l_quantity").cast(DecimalType(18, 2)).as("w"))
+        .groupBy("price").agg(sum("w").as("pw"))
+        .withColumn("cum", sum("pw").over(cumW))
+        .withColumn("total", sum("pw").over(allW))
+        .filter(col("cum") * 2 >= col("total"))
+        .orderBy("price").limit(1)
+        .select(col("price").as("weighted_median"),
+          col("total").cast(DoubleType).as("total_weight"))
+    }, Some("""
+      WITH pts AS (SELECT l_extendedprice AS price,
+                     sum(CAST(l_quantity AS DECIMAL(18,2))) AS pw
+                   FROM lineitem GROUP BY 1),
+      run AS (SELECT price,
+                sum(pw) OVER (ORDER BY price
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum,
+                sum(pw) OVER () AS total
+              FROM pts)
+      SELECT price AS weighted_median, CAST(total AS DOUBLE)
+               AS total_weight
+      FROM run WHERE cum * 2 >= total ORDER BY price LIMIT 1"""))),
+
+    // Gini coefficient of revenue concentration across customers:
+    // G = (2·Σ i·xᵢ) / (n·Σ xᵢ) − (n+1)/n over rank-sorted exact decimal
+    // customer totals. The per-customer aggregation is the 100 TB pass;
+    // the rank walk runs over the customer DOMAIN (at extreme scale,
+    // quantile-bucket the totals first — same estimator, bounded domain).
+    "q_gini" -> (((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = load(spark, dir, "lineitem")
+      val ord = load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+      val totals = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum(d18(col("l_extendedprice"))).as("x"))
+      val rankW = Window.orderBy(col("x"), col("o_custkey"))
+      totals.withColumn("i", row_number().over(rankW))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("x") * col("i")).as("sxi"))
+        .select(col("n"),
+          round(lit(2.0) * col("sxi").cast(DoubleType) /
+            (col("n") * col("sx").cast(DoubleType)) -
+            (col("n") + lit(1)).cast(DoubleType) / col("n"), 6)
+            .as("gini6"))
+    }, Some("""
+      WITH totals AS (
+        SELECT o_custkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS x
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1),
+      ranked AS (SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i
+                 FROM totals),
+      agg AS (SELECT count(*) AS n, sum(x) AS sx, sum(x * i) AS sxi
+              FROM ranked)
+      SELECT n,
+             round(2.0 * CAST(sxi AS DOUBLE) / (n * CAST(sx AS DOUBLE)) -
+               CAST(n + 1 AS DOUBLE) / n, 6) AS gini6
+      FROM agg"""))),
+
     // Skyline / Pareto frontier (maximize quantity, minimize price): a
     // point survives iff it is max-quantity at its price AND strictly
     // out-quantities every cheaper price. One distinct + one price-keyed
