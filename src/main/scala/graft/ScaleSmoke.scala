@@ -104,7 +104,7 @@ object ScaleSmoke {
       "text_feature_hash", "evt_group_percentiles", "text_next_token",
       "text_vocab_coverage", "q_triangles", "evt_attribution",
       "llm_weighted_sample", "text_ann", "q_skyline", "evt_trend",
-      "q_weighted_median", "q_gini"))
+      "q_weighted_median", "q_gini", "text_boilerplate"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

@@ -310,6 +310,47 @@ object RetrievalQueries {
       JOIN cs USING (cid) ORDER BY cid"""
     })),
 
+    // Cross-source boilerplate score: fraction of a doc's word-3-grams
+    // that also appear in ANOTHER source — the template/boilerplate
+    // detector that positional dup-span counting (dd_dup_spans) and
+    // eval-set decontamination don't cover. Grams hash to 60-bit longs
+    // BEFORE every exchange (the dd_dup_spans discipline: shuffles carry
+    // longs and ids, never text); one gram-keyed source-count aggregation
+    // + one join back + one per-doc mean of exact 0/1 indicators.
+    "text_boilerplate" -> (((spark, dir) => {
+      val sh = load(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(Dedup.wordShingles(col("text"), 3)).as("g"))
+        .select(col("doc_id"), col("source"),
+          Dedup.portableWordHash(col("g")).as("gh"))
+      val gsrc = sh.groupBy("gh")
+        .agg(count_distinct(col("source")).as("n_src"))
+      sh.join(gsrc, "gh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          round(avg(when(col("n_src") >= 2, 1.0).otherwise(0.0)), 4)
+            .as("boiler_frac4"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH sh AS (
+        SELECT doc_id, source,
+               (CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
+                 % ${Dedup.PortableP}) AS gh
+        FROM (SELECT doc_id, source,
+                unnest(list_distinct(list_transform(
+                  range(1, greatest(len(ws) - 1, 2)),
+                  i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS g
+              FROM (SELECT doc_id, source,
+                      string_split_regex(trim(text), '\\s+') AS ws
+                    FROM documents))),
+      gsrc AS (SELECT gh, count(DISTINCT source) AS n_src
+               FROM sh GROUP BY 1)
+      SELECT doc_id, count(*) AS n_grams,
+             round(avg(CASE WHEN n_src >= 2 THEN 1.0 ELSE 0.0 END), 4)
+               AS boiler_frac4
+      FROM sh JOIN gsrc USING (gh)
+      GROUP BY doc_id ORDER BY doc_id"""))),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis — public
     // algorithm): key = u^(1/w) with u = portable-hash uniform and
     // w = n_chars, top-16 by key — ONE pass + a per-task heap
