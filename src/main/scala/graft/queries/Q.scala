@@ -17,9 +17,10 @@ import org.apache.spark.sql.types._
   *    in both engines) or string on BOTH sides
   *  - timestamps in outputs are formatted to strings (or cast to date) —
   *    parquet timestamp annotations (tz/ntz, micros/nanos) differ per engine
-  *  - events.parquet carries NANOS timestamps which Spark's reader rejects;
-  *    we read them via nanosAsLong (ts becomes a nanos-since-epoch bigint,
-  *    epoch_ns() on the DuckDB side)
+  *  - events.ts is normalized to a nanos-since-epoch bigint WHATEVER the
+  *    parquet annotation: TIMESTAMP(NANOS) loads as long via nanosAsLong,
+  *    TIMESTAMP(MICROS/MILLIS) loads as a (ntz) timestamp and is converted
+  *    in [[load]] — DuckDB's epoch_ns() handles both on the oracle side
   *  - hash/randomness-dependent operators pin their constants driver-side
   *    and GENERATE the oracle SQL from the same constants; double summation
   *    uses the same left-fold order in both engines so even sign
@@ -31,10 +32,24 @@ object Q {
   type Entry = (QueryFn, Option[String])
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events")
+    if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** `ts` as nanos-since-epoch bigint regardless of the source annotation.
+    * TIMESTAMP(NANOS)+nanosAsLong already arrives as LongType (identity);
+    * a MICROS/MILLIS annotation arrives as a (ntz) timestamp and converts
+    * via unix_micros under the UTC session — the same epoch DuckDB's
+    * epoch_ns() computes on the naive value. Pure projection, so it is
+    * valid on both batch and streaming DataFrames. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) | None => df
+      case Some(_) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    }
 
   /** decimal(18,2) per-row cast — the exact-arithmetic bridge to DuckDB. */
   def d18(c: Column): Column = c.cast(DecimalType(18, 2))

@@ -392,7 +392,7 @@ object RetrievalQueries {
       val c = dense.as("cv")
       val rankW = Window.partitionBy("query_id")
         .orderBy(col("cos4").desc, col("neighbor_id"))
-      q.crossJoin(c)
+      broadcast(q).crossJoin(c)
         .filter(col("qv.id") =!= col("cv.id"))
         .select(col("qv.id").as("query_id"), col("cv.id").as("neighbor_id"),
           round(dotCols("qv", "cv").cast("double") /

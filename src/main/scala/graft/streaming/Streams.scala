@@ -17,10 +17,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
-  /** Normalize an events DataFrame (nanos-as-long `ts`) to a typed stream. */
-  def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn("event_time",
-      timestamp_micros((col("ts") / 1000).cast("long")))
+  /** Normalize an events DataFrame to a typed event-time stream, whatever
+    * the `ts` representation: nanos-as-long (NANOS annotation + nanosAsLong)
+    * truncates to micros; a timestamp-typed `ts` (MICROS/MILLIS annotation)
+    * casts directly (ntz→tz is identity under the UTC session). */
+  def withEventTime(events: DataFrame): DataFrame = {
+    val et = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros((col("ts") / 1000).cast("long"))
+      case _ => col("ts").cast("timestamp")
+    }
+    events.withColumn("event_time", et)
+  }
 
   /** Watermarked tumbling-window aggregation (streaming twin of
     * evt_window_agg): counts + sums per (window, event_type), late data
