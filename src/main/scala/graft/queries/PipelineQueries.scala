@@ -203,6 +203,54 @@ object PipelineQueries {
       FROM documents WHERE lang <> 'en'
       ORDER BY change"""))),
 
+    // C5/C6 — TRANSACTIONAL multi-writer MERGE in the gate
+    // (VersionedTable.mergeCommit): two writers race disjoint-key merges
+    // from the SAME base through the claim CAS; the loser's commit fails
+    // (never silently overwrites), re-reads the winner's head, re-merges
+    // and lands on top. Disjoint keys make the final table order-
+    // independent (oracle-able); head_version = 3 pins exactly one commit
+    // per writer (base + two merges) regardless of interleaving.
+    "c5_merge_txn" -> (((spark, dir) => {
+      val tmpRoot = java.nio.file.Files.createTempDirectory("vt_merge")
+      try {
+        val t = tmpRoot.resolve("cust").toString
+        val cust = load(spark, dir, "customer")
+          .select(col("c_custkey").cast("long").as("k"),
+            col("c_acctbal").cast("double").as("bal"))
+        graft.sink.VersionedTable.commit(cust.filter(col("k") <= 200), t)
+        val d1 = cust.filter(col("k") <= 50)
+          .withColumn("bal", col("bal") * 2)
+          .unionByName(cust.filter(col("k").between(201, 250)))
+        val d2 = cust.filter(col("k").between(51, 100))
+          .withColumn("bal", col("bal") * 3)
+          .unionByName(cust.filter(col("k").between(251, 300)))
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        try {
+          val start = new java.util.concurrent.CountDownLatch(1)
+          def race(d: org.apache.spark.sql.DataFrame) = pool.submit(
+            new java.util.concurrent.Callable[Int] {
+              def call(): Int = {
+                start.await()
+                graft.sink.VersionedTable.mergeCommit(spark, t, d, Seq("k"))
+              }
+            })
+          val (f1, f2) = (race(d1), race(d2))
+          start.countDown()
+          val head = math.max(f1.get(), f2.get())
+          graft.sink.VersionedTable.read(spark, t)
+            .withColumn("head_version", lit(head))
+            .orderBy("k")
+            .localCheckpoint() // materialize before the scratch dir dies
+        } finally pool.shutdown()
+      } finally graft.sink.StageWriter.deleteRecursively(tmpRoot)
+    }, Some("""
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey <= 50 THEN c_acctbal * 2
+                  WHEN c_custkey <= 100 THEN c_acctbal * 3
+                  ELSE c_acctbal END AS bal,
+             3 AS head_version
+      FROM customer WHERE c_custkey <= 300 ORDER BY k"""))),
+
     // C8 — empty-table bootstrap: typed empty output from declared schema
     "c8_empty_bootstrap" -> (((spark, dir) => {
       val schema = StructType(Seq(

@@ -116,6 +116,48 @@ object VersionedTable {
     next
   }
 
+  /** Transactional MERGE upsert through the CAS commit path — the missing
+    * piece between `StageWriter.mergeInto` (read-merge-swap, no conflict
+    * check) and a multi-writer deployment (the reference runs 60 concurrent
+    * transforms, `group_stack.py:375`, and relies on Delta's optimistic
+    * transactions for exactly this, `light_transform.py:1382-1392`).
+    *
+    * Optimistic-transaction loop: read the head, merge the delta against
+    * that snapshot, commit with `expectedBase` = the version read. A
+    * concurrent winner makes the commit fail the claim CAS (never a silent
+    * overwrite); the loser then RE-READS the new head, RE-MERGES its delta
+    * and retries — so its rows land on top of the winner's instead of
+    * clobbering them. Exponential backoff between attempts bounds the
+    * stampede while a winner is mid-data-write. Each successful call
+    * commits exactly one version regardless of retries.
+    *
+    * The merge itself is one key-shuffle (`StageWriter.merge`); only the
+    * commit (pointer flip) is serialized — the 100 TB data work of racing
+    * writers proceeds in parallel, which is the Delta concurrency model. */
+  def mergeCommit(spark: SparkSession, table: String, delta: DataFrame,
+      keys: Seq[String], maxRetries: Int = 8,
+      backoffMs: Long = 100): Int = {
+    var attempt = 0
+    while (true) {
+      val base = latestVersion(table)
+      val merged = base match {
+        case Some(v) =>
+          StageWriter.merge(read(spark, table, Some(v)), delta, keys)
+        case None => delta.dropDuplicates(keys)
+      }
+      try return commit(merged, table, expectedBase = Some(base.getOrElse(0)))
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          // winner may still be writing data under its claim: back off so
+          // the re-read sees the moved head instead of re-losing the claim
+          Thread.sleep(backoffMs * math.min(attempt, 5))
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Read the latest committed snapshot, or `asOf` a specific version. */
   def read(spark: SparkSession, table: String,
       asOf: Option[Int] = None): DataFrame = {

@@ -66,6 +66,37 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(v == Seq(10) || v == Seq(20)) // the winner's data, intact
   }
 
+  test("mergeCommit: racing writers both land via retry — no lost update") {
+    val t = freshTable()
+    VersionedTable.commit(
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), t)
+    val d1 = Seq((1, "A"), (4, "d")).toDF("k", "v")   // update 1, insert 4
+    val d2 = Seq((2, "B"), (5, "e")).toDF("k", "v")   // update 2, insert 5
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val versions = Seq(d1, d2).map { d =>
+      val f = new java.util.concurrent.FutureTask(() => {
+        barrier.await()
+        VersionedTable.mergeCommit(spark, t, d, Seq("k"))
+      })
+      new Thread(f).start(); f
+    }.map(_.get())
+    // exactly one commit per writer: head is base + 2
+    assert(versions.toSet == Set(2, 3))
+    assert(VersionedTable.latestVersion(t).contains(3))
+    val fin = VersionedTable.read(spark, t).as[(Int, String)]
+      .collect().toMap
+    // BOTH writers' updates and inserts survive whatever the interleaving
+    assert(fin == Map(1 -> "A", 2 -> "B", 3 -> "c", 4 -> "d", 5 -> "e"))
+  }
+
+  test("mergeCommit bootstraps an empty table and dedups its delta") {
+    val t = freshTable()
+    val v = VersionedTable.mergeCommit(spark, t,
+      Seq((1, "a"), (1, "dup"), (2, "b")).toDF("k", "v"), Seq("k"))
+    assert(v == 1)
+    assert(VersionedTable.read(spark, t).count() == 2)
+  }
+
   test("stale expectedBase fails fast without touching the table") {
     val t = freshTable()
     VersionedTable.commit(Seq(1).toDF("x"), t)
