@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.extract.{Columns, ReadPlan, SqlRender}
+import graft.extract.{Columns, ReadPlan, Slice, SqlRender}
+import graft.sources.mock.{MockDb, MockDbDriver}
 import Q._
 
 /** A16/A17 promoted from unit-only coverage to CORRECTNESS rows: the
@@ -107,5 +108,99 @@ object DialectQueries {
              CAST(SUM(o_orderkey) AS BIGINT) AS sum_b,
              'o_orderkey,o_orderkey_1' AS names
       FROM orders WHERE o_orderkey <= 100"""))),
+
+    // A16+ — per-dialect EXECUTION gates against emulated endpoints
+    // (graft.sources.mock): Derby witnesses the ANSI subset live, but the
+    // dialect-SPECIFIC grammar (CONVERT / TO_DATE / LIMIT-vs-OFFSET-FETCH,
+    // reference extract_data.py:267-277, 1048-1073) needs an endpoint that
+    // ACCEPTS its own dialect and REJECTS the others'. Each gate renders
+    // the filter, the pagination page, and the A6 partition slices for one
+    // dialect and executes all of it through spark.read.jdbc against the
+    // matching mock — the same reader code path a production endpoint
+    // exercises (schema probe, column-pruned partition reads).
+    "a16_dialect_mssql" -> ((mockGate(SqlRender.MsSql, "mssql",
+      "smalldatetime"), Some(mockOracle(
+        "CAST(''1995-01-01'' AS DATETIME2(6))",
+        "CONVERT(smalldatetime, ''1995-01-01 00:00:00'', 120)")))),
+    "a16_dialect_oracle" -> ((mockGate(SqlRender.Oracle, "oracle", "date"),
+      Some(mockOracle(
+        "TO_TIMESTAMP(''1995-01-01'', ''YYYY-MM-DD HH24:MI:SS.FF6'')",
+        "TO_DATE(''1995-01-01 00:00:00'', ''YYYY-MM-DD HH24:MI:SS'')")))),
+    "a16_dialect_mysql" -> ((mockGate(SqlRender.MySql, "mysql", ""),
+      Some(mockOracle("''1995-01-01''", "''1995-01-01 00:00:00''")))),
   )
+
+  /** One dialect's full execution pass against its emulated endpoint. */
+  private def mockGate(d: SqlRender.Dialect, dname: String,
+      typedKind: String): Q.QueryFn = (spark, dir) => {
+    // Seed the endpoint: the ≤2000-key orders slice as the in-memory
+    // remote table (the collect IS the fixture setup, not a query path).
+    val rows = load(spark, dir, "orders").filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey").cast("long"),
+        col("o_orderdate").cast("date").cast("string"),
+        col("o_totalprice").cast("double"))
+      .collect()
+      .map(r => Array[Any](r.getLong(0), r.getString(1), r.getDouble(2)))
+    MockDb.register(dname, "a16_orders", Seq(
+      MockDb.Col("O_ORDERKEY", java.sql.Types.BIGINT),
+      MockDb.Col("O_ORDERDATE", java.sql.Types.VARCHAR),
+      MockDb.Col("O_TOTALPRICE", java.sql.Types.DOUBLE)),
+      rows.toIndexedSeq)
+    val murl = s"jdbc:graftmock:$dname:$dname"
+    val mprops = new java.util.Properties()
+    mprops.setProperty("driver", MockDbDriver.DriverClass)
+    val litF = SqlRender.dateLiteral(d, "1995-01-01")
+    val fsql = SqlRender.renderSingle(
+      ReadPlan(Seq("o_orderkey", "o_totalprice"),
+        Seq(s"o_orderdate >= $litF"), None, 1, None), "a16_orders", "")
+    val filtered = spark.read.jdbc(murl, s"($fsql) f", mprops)
+    val psql = SqlRender.paginate(d, "SELECT o_orderkey FROM a16_orders",
+      "o_orderkey", 10, 5)
+    val page = spark.read.jdbc(murl, s"($psql) pg", mprops)
+    // A6 slice form: one rendered query per partition slice, each read
+    // through the endpoint (the reference's parallel-executor shape)
+    val sliceSqls = SqlRender.renderSlices(
+      ReadPlan(Seq("o_orderkey"), Nil, Some("o_orderkey"), 3, None),
+      "a16_orders", "", Seq(Slice(1, 700), Slice(700, 1400), Slice(1400, 2001)))
+    val sliceCounts = sliceSqls.zipWithIndex.map { case (s, i) =>
+      spark.read.jdbc(murl, s"($s) s$i", mprops).count()
+    }
+    val f = filtered.agg(count(expr("1")).as("n"),
+      sum(d18(col("O_TOTALPRICE"))).cast("double").as("total"),
+      min(col("O_ORDERKEY")).as("kmin"), max(col("O_ORDERKEY")).as("kmax"))
+    val p = page.agg(array_join(transform(
+      sort_array(collect_list(col("O_ORDERKEY"))), _.cast("string")), ",")
+      .as("page_keys"))
+    f.crossJoin(broadcast(p)).select(col("n"), col("total"), col("kmin"),
+      col("kmax"), col("page_keys"),
+      lit(sliceCounts.map(_.toString).mkString(",")).as("slice_counts"),
+      lit(litF).as("lit_filter"),
+      lit(SqlRender.dateLiteral(d, "1995-01-01 00:00:00", typedKind))
+        .as("lit_typed"))
+  }
+
+  /** Shared oracle: rows from parquet; the two literal texts pin the
+    * dialect's exact rendering (already ''-escaped by the caller). */
+  private def mockOracle(litFilter: String, litTyped: String): String = s"""
+    WITH f AS (
+      SELECT * FROM orders
+      WHERE o_orderkey <= 2000
+        AND CAST(CAST(o_orderdate AS DATE) AS VARCHAR) >= '1995-01-01'),
+    pg AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey <= 2000
+      ORDER BY o_orderkey OFFSET 10 LIMIT 5)
+    SELECT (SELECT count(*) FROM f) AS n,
+           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              FROM f) AS total,
+           (SELECT min(o_orderkey) FROM f) AS kmin,
+           (SELECT max(o_orderkey) FROM f) AS kmax,
+           (SELECT string_agg(CAST(o_orderkey AS VARCHAR), ','
+                              ORDER BY o_orderkey) FROM pg) AS page_keys,
+           (SELECT concat_ws(',',
+              count(*) FILTER (WHERE o_orderkey >= 1 AND o_orderkey < 700),
+              count(*) FILTER (WHERE o_orderkey >= 700 AND o_orderkey < 1400),
+              count(*) FILTER (WHERE o_orderkey >= 1400 AND o_orderkey < 2001))
+            FROM orders WHERE o_orderkey <= 2000) AS slice_counts,
+           '$litFilter' AS lit_filter,
+           '$litTyped' AS lit_typed"""
 }
