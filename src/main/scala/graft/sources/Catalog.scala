@@ -40,4 +40,43 @@ object Catalog {
     if (partitionCols.nonEmpty)
       spark.sql(s"MSCK REPAIR TABLE `$db`.`$table`")
   }
+
+  /** What changed between the registered schema and the files' schema. */
+  final case class SchemaDrift(added: Seq[String], dropped: Seq[String],
+      retyped: Seq[String]) {
+    def isEmpty: Boolean = added.isEmpty && dropped.isEmpty && retyped.isEmpty
+  }
+
+  /** Schema-drift re-sync — the crawler's re-crawl duty (reference
+    * crawler_stage.py:416-519 re-runs the crawler after each write so the
+    * catalog tracks schema evolution). Compares the REGISTERED schema with
+    * the CURRENT parquet footer schema at the location; on drift (added /
+    * dropped / retyped columns) re-registers the table and returns the
+    * report. Matching schemas are a no-op — catalog churn invalidates
+    * downstream metadata caches, so re-registration happens only on real
+    * drift. An unregistered table registers fresh (drift = all columns
+    * added). */
+  def syncStageTable(spark: SparkSession, db: String, table: String,
+      location: String, partitionCols: Seq[String] = Nil)
+      : Option[SchemaDrift] = {
+    val current = spark.read.parquet(location).schema
+    val registered =
+      if (spark.catalog.databaseExists(db) &&
+          spark.catalog.tableExists(s"`$db`.`$table`"))
+        Some(spark.table(s"`$db`.`$table`").schema)
+      else None
+    def m(s: org.apache.spark.sql.types.StructType): Map[String, String] =
+      s.fields.map(f => f.name.toLowerCase -> f.dataType.sql).toMap
+    val (cur, reg) = (m(current), registered.map(m).getOrElse(Map.empty))
+    val drift = SchemaDrift(
+      added = (cur.keySet -- reg.keySet).toSeq.sorted,
+      dropped = (reg.keySet -- cur.keySet).toSeq.sorted,
+      retyped = cur.keySet.intersect(reg.keySet)
+        .filter(k => cur(k) != reg(k)).toSeq.sorted)
+    if (drift.isEmpty) None
+    else {
+      registerStageTable(spark, db, table, location, partitionCols)
+      Some(drift)
+    }
+  }
 }

@@ -137,4 +137,27 @@ class SourcesSpec extends AnyFunSuite {
       Seq("id_compania"))
     assert(spark.sql(s"SELECT count(*) FROM $db.t1").collect()(0).getLong(0) == 3)
   }
+
+  test("catalog re-syncs on schema drift, no-ops when schemas match") {
+    val dir = java.nio.file.Files.createTempDirectory("catsync").toString
+    val db = Catalog.databaseName("bi", "erp", "ep-2", "stage")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$dir/t2")
+    // unregistered table: sync registers fresh, all columns "added"
+    val first = Catalog.syncStageTable(spark, db, "t2", s"$dir/t2")
+    assert(first.exists(d => d.added == Seq("id", "v") &&
+      d.dropped.isEmpty && d.retyped.isEmpty))
+    // no drift → no-op
+    assert(Catalog.syncStageTable(spark, db, "t2", s"$dir/t2").isEmpty)
+    // evolve: add a column, retype another (v string → long)
+    Seq((1L, 10L, 1.5), (2L, 20L, 2.5)).toDF("id", "v", "score")
+      .write.mode("overwrite").parquet(s"$dir/t2")
+    val drift = Catalog.syncStageTable(spark, db, "t2", s"$dir/t2")
+    assert(drift.exists(d => d.added == Seq("score") &&
+      d.dropped.isEmpty && d.retyped == Seq("v")))
+    // the re-registered table serves the evolved schema
+    val got = spark.sql(s"SELECT id, v, score FROM $db.t2 ORDER BY id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10L, 1.5), (2L, 20L, 2.5)))
+  }
 }
