@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Corpus-curation operators (SURVEY §2D, D100–D102) + the streaming MERGE
+  * restart gate: the "shape the corpus" steps a pretraining pipeline runs
+  * after cleaning/dedup — boilerplate segment REMOVAL (rewrites text, where
+  * `text_boilerplate` only scores), greedy token-budget selection, and
+  * per-source token caps. All three follow the domain-walk discipline:
+  * windows run over bounded DOMAINS (segment hashes, the score domain, one
+  * source's cap prefix), never over unbounded row orderings.
+  */
+object CurationQueries {
+
+  /** Hash-ordered token column shared by the cap/budget queries. */
+  private def withTok(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("doc_id"), col("source"), col("n_chars"),
+      size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("tok"))
+
+  val defs: Map[String, Entry] = Map(
+
+    // D100 — cross-doc repeated-segment removal (the C4/CCNet boilerplate
+    // STRIP, not just a score): docs split into consecutive 2-word
+    // segments; a segment whose hash occurs in >= 10 distinct docs is
+    // template text and is cut from every doc; output pins the rebuilt
+    // text by md5. Scale shape: segments hash to 60-bit longs before the
+    // doc-frequency exchange (shuffle carries longs + ids, never text) and
+    // the common-segment set (df >= 10 survivors only) broadcasts to the
+    // rebuild join — the full segment table is never shuffled twice.
+    "llm_strip_boilerplate" -> (((spark, dir) => {
+      val segLen = 2
+      val minDf = 10
+      val words = load(spark, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(trim(col("text"))), "\\s+")))
+        .withColumnRenamed("col", "word")
+        .withColumn("seg", expr(s"pos div $segLen"))
+      val segs = words.groupBy("doc_id", "seg").agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")), " ").as("seg_text"))
+        .withColumn("h", Q.portableHash60(col("seg_text")))
+      val common = segs.groupBy("h")
+        .agg(count_distinct(col("doc_id")).as("df"))
+        .filter(col("df") >= minDf).select(col("h").as("ch"))
+      segs.join(broadcast(common), segs("h") === common("ch"), "left")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_segs"),
+          count(col("ch")).as("n_removed"),
+          md5(array_join(transform(
+            array_sort(collect_list(
+              when(col("ch").isNull, struct(col("seg"), col("seg_text"))))),
+            x => x.getField("seg_text")), " ")).as("clean_md5"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH words AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS word,
+               unnest(generate_series(0,
+                 len(string_split_regex(lower(trim(text)), '\s+')) - 1))
+                 AS pos
+        FROM documents),
+      segs AS (
+        SELECT doc_id, pos // 2 AS seg,
+               string_agg(word, ' ' ORDER BY pos) AS seg_text
+        FROM words GROUP BY 1, 2),
+      hs AS (
+        SELECT *, CAST(concat('0x', substring(md5(seg_text), 1, 15))
+                       AS BIGINT) AS h
+        FROM segs),
+      common AS (
+        SELECT h FROM hs GROUP BY h HAVING count(DISTINCT doc_id) >= 10)
+      SELECT s.doc_id, count(*) AS n_segs, count(c.h) AS n_removed,
+             md5(coalesce(string_agg(CASE WHEN c.h IS NULL THEN s.seg_text
+                                     END, ' ' ORDER BY s.seg), ''))
+               AS clean_md5
+      FROM hs s LEFT JOIN common c USING (h)
+      GROUP BY s.doc_id ORDER BY s.doc_id"""))),
+
+    // D101 — token-budget curation: spend a fixed token budget (60% of
+    // the corpus) on the best docs (score = n_chars, doc_id tiebreak) —
+    // the greedy quality-per-token selection that sizes a pretraining mix.
+    // Scale shape: NO global row window. Per-SCORE token totals cumsum
+    // over the bounded score DOMAIN to find the boundary score; docs above
+    // it are all in (a predicate), and only the boundary group — one score
+    // value — runs an intra-group window. The two scalars (budget,
+    // boundary) are driver-fetched to feed predicates, the pattern every
+    // broadcast threshold in this engine uses.
+    "llm_token_budget" -> (((spark, dir) => {
+      val d = withTok(load(spark, dir, "documents"))
+        .select(col("doc_id"), col("n_chars").as("score"), col("tok"))
+      val budget = (0.6 * d.agg(sum("tok")).head().getLong(0)).toLong
+      val byScore = d.groupBy("score").agg(sum("tok").as("stok"))
+        .withColumn("cum",
+          sum("stok").over(Window.orderBy(col("score").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("prev", col("cum") - col("stok"))
+      val boundary = byScore
+        .filter(col("prev") < budget && col("cum") > budget)
+        .select("score", "prev").collect()
+      val (bScore, bPrev) = boundary.headOption
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .getOrElse((Long.MinValue, budget))
+      val fullIn = d.filter(col("score") > bScore)
+      val boundaryIn = d.filter(col("score") === bScore)
+        .withColumn("icum",
+          sum("tok").over(Window.partitionBy("score").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("icum") + bPrev <= budget)
+        .drop("icum")
+      fullIn.unionByName(boundaryIn)
+        .orderBy(col("score").desc, col("doc_id"))
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, n_chars AS score,
+               CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                    AS BIGINT) AS tok
+        FROM documents),
+      b AS (SELECT CAST(floor(0.6 * sum(tok)) AS BIGINT) AS budget FROM d),
+      c AS (SELECT doc_id, score, tok,
+              sum(tok) OVER (ORDER BY score DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+            FROM d)
+      SELECT doc_id, score, tok FROM c, b WHERE cum <= budget
+      ORDER BY score DESC, doc_id"""))),
+
+    // D102 — per-source token caps (FineWeb-style domain rate limiting):
+    // each source contributes at most 2000 tokens, chosen in portable-
+    // hash order (a deterministic shuffle-proof lottery, not "first by
+    // id" recency bias). One source-keyed exchange; the running sum is
+    // per-source and cut at the cap, so window state stays bounded.
+    "llm_source_caps" -> (((spark, dir) => {
+      val cap = 600L
+      withTok(load(spark, dir, "documents"))
+        .withColumn("h", Q.portableHash60(col("doc_id")))
+        .withColumn("cum",
+          sum("tok").over(Window.partitionBy("source").orderBy("h", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum") <= cap)
+        .select("doc_id", "source", "tok", "cum")
+        .orderBy("source", "doc_id")
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                    AS BIGINT) AS tok,
+               CAST(concat('0x',
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) AS h
+        FROM documents),
+      c AS (SELECT doc_id, source, tok,
+              CAST(sum(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM d)
+      SELECT doc_id, source, tok, cum FROM c WHERE cum <= 600
+      ORDER BY source, doc_id"""))),
+
+    // D18+ — kill-restart EXACTLY-ONCE for the streaming MERGE path
+    // (Streams.rawToStageMerge): half the events stream through foreachBatch
+    // MERGE, the query is stopped, the other half lands PLUS a re-delivery
+    // of a third of the first half (new files, duplicate keys), and a new
+    // query resumes from the same checkpoint. MERGE must upsert the
+    // re-delivered keys (no duplicates) and the restart must not lose or
+    // replay a batch — the oracle is the plain batch over DISTINCT events.
+    "evt_stream_merge_restart" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("mrestart_gate")
+      val (raw, stage, chk) = (tmp.resolve("raw").toString,
+        tmp.resolve("stage").toString, tmp.resolve("chk").toString)
+      try {
+        val ev = load(spark, dir, "events")
+        ev.filter(col("event_id") % 2 === 0).write.parquet(raw)
+        def run(): Unit = {
+          val q = graft.streaming.Streams.rawToStageMerge(spark, raw, stage,
+            chk, keys = Seq("event_id"), transform = identity)
+          q.processAllAvailable(); q.stop()
+        }
+        run() // first life merges the even half
+        // second delivery: the odd half + a DUPLICATE slice of the evens
+        ev.filter(col("event_id") % 2 === 1)
+          .unionByName(ev.filter(col("event_id") % 6 === 0))
+          .write.mode("append").parquet(raw)
+        run() // restart: delta processed once, duplicate keys upserted
+        val row = spark.read.parquet(stage)
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("event_id")).as("ids"),
+            dsum(col("value")).as("total")).head()
+        spark.createDataFrame(Seq(
+          (row.getLong(0), row.getLong(1), row.getDouble(2))))
+          .toDF("n", "n_ids", "total")
+      } finally graft.sink.StageWriter.deleteRecursively(tmp) // even on failure
+    }, Some("""
+      SELECT count(*) AS n, count(DISTINCT event_id) AS n_ids,
+             CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events""")))
+  )
+}
