@@ -92,7 +92,13 @@ object StageWriter {
       .unionByName(upserts, allowMissingColumns = true)
   }
 
-  /** MERGE into a Parquet path (reads existing, merges, swaps). */
+  /** MERGE into a Parquet path (reads existing, merges, swaps).
+    *
+    * SINGLE-WRITER: the read-merge-swap has no conflict check, so two
+    * concurrent mergers into the same path can lose one side's rows. A
+    * multi-job deployment (the reference runs 60 concurrent transforms)
+    * must merge through [[graft.sink.VersionedTable.mergeCommit]], whose
+    * optimistic CAS commit re-merges the loser on the winner's head. */
   def mergeInto(spark: SparkSession, df: DataFrame, path: String,
       keys: Seq[String], partitionBy: Seq[String] = Nil): Unit = {
     if (!Files.exists(Paths.get(path))) overwrite(df, path, partitionBy)

@@ -79,4 +79,17 @@ object Catalog {
       Some(drift)
     }
   }
+
+  /** Batched catalog sync — the crawler groups ~10 tables per crawler run
+    * (reference crawler_stage.py:886-953 batches ×10); here batching
+    * bounds how many parquet-footer reads are in flight at once while a
+    * whole zone re-syncs. Returns the per-table drift (None = no change). */
+  def syncAll(spark: SparkSession, db: String,
+      tables: Seq[(String, String)], batchSize: Int = 10)
+      : Map[String, Option[SchemaDrift]] =
+    tables.grouped(math.max(1, batchSize)).flatMap { batch =>
+      batch.map { case (table, location) =>
+        table -> syncStageTable(spark, db, table, location)
+      }
+    }.toMap
 }

@@ -159,5 +159,11 @@ class SourcesSpec extends AnyFunSuite {
     val got = spark.sql(s"SELECT id, v, score FROM $db.t2 ORDER BY id")
       .as[(Long, Long, Double)].collect().toSeq
     assert(got == Seq((1L, 10L, 1.5), (2L, 20L, 2.5)))
+    // batched zone sync: already-synced table no-ops, a new one registers
+    Seq((9L, "x")).toDF("id", "w").write.parquet(s"$dir/t3")
+    val all = Catalog.syncAll(spark, db,
+      Seq("t2" -> s"$dir/t2", "t3" -> s"$dir/t3"), batchSize = 1)
+    assert(all("t2").isEmpty)
+    assert(all("t3").exists(_.added == Seq("id", "w")))
   }
 }
