@@ -1126,6 +1126,81 @@ object AnalyticsQueries {
         FROM lineitem)
       SELECT n_rows, null_flag_frac, qty_range_viol, disc_range_viol,
              tax_range_viol, date_range_viol, fk_orphans
-      FROM checks CROSS JOIN orphans""")))
+      FROM checks CROSS JOIN orphans"""))),
+
+    // D103 — join-explosion guard (operators.JoinGuard): the supplier
+    // self-join's hot keys (per-key pair product > 10k) are capped to 10
+    // deterministic rows per side BEFORE the join; cold keys join exactly.
+    // The offender set is two key-domain aggregations + a tiny broadcast —
+    // the guardrail that keeps one bad key from turning a 100 TB join
+    // into a never-finishing task.
+    "q_join_guard" -> (((spark, dir) => {
+      val li = load(spark, dir, "lineitem")
+      val left = li.select(col("l_suppkey").as("k"),
+        col("l_orderkey").as("lo"), col("l_linenumber").as("ll"),
+        col("l_extendedprice").as("lp"))
+      val right = li.filter(col("l_quantity") <= 2)
+        .select(col("l_suppkey").as("k"), col("l_orderkey").as("ro"),
+          col("l_linenumber").as("rl"))
+      graft.operators.JoinGuard.cappedJoin(left, right, "k",
+          maxProduct = 10000L, capEach = 10,
+          leftTiebreak = Seq(col("lo"), col("ll")),
+          rightTiebreak = Seq(col("ro"), col("rl")))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"), dsum(col("lp")).as("total"))
+        .orderBy("k")
+    }, Some("""
+      WITH l AS (SELECT l_suppkey AS k, l_orderkey AS lo,
+                        l_linenumber AS ll, l_extendedprice AS lp
+                 FROM lineitem),
+      r AS (SELECT l_suppkey AS k, l_orderkey AS ro, l_linenumber AS rl
+            FROM lineitem WHERE l_quantity <= 2),
+      off AS (SELECT lc.k FROM (SELECT k, count(*) AS nl FROM l GROUP BY 1) lc
+              JOIN (SELECT k, count(*) AS nr FROM r GROUP BY 1) rc
+                USING (k)
+              WHERE nl * nr > 10000),
+      lcap AS (
+        SELECT k, lo, ll, lp FROM l WHERE k NOT IN (SELECT k FROM off)
+        UNION ALL
+        SELECT k, lo, ll, lp FROM (
+          SELECT l.*, row_number() OVER (PARTITION BY k ORDER BY lo, ll)
+            AS rn
+          FROM l WHERE k IN (SELECT k FROM off)) t WHERE rn <= 10),
+      rcap AS (
+        SELECT k, ro, rl FROM r WHERE k NOT IN (SELECT k FROM off)
+        UNION ALL
+        SELECT k, ro, rl FROM (
+          SELECT r.*, row_number() OVER (PARTITION BY k ORDER BY ro, rl)
+            AS rn
+          FROM r WHERE k IN (SELECT k FROM off)) t WHERE rn <= 10)
+      SELECT k, count(*) AS n_pairs,
+             CAST(SUM(CAST(lp AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM lcap JOIN rcap USING (k)
+      GROUP BY k ORDER BY k"""))),
+
+    // D104 — incremental aggregate maintenance (operators.Rollup): a
+    // materialized (event_type, day) rollup absorbs two delta batches by
+    // MERGING additive (n, decimal-sum) state — the base is never
+    // rescanned, only each delta shuffles (map-side combined) plus a
+    // rollup-domain merge agg. The oracle recomputes from scratch over
+    // ALL events: merge ≡ rebuild exactly, because the state is additive
+    // and the sums decimal.
+    "q_rollup_incr" -> (((spark, dir) => {
+      val ev = load(spark, dir, "events")
+        .withColumn("d", expr("ts div 86400000000000"))
+      val keys = Seq("event_type", "d")
+      val r0 = graft.operators.Rollup.build(
+        ev.filter(col("event_id") % 3 === 0), keys, "value")
+      val r1 = graft.operators.Rollup.merge(r0,
+        ev.filter(col("event_id") % 3 === 1), keys, "value")
+      val r2 = graft.operators.Rollup.merge(r1,
+        ev.filter(col("event_id") % 3 === 2), keys, "value")
+      graft.operators.Rollup.readable(r2)
+        .orderBy("event_type", "d")
+    }, Some("""
+      SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+             count(*) AS n,
+             CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2 ORDER BY event_type, d""")))
   )
 }
