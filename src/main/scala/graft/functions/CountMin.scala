@@ -76,4 +76,18 @@ object CountMin {
   def estimate(cms: Column, key: Column, d: Int, w: Int): Column =
     least((0 until d).map(i =>
       element_at(cms, bucket(i, key, w) + lit(i * w) + 1)): _*)
+
+  /** Equi-join SIZE estimate from two sketches (AGMS/CMS inner product):
+    * per hash row, Σ_bucket a[i][b]·b[i][b] upper-bounds Σ_key n_a·n_b
+    * (collisions only inflate); min over the d rows tightens it. Two 2 KB
+    * sketches answer "how big would this join be" WITHOUT running it —
+    * the planner-side guard that decides broadcast vs shuffle vs
+    * JoinGuard capping at 100 TB. */
+  def innerProduct(a: Column, b: Column, d: Int, w: Int): Column =
+    least((0 until d).map { i =>
+      aggregate(
+        zip_with(slice(a, i * w + 1, w), slice(b, i * w + 1, w),
+          (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
 }

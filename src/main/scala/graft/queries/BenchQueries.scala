@@ -295,6 +295,50 @@ object BenchQueries {
                 JOIN c2 ON c2.b = cand.b2 JOIN c3 ON c3.b = cand.b3
       ORDER BY token"""))),
 
+    // D105 — CMS join-size estimation (AGMS inner product): two 2 KB
+    // sketches answer "how big would clicks ⋈ views on user be" WITHOUT
+    // running the join — min over hash rows of the bucket-wise counter
+    // product, an upper bound exact absent collisions. Output pins the
+    // estimate AGAINST the exact Σ n_a·n_b (both deterministic: the
+    // counters replay from the md5 buckets). The planner-side guard that
+    // picks broadcast vs shuffle vs JoinGuard capping at 100 TB.
+    "q_cms_join_size" -> (((spark, dir) => {
+      import graft.functions.CountMin
+      val ev = load(spark, dir, "events")
+      val a = ev.filter(col("event_type") === "click").select(col("user_id"))
+      val b = ev.filter(col("event_type") === "view").select(col("user_id"))
+      val ska = CountMin.sketch(a, col("user_id"), 4, 1024)
+        .withColumnRenamed("cms", "cms_a")
+      val skb = CountMin.sketch(b, col("user_id"), 4, 1024)
+        .withColumnRenamed("cms", "cms_b")
+      val exact = a.groupBy("user_id").agg(count(lit(1)).as("na"))
+        .join(b.groupBy("user_id").agg(count(lit(1)).as("nb")), "user_id")
+        .agg(sum(col("na") * col("nb")).as("exact_pairs"))
+      ska.crossJoin(broadcast(skb)).crossJoin(broadcast(exact))
+        .select(
+          CountMin.innerProduct(col("cms_a"), col("cms_b"), 4, 1024)
+            .as("est_pairs"),
+          col("exact_pairs"))
+    }, Some("""
+      WITH a AS (SELECT user_id FROM events WHERE event_type = 'click'),
+      b AS (SELECT user_id FROM events WHERE event_type = 'view'),
+      rows_i AS (SELECT i FROM (VALUES (0), (1), (2), (3)) t(i)),
+      ca AS (SELECT i, CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                 i * 8 + 1, 8) AS BIGINT) % 1024 AS bk, count(*) AS c
+             FROM a, rows_i GROUP BY 1, 2),
+      cb AS (SELECT i, CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                 i * 8 + 1, 8) AS BIGINT) % 1024 AS bk, count(*) AS c
+             FROM b, rows_i GROUP BY 1, 2),
+      prods AS (SELECT ca.i, CAST(sum(ca.c * cb.c) AS BIGINT) AS p
+                FROM ca JOIN cb ON ca.i = cb.i AND ca.bk = cb.bk
+                GROUP BY 1),
+      ex AS (SELECT CAST(sum(na * nb) AS BIGINT) AS exact_pairs FROM
+               (SELECT user_id, count(*) AS na FROM a GROUP BY 1) x
+               JOIN (SELECT user_id, count(*) AS nb FROM b GROUP BY 1) y
+               USING (user_id))
+      SELECT (SELECT min(p) FROM prods) AS est_pairs,
+             (SELECT exact_pairs FROM ex) AS exact_pairs"""))),
+
     // Salted two-phase aggregation — the skew-mitigation shape for hot keys
     // (l_returnflag has 3 values over 600k rows: the worst-case hot-key agg).
     // Phase 1 spreads each key over 16 salt buckets (map-side partials land
