@@ -1128,6 +1128,53 @@ object AnalyticsQueries {
              tax_range_viol, date_range_viol, fk_orphans
       FROM checks CROSS JOIN orphans"""))),
 
+    // D106 — exactly-once streaming upsert into a LIVE JDBC endpoint
+    // (sink.JdbcExactlyOnce, embedded Derby): stage-in-parallel then
+    // one-transaction publish under a batch-log guard. The gate kills the
+    // query between halves, re-delivers a slice of already-committed
+    // events in new files, and restarts from the same checkpoint — the
+    // log must skip replayed batches and the keyed upsert must absorb
+    // re-delivered rows. Oracle = the batch over DISTINCT events.
+    "evt_stream_jdbc_restart" -> (((spark, dir) => {
+      import org.apache.spark.sql.{Dataset, Row}
+      val url = "jdbc:derby:memory:xonce;create=true"
+      val tbl = s"sink_${Q.nextSinkId()}"
+      val tmp = java.nio.file.Files.createTempDirectory("jdbc_gate")
+      val (raw, chk) = (tmp.resolve("raw").toString,
+        tmp.resolve("chk").toString)
+      try {
+        val ev = load(spark, dir, "events")
+        ev.filter(col("event_id") % 2 === 0).write.parquet(raw)
+        def run(): Unit = {
+          val schema = spark.read.parquet(raw).schema
+          val q = spark.readStream.schema(schema).parquet(raw)
+            .writeStream.option("checkpointLocation", chk)
+            .foreachBatch { (b: Dataset[Row], id: Long) =>
+              graft.sink.JdbcExactlyOnce.upsertBatch(url, tbl, b.toDF(),
+                id, "event_id", "value")
+            }
+            .outputMode("update").start()
+          q.processAllAvailable(); q.stop()
+        }
+        run() // first life commits the even half
+        ev.filter(col("event_id") % 2 === 1)
+          .unionByName(ev.filter(col("event_id") % 6 === 0)) // re-delivery
+          .write.mode("append").parquet(raw)
+        run() // restart: replayed batches skipped, duplicates upserted
+        val p = new java.util.Properties()
+        p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        val row = spark.read.jdbc(url, tbl, p)
+          .agg(count(lit(1)).as("n"), count_distinct(col("K")).as("ids"),
+            dsum(col("V")).as("total")).head()
+        spark.createDataFrame(Seq(
+          (row.getLong(0), row.getLong(1), row.getDouble(2))))
+          .toDF("n", "n_ids", "total")
+      } finally graft.sink.StageWriter.deleteRecursively(tmp) // even on failure
+    }, Some("""
+      SELECT count(*) AS n, count(DISTINCT event_id) AS n_ids,
+             CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events"""))),
+
     // D103 — join-explosion guard (operators.JoinGuard): the supplier
     // self-join's hot keys (per-key pair product > 10k) are capped to 10
     // deterministic rows per side BEFORE the join; cold keys join exactly.

@@ -1,0 +1,128 @@
+package graft.sink
+
+import java.sql.{Connection, DriverManager, SQLException}
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Exactly-once streaming upsert into a JDBC endpoint (SURVEY §2D, D106).
+  *
+  * Spark's file/Delta sinks get exactly-once from the checkpoint + an
+  * idempotent commit; a relational sink needs the idempotence built from
+  * the database's own transactions. This is the two-phase shape production
+  * pipelines use (the reference lands stage data next to RDBMS sources,
+  * `extract_data.py:267-277` — the write-back direction needs this):
+  *
+  *  1. STAGE (parallel, executors): each partition inserts its rows into a
+  *     staging table keyed (batch_id, key) — duplicate-key errors are
+  *     swallowed, so partition retries within an attempt are idempotent
+  *     and nothing here is visible to readers.
+  *  2. PUBLISH (atomic, driver): ONE transaction checks the batch log,
+  *     and if the batch is new: deletes the sink rows being replaced,
+  *     inserts the staged rows, records the batch id, clears the staging
+  *     slice, commits. A replayed batch (foreachBatch re-delivery after a
+  *     crash) finds its id in the log and publishes nothing.
+  *
+  * The publish is set-based SQL (no rows through the driver); only batch
+  * METADATA (the id check) is driver-side. Readers see each batch's rows
+  * exactly once, whatever crashes between stage and publish. */
+object JdbcExactlyOnce {
+
+  // embedded Derby self-registers on class load; tolerate its absence so
+  // merely referencing this object never throws off-classpath
+  scala.util.Try(Class.forName("org.apache.derby.jdbc.EmbeddedDriver"))
+
+  /** Create the sink/staging/log tables if absent (Derby-flavored DDL). */
+  def ensureTables(url: String, table: String): Unit =
+    withConn(url) { c =>
+      val existing = {
+        val md = c.getMetaData.getTables(null, null, null,
+          Array("TABLE"))
+        val names = scala.collection.mutable.Set.empty[String]
+        while (md.next()) names += md.getString("TABLE_NAME").toUpperCase
+        names
+      }
+      val s = c.createStatement()
+      try {
+        if (!existing(table.toUpperCase))
+          s.executeUpdate(s"CREATE TABLE $table " +
+            "(k BIGINT PRIMARY KEY, v DOUBLE)")
+        if (!existing(s"${table}_STG".toUpperCase))
+          s.executeUpdate(s"CREATE TABLE ${table}_stg " +
+            "(batch_id BIGINT, k BIGINT, v DOUBLE, " +
+            s"PRIMARY KEY (batch_id, k))")
+        if (!existing(s"${table}_LOG".toUpperCase))
+          s.executeUpdate(s"CREATE TABLE ${table}_log " +
+            "(batch_id BIGINT PRIMARY KEY)")
+      } finally s.close()
+    }
+
+  /** foreachBatch body: stage `batch` (keyCol, valueCol) then publish it
+    * under `batchId`. Executors write staging in parallel; the publish
+    * transaction is the only serialized step. */
+  def upsertBatch(url: String, table: String, batch: DataFrame,
+      batchId: Long, keyCol: String, valueCol: String): Unit = {
+    ensureTables(url, table)
+    // fast replay exit: a batch already in the log must not re-stage
+    // (its staging slice was cleared by the publish)
+    if (withConn(url)(committed(_, table, batchId))) return
+    import org.apache.spark.sql.functions.col
+    val rows = batch.select(col(keyCol).cast("long"),
+      col(valueCol).cast("double"))
+    rows.foreachPartition { it: Iterator[Row] =>
+      if (it.nonEmpty) withConn(url) { c =>
+        val ps = c.prepareStatement(
+          s"INSERT INTO ${table}_stg (batch_id, k, v) VALUES (?, ?, ?)")
+        try it.foreach { r =>
+          ps.setLong(1, batchId)
+          ps.setLong(2, r.getLong(0))
+          ps.setDouble(3, r.getDouble(1))
+          try { ps.executeUpdate(); () }
+          catch {
+            // duplicate (batch_id, k): a retried partition re-inserting —
+            // idempotent by design, swallow ONLY the duplicate-key state
+            case e: SQLException if e.getSQLState == "23505" => ()
+          }
+        } finally ps.close()
+      }
+    }
+    withConn(url) { c =>
+      c.setAutoCommit(false)
+      try {
+        if (!committed(c, table, batchId)) {
+          val s = c.createStatement()
+          try {
+            s.executeUpdate(s"DELETE FROM $table WHERE k IN " +
+              s"(SELECT k FROM ${table}_stg WHERE batch_id = $batchId)")
+            s.executeUpdate(s"INSERT INTO $table (k, v) " +
+              s"SELECT k, v FROM ${table}_stg WHERE batch_id = $batchId")
+            s.executeUpdate(
+              s"INSERT INTO ${table}_log VALUES ($batchId)")
+            s.executeUpdate(
+              s"DELETE FROM ${table}_stg WHERE batch_id = $batchId")
+          } finally s.close()
+          c.commit()
+        } else c.rollback()
+      } catch {
+        case e: Throwable =>
+          scala.util.Try(c.rollback())
+          throw e
+      } finally c.setAutoCommit(true)
+    }
+  }
+
+  private def committed(c: Connection, table: String, batchId: Long)
+      : Boolean = {
+    val ps = c.prepareStatement(
+      s"SELECT 1 FROM ${table}_log WHERE batch_id = ?")
+    try {
+      ps.setLong(1, batchId)
+      val rs = ps.executeQuery()
+      try rs.next() finally rs.close()
+    } finally ps.close()
+  }
+
+  private def withConn[A](url: String)(body: Connection => A): A = {
+    val c = DriverManager.getConnection(url)
+    try body(c) finally c.close()
+  }
+}
