@@ -534,6 +534,37 @@ object BenchQueries {
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""
     })),
 
+    // D107 — stats-manifest file pruning (Layout.prunedRead): lineitem is
+    // z-order-written into range-disjoint files, the per-file (min, max)
+    // manifest is built in one stat-column scan, and a range predicate
+    // reads ONLY the files whose range can intersect — Delta data skipping
+    // on the Parquet fallback. The gate proves pruned + residual filter ≡
+    // the full-scan filter (the skipping-effectiveness file counts are
+    // session-layout-dependent, so LayoutSpec pins those under a fixed
+    // session instead).
+    "q_file_prune" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("prune_gate")
+      try {
+        val p = tmp.resolve("li").toString
+        graft.sink.Layout.zorderWrite(
+          load(spark, dir, "lineitem")
+            .select("l_orderkey", "l_partkey", "l_extendedprice"),
+          p, "l_orderkey", "l_partkey", bits = 16, numFiles = 32)
+        val (pruned, _, _) =
+          graft.sink.Layout.prunedRead(spark, p, "l_orderkey", 10000L, 20000L)
+        val row = pruned
+          .filter(col("l_orderkey").between(10000L, 20000L)) // residual
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+          .head()
+        spark.createDataFrame(Seq((row.getLong(0), row.getDouble(1))))
+          .toDF("n", "total")
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT count(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM lineitem WHERE l_orderkey BETWEEN 10000 AND 20000"""))),
+
     // Approximate percentile (Greenwald-Khanna sketch) gated against the
     // exact sort-based percentile — the 100 TB twin of q_percentile: the
     // exact form is the oracle-able one, the sketch is one mergeable pass

@@ -72,16 +72,32 @@ object JdbcExactlyOnce {
       if (it.nonEmpty) withConn(url) { c =>
         val ps = c.prepareStatement(
           s"INSERT INTO ${table}_stg (batch_id, k, v) VALUES (?, ?, ?)")
-        try it.foreach { r =>
-          ps.setLong(1, batchId)
-          ps.setLong(2, r.getLong(0))
-          ps.setDouble(3, r.getDouble(1))
-          try { ps.executeUpdate(); () }
+        // batched inserts (one round-trip per chunk); duplicate (batch_id,
+        // k) rows — a retried partition re-inserting — are idempotent by
+        // design: swallow ONLY the duplicate-key state and re-drive the
+        // chunk row-by-row so its non-duplicate rows still land
+        def flush(chunk: Seq[Row]): Unit =
+          try { ps.executeBatch(); () }
           catch {
-            // duplicate (batch_id, k): a retried partition re-inserting —
-            // idempotent by design, swallow ONLY the duplicate-key state
-            case e: SQLException if e.getSQLState == "23505" => ()
+            case e: java.sql.BatchUpdateException
+                if dupKey(e) =>
+              ps.clearBatch()
+              chunk.foreach { r =>
+                ps.setLong(1, batchId)
+                ps.setLong(2, r.getLong(0))
+                ps.setDouble(3, r.getDouble(1))
+                try { ps.executeUpdate(); () }
+                catch { case d: SQLException if dupKey(d) => () }
+              }
           }
+        try it.grouped(1000).foreach { chunk =>
+          chunk.foreach { r =>
+            ps.setLong(1, batchId)
+            ps.setLong(2, r.getLong(0))
+            ps.setDouble(3, r.getDouble(1))
+            ps.addBatch()
+          }
+          flush(chunk)
         } finally ps.close()
       }
     }
@@ -109,6 +125,13 @@ object JdbcExactlyOnce {
       } finally c.setAutoCommit(true)
     }
   }
+
+  /** Duplicate-key SQLSTATE anywhere in the exception chain (Derby wraps
+    * the per-row state inside BatchUpdateException's next chain). */
+  private def dupKey(e: SQLException): Boolean =
+    Iterator.iterate(e)(_.getNextException)
+      .takeWhile(_ != null).take(8)
+      .exists(x => x.getSQLState == "23505")
 
   private def committed(c: Connection, table: String, batchId: Long)
       : Boolean = {

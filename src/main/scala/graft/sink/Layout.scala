@@ -42,4 +42,35 @@ object Layout {
       .drop("__z")
     clustered.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
   }
+
+  /** Per-file (min, max) of `column` (cast to long) — the data-skipping
+    * index Delta keeps in its log, surfaced as a manifest table for the
+    * Parquet fallback (D107). ONE scan of only the stat column; at 100 TB
+    * this runs once per write (like OPTIMIZE's stats collection), not per
+    * query. */
+  def fileRanges(spark: org.apache.spark.sql.SparkSession, path: String,
+      column: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(column).cast("long")).as("mn"),
+        max(col(column).cast("long")).as("mx"))
+
+  /** Range-predicate read that SKIPS files whose [min, max] cannot
+    * intersect [lo, hi]: the manifest is collected driver-side (file-count
+    * rows — the same size class as Delta's log replay) and the surviving
+    * file list feeds the scan. Callers still apply the residual row filter;
+    * skipping is file-granular. Returns (dataframe, filesRead, filesTotal). */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      column: String, lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val ranges = fileRanges(spark, path, column).collect()
+    val keep = ranges.collect {
+      case r if !r.isNullAt(1) && !(r.getLong(2) < lo || r.getLong(1) > hi) =>
+        r.getString(0)
+    }
+    val df =
+      if (keep.isEmpty)
+        spark.read.parquet(path).filter(lit(false)) // typed empty
+      else spark.read.parquet(keep: _*)
+    (df, keep.length, ranges.length)
+  }
 }

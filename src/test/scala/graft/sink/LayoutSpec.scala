@@ -32,6 +32,26 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("prunedRead skips files outside the range and loses no rows") {
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    import spark.implicits._
+    val df = (0L until 4096L).map(i => (i, (i * 37) % 4096, i * 1.0))
+      .toDF("x", "y", "v")
+    Layout.zorderWrite(df, s"$dir/t", "x", "y", bits = 12, numFiles = 16)
+    val (pruned, read, total) = Layout.prunedRead(spark, s"$dir/t", "x",
+      100L, 300L)
+    assert(total == 16)
+    assert(read < total, s"no files skipped: $read/$total")
+    val got = pruned.filter($"x".between(100L, 300L))
+      .select("x").as[Long].collect().toSet
+    assert(got == (100L to 300L).toSet)
+    // empty intersection: zero files, typed empty result
+    val (none, r0, _) = Layout.prunedRead(spark, s"$dir/t", "x",
+      100000L, 200000L)
+    assert(r0 == 0 && none.count() == 0)
+    graft.sink.StageWriter.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("zorderWrite localizes BOTH dimensions; a single-key sort does not") {
     // the full 256×256 grid: x and y perfectly independent
     val n = 1 << 16
