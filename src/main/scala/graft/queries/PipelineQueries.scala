@@ -161,6 +161,35 @@ object PipelineQueries {
       FROM lineitem CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) AS f(fmt)
       GROUP BY fmt ORDER BY fmt"""))),
 
+    // C14+ — binaryFile source: the REAL ingestion path for multimodal
+    // payloads (the mm_* operators synthesize binary columns in-plan; this
+    // gate reads actual files through Spark's binaryFile format). Payload
+    // bytes derive from the part table, so the oracle recomputes length +
+    // md5 from the same derivation without touching the filesystem.
+    "c14_binary_source" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("bin_gate")
+      try {
+        val names = load(spark, dir, "part").filter(col("p_partkey") <= 20)
+          .select(col("p_partkey").cast("long"), col("p_name"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        names.foreach { case (k, name) =>
+          java.nio.file.Files.write(tmp.resolve(s"$k.bin"),
+            name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        spark.read.format("binaryFile").load(tmp.toString)
+          .select(
+            regexp_extract(col("path"), "(\\d+)\\.bin", 1).cast("long")
+              .as("k"),
+            col("length").as("len"),
+            md5(col("content")).as("h"))
+          .orderBy("k")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT CAST(p_partkey AS BIGINT) AS k,
+             CAST(strlen(p_name) AS BIGINT) AS len, md5(p_name) AS h
+      FROM part WHERE p_partkey <= 20 ORDER BY k"""))),
+
     "c5_time_travel" -> (((spark, dir) => {
       val tmpRoot = java.nio.file.Files.createTempDirectory("vt_gate")
       try {

@@ -46,6 +46,12 @@ class CurationPlanSpec extends AnyFunSuite {
     assert(count(p) { case _: CartesianProductExec => 1 } == 0)
   }
 
+  test("q_join_guard: offender set broadcasts, no cartesian/SMJ blowup") {
+    val p = executed("q_join_guard")
+    assert(count(p) { case _: BroadcastExchangeExec => 1 } >= 1)
+    assert(count(p) { case _: CartesianProductExec => 1 } == 0)
+  }
+
   test("llm_strip_boilerplate joins the common-segment set by broadcast") {
     val p = executed("llm_strip_boilerplate")
     assert(count(p) { case _: BroadcastExchangeExec => 1 } >= 1)
