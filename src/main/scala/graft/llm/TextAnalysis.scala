@@ -702,6 +702,39 @@ object TextAnalysis {
       .select(col("iter"), col("pair"), col("n"))
   }
 
+  /** Apply trained BPE merges to a corpus — the ENCODE half of the D82
+    * tokenizer loop. All merge application happens on the DISTINCT
+    * vocabulary (the tiny table), in training order, with the same
+    * double-gap replace trick as [[bpeTrain]]; documents then broadcast-
+    * join their words to the per-word token counts — at 100 TB the corpus
+    * pass is one explode + one map-side-combinable per-doc aggregation,
+    * and the merge loop never sees a document. The merge list itself is
+    * collected driver-side (merge-count rows — the model, not data).
+    * Returns (id, n_words, n_tokens). */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame = {
+    def sq(s: String): String = s.replace("'", "''")
+    val ms = merges.orderBy("iter").select("pair").collect()
+      .map(_.getString(0))
+    val words = df.select(col(idCol),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+    val vocab = words.select("w").distinct()
+      .withColumn("s", concat(lit(" "),
+        regexp_replace(col("w"), "(.)", " $1 "), lit(" ")))
+    val encoded = ms.foldLeft(vocab) { (v, m) =>
+      val gap = sq(m.replace(" ", "  "))
+      val fused = sq(m.replace(" ", ""))
+      v.withColumn("s",
+        expr(s"replace(s, concat(' ', '$gap', ' '), " +
+          s"concat(' ', '$fused', ' '))"))
+    }
+    val tok = encoded.select(col("w"),
+      size(split(trim(col("s")), " +")).cast("long").as("t"))
+    words.join(broadcast(tok), "w")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"), sum("t").as("n_tokens"))
+  }
+
   /** BPE merge-pair statistics (Sennrich et al.): the first tokenizer-
     * training step — count every adjacent character pair inside each
     * distinct word, weighted by the word's corpus frequency, and rank the

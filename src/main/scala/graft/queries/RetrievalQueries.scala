@@ -618,6 +618,71 @@ object RetrievalQueries {
         UNION ALL SELECT * FROM t3)
       ORDER BY iter"""))),
 
+    // D82+ — BPE ENCODE: the trained 3 merges applied back to the corpus
+    // (TextAnalysis.bpeEncode). Merge application runs on the distinct
+    // vocabulary only; docs broadcast-join their per-word token counts.
+    // The oracle replays training AND encoding, carrying word identity
+    // through the merge chain.
+    "llm_bpe_encode" -> (((spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      val merges = TextAnalysis.bpeTrain(docs, "text", merges = 3)
+      TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH wcs AS (SELECT w, count(*) AS wc FROM (
+              SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+                AS w
+              FROM documents) GROUP BY 1),
+      v0 AS (SELECT w, wc,
+               ' ' || regexp_replace(w, '(.)', ' \1 ', 'g') || ' ' AS s
+             FROM wcs),
+      p1 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (
+               SELECT wc, unnest(list_transform(range(1, len(sym)),
+                 i -> sym[CAST(i AS INT)] || ' ' ||
+                      sym[CAST(i AS INT)+1])) AS pair
+               FROM (SELECT wc, string_split_regex(trim(s), ' +') AS sym
+                     FROM v0))
+             GROUP BY 1),
+      t1 AS (SELECT pair FROM p1 ORDER BY n DESC, pair LIMIT 1),
+      v1 AS (SELECT w, wc, replace(s,
+                 ' ' || replace(t1.pair, ' ', '  ') || ' ',
+                 ' ' || replace(t1.pair, ' ', '') || ' ') AS s
+             FROM v0 CROSS JOIN t1),
+      p2 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (
+               SELECT wc, unnest(list_transform(range(1, len(sym)),
+                 i -> sym[CAST(i AS INT)] || ' ' ||
+                      sym[CAST(i AS INT)+1])) AS pair
+               FROM (SELECT wc, string_split_regex(trim(s), ' +') AS sym
+                     FROM v1))
+             GROUP BY 1),
+      t2 AS (SELECT pair FROM p2 ORDER BY n DESC, pair LIMIT 1),
+      v2 AS (SELECT w, wc, replace(s,
+                 ' ' || replace(t2.pair, ' ', '  ') || ' ',
+                 ' ' || replace(t2.pair, ' ', '') || ' ') AS s
+             FROM v1 CROSS JOIN t2),
+      p3 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (
+               SELECT wc, unnest(list_transform(range(1, len(sym)),
+                 i -> sym[CAST(i AS INT)] || ' ' ||
+                      sym[CAST(i AS INT)+1])) AS pair
+               FROM (SELECT wc, string_split_regex(trim(s), ' +') AS sym
+                     FROM v2))
+             GROUP BY 1),
+      t3 AS (SELECT pair FROM p3 ORDER BY n DESC, pair LIMIT 1),
+      v3 AS (SELECT w, replace(s,
+                 ' ' || replace(t3.pair, ' ', '  ') || ' ',
+                 ' ' || replace(t3.pair, ' ', '') || ' ') AS s
+             FROM v2 CROSS JOIN t3),
+      tok AS (SELECT w,
+                CAST(len(string_split_regex(trim(s), ' +')) AS BIGINT) AS t
+              FROM v3),
+      dw AS (SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+             FROM documents)
+      SELECT doc_id, count(*) AS n_words,
+             CAST(sum(t) AS BIGINT) AS n_tokens
+      FROM dw JOIN tok USING (w)
+      GROUP BY 1 ORDER BY doc_id"""))),
+
     // Two-sample KS drift: n_chars distribution of src0 vs src1 — exact
     // ECDFs over the value DOMAIN (per-value counts first, window second)
     "llm_ks_drift" -> (((spark, dir) => {
