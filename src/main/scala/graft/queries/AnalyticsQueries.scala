@@ -629,6 +629,64 @@ object AnalyticsQueries {
     // iterations then run on the aggregated graph, every iteration two
     // src-keyed joins + one dst-keyed decimal-exact aggregation. The oracle
     // unrolls the same 3 iterations as CTEs.
+    // D108 — label-propagation communities (operators.Communities):
+    // synchronous weighted LPA with min-label tiebreak (the deterministic
+    // variant — async LPA is visit-order-dependent and un-oracle-able)
+    // over the nation trade network; the edge build IS the 100 TB star
+    // join, the 2 rounds run on the 25-node aggregated graph. Oracle
+    // replays both rounds.
+    "q_communities" -> (((spark, dir) => {
+      val li = load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = load(spark, dir, "customer")
+        .select("c_custkey", "c_nationkey")
+      val supp = load(spark, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+      val nat = load(spark, dir, "nation").select("n_nationkey", "n_name")
+      val edges = li
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .join(broadcast(nat).as("cn"),
+          cust("c_nationkey") === col("cn.n_nationkey"))
+        .join(broadcast(nat).as("sn"),
+          supp("s_nationkey") === col("sn.n_nationkey"))
+        .groupBy(col("cn.n_name").as("src"), col("sn.n_name").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.Communities.lpa(edges, "src", "dst", "w", rounds = 2)
+        .select(col("node").as("nation"), col("community"))
+        .orderBy("nation")
+    }, Some("""
+      WITH e0 AS (
+        SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        GROUP BY 1, 2),
+      und AS (SELECT a, b, CAST(sum(wt) AS BIGINT) AS wt FROM (
+          SELECT src AS a, dst AS b, w AS wt FROM e0 WHERE src <> dst
+          UNION ALL
+          SELECT dst, src, w FROM e0 WHERE src <> dst) t
+        GROUP BY 1, 2),
+      l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM und),
+      v1 AS (SELECT und.a, l0.lbl, sum(wt) AS vw
+             FROM und JOIN l0 ON und.b = l0.node GROUP BY 1, 2),
+      l1 AS (SELECT a AS node, lbl FROM (
+               SELECT a, lbl, row_number() OVER
+                 (PARTITION BY a ORDER BY vw DESC, lbl) AS rn
+               FROM v1) t WHERE rn = 1),
+      v2 AS (SELECT und.a, l1.lbl, sum(wt) AS vw
+             FROM und JOIN l1 ON und.b = l1.node GROUP BY 1, 2),
+      l2 AS (SELECT a AS node, lbl FROM (
+               SELECT a, lbl, row_number() OVER
+                 (PARTITION BY a ORDER BY vw DESC, lbl) AS rn
+               FROM v2) t WHERE rn = 1)
+      SELECT node AS nation, lbl AS community FROM l2
+      ORDER BY nation"""))),
+
     "q_pagerank" -> (((spark, dir) => {
       val li = load(spark, dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
