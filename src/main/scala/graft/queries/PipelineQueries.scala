@@ -402,6 +402,58 @@ object PipelineQueries {
         ON e.user_id = c.user_id AND e.tsn >= c.tsn
       ORDER BY e.event_id"""))),
 
+    // D109 — SCD Type-2 (operators.Scd2): purchases define each user's
+    // tier over time; build derives the versioned interval table (one
+    // lead() window — the reporting artifact, stats pinned as columns),
+    // while fact enrichment goes through the AS-OF path (one key-sort, no
+    // range join) — the two halves must agree, and the oracle checks both:
+    // intervals via lead(), enrichment via DuckDB's ASOF JOIN.
+    "evt_scd2" -> (((spark, dir) => {
+      val ev = load(spark, dir, "events")
+      val changes = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")) // unique per (key, ts)
+        .agg(max(col("value")).as("v"))
+        .withColumn("tier", when(col("v") >= 75, "gold")
+          .when(col("v") >= 40, "silver").otherwise("bronze"))
+        .select("user_id", "ts", "tier")
+      val dim = graft.operators.Scd2.build(changes, Seq("user_id"), "ts",
+        Seq("tier"))
+      val stats = dim.agg(count(lit(1)).as("n_intervals"),
+        sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_open"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      graft.operators.Scd2.pointInTime(clicks, changes, Seq("user_id"),
+          "ts", "ts", Seq("tier"))
+        .filter(col("asof_tier").isNotNull) // clicks before any purchase
+        .groupBy(col("asof_tier").as("tier"))
+        .agg(count(lit(1)).as("n_clicks"),
+          count_distinct(col("user_id")).as("n_users"))
+        .crossJoin(broadcast(stats))
+        .orderBy("tier")
+    }, Some("""
+      WITH ch AS (
+        SELECT user_id, epoch_ns(ts) AS t,
+               CASE WHEN max("value") >= 75 THEN 'gold'
+                    WHEN max("value") >= 40 THEN 'silver'
+                    ELSE 'bronze' END AS tier
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      iv AS (SELECT user_id, t AS vf,
+               lead(t) OVER (PARTITION BY user_id ORDER BY t) AS vt, tier
+             FROM ch),
+      ivs AS (SELECT count(*) AS n_intervals,
+                CAST(count(*) FILTER (WHERE vt IS NULL) AS BIGINT) AS n_open
+              FROM iv),
+      ck AS (SELECT user_id, epoch_ns(ts) AS t FROM events
+             WHERE event_type = 'click'),
+      j AS (SELECT ck.user_id, c.tier
+            FROM ck ASOF JOIN ch c
+              ON ck.user_id = c.user_id AND ck.t >= c.t)
+      SELECT tier, count(*) AS n_clicks,
+             count(DISTINCT user_id) AS n_users,
+             (SELECT n_intervals FROM ivs) AS n_intervals,
+             (SELECT n_open FROM ivs) AS n_open
+      FROM j GROUP BY tier ORDER BY tier"""))),
+
     // Interval join (batch twin of streaming.Streams.intervalJoin — the
     // SAME operator, watermarks no-op in batch): each error event counts
     // the same user's clicks in the preceding 24 hours

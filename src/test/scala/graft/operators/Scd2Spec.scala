@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** SCD2 invariants: build's intervals tile each key's timeline (every
+  * valid_to equals the next valid_from, exactly one open interval per
+  * key), and pointInTime agrees with a hand-computed interval lookup. */
+class Scd2Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val changes = Seq(
+    (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+    (2L, 15L, "x")).toDF("k", "t", "attr")
+
+  test("build tiles the timeline with one open interval per key") {
+    val iv = Scd2.build(changes, Seq("k"), "t", Seq("attr"))
+      .as[(Long, Long, Option[Long], String)].collect().toSeq.sorted
+    assert(iv == Seq(
+      (1L, 10L, Some(20L), "a"), (1L, 20L, Some(30L), "b"),
+      (1L, 30L, None, "c"), (2L, 15L, None, "x")))
+  }
+
+  test("pointInTime picks the version in effect (boundary = new version)") {
+    val facts = Seq((1L, 5L), (1L, 10L), (1L, 25L), (1L, 30L), (2L, 99L))
+      .toDF("k", "ft")
+    val got = Scd2.pointInTime(facts, changes, Seq("k"), "ft", "t",
+        Seq("attr"))
+      .select("k", "ft", "asof_attr")
+      .as[(Long, Long, Option[String])].collect().toSeq.sorted
+    assert(got == Seq(
+      (1L, 5L, None),           // before any version
+      (1L, 10L, Some("a")),     // boundary: the change at t=10 applies
+      (1L, 25L, Some("b")),
+      (1L, 30L, Some("c")),     // boundary: the newest version
+      (2L, 99L, Some("x"))))
+  }
+}
