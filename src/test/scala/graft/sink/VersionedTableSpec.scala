@@ -89,6 +89,27 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(fin == Map(1 -> "A", 2 -> "B", 3 -> "c", 4 -> "d", 5 -> "e"))
   }
 
+  test("mergeCommit: four-way contention — every writer lands exactly once") {
+    val t = freshTable()
+    VersionedTable.commit(Seq((0, "base")).toDF("k", "v"), t)
+    val barrier = new java.util.concurrent.CyclicBarrier(4)
+    val versions = (1 to 4).map { i =>
+      val f = new java.util.concurrent.FutureTask(() => {
+        barrier.await()
+        VersionedTable.mergeCommit(spark, t,
+          Seq((i, s"w$i")).toDF("k", "v"), Seq("k"))
+      })
+      new Thread(f).start(); f
+    }.map(_.get())
+    // four commits, no duplicates, no skips: versions are exactly 2..5
+    assert(versions.toSet == Set(2, 3, 4, 5))
+    assert(VersionedTable.latestVersion(t).contains(5))
+    val fin = VersionedTable.read(spark, t).as[(Int, String)]
+      .collect().toMap
+    assert(fin == Map(0 -> "base", 1 -> "w1", 2 -> "w2", 3 -> "w3",
+      4 -> "w4"))
+  }
+
   test("mergeCommit bootstraps an empty table and dedups its delta") {
     val t = freshTable()
     val v = VersionedTable.mergeCommit(spark, t,
