@@ -554,15 +554,18 @@ object BenchQueries {
           graft.sink.Layout.prunedRead(spark, p, "l_orderkey", 10000L, 20000L)
         val row = pruned
           .filter(col("l_orderkey").between(10000L, 20000L)) // residual
-          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+          // coalesce: an empty range (every file pruned) must yield
+          // (0, 0.0), not a NULL sum that breaks the typed fetch
+          .agg(count(lit(1)).as("n"),
+            coalesce(dsum(col("l_extendedprice")), lit(0.0)).as("total"))
           .head()
         spark.createDataFrame(Seq((row.getLong(0), row.getDouble(1))))
           .toDF("n", "total")
       } finally graft.sink.StageWriter.deleteRecursively(tmp)
     }, Some("""
       SELECT count(*) AS n,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS total
+             COALESCE(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+               AS DOUBLE), 0.0) AS total
       FROM lineitem WHERE l_orderkey BETWEEN 10000 AND 20000"""))),
 
     // Approximate percentile (Greenwald-Khanna sketch) gated against the
