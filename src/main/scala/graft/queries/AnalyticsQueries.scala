@@ -1283,6 +1283,27 @@ object AnalyticsQueries {
       FROM lcap JOIN rcap USING (k)
       GROUP BY k ORDER BY k"""))),
 
+    // D103 audit leg — JoinGuard.profile standalone: the per-key sizing
+    // table a pipeline logs BEFORE a risky join (two key-domain aggs, no
+    // join executed). Pins the offender verdict the capped join acts on.
+    "q_join_profile" -> (((spark, dir) => {
+      val li = load(spark, dir, "lineitem")
+      graft.operators.JoinGuard.profile(
+          li.select(col("l_suppkey").as("k")),
+          li.filter(col("l_quantity") <= 2)
+            .select(col("l_suppkey").as("k")),
+          "k", maxProduct = 10000L)
+        .orderBy("k")
+    }, Some("""
+      SELECT k, n_left, n_right, n_left * n_right AS pairs,
+             n_left * n_right > 10000 AS offender
+      FROM (SELECT l_suppkey AS k, count(*) AS n_left
+            FROM lineitem GROUP BY 1) l
+      JOIN (SELECT l_suppkey AS k, count(*) AS n_right
+            FROM lineitem WHERE l_quantity <= 2 GROUP BY 1) r
+        USING (k)
+      ORDER BY k"""))),
+
     // D104 — incremental aggregate maintenance (operators.Rollup): a
     // materialized (event_type, day) rollup absorbs two delta batches by
     // MERGING additive (n, decimal-sum) state — the base is never
