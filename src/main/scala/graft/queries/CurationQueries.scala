@@ -100,18 +100,29 @@ object CurationQueries {
       val boundary = byScore
         .filter(col("prev") < budget && col("cum") > budget)
         .select("score", "prev").collect()
-      val (bScore, bPrev) = boundary.headOption
-        .map(r => (r.getLong(0), r.getLong(1)))
-        .getOrElse((Long.MinValue, budget))
-      val fullIn = d.filter(col("score") > bScore)
-      val boundaryIn = d.filter(col("score") === bScore)
-        .withColumn("icum",
-          sum("tok").over(Window.partitionBy("score").orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .filter(col("icum") + bPrev <= budget)
-        .drop("icum")
-      fullIn.unionByName(boundaryIn)
-        .orderBy(col("score").desc, col("doc_id"))
+      val selected = boundary.headOption match {
+        case Some(r) =>
+          // one score group straddles the budget: groups above it are all
+          // in, and the boundary group fills the remainder in doc_id order
+          val (bScore, bPrev) = (r.getLong(0), r.getLong(1))
+          d.filter(col("score") > bScore)
+            .unionByName(d.filter(col("score") === bScore)
+              .withColumn("icum",
+                sum("tok").over(Window.partitionBy("score").orderBy("doc_id")
+                  .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+              .filter(col("icum") + bPrev <= budget)
+              .drop("icum"))
+        case None =>
+          // no straddling group: a prefix of score groups lands exactly on
+          // the budget (or the budget is below the first group) — select
+          // precisely the groups with cum <= budget, matching the oracle's
+          // per-doc cum <= budget with no partial group
+          val m = byScore.filter(col("cum") <= budget)
+            .agg(min(col("score"))).head()
+          if (m.isNullAt(0)) d.limit(0)
+          else d.filter(col("score") >= m.getLong(0))
+      }
+      selected.orderBy(col("score").desc, col("doc_id"))
     }, Some("""
       WITH d AS (
         SELECT doc_id, n_chars AS score,

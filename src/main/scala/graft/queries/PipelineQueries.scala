@@ -130,8 +130,12 @@ object PipelineQueries {
     // ingest pipelines silently corrupt). Oracle: the parquet truth,
     // repeated per format. Scratch dir reclaimed eagerly (c5 discipline).
     "c14_formats" -> (((spark, dir) => {
+      // coalesce before the three codec writes: the gate proves type
+      // fidelity, not write parallelism — at input parallelism it wrote
+      // 3×32 small files and the task overhead dominated the wall
       val li = load(spark, dir, "lineitem")
         .select("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate")
+        .coalesce(8)
       val tmpRoot = java.nio.file.Files.createTempDirectory("fmt_gate")
       try {
         val rows = Seq("csv", "json", "orc").map { f =>

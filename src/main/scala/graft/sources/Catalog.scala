@@ -81,15 +81,28 @@ object Catalog {
   }
 
   /** Batched catalog sync — the crawler groups ~10 tables per crawler run
-    * (reference crawler_stage.py:886-953 batches ×10); here batching
-    * bounds how many parquet-footer reads are in flight at once while a
-    * whole zone re-syncs. Returns the per-table drift (None = no change). */
+    * (reference crawler_stage.py:886-953 batches ×10); here each batch's
+    * parquet-footer reads + re-registrations run CONCURRENTLY on a pool of
+    * `batchSize` threads (SparkSession is thread-safe for metadata ops),
+    * so a whole-zone re-sync overlaps its driver-side footer I/O while the
+    * pool bound keeps at most `batchSize` reads in flight. Batches
+    * themselves are sequential — the crawler's pacing. Returns the
+    * per-table drift (None = no change). */
   def syncAll(spark: SparkSession, db: String,
       tables: Seq[(String, String)], batchSize: Int = 10)
-      : Map[String, Option[SchemaDrift]] =
-    tables.grouped(math.max(1, batchSize)).flatMap { batch =>
-      batch.map { case (table, location) =>
-        table -> syncStageTable(spark, db, table, location)
-      }
-    }.toMap
+      : Map[String, Option[SchemaDrift]] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, batchSize))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      ensureDatabase(spark, db) // once, not racing inside the pool
+      tables.grouped(math.max(1, batchSize)).flatMap { batch =>
+        Await.result(Future.sequence(batch.map { case (table, location) =>
+          Future(table -> syncStageTable(spark, db, table, location))
+        }), Duration.Inf)
+      }.toMap
+    } finally pool.shutdown()
+  }
 }
