@@ -82,14 +82,28 @@ object PipelineQueries {
       WHERE rn = 1 ORDER BY o_custkey"""))),
 
     // C6 — MERGE upsert semantics: delta rows (keyed) replace matched rows,
-    // unmatched delta rows insert (anti-join ∪ new)
+    // unmatched delta rows insert (anti-join ∪ new). Runs END-TO-END
+    // through the path-based CAS path (StageWriter.mergeInto: claim →
+    // snapshot → merge → swap → sequence flip — the default,
+    // multi-writer-safe MERGE the pipeline itself uses), not the pure
+    // DataFrame merge: bootstrap commit, then the delta merge, then the
+    // table read back from disk.
     "c6_merge" -> (((spark, dir) => {
       val orders = load(spark, dir, "orders")
       val delta = orders.filter(col("o_orderkey") % 10 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 1000)
-      StageWriter.merge(orders, delta, Seq("o_orderkey"))
-        .select(col("o_orderkey"), col("o_totalprice").as("total"))
-        .orderBy("o_orderkey")
+      val tmp = java.nio.file.Files.createTempDirectory("merge_gate")
+      try {
+        val t = tmp.resolve("orders").toString
+        StageWriter.mergeInto(spark, orders, t, Seq("o_orderkey"))
+        StageWriter.mergeInto(spark, delta, t, Seq("o_orderkey"))
+        require(StageWriter.committedSeq(t) == 2L,
+          "two CAS merges must advance the committed sequence to 2")
+        spark.read.parquet(t)
+          .select(col("o_orderkey"), col("o_totalprice").as("total"))
+          .orderBy("o_orderkey")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally StageWriter.deleteRecursively(tmp)
     }, Some("""
       SELECT o_orderkey,
              CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
@@ -98,8 +112,10 @@ object PipelineQueries {
 
     // C6+ — CDC MERGE with tombstones: the delta carries op U/D; deletes
     // remove matched keys, upserts replace-or-insert, one key shuffle
-    // (StageWriter.mergeCdc — the whenMatchedDelete leg Delta adds over
-    // plain upsert MERGE).
+    // (the whenMatchedDelete leg Delta adds over plain upsert MERGE).
+    // Routed through the path-based CAS variant (StageWriter.mergeCdcInto)
+    // so the gate proves the DEFAULT multi-writer-safe CDC path end-to-end:
+    // bootstrap, CDC merge, read back from disk.
     "c6_cdc" -> (((spark, dir) => {
       val orders = load(spark, dir, "orders")
       val ups = orders.filter(col("o_orderkey") % 10 === 0)
@@ -108,9 +124,19 @@ object PipelineQueries {
       val dels = orders
         .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 10 =!= 0)
         .withColumn("op", lit("D"))
-      StageWriter.mergeCdc(orders, ups.unionByName(dels), Seq("o_orderkey"))
-        .select(col("o_orderkey"), col("o_totalprice").as("total"))
-        .orderBy("o_orderkey")
+      val tmp = java.nio.file.Files.createTempDirectory("cdc_gate")
+      try {
+        val t = tmp.resolve("orders").toString
+        StageWriter.mergeInto(spark, orders, t, Seq("o_orderkey"))
+        StageWriter.mergeCdcInto(spark, ups.unionByName(dels), t,
+          Seq("o_orderkey"))
+        require(StageWriter.committedSeq(t) == 2L,
+          "bootstrap + CDC merge must advance the committed sequence to 2")
+        spark.read.parquet(t)
+          .select(col("o_orderkey"), col("o_totalprice").as("total"))
+          .orderBy("o_orderkey")
+          .localCheckpoint()
+      } finally StageWriter.deleteRecursively(tmp)
     }, Some("""
       SELECT o_orderkey,
              CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000

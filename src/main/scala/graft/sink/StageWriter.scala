@@ -16,6 +16,9 @@ import org.apache.spark.sql.types.StructType
   * swap is atomic per-directory rename; a crash between delete and move can
   * lose the target (Delta's transaction log cannot) — acceptable for the
   * idempotent re-run model of this pipeline (re-extract rebuilds).
+  * CONCURRENT MERGERS, however, are fully arbitrated: the path-based MERGE
+  * variants run an optimistic claim-sequence CAS (see [[mergeInto]]), so a
+  * multi-writer deployment never loses an update.
   */
 object StageWriter {
 
@@ -92,23 +95,132 @@ object StageWriter {
       .unionByName(upserts, allowMissingColumns = true)
   }
 
-  /** MERGE into a Parquet path (reads existing, merges, swaps).
+  /** A concurrent merger holds (or stranded) the next merge sequence claim.
+    * The table is untouched by the loser; retried automatically up to
+    * `maxRetries`, after which the caller should vacuum (crashed claimant)
+    * or raise the retry budget (live contention). */
+  final class ConcurrentMergeException(msg: String)
+    extends RuntimeException(msg)
+
+  private def seqFile(path: String) = Paths.get(path + ".__seq__")
+  private def claimsDir(path: String) = Paths.get(path + ".__claims__")
+
+  /** Committed merge sequence of a stage path (0 = never CAS-merged —
+    * includes tables written only by `overwrite`). */
+  def committedSeq(path: String): Long = {
+    val f = seqFile(path)
+    if (Files.exists(f))
+      new String(Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    else 0L
+  }
+
+  /** MERGE into a Parquet path — DEFAULT PATH IS TRANSACTIONAL. The
+    * reference gets optimistic concurrency unconditionally from Delta
+    * (light_transform.py:1382-1392) while running 60 concurrent transforms
+    * (group_stack.py:375); the plain-Parquet twin gets it from a sidecar
+    * claim-sequence protocol (the [[VersionedTable]] commit CAS applied to
+    * a flat layout, so `spark.read.parquet(path)` and catalog registration
+    * keep working unchanged):
     *
-    * SINGLE-WRITER: the read-merge-swap has no conflict check, so two
-    * concurrent mergers into the same path can lose one side's rows. A
-    * multi-job deployment (the reference runs 60 concurrent transforms)
-    * must merge through [[graft.sink.VersionedTable.mergeCommit]], whose
-    * optimistic CAS commit re-merges the loser on the winner's head. */
+    *  - `path.__seq__` names the committed merge sequence (atomic rename);
+    *  - a merger first CLAIMS sequence N+1 via create-if-absent of
+    *    `path.__claims__/N+1` — of racing mergers exactly one wins, and the
+    *    loser backs off and RETRIES FROM THE NEW HEAD, so its rows land on
+    *    top of the winner's instead of clobbering them (never silent
+    *    last-writer-wins, never a lost update);
+    *  - the claim is taken BEFORE reading the current data, so a merger
+    *    never snapshots a table mid-swap;
+    *  - claims persist until [[vacuum]]; a claimant that CRASHES between
+    *    claim and pointer flip strands its claim and blocks later mergers
+    *    (fail-stop, not data loss) until vacuum's age-gated reclaim — the
+    *    same recovery contract as [[VersionedTable]].
+    *
+    * Readers racing the swap itself remain the documented Parquet-fallback
+    * gap (VersionedTable closes it with versioned dirs); the stage zone's
+    * idempotent re-run model accepts it. Bootstrap (no existing path)
+    * commits `df.dropDuplicates(keys)` — the same first-commit dedup as
+    * `VersionedTable.mergeCommit`. */
   def mergeInto(spark: SparkSession, df: DataFrame, path: String,
-      keys: Seq[String], partitionBy: Seq[String] = Nil): Unit = {
-    if (!Files.exists(Paths.get(path))) overwrite(df, path, partitionBy)
-    else {
-      val old = spark.read.parquet(path)
-      // materialize the merge before the swap so we never read-while-overwrite
-      val merged = merge(old, df, keys).cache()
-      merged.count()
-      overwrite(merged, path, partitionBy)
-      merged.unpersist()
+      keys: Seq[String], partitionBy: Seq[String] = Nil,
+      maxRetries: Int = 20, backoffMs: Long = 150): Unit =
+    casMerge(spark, path, partitionBy, maxRetries, backoffMs) {
+      case Some(old) => merge(old, df, keys)
+      case None => df.dropDuplicates(keys)
+    }
+
+  /** CDC MERGE into a Parquet path through the same CAS protocol as
+    * [[mergeInto]] (tombstone semantics of [[mergeCdc]]). A bootstrap
+    * applies the delta to an empty table: upserts insert, deletes no-op. */
+  def mergeCdcInto(spark: SparkSession, delta: DataFrame, path: String,
+      keys: Seq[String], opCol: String = "op",
+      partitionBy: Seq[String] = Nil, maxRetries: Int = 20,
+      backoffMs: Long = 150): Unit =
+    casMerge(spark, path, partitionBy, maxRetries, backoffMs) { old =>
+      val base = old.getOrElse(
+        delta.drop(opCol).limit(0)) // typed empty bootstrap
+      mergeCdc(base, delta, keys, opCol)
+    }
+
+  /** The optimistic claim → read → merge → swap → flip loop shared by the
+    * path-based MERGE variants. `mergeFn` sees the CLAIMED snapshot (None
+    * when the path doesn't exist yet). */
+  private def casMerge(spark: SparkSession, path: String,
+      partitionBy: Seq[String], maxRetries: Int, backoffMs: Long)
+      (mergeFn: Option[DataFrame] => DataFrame): Unit = {
+    var attempt = 0
+    var lastBase = -1L
+    while (true) {
+      val base = committedSeq(path)
+      // head advanced since we last looked = a concurrent winner COMMITTED:
+      // that's progress, so the retry budget resets — under N-writer
+      // contention every writer eventually lands, and `maxRetries` only
+      // bounds the NO-progress case (a stranded claim, or one live write
+      // outlasting the whole budget — size backoff×retries above the
+      // longest expected merge write)
+      if (base != lastBase) { attempt = 0; lastBase = base }
+      val next = base + 1
+      Files.createDirectories(claimsDir(path))
+      val claimed =
+        try { Files.createFile(claimsDir(path).resolve(next.toString)); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      if (!claimed) {
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new ConcurrentMergeException(
+            s"$path: merge sequence $next stayed claimed through " +
+              s"$maxRetries retries with no committed progress — raise the " +
+              "retry budget if a live merge can outlast it, or vacuum if " +
+              "the claimant crashed")
+        // the winner may still be mid-write: back off so the re-read sees
+        // the flipped sequence instead of re-losing the claim
+        Thread.sleep(backoffMs * math.min(attempt, 5))
+      } else {
+        // we HOLD claim `next`: no other merger can flip the sequence, so
+        // the snapshot read below is stable. An observed in-process failure
+        // releases the claim eagerly (a crash strands it for vacuum).
+        try {
+          val old =
+            if (Files.exists(Paths.get(path))) Some(spark.read.parquet(path))
+            else None
+          val merged = mergeFn(old).cache()
+          try {
+            merged.count() // materialize before the swap: never read-while-overwrite
+            overwrite(merged, path, partitionBy)
+          } finally merged.unpersist()
+          val tmp = Paths.get(path + s".__seq__.tmp$next")
+          Files.write(tmp,
+            next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          Files.move(tmp, seqFile(path), StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+          return
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            scala.util.Try(
+              Files.deleteIfExists(claimsDir(path).resolve(next.toString)))
+            throw e
+        }
+      }
     }
   }
 
@@ -227,6 +339,29 @@ object StageWriter {
       if (Files.exists(d) &&
           Files.getLastModifiedTime(d).toMillis < cutoff)
         deleteRecursively(d)
+    }
+    // merge-claim sidecars: claims <= the committed sequence are history
+    // (no merger ever re-attempts them — drop immediately); a claim AHEAD
+    // of the sequence is either a live merger mid-write or a crashed one,
+    // indistinguishable without heartbeats, so it is reclaimed only past
+    // the retention — reclaiming a live claim would hand two mergers the
+    // same sequence, exactly the lost update the CAS exists to prevent.
+    // The retention MUST therefore exceed the longest possible merge write
+    // (same contract as VersionedTable.vacuum's stranded retention).
+    val cd = claimsDir(path)
+    if (Files.isDirectory(cd)) {
+      val seq = committedSeq(path)
+      val st = Files.list(cd)
+      try {
+        val it = st.iterator()
+        while (it.hasNext) {
+          val c = it.next()
+          val n = scala.util.Try(c.getFileName.toString.toLong).getOrElse(-1L)
+          if (n <= seq ||
+              Files.getLastModifiedTime(c).toMillis < cutoff)
+            Files.deleteIfExists(c)
+        }
+      } finally st.close()
     }
   }
 

@@ -116,11 +116,13 @@ object VersionedTable {
     next
   }
 
-  /** Transactional MERGE upsert through the CAS commit path — the missing
-    * piece between `StageWriter.mergeInto` (read-merge-swap, no conflict
-    * check) and a multi-writer deployment (the reference runs 60 concurrent
-    * transforms, `group_stack.py:375`, and relies on Delta's optimistic
-    * transactions for exactly this, `light_transform.py:1382-1392`).
+  /** Transactional MERGE upsert through the CAS commit path, for a
+    * multi-writer deployment that also wants TIME TRAVEL (the reference
+    * runs 60 concurrent transforms, `group_stack.py:375`, and relies on
+    * Delta's optimistic transactions for exactly this,
+    * `light_transform.py:1382-1392`). `StageWriter.mergeInto` runs the
+    * same optimistic claim protocol over the flat stage layout; this
+    * variant additionally keeps every committed version readable.
     *
     * Optimistic-transaction loop: read the head, merge the delta against
     * that snapshot, commit with `expectedBase` = the version read. A
