@@ -327,6 +327,150 @@ object PipelineQueries {
     // E2E — flagship reference-shaped pipeline (also SparkEntry.entry)
     "e2e_pipeline" -> ((e2ePipeline _, Some(e2eOracle))),
 
+    // C13 — CONFIG-PLANE replay as a correctness gate: a reference-shaped
+    // `;`-delimited latin-1 config (stray quotes and all — the SQL Server
+    // identifier-bug workaround, extract_data.py:817-892) drives the WHOLE
+    // engine path with zero hand-built objects: CsvConfigLoader.parse →
+    // TableConfig/ColumnMetadata → Strategies.plan (COLUMNS projection +
+    // ID_COLUMN aliasing + IN-subquery FILTER_EXP through applySql's
+    // semi-join rewrite) → raw-zone stringify → TablePipeline.transform
+    // (DSL compile, dedup-latest on IS_ID over the IS_FILTER_DATE recency
+    // pair, ordered output, stage WRITE) → read back. This is the
+    // reference's actual entry point (tables.csv / columns.csv →
+    // light_transform.py:579-617) oracled end-to-end.
+    "c13_config_replay" -> (((spark, dir) => {
+      import graft.config.{CsvConfigLoader, LoadMode}
+      val tablesCsv =
+        "PROCESS_ID;SOURCE_SCHEMA;SOURCE_TABLE;SOURCE_TABLE_TYPE;LOAD_TYPE;" +
+          "COLUMNS;ID_COLUMN;FILTER_EXP;PARTITION_MODE;PARTITION_COLUMN;" +
+          "DELAY_INCREMENTAL_INI;DELAY_INCREMENTAL_END;FILTER_COLUMN;" +
+          "FILTER_DATA_TYPE;JOIN_EXPR;STAGE_TABLE_NAME;STATUS;" +
+          "JOB_EXTRACT_MAX_CAPACITY\n" +
+        "P1;dbo;orders;m;full;" +
+          "\"o_custkey\", o_orderkey, o_orderdate, o_totalprice, " +
+          "o_orderstatus;\"o_custkey\";" +
+          "o_custkey IN (SELECT c_custkey FROM customer WHERE " +
+          "c_mktsegment = 'BUILDING');auto;;0;0;;;;stage_orders;A;2"
+      val columnsCsv =
+        "TABLE_NAME;COLUMN_NAME;COLUMN_ID;NEW_DATA_TYPE;TRANSFORMATION;" +
+          "IS_ID;IS_FILTER_DATE;IS_ORDER_BY;IS_PARTITION\n" +
+        "stage_orders;id_cliente;1;string;" +
+          "fn_transform_ClearString(id);T;F;T;F\n" +
+        // recency PAIR: date first, then the unique order id — the same
+        // two-column recency the reference's fecmodi/horamodi pairs use,
+        // and what makes dedup-latest deterministic under date ties
+        "stage_orders;fecha;2;date;" +
+          "\"fn_transform_Date(o_orderdate, yyyy-MM-dd)\";F;T;F;F\n" +
+        "stage_orders;id_orden;3;string;" +
+          "fn_transform_ClearString(o_orderkey);F;T;F;F\n" +
+        "stage_orders;monto;4;numeric(18,2);" +
+          "fn_transform_Numeric(o_totalprice);F;F;F;F\n" +
+        "stage_orders;estado;5;string;o_orderstatus;F;F;F;F\n" +
+        "stage_orders;processdate;6;timestamp;fn_transform_Datetime();F;F;F;F"
+      val cfg = CsvConfigLoader.tableConfig(
+        CsvConfigLoader.parse(tablesCsv).head)
+      val meta = CsvConfigLoader.parse(columnsCsv)
+        .map(CsvConfigLoader.columnMetadata)
+        .filter(_.tableName.equalsIgnoreCase("stage_orders"))
+        .sortBy(_.columnId)
+      val clock = java.time.Clock.fixed(
+        java.time.Instant.parse("2024-06-25T12:00:00Z"),
+        java.time.ZoneOffset.UTC)
+      val plan = graft.extract.Strategies.plan(cfg, LoadMode.Normal, clock,
+        java.time.ZoneId.of("UTC"))
+      val extracted = plan.applySql(spark, load(spark, dir, "orders"),
+        "c13_orders_src", Map("customer" -> load(spark, dir, "customer")))
+      val tmp = java.nio.file.Files.createTempDirectory("cfg_gate")
+      try {
+        val rawPath = tmp.resolve("raw").toString
+        StageWriter.overwrite(
+          graft.run.TablePipeline.toRawZone(extracted), rawPath)
+        val stagePath = tmp.resolve("stage").toString
+        graft.run.TablePipeline.transform(spark, rawPath, stagePath, cfg,
+          meta, now = Some(DslQueries.auditNow))
+        spark.read.parquet(stagePath)
+          .select(col("id_cliente"), col("fecha"), col("id_orden"),
+            col("monto").cast("double").as("monto"), col("estado"),
+            fmtTs(col("processdate")).as("processdate"))
+          .orderBy("id_cliente")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      WITH src AS (
+        SELECT CAST(o_custkey AS VARCHAR) AS id,
+               CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+               CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+               CAST(o_totalprice AS VARCHAR) AS o_totalprice,
+               CAST(o_orderstatus AS VARCHAR) AS o_orderstatus
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')),
+      tr AS (
+        SELECT trim(id) AS id_cliente,
+               CAST(o_orderdate AS DATE) AS fecha,
+               trim(o_orderkey) AS id_orden,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS monto,
+               o_orderstatus AS estado,
+               '2024-06-25 07:00:00' AS processdate
+        FROM src),
+      dd AS (
+        SELECT *, row_number() OVER (PARTITION BY id_cliente
+                 ORDER BY fecha DESC, id_orden DESC) AS rn
+        FROM tr)
+      SELECT id_cliente, fecha, id_orden, monto, estado, processdate
+      FROM dd WHERE rn = 1 ORDER BY id_cliente"""))),
+
+    // ROBUSTNESS gate for the event-time plane: the SAME event slice
+    // written under all three parquet timestamp encodings — nanos-as-long
+    // (what a TIMESTAMP(NANOS) footer + nanosAsLong read yields), MICROS,
+    // and MILLIS — then read back through Q.normalizeEventTs and windowed.
+    // The three hourly aggregates must be IDENTICAL (slice truncated to
+    // whole millis so every annotation represents it exactly); the oracle
+    // is the annotation-agnostic epoch_ns math repeated per annotation.
+    // This turns the round-4 outage class (an annotation flip silently
+    // breaking ts arithmetic in 15 queries) into a battery-caught failure.
+    "q_ts_annotations" -> (((spark, dir) => {
+      val ev = load(spark, dir, "events")
+        .filter(col("event_id") % 5 === 0)
+        .withColumn("ts", expr("(ts div 1000000) * 1000000")) // whole millis
+        .select("event_id", "user_id", "ts", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("tsann_gate")
+      try {
+        ev.write.parquet(tmp.resolve("nanos").toString) // long nanos column
+        val prevOut = spark.conf.get("spark.sql.parquet.outputTimestampType")
+        def writeAs(annotation: String, sub: String): Unit = {
+          spark.conf.set("spark.sql.parquet.outputTimestampType", annotation)
+          try ev.withColumn("ts",
+              timestamp_micros(expr("ts div 1000")))
+            .write.parquet(tmp.resolve(sub).toString)
+          finally spark.conf.set("spark.sql.parquet.outputTimestampType",
+            prevOut)
+        }
+        writeAs("TIMESTAMP_MICROS", "micros")
+        writeAs("TIMESTAMP_MILLIS", "millis")
+        Seq("millis", "micros", "nanos").map { ann =>
+          Q.normalizeEventTs(spark.read.parquet(tmp.resolve(ann).toString))
+            .withColumn("hour", expr("ts div 3600000000000"))
+            .groupBy("hour")
+            .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+            .withColumn("annotation", lit(ann))
+        }.reduce(_ unionByName _)
+          .orderBy("annotation", "hour")
+          .localCheckpoint()
+      } finally StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      WITH e AS (
+        SELECT (epoch_ns(ts) // 1000000) * 1000000 AS tsn, "value"
+        FROM events WHERE event_id % 5 = 0),
+      a AS (
+        SELECT tsn // 3600000000000 AS hour, count(*) AS n,
+               CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM e GROUP BY 1)
+      SELECT annotation, hour, n, total
+      FROM a CROSS JOIN (VALUES ('millis'), ('micros'), ('nanos'))
+        AS t(annotation)
+      ORDER BY annotation, hour"""))),
+
     // C12 — process-group scheduler driving two full raw->stage pipelines in
     // parallel; output is the run log (deterministic: statuses + row counts)
     "pipeline_group" -> (((spark, dir) => {
