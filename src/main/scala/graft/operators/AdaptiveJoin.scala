@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.CountMin
+
+/** Adaptive equi-join chooser (SURVEY §2D, D110) — the planner-side
+  * consumer of the D105 join-size sketches: decide broadcast vs plain
+  * shuffle vs [[JoinGuard]]-capped BEFORE running the join, from bounded
+  * profiling state.
+  *
+  * Per side, two cheap passes replace the blind join:
+  *  - a map-side-combinable `groupBy(key).count` reduced to ONE driver row
+  *    (total rows + EXACT max per-key count) — the shuffle carries only
+  *    the key domain, never the data;
+  *  - a 2 KB count-min sketch of the key column ([[CountMin]]), whose
+  *    inner product estimates the join's output rows without touching the
+  *    other side's data (AGMS upper bound; collisions only inflate).
+  *
+  * Decision (all thresholds explicit, the audit row records every input):
+  *  1. smaller side fits the broadcast budget → `broadcast` (no shuffle of
+  *     the big side — at 100 TB the difference between moving 100 TB and
+  *     moving 100 MB);
+  *  2. exact max-frequency product exceeds `maxProduct`, or the sketch
+  *     estimate exceeds `maxEstRows` → `capped` ([[JoinGuard.cappedJoin]]
+  *     bounds the blowup deterministically instead of dying);
+  *  3. otherwise → plain `shuffle` join and AQE takes it from there.
+  *
+  * The reference pipeline executes whatever free-text JOIN_EXPR its config
+  * carries (`extract_data.py:1048-1073`) — this is the guardrail a
+  * 100 TB deployment puts in front of that. */
+object AdaptiveJoin {
+
+  /** Everything the decision saw — log it next to the join (the D103
+    * `profile` discipline applied to strategy choice). */
+  final case class Profile(leftRows: Long, rightRows: Long,
+      maxFreqLeft: Long, maxFreqRight: Long, estJoinRows: Long,
+      strategy: String)
+
+  private def sideStats(df: DataFrame, key: String, d: Int, w: Int)
+      : (Long, Long, Array[Long]) = {
+    val r = df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .agg(sum(col("__n")), max(col("__n"))).head()
+    val (rows, maxFreq) =
+      if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+    val cms =
+      if (rows == 0) new Array[Long](d * w)
+      else CountMin.sketch(df, col(key), d, w)
+        .head().getSeq[Long](0).toArray
+    (rows, maxFreq, cms)
+  }
+
+  /** Driver-side AGMS inner product of two flattened d×w counter arrays:
+    * min over hash rows of Σ_bucket a·b — the same estimator as
+    * [[CountMin.innerProduct]], on collected sketches. */
+  private[operators] def innerProduct(a: Array[Long], b: Array[Long],
+      d: Int, w: Int): Long =
+    (0 until d).map { i =>
+      var s = 0L
+      var j = 0
+      while (j < w) { s += a(i * w + j) * b(i * w + j); j += 1 }
+      s
+    }.min
+
+  /** Profile both sides and pick the strategy. Bounded driver state: two
+    * single-row aggregates + two d·w·8-byte sketches. */
+  def choose(left: DataFrame, right: DataFrame, key: String,
+      broadcastRows: Long = 1L << 20, maxProduct: Long = 1L << 22,
+      maxEstRows: Long = Long.MaxValue, d: Int = 4, w: Int = 1024)
+      : Profile = {
+    val (ln, lmax, lcms) = sideStats(left, key, d, w)
+    val (rn, rmax, rcms) = sideStats(right, key, d, w)
+    val est = innerProduct(lcms, rcms, d, w)
+    val strategy =
+      if (math.min(ln, rn) <= broadcastRows) "broadcast"
+      else if (lmax * rmax > maxProduct || est > maxEstRows) "capped"
+      else "shuffle"
+    Profile(ln, rn, lmax, rmax, est, strategy)
+  }
+
+  /** Choose, then execute: broadcast hints the smaller side; capped runs
+    * [[JoinGuard.cappedJoin]] (tiebreaks make the cap deterministic);
+    * shuffle leaves the plan to Catalyst + AQE. Returns the joined frame
+    * and the audit profile. */
+  def join(left: DataFrame, right: DataFrame, key: String,
+      capEach: Int = 10000, leftTiebreak: Seq[Column] = Nil,
+      rightTiebreak: Seq[Column] = Nil, broadcastRows: Long = 1L << 20,
+      maxProduct: Long = 1L << 22, maxEstRows: Long = Long.MaxValue,
+      d: Int = 4, w: Int = 1024): (DataFrame, Profile) = {
+    val p = choose(left, right, key, broadcastRows, maxProduct, maxEstRows,
+      d, w)
+    val joined = p.strategy match {
+      case "broadcast" =>
+        if (p.leftRows <= p.rightRows)
+          broadcast(left).join(right, Seq(key), "inner")
+        else left.join(broadcast(right), Seq(key), "inner")
+      case "capped" =>
+        JoinGuard.cappedJoin(left, right, key, maxProduct, capEach,
+          leftTiebreak, rightTiebreak)
+      case _ => left.join(right, Seq(key), "inner")
+    }
+    (joined, p)
+  }
+}

@@ -339,6 +339,56 @@ object BenchQueries {
       SELECT (SELECT min(p) FROM prods) AS est_pairs,
              (SELECT exact_pairs FROM ex) AS exact_pairs"""))),
 
+    // D110 — ADAPTIVE JOIN CHOOSER: the planner-side consumer D105's
+    // sketches promise (operators.AdaptiveJoin). Three join shapes, one
+    // decision rule: a dimension join must come out `broadcast`, a
+    // well-distributed fact join `shuffle`, and a hot-key self-join
+    // `capped` (JoinGuard path, cap sized as a no-op here so the result
+    // still equals the plain join). The chosen strategy is a RESULT column
+    // pinned by the oracle — a mis-decision fails the hash match; the
+    // physical-plan shape per strategy is asserted in PlanShapeSpec.
+    "q_adaptive_join" -> (((spark, dir) => {
+      import graft.operators.AdaptiveJoin
+      val o = load(spark, dir, "orders")
+      val docs = load(spark, dir, "documents")
+      def row(jcase: String,
+          r: (org.apache.spark.sql.DataFrame, AdaptiveJoin.Profile),
+          value: org.apache.spark.sql.Column) =
+        r._1.agg(count(lit(1)).as("n"), dsum(value).as("total"))
+          .withColumn("jcase", lit(jcase))
+          .withColumn("strategy", lit(r._2.strategy))
+      val dim = AdaptiveJoin.join(
+        o.select(col("o_custkey").as("k"), col("o_totalprice")),
+        load(spark, dir, "customer").select(col("c_custkey").as("k")), "k")
+      val fact = AdaptiveJoin.join(
+        o.select(col("o_orderkey").as("k")),
+        load(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("k"), col("l_quantity")), "k",
+        broadcastRows = 1000)
+      val skew = AdaptiveJoin.join(
+        docs.select(col("source"), col("n_chars"), col("doc_id")),
+        docs.select(col("source"), col("doc_id").as("doc_id_b")), "source",
+        capEach = 1000000, leftTiebreak = Seq(col("doc_id")),
+        rightTiebreak = Seq(col("doc_id_b")),
+        broadcastRows = 10, maxProduct = 100)
+      row("dim", dim, col("o_totalprice"))
+        .unionByName(row("fact", fact, col("l_quantity")))
+        .unionByName(row("skew", skew, col("n_chars")))
+        .orderBy("jcase")
+    }, Some("""
+      SELECT 'dim' AS jcase, 'broadcast' AS strategy, count(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      UNION ALL
+      SELECT 'fact', 'shuffle', count(*),
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      UNION ALL
+      SELECT 'skew', 'capped', count(*),
+             CAST(SUM(CAST(a.n_chars AS DECIMAL(18,2))) AS DOUBLE)
+      FROM documents a JOIN documents b ON a.source = b.source
+      ORDER BY jcase"""))),
+
     // Salted two-phase aggregation — the skew-mitigation shape for hot keys
     // (l_returnflag has 3 values over 600k rows: the worst-case hot-key agg).
     // Phase 1 spreads each key over 16 salt buckets (map-side partials land

@@ -72,4 +72,31 @@ class PlanShapeSpec extends AnyFunSuite {
     // scalar stats agg
     assert(shuffles(df) <= 5)
   }
+
+  test("adaptive join executes its chosen strategy: broadcast hints the " +
+    "dim side, capped runs the bounded JoinGuard windows") {
+    import graft.operators.AdaptiveJoin
+    val orders = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_custkey").as("k"), col("o_totalprice"))
+    val cust = spark.read
+      .parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey").as("k"))
+    val (bj, bp) = AdaptiveJoin.join(orders, cust, "k")
+    assert(bp.strategy == "broadcast")
+    assert(broadcasts(bj) == 1) // the hint reached the physical plan
+    val (cj, cp) = AdaptiveJoin.join(
+      docs.select(col("source"), col("doc_id")),
+      docs.select(col("source"), col("doc_id").as("b")), "source",
+      capEach = 2, leftTiebreak = Seq(col("doc_id")),
+      rightTiebreak = Seq(col("b")),
+      broadcastRows = 10, maxProduct = 100)
+    assert(cp.strategy == "capped")
+    cj.collect()
+    // the guard's two rank windows (one per side) are in the executed plan
+    val windows = count(cj.queryExecution.executedPlan) {
+      case _: org.apache.spark.sql.execution.window.WindowExec => 1
+    }
+    assert(windows == 2)
+  }
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Decision-rule behavior of the adaptive join chooser (D110). */
+class AdaptiveJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = (1 to 5).map(i => (i, s"d$i")).toDF("k", "dv")
+  private val fact = (1 to 200).map(i => (i % 5 + 1, i)).toDF("k", "fv")
+
+  test("small side under the broadcast budget -> broadcast, smaller side " +
+    "hinted, result is the plain inner join") {
+    val (j, p) = AdaptiveJoin.join(fact, dim, "k", broadcastRows = 10)
+    assert(p.strategy == "broadcast")
+    assert(p.leftRows == 200 && p.rightRows == 5)
+    assert(j.count() == 200)
+  }
+
+  test("no small side, no hot key -> shuffle") {
+    val a = (1 to 100).map(i => (i, i)).toDF("k", "av")
+    val b = (1 to 100).map(i => (i, i)).toDF("k", "bv")
+    val p = AdaptiveJoin.choose(a, b, "k", broadcastRows = 10,
+      maxProduct = 1000)
+    assert(p.strategy == "shuffle")
+    assert(p.maxFreqLeft == 1 && p.maxFreqRight == 1)
+  }
+
+  test("hot-key product over the cap -> capped, blowup bounded " +
+    "deterministically") {
+    // one key carries 50x50 pairs
+    val a = ((1 to 50).map(i => (1, i)) ++ Seq((2, 0))).toDF("k", "av")
+    val b = ((1 to 50).map(i => (1, -i)) ++ Seq((2, 0))).toDF("k", "bv")
+    val (j, p) = AdaptiveJoin.join(a, b, "k", capEach = 3,
+      leftTiebreak = Seq(col("av")), rightTiebreak = Seq(col("bv")),
+      broadcastRows = 10, maxProduct = 100)
+    assert(p.strategy == "capped")
+    assert(p.maxFreqLeft == 50 && p.maxFreqRight == 50)
+    // hot key capped to 3x3 pairs, cold key untouched
+    assert(j.count() == 10)
+    // deterministic tiebreak: lowest 3 per side
+    assert(j.filter($"k" === 1).agg(max("av")).head().getInt(0) == 3)
+  }
+
+  test("sketch inner product upper-bounds the exact pair count and is " +
+    "exact on distinct keys") {
+    val p = AdaptiveJoin.choose(fact, fact, "k", broadcastRows = 1)
+    // exact pairs: 5 keys x 40 x 40 = 8000; CMS only ever overestimates
+    assert(p.estJoinRows >= 8000)
+    assert(p.strategy == "capped" || p.strategy == "shuffle")
+    val d = AdaptiveJoin.choose(dim, dim, "k", broadcastRows = 0)
+    assert(d.estJoinRows >= 5)
+  }
+
+  test("empty side profiles to zero rows and broadcasts trivially") {
+    val p = AdaptiveJoin.choose(fact.limit(0), dim, "k")
+    assert(p.leftRows == 0 && p.estJoinRows == 0)
+    assert(p.strategy == "broadcast")
+  }
+}
