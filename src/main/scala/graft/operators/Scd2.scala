@@ -22,13 +22,36 @@ import org.apache.spark.sql.functions._
   * not the join path. */
 object Scd2 {
 
-  /** Change stream (keys, timeCol, attrs) → versioned dimension. Change
-    * rows must be unique per (keys, timeCol) — pre-aggregate upstream if
-    * a key can change twice at one timestamp. */
+  import org.apache.spark.sql.Column
+
+  /** Deterministic same-timestamp resolution: of several change rows
+    * sharing (keys, timeCol), keep the FIRST under the caller's `tiebreak`
+    * ordering (e.g. `Seq(col("event_id").desc)` = highest id wins — the
+    * "last writer" a CDC stream means). One row_number window over the
+    * tied groups only; with no tiebreak the input passes through and
+    * uniqueness per (keys, timeCol) stays the caller's contract. */
+  def resolveTies(changes: DataFrame, keyCols: Seq[String], timeCol: String,
+      tiebreak: Seq[Column]): DataFrame =
+    if (tiebreak.isEmpty) changes
+    else {
+      val w = Window.partitionBy((keyCols :+ timeCol).map(col): _*)
+        .orderBy(tiebreak: _*)
+      changes.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+
+  /** Change stream (keys, timeCol, attrs) → versioned dimension. Without
+    * `tiebreak`, change rows must be unique per (keys, timeCol) —
+    * pre-aggregate upstream; with it, ties resolve via [[resolveTies]].
+    * LATE-ARRIVING changes need no special handling in a batch build: the
+    * key-partitioned sort places them in event-time order wherever they
+    * arrived, and a rebuilt dimension is identical whatever the arrival
+    * order (the build is a pure function of the change SET). */
   def build(changes: DataFrame, keyCols: Seq[String], timeCol: String,
-      attrCols: Seq[String]): DataFrame = {
+      attrCols: Seq[String], tiebreak: Seq[Column] = Nil): DataFrame = {
+    val resolved = resolveTies(changes, keyCols, timeCol, tiebreak)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(timeCol))
-    changes.select(
+    resolved.select(
       keyCols.map(col) ++
         Seq(col(timeCol).as("valid_from"),
           lead(col(timeCol), 1).over(w).as("valid_to")) ++
@@ -37,10 +60,15 @@ object Scd2 {
 
   /** Enrich each fact with the dimension attributes in effect at its
     * event time (NULL attrs for facts before the first change). Carried
-    * columns arrive prefixed `asof_` (the AsofJoin contract). */
+    * columns arrive prefixed `asof_` (the AsofJoin contract). `tiebreak`
+    * pre-resolves same-timestamp changes so the enrichment sees the SAME
+    * winner [[build]] would version — without it, equal-(key, ts) right
+    * rows fall back to AsofJoin's greatest-struct resolution, which need
+    * not match a caller-intended ordering. */
   def pointInTime(facts: DataFrame, changes: DataFrame,
       keyCols: Seq[String], factTime: String, changeTime: String,
-      attrCols: Seq[String]): DataFrame =
-    AsofJoin.asofJoin(facts, changes, keyCols, factTime, changeTime,
-      attrCols)
+      attrCols: Seq[String], tiebreak: Seq[Column] = Nil): DataFrame =
+    AsofJoin.asofJoin(facts,
+      resolveTies(changes, keyCols, changeTime, tiebreak), keyCols,
+      factTime, changeTime, attrCols)
 }

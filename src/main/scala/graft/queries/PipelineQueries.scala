@@ -628,6 +628,67 @@ object PipelineQueries {
              (SELECT n_open FROM ivs) AS n_open
       FROM j GROUP BY tier ORDER BY tier"""))),
 
+    // D109+ — SCD Type-2 under SAME-TIMESTAMP ties and late arrival:
+    // purchases bucketed to DAYS so one (user, day) carries several
+    // competing changes; the tiebreak (highest event_id = last writer)
+    // must pick the SAME winner in build (intervals) and pointInTime
+    // (enrichment), and the batch build is arrival-order-insensitive by
+    // construction. Oracle resolves ties with the identical row_number
+    // rule, then lead() + ASOF JOIN as in evt_scd2.
+    "evt_scd2_ties" -> (((spark, dir) => {
+      val ev = load(spark, dir, "events")
+      val ch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+          col("value"), col("event_id"))
+        .withColumn("tier", when(col("value") >= 75, "gold")
+          .when(col("value") >= 40, "silver").otherwise("bronze"))
+      val tb = Seq(col("event_id").desc)
+      val dim = graft.operators.Scd2.build(ch, Seq("user_id"), "day",
+        Seq("tier"), tb)
+      val stats = dim.agg(count(lit(1)).as("n_intervals"),
+        sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_open"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      graft.operators.Scd2.pointInTime(clicks, ch, Seq("user_id"),
+          "day", "day", Seq("tier"), tb)
+        .filter(col("asof_tier").isNotNull)
+        .groupBy(col("asof_tier").as("tier"))
+        .agg(count(lit(1)).as("n_clicks"),
+          count_distinct(col("user_id")).as("n_users"))
+        .crossJoin(broadcast(stats))
+        .orderBy("tier")
+    }, Some("""
+      WITH p AS (
+        SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, "value",
+               event_id,
+               row_number() OVER (
+                 PARTITION BY user_id, epoch_ns(ts) // 86400000000000
+                 ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'),
+      ch AS (
+        SELECT user_id, day,
+               CASE WHEN "value" >= 75 THEN 'gold'
+                    WHEN "value" >= 40 THEN 'silver'
+                    ELSE 'bronze' END AS tier
+        FROM p WHERE rn = 1),
+      iv AS (SELECT user_id, day AS vf,
+               lead(day) OVER (PARTITION BY user_id ORDER BY day) AS vt,
+               tier
+             FROM ch),
+      ivs AS (SELECT count(*) AS n_intervals,
+                CAST(count(*) FILTER (WHERE vt IS NULL) AS BIGINT) AS n_open
+              FROM iv),
+      ck AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+             FROM events WHERE event_type = 'click'),
+      j AS (SELECT ck.user_id, c.tier
+            FROM ck ASOF JOIN ch c
+              ON ck.user_id = c.user_id AND ck.day >= c.day)
+      SELECT tier, count(*) AS n_clicks,
+             count(DISTINCT user_id) AS n_users,
+             (SELECT n_intervals FROM ivs) AS n_intervals,
+             (SELECT n_open FROM ivs) AS n_open
+      FROM j GROUP BY tier ORDER BY tier"""))),
+
     // Interval join (batch twin of streaming.Streams.intervalJoin — the
     // SAME operator, watermarks no-op in batch): each error event counts
     // the same user's clicks in the preceding 24 hours

@@ -160,7 +160,17 @@ object VersionedTable {
     -1 // unreachable
   }
 
-  /** Read the latest committed snapshot, or `asOf` a specific version. */
+  /** Read the latest committed snapshot, or `asOf` a specific version.
+    *
+    * RETENTION CONTRACT vs `vacuum`: time travel only reaches versions
+    * vacuum kept — asking for a reclaimed version fails EAGERLY here with
+    * a clear error (not a Parquet path error). A reader that already
+    * planned over a version when vacuum reclaims it mid-read fails at
+    * execution (missing input files abort the job — Spark's
+    * ignoreMissingFiles stays false), NEVER silently returns partial
+    * rows; deployments that hold old snapshots open across vacuum windows
+    * must size `vacuum(keepLast)` over their longest reader, exactly
+    * Delta's VACUUM-retention rule (light_transform.py:1394-1409). */
   def read(spark: SparkSession, table: String,
       asOf: Option[Int] = None): DataFrame = {
     val v = asOf.orElse(latestVersion(table)).getOrElse(
@@ -168,6 +178,11 @@ object VersionedTable {
     val committed = latestVersion(table).getOrElse(Int.MinValue)
     require(asOf.forall(_ <= committed),
       s"versionAsOf ${asOf.get} is ahead of committed $committed")
+    if (!Files.isDirectory(Paths.get(versionDir(table, v))))
+      throw new IllegalStateException(
+        s"$table: version $v is not on disk — reclaimed by vacuum " +
+          s"(committed head is $committed); raise vacuum(keepLast) to " +
+          "cover the oldest snapshot readers still need")
     spark.read.parquet(versionDir(table, v))
   }
 

@@ -36,4 +36,38 @@ class Scd2Spec extends AnyFunSuite {
       (1L, 30L, Some("c")),     // boundary: the newest version
       (2L, 99L, Some("x"))))
   }
+
+  import org.apache.spark.sql.functions.col
+
+  private val tied = Seq(
+    // three changes at t=20 for key 1: seq 7 must win (highest = last writer)
+    (1L, 10L, "a", 1L), (1L, 20L, "b5", 5L), (1L, 20L, "b7", 7L),
+    (1L, 20L, "b3", 3L), (1L, 30L, "c", 9L)).toDF("k", "t", "attr", "seq")
+
+  test("same-timestamp ties resolve by the caller's tiebreak in BOTH " +
+    "build and pointInTime — one interval per timestamp, same winner") {
+    val tb = Seq(col("seq").desc)
+    val iv = Scd2.build(tied, Seq("k"), "t", Seq("attr"), tb)
+      .as[(Long, Long, Option[Long], String)].collect().toSeq.sorted
+    assert(iv == Seq(
+      (1L, 10L, Some(20L), "a"),
+      (1L, 20L, Some(30L), "b7"), // the seq=7 writer, ONE interval
+      (1L, 30L, None, "c")))
+    val got = Scd2.pointInTime(Seq((1L, 20L), (1L, 25L)).toDF("k", "ft"),
+        tied, Seq("k"), "ft", "t", Seq("attr"), tb)
+      .select("k", "ft", "asof_attr")
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    assert(got == Seq((1L, 20L, "b7"), (1L, 25L, "b7")))
+  }
+
+  test("late arrival is a no-op for a batch build: shuffled change order " +
+    "yields the identical dimension") {
+    val tb = Seq(col("seq").desc)
+    val reversed = tied.orderBy(col("seq").asc, col("t").desc)
+    val a = Scd2.build(tied, Seq("k"), "t", Seq("attr"), tb)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Scd2.build(reversed, Seq("k"), "t", Seq("attr"), tb)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
 }

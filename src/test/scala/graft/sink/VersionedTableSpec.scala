@@ -189,4 +189,36 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, t, asOf = Some(4)).count() == 1)
     assert(VersionedTable.read(spark, t).as[Int].collect().toSeq == Seq(5))
   }
+
+  test("time travel to a vacuumed version fails eagerly with the " +
+    "retention contract, not a parquet path error") {
+    val t = freshTable()
+    (1 to 3).foreach(i => VersionedTable.commit(Seq(i).toDF("x"), t))
+    VersionedTable.vacuum(t, keepLast = 1)
+    val e = intercept[IllegalStateException] {
+      VersionedTable.read(spark, t, asOf = Some(1))
+    }
+    assert(e.getMessage.contains("vacuum") &&
+      e.getMessage.contains("keepLast"))
+    assert(VersionedTable.read(spark, t).count() == 1) // head unaffected
+  }
+
+  test("vacuum racing an IN-FLIGHT reader: the read fails cleanly, " +
+    "never returns partial rows") {
+    val t = freshTable()
+    VersionedTable.commit(Seq(1, 2, 3).toDF("x").repartition(3), t)
+    VersionedTable.commit(Seq(9).toDF("x"), t)
+    // reader plans over v1 (file listing happens here)...
+    val reader = VersionedTable.read(spark, t, asOf = Some(1))
+    // ...then vacuum reclaims v1 before the action runs
+    VersionedTable.vacuum(t, keepLast = 1)
+    val e = intercept[Throwable] { reader.count() }
+    def chain(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: chain(x.getCause)
+    assert(chain(e).exists(c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        String.valueOf(c.getMessage).contains("does not exist") ||
+        String.valueOf(c.getMessage).contains("FileNotFound")),
+      s"expected a missing-file abort, got: $e")
+  }
 }
