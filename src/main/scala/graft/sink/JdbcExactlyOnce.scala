@@ -31,8 +31,17 @@ object JdbcExactlyOnce {
   // merely referencing this object never throws off-classpath
   scala.util.Try(Class.forName("org.apache.derby.jdbc.EmbeddedDriver"))
 
+  /** The table name is interpolated into DDL/DML — restrict it to a plain
+    * SQL identifier so a config-sourced name can never smuggle SQL. */
+  private def validIdent(table: String): String = {
+    require(table.matches("[A-Za-z][A-Za-z0-9_]{0,110}"),
+      s"'$table' is not a plain SQL identifier ([A-Za-z][A-Za-z0-9_]*)")
+    table
+  }
+
   /** Create the sink/staging/log tables if absent (Derby-flavored DDL). */
-  def ensureTables(url: String, table: String): Unit =
+  def ensureTables(url: String, table0: String): Unit = {
+    val table = validIdent(table0)
     withConn(url) { c =>
       val existing = {
         val md = c.getMetaData.getTables(null, null, null,
@@ -55,19 +64,28 @@ object JdbcExactlyOnce {
             "(batch_id BIGINT PRIMARY KEY)")
       } finally s.close()
     }
+  }
 
   /** foreachBatch body: stage `batch` (keyCol, valueCol) then publish it
     * under `batchId`. Executors write staging in parallel; the publish
-    * transaction is the only serialized step. */
-  def upsertBatch(url: String, table: String, batch: DataFrame,
+    * transaction is the only serialized step.
+    *
+    * Duplicate keys WITHIN one batch resolve deterministically to the MAX
+    * value before staging: a DataFrame is a set, so "last row wins" is
+    * undefined — without the pre-aggregation whichever partition staged
+    * first would win the (batch_id, k) primary key, a run-to-run
+    * nondeterminism. Across batches the log order still rules. */
+  def upsertBatch(url: String, table0: String, batch: DataFrame,
       batchId: Long, keyCol: String, valueCol: String): Unit = {
+    val table = validIdent(table0)
     ensureTables(url, table)
     // fast replay exit: a batch already in the log must not re-stage
     // (its staging slice was cleared by the publish)
     if (withConn(url)(committed(_, table, batchId))) return
-    import org.apache.spark.sql.functions.col
-    val rows = batch.select(col(keyCol).cast("long"),
-      col(valueCol).cast("double"))
+    import org.apache.spark.sql.functions.{col, max}
+    val rows = batch.select(col(keyCol).cast("long").as("__k"),
+        col(valueCol).cast("double").as("__v"))
+      .groupBy(col("__k")).agg(max(col("__v")).as("__v"))
     rows.foreachPartition { it: Iterator[Row] =>
       if (it.nonEmpty) withConn(url) { c =>
         val ps = c.prepareStatement(

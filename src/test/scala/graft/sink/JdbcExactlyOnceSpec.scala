@@ -38,4 +38,55 @@ class JdbcExactlyOnceSpec extends AnyFunSuite {
     // staging is drained after each publish
     assert(spark.read.jdbc(url, s"${tbl}_stg", props).count() == 0)
   }
+
+  test("crash BETWEEN stage and publish: staged rows present, log row " +
+    "absent — the restart publishes exactly once and drains staging") {
+    val tbl = "spec_crash"
+    JdbcExactlyOnce.ensureTables(url, tbl)
+    // simulate the crashed first attempt: batch 5 fully staged, never
+    // published (no log row, no sink rows)
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val s = c.createStatement()
+      try {
+        s.executeUpdate(s"INSERT INTO ${tbl}_stg VALUES (5, 1, 10.0)")
+        s.executeUpdate(s"INSERT INTO ${tbl}_stg VALUES (5, 2, 20.0)")
+      } finally s.close()
+    } finally c.close()
+    // restart re-delivers the same batch: re-staging hits the duplicate
+    // keys (swallowed), plus a row the crashed attempt never staged
+    JdbcExactlyOnce.upsertBatch(url, tbl,
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"), 5L, "k", "v")
+    val sink = spark.read.jdbc(url, tbl, props)
+      .as[(Long, Double)].collect().toMap
+    assert(sink == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    assert(spark.read.jdbc(url, s"${tbl}_stg", props).count() == 0,
+      "staging must drain in the publish transaction")
+    // and a SECOND replay of the now-committed batch is a full no-op
+    JdbcExactlyOnce.upsertBatch(url, tbl,
+      Seq((1L, 999.0)).toDF("k", "v"), 5L, "k", "v")
+    assert(spark.read.jdbc(url, tbl, props)
+      .as[(Long, Double)].collect().toMap == sink)
+  }
+
+  test("duplicate keys WITHIN a batch resolve deterministically to the " +
+    "max value, not to whichever partition staged first") {
+    val tbl = "spec_dup"
+    val dup = Seq((1L, 3.0), (1L, 7.0), (1L, 5.0), (2L, 1.0))
+      .toDF("k", "v").repartition(4) // spread the duplicates over partitions
+    JdbcExactlyOnce.upsertBatch(url, tbl, dup, 0L, "k", "v")
+    val got = spark.read.jdbc(url, tbl, props)
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 7.0, 2L -> 1.0))
+  }
+
+  test("a non-identifier table name is refused before any SQL runs") {
+    intercept[IllegalArgumentException] {
+      JdbcExactlyOnce.upsertBatch(url, "t; DROP TABLE x--",
+        Seq((1L, 1.0)).toDF("k", "v"), 0L, "k", "v")
+    }
+    intercept[IllegalArgumentException] {
+      JdbcExactlyOnce.ensureTables(url, "\"quoted\"")
+    }
+  }
 }
