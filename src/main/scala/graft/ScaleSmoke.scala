@@ -104,7 +104,14 @@ object ScaleSmoke {
       "text_feature_hash", "evt_group_percentiles", "text_next_token",
       "text_vocab_coverage", "q_triangles", "evt_attribution",
       "llm_weighted_sample", "text_ann", "q_skyline", "evt_trend",
-      "q_weighted_median", "q_gini", "text_boilerplate"))
+      "q_weighted_median", "q_gini", "text_boilerplate",
+      // round-5/6 additions. q_adaptive_join is NOT here: its "skew" leg
+      // deliberately sizes the cap as a no-op so the oracle can replay it,
+      // which at 10x is a designed 5e8-row blowup — the chooser-at-scale
+      // proof below exercises the real capped path instead.
+      "llm_strip_boilerplate", "llm_token_budget", "llm_source_caps",
+      "q_join_guard", "q_join_profile", "q_cms_join_size",
+      "q_communities", "q_rollup_incr", "q_file_prune"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----
@@ -183,6 +190,190 @@ object ScaleSmoke {
     assert(memPostSkew <= math.max(memPostOrg * 3, memPostOrg + 64),
       f"inverted-index peak memory ${memPostSkew}%.1f MB vs organic " +
         f"${memPostOrg}%.1f MB — posting cap not bounding state")
+
+    // ---- JoinGuard hot key in anger: output cap is the invariant ----
+    // 20% of ALL lineitem rows get ONE shared join key on both sides: the
+    // uncapped join would emit ~|hotL|·|hotR| ≈ 5·10^10 pairs at 10× for
+    // that key alone. cappedJoin must emit EXACTLY capEach² pairs for it
+    // (deterministic tiebreak), with every other key capped the same way —
+    // the join's output state is bounded no matter how hot the key.
+    val li10 = spark.read.parquet(s"$dst/lineitem.parquet")
+    def guarded(skew: Boolean) = {
+      val k =
+        if (skew) when(pmod(col("l_orderkey"), lit(5)) === 0, lit(-1L))
+          .otherwise(col("l_suppkey"))
+        else col("l_suppkey")
+      val left = li10.select(k.as("k"), col("l_orderkey").as("lo"),
+        col("l_linenumber").as("ll"))
+      val right = li10.filter(col("l_quantity") <= 2)
+        .select(k.as("k"), col("l_orderkey").as("ro"),
+          col("l_linenumber").as("rl"))
+      graft.operators.JoinGuard.cappedJoin(left, right, "k",
+        maxProduct = 10000L, capEach = 64,
+        leftTiebreak = Seq(col("lo"), col("ll")),
+        rightTiebreak = Seq(col("ro"), col("rl")))
+    }
+    val (nJgOrg, memJgOrg) = peakMemMb { guarded(skew = false).count() }
+    val tJg = System.nanoTime()
+    val (nJgSkew, memJgSkew) = peakMemMb { guarded(skew = true).count() }
+    val hotJg = guarded(skew = true).filter(col("k") === -1L).count()
+    println(f"[scale] join guard hot key  ${(System.nanoTime() - tJg) / 1e9}%8.2f s  " +
+      f"($nJgSkew pairs, hot $hotJg; organic $nJgOrg pairs; peak mem " +
+      f"${memJgOrg}%.1f -> ${memJgSkew}%.1f MB)")
+    assert(hotJg == 64L * 64L,
+      s"hot-key pairs $hotJg != 64²=4096 — JoinGuard cap failed on a " +
+        "key holding 20% of both sides")
+
+    // ---- Rollup incremental merge NEVER rescans the base ----
+    // Build a 20k-key rollup of the 10× base, land a 1% delta, then meter
+    // recordsRead while merging: the merge may read the delta and the
+    // rollup, never the 6M-row base.
+    val recsRead = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) recsRead.addAndGet(m.inputMetrics.recordsRead)
+        }
+      })
+    val rollKeys = Seq("l_partkey")
+    val rollBase = s"$dst/_rollup_base.parquet"
+    val rollDelta = s"$dst/_rollup_delta.parquet"
+    graft.operators.Rollup.build(
+        li10.filter(pmod(col("l_orderkey"), lit(100)) =!= 0),
+        rollKeys, "l_extendedprice")
+      .write.mode("overwrite").parquet(rollBase)
+    li10.filter(pmod(col("l_orderkey"), lit(100)) === 0)
+      .select("l_partkey", "l_extendedprice")
+      .write.mode("overwrite").parquet(rollDelta)
+    val baseRows = li10.count()
+    val deltaRows = spark.read.parquet(rollDelta).count()
+    val rollupRows = spark.read.parquet(rollBase).count()
+    Thread.sleep(1000)
+    recsRead.set(0)
+    val tRoll = System.nanoTime()
+    val mergedRows = graft.operators.Rollup.merge(
+      spark.read.parquet(rollBase), spark.read.parquet(rollDelta),
+      rollKeys, "l_extendedprice").count()
+    Thread.sleep(1000)
+    val mergeRead = recsRead.get()
+    println(f"[scale] rollup incr merge   ${(System.nanoTime() - tRoll) / 1e9}%8.2f s  " +
+      s"($mergedRows keys; read $mergeRead rows for a $deltaRows-row delta " +
+      s"+ $rollupRows-row rollup over a $baseRows-row base)")
+    assert(mergeRead <= deltaRows + rollupRows * 2 + 10000,
+      s"incremental merge read $mergeRead rows — more than delta " +
+        s"($deltaRows) + rollup ($rollupRows): the base is being rescanned")
+
+    // ---- SCD2 at a 10× change stream: as-of join cannot blow up ----
+    // Replicate the purchase change stream and the click facts 10× by
+    // user shift, version the dimension, enrich. The invariants: build
+    // emits EXACTLY one interval per resolved change, and pointInTime
+    // emits EXACTLY one row per fact — never |facts|·|versions| (the
+    // range-join blowup Scd2 exists to avoid).
+    val ev1 = spark.read.parquet(s"$src/events.parquet")
+    def repUsers(df: DataFrame): DataFrame = df
+      .crossJoin(spark.range(rep).withColumnRenamed("id", "__rep"))
+      .withColumn("user_id", col("user_id") + col("__rep") * M)
+      .drop("__rep")
+    val changes10 = repUsers(ev1.filter(col("event_type") === "purchase"))
+      .groupBy("user_id", "ts").agg(max("value").as("v"))
+      .withColumn("tier", when(col("v") >= 75, "gold")
+        .when(col("v") >= 40, "silver").otherwise("bronze"))
+      .select("user_id", "ts", "tier")
+    val clicks10 = repUsers(ev1.filter(col("event_type") === "click"))
+      .select("user_id", "ts")
+    val tScd = System.nanoTime()
+    val nCh = changes10.count()
+    val nIv = graft.operators.Scd2.build(changes10, Seq("user_id"), "ts",
+      Seq("tier")).count()
+    val nCk = clicks10.count()
+    val nEn = graft.operators.Scd2.pointInTime(clicks10, changes10,
+      Seq("user_id"), "ts", "ts", Seq("tier")).count()
+    println(f"[scale] scd2 10x stream     ${(System.nanoTime() - tScd) / 1e9}%8.2f s  " +
+      s"($nCh changes -> $nIv intervals; $nCk clicks -> $nEn enriched)")
+    assert(nIv == nCh, s"scd2 build emitted $nIv intervals for $nCh changes")
+    assert(nEn == nCk, s"scd2 pointInTime emitted $nEn rows for $nCk facts" +
+      " — the as-of join must be 1:1 with the fact side")
+
+    // ---- stats-manifest pruning still skips at a 10× file count ----
+    // Z-order the 10× lineitem into 64 files (x scaled so the 16-bit
+    // interleave never wraps the 9·10^7 key domain), prune a 10k-wide
+    // orderkey band: the manifest must drop most files AND the pruned
+    // scan + residual must equal the full-scan filter exactly.
+    val prunePath = s"$dst/_prune_proof.parquet"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(prunePath)))
+      graft.sink.Layout.zorderWrite(
+        li10.select(col("l_orderkey"), (col("l_orderkey") / 2048)
+            .cast("long").as("ok_s"), col("l_partkey"),
+          col("l_extendedprice")),
+        prunePath, "ok_s", "l_partkey", bits = 16, numFiles = 64)
+    val (lo, hi) = (5L * M + 100000L, 5L * M + 110000L)
+    val tPr = System.nanoTime()
+    val (prunedDf, kept, total) =
+      graft.sink.Layout.prunedRead(spark, prunePath, "l_orderkey", lo, hi)
+    val nPruned = prunedDf.filter(col("l_orderkey").between(lo, hi)).count()
+    val nFull = spark.read.parquet(prunePath)
+      .filter(col("l_orderkey").between(lo, hi)).count()
+    println(f"[scale] file prune 10x      ${(System.nanoTime() - tPr) / 1e9}%8.2f s  " +
+      s"($nPruned rows from $kept/$total files)")
+    assert(nPruned == nFull,
+      s"pruned read found $nPruned rows, full scan $nFull — skipping " +
+        "dropped data")
+    assert(kept <= total / 2,
+      s"pruning kept $kept of $total files for a 10k-wide band — " +
+        "manifest not skipping")
+
+    // ---- LPA on a 3M-edge graph: state stays one row per node ----
+    // Ring-of-100 planted partitions over the replicated orderkeys. The
+    // invariant that makes LPA 100 TB-safe: after every synchronous round
+    // the label state is EXACTLY one row per node (the rank window
+    // collapses the per-neighbor candidates), so round state never grows
+    // past the node set however many rounds run.
+    val ords10 = spark.read.parquet(s"$dst/orders.parquet")
+    val ringEdges = ords10.select(col("o_orderkey").as("src"),
+      when(pmod(col("o_orderkey"), lit(100)) === 99,
+        col("o_orderkey") - 99).otherwise(col("o_orderkey") + 1).as("dst"),
+      lit(1L).as("w"))
+    val nNodes = ringEdges.select(col("src").as("n"))
+      .unionByName(ringEdges.select(col("dst").as("n")))
+      .distinct().count()
+    val tLpa = System.nanoTime()
+    val nLabels = graft.operators.Communities.lpa(
+      ringEdges, "src", "dst", "w", rounds = 3).count()
+    println(f"[scale] lpa 3M-edge graph   ${(System.nanoTime() - tLpa) / 1e9}%8.2f s  " +
+      s"($nLabels labels for $nNodes nodes, 3 rounds)")
+    assert(nLabels == nNodes,
+      s"LPA state is $nLabels rows for $nNodes nodes — per-round state " +
+        "must stay exactly one label per node")
+
+    // ---- AdaptiveJoin chooser decisions hold at 10× ----
+    // The bounded profiling state (two single-row aggs + two 2 KB
+    // sketches per side) must still pick the right strategy on 10× data:
+    // dimension join → broadcast, well-distributed fact join → shuffle,
+    // planted 20%-hot key → capped.
+    val cust10 = spark.read.parquet(s"$dst/customer.parquet")
+    val tAj = System.nanoTime()
+    val pDim = graft.operators.AdaptiveJoin.choose(
+      ords10.select(col("o_custkey").as("k")),
+      cust10.select(col("c_custkey").as("k")), "k")
+    val pFact = graft.operators.AdaptiveJoin.choose(
+      ords10.select(col("o_orderkey").as("k")),
+      li10.select(col("l_orderkey").as("k")), "k", broadcastRows = 1000)
+    val hotK = when(pmod(col("l_orderkey"), lit(5)) === 0, lit(-1L))
+      .otherwise(col("l_suppkey"))
+    val pSkew = graft.operators.AdaptiveJoin.choose(
+      li10.select(hotK.as("k")),
+      li10.filter(col("l_quantity") <= 2).select(hotK.as("k")), "k",
+      broadcastRows = 100000)
+    println(f"[scale] adaptive chooser    ${(System.nanoTime() - tAj) / 1e9}%8.2f s  " +
+      s"(dim=${pDim.strategy} fact=${pFact.strategy} " +
+      s"skew=${pSkew.strategy}, est ${pSkew.estJoinRows} rows)")
+    assert(pDim.strategy == "broadcast", s"dim join chose ${pDim.strategy}")
+    assert(pFact.strategy == "shuffle", s"fact join chose ${pFact.strategy}")
+    assert(pSkew.strategy == "capped",
+      s"20%-hot join chose ${pSkew.strategy} " +
+        s"(maxFreq ${pSkew.maxFreqLeft}×${pSkew.maxFreqRight})")
     spark.stop()
   }
 }

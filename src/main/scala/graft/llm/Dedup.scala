@@ -642,4 +642,60 @@ object Dedup {
           .otherwise(round(col("n_dup").cast("double") / col("n_grams"), 4))
           .as("dup_frac"))
   }
+
+  /** Exact duplicated-span REMOVAL (SURVEY §2D, D111) — the rewrite twin
+    * of [[dupSpanStats]], after Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better", public paper): drop every word
+    * position covered by a `width`-gram that occurs in ≥ `minDocs`
+    * DISTINCT documents, and rejoin the survivors (single-space
+    * normalized) as the cleaned text.
+    *
+    * A position p is covered iff some duplicated gram STARTS in
+    * (p-width, p] — computed with one per-doc window max over the start
+    * flags, so no position is ever exploded `width` ways. Scale shape:
+    * gram shuffles carry 60-bit hashes and (id, pos) pairs, never text;
+    * the one corpus-sized exchange is the final per-doc reassembly (any
+    * rewrite pays it), and its state is bounded by the document length.
+    * Returns (id, clean_text, n_words, n_removed). */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 8, minDocs: Int = 2): DataFrame = {
+    // words with 1-based positions, ORIGINAL case for reconstruction
+    val words = df
+      .select(col(idCol).as("id"),
+        posexplode(split(trim(col(textCol)), "\\s+")))
+      .select(col("id"), (col("pos") + 1).as("p"), col("col").as("w"))
+    // positional grams on the lowercased words (same construction as
+    // dupSpanStats, start position kept)
+    val grams = TextAnalysis.bindOnce(
+      split(lower(trim(col(textCol))), "\\s+")) { ws =>
+      when(size(ws) >= width,
+        transform(sequence(lit(1), size(ws) - lit(width - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(width)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val g = df.select(col(idCol).as("id"), posexplode(grams))
+      .select(col("id"), (col("pos") + 1).as("s"),
+        portableHash60(col("col")).as("h"))
+    val dupHashes = g.groupBy("h")
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs).select("h")
+    val dupStarts = g.join(dupHashes, "h")
+      .select(col("id"), col("s")).distinct()
+      .withColumn("flag", lit(1))
+    val covW = Window.partitionBy("id").orderBy("p")
+      .rowsBetween(-(width - 1), Window.currentRow)
+    val covered = words
+      .join(dupStarts, words("id") === dupStarts("id") &&
+        words("p") === dupStarts("s"), "left")
+      .select(words("id"), col("p"), col("w"),
+        coalesce(col("flag"), lit(0)).as("flag"))
+      .withColumn("c", max(col("flag")).over(covW))
+    covered.groupBy("id").agg(
+      array_join(transform(
+        array_sort(collect_list(when(col("c") === 0,
+          struct(col("p"), col("w"))))),
+        s => s.getField("w")), " ").as("clean_text"),
+      count(lit(1)).as("n_words"),
+      sum(col("c")).cast(LongType).as("n_removed"))
+  }
 }

@@ -1327,6 +1327,38 @@ object AnalyticsQueries {
       SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
              count(*) AS n,
              CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
-      FROM events GROUP BY 1, 2 ORDER BY event_type, d""")))
+      FROM events GROUP BY 1, 2 ORDER BY event_type, d"""))),
+
+    // D113 — k-core decomposition (operators.KCore): 4 synchronous peel
+    // rounds of the 30-core on the part–supplier bipartite graph
+    // (suppliers negated for a shared id space). Each round is one
+    // key-domain degree agg + two semi-joins on the surviving edges;
+    // rounds are FIXED so the oracle unrolls them as CTEs (peeling is
+    // monotone — extra rounds past the peel depth are no-ops).
+    "q_kcore" -> (((spark, dir) => {
+      val li = load(spark, dir, "lineitem")
+        .select(col("l_partkey").as("pa"), (-col("l_suppkey")).as("pb"))
+      graft.operators.KCore.peel(li, "pa", "pb", k = 30, rounds = 4)
+        .orderBy("node")
+    }, Some("""
+      WITH e0 AS (
+        SELECT DISTINCT a, b FROM (
+          SELECT l_partkey AS a, -l_suppkey AS b FROM lineitem
+          UNION ALL
+          SELECT -l_suppkey, l_partkey FROM lineitem) t),
+      k1 AS (SELECT a FROM e0 GROUP BY a HAVING count(*) >= 30),
+      e1 AS (SELECT e.a, e.b FROM e0 e
+             JOIN k1 x ON e.a = x.a JOIN k1 y ON e.b = y.a),
+      k2 AS (SELECT a FROM e1 GROUP BY a HAVING count(*) >= 30),
+      e2 AS (SELECT e.a, e.b FROM e1 e
+             JOIN k2 x ON e.a = x.a JOIN k2 y ON e.b = y.a),
+      k3 AS (SELECT a FROM e2 GROUP BY a HAVING count(*) >= 30),
+      e3 AS (SELECT e.a, e.b FROM e2 e
+             JOIN k3 x ON e.a = x.a JOIN k3 y ON e.b = y.a),
+      k4 AS (SELECT a FROM e3 GROUP BY a HAVING count(*) >= 30),
+      e4 AS (SELECT e.a, e.b FROM e3 e
+             JOIN k4 x ON e.a = x.a JOIN k4 y ON e.b = y.a)
+      SELECT a AS node, count(*) AS degree FROM e4
+      GROUP BY a ORDER BY node""")))
   )
 }

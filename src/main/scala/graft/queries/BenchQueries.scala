@@ -389,6 +389,31 @@ object BenchQueries {
       FROM documents a JOIN documents b ON a.source = b.source
       ORDER BY jcase"""))),
 
+    // D112 — grouped top-k via a BOUNDED-HEAP Aggregator (functions.TopK):
+    // top-3 orders by price per priority without the window-rank full
+    // sort — the aggregation state is a ≤ 16·k-byte min-heap per group,
+    // map-side combinable, so the shuffle carries k rows per (partition,
+    // group) instead of sorting the whole table. The (v DESC, id ASC)
+    // total order makes the kept set data-determined; the oracle replays
+    // it with the window-rank form.
+    "q_topk_heap" -> (((spark, dir) => {
+      load(spark, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(graft.functions.TopK.topk(col("o_orderkey"),
+          col("o_totalprice"), 3).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"),
+          (col("pos") + 1).cast("long").as("rnk"),
+          col("col.id").as("o_orderkey"), col("col.v").as("o_totalprice"))
+        .orderBy("o_orderpriority", "rnk")
+    }, Some("""
+      SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders) t
+      WHERE rnk <= 3 ORDER BY o_orderpriority, rnk"""))),
+
     // Salted two-phase aggregation — the skew-mitigation shape for hot keys
     // (l_returnflag has 3 values over 600k rows: the worst-case hot-key agg).
     // Phase 1 spreads each key over 16 salt buckets (map-side partials land

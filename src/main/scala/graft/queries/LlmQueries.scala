@@ -1052,6 +1052,46 @@ object LlmQueries {
                   ELSE round(CAST(n_dup AS DOUBLE) / n_grams, 4) END AS dup_frac
       FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id"""))),
 
+    // D111 — exact duplicated-span REMOVAL (the rewrite twin of
+    // dd_dup_spans, Lee et al. 2022): every word position covered by an
+    // 8-gram occurring in 2+ docs is dropped and the survivors rejoined.
+    // Coverage is ONE per-doc window max over gram-start flags (never a
+    // width-way position explode); gram shuffles carry 60-bit hashes. The
+    // oracle replays hash, coverage window and reassembly exactly.
+    "dd_strip_spans" -> (((spark, dir) => {
+      Dedup.removeDupSpans(load(spark, dir, "documents"), "doc_id", "text",
+          width = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                 FROM documents),
+      wp AS (SELECT doc_id, p, ws[p] AS wd
+             FROM (SELECT doc_id, ws,
+                     unnest(generate_series(1, len(ws))) AS p FROM w)),
+      g AS (SELECT doc_id, s,
+              CAST('0x' || substring(md5(lower(concat_ws(' ', ws[s],
+                ws[s+1], ws[s+2], ws[s+3], ws[s+4], ws[s+5], ws[s+6],
+                ws[s+7]))), 1, 15) AS BIGINT) AS h
+            FROM (SELECT doc_id, ws,
+                    unnest(generate_series(1, len(ws) - 7)) AS s
+                  FROM w WHERE len(ws) >= 8)),
+      dup AS (SELECT h FROM g GROUP BY h
+              HAVING count(DISTINCT doc_id) >= 2),
+      st AS (SELECT DISTINCT doc_id, s FROM g JOIN dup USING (h)),
+      cov AS (SELECT wp.doc_id, wp.p, wp.wd,
+                max(CASE WHEN st.s IS NULL THEN 0 ELSE 1 END) OVER
+                  (PARTITION BY wp.doc_id ORDER BY wp.p
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS c
+              FROM wp LEFT JOIN st
+                ON wp.doc_id = st.doc_id AND wp.p = st.s)
+      SELECT doc_id,
+             coalesce(string_agg(wd, ' ' ORDER BY p) FILTER (WHERE c = 0),
+               '') AS clean_text,
+             count(*) AS n_words,
+             CAST(sum(c) AS BIGINT) AS n_removed
+      FROM cov GROUP BY doc_id ORDER BY doc_id"""))),
+
     // DSIR importance weights (Xie et al. 2023, "Data Selection for
     // Language Models via Importance Resampling" — public paper): hashed
     // unigram features (64 buckets), add-1-smoothed target/raw bucket
