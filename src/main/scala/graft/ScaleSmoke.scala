@@ -111,7 +111,9 @@ object ScaleSmoke {
       // proof below exercises the real capped path instead.
       "llm_strip_boilerplate", "llm_token_budget", "llm_source_caps",
       "q_join_guard", "q_join_profile", "q_cms_join_size",
-      "q_communities", "q_rollup_incr", "q_file_prune"))
+      "q_communities", "q_rollup_incr", "q_file_prune",
+      "dd_strip_spans", "q_topk_heap", "q_kcore", "q_bfs_hops",
+      "dd_containment"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

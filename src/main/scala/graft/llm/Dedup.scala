@@ -643,6 +643,59 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Set-containment join (SURVEY §2D, D115) — near-SUPERSET detection:
+    * pairs (A, B) where C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| ≥
+    * `threshold`, i.e. A's content is mostly inside B (quotes, excerpts,
+    * page-in-page inclusions — the asymmetric relation Jaccard dilutes
+    * when |B| ≫ |A|). Set elements are distinct word-`width`-grams.
+    *
+    * Candidate generation is the asymmetric PREFIX filter (PPJoin family,
+    * public literature): each doc's grams sort rarest-first by global
+    * frequency; if C(A→B) ≥ t then by pigeonhole at least one of A's
+    * first ⌊(1−t)·|A|⌋+1 rarest grams is in B, so candidates =
+    * A.prefix ⋈ B.all — LOSSLESS, and the join keys are each doc's
+    * globally-rarest grams, so per-key fan-out is small by construction.
+    * Only candidate pairs materialize gram arrays for exact verification.
+    * Docs with fewer than `width` words have no gram set and are
+    * excluded. Returns (id1, id2, containment) with id1 the contained
+    * side — asymmetric, both directions reported when both qualify. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
+    val grams = TextAnalysis.bindOnce(
+      split(trim(lower(col(textCol))), "\\s+")) { ws =>
+      when(size(ws) >= width, array_distinct(
+        transform(sequence(lit(1), size(ws) - lit(width - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(width))))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val toks = df.select(col(idCol).as("id"), grams.as("ts"))
+      .filter(size(col("ts")) > 0)
+    val tokenRows = toks.select(col("id"), explode(col("ts")).as("tok"))
+    val freq = tokenRows.groupBy("tok").agg(count(lit(1)).as("f"))
+    val ordered = tokenRows.join(freq, "tok")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("f"), col("tok")))).as("st"))
+      .select(col("id"), transform(col("st"), _.getField("tok")).as("ots"))
+    val prefixed = ordered.withColumn("plen",
+      size(col("ots")) - ceil(size(col("ots")) * threshold).cast("int") + 1)
+    val prefixRows = prefixed.select(col("id"),
+      explode(slice(col("ots"), lit(1), col("plen"))).as("tok"))
+    val cands = prefixRows.select(col("id").as("id1"), col("tok"))
+      .join(tokenRows.select(col("id").as("id2"), col("tok")), "tok")
+      .filter(col("id1") =!= col("id2"))
+      .select("id1", "id2").distinct()
+    val sets = ordered.select(col("id"), col("ots"))
+    cands
+      .join(sets.select(col("id").as("id1"), col("ots").as("ts1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("ots").as("ts2")), "id2")
+      .withColumn("containment",
+        size(array_intersect(col("ts1"), col("ts2"))).cast("double") /
+          size(col("ts1")))
+      .filter(col("containment") >= threshold)
+      .select(col("id1"), col("id2"), col("containment"))
+  }
+
   /** Exact duplicated-span REMOVAL (SURVEY §2D, D111) — the rewrite twin
     * of [[dupSpanStats]], after Lee et al. 2022 ("Deduplicating Training
     * Data Makes Language Models Better", public paper): drop every word

@@ -32,6 +32,10 @@ object Communities {
       .unionByName(e.select(col(dstCol).as("a"), col(srcCol).as("b"),
         col(wCol).as("wt")))
       .groupBy("a", "b").agg(sum("wt").as("wt"))
+      // materialize the aggregated graph ONCE: every round references it,
+      // and without this the (possibly 100 TB) edge-build subtree re-runs
+      // per round (PageRank.scala:44 discipline)
+      .localCheckpoint()
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
     val rankW = Window.partitionBy("a")

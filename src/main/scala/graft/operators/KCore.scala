@@ -31,6 +31,9 @@ object KCore {
     var und = e.select(col(aCol).as("a"), col(bCol).as("b"))
       .unionByName(e.select(col(bCol).as("a"), col(aCol).as("b")))
       .distinct()
+      // materialize once: round 1 references the edge set twice (degree
+      // agg + semi-joins) and would otherwise re-run the build per use
+      .localCheckpoint()
     (1 to rounds).foreach { _ =>
       val keep = und.groupBy("a").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("a")

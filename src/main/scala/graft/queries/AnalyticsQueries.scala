@@ -1359,6 +1359,47 @@ object AnalyticsQueries {
       e4 AS (SELECT e.a, e.b FROM e3 e
              JOIN k4 x ON e.a = x.a JOIN k4 y ON e.b = y.a)
       SELECT a AS node, count(*) AS degree FROM e4
-      GROUP BY a ORDER BY node""")))
+      GROUP BY a ORDER BY node"""))),
+
+    // D114 — BFS hop distances (operators.Bfs): 3 synchronous frontier
+    // relaxations from supplier 1 over the part–supplier bipartite graph
+    // (suppliers negated). Each round is one edge⋈distance join + one
+    // min-dist agg; state is one (node, dist) row per reached node. The
+    // oracle unrolls the same 3 rounds as CTEs (relaxation is monotone —
+    // round r pins every node within r hops).
+    "q_bfs_hops" -> (((spark, dir) => {
+      val li = load(spark, dir, "lineitem")
+        .select(col("l_partkey").as("pa"), (-col("l_suppkey")).as("pb"))
+      val src = spark.range(1).select(lit(-1L).as("s"))
+      graft.operators.Bfs.hops(li, "pa", "pb", src, "s", rounds = 3)
+        .groupBy("dist")
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+        .orderBy("dist")
+    }, Some("""
+      WITH e AS (
+        SELECT DISTINCT a, b FROM (
+          SELECT l_partkey AS a, -l_suppkey AS b FROM lineitem
+          UNION ALL
+          SELECT -l_suppkey, l_partkey FROM lineitem) t),
+      d0 AS (SELECT CAST(-1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+      d1 AS (SELECT node, min(dist) AS dist FROM (
+               SELECT node, dist FROM d0
+               UNION ALL
+               SELECT e.b, d0.dist + 1 FROM e JOIN d0 ON e.a = d0.node) t
+             GROUP BY node),
+      d2 AS (SELECT node, min(dist) AS dist FROM (
+               SELECT node, dist FROM d1
+               UNION ALL
+               SELECT e.b, d1.dist + 1 FROM e JOIN d1 ON e.a = d1.node) t
+             GROUP BY node),
+      d3 AS (SELECT node, min(dist) AS dist FROM (
+               SELECT node, dist FROM d2
+               UNION ALL
+               SELECT e.b, d2.dist + 1 FROM e JOIN d2 ON e.a = d2.node) t
+             GROUP BY node)
+      SELECT dist, count(*) AS n_nodes, min(node) AS min_node,
+             max(node) AS max_node
+      FROM d3 GROUP BY dist ORDER BY dist""")))
   )
 }

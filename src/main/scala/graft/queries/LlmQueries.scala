@@ -1052,6 +1052,35 @@ object LlmQueries {
                   ELSE round(CAST(n_dup AS DOUBLE) / n_grams, 4) END AS dup_frac
       FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id"""))),
 
+    // D115 — set-containment join (near-superset detection): pairs where
+    // A's distinct word-3-grams are >= 80% inside B's — the asymmetric
+    // quote/excerpt relation Jaccard dilutes when |B| >> |A|. Spark side
+    // runs the LOSSLESS asymmetric prefix filter (rarest-gram candidates);
+    // the oracle computes all-pairs containment directly, same discipline
+    // as dd_prefix_join.
+    "dd_containment" -> (((spark, dir) => {
+      Dedup.containmentPairs(
+          load(spark, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text", width = 3, threshold = 0.8)
+        .select(col("id1"), col("id2"),
+          round(col("containment"), 4).as("c4"))
+        .orderBy("id1", "id2")
+    }, Some("""
+      WITH w AS (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS ws
+                 FROM documents WHERE doc_id < 500),
+      t AS (SELECT doc_id, list_distinct(list_transform(
+              range(1, len(ws) - 1),
+              i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS ts
+            FROM w WHERE len(ws) >= 3)
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+               len(a.ts), 4) AS c4
+      FROM t a JOIN t b ON a.doc_id <> b.doc_id
+      WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / len(a.ts)
+            >= 0.8
+      ORDER BY id1, id2"""))),
+
     // D111 — exact duplicated-span REMOVAL (the rewrite twin of
     // dd_dup_spans, Lee et al. 2022): every word position covered by an
     // 8-gram occurring in 2+ docs is dropped and the survivors rejoined.
