@@ -121,27 +121,61 @@ object Multimodal {
     * 13.5 M junk pairs at 50 k docs; even exact collisions alone are
     * n²/2¹⁷ ≈ 19 k). At 64 bits the same sums are ≈ n²·2⁻⁵⁰ —
     * negligible at any corpus size this engine targets. */
+  private[llm] def phashBytes(payload: Array[Byte]): Long = {
+    val bytes = if (payload == null) Array.empty[Byte] else payload
+    val n = bytes.length
+    var hash = 0L
+    var j = 0
+    while (j < 64) {
+      val from = (j.toLong * n / 64).toInt
+      val until = ((j + 1).toLong * n / 64).toInt
+      var s = 0L
+      var i = from
+      while (i < until) { s += bytes(i) & 0xff; i += 1 }
+      if ((s & 1L) == 1L) hash |= (1L << j)
+      j += 1
+    }
+    hash
+  }
+
   def perceptualHash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, payload) =>
-        val bytes = if (payload == null) Array.empty[Byte] else payload
-        val n = bytes.length
-        var hash = 0L
-        var j = 0
-        while (j < 64) {
-          val from = (j.toLong * n / 64).toInt
-          val until = ((j + 1).toLong * n / 64).toInt
-          var s = 0L
-          var i = from
-          while (i < until) { s += bytes(i) & 0xff; i += 1 }
-          if ((s & 1L) == 1L) hash |= (1L << j)
-          j += 1
-        }
-        (id, hash)
-      }).toDF("media_id", "phash")
+      .mapPartitions(_.map { case (id, payload) => (id, phashBytes(payload)) })
+      .toDF("media_id", "phash")
+  }
+
+  /** Per-frame perceptual hash over [[sampleFrames]] output: the same
+    * 64-block parity bits computed on each FRAME payload — runs in the
+    * decode mapPartitions stage class, so frame bytes never shuffle; only
+    * (media_id, frame_idx, phash) leave the scan. */
+  def framePhash(frames: DataFrame): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.select(col("media_id"), col("frame_idx"), col("frame"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions(_.map { case (id, idx, payload) =>
+        (id, idx, phashBytes(payload))
+      }).toDF("media_id", "frame_idx", "phash")
+  }
+
+  /** Scene-cut detection (SURVEY §2D, D116): a cut is a consecutive-frame
+    * perceptual-hash hamming distance above `threshold` — the standard
+    * shot-boundary heuristic, running entirely on the 64-bit frame hashes
+    * (one media-partitioned lag window; per-media state bounded by sampled
+    * frames, video bytes never shuffle). The first frame of each media has
+    * no predecessor: ham is NULL and cut = 0. */
+  def sceneCuts(framePhashes: DataFrame, threshold: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    framePhashes
+      .withColumn("prev", lag(col("phash"), 1).over(w))
+      .withColumn("ham",
+        expr("bit_count(prev ^ phash)").cast(IntegerType))
+      .withColumn("cut",
+        when(col("ham") > threshold, 1).otherwise(0))
   }
 
   /** Near-duplicate media pairs by perceptual-hash hamming distance:

@@ -552,6 +552,62 @@ object AnalyticsQueries {
        AND c.tsu >= e.tsu - CAST(86400 AS BIGINT) * 1000000 AND c.tsu <= e.tsu
       GROUP BY 1, 2 ORDER BY e.event_id"""))),
 
+    // D117 — streaming LEFT-OUTER interval join: every error event emits,
+    // matched with its 24 h click context or with NULL right columns once
+    // the watermark PROVES no match can arrive (outer rows only flush
+    // when late data becomes impossible). A fence pair 3 days past the
+    // last real event (excluded from the result) advances the final
+    // watermark so every unmatched error drains before the AvailableNow
+    // query stops; maxFilesPerTrigger=1 forces the multi-batch watermark
+    // advancement. Oracle = the batch LEFT JOIN.
+    "evt_stream_interval_outer" -> (((spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.expressions.Window
+      val tmp = java.nio.file.Files.createTempDirectory("outer_gate")
+      try {
+        val src = tmp.resolve("src").toString
+        val evn = load(spark, dir, "events")
+        val mx = evn.agg(max(col("ts"))).head().getLong(0)
+        evn.coalesce(1).write.mode("overwrite").parquet(src)
+        val w = Window.partitionBy("event_type").orderBy("event_id")
+        evn.filter(col("event_type").isin("error", "click"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .withColumn("ts", lit(mx + 259200000000000L)) // +3 days (ns)
+          .withColumn("user_id", lit(-999L))
+          .withColumn("event_id", -col("event_id") - 1)
+          .coalesce(1).write.mode("append").parquet(src)
+        val schema = spark.read.parquet(src).schema
+        def in = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val joined = graft.streaming.Streams.intervalJoin(
+          in.filter(col("event_type") === "error"),
+          in.filter(col("event_type") === "click"),
+          "user_id", Seq("event_id"), window = "24 hours",
+          joinType = "left_outer")
+        val sink = s"evt_stream_outer_${Q.nextSinkId()}"
+        val q = joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        spark.table(sink)
+          .filter(col("user_id") =!= -999L)
+          .groupBy(col("event_id"), col("user_id"))
+          .agg(count(col("r_event_id")).as("n_clicks"))
+          .orderBy("event_id")
+          // materialize off the memory sink before tmp is reclaimed
+          .localCheckpoint()
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu
+                 FROM events WHERE event_type = 'error'),
+           c AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu
+                 FROM events WHERE event_type = 'click')
+      SELECT e.event_id, e.user_id, count(c.event_id) AS n_clicks
+      FROM e LEFT JOIN c ON e.user_id = c.user_id
+       AND c.tsu >= e.tsu - CAST(86400 AS BIGINT) * 1000000
+       AND c.tsu <= e.tsu
+      GROUP BY 1, 2 ORDER BY e.event_id"""))),
+
     // Kill-restart EXACTLY-ONCE in the gate: half the events stream through
     // rawToStage, the query is STOPPED (simulated driver death after a
     // committed batch), the other half lands in raw, and a brand-new query

@@ -1328,6 +1328,61 @@ object LlmQueries {
              CAST(CASE WHEN len < 32 THEN len ELSE 32 END AS INT) AS frame_len
       FROM f ORDER BY media_id, frame_idx"""))),
 
+    // D116 — scene-cut detection (shot boundaries): consecutive sampled
+    // frames whose perceptual-hash hamming distance exceeds 36 mark a
+    // cut. Runs entirely on 64-bit frame hashes (frame bytes never
+    // shuffle; one media-partitioned lag window); the oracle replays
+    // frame slicing, the block-parity phash, the lag and the threshold.
+    "mm_scene_cuts" -> (((spark, dir) => {
+      val frames = Multimodal.sampleFrames(
+        Multimodal.fromDocuments(load(spark, dir, "documents")),
+        frameBytes = 64, stride = 1)
+      Multimodal.sceneCuts(Multimodal.framePhash(frames), threshold = 36)
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("cut")).cast("long").as("n_cuts"),
+          coalesce(min(when(col("cut") === 1, col("frame_idx"))), lit(-1))
+            .cast("int").as("first_cut"))
+        .orderBy("media_id")
+    }, Some("""
+      WITH m AS (SELECT doc_id AS media_id, text, length(text) AS len
+                 FROM documents),
+      f AS (SELECT media_id, frame_idx,
+              text[CAST(frame_idx * 64 + 1 AS INT) :
+                   CAST(frame_idx * 64 + 64 AS INT)] AS frame
+            FROM (SELECT media_id, text,
+                    unnest(range(0, greatest(len // 64, 1))) AS frame_idx
+                  FROM m) t),
+      ph AS (SELECT media_id, frame_idx,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(0, 64),
+                 j -> CASE WHEN (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(j * length(frame) // 64,
+                                            (j+1) * length(frame) // 64),
+                          i -> CAST(ascii(frame[CAST(i+1 AS INT):
+                                 CAST(i+1 AS INT)]) AS BIGINT))),
+                        (a, x) -> a + x) & 1) = 1
+                      THEN (CASE WHEN CAST(j AS INT) = 63
+                            THEN CAST(-9223372036854775808 AS BIGINT)
+                            ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END)
+                      ELSE CAST(0 AS BIGINT) END)),
+                 (a, b) -> a + b) AS phash
+             FROM f),
+      lagd AS (SELECT media_id, frame_idx, phash,
+                 lag(phash) OVER (PARTITION BY media_id
+                   ORDER BY frame_idx) AS prev
+               FROM ph),
+      c AS (SELECT media_id, frame_idx,
+              CASE WHEN prev IS NULL THEN 0
+                   WHEN bit_count(xor(prev, phash)) > 36 THEN 1
+                   ELSE 0 END AS cut
+            FROM lagd)
+      SELECT media_id, count(*) AS n_frames,
+             CAST(sum(cut) AS BIGINT) AS n_cuts,
+             CAST(coalesce(min(CASE WHEN cut = 1 THEN frame_idx END), -1)
+               AS INT) AS first_cut
+      FROM c GROUP BY media_id ORDER BY media_id"""))),
+
     // Multimodal resize planning: aspect-preserving letterbox geometry into
     // 224x224 over the decoded dims — the scheduling arithmetic of the
     // resize stage, verified on top of the oracle-exact stub decode

@@ -110,16 +110,23 @@ object Streams {
     * the streams run. `rightCols` are projected with an `r_` prefix. */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       rightCols: Seq[String], window: String = "5 minutes",
-      lateness: String = "10 minutes"): DataFrame = {
+      lateness: String = "10 minutes", joinType: String = "inner")
+      : DataFrame = {
     val l = withEventTime(left).withWatermark("event_time", lateness)
     val r = withEventTime(right)
       .select((keyCol +: rightCols :+ "event_time").distinct.map(c =>
         col(c).as(s"r_$c")): _*)
       .withWatermark("r_event_time", lateness)
+    // left_outer: unmatched left rows emit with NULL right columns once
+    // the watermark passes their interval — Spark can only declare "no
+    // match will ever come" after late data is impossible, so a bounded
+    // stream needs a watermark-advancing fence event after the last real
+    // one for the final null rows to flush (see evt_stream_interval_outer)
     l.join(r,
       col(keyCol) === col(s"r_$keyCol") &&
         col("r_event_time") >= col("event_time") - expr(s"interval $window") &&
-        col("r_event_time") <= col("event_time"))
+        col("r_event_time") <= col("event_time"),
+      joinType)
       .drop(s"r_$keyCol")
   }
 
