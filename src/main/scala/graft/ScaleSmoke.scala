@@ -113,7 +113,7 @@ object ScaleSmoke {
       "q_join_guard", "q_join_profile", "q_cms_join_size",
       "q_communities", "q_rollup_incr", "q_file_prune",
       "dd_strip_spans", "q_topk_heap", "q_kcore", "q_bfs_hops",
-      "dd_containment", "mm_scene_cuts"))
+      "dd_containment", "mm_scene_cuts", "q_cooccur"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

@@ -1456,6 +1456,30 @@ object AnalyticsQueries {
              GROUP BY node)
       SELECT dist, count(*) AS n_nodes, min(node) AS min_node,
              max(node) AS max_node
-      FROM d3 GROUP BY dist ORDER BY dist""")))
+      FROM d3 GROUP BY dist ORDER BY dist"""))),
+
+    // D118 — capped co-occurrence projection (operators.Cooccur): parts
+    // co-ordered within the same order become a weighted item–item graph;
+    // per-order item sets cap to their 8 smallest partkeys BEFORE pairing
+    // (deterministic — the oracle replays the cap), bounding the pair
+    // fan-out at C(8,2) per group however degenerate the group. Reported:
+    // edges seen in 2+ orders.
+    "q_cooccur" -> (((spark, dir) => {
+      graft.operators.Cooccur.project(
+          load(spark, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", capPerGroup = 8)
+        .filter(col("w") >= 2)
+        .orderBy("i1", "i2")
+    }, Some("""
+      WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                 FROM lineitem),
+      c AS (SELECT g, i FROM (
+              SELECT g, i, row_number() OVER (PARTITION BY g ORDER BY i)
+                AS rn
+              FROM m) t WHERE rn <= 8)
+      SELECT a.i AS i1, b.i AS i2, count(*) AS w
+      FROM c a JOIN c b ON a.g = b.g AND a.i < b.i
+      GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY i1, i2""")))
   )
 }

@@ -205,8 +205,21 @@ object StageWriter {
             else None
           val merged = mergeFn(old).cache()
           try {
-            merged.count() // materialize before the swap: never read-while-overwrite
-            overwrite(merged, path, partitionBy)
+            // materialize before the swap: never read-while-overwrite
+            val n = merged.count()
+            // OPTIMIZE-on-write twin: a merge rewrites the whole table, so
+            // land it in row-budgeted files instead of one near-empty file
+            // per shuffle partition — the classic MERGE small-file leak
+            // the reference cleans up with a separate OPTIMIZE pass
+            // (light_transform.py:1394-1409). Partitioned layouts keep
+            // their per-partition-dir parallelism.
+            val out =
+              if (partitionBy.isEmpty)
+                merged.coalesce(math.max(1, math.min(
+                  spark.sparkContext.defaultParallelism,
+                  (n / 50000L).toInt + 1)))
+              else merged
+            overwrite(out, path, partitionBy)
           } finally merged.unpersist()
           val tmp = Paths.get(path + s".__seq__.tmp$next")
           Files.write(tmp,
