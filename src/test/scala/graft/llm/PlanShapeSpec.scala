@@ -99,4 +99,56 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     assert(windows == 2)
   }
+
+  private def windowExecs(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    count(df.queryExecution.executedPlan) {
+      case _: org.apache.spark.sql.execution.window.WindowExec => 1
+    }
+  }
+  private def cartesians(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    count(df.queryExecution.executedPlan) {
+      case _: org.apache.spark.sql.execution.joins.CartesianProductExec => 1
+      case _: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => 1
+    }
+  }
+
+  test("heap top-k is one aggregation exchange — NO window, no full sort") {
+    val orders = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+    val df = orders.groupBy("o_orderpriority")
+      .agg(graft.functions.TopK.topk(col("o_orderkey"),
+        col("o_totalprice"), 3).as("top"))
+    assert(windowExecs(df) == 0) // the window-rank form this replaces
+    assert(shuffles(df) == 1)    // partial -> final agg only
+  }
+
+  test("containment join is equi-join only: no cartesian/nested-loop " +
+    "anywhere in the executed plan") {
+    val df = Dedup.containmentPairs(docs, "doc_id", "text",
+      width = 3, threshold = 0.8)
+    assert(cartesians(df) == 0)
+  }
+
+  test("co-occurrence projection pairs through the group-keyed equi-join " +
+    "— no cartesian") {
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val df = graft.operators.Cooccur.project(li, "l_orderkey", "l_partkey",
+      capPerGroup = 8)
+    assert(cartesians(df) == 0)
+  }
+
+  test("scene cuts: frame hashing adds no exchange; the lag window is " +
+    "the single media-keyed shuffle") {
+    val frames = Multimodal.sampleFrames(Multimodal.fromDocuments(docs),
+      frameBytes = 64, stride = 1)
+    val df = Multimodal.sceneCuts(Multimodal.framePhash(frames),
+      threshold = 36)
+    assert(shuffles(df) == 1)
+    assert(windowExecs(df) == 1)
+  }
 }
