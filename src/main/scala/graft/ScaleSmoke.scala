@@ -113,7 +113,8 @@ object ScaleSmoke {
       "q_join_guard", "q_join_profile", "q_cms_join_size",
       "q_communities", "q_rollup_incr", "q_file_prune",
       "dd_strip_spans", "q_topk_heap", "q_kcore", "q_bfs_hops",
-      "dd_containment", "mm_scene_cuts", "q_cooccur"))
+      "dd_containment", "mm_scene_cuts", "q_cooccur",
+      "dd_incremental_update"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----
@@ -292,21 +293,24 @@ object ScaleSmoke {
     val nCk = clicks10.count()
     val nEn = graft.operators.Scd2.pointInTime(clicks10, changes10,
       Seq("user_id"), "ts", "ts", Seq("tier")).count()
-    println(f"[scale] scd2 10x stream     ${(System.nanoTime() - tScd) / 1e9}%8.2f s  " +
+    println(f"[scale] scd2 ${rep}x stream   ${(System.nanoTime() - tScd) / 1e9}%8.2f s  " +
       s"($nCh changes -> $nIv intervals; $nCk clicks -> $nEn enriched)")
     assert(nIv == nCh, s"scd2 build emitted $nIv intervals for $nCh changes")
     assert(nEn == nCk, s"scd2 pointInTime emitted $nEn rows for $nCk facts" +
       " — the as-of join must be 1:1 with the fact side")
 
-    // ---- stats-manifest pruning still skips at a 10× file count ----
-    // Z-order the 10× lineitem into 64 files (x scaled so the 16-bit
-    // interleave never wraps the 9·10^7 key domain), prune a 10k-wide
+    // ---- stats-manifest pruning still skips at a replicated file count --
+    // Z-order the replicated lineitem into 64 files, prune a 10k-wide
     // orderkey band: the manifest must drop most files AND the pruned
-    // scan + residual must equal the full-scan filter exactly.
+    // scan + residual must equal the full-scan filter exactly. The x
+    // column is scaled BY THE KEY DOMAIN so the 16-bit interleave never
+    // wraps (at 20× a fixed /2048 exceeds 2^16 and the z-curve folds —
+    // this proof caught exactly that: pruning degraded to 38/64 files).
     val prunePath = s"$dst/_prune_proof.parquet"
+    val okDiv = ((rep.toLong - 1) * M + 700000L) / 60000L + 1L
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(prunePath)))
       graft.sink.Layout.zorderWrite(
-        li10.select(col("l_orderkey"), (col("l_orderkey") / 2048)
+        li10.select(col("l_orderkey"), (col("l_orderkey") / okDiv)
             .cast("long").as("ok_s"), col("l_partkey"),
           col("l_extendedprice")),
         prunePath, "ok_s", "l_partkey", bits = 16, numFiles = 64)
@@ -317,7 +321,7 @@ object ScaleSmoke {
     val nPruned = prunedDf.filter(col("l_orderkey").between(lo, hi)).count()
     val nFull = spark.read.parquet(prunePath)
       .filter(col("l_orderkey").between(lo, hi)).count()
-    println(f"[scale] file prune 10x      ${(System.nanoTime() - tPr) / 1e9}%8.2f s  " +
+    println(f"[scale] file prune ${rep}x    ${(System.nanoTime() - tPr) / 1e9}%8.2f s  " +
       s"($nPruned rows from $kept/$total files)")
     assert(nPruned == nFull,
       s"pruned read found $nPruned rows, full scan $nFull — skipping " +

@@ -205,6 +205,53 @@ object Dedup {
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** Public band-table builder for PERSISTED corpus LSH state: (band, bh,
+    * id) rows ready to write bucketed on (band, bh). Ingest maintenance is
+    * then an APPEND of each accepted batch's bands — the corpus is never
+    * re-mined (the materialized twin of [[minhashLshNewVsCorpus]]'s
+    * inline corpus banding). */
+  def bandTableFor(df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, k: Int = 32, b: Int = 8): DataFrame =
+    bandTable(shingleRows(df, idCol, textCol, shingleWidth), k, b)
+
+  /** Incremental MinHash+LSH against a STORED band table (the production
+    * ingest loop: read the persisted bands, join the batch's bands, verify
+    * candidates). Verification recomputes shingles ONLY for corpus docs
+    * that appear in a candidate pair — a semi-join-pruned point lookup
+    * into the corpus text table, never a corpus re-mine. Must produce
+    * EXACTLY what [[minhashLshNewVsCorpus]] computes from scratch (the
+    * dd_incremental_update gate pins that equivalence through a
+    * write → append → read round-trip). */
+  def minhashLshBatchVsStoredBands(corpusText: DataFrame,
+      corpusBands: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, shingleWidth: Int = 3, k: Int = 32, b: Int = 8,
+      threshold: Double = 0.8, maxBucket: Int = 256): DataFrame = {
+    val w = Window.partitionBy("band", "bh").orderBy("id")
+    val cb = corpusBands
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+      .select(col("band"), col("bh"), col("id").as("corpus_id"))
+    val batchShingles = shingleRows(batch, idCol, textCol, shingleWidth)
+    val batchBands = bandTable(batchShingles, k, b)
+      .select(col("band"), col("bh"), col("id").as("batch_id"))
+    val pairs = batchBands.join(cb, Seq("band", "bh"))
+      .select(col("batch_id"), col("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+    val candCorpus = corpusText.join(
+      pairs.select(col("corpus_id").as(idCol)).distinct(),
+      Seq(idCol), "left_semi")
+    val corpusSets = shingleRows(candCorpus, idCol, textCol, shingleWidth)
+      .groupBy("id").agg(collect_set(col("s")).as("sh_c"))
+      .withColumnRenamed("id", "corpus_id")
+    val batchSets = batchShingles.groupBy("id")
+      .agg(collect_set(col("s")).as("sh_b"))
+      .withColumnRenamed("id", "batch_id")
+    pairs.join(batchSets, "batch_id").join(corpusSets, "corpus_id")
+      .withColumn("jaccard", jaccard(col("sh_b"), col("sh_c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** Connected components over a near-duplicate pair graph — the step that
     * turns PAIRS into duplicate CLUSTERS so one canonical doc per cluster
     * survives (pairwise keep-the-smaller is wrong for chains A~B~C).

@@ -497,6 +497,54 @@ object LlmQueries {
       FROM pairs WHERE CAST(i AS DOUBLE) / u >= 0.8
       ORDER BY batch_id, corpus_id"""))),
 
+    // D27+ — incremental dedup via the PERSISTED band table
+    // (dd_incremental's production loop made literal): corpus bands
+    // written to disk, an accepted batch's bands APPENDED — maintenance
+    // without a corpus re-mine — then the next batch queried against the
+    // read-back table, verifying candidates through a semi-join-pruned
+    // corpus text lookup. Must equal the from-scratch recompute: the
+    // oracle is dd_incremental's all-pairs SQL over the same split.
+    "dd_incremental_update" -> (((spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      val corpus0 = docs.filter(col("doc_id") % 5 =!= 0 &&
+        col("doc_id") % 5 =!= 4)
+      val batch1 = docs.filter(col("doc_id") % 5 === 4)
+      val batch2 = docs.filter(col("doc_id") % 5 === 0)
+      val tmp = java.nio.file.Files.createTempDirectory("incr_bands")
+      try {
+        val bt = tmp.resolve("bands").toString
+        Dedup.bandTableFor(corpus0, "doc_id", "text").write.parquet(bt)
+        Dedup.bandTableFor(batch1, "doc_id", "text")
+          .write.mode("append").parquet(bt)
+        Dedup.minhashLshBatchVsStoredBands(
+            docs.filter(col("doc_id") % 5 =!= 0),
+            spark.read.parquet(bt), batch2, "doc_id", "text",
+            shingleWidth = 3, k = 32, b = 8, threshold = 0.8)
+          .select(col("batch_id"), col("corpus_id"),
+            round(col("jaccard"), 4).as("j4"))
+          .orderBy("batch_id", "corpus_id")
+          .localCheckpoint()
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 1, 2)),
+                 i -> concat_ws(' ',
+                        string_split_regex(trim(text), '\s+')[i],
+                        string_split_regex(trim(text), '\s+')[i+1],
+                        string_split_regex(trim(text), '\s+')[i+2]))) AS g
+        FROM documents),
+      pairs AS (
+        SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+               len(list_intersect(b.g, c.g)) AS i,
+               len(b.g) + len(c.g) - len(list_intersect(b.g, c.g)) AS u
+        FROM sh b JOIN sh c
+          ON b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0)
+      SELECT batch_id, corpus_id, round(CAST(i AS DOUBLE) / u, 4) AS j4
+      FROM pairs WHERE CAST(i AS DOUBLE) / u >= 0.8
+      ORDER BY batch_id, corpus_id"""))),
+
     // SimHash near-dup pairs. The portable variant derives bit contributions
     // from a polynomial word hash (identical math in both engines) so the
     // full pipeline — hash → 64 bit-sums → chunk banding → hamming filter —
