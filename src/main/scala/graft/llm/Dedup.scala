@@ -279,6 +279,24 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
     ccWithRounds(pairs, maxIter)._1
 
+  /** Incremental connected-components maintenance (SURVEY §2D, D119):
+    * fold NEW near-dup pairs into an EXISTING (id, cluster) labeling
+    * without re-running CC over the historical pair graph. Each old
+    * component contracts to its label star (id → cluster edges —
+    * connectivity-preserving and rooted at the component minimum), so the
+    * star rounds run on |V_old| + |new pairs| edges instead of every pair
+    * ever mined — the labeling IS the compressed graph. Labels are
+    * component minima on both paths, so incremental ≡ from-scratch
+    * exactly (dd_cluster_incr pins it against the full-graph oracle). */
+  def ccIncremental(labels: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val labelEdges = labels.filter(col("id") =!= col("cluster"))
+      .select(col("id").as("id1"), col("cluster").as("id2"))
+    connectedComponents(
+      labelEdges.unionByName(newPairs.select(col("id1"), col("id2"))),
+      maxIter)
+  }
+
   /** `connectedComponents` plus the number of star rounds it took —
     * exposed so the scale smoke can assert O(log n) convergence. */
   private[graft] def ccWithRounds(pairs: DataFrame, maxIter: Int = 20)

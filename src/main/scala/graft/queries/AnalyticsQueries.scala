@@ -586,8 +586,16 @@ object AnalyticsQueries {
           "user_id", Seq("event_id"), window = "24 hours",
           joinType = "left_outer")
         val sink = s"evt_stream_outer_${Q.nextSinkId()}"
-        val q = joined.writeStream.format("memory").queryName(sink)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        // streaming state-store instances = shuffle partitions; 32 is
+        // oversized for a gate-sized stream (3 micro-batches × 2 join
+        // sides × 4 state stores each) — scope the conf to this query,
+        // the fresh per-run checkpoint makes it safe
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try joined.writeStream.format("memory").queryName(sink)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         q.awaitTermination()
         spark.table(sink)
           .filter(col("user_id") =!= -999L)

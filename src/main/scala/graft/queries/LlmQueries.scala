@@ -431,6 +431,51 @@ object LlmQueries {
       SELECT id AS doc_id, min(reach) AS cluster
       FROM r GROUP BY id ORDER BY doc_id"""))),
 
+    // D119 — incremental CC maintenance: the corpus labeling absorbs a
+    // new batch by contracting each old component to its label star and
+    // re-running the star rounds over label edges + new pairs only —
+    // never the historical pair graph. Must equal from-scratch CC over
+    // the full graph: the oracle IS dd_cluster's full-graph recursive
+    // closure.
+    "dd_cluster_incr" -> (((spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+      // STORED labeling via a real parquet round-trip (the production
+      // shape), not localCheckpoint: a checkpoint preserves the origin
+      // plan's constraints, and the CC plan's internal self-union
+      // attributes then crash Spark's union constraint rewrite when the
+      // labeling is composed into the next run ("key not found: u#...")
+      val tmp = java.nio.file.Files.createTempDirectory("cc_incr")
+      val lp = tmp.resolve("labels").toString
+      Dedup.connectedComponents(
+        Dedup.minhashLshPairs(corpus, "doc_id", "text",
+          shingleWidth = 3, k = 32, b = 8, threshold = 0.8)
+          .select(col("id1"), col("id2")))
+        .write.parquet(lp)
+      val labels0 = spark.read.parquet(lp)
+      try {
+        val crossPairs = Dedup.minhashLshNewVsCorpus(corpus, batch,
+            "doc_id", "text", shingleWidth = 3, k = 32, b = 8,
+            threshold = 0.8)
+          .select(col("batch_id").as("id1"), col("corpus_id").as("id2"))
+        val intraPairs = Dedup.minhashLshPairs(batch, "doc_id", "text",
+            shingleWidth = 3, k = 32, b = 8, threshold = 0.8)
+          .select(col("id1"), col("id2"))
+        // mined pairs stored too (CC's init reads its input four ways;
+        // a parquet write is both the realistic shape and the cheap one)
+        val pp = tmp.resolve("pairs").toString
+        crossPairs.unionByName(intraPairs).write.parquet(pp)
+        Dedup.ccIncremental(labels0, spark.read.parquet(pp))
+          .select(col("id").as("doc_id"), col("cluster"))
+          .orderBy("doc_id")
+          .localCheckpoint()
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some(s"""
+      WITH RECURSIVE $ccCtes
+      SELECT id AS doc_id, min(reach) AS cluster
+      FROM r GROUP BY id ORDER BY doc_id"""))),
+
     // Canonical-representative selection (the curation step AFTER dup
     // clustering): every doc joins its connected component (singletons
     // form their own), and exactly one KEEPER per cluster survives — the
