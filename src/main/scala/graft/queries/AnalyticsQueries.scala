@@ -496,7 +496,7 @@ object AnalyticsQueries {
     // replayed as a stream, joined per-micro-batch against a STATIC dim
     // (broadcast — the static side never shuffles or re-reads per batch),
     // aggregated in complete mode. Oracle = the batch join.
-    "evt_stream_static" -> (((spark, dir) => {
+    "evt_stream_static" -> (((spark, dir) => withStreamPartitions(spark) {
       import org.apache.spark.sql.streaming.Trigger
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -524,7 +524,7 @@ object AnalyticsQueries {
     // file streams, joined on user within a 24 h lookback — Spark buffers
     // both sides in state and evicts past the watermark. Oracle = the
     // batch interval join.
-    "evt_stream_interval" -> (((spark, dir) => {
+    "evt_stream_interval" -> (((spark, dir) => withStreamPartitions(spark) {
       import org.apache.spark.sql.streaming.Trigger
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -560,7 +560,7 @@ object AnalyticsQueries {
     // watermark so every unmatched error drains before the AvailableNow
     // query stops; maxFilesPerTrigger=1 forces the multi-batch watermark
     // advancement. Oracle = the batch LEFT JOIN.
-    "evt_stream_interval_outer" -> (((spark, dir) => {
+    "evt_stream_interval_outer" -> (((spark, dir) => withStreamPartitions(spark) {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.spark.sql.expressions.Window
       val tmp = java.nio.file.Files.createTempDirectory("outer_gate")
@@ -586,16 +586,8 @@ object AnalyticsQueries {
           "user_id", Seq("event_id"), window = "24 hours",
           joinType = "left_outer")
         val sink = s"evt_stream_outer_${Q.nextSinkId()}"
-        // streaming state-store instances = shuffle partitions; 32 is
-        // oversized for a gate-sized stream (3 micro-batches × 2 join
-        // sides × 4 state stores each) — scope the conf to this query,
-        // the fresh per-run checkpoint makes it safe
-        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        val q =
-          try joined.writeStream.format("memory").queryName(sink)
-            .outputMode("append").trigger(Trigger.AvailableNow()).start()
-          finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        val q = joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         spark.table(sink)
           .filter(col("user_id") =!= -999L)
@@ -623,7 +615,7 @@ object AnalyticsQueries {
     // ALL events — any replay (duplicates) or loss at the restart boundary
     // breaks n / n_ids / the decimal-exact total. Scratch dirs are
     // reclaimed after the counts materialize.
-    "evt_stream_restart" -> (((spark, dir) => {
+    "evt_stream_restart" -> (((spark, dir) => withStreamPartitions(spark) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tmp = java.nio.file.Files.createTempDirectory("restart_gate")
       val (raw, stage, chk) = (tmp.resolve("raw").toString,
@@ -658,7 +650,7 @@ object AnalyticsQueries {
     // the stream must emit each event_id exactly once, with state bounded
     // by the watermark horizon instead of the stream length. Oracle = the
     // plain batch over the ORIGINAL (single-delivery) events.
-    "evt_stream_dedup" -> (((spark, dir) => {
+    "evt_stream_dedup" -> (((spark, dir) => withStreamPartitions(spark) {
       import org.apache.spark.sql.streaming.Trigger
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tmp = java.nio.file.Files.createTempDirectory("sdedup_gate")
@@ -1257,7 +1249,7 @@ object AnalyticsQueries {
     // events in new files, and restarts from the same checkpoint — the
     // log must skip replayed batches and the keyed upsert must absorb
     // re-delivered rows. Oracle = the batch over DISTINCT events.
-    "evt_stream_jdbc_restart" -> (((spark, dir) => {
+    "evt_stream_jdbc_restart" -> (((spark, dir) => withStreamPartitions(spark) {
       import org.apache.spark.sql.{Dataset, Row}
       val url = "jdbc:derby:memory:xonce;create=true"
       val tbl = s"sink_${Q.nextSinkId()}"

@@ -175,7 +175,7 @@ object CurationQueries {
     // query resumes from the same checkpoint. MERGE must upsert the
     // re-delivered keys (no duplicates) and the restart must not lose or
     // replay a batch — the oracle is the plain batch over DISTINCT events.
-    "evt_stream_merge_restart" -> (((spark, dir) => {
+    "evt_stream_merge_restart" -> (((spark, dir) => withStreamPartitions(spark) {
       val tmp = java.nio.file.Files.createTempDirectory("mrestart_gate")
       val (raw, stage, chk) = (tmp.resolve("raw").toString,
         tmp.resolve("stage").toString, tmp.resolve("chk").toString)

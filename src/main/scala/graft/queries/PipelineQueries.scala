@@ -752,7 +752,7 @@ object PipelineQueries {
     // window aggregation, collected from a memory sink — the STREAMED result
     // hash-matches the same DuckDB oracle shape as the batch twin. Complete
     // output mode so the final (unclosed) window is emitted deterministically.
-    "evt_stream_window" -> (((spark, dir) => {
+    "evt_stream_window" -> (((spark, dir) => withStreamPartitions(spark) {
       import org.apache.spark.sql.streaming.Trigger
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = spark.read.parquet(s"$dir/events.parquet").schema
