@@ -114,7 +114,7 @@ object ScaleSmoke {
       "q_communities", "q_rollup_incr", "q_file_prune",
       "dd_strip_spans", "q_topk_heap", "q_kcore", "q_bfs_hops",
       "dd_containment", "mm_scene_cuts", "q_cooccur",
-      "dd_incremental_update", "dd_cluster_incr"))
+      "dd_incremental_update", "dd_cluster_incr", "q_distinct_rollup"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

@@ -28,7 +28,67 @@ class KmvDistinct(k: Int, normalizer: Double)
 
   override def zero: Array[Long] = Array.emptyLongArray
 
-  private def insert(buf: Array[Long], h: Long): Array[Long] = {
+  private def insert(buf: Array[Long], h: Long): Array[Long] =
+    KmvDistinct.insert(buf, h, k)
+
+  override def reduce(buf: Array[Long], h: Long): Array[Long] = insert(buf, h)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    b.foldLeft(a)(insert)
+
+  override def finish(buf: Array[Long]): Double =
+    if (buf.length < k) buf.length.toDouble
+    else (k - 1).toDouble / (buf.last.toDouble / normalizer)
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
+/** KMV sketch STATE as the aggregation result — the storable form for
+  * incremental distinct maintenance (D120): persist the per-key k-min
+  * array, merge each delta's states in, estimate on read. State set
+  * algebra makes merge ≡ rebuild exactly. */
+class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+  require(k >= 2, s"k must be >= 2, got $k")
+  override def zero: Array[Long] = Array.emptyLongArray
+  override def reduce(buf: Array[Long], h: Long): Array[Long] =
+    KmvDistinct.insert(buf, h, k)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    b.foldLeft(a)((s, h) => KmvDistinct.insert(s, h, k))
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+}
+
+/** Merge STORED KMV states (k-smallest-distinct of the union) — the
+  * delta-absorbing aggregation of the distinct rollup. */
+class KmvMerge(k: Int)
+    extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+  require(k >= 2, s"k must be >= 2, got $k")
+  override def zero: Array[Long] = Array.emptyLongArray
+  override def reduce(buf: Array[Long], st: Array[Long]): Array[Long] =
+    (if (st == null) buf
+     else st.foldLeft(buf)((s, h) => KmvDistinct.insert(s, h, k)))
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    b.foldLeft(a)((s, h) => KmvDistinct.insert(s, h, k))
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+}
+
+object KmvDistinct {
+  /** Column-level KMV estimate over a pre-hashed Long column whose values
+    * are uniform in [0, normalizer). */
+  def kmv(hashCol: Column, k: Int, normalizer: Double): Column =
+    udaf(new KmvDistinct(k, normalizer)).apply(hashCol)
+
+  /** Sorted insert keeping the k smallest DISTINCT values. */
+  private[functions] def insert(buf: Array[Long], h: Long,
+      k: Int): Array[Long] = {
     val idx = java.util.Arrays.binarySearch(buf, h)
     if (idx >= 0) buf // already present — KMV tracks DISTINCT minima
     else {
@@ -49,22 +109,19 @@ class KmvDistinct(k: Int, normalizer: Double)
     }
   }
 
-  override def reduce(buf: Array[Long], h: Long): Array[Long] = insert(buf, h)
-  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
-    b.foldLeft(a)(insert)
+  /** Storable per-group sketch state (k-min distinct hash array). */
+  def sketch(hashCol: Column, k: Int): Column =
+    udaf(new KmvSketch(k)).apply(hashCol)
 
-  override def finish(buf: Array[Long]): Double =
-    if (buf.length < k) buf.length.toDouble
-    else (k - 1).toDouble / (buf.last.toDouble / normalizer)
+  /** Merge a column of STORED states into one per group. */
+  def mergeStates(stateCol: Column, k: Int): Column =
+    udaf(new KmvMerge(k)).apply(stateCol)
 
-  override def bufferEncoder: Encoder[Array[Long]] =
-    ExpressionEncoder[Array[Long]]()
-  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
-}
-
-object KmvDistinct {
-  /** Column-level KMV estimate over a pre-hashed Long column whose values
-    * are uniform in [0, normalizer). */
-  def kmv(hashCol: Column, k: Int, normalizer: Double): Column =
-    udaf(new KmvDistinct(k, normalizer)).apply(hashCol)
+  /** Estimate from a stored state column (same estimator as [[kmv]]). */
+  def estimate(stateCol: Column, k: Int, normalizer: Double): Column = {
+    import org.apache.spark.sql.functions._
+    when(size(stateCol) < k, size(stateCol).cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        (element_at(stateCol, k).cast("double") / normalizer))
+  }
 }

@@ -220,6 +220,53 @@ object BenchQueries {
     // estimate is a deterministic function of the hash SET, so the oracle
     // recomputes the identical estimate in SQL and the VALUES hash-match —
     // a cross-engine-verifiable sketch. Exact count shown beside it.
+    // D120 — incremental DISTINCT rollup: the count_distinct twin of
+    // D104. Additive sums merge trivially; distinct counts don't —
+    // unless the per-key state is a mergeable sketch. Per-returnflag KMV
+    // k-min states build on a 99% base, two delta batches aggregate to
+    // their own states, and the merge absorbs them WITHOUT rescanning
+    // the base (k-smallest-distinct is a set semigroup, so merge ≡
+    // rebuild exactly — which is why the oracle recomputes from scratch
+    // over ALL rows and still hash-matches).
+    "q_distinct_rollup" -> (((spark, dir) => {
+      val p = graft.llm.Dedup.PortableP
+      val li = load(spark, dir, "lineitem")
+      val h = graft.llm.Dedup.portableWordHash(col("l_partkey"))
+      def states(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("l_returnflag")
+          .agg(graft.functions.KmvDistinct.sketch(h, 64).as("st"))
+      val base = states(li.filter(pmod(col("l_orderkey"), lit(100)) =!= 0))
+      val d1 = states(li.filter(pmod(col("l_orderkey"), lit(200)) === 0))
+      val d2 = states(li.filter(pmod(col("l_orderkey"), lit(100)) === 0 &&
+        pmod(col("l_orderkey"), lit(200)) =!= 0))
+      base.unionByName(d1).unionByName(d2)
+        .groupBy("l_returnflag")
+        .agg(graft.functions.KmvDistinct.mergeStates(col("st"), 64).as("m"))
+        .select(col("l_returnflag"),
+          round(graft.functions.KmvDistinct.estimate(col("m"), 64,
+            p.toDouble), 4).as("kmv_est"))
+        .orderBy("l_returnflag")
+    }, Some {
+      val p = graft.llm.Dedup.PortableP
+      s"""
+      WITH hset AS (
+        SELECT DISTINCT l_returnflag,
+               CAST(concat('0x', substring(md5(CAST(l_partkey AS VARCHAR)),
+                 1, 15)) AS BIGINT) % $p AS h
+        FROM lineitem),
+      ranked AS (
+        SELECT l_returnflag, h,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS nd
+        FROM hset)
+      SELECT l_returnflag,
+             round(CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+                        ELSE 63.0 / (CAST(h AS DOUBLE) / $p) END, 4)
+               AS kmv_est
+      FROM ranked WHERE rn = least(64, nd)
+      ORDER BY l_returnflag"""
+    })),
+
     "q_kmv_distinct" -> (((spark, dir) => {
       val p = graft.llm.Dedup.PortableP
       val h = graft.llm.Dedup.portableWordHash(col("l_partkey"))
