@@ -1,9 +1,10 @@
 package graft.sink
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType,
+  ShortType, StructType}
 
 /** Stage-zone writer (SURVEY C5–C9).
   *
@@ -144,7 +145,8 @@ object StageWriter {
   def mergeInto(spark: SparkSession, df: DataFrame, path: String,
       keys: Seq[String], partitionBy: Seq[String] = Nil,
       maxRetries: Int = 20, backoffMs: Long = 150): Unit =
-    casMerge(spark, path, partitionBy, maxRetries, backoffMs) {
+    casMerge(spark, path, partitionBy, maxRetries, backoffMs,
+      Some(Targeted(df, Nil, keys, touched => merge(touched, df, keys)))) {
       case Some(old) => merge(old, df, keys)
       case None => df.dropDuplicates(keys)
     }
@@ -156,17 +158,48 @@ object StageWriter {
       keys: Seq[String], opCol: String = "op",
       partitionBy: Seq[String] = Nil, maxRetries: Int = 20,
       backoffMs: Long = 150): Unit =
-    casMerge(spark, path, partitionBy, maxRetries, backoffMs) { old =>
+    casMerge(spark, path, partitionBy, maxRetries, backoffMs,
+      Some(Targeted(delta, Seq(opCol), keys,
+        touched => mergeCdc(touched, delta, keys, opCol)))) { old =>
       val base = old.getOrElse(
         delta.drop(opCol).limit(0)) // typed empty bootstrap
       mergeCdc(base, delta, keys, opCol)
     }
 
+  /** File-targeted merge inputs: the raw delta (for key extraction and
+    * schema-parity checks), columns to ignore on the delta side (the CDC op
+    * column), the merge keys, and the merge applied to ONLY the touched
+    * slice of the base. */
+  private final case class Targeted(delta: DataFrame, dropCols: Seq[String],
+      keys: Seq[String], localMerge: DataFrame => DataFrame)
+
+  /** Can this merge rewrite only key-intersecting files? Requires a flat
+    * (unpartitioned) existing table, an integral first merge key on BOTH
+    * sides (per-file min/max stats need a total order the oracle can
+    * replay), and exact column-name→type parity between base and effective
+    * delta — a schema-evolving delta falls back to the full rewrite, which
+    * is the only way the untouched files can stay byte-identical while the
+    * directory keeps one schema. */
+  private def targetedEligible(base: DataFrame, t: Targeted): Boolean = {
+    def integral(dt: DataType) = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def m(s: StructType) = s.fields.map(f => f.name -> f.dataType).toMap
+    val eff = t.delta.drop(t.dropCols: _*).schema
+    t.keys.nonEmpty && m(eff) == m(base.schema) &&
+      base.schema.fields.find(_.name == t.keys.head).exists(f =>
+        integral(f.dataType))
+  }
+
   /** The optimistic claim → read → merge → swap → flip loop shared by the
     * path-based MERGE variants. `mergeFn` sees the CLAIMED snapshot (None
-    * when the path doesn't exist yet). */
+    * when the path doesn't exist yet); when `targeted` applies (existing
+    * flat table, integral key, schema parity) the commit rewrites ONLY the
+    * files whose key range intersects the delta — O(delta), not O(table). */
   private def casMerge(spark: SparkSession, path: String,
-      partitionBy: Seq[String], maxRetries: Int, backoffMs: Long)
+      partitionBy: Seq[String], maxRetries: Int, backoffMs: Long,
+      targeted: Option[Targeted] = None)
       (mergeFn: Option[DataFrame] => DataFrame): Unit = {
     var attempt = 0
     var lastBase = -1L
@@ -203,24 +236,27 @@ object StageWriter {
           val old =
             if (Files.exists(Paths.get(path))) Some(spark.read.parquet(path))
             else None
-          val merged = mergeFn(old).cache()
-          try {
-            // materialize before the swap: never read-while-overwrite
-            val n = merged.count()
-            // OPTIMIZE-on-write twin: a merge rewrites the whole table, so
-            // land it in row-budgeted files instead of one near-empty file
-            // per shuffle partition — the classic MERGE small-file leak
-            // the reference cleans up with a separate OPTIMIZE pass
-            // (light_transform.py:1394-1409). Partitioned layouts keep
-            // their per-partition-dir parallelism.
-            val out =
-              if (partitionBy.isEmpty)
-                merged.coalesce(math.max(1, math.min(
-                  spark.sparkContext.defaultParallelism,
-                  (n / 50000L).toInt + 1)))
-              else merged
-            overwrite(out, path, partitionBy)
-          } finally merged.unpersist()
+          val goTargeted = partitionBy.isEmpty && old.isDefined &&
+            targeted.exists(t => targetedEligible(old.get, t))
+          if (goTargeted) targetedCommit(spark, path, old.get,
+            targeted.get, next)
+          else {
+            val merged = mergeFn(old).cache()
+            try {
+              // materialize before the swap: never read-while-overwrite
+              val n = merged.count()
+              // OPTIMIZE-on-write twin: a full-rewrite merge lands in
+              // row-budgeted files instead of one near-empty file per
+              // shuffle partition — the classic MERGE small-file leak the
+              // reference cleans up with a separate OPTIMIZE pass
+              // (light_transform.py:1394-1409). Partitioned layouts keep
+              // their per-partition-dir parallelism.
+              val out =
+                if (partitionBy.isEmpty) merged.coalesce(fileBudget(spark, n))
+                else merged
+              overwrite(out, path, partitionBy)
+            } finally merged.unpersist()
+          }
           val tmp = Paths.get(path + s".__seq__.tmp$next")
           Files.write(tmp,
             next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -235,6 +271,158 @@ object StageWriter {
         }
       }
     }
+  }
+
+  /** Row-budgeted output file count; Long math first — at 100 TB
+    * (n / 50000 + 1) overflows Int and a naive .toInt would collapse the
+    * write to ONE file. */
+  private def fileBudget(spark: SparkSession, n: Long): Int =
+    math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      n / 50000L + 1L)).toInt
+
+  private def statsFile(path: String) = Paths.get(path + ".__stats__")
+
+  /** Visible data files of a flat Parquet dir (skips `_SUCCESS`, hidden
+    * in-progress merge files, sidecars). */
+  private[sink] def listDataFiles(dir: Path): Seq[Path] = {
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try s.toArray.map(_.asInstanceOf[Path]).filter { p =>
+      val n = p.getFileName.toString
+      Files.isRegularFile(p) && n.endsWith(".parquet") &&
+        !n.startsWith(".") && !n.startsWith("_")
+    }.sortBy(_.getFileName.toString).toSeq
+    finally s.close()
+  }
+
+  /** Per-file (min, max) of the first merge key — the D107 data-skipping
+    * manifest persisted as a sidecar so steady-state merges never rescan
+    * the base. `None` = the file holds no non-null keys (empty file or
+    * all-null keys): such a file can never equi-match a delta row, so it
+    * is never touched. */
+  private type FileStats = Map[String, Option[(Long, Long)]]
+
+  /** Load the sidecar iff its file inventory matches the directory EXACTLY
+    * (an `overwrite` or external rewrite invalidates it by construction —
+    * Spark part-file names are uuid-unique). */
+  private[sink] def loadStats(path: String, files: Seq[Path])
+      : Option[FileStats] = {
+    val f = statsFile(path)
+    if (!Files.exists(f)) return None
+    import scala.jdk.CollectionConverters._
+    val m: FileStats = Files.readAllLines(f).asScala.toSeq
+      .filter(_.nonEmpty).map { l =>
+        val a = l.split("\t", 3)
+        a(0) -> (if (a(1) == "-") None else Some((a(1).toLong, a(2).toLong)))
+      }.toMap
+    if (m.keySet == files.map(_.getFileName.toString).toSet) Some(m) else None
+  }
+
+  private def writeStats(path: String, stats: FileStats): Unit = {
+    val lines = stats.toSeq.sortBy(_._1).map {
+      case (n, Some((mn, mx))) => s"$n\t$mn\t$mx"
+      case (n, None) => s"$n\t-\t-"
+    }
+    val tmp = Files.createTempFile(
+      Paths.get(path).toAbsolutePath.getParent, ".stats", ".tmp")
+    Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+    Files.move(tmp, statsFile(path), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** ONE scan of ONLY the key column over the given files → per-file
+    * (min, max). Runs over the whole base once (first targeted merge,
+    * sidecar bootstrap) and over just the new files afterwards. */
+  private def computeStats(spark: SparkSession, files: Seq[Path],
+      key: String): FileStats = {
+    if (files.isEmpty) return Map.empty
+    val scanned = spark.read.parquet(files.map(_.toString): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(key).cast("long")).as("mn"),
+        max(col(key).cast("long")).as("mx"))
+      .collect()
+      .map { r =>
+        val base = r.getString(0).split('/').last
+        base -> (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))))
+      }.toMap
+    // files the scan never emitted a row for are EMPTY → never touched
+    files.map(_.getFileName.toString)
+      .map(n => n -> scanned.getOrElse(n, None)).toMap
+  }
+
+  /** Delta-proportional MERGE commit (Delta's file-targeted MERGE on the
+    * Parquet fallback, light_transform.py:1382-1392): partition the base
+    * files by "could this file contain a delta key" using the per-file
+    * key-range manifest, run the merge over ONLY the touched files, land
+    * the result as new files, and leave every untouched file byte-identical
+    * in place. Cost is O(delta + touched), never O(table) — at 100 TB a
+    * 1 GB delta rewrites gigabytes, not the table.
+    *
+    * Commit ordering inside the held claim: new files are moved in HIDDEN
+    * (dot-prefixed — invisible to Parquet readers), revealed by atomic
+    * per-file rename, and ONLY THEN are the touched files deleted. A crash
+    * inside the reveal→delete window leaves duplicate rows for the touched
+    * keys plus a stranded claim (fail-stop); re-running the SAME merge
+    * batch after vacuum repairs it exactly (both stale copies anti-join
+    * away) — the duplicate window is chosen over a delete-first loss
+    * window precisely because re-run CAN repair it. Readers racing the
+    * reveal see the same transient duplication; the documented
+    * Parquet-fallback reader gap ([[VersionedTable]] closes it). */
+  private def targetedCommit(spark: SparkSession, path: String,
+      base: DataFrame, t: Targeted, next: Long): Unit = {
+    val dir = Paths.get(path)
+    val key1 = t.keys.head
+    val dataFiles = listDataFiles(dir)
+    val stats = loadStats(path, dataFiles)
+      .getOrElse(computeStats(spark, dataFiles, key1))
+    // touched = any delta key inside the file's [mn, mx]; the range table
+    // is file-count rows (the Delta-log size class) and broadcasts, so
+    // this is ONE pass over the delta keys — never a base scan
+    val ranges = stats.toSeq.collect { case (f, Some((mn, mx))) =>
+      (f, mn, mx) }
+    val touched: Set[String] =
+      if (ranges.isEmpty) Set.empty
+      else {
+        import spark.implicits._
+        val rangesDf = ranges.toDF("f", "mn", "mx")
+        t.delta.select(col(key1).cast("long").as("__k")).na.drop().distinct()
+          .join(broadcast(rangesDf),
+            col("__k") >= col("mn") && col("__k") <= col("mx"))
+          .select("f").distinct().collect().map(_.getString(0)).toSet
+      }
+    val touchedPaths = dataFiles.filter(p => touched(p.getFileName.toString))
+    val touchedBase =
+      if (touchedPaths.isEmpty) base.limit(0)
+      else spark.read.schema(base.schema)
+        .parquet(touchedPaths.map(_.toString): _*)
+    // schema parity was pre-checked (targetedEligible), so the merged
+    // output re-selects into the base column order and types
+    val merged = t.localMerge(touchedBase)
+      .select(base.columns.map(col).toIndexedSeq: _*).cache()
+    try {
+      val n = merged.count()
+      val tmpDir = path + s".__mergetmp__$next"
+      merged.coalesce(fileBudget(spark, n))
+        .write.mode(SaveMode.Overwrite).parquet(tmpDir)
+      val parts = listDataFiles(Paths.get(tmpDir))
+      val newStats = computeStats(spark, parts, key1) // O(delta) scan
+      // hidden staging → atomic reveal → delete touched (see ordering doc)
+      val staged = parts.zipWithIndex.map { case (p, i) =>
+        val vis = dir.resolve(f"m$next-p$i%05d.parquet")
+        val hid = dir.resolve("." + vis.getFileName.toString)
+        Files.move(p, hid, StandardCopyOption.ATOMIC_MOVE)
+        (hid, vis, p.getFileName.toString)
+      }
+      staged.foreach { case (hid, vis, _) =>
+        Files.move(hid, vis, StandardCopyOption.ATOMIC_MOVE) }
+      touchedPaths.foreach(Files.deleteIfExists(_))
+      deleteRecursively(Paths.get(tmpDir))
+      val kept: FileStats =
+        stats.filter { case (f, _) => !touched(f) } ++
+          staged.map { case (_, vis, orig) =>
+            vis.getFileName.toString -> newStats.getOrElse(orig, None) }
+      writeStats(path, kept)
+    } finally merged.unpersist()
   }
 
   /** Empty-table bootstrap: typed empty output, warn-not-fail
@@ -352,6 +540,38 @@ object StageWriter {
       if (Files.exists(d) &&
           Files.getLastModifiedTime(d).toMillis < cutoff)
         deleteRecursively(d)
+    }
+    // targeted-merge leftovers a crash can strand: the per-claim staging
+    // dir and hidden (not-yet-revealed) data files. Both are invisible to
+    // readers, so age-gated reclaim is safe — a live merger inside the
+    // retention window is never touched.
+    val parent = Paths.get(path).toAbsolutePath.getParent
+    val baseName = Paths.get(path).getFileName.toString
+    if (parent != null && Files.isDirectory(parent)) {
+      val st = Files.list(parent)
+      try {
+        val it = st.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.startsWith(baseName + ".__mergetmp__") &&
+              Files.getLastModifiedTime(p).toMillis < cutoff)
+            deleteRecursively(p)
+        }
+      } finally st.close()
+    }
+    val dataDir = Paths.get(path)
+    if (Files.isDirectory(dataDir)) {
+      val st = Files.list(dataDir)
+      try {
+        val it = st.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (n.startsWith(".m") && n.endsWith(".parquet") &&
+              Files.getLastModifiedTime(p).toMillis < cutoff)
+            Files.deleteIfExists(p)
+        }
+      } finally st.close()
     }
     // merge-claim sidecars: claims <= the committed sequence are history
     // (no merger ever re-attempts them — drop immediately); a claim AHEAD
