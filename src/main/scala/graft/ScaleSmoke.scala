@@ -380,6 +380,97 @@ object ScaleSmoke {
     assert(pSkew.strategy == "capped",
       s"20%-hot join chose ${pSkew.strategy} " +
         s"(maxFreq ${pSkew.maxFreqLeft}×${pSkew.maxFreqRight})")
+
+    // ---- file-targeted MERGE: wall scales with the DELTA, not the base ----
+    // Two range-disjoint stage tables (constant ~file size, so the rep×
+    // table has rep× the FILES — the 100 TB layout), one fixed 5k-key
+    // delta confined to the low key band. Delta's matched-file rewrite
+    // contract: the big table's merge must touch only the files holding
+    // those keys, so its wall stays in the 1× class instead of growing
+    // rep× with the base.
+    import graft.sink.StageWriter
+    val ordsSrc = spark.read.parquet(s"$src/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val (mb1, mbN) = (s"$dst/_merge_1x", s"$dst/_merge_${rep}x")
+    ordsSrc.repartitionByRange(32, col("o_orderkey"))
+      .write.mode("overwrite").parquet(mb1)
+    ords10.select("o_orderkey", "o_totalprice")
+      .repartitionByRange(32 * rep, col("o_orderkey"))
+      .write.mode("overwrite").parquet(mbN)
+    val deltaLow = ordsSrc.filter(col("o_orderkey") <= 20000)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+    deltaLow.cache().count()
+    def mergeWall(path: String): Double = {
+      val t0 = System.nanoTime()
+      StageWriter.mergeInto(spark, deltaLow, path, Seq("o_orderkey"))
+      (System.nanoTime() - t0) / 1e9
+    }
+    // first merges pay the one-off stats bootstrap scan; time the
+    // steady-state second merge (the sidecar-driven path)
+    mergeWall(mb1); mergeWall(mbN)
+    val w1 = mergeWall(mb1)
+    val filesBeforeN = StageWriter.listDataFiles(
+      java.nio.file.Paths.get(mbN)).map(_.getFileName.toString).toSet
+    val wN = mergeWall(mbN)
+    val filesAfterN = StageWriter.listDataFiles(
+      java.nio.file.Paths.get(mbN)).map(_.getFileName.toString).toSet
+    val untouchedN = filesBeforeN.intersect(filesAfterN).size
+    deltaLow.unpersist()
+    println(f"[scale] targeted merge      $wN%8.2f s  (${rep}x base; 1x " +
+      f"base $w1%.2f s; ${untouchedN}/${filesBeforeN.size} files untouched)")
+    assert(untouchedN >= filesBeforeN.size - 8,
+      s"a 5k-key low-band delta rewrote ${filesBeforeN.size - untouchedN} " +
+        s"of ${filesBeforeN.size} files — merge is not file-targeted")
+    assert(wN <= w1 * 3 + 5.0,
+      f"merge wall grew $w1%.2f -> $wN%.2f s on a ${rep}x base with a " +
+        "FIXED delta — merge cost is scaling with the table, not the delta")
+
+    // ---- 8-way CAS merge contention into ONE sf0.1-sized stage table ----
+    // The SF Map 60-concurrency deployment shape (group_stack.py:375)
+    // scaled to the smoke: 8 concurrent mergers land disjoint 15k-row
+    // deltas on a 150k-row table. Invariants: every row lands (no lost
+    // update), the sequence advances once per commit, no claim is left
+    // ahead of the committed head (zero stranded), and the serialized
+    // protocol keeps total wall in the writers×single-merge class.
+    val casPath = s"$dst/_cas_stage"
+    StageWriter.deleteRecursively(java.nio.file.Paths.get(casPath))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(casPath + ".__seq__"))
+    StageWriter.deleteRecursively(
+      java.nio.file.Paths.get(casPath + ".__claims__"))
+    StageWriter.mergeInto(spark, ordsSrc, casPath, Seq("o_orderkey"))
+    val baseN = spark.read.parquet(casPath).count()
+    val deltas = (1 to 8).map { wtr =>
+      ordsSrc.filter(col("o_orderkey") % 10 === wtr)
+        .select((col("o_orderkey") + wtr * 100000000L).as("o_orderkey"),
+          col("o_totalprice"))
+    }
+    val casDeltaRows = deltas.map(_.count()).sum
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val tCas = System.nanoTime()
+    val fs = deltas.map(d => scala.concurrent.Future {
+      StageWriter.mergeInto(spark, d, casPath, Seq("o_orderkey"),
+        maxRetries = 500, backoffMs = 100)
+    })
+    scala.concurrent.Await.result(scala.concurrent.Future.sequence(fs),
+      scala.concurrent.duration.Duration.Inf)
+    val casWall = (System.nanoTime() - tCas) / 1e9
+    pool.shutdown()
+    val finalN = spark.read.parquet(casPath).count()
+    val seqN = StageWriter.committedSeq(casPath)
+    val claims = java.nio.file.Files.list(
+        java.nio.file.Paths.get(casPath + ".__claims__"))
+      .toArray.map(_.toString.split('/').last.toLong)
+    println(f"[scale] 8-way CAS merges    $casWall%8.2f s  " +
+      s"($finalN rows = $baseN + $casDeltaRows; seq $seqN; " +
+      s"max claim ${claims.max})")
+    assert(finalN == baseN + casDeltaRows,
+      s"lost update under 8-way contention: $finalN != $baseN + $casDeltaRows")
+    assert(seqN == 9L, s"bootstrap + 8 merges must commit sequence 9, got $seqN")
+    assert(claims.max == seqN,
+      s"stranded claim ${claims.max} ahead of committed $seqN")
     spark.stop()
   }
 }

@@ -46,6 +46,39 @@ class CountMin(d: Int, w: Int)
     ExpressionEncoder[Seq[Long]]()
 }
 
+/** Weighted count-min: one input row carries a pre-aggregated key COUNT
+  * (buckets, n) and increments each hash row by n — the counters are
+  * IDENTICAL to feeding n raw rows through [[CountMin]], so a sketch can be
+  * built from a key-domain aggregation instead of a second scan of the
+  * data. This is what lets a join profiler fold (rows, max per-key count)
+  * and the sketch into ONE aggregation job per side. */
+class CountMinWeighted(d: Int, w: Int)
+    extends Aggregator[(Seq[Int], Long), Array[Long], Seq[Long]] {
+  require(d >= 1 && w >= 1)
+
+  override def zero: Array[Long] = new Array[Long](d * w)
+
+  override def reduce(buf: Array[Long], in: (Seq[Int], Long)): Array[Long] = {
+    val (buckets, n) = in
+    var i = 0
+    while (i < d) { buf(i * w + buckets(i)) += n; i += 1 }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+}
+
 object CountMin {
 
   /** Portable bucket for hash row `i` (i < 4): ONE md5 per key supplies all

@@ -292,9 +292,18 @@ object Dedup {
       maxIter: Int = 20): DataFrame = {
     val labelEdges = labels.filter(col("id") =!= col("cluster"))
       .select(col("id").as("id1"), col("cluster").as("id2"))
-    connectedComponents(
+    val recomputed = connectedComponents(
       labelEdges.unionByName(newPairs.select(col("id1"), col("id2"))),
       maxIter)
+    // A stored labeling may carry SINGLETON components (id == cluster with
+    // no other member — e.g. identity rows persisted for never-paired
+    // docs). Those nodes reach the star rounds through no edge, so the
+    // recomputed labeling omits them; re-attach every labeled node the new
+    // pairs didn't pull into a component. Pair-graph labelings have no
+    // singletons and the anti-join is empty — zero behavior change there.
+    recomputed.unionByName(
+      labels.select(col("id"), col("cluster"))
+        .join(recomputed.select(col("id")), Seq("id"), "left_anti"))
   }
 
   /** `connectedComponents` plus the number of star rounds it took —

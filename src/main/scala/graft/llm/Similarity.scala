@@ -190,6 +190,118 @@ object Similarity {
         col("cosine"), col("rank"))
   }
 
+  /** IVF-PQ: the memory-bounded ANN SERVING composition (coarse quantize →
+    * per-list scan of PQ-encoded residuals with asymmetric distances) —
+    * what a 100 TB embedding corpus actually keeps hot.
+    *
+    * Memory argument (the point of the composition): the per-list scan
+    * touches ONLY (id, list_id, m codes) — m small ints per vector — plus
+    * one shared `ncodes × dim` residual codebook. At dim=64/m=4 that is
+    * ~64× less state than full-precision vectors; the float vectors are
+    * read exactly twice at INDEX BUILD (assignment + encoding) and never
+    * at query time.
+    *
+    * Pipeline (all seed-free and rounded so a SQL oracle replays it):
+    *  1. coarse lists: [[ivfAssign]] (smallest-id centroids, fold-ordered
+    *     cosine, min(struct) tiebreak);
+    *  2. residuals r = v − centroid(list) — zip_with, pure map;
+    *  3. global residual codebook: the `ncodes` LARGEST-id residual rows
+    *     (largest, not smallest: the smallest ids ARE the centroids, whose
+    *     residuals are all-zero — a degenerate codebook);
+    *  4. encode: per subspace j, argmin over the broadcast codebook of the
+    *     ROUNDED sub-distance (the [[pqEncode]] pattern on residuals) — one
+    *     map-side-combinable aggregation for all m subspaces;
+    *  5. query: probe `nprobe` nearest lists, build the per-(query, list)
+    *     asymmetric distance TABLE d[j][code] = ‖qr_sub − cr_sub‖² over
+    *     the broadcast codebook (nprobe·ncodes·m doubles per query — KBs),
+    *     then ONE join from exploded candidate codes to the table and a
+    *     decimal-exact Σ_j lookup sum. No full-precision vector is touched.
+    *
+    * Unit-norm corpora rank by ADC L2 ≈ cosine (‖q−v‖² = 2 − 2cosθ);
+    * distances are rounded and summed as DECIMAL(18,4), and the final
+    * step REFINES: exact cosine on the k·`rerank` PQ-shortlisted
+    * candidates only (full vectors point-read for the shortlist — the
+    * standard IVF-PQ serving shape, recall limited by the probes, not the
+    * codes). Everything replays exactly cross-engine. Returns
+    * (query_id, neighbor_id, cosine4, rank), rank 1..k. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 4, ncodes: Int = 16, rerank: Int = 8,
+      roundDigits: Int = 4): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subvectors")
+    val sub = dim / m
+    def subD(a: Column, b: Column, j: Int): Column =
+      round(aggregate(
+        zip_with(slice(a, j * sub + 1, sub), slice(b, j * sub + 1, sub),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v), roundDigits)
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val resid = ivfAssign(corpus, idCol, vecCol, nlist)
+      .join(broadcast(cents.select(col("cent_id").as("list_id"),
+        col("cent_v"))), "list_id")
+      .select(col(idCol), col("list_id"),
+        zip_with(col(vecCol), col("cent_v"),
+          (x, c) => x.cast(DoubleType) - c.cast(DoubleType)).as("r"))
+    val codebook = resid.orderBy(col(idCol).desc).limit(ncodes)
+      .select(col(idCol).as("code_id"), col("r").as("cr"))
+    // (id, list_id, j, code): the ONLY per-vector state the scan keeps
+    val codeRows = resid.crossJoin(broadcast(codebook))
+      .groupBy(col(idCol), col("list_id"))
+      .agg(min(struct(subD(col("r"), col("cr"), 0).as("d"),
+          col("code_id").as("c"))).as("b0"),
+        (1 until m).map(j => min(struct(subD(col("r"), col("cr"), j).as("d"),
+          col("code_id").as("c"))).as(s"b$j")): _*)
+      .select(col(idCol), col("list_id"),
+        posexplode(array((0 until m).map(j => col(s"b$j.c")): _*))
+          .as(Seq("j", "code")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").asc, col("cent_id").asc)
+    val qresid = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("_qn", sqrt(dot(col("qv"), col("qv"))))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", -cosineWithNorms(col("qv"), col("_qn"),
+        col("cent_v"), col("cent_n")))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("list_id"),
+        zip_with(col("qv"), col("cent_v"),
+          (x, c) => x.cast(DoubleType) - c.cast(DoubleType)).as("qr"))
+    val dtab = qresid.crossJoin(broadcast(codebook))
+      .select(col("query_id"), col("list_id"), col("code_id"),
+        posexplode(array((0 until m).map(j =>
+          subD(col("qr"), col("cr"), j)): _*)).as(Seq("j", "dj")))
+    val joined = codeRows.alias("c").join(dtab.alias("d"),
+        col("c.list_id") === col("d.list_id") &&
+          col("c.j") === col("d.j") && col("c.code") === col("d.code_id"))
+      .filter(col(s"c.$idCol") =!= col("d.query_id"))
+      .groupBy(col("d.query_id").as("query_id"),
+        col(s"c.$idCol").as("neighbor_id"))
+      .agg(sum(col("d.dj").cast(DecimalType(18, 4))).cast(DoubleType)
+        .as("adist4"))
+    val wPq = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist4").asc, col("neighbor_id").asc)
+    val shortlist = joined.withColumn("prank", row_number().over(wPq))
+      .filter(col("prank") <= k * rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    // REFINE (the standard IVF-PQ serving step): exact cosine on the
+    // k·rerank shortlisted candidates ONLY — full vectors are point-read
+    // for the shortlist, never scanned; PQ decides WHO gets re-ranked,
+    // the exact distance decides the order
+    val cand = shortlist
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv")), "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"))), "query_id")
+    val cos4 = round(dot(col("qv"), col("cv")) /
+      (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))), 4)
+    val wEx = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine4").desc, col("neighbor_id").asc)
+    cand.withColumn("cosine4", cos4)
+      .withColumn("rank", row_number().over(wEx)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine4"),
+        col("rank"))
+  }
+
   /** Product-quantization encoding — the compressed-index rung of the ANN
     * family (brute force → IVF lists → int8 scalar → PQ codes): split each
     * `dim`-vector into `m` subvectors and store, per subspace, only the id

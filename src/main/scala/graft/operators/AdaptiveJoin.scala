@@ -9,13 +9,15 @@ import graft.functions.CountMin
   * shuffle vs [[JoinGuard]]-capped BEFORE running the join, from bounded
   * profiling state.
   *
-  * Per side, two cheap passes replace the blind join:
-  *  - a map-side-combinable `groupBy(key).count` reduced to ONE driver row
-  *    (total rows + EXACT max per-key count) — the shuffle carries only
-  *    the key domain, never the data;
-  *  - a 2 KB count-min sketch of the key column ([[CountMin]]), whose
-  *    inner product estimates the join's output rows without touching the
-  *    other side's data (AGMS upper bound; collisions only inflate).
+  * Per side, ONE aggregation job replaces the blind join: the map-side-
+  * combinable `groupBy(key).count` key-domain aggregation feeds a single
+  * global `agg` computing total rows, EXACT max per-key count, AND the
+  * 2 KB count-min sketch (via [[graft.functions.CountMinWeighted]] — the
+  * per-key counts increment the counters by n, so the sketch is identical
+  * to a raw-row scan without re-reading the data). The shuffle carries
+  * only the key domain, never the data; the sketches' inner product
+  * estimates the join's output rows without touching the other side
+  * (AGMS upper bound; collisions only inflate).
   *
   * Decision (all thresholds explicit, the audit row records every input):
   *  1. smaller side fits the broadcast budget → `broadcast` (no shuffle of
@@ -39,14 +41,18 @@ object AdaptiveJoin {
 
   private def sideStats(df: DataFrame, key: String, d: Int, w: Int)
       : (Long, Long, Array[Long]) = {
+    // ONE job: key-domain partial agg, then a single global row carrying
+    // (rows, maxFreq, sketch) — the weighted sketch consumes (buckets, n)
+    // so no second scan of the side is ever needed
     val r = df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
-      .agg(sum(col("__n")), max(col("__n"))).head()
+      .agg(sum(col("__n")), max(col("__n")),
+        udaf(new graft.functions.CountMinWeighted(d, w))
+          .apply(CountMin.buckets(col(key), d, w), col("__n")))
+      .head()
     val (rows, maxFreq) =
       if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
     val cms =
-      if (rows == 0) new Array[Long](d * w)
-      else CountMin.sketch(df, col(key), d, w)
-        .head().getSeq[Long](0).toArray
+      if (rows == 0) new Array[Long](d * w) else r.getSeq[Long](2).toArray
     (rows, maxFreq, cms)
   }
 

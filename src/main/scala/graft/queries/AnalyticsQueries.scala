@@ -622,7 +622,7 @@ object AnalyticsQueries {
         tmp.resolve("stage").toString, tmp.resolve("chk").toString)
       try {
         val ev = load(spark, dir, "events")
-        ev.filter(col("event_id") % 2 === 0).write.parquet(raw)
+        ev.filter(col("event_id") % 2 === 0).coalesce(4).write.parquet(raw)
         def run(): Unit = {
           val q = graft.streaming.Streams.rawToStage(spark, raw, stage, chk,
             df =>
@@ -1249,7 +1249,10 @@ object AnalyticsQueries {
     // events in new files, and restarts from the same checkpoint — the
     // log must skip replayed batches and the keyed upsert must absorb
     // re-delivered rows. Oracle = the batch over DISTINCT events.
-    "evt_stream_jdbc_restart" -> (((spark, dir) => withStreamPartitions(spark) {
+    // 4 shuffle partitions + coalesced source files: the stream is
+    // STATELESS (foreachBatch upsert), so partitions buy nothing but
+    // per-task and per-file micro-batch overhead here
+    "evt_stream_jdbc_restart" -> (((spark, dir) => withStreamPartitions(spark, 4) {
       import org.apache.spark.sql.{Dataset, Row}
       val url = "jdbc:derby:memory:xonce;create=true"
       val tbl = s"sink_${Q.nextSinkId()}"
@@ -1258,7 +1261,7 @@ object AnalyticsQueries {
         tmp.resolve("chk").toString)
       try {
         val ev = load(spark, dir, "events")
-        ev.filter(col("event_id") % 2 === 0).write.parquet(raw)
+        ev.filter(col("event_id") % 2 === 0).coalesce(4).write.parquet(raw)
         def run(): Unit = {
           val schema = spark.read.parquet(raw).schema
           val q = spark.readStream.schema(schema).parquet(raw)
@@ -1273,7 +1276,7 @@ object AnalyticsQueries {
         run() // first life commits the even half
         ev.filter(col("event_id") % 2 === 1)
           .unionByName(ev.filter(col("event_id") % 6 === 0)) // re-delivery
-          .write.mode("append").parquet(raw)
+          .coalesce(4).write.mode("append").parquet(raw)
         run() // restart: replayed batches skipped, duplicates upserted
         val p = new java.util.Properties()
         p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")

@@ -131,6 +131,86 @@ object LlmQueries {
                       ORDER BY cosine4 DESC, neighbor_id ASC) AS rank
                     FROM ivfscored)"""
 
+  /** Full SQL replay of `Similarity.ivfPqTopK(dim=64, nlist=16, nprobe=4,
+    * m=4, ncodes=16)` on the `vec_id < 8` query set: coarse assignment,
+    * residuals, largest-id residual codebook, per-subspace argmin codes,
+    * per-(query, list) asymmetric distance tables, decimal-exact code-sum
+    * ranking. Sub-distances use the canonical left-fold (dotSql's shape)
+    * over list_slice subvectors so every rounded value matches to the bit. */
+  private def ivfPqOracle: String = {
+    def fold(listExpr: String) =
+      s"list_reduce(list_prepend(0.0, $listExpr), (a, b) -> a + b)"
+    def subd(a: String, b: String) =
+      s"""round(${fold(s"list_transform(list_zip(" +
+        s"list_slice($a, j.j*8+1, j.j*8+8), " +
+        s"list_slice($b, j.j*8+1, j.j*8+8)), " +
+        "p -> (p[1]-p[2])*(p[1]-p[2]))")}, 4)"""
+    s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+               ORDER BY vec_id LIMIT 32),
+      assign AS (
+        SELECT vec_id, v, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY
+                 ${dotSql("v", "cv")} /
+                   (sqrt(${dotSql("v", "v")}) * sqrt(${dotSql("cv", "cv")}))
+                 DESC, cent_id ASC) AS rn
+        FROM e, cent),
+      resid AS (
+        SELECT a.vec_id, a.cent_id AS list_id,
+               list_transform(list_zip(a.v, c.cv), p -> p[1] - p[2]) AS r
+        FROM assign a JOIN cent c ON a.cent_id = c.cent_id WHERE a.rn = 1),
+      cb AS (SELECT vec_id AS code_id, r AS cr FROM resid
+             ORDER BY vec_id DESC LIMIT 64),
+      js AS (SELECT unnest(range(8)) AS j),
+      subd AS (
+        SELECT r.vec_id, r.list_id, c.code_id, j.j,
+               ${subd("r.r", "c.cr")} AS d
+        FROM resid r, cb c, js j),
+      codes AS (
+        SELECT vec_id, list_id, j, code_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                      ORDER BY d, code_id) AS rn FROM subd)
+        WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+      probes AS (
+        SELECT query_id, cent_id AS list_id,
+               list_transform(list_zip(qv, cv), p -> p[1] - p[2]) AS qr
+        FROM (
+          SELECT query_id, qv, cent_id, cv,
+                 row_number() OVER (PARTITION BY query_id ORDER BY
+                   ${dotSql("qv", "cv")} /
+                     (sqrt(${dotSql("qv", "qv")}) *
+                      sqrt(${dotSql("cv", "cv")})) DESC, cent_id ASC) AS rn
+          FROM q, cent) WHERE rn <= 8),
+      dtab AS (
+        SELECT p.query_id, p.list_id, c.code_id, j.j,
+               ${subd("p.qr", "c.cr")} AS dj
+        FROM probes p, cb c, js j),
+      pqscored AS (
+        SELECT d.query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(CAST(d.dj AS DECIMAL(18,4))) AS DOUBLE) AS adist4
+        FROM codes c JOIN dtab d
+          ON c.list_id = d.list_id AND c.j = d.j AND c.code_id = d.code_id
+        WHERE c.vec_id <> d.query_id GROUP BY 1, 2),
+      pqranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY adist4, neighbor_id) AS prank FROM pqscored),
+      refined AS (
+        SELECT s.query_id, s.neighbor_id,
+               round(${dotSql("q.qv", "i.v")} /
+                 (sqrt(${dotSql("q.qv", "q.qv")}) *
+                  sqrt(${dotSql("i.v", "i.v")})), 4) AS cosine4
+        FROM pqranked s
+        JOIN q ON q.query_id = s.query_id
+        JOIN (SELECT vec_id, v FROM e) i ON i.vec_id = s.neighbor_id
+        WHERE s.prank <= 80),
+      reranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine4 DESC, neighbor_id) AS rank
+                   FROM refined)
+      SELECT query_id, neighbor_id, cosine4, CAST(rank AS INT) AS rank
+      FROM reranked WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
+
   private def embedOracleSql: String = {
     val bucketExpr = EmbedPlanes.zipWithIndex.map { case (cs, p) =>
       val lit = cs.mkString("[", ", ", "]")
@@ -805,6 +885,33 @@ object LlmQueries {
         WHERE b.rnk <= 10 GROUP BY 1)
       SELECT query_id, n_hit, round(n_hit / 10.0, 4) AS recall4
       FROM rec ORDER BY query_id"""))),
+
+    // D7+D51 COMPOSED — the IVF-PQ serving shape (coarse lists → PQ
+    // residual codes → asymmetric distance scan), the memory-bounded ANN
+    // a 100 TB corpus keeps hot: the query path touches only m-byte codes
+    // plus one shared codebook, never a full-precision vector. The gate
+    // require()s recall@10 against the brute-force arm (the sim_recall
+    // tuning-harness contract) and hash-matches the ENTIRE pipeline —
+    // assignment, residuals, codebook, codes, distance tables, ranking —
+    // against the SQL replay.
+    "sim_ivfpq" -> (((spark, dir) => {
+      val emb = load(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val pq = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+        dim = 64, k = 10, nlist = 32, nprobe = 8, m = 8, ncodes = 64,
+        rerank = 8)
+      val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+          k = 10, roundDigits = Some(4))
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1))
+      val recall = pq.join(bf, Seq("query_id", "neighbor_id"), "left")
+        .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1)))
+          .cast("double")).head().getDouble(0)
+      require(recall >= 0.30,
+        f"IVF-PQ recall@10 vs brute force = $recall%.3f — under the 0.30 " +
+          "serving floor; retune (nlist, nprobe, m, ncodes)")
+      pq.orderBy("query_id", "rank")
+    }, Some(ivfPqOracle))),
 
     // Embedding L2 norms (deterministic double fold — exact cross-engine)
     "sim_norms" -> (((spark, dir) => {

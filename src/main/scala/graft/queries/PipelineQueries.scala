@@ -88,9 +88,14 @@ object PipelineQueries {
     // multi-writer-safe MERGE the pipeline itself uses), not the pure
     // DataFrame merge: bootstrap commit, then the delta merge, then the
     // table read back from disk.
+    // The delta is a contiguous key band — the real incremental-load
+    // shape (new/late keys are range-local), and the shape the round-7
+    // file-targeted merge prunes on: only base files whose key range
+    // intersects the band are rewritten. c6_cdc below keeps the UNIFORM
+    // delta as the worst-case twin (touches every file; still exact).
     "c6_merge" -> (((spark, dir) => {
       val orders = load(spark, dir, "orders")
-      val delta = orders.filter(col("o_orderkey") % 10 === 0)
+      val delta = orders.filter(col("o_orderkey") <= 15000)
         .withColumn("o_totalprice", col("o_totalprice") + 1000)
       val tmp = java.nio.file.Files.createTempDirectory("merge_gate")
       try {
@@ -106,7 +111,7 @@ object PipelineQueries {
       } finally StageWriter.deleteRecursively(tmp)
     }, Some("""
       SELECT o_orderkey,
-             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+             CASE WHEN o_orderkey <= 15000 THEN o_totalprice + 1000
                   ELSE o_totalprice END AS total
       FROM orders ORDER BY o_orderkey"""))),
 
@@ -323,6 +328,88 @@ object PipelineQueries {
              CAST(NULL AS DECIMAL(18,2)) AS monto,
              CAST(NULL AS DATE) AS od
       WHERE false"""))),
+
+    // C10 — catalog registration + schema-drift re-sync END-TO-END (the
+    // reference's crawler phase, crawler_stage.py:416-519,886-953): a
+    // stage table is registered over its parquet location in the session
+    // metastore, the WRITER then evolves the schema (adds one column,
+    // drops another), the drift re-sync re-registers it, and the final
+    // result is read back THROUGH the catalog (spark.table) — metastore
+    // resolution, not a path read, is what the oracle matches.
+    "c10_catalog" -> (((spark, dir) => {
+      import graft.sources.Catalog
+      val tmp = java.nio.file.Files.createTempDirectory("catalog_gate")
+      val db = Catalog.databaseName("graft", "tpch", "main", "stage")
+      try {
+        val loc = tmp.resolve("nation").toString
+        val nation = load(spark, dir, "nation")
+        // v1 layout carries a column the re-sync must DROP
+        nation.withColumn("legacy_flag", lit(1)).write.parquet(loc)
+        Catalog.registerStageTable(spark, db, "nation_c10", loc)
+        require(spark.table(s"`$db`.`nation_c10`").columns
+          .contains("legacy_flag"), "v1 registration must see the v1 schema")
+        nation.withColumn("name_up", upper(col("n_name")))
+          .write.mode("overwrite").parquet(loc)
+        val drift = Catalog.syncStageTable(spark, db, "nation_c10", loc)
+        require(drift.exists(d => d.added == Seq("name_up") &&
+          d.dropped == Seq("legacy_flag") && d.retyped.isEmpty),
+          s"re-sync must report exactly the add+drop, got $drift")
+        require(Catalog.syncStageTable(spark, db, "nation_c10", loc).isEmpty,
+          "a driftless re-sync must be a no-op (no catalog churn)")
+        spark.table(s"`$db`.`nation_c10`")
+          .select(col("n_nationkey"), col("n_name"), col("name_up"))
+          .orderBy("n_nationkey")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally {
+        spark.sql(s"DROP TABLE IF EXISTS `$db`.`nation_c10`")
+        StageWriter.deleteRecursively(tmp)
+      }
+    }, Some("""
+      SELECT n_nationkey, n_name, upper(n_name) AS name_up
+      FROM nation ORDER BY n_nationkey"""))),
+
+    // C7 — the composed OPTIMIZE maintenance pass (the reference runs
+    // OPTIMIZE + VACUUM + manifest after EVERY write,
+    // light_transform.py:1394-1409): 48 skewed small files are rewritten
+    // z-order-clustered into byte-budgeted files, the per-file key-range
+    // sidecar is refreshed, the symlink manifest regenerated, and a
+    // manifest-pruned range read over the optimized layout must equal the
+    // full-scan filter. File counts are layout-dependent → require()'d;
+    // the oracle matches the aggregate.
+    "c7_optimize" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("optimize_gate")
+      try {
+        val p = tmp.resolve("li").toString
+        load(spark, dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_extendedprice")
+          .repartition(48).write.parquet(p)
+        val rep = StageWriter.optimize(spark, p,
+          targetFileBytes = 256 * 1024,
+          zorderBy = Some(("l_orderkey", "l_partkey")),
+          statsColumn = Some("l_orderkey"))
+        require(rep.filesBefore == 48 && rep.filesAfter < 48,
+          s"optimize must compact the 48 small files, got $rep")
+        val manifest = java.nio.file.Files.readAllLines(java.nio.file
+          .Paths.get(p).resolve("_symlink_format_manifest/manifest"))
+        require(manifest.size == rep.filesAfter,
+          s"manifest must list every data file " +
+            s"(${manifest.size} vs ${rep.filesAfter})")
+        val (pruned, fRead, fTotal) = graft.sink.Layout.prunedRead(
+          spark, p, "l_orderkey", 10000L, 15000L)
+        require(fRead <= fTotal, "pruned read can never widen the scan")
+        val row = pruned
+          .filter(col("l_orderkey").between(10000L, 15000L)) // residual
+          .agg(count(lit(1)).as("n"),
+            coalesce(dsum(col("l_extendedprice")), lit(0.0)).as("total"))
+          .head()
+        spark.createDataFrame(Seq((row.getLong(0), row.getDouble(1))))
+          .toDF("n", "total")
+      } finally StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT count(*) AS n,
+             COALESCE(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+               AS DOUBLE), 0.0) AS total
+      FROM lineitem WHERE l_orderkey BETWEEN 10000 AND 15000"""))),
 
     // E2E — flagship reference-shaped pipeline (also SparkEntry.entry)
     "e2e_pipeline" -> ((e2ePipeline _, Some(e2eOracle))),

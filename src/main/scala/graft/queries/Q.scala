@@ -97,7 +97,13 @@ object Q {
     * per micro-batch is pure overhead (measured 10.9 → 3.9 s on the
     * left-outer interval gate). Semantics are partition-count-invariant;
     * each gate owns a fresh checkpoint, so the scoped value can differ
-    * per run. Restores the previous value even on failure. */
+    * per run. Restores the previous value even on failure.
+    *
+    * SEQUENTIAL-EXECUTION ASSUMPTION: the conf is session-global, so a
+    * gate running CONCURRENTLY on the shared session would see the scoped
+    * value (and the save/restore could race). The battery runs gates
+    * sequentially (Verify/Bench iterate one query at a time); a parallel
+    * harness must give each gate its own `spark.newSession()` clone. */
   def withStreamPartitions[T](spark: org.apache.spark.sql.SparkSession,
       n: Int = 8)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

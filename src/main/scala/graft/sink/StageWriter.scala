@@ -40,11 +40,18 @@ object StageWriter {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp)
+    swapTmp(path)
+  }
+
+  /** Atomic-ish `path.__tmp__` → `path` swap shared by the overwrite and
+    * optimize paths (see the class doc for the crash-window contract). */
+  private def swapTmp(path: String): Unit = {
     val target = Paths.get(path)
     val old = Paths.get(path + ".__old__")
     deleteRecursively(old)
     if (Files.exists(target)) Files.move(target, old)
-    Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(path + ".__tmp__"), target,
+      StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(old)
   }
 
@@ -284,7 +291,7 @@ object StageWriter {
 
   /** Visible data files of a flat Parquet dir (skips `_SUCCESS`, hidden
     * in-progress merge files, sidecars). */
-  private[sink] def listDataFiles(dir: Path): Seq[Path] = {
+  private[graft] def listDataFiles(dir: Path): Seq[Path] = {
     if (!Files.isDirectory(dir)) return Nil
     val s = Files.list(dir)
     try s.toArray.map(_.asInstanceOf[Path]).filter { p =>
@@ -302,24 +309,28 @@ object StageWriter {
     * is never touched. */
   private type FileStats = Map[String, Option[(Long, Long)]]
 
-  /** Load the sidecar iff its file inventory matches the directory EXACTLY
-    * (an `overwrite` or external rewrite invalidates it by construction —
-    * Spark part-file names are uuid-unique). */
-  private[sink] def loadStats(path: String, files: Seq[Path])
+  /** Load the sidecar iff it describes THIS key column and its file
+    * inventory matches the directory EXACTLY (an `overwrite` or external
+    * rewrite invalidates it by construction — Spark part-file names are
+    * uuid-unique; stats for a different column must never prune a merge
+    * on this one). */
+  private[sink] def loadStats(path: String, files: Seq[Path], column: String)
       : Option[FileStats] = {
     val f = statsFile(path)
     if (!Files.exists(f)) return None
     import scala.jdk.CollectionConverters._
-    val m: FileStats = Files.readAllLines(f).asScala.toSeq
-      .filter(_.nonEmpty).map { l =>
-        val a = l.split("\t", 3)
-        a(0) -> (if (a(1) == "-") None else Some((a(1).toLong, a(2).toLong)))
-      }.toMap
+    val lines = Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty)
+    if (!lines.headOption.contains(s"#column\t$column")) return None
+    val m: FileStats = lines.tail.map { l =>
+      val a = l.split("\t", 3)
+      a(0) -> (if (a(1) == "-") None else Some((a(1).toLong, a(2).toLong)))
+    }.toMap
     if (m.keySet == files.map(_.getFileName.toString).toSet) Some(m) else None
   }
 
-  private def writeStats(path: String, stats: FileStats): Unit = {
-    val lines = stats.toSeq.sortBy(_._1).map {
+  private def writeStats(path: String, column: String,
+      stats: FileStats): Unit = {
+    val lines = s"#column\t$column" +: stats.toSeq.sortBy(_._1).map {
       case (n, Some((mn, mx))) => s"$n\t$mn\t$mx"
       case (n, None) => s"$n\t-\t-"
     }
@@ -373,7 +384,7 @@ object StageWriter {
     val dir = Paths.get(path)
     val key1 = t.keys.head
     val dataFiles = listDataFiles(dir)
-    val stats = loadStats(path, dataFiles)
+    val stats = loadStats(path, dataFiles, key1)
       .getOrElse(computeStats(spark, dataFiles, key1))
     // touched = any delta key inside the file's [mn, mx]; the range table
     // is file-count rows (the Delta-log size class) and broadcasts, so
@@ -421,7 +432,7 @@ object StageWriter {
         stats.filter { case (f, _) => !touched(f) } ++
           staged.map { case (_, vis, orig) =>
             vis.getFileName.toString -> newStats.getOrElse(orig, None) }
-      writeStats(path, kept)
+      writeStats(path, key1, kept)
     } finally merged.unpersist()
   }
 
@@ -508,6 +519,61 @@ object StageWriter {
     compacted.unpersist()
   }
 
+  /** What one OPTIMIZE pass did. */
+  final case class OptimizeReport(filesBefore: Int, filesAfter: Int,
+      bytes: Long)
+
+  /** The post-write maintenance pass the reference runs after EVERY write
+    * (light_transform.py:1394-1409: OPTIMIZE → VACUUM → manifest), composed
+    * from the parts this sink already owns:
+    *
+    *  1. rewrite into byte-budgeted files — plain coalesce ([[compact]]),
+    *     or z-order-clustered on two keys when `zorderBy` is given (Delta
+    *     `OPTIMIZE ZORDER BY`, [[Layout.zorderWrite]] through the same
+    *     tmp-swap as [[overwrite]]);
+    *  2. refresh the per-file key-range sidecar for `statsColumn` — so the
+    *     NEXT [[mergeInto]] starts file-targeted without a base rescan, and
+    *     [[Layout.prunedRead]]-style data skipping sees fresh stats;
+    *  3. regenerate the symlink manifest ([[writeManifest]]);
+    *  4. [[vacuum]] swap/claim leftovers past `retentionMs`.
+    *
+    * One table scan total (the rewrite) plus one key-column scan of the
+    * new files — at 100 TB this runs on the maintenance cadence, never per
+    * query. */
+  def optimize(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Option[(String, String)] = None,
+      statsColumn: Option[String] = None,
+      zorderBits: Int = 20,
+      retentionMs: Long = 168L * 3600 * 1000): OptimizeReport = {
+    val dir = Paths.get(path)
+    val before = listDataFiles(dir).size
+    val bytes = dirSize(dir)
+    val files = math.max(1L,
+      (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    zorderBy match {
+      case Some((x, y)) =>
+        // size zorderBits to the key domain: bits the keys overflow wrap
+        // the interleave and degrade clustering to hash-like (correctness
+        // is unaffected — stats are computed post-hoc — but skipping
+        // effectiveness dies; the 20× scale smoke exists to catch this)
+        val df = spark.read.parquet(path).cache()
+        try {
+          df.count() // materialize before the swap: never read-while-swap
+          Layout.zorderWrite(df, path + ".__tmp__", x, y, bits = zorderBits,
+            numFiles = files)
+          swapTmp(path)
+        } finally df.unpersist()
+      case None => compact(spark, path, targetFileBytes)
+    }
+    val after = listDataFiles(dir)
+    statsColumn.foreach(c =>
+      writeStats(path, c, computeStats(spark, after, c)))
+    writeManifest(path)
+    vacuum(path, retentionMs)
+    OptimizeReport(before, after.size, bytes)
+  }
+
   /** Symlink-format manifest — the engine-neutral file inventory Delta
     * generates for Presto/Athena (light_transform.py:1394-1409 runs
     * manifest generation after every write): one line per data file under
@@ -515,11 +581,9 @@ object StageWriter {
     * can then read the table without listing the directory. */
   def writeManifest(path: String): Unit = {
     val dir = Paths.get(path)
-    val files = {
-      val s = Files.list(dir)
-      try s.toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted
-      finally s.close()
-    }
+    // listDataFiles, not a raw glob: hidden (unrevealed) merge files must
+    // never leak into the manifest an external engine trusts
+    val files = listDataFiles(dir).map(_.toString).sorted
     val mdir = dir.resolve("_symlink_format_manifest")
     Files.createDirectories(mdir)
     val tmp = Files.createTempFile(mdir, "manifest", ".tmp")

@@ -57,15 +57,46 @@ final class InMemoryWatermarkStore extends WatermarkStore {
 /** File-backed store: one log file per key under `dir`, each line
   * `ts|tokenId|status|value`; last CONFIRMED line wins (timestamp sort-key
   * semantics of the reference's DynamoDB schema). Writes are atomic
-  * (tmp + move) and serialized on the store's monitor — savePending,
-  * confirm and rollback all read-modify-write under the SAME lock, so a
-  * concurrent save can never interleave with a confirm's status check.
-  * Tokens are matched by their unique id, never by timestamp alone
-  * (coarse nanoTime can collide across concurrent saves). */
-final class FileWatermarkStore(dir: String) extends WatermarkStore {
+  * (tmp + move) and every read-modify-write — savePending's append,
+  * confirm/rollback's status-check-then-append — runs inside a
+  * CROSS-PROCESS per-key claim lock ([[withKeyLock]]): two pipeline
+  * PROCESSES sharing one store directory serialize exactly like two
+  * threads of one process (the JVM monitor alone only covers threads).
+  * This is the create-if-absent claim-file pattern the CAS merge uses,
+  * standing in for the reference's DynamoDB conditional writes
+  * (transactional_watermark_storage.py:9-189). Tokens are matched by
+  * their unique id, never by timestamp alone (coarse nanoTime can collide
+  * across concurrent saves). */
+final class FileWatermarkStore(dir: String, lockStaleMs: Long = 60000,
+    lockRetryMs: Long = 5) extends WatermarkStore {
   Files.createDirectories(Paths.get(dir))
   private def path(key: String): Path =
     Paths.get(dir, key.replaceAll("[^A-Za-z0-9#_.-]", "_") + ".log")
+
+  /** Cross-process critical section for one watermark key: win the
+    * create-if-absent race on `<key>.lock`, run `body`, release. A lock a
+    * crashed holder stranded is STOLEN once older than `lockStaleMs`
+    * (age-gated, the same recovery contract as merge-claim vacuum) — size
+    * it above the longest log rewrite, which is milliseconds for the
+    * one-row-per-table state this store holds. */
+  private def withKeyLock[T](key: String)(body: => T): T = {
+    val lock = Paths.get(dir,
+      key.replaceAll("[^A-Za-z0-9#_.-]", "_") + ".lock")
+    var held = false
+    while (!held) {
+      try { Files.createFile(lock); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val stale = scala.util.Try(
+            Files.getLastModifiedTime(lock).toMillis <
+              System.currentTimeMillis() - lockStaleMs).getOrElse(false)
+          if (stale) { scala.util.Try(Files.deleteIfExists(lock)); () }
+          else Thread.sleep(lockRetryMs)
+      }
+    }
+    try body
+    finally { scala.util.Try(Files.deleteIfExists(lock)); () }
+  }
 
   private def append(key: String, ts: Long, id: String, status: String,
       v: String): Unit = {
@@ -87,22 +118,31 @@ final class FileWatermarkStore(dir: String) extends WatermarkStore {
     }
   }
 
+  // The JVM monitor keeps same-process threads off the claim-file spin;
+  // the key lock serializes ACROSS processes. The status check and the
+  // append are ONE critical section — a concurrent save/confirm from
+  // another process can never interleave between them.
   def savePending(p: String, t: String, c: String, v: String) =
     synchronized {
       val tok = WatermarkToken(WatermarkStore.key(p, t, c),
         System.nanoTime(), v)
-      append(tok.key, tok.ts, tok.id, "PENDING", v); tok
+      withKeyLock(tok.key) { append(tok.key, tok.ts, tok.id, "PENDING", v) }
+      tok
     }
   // Only a still-PENDING token may confirm: confirm after rollback (or of a
   // stale/unknown token) is a no-op, matching InMemoryWatermarkStore — the
   // two stores must agree on protocol semantics.
   def confirm(tok: WatermarkToken): Unit = synchronized {
-    if (statusOf(tok).contains("PENDING"))
-      append(tok.key, tok.ts, tok.id, "CONFIRMED", tok.value)
+    withKeyLock(tok.key) {
+      if (statusOf(tok).contains("PENDING"))
+        append(tok.key, tok.ts, tok.id, "CONFIRMED", tok.value)
+    }
   }
   def rollback(tok: WatermarkToken): Unit = synchronized {
-    if (statusOf(tok).contains("PENDING"))
-      append(tok.key, tok.ts, tok.id, "ROLLED_BACK", tok.value)
+    withKeyLock(tok.key) {
+      if (statusOf(tok).contains("PENDING"))
+        append(tok.key, tok.ts, tok.id, "ROLLED_BACK", tok.value)
+    }
   }
 
   def lastConfirmed(p: String, t: String, c: String): Option[String] = {

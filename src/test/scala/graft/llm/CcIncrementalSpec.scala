@@ -30,6 +30,15 @@ class CcIncrementalSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 100L -> 10L, 101L -> 10L))
   }
 
+  test("stored singleton components (identity rows) survive maintenance " +
+    "unless the new pairs absorb them") {
+    // a persisted labeling that includes identity rows for unpaired docs
+    val old = Seq((1L, 1L), (2L, 1L), (7L, 7L), (9L, 9L)).toDF("id", "cluster")
+    val out = toMap(Dedup.ccIncremental(old, Seq((9L, 2L)).toDF("id1", "id2")))
+    // 7 stays a singleton with its own label; 9 is absorbed into cluster 1
+    assert(out == Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 9L -> 1L))
+  }
+
   test("incremental equals from-scratch on a random 300-edge graph") {
     val rnd = new scala.util.Random(11)
     val all = (1 to 300).map(_ =>

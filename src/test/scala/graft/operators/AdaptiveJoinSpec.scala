@@ -55,6 +55,49 @@ class AdaptiveJoinSpec extends AnyFunSuite {
     assert(d.estJoinRows >= 5)
   }
 
+  test("profiling runs exactly ONE Spark job per side — the key-domain " +
+    "aggregation carries rows, maxFreq AND the sketch") {
+    // AQE re-submits query stages as separate jobs, which would make the
+    // count nondeterministic — scope it off; the job SHAPE is what's under
+    // test, and at scale the win is scans, not stage accounting
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    try {
+      // warm both plans once so codegen/planning jobs don't pollute
+      AdaptiveJoin.choose(fact, dim, "k")
+      spark.sparkContext.addSparkListener(l)
+      Thread.sleep(500)
+      jobs.set(0)
+      val p = AdaptiveJoin.choose(fact, dim, "k", broadcastRows = 10)
+      Thread.sleep(1000) // listener bus is async
+      assert(p.strategy == "broadcast")
+      assert(jobs.get() == 2,
+        s"expected one profiling job per side, saw ${jobs.get()}")
+    } finally {
+      spark.sparkContext.removeSparkListener(l)
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+  }
+
+  test("weighted sketch equals the raw-row sketch — same counters, same " +
+    "estimates") {
+    import graft.functions.CountMin
+    val raw = CountMin.sketch(fact, col("k"), 4, 64)
+      .head().getSeq[Long](0)
+    val weighted = fact.groupBy(col("k")).agg(count(lit(1)).as("__n"))
+      .agg(udaf(new graft.functions.CountMinWeighted(4, 64))
+        .apply(CountMin.buckets(col("k"), 4, 64), col("__n")))
+      .head().getSeq[Long](0)
+    assert(raw == weighted)
+  }
+
   test("empty side profiles to zero rows and broadcasts trivially") {
     val p = AdaptiveJoin.choose(fact.limit(0), dim, "k")
     assert(p.leftRows == 0 && p.estJoinRows == 0)

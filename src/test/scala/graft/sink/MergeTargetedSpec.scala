@@ -70,7 +70,10 @@ class MergeTargetedSpec extends AnyFunSuite {
     assert(Files.exists(sidecar), "targeted merge must persist file stats")
     val names1 = Files.readAllLines(sidecar)
     import scala.jdk.CollectionConverters._
-    val listed1 = names1.asScala.filter(_.nonEmpty).map(_.split("\t")(0)).toSet
+    val lines1 = names1.asScala.filter(_.nonEmpty)
+    assert(lines1.head == "#column\tk",
+      "sidecar must record which column its stats describe")
+    val listed1 = lines1.tail.map(_.split("\t")(0)).toSet
     assert(listed1 == inventory(path).keySet,
       "sidecar inventory must match the directory")
     // second merge touches only the m1 file (key 1 now lives there)
@@ -136,6 +139,38 @@ class MergeTargetedSpec extends AnyFunSuite {
       path, Seq("k"))
     assert(spark.read.parquet(path).as[(String, Int)].collect().toSet ==
       Set(("a", 1), ("b", 20), ("c", 3), ("d", 4)))
+  }
+
+  test("optimize: compacts small files z-order-clustered, refreshes the " +
+    "stats sidecar so the NEXT merge is file-targeted, writes the manifest") {
+    val path = tmp()
+    spark.range(20000).select(col("id").as("k"),
+        concat(lit("value-"), col("id")).as("v"))
+      .repartition(16).write.parquet(path)
+    val rep = StageWriter.optimize(spark, path,
+      targetFileBytes = 32 * 1024, zorderBy = Some(("k", "k")),
+      statsColumn = Some("k"))
+    assert(rep.filesBefore == 16)
+    assert(rep.filesAfter < 16 && rep.filesAfter >= 2,
+      s"expected a multi-file compaction, got ${rep.filesAfter}")
+    // manifest lists exactly the visible data files
+    import scala.jdk.CollectionConverters._
+    val manifest = Files.readAllLines(
+      Paths.get(path).resolve("_symlink_format_manifest/manifest"))
+      .asScala.filter(_.nonEmpty).map(_.split('/').last).toSet
+    assert(manifest == inventory(path).keySet)
+    // the refreshed sidecar drives the next merge: z(k,k) is monotonic in
+    // k, so files are range-disjoint and a one-key delta touches ONE file
+    val before = inventory(path)
+    StageWriter.mergeInto(spark, Seq((0L, "u")).toDF("k", "v"), path,
+      Seq("k"))
+    val after = inventory(path)
+    val untouched = before.keySet.intersect(after.keySet)
+    assert(untouched.size == before.size - 1,
+      s"optimize stats must keep the merge file-targeted " +
+        s"(${before.size} files, ${untouched.size} untouched)")
+    untouched.foreach(f => assert(before(f) == after(f)))
+    assert(spark.read.parquet(path).count() == 20000)
   }
 
   test("vacuum reclaims stranded staging dirs and hidden unrevealed files; " +
