@@ -228,13 +228,46 @@ object Similarity {
       vecCol: String, dim: Int, k: Int, nlist: Int = 16, nprobe: Int = 4,
       m: Int = 4, ncodes: Int = 16, rerank: Int = 8,
       roundDigits: Int = 4): DataFrame = {
-    require(dim % m == 0, s"dim=$dim must divide into m=$m subvectors")
+    val (cents, codebook, codes) =
+      ivfPqBuild(corpus, idCol, vecCol, dim, nlist, m, ncodes, roundDigits)
+    ivfPqQuery(queries, cents, codebook, codes, corpus, idCol, vecCol,
+      dim, k, nprobe, m, rerank, roundDigits)
+  }
+
+  /** Rounded squared L2 between subvectors `j` of two `dim`-arrays split
+    * into `m` subspaces — the one sub-distance both the encoder and the
+    * query-side distance tables use (and the SQL oracle replays). */
+  private def pqSubDist(dim: Int, m: Int, roundDigits: Int)(
+      a: Column, b: Column, j: Int): Column = {
     val sub = dim / m
-    def subD(a: Column, b: Column, j: Int): Column =
-      round(aggregate(
-        zip_with(slice(a, j * sub + 1, sub), slice(b, j * sub + 1, sub),
-          (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v), roundDigits)
+    round(aggregate(
+      zip_with(slice(a, j * sub + 1, sub), slice(b, j * sub + 1, sub),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v), roundDigits)
+  }
+
+  /** Build the PERSISTABLE IVF-PQ index — three plain DataFrames that
+    * write to parquet once and serve queries forever (the offline half of
+    * the serving lifecycle; `sim_ivfpq_stored` proves the round-trip is
+    * bit-exact):
+    *
+    *  - centroids `(cent_id, cent_v, cent_n)` — nlist rows;
+    *  - codebook `(code_id, cr)` — ncodes residual rows (LARGEST-id
+    *    residuals: the smallest ids ARE the centroids, whose residuals
+    *    are all-zero — a degenerate codebook);
+    *  - codes `(id, list_id, codes)` — m small ints per corpus vector,
+    *    the ONLY per-vector state the query scan ever touches.
+    *
+    * The full-precision vectors are read exactly twice here (assignment +
+    * encoding) and never again at query time. Encoding is one
+    * map-side-combinable aggregation for all m subspaces ([[pqEncode]]
+    * pattern on residuals), distances rounded so the argmin replays in
+    * SQL. */
+  def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nlist: Int = 16, m: Int = 4, ncodes: Int = 16,
+      roundDigits: Int = 4): (DataFrame, DataFrame, DataFrame) = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subvectors")
+    val subD = pqSubDist(dim, m, roundDigits) _
     val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
     val resid = ivfAssign(corpus, idCol, vecCol, nlist)
       .join(broadcast(cents.select(col("cent_id").as("list_id"),
@@ -244,16 +277,36 @@ object Similarity {
           (x, c) => x.cast(DoubleType) - c.cast(DoubleType)).as("r"))
     val codebook = resid.orderBy(col(idCol).desc).limit(ncodes)
       .select(col(idCol).as("code_id"), col("r").as("cr"))
-    // (id, list_id, j, code): the ONLY per-vector state the scan keeps
-    val codeRows = resid.crossJoin(broadcast(codebook))
+    val codes = resid.crossJoin(broadcast(codebook))
       .groupBy(col(idCol), col("list_id"))
       .agg(min(struct(subD(col("r"), col("cr"), 0).as("d"),
           col("code_id").as("c"))).as("b0"),
         (1 until m).map(j => min(struct(subD(col("r"), col("cr"), j).as("d"),
           col("code_id").as("c"))).as(s"b$j")): _*)
       .select(col(idCol), col("list_id"),
-        posexplode(array((0 until m).map(j => col(s"b$j.c")): _*))
-          .as(Seq("j", "code")))
+        array((0 until m).map(j => col(s"b$j.c")): _*).as("codes"))
+    (cents, codebook, codes)
+  }
+
+  /** Serve top-k from a (possibly stored) IVF-PQ index — the online half:
+    * probe `nprobe` nearest lists, build the per-(query, list) asymmetric
+    * distance TABLE d[j][code] = ‖qr_sub − cr_sub‖² over the broadcast
+    * codebook (nprobe·ncodes·m doubles per query — KBs), ONE join from
+    * exploded candidate codes to the table with a decimal-exact Σ_j
+    * lookup sum, then REFINE: exact cosine on the k·`rerank` shortlisted
+    * candidates only — full vectors (`corpus`) are point-read for the
+    * shortlist, never scanned. PQ decides WHO gets re-ranked; the exact
+    * distance decides the order, so recall is limited by the probes, not
+    * the codes. Unit-norm corpora rank by ADC L2 ≈ cosine
+    * (‖q−v‖² = 2 − 2cosθ). Returns (query_id, neighbor_id, cosine4,
+    * rank), rank 1..k. */
+  def ivfPqQuery(queries: DataFrame, cents: DataFrame, codebook: DataFrame,
+      codes: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, nprobe: Int = 4, m: Int = 4, rerank: Int = 8,
+      roundDigits: Int = 4): DataFrame = {
+    val subD = pqSubDist(dim, m, roundDigits) _
+    val codeRows = codes.select(col(idCol), col("list_id"),
+      posexplode(col("codes")).as(Seq("j", "code")))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").asc, col("cent_id").asc)
     val qresid = queries
@@ -283,10 +336,6 @@ object Similarity {
     val shortlist = joined.withColumn("prank", row_number().over(wPq))
       .filter(col("prank") <= k * rerank)
       .select(col("query_id"), col("neighbor_id"))
-    // REFINE (the standard IVF-PQ serving step): exact cosine on the
-    // k·rerank shortlisted candidates ONLY — full vectors are point-read
-    // for the shortlist, never scanned; PQ decides WHO gets re-ranked,
-    // the exact distance decides the order
     val cand = shortlist
       .join(corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).as("cv")), "neighbor_id")

@@ -913,6 +913,34 @@ object LlmQueries {
       pq.orderBy("query_id", "rank")
     }, Some(ivfPqOracle))),
 
+    // D122 — IVF-PQ index PERSISTENCE (the serving lifecycle): the index
+    // (centroids, codebook, codes) is built ONCE, written to parquet, read
+    // back, and queried — build offline / serve online, the shape a 100 TB
+    // corpus actually deploys (index build is a batch job; queries only
+    // load codes + codebook and point-read shortlisted vectors). Results
+    // must be bit-identical to the inline composition, so the SAME SQL
+    // replay is the oracle.
+    "sim_ivfpq_stored" -> (((spark, dir) => {
+      val emb = load(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val tmp = java.nio.file.Files.createTempDirectory("ivfpq_idx")
+      try {
+        val (cents, cb, codes) = Similarity.ivfPqBuild(emb, "vec_id",
+          "embedding", dim = 64, nlist = 32, m = 8, ncodes = 64)
+        cents.write.parquet(tmp.resolve("centroids").toString)
+        cb.write.parquet(tmp.resolve("codebook").toString)
+        codes.write.parquet(tmp.resolve("codes").toString)
+        Similarity.ivfPqQuery(q,
+            spark.read.parquet(tmp.resolve("centroids").toString),
+            spark.read.parquet(tmp.resolve("codebook").toString),
+            spark.read.parquet(tmp.resolve("codes").toString),
+            emb, "vec_id", "embedding", dim = 64, k = 10, nprobe = 8,
+            m = 8, rerank = 8)
+          .orderBy("query_id", "rank")
+          .localCheckpoint() // materialize before the index dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some(ivfPqOracle))),
+
     // Embedding L2 norms (deterministic double fold — exact cross-engine)
     "sim_norms" -> (((spark, dir) => {
       load(spark, dir, "embeddings")

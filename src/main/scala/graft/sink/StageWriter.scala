@@ -262,6 +262,23 @@ object StageWriter {
                 if (partitionBy.isEmpty) merged.coalesce(fileBudget(spark, n))
                 else merged
               overwrite(out, path, partitionBy)
+              // seed the key-range sidecar NOW (one key-column scan of
+              // what was just written — O(this write)), so the FIRST
+              // incremental merge after a bootstrap or full rewrite is
+              // already file-targeted instead of paying an O(table)
+              // stats bootstrap scan
+              targeted.filter(_ => partitionBy.isEmpty).foreach { t =>
+                val key1 = t.keys.head
+                val integral = merged.schema.fields
+                  .find(_.name == key1).exists(_.dataType match {
+                    case ByteType | ShortType | IntegerType | LongType => true
+                    case _ => false
+                  })
+                if (integral) {
+                  val files = listDataFiles(Paths.get(path))
+                  writeStats(path, key1, computeStats(spark, files, key1))
+                }
+              }
             } finally merged.unpersist()
           }
           val tmp = Paths.get(path + s".__seq__.tmp$next")
