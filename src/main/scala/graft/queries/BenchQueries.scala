@@ -656,6 +656,42 @@ object BenchQueries {
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""
     })),
 
+    // D123 — per-file BLOOM sidecar point-lookup pruning
+    // (Layout.writeBlooms/bloomPrunedRead): orders is written clustered by
+    // o_custkey, so every file's o_orderkey [min, max] straddles any probe
+    // — the D107 range manifest prunes NOTHING for a point lookup on the
+    // non-layout key. The persisted per-file Bloom sidecar (k hashed bit
+    // positions per key, one bounded collect_set aggregation per write)
+    // skips every file that can't contain a probe key; false positives
+    // cost a file scan, never a wrong row (exact IN filter stays). The
+    // gate asserts the skip actually happened (≤ a third of the files
+    // survive 5 probes into 32 custkey-clustered files) and the rows match
+    // the full-scan oracle.
+    "q_bloom_file_prune" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("bloom_gate")
+      try {
+        val p = tmp.resolve("ord").toString
+        load(spark, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartitionByRange(32, col("o_custkey"))
+          .sortWithinPartitions("o_custkey")
+          .write.parquet(p)
+        val sidecar = graft.sink.Layout.writeBlooms(spark, p, "o_orderkey")
+        val keys = Seq(11L, 4000L, 7777L, 9988L, 14000L)
+        val (pruned, read, total) = graft.sink.Layout.bloomPrunedRead(
+          spark, p, "o_orderkey", keys, sidecarPath = Some(sidecar))
+        require(read <= total / 3 && total >= 16,
+          s"bloom pruning ineffective: read $read of $total files")
+        pruned.filter(col("o_orderkey").isin(keys: _*))
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+          .localCheckpoint() // materialize before the table dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey IN (11, 4000, 7777, 9988, 14000)
+      ORDER BY o_orderkey"""))),
+
     // D107 — stats-manifest file pruning (Layout.prunedRead): lineitem is
     // z-order-written into range-disjoint files, the per-file (min, max)
     // manifest is built in one stat-column scan, and a range predicate

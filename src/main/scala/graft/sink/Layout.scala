@@ -73,4 +73,87 @@ object Layout {
       else spark.read.parquet(keep: _*)
     (df, keep.length, ranges.length)
   }
+
+  // ---------------------------------------------------------------------
+  // D123 — per-file Bloom sidecar: point-lookup data skipping where
+  // min/max CAN'T help. Range stats (D107) prune range predicates, but a
+  // point lookup on a high-cardinality key under a layout clustered by a
+  // DIFFERENT key sees every file's [min, max] straddle the probe — zero
+  // skipping. A per-file Bloom filter answers "might this key be in this
+  // file" regardless of layout: k hashed bit positions per key, a file is
+  // read only if some probe key has ALL k positions set. This is exactly
+  // Parquet's column-index bloom / Delta's bloom-index capability surfaced
+  // on the plain-parquet fallback.
+  //
+  // Scale shape: the sidecar is ONE bounded-state aggregation over the key
+  // column (collect_set of ≤ `bits` positions per file — ≤ 32 KB buffers,
+  // map-side combinable), persisted next to the table and rebuilt only on
+  // write (like the D107 range sidecar). Survivor selection runs as a
+  // DISTRIBUTED broadcast join of the tiny probe set against the sidecar
+  // TABLE — only surviving file NAMES are ever collected, so the driver
+  // never holds the filters even at 10⁶ files (unlike the range manifest,
+  // blooms are KBs per file — collecting them would not be log-size-class).
+  // ---------------------------------------------------------------------
+
+  /** The k bit positions of one key — pure xxhash64 arithmetic, identical
+    * on the build and probe sides (seeded by subscript, modded into
+    * [0, bits)). */
+  private def bloomPositions(key: Column, bits: Int, k: Int): Column =
+    array((0 until k).map(i =>
+      pmod(xxhash64(key.cast("long"), lit(i)), lit(bits.toLong))): _*)
+
+  /** Per-file Bloom sidecar table `(file, positions)`: the set of bit
+    * positions the file's keys occupy. ONE scan of only the key column;
+    * runs once per write (maintenance cadence), never per query. */
+  def fileBlooms(spark: org.apache.spark.sql.SparkSession, path: String,
+      column: String, bits: Int = 8192, k: Int = 3): DataFrame =
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"),
+        explode(bloomPositions(col(column), bits, k)).as("pos"))
+      .groupBy("file")
+      .agg(collect_set("pos").as("positions"))
+
+  /** Persist the Bloom sidecar as parquet next to the table (the write-time
+    * half; [[bloomPrunedRead]] consumes it). Returns the sidecar path. */
+  def writeBlooms(spark: org.apache.spark.sql.SparkSession, path: String,
+      column: String, bits: Int = 8192, k: Int = 3): String = {
+    val sidecar = path + ".__blooms__"
+    fileBlooms(spark, path, column, bits, k)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(sidecar)
+    sidecar
+  }
+
+  /** Point-lookup read that scans ONLY files whose Bloom filter might
+    * contain one of `keys`. Uses the persisted sidecar when `sidecarPath`
+    * is given (validated against the current file inventory — a rewrite
+    * invalidates it), else builds filters in-query. The probe runs as a
+    * broadcast join against the sidecar table and collects only the
+    * surviving file names. False positives cost an extra file scan, never
+    * a wrong row — callers still apply the exact IN filter. Returns
+    * (dataframe, filesRead, filesTotal). */
+  def bloomPrunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      column: String, keys: Seq[Long], bits: Int = 8192, k: Int = 3,
+      sidecarPath: Option[String] = None): (DataFrame, Int, Int) = {
+    import spark.implicits._
+    val fromDisk = sidecarPath.map(spark.read.parquet(_))
+    val blooms = fromDisk
+      .filter { side => // inventory check: sidecar must cover exactly
+        val have = side.select("file").as[String].collect().toSet
+        val now = spark.read.parquet(path)
+          .select(input_file_name().as("f")).distinct().as[String]
+          .collect().toSet
+        have == now
+      }
+      .getOrElse(fileBlooms(spark, path, column, bits, k))
+    val probes = keys.toDF(column)
+      .select(bloomPositions(col(column), bits, k).as("ps"))
+    val keep = blooms.join(broadcast(probes),
+        forall(col("ps"), p => array_contains(col("positions"), p)))
+      .select("file").distinct().as[String].collect()
+    val total = blooms.select("file").distinct().count().toInt
+    val df =
+      if (keep.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    (df, keep.length, total)
+  }
 }

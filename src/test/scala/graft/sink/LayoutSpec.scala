@@ -83,4 +83,48 @@ class LayoutSpec extends AnyFunSuite {
       lo <= 31L && hi >= 0L }
     assert(zxHit <= 8, s"z-order should still localize x, got $zxHit/16")
   }
+
+  test("bloomPrunedRead skips files a point lookup can't hit; " +
+      "range stats can't prune this layout at all") {
+    val dir = java.nio.file.Files.createTempDirectory("bloom").toString
+    // cluster by y; probe by x — x is uniformly spread over every file,
+    // so every file's x-[min,max] straddles any probe key
+    val df = (0L until 8192L).map(i => (i, (i * 37) % 64, i * 1.0))
+      .toDF("x", "y", "v")
+    df.repartitionByRange(16, $"y").sortWithinPartitions("y")
+      .write.parquet(s"$dir/t")
+    val rangeHit = fileBounds(s"$dir/t", "x").count { case (lo, hi) =>
+      lo <= 4100L && hi >= 4100L }
+    assert(rangeHit == 16, "layout premise broken: min/max should NOT prune")
+    val keys = Seq(4100L, 17L, 8000L)
+    val (pruned, read, total) =
+      Layout.bloomPrunedRead(spark, s"$dir/t", "x", keys)
+    assert(total == 16)
+    assert(read <= 8, s"bloom should skip most files, read $read/$total")
+    val got = pruned.filter($"x".isin(keys: _*)).select("x")
+      .as[Long].collect().toSet
+    assert(got == keys.toSet, "pruning must lose no probed rows")
+    // absent key: every file's bloom rejects (w.h.p.); rows stay exact
+    val (_, readAbsent, _) =
+      Layout.bloomPrunedRead(spark, s"$dir/t", "x", Seq(999999L))
+    assert(readAbsent <= 2, s"absent key should prune ~all files: $readAbsent")
+    graft.sink.StageWriter.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("a stale bloom sidecar (table rewritten) is detected and rebuilt") {
+    val dir = java.nio.file.Files.createTempDirectory("bloomstale").toString
+    val mk = (n: Long) => (0L until n).map(i => (i, i % 8)).toDF("x", "y")
+    mk(1024L).repartition(4).write.parquet(s"$dir/t")
+    val side = Layout.writeBlooms(spark, s"$dir/t", "x")
+    // rewrite the table: new part files, MORE keys — the sidecar's file
+    // inventory no longer matches, so it must be ignored (else key 2000
+    // would be wrongly pruned away)
+    mk(4096L).repartition(4).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/t")
+    val (pruned, _, _) = Layout.bloomPrunedRead(spark, s"$dir/t", "x",
+      Seq(2000L), sidecarPath = Some(side))
+    assert(pruned.filter($"x" === 2000L).count() == 1L,
+      "stale sidecar must not prune rows the rewritten table contains")
+    graft.sink.StageWriter.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
 }
