@@ -496,6 +496,68 @@ object LlmQueries {
       FROM pairs WHERE CAST(i AS DOUBLE) / u >= 0.8
       ORDER BY id1, id2"""))),
 
+    // D124 — STREAMING near-dup dedup (Streams.nearDupStream): documents
+    // arrive as a stream in two epochs (ids < 250, then the rest appended
+    // and the query RESTARTED from its checkpoint), each doc is flagged
+    // against everything seen before it — second-epoch dups of first-epoch
+    // docs must come out of the state store, not the batch. Per-bucket
+    // state verifies candidates with exact Jaccard, so under the
+    // ascending-id feed the verdicts equal the batch miner's min-id-wins —
+    // which is what the brute-force oracle replays (same shingle grammar
+    // as dd_minhash). Final per-doc verdict = OR over the b band verdicts,
+    // a plain batch aggregation over the (fault-tolerant) file sink.
+    "dd_stream_neardup" -> (((spark, dir) => withStreamPartitions(spark) {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("sneardup_gate")
+      val (raw, outp, chk) = (tmp.resolve("raw").toString,
+        tmp.resolve("out").toString, tmp.resolve("chk").toString)
+      try {
+        val docs = load(spark, dir, "documents").select("doc_id", "text")
+        docs.filter(col("doc_id") < 250).coalesce(1).write.parquet(raw)
+        val schema = spark.read.parquet(raw).schema
+        def run(): Unit = {
+          val in = spark.readStream.schema(schema).parquet(raw)
+          val q = graft.streaming.Streams
+            .nearDupStream(in, "doc_id", "text",
+              shingleWidth = 3, k = 32, b = 8, threshold = 0.8)
+            .toDF().writeStream.format("parquet")
+            .option("path", outp).option("checkpointLocation", chk)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        run() // epoch 1: ids < 250
+        docs.filter(col("doc_id") >= 250).coalesce(1)
+          .write.mode("append").parquet(raw)
+        run() // epoch 2: restart; cross-epoch dups prove the state store
+        spark.read.parquet(outp)
+          .groupBy("doc_id")
+          .agg(max(col("is_dup")).as("is_dup"),
+            coalesce(min(when(col("dup_of") >= 0, col("dup_of"))), lit(-1L))
+              .as("dup_of"))
+          .orderBy("doc_id")
+          .localCheckpoint() // materialize before the sink dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 1, 2)),
+                 i -> concat_ws(' ',
+                        string_split_regex(trim(text), '\s+')[i],
+                        string_split_regex(trim(text), '\s+')[i+1],
+                        string_split_regex(trim(text), '\s+')[i+2]))) AS g
+        FROM documents),
+      p AS (
+        SELECT b.doc_id, min(a.doc_id) AS dup_of
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+        GROUP BY b.doc_id)
+      SELECT d.doc_id, p.doc_id IS NOT NULL AS is_dup,
+             COALESCE(p.dup_of, -1) AS dup_of
+      FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+      ORDER BY d.doc_id"""))),
+
     // Duplicate CLUSTERS: connected components over the minhash pair graph
     // (pairs alone mishandle chains A~B~C — the canonical survivor must be
     // chosen per component). Oracle = DuckDB recursive CTE reachability

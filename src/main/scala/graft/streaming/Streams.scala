@@ -130,6 +130,80 @@ object Streams {
       .drop(s"r_$keyCol")
   }
 
+  final case class BandDoc(band: Int, bh: Long, doc_id: Long, sh: Seq[Long])
+  final case class BucketMember(id: Long, sh: Seq[Long])
+  final case class BucketState(members: Seq[BucketMember])
+  /** One bucket's verdict for one doc: `dup_of` = the smallest
+    * earlier-arrived bucket-mate whose exact Jaccard clears the threshold
+    * (−1 when none). A doc appears once per band; its FINAL verdict is the
+    * OR over bands — a plain batch aggregation over the sink. */
+  final case class BucketVerdict(band: Int, doc_id: Long, dup_of: Long,
+      is_dup: Boolean)
+
+  /** Streaming NEAR-duplicate dedup (D124) — the streaming twin of
+    * `Dedup.minhashLshPairs`: documents arrive as a stream, each is flagged
+    * against everything seen BEFORE it (first-arrival-wins; feed batches in
+    * ascending-id order and the semantics collapse to the batch miner's
+    * min-id-wins, which is what the gate's brute-force oracle replays).
+    *
+    * Shape: a stateless minhash/band stage (one pass per doc — shingle,
+    * hash, k-min signature, b band hashes, explode to b rows) keys the
+    * stream by (band, bandHash); `flatMapGroupsWithState` keeps per-BUCKET
+    * state and verifies candidates with EXACT Jaccard over the docs'
+    * distinct shingle-hash sets, so band collisions (necessary) never flag
+    * a doc the real similarity wouldn't (sufficient) — the same
+    * candidates-then-verify discipline as the batch miner.
+    *
+    * Scale notes: state per bucket is capped at `maxBucket` members
+    * (arrival-order first — under id-ordered feed, the same smallest-id
+    * members the batch cappedBuckets keeps), each member a distinct
+    * shingle-hash set (8 B per shingle — text itself never enters state or
+    * shuffle). The keyed shuffle carries each doc's shingle hashes b times;
+    * that is the price of in-flight verification — per-doc KBs, bounded,
+    * and only for the streaming ingest path (the batch miner joins shingle
+    * sets back post-candidates instead). State never times out here
+    * (near-dup history must outlive any watermark); production bounds the
+    * horizon by partitioning the corpus epoch, not by TTL. */
+  def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, k: Int = 32, b: Int = 8,
+      threshold: Double = 0.8, maxBucket: Int = 64): Dataset[BucketVerdict] = {
+    import docs.sparkSession.implicits._
+    import graft.llm.Dedup
+    require(k % b == 0, s"k=$k must be divisible by b=$b")
+    val banded = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        Dedup.wordShingles(col(textCol), shingleWidth).as("g"))
+      .withColumn("sh",
+        array_distinct(transform(col("g"), s => xxhash64(s))))
+      .withColumn("bb",
+        explode(Dedup.bands(Dedup.minhashSignature(col("g"), k), b, k / b)))
+      .select(col("bb.band").as("band"), col("bb.bh").as("bh"),
+        col("doc_id"), col("sh"))
+      .as[BandDoc]
+    banded.groupByKey(d => (d.band, d.bh))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Int, Long), rows: Iterator[BandDoc],
+         state: GroupState[BucketState]) => {
+          var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val dSet = d.sh.toSet
+            val hit = members.iterator
+              .filter(_.id != d.doc_id) // re-delivery is not a dup of itself
+              .filter { m =>
+                val inter = m.sh.count(dSet)
+                val union = dSet.size + m.sh.size - inter
+                union == 0 || inter.toDouble / union >= threshold
+              }.foldLeft(Option.empty[Long]) { (best, m) =>
+                Some(best.fold(m.id)(math.min(_, m.id))) }
+            if (members.size < maxBucket && !members.exists(_.id == d.doc_id))
+              members = members :+ BucketMember(d.doc_id, d.sh)
+            BucketVerdict(key._1, d.doc_id, hit.getOrElse(-1L), hit.isDefined)
+          }
+          state.update(BucketState(members))
+          out.iterator
+        })
+  }
+
   /** Streaming MERGE upsert: file-source stream → transform → per-micro-
     * batch MERGE into the stage table via foreachBatch — the streaming twin
     * of the C6 incremental upsert (each micro-batch's keyed rows replace
