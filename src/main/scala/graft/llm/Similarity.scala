@@ -240,11 +240,14 @@ object Similarity {
   private def pqSubDist(dim: Int, m: Int, roundDigits: Int)(
       a: Column, b: Column, j: Int): Column = {
     val sub = dim / m
-    round(aggregate(
-      zip_with(slice(a, j * sub + 1, sub), slice(b, j * sub + 1, sub),
-        (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v), roundDigits)
+    pqSubDistPre(roundDigits)(slice(a, j * sub + 1, sub),
+      slice(b, j * sub + 1, sub))
   }
+
+  /** Same rounded squared L2, over ALREADY-SLICED subvectors. */
+  private def pqSubDistPre(roundDigits: Int)(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v), roundDigits)
 
   /** Build the PERSISTABLE IVF-PQ index — three plain DataFrames that
     * write to parquet once and serve queries forever (the offline half of
@@ -267,21 +270,37 @@ object Similarity {
       dim: Int, nlist: Int = 16, m: Int = 4, ncodes: Int = 16,
       roundDigits: Int = 4): (DataFrame, DataFrame, DataFrame) = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subvectors")
-    val subD = pqSubDist(dim, m, roundDigits) _
+    val sub = dim / m
+    val subD = pqSubDistPre(roundDigits) _
     val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+    // the assignment+residual pass is referenced by BOTH the codebook
+    // top-k and the encode cross join (and again when the caller writes
+    // codes to parquet) — materialize it ONCE; without the checkpoint the
+    // whole ivfAssign subtree re-executes per consumer (no common-subtree
+    // reuse across joins in Catalyst), tripling the build's scan cost
     val resid = ivfAssign(corpus, idCol, vecCol, nlist)
       .join(broadcast(cents.select(col("cent_id").as("list_id"),
         col("cent_v"))), "list_id")
       .select(col(idCol), col("list_id"),
         zip_with(col(vecCol), col("cent_v"),
           (x, c) => x.cast(DoubleType) - c.cast(DoubleType)).as("r"))
+      .localCheckpoint()
     val codebook = resid.orderBy(col(idCol).desc).limit(ncodes)
       .select(col(idCol).as("code_id"), col("r").as("cr"))
-    val codes = resid.crossJoin(broadcast(codebook))
+    // pre-split both sides into their m subvectors BEFORE the pair join:
+    // slicing happens once per row/codeword, not once per (row, codeword,
+    // subspace) — the zip_with over pre-sliced arrays computes the exact
+    // same rounded distances (slice-then-zip ≡ zip-of-slices)
+    val residS = resid.select(col(idCol) +: col("list_id") +:
+      (0 until m).map(j => slice(col("r"), j * sub + 1, sub).as(s"r$j")): _*)
+    val cbS = codebook.select(col("code_id") +:
+      (0 until m).map(j =>
+        slice(col("cr"), j * sub + 1, sub).as(s"c$j")): _*)
+    val codes = residS.crossJoin(broadcast(cbS))
       .groupBy(col(idCol), col("list_id"))
-      .agg(min(struct(subD(col("r"), col("cr"), 0).as("d"),
+      .agg(min(struct(subD(col("r0"), col("c0")).as("d"),
           col("code_id").as("c"))).as("b0"),
-        (1 until m).map(j => min(struct(subD(col("r"), col("cr"), j).as("d"),
+        (1 until m).map(j => min(struct(subD(col(s"r$j"), col(s"c$j")).as("d"),
           col("code_id").as("c"))).as(s"b$j")): _*)
       .select(col(idCol), col("list_id"),
         array((0 until m).map(j => col(s"b$j.c")): _*).as("codes"))

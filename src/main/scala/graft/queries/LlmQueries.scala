@@ -14,6 +14,73 @@ import Q._
   */
 object LlmQueries {
 
+  /** Weak-supervision stopword list for the D125 trained quality scorer —
+    * the same 15 EN stopwords the langid heuristic uses. */
+  private val LrStopwords = Seq("the", "and", "of", "to", "in", "is",
+    "that", "with", "for", "it", "was", "on", "are", "this", "be")
+
+  /** DuckDB twin of LogReg.train + score on the quality features: the
+    * oracle RE-TRAINS the 3 GD rounds as an unrolled CTE chain (generated
+    * here so iteration arithmetic is written once), using the identical
+    * rational sigmoid, per-term round(·,8) + DECIMAL(28,8) sums, and
+    * round(·,8) weight updates — weights and scores must match Spark's
+    * driver recurrence bit-for-bit. */
+  private def lrQualityOracle: String = {
+    val sw = LrStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    def gradCte(g: String, from: String): String =
+      s"""$g AS (SELECT
+         |  sum(CAST(round((p - y) * 1.0, 8) AS DECIMAL(28,8))) AS g0,
+         |  sum(CAST(round((p - y) * x1, 8) AS DECIMAL(28,8))) AS g1,
+         |  sum(CAST(round((p - y) * x2, 8) AS DECIMAL(28,8))) AS g2,
+         |  sum(CAST(round((p - y) * x3, 8) AS DECIMAL(28,8))) AS g3
+         |  FROM $from)""".stripMargin
+    def wCte(w: String, g: String, prev: Option[String]): String = {
+      val base = (j: Int) => prev.fold("0.0")(p => s"$p.w$j")
+      s"""$w AS (SELECT
+         |  round(${base(0)} - CAST($g.g0 AS DOUBLE) / nn, 8) AS w0,
+         |  round(${base(1)} - CAST($g.g1 AS DOUBLE) / nn, 8) AS w1,
+         |  round(${base(2)} - CAST($g.g2 AS DOUBLE) / nn, 8) AS w2,
+         |  round(${base(3)} - CAST($g.g3 AS DOUBLE) / nn, 8) AS w3
+         |  FROM $g, n${prev.fold("")(p => s", $p")})""".stripMargin
+    }
+    def pCte(p: String, w: String): String =
+      s"""$p AS (SELECT z.*, round(0.5 + 0.5 * z / (1 + abs(z)), 8) AS p
+         |  FROM (SELECT f.*, $w.w0 + $w.w1 * x1 + $w.w2 * x2 + $w.w3 * x3
+         |          AS z FROM f, $w) z)""".stripMargin
+    s"""
+      WITH d AS (
+        SELECT doc_id, lang, text,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END
+                 AS words
+        FROM documents),
+      f AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               round(least(words, 512) / 512.0, 6) AS x1,
+               round(len(list_intersect(list_distinct(
+                   string_split_regex(lower(trim(text)), '\\s+')), $sw))
+                 / 15.0, 6) AS x2,
+               round(least(CASE WHEN words = 0 THEN 0.0
+                                ELSE length(text) / CAST(words AS DOUBLE) END,
+                           20.0) / 20.0, 6) AS x3
+        FROM d),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM f),
+      p1 AS (SELECT f.*, 0.5 AS p FROM f),
+      ${gradCte("g1", "p1")},
+      ${wCte("w1", "g1", None)},
+      ${pCte("p2", "w1")},
+      ${gradCte("g2", "p2")},
+      ${wCte("w2", "g2", Some("w1"))},
+      ${pCte("p3", "w2")},
+      ${gradCte("g3", "p3")},
+      ${wCte("w3", "g3", Some("w2"))}
+      SELECT doc_id, round(0.5 + 0.5 * z / (1 + abs(z)), 6) AS score
+      FROM (SELECT doc_id, w3.w0 + w3.w1 * x1 + w3.w2 * x2 + w3.w3 * x3 AS z
+            FROM f, w3) zz
+      ORDER BY doc_id"""
+  }
+
   /** Skew guard for the oracled simhash query — BINDING at sf0.1 (near-dup
     * clusters make intra-bucket pair generation quadratic), and replicated
     * exactly in the oracle SQL (row_number ≤ cap per bucket, same doc_id
@@ -1471,6 +1538,41 @@ object LlmQueries {
           TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
     }, Some(qualityOracleBody + " ORDER BY doc_id"))),
+
+    // D125 — distributed logistic-regression quality scorer
+    // (llm/LogReg.train): a weak-label classifier TRAINED IN-PLAN — 3
+    // rounds of full-batch gradient descent, each ONE map-side-combinable
+    // aggregation job (d+1 decimal-exact sums; the driver holds only the
+    // 4-vector of weights between rounds, the MLlib treeAggregate shape).
+    // The sigmoid is the ALGEBRAIC rational σ(z) = 0.5 + 0.5·z/(1+|z|) —
+    // IEEE plus/times/divide replay exactly in any engine where exp()
+    // differs in final ulps — so the DuckDB oracle re-TRAINS the model in
+    // an unrolled CTE chain and must land on identical weights and scores.
+    // Features: capped length, EN-stopword hit ratio, capped chars/word;
+    // weak label = lang == 'en'. The gate also asserts the model actually
+    // separates (mean score of en docs > mean of non-en).
+    "llm_lr_quality" -> (((spark, dir) => {
+      import graft.llm.{LogReg, TextAnalysis}
+      val words = TextAnalysis.tokenCount(col("text"))
+      val feats = load(spark, dir, "documents").select(
+        col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        round(least(words, lit(512)) / lit(512.0), 6).as("x1"),
+        round(size(array_intersect(
+            array_distinct(split(lower(trim(col("text"))), "\\s+")),
+            lit(LrStopwords.toArray))) / lit(15.0), 6).as("x2"),
+        round(least(when(words === lit(0), lit(0.0))
+            .otherwise(length(col("text")) / words.cast("double")),
+          lit(20.0)) / lit(20.0), 6).as("x3"))
+      val w = LogReg.train(feats, Seq("x1", "x2", "x3"), "y", iters = 3)
+      val scored = feats.select(col("doc_id"), col("y"),
+        LogReg.score(Seq("x1", "x2", "x3"), w).as("score"))
+      val sep = scored.groupBy("y").agg(avg("score").as("m"))
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      require(sep(1.0) > sep(0.0),
+        s"model failed to separate en from non-en: $sep")
+      scored.select("doc_id", "score").orderBy("doc_id")
+    }, Some(lrQualityOracle))),
 
     // Language ID (stopword heuristic + CJK density)
     "text_langid" -> (((spark, dir) => {
