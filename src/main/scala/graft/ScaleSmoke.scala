@@ -330,6 +330,47 @@ object ScaleSmoke {
       s"pruning kept $kept of $total files for a 10k-wide band — " +
         "manifest not skipping")
 
+    // ---- Bloom sidecar point lookups where range stats prune NOTHING --
+    // Cluster the replicated lineitem by PARTKEY into 64 files: every
+    // file's orderkey [min,max] then straddles any probe, so the D107
+    // manifest keeps 64/64 and only the D123 bitset bloom can skip. The
+    // filter is sized to the per-file key count (rows/file ≈ li/64 →
+    // bits = 2^23 ≈ 8.4M, a FIXED 1 MB bitset per file regardless of row
+    // count — the Aggregator state boundedness this stage measures), and
+    // the probe read must (a) lose no rows vs the full scan, (b) skip
+    // most files for 5 point keys.
+    val bloomPath = s"$dst/_bloom_proof.parquet"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(bloomPath)))
+      li10.select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+        .repartitionByRange(64, col("l_partkey"))
+        .sortWithinPartitions("l_partkey")
+        .write.parquet(bloomPath)
+    val bloomBits = 1 << 23
+    val tBl = System.nanoTime()
+    val bloomSide = graft.sink.Layout.writeBlooms(spark, bloomPath,
+      "l_orderkey", bits = bloomBits)
+    val buildWall = (System.nanoTime() - tBl) / 1e9
+    val probeKeys = Seq(100000L, 2 * M + 7L, 5 * M + 123456L,
+      (rep - 1L) * M + 900001L, 42L)
+    val tBp = System.nanoTime()
+    val (bloomDf, bKept, bTotal) = graft.sink.Layout.bloomPrunedRead(
+      spark, bloomPath, "l_orderkey", probeKeys, bits = bloomBits,
+      sidecarPath = Some(bloomSide))
+    val nBloom = bloomDf.filter(col("l_orderkey").isin(probeKeys: _*)).count()
+    val probeWall = (System.nanoTime() - tBp) / 1e9
+    val nBloomFull = spark.read.parquet(bloomPath)
+      .filter(col("l_orderkey").isin(probeKeys: _*)).count()
+    val sideBytes = graft.sink.StageWriter.dirSize(
+      java.nio.file.Paths.get(bloomSide))
+    println(f"[scale] bloom prune ${rep}x   $probeWall%8.2f s  " +
+      s"($nBloom rows from $bKept/$bTotal files; build $buildWall%.2f s, " +
+      f"sidecar ${sideBytes / 1048576.0}%.1f MB = 1 MB/file)")
+    assert(nBloom == nBloomFull,
+      s"bloom read found $nBloom rows, full scan $nBloomFull — a false " +
+        "NEGATIVE (bloom must never skip a file containing a probe key)")
+    assert(bKept <= bTotal / 2,
+      s"bloom kept $bKept of $bTotal files for 5 point keys — not skipping")
+
     // ---- LPA on a 3M-edge graph: state stays one row per node ----
     // Ring-of-100 planted partitions over the replicated orderkeys. The
     // invariant that makes LPA 100 TB-safe: after every synchronous round

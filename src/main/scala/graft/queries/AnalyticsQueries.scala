@@ -1388,6 +1388,47 @@ object AnalyticsQueries {
              CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM events GROUP BY 1, 2 ORDER BY event_type, d"""))),
 
+    // D126 — incremental JOIN-view maintenance (operators.JoinView): a
+    // materialized orders ⋈ lineitem view is built from a base epoch,
+    // PERSISTED, then maintained through a real delta batch touching BOTH
+    // sides — ΔV = ΔA ⋈ B' ∪ A ⋈ ΔB appended to storage, never A' ⋈ B'
+    // recomputed (old-left in the second term prevents the ΔA⋈ΔB double
+    // count — the classic IVM bug, separately spec'd). The oracle is the
+    // full from-scratch join, so maintenance ≡ rebuild is hash-proven.
+    "q_join_view_incr" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("jv_gate")
+      try {
+        val v = tmp.resolve("view").toString
+        val ords = load(spark, dir, "orders")
+          .select("o_orderkey", "o_orderstatus")
+        val li = load(spark, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_returnflag",
+            "l_extendedprice")
+          .withColumnRenamed("l_orderkey", "o_orderkey")
+        // the splits CROSS: dA is an orderkey band, dB a linenumber band,
+        // so both delta terms (ΔA ⋈ B' and A ⋈ ΔB) and the ΔA ⋈ ΔB
+        // overlap are all non-empty — the full delta rule is exercised
+        val cut = 10000L
+        val (a0, dA) = (ords.filter(col("o_orderkey") < cut),
+          ords.filter(col("o_orderkey") >= cut))
+        val (b0, dB) = (li.filter(col("l_linenumber") < 4),
+          li.filter(col("l_linenumber") >= 4))
+        a0.join(b0, Seq("o_orderkey")).write.parquet(v) // V0, stored
+        graft.operators.JoinView.delta(a0, dA, b0, dB, Seq("o_orderkey"))
+          .write.mode("append").parquet(v) // ONE maintenance append
+        spark.read.parquet(v)
+          .groupBy("o_orderstatus", "l_returnflag")
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("rev"))
+          .orderBy("o_orderstatus", "l_returnflag")
+          .localCheckpoint() // materialize before the view dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT o_orderstatus, l_returnflag, count(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS rev
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2 ORDER BY o_orderstatus, l_returnflag"""))),
+
     // D113 — k-core decomposition (operators.KCore): 4 synchronous peel
     // rounds of the 30-core on the part–supplier bipartite graph
     // (suppliers negated for a shared id space). Each round is one

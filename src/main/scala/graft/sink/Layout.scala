@@ -86,13 +86,16 @@ object Layout {
   // on the plain-parquet fallback.
   //
   // Scale shape: the sidecar is ONE bounded-state aggregation over the key
-  // column (collect_set of ≤ `bits` positions per file — ≤ 32 KB buffers,
-  // map-side combinable), persisted next to the table and rebuilt only on
-  // write (like the D107 range sidecar). Survivor selection runs as a
-  // DISTRIBUTED broadcast join of the tiny probe set against the sidecar
-  // TABLE — only surviving file NAMES are ever collected, so the driver
-  // never holds the filters even at 10⁶ files (unlike the range manifest,
-  // blooms are KBs per file — collecting them would not be log-size-class).
+  // column — the filter is a FIXED bits/8-byte bitset per file (a typed
+  // OR-merge Aggregator, functions/BloomBits: map-side combinable, state
+  // independent of file row count — a 4M-bit filter for a 5M-row file is
+  // 512 KB where a position-set would balloon), persisted next to the
+  // table and rebuilt only on write (like the D107 range sidecar).
+  // Survivor selection runs as a DISTRIBUTED broadcast join of the tiny
+  // probe set against the sidecar TABLE — only surviving file NAMES are
+  // ever collected, so the driver never holds the filters even at 10⁶
+  // files (unlike the range manifest, blooms are KBs-to-MBs per file —
+  // collecting them would not be log-size-class).
   // ---------------------------------------------------------------------
 
   /** The k bit positions of one key — pure xxhash64 arithmetic, identical
@@ -102,16 +105,22 @@ object Layout {
     array((0 until k).map(i =>
       pmod(xxhash64(key.cast("long"), lit(i)), lit(bits.toLong))): _*)
 
-  /** Per-file Bloom sidecar table `(file, positions)`: the set of bit
-    * positions the file's keys occupy. ONE scan of only the key column;
-    * runs once per write (maintenance cadence), never per query. */
+  /** Per-file Bloom sidecar table `(file, bitset)`: the fixed-size filter
+    * of the file's keys. ONE scan of only the key column; runs once per
+    * write (maintenance cadence), never per query. */
   def fileBlooms(spark: org.apache.spark.sql.SparkSession, path: String,
       column: String, bits: Int = 8192, k: Int = 3): DataFrame =
     spark.read.parquet(path)
       .select(input_file_name().as("file"),
         explode(bloomPositions(col(column), bits, k)).as("pos"))
       .groupBy("file")
-      .agg(collect_set("pos").as("positions"))
+      .agg(graft.functions.BloomBits.agg(bits)(col("pos")).as("bitset"))
+
+  /** "Every position in `ps` is set in `bitset`" — the probe predicate,
+    * written as a SQL lambda because the shift amount is per-element. */
+  private val ProbeHit =
+    expr("forall(ps, p -> (element_at(bitset, CAST(p DIV 64 AS INT) + 1) " +
+      "& shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0)")
 
   /** Persist the Bloom sidecar as parquet next to the table (the write-time
     * half; [[bloomPrunedRead]] consumes it). Returns the sidecar path. */
@@ -147,8 +156,7 @@ object Layout {
       .getOrElse(fileBlooms(spark, path, column, bits, k))
     val probes = keys.toDF(column)
       .select(bloomPositions(col(column), bits, k).as("ps"))
-    val keep = blooms.join(broadcast(probes),
-        forall(col("ps"), p => array_contains(col("positions"), p)))
+    val keep = blooms.join(broadcast(probes), ProbeHit)
       .select("file").distinct().as[String].collect()
     val total = blooms.select("file").distinct().count().toInt
     val df =

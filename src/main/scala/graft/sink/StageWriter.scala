@@ -679,7 +679,7 @@ object StageWriter {
     }
   }
 
-  private def dirSize(p: java.nio.file.Path): Long =
+  private[graft] def dirSize(p: java.nio.file.Path): Long =
     if (!Files.exists(p)) 0L
     else {
       val s = Files.walk(p)
