@@ -1039,6 +1039,114 @@ object BenchQueries {
       ) ON o_orderkey = l_orderkey
       ORDER BY o_orderkey"""))),
 
+    // Q17-style small-quantity revenue: the CORRELATED-AVG-subquery shape.
+    // The 0.5·avg(per-part) threshold is rewritten multiplicatively
+    // (2·qty·cnt < sum) so the comparison is decimal-exact — a decimal
+    // DIVISION would pick up engine-specific result scales. Catalyst plans
+    // the self-correlated aggregate as one grouped subquery + join (no
+    // per-row re-scan), the shape that matters at scale.
+    "q17_small_qty" -> (((spark, dir) => {
+      val li = load(spark, dir, "lineitem")
+      val brandParts = load(spark, dir, "part")
+        .filter(col("p_brand") === "Brand#4").select("p_partkey")
+      val perPart = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(d18(col("l_quantity"))).as("sq"),
+          count(lit(1)).as("cnt"))
+      li.join(broadcast(brandParts), li("l_partkey") === col("p_partkey"))
+        .join(perPart, li("l_partkey") === col("pk"))
+        .filter(d18(col("l_quantity")) * lit(2) * col("cnt") < col("sq"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("total"))
+    }, Some("""
+      SELECT count(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM lineitem l
+      JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#4'
+      JOIN (SELECT l_partkey AS pk,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY 1) ON pk = l_partkey
+      WHERE CAST(l_quantity AS DECIMAL(18,2)) * 2 * cnt < sq"""))),
+
+    // Q20-style supplier shortlist: the NESTED-SEMI-JOIN shape — suppliers
+    // (in one nation) whose 1997 shipments of SMALL-type parts exceed a
+    // quantity floor. Both inner predicates reduce to a grouped HAVING
+    // feeding a left-semi join; nothing but supplier keys shuffles.
+    "q20_part_suppliers" -> (((spark, dir) => {
+      val smallParts = load(spark, dir, "part")
+        .filter(col("p_type") === "SMALL").select("p_partkey")
+      val qualifying = load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(sum(d18(col("l_quantity"))).as("sq"))
+        .filter(col("sq") > 50)
+      val nat = load(spark, dir, "nation")
+        .filter(col("n_name") === "NATION_9")
+      val s = load(spark, dir, "supplier")
+      s.join(broadcast(nat), s("s_nationkey") === nat("n_nationkey"))
+        .join(qualifying, s("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_suppkey")
+    }, Some("""
+      SELECT s_suppkey, s_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_9' AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        JOIN part ON p_partkey = l_partkey AND p_type = 'SMALL'
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+      ORDER BY s_suppkey"""))),
+
+    // Q21-style sole-late-supplier count: the EXISTS + NOT-EXISTS shape —
+    // per supplier, finished orders where THIS supplier shipped late
+    // (> o_orderdate + 90 days), ANOTHER supplier participated (left-semi
+    // on the other-supplier lines), and NO other supplier was late
+    // (left-anti on the other-late lines). Exercises the semi/anti join
+    // pair on one fact table without partsupp/receiptdate (absent here).
+    "q21_sole_late" -> (((spark, dir) => {
+      val li = load(spark, dir, "lineitem").alias("l")
+      val ord = load(spark, dir, "orders")
+        .filter(col("o_orderstatus") === "F").alias("o")
+      val late = li.join(ord, col("l.l_orderkey") === col("o.o_orderkey"))
+        .filter(col("l.l_shipdate") >
+          col("o.o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select(col("l.l_orderkey").as("ok"), col("l.l_suppkey").as("sk"))
+        .distinct().alias("late")
+      val lines = li.select(col("l.l_orderkey").as("ok2"),
+        col("l.l_suppkey").as("sk2")).distinct().alias("all2")
+      late
+        .join(lines,
+          col("late.ok") === col("all2.ok2") &&
+            col("late.sk") =!= col("all2.sk2"), "left_semi")
+        .join(late.select(col("ok").as("ok3"), col("sk").as("sk3"))
+            .alias("late3"),
+          col("late.ok") === col("late3.ok3") &&
+            col("late.sk") =!= col("late3.sk3"), "left_anti")
+        .groupBy(col("sk").as("s_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(20)
+    }, Some("""
+      WITH late AS (
+        SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY),
+      lines AS (SELECT DISTINCT l_orderkey AS ok2, l_suppkey AS sk2
+                FROM lineitem)
+      SELECT sk AS s_suppkey, count(*) AS numwait
+      FROM late t
+      WHERE EXISTS (SELECT 1 FROM lines a
+                    WHERE a.ok2 = t.ok AND a.sk2 <> t.sk)
+        AND NOT EXISTS (SELECT 1 FROM late x
+                        WHERE x.ok = t.ok AND x.sk <> t.sk)
+      GROUP BY 1 ORDER BY numwait DESC, s_suppkey LIMIT 20"""))),
+
     // Q3-style shipping priority: 3-way join, top-10 by exact decimal revenue
     "q3_topk" -> (((spark, dir) => {
       val c = load(spark, dir, "customer")
