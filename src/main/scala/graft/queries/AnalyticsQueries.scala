@@ -678,6 +678,63 @@ object AnalyticsQueries {
              CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM events"""))),
 
+    // D127 — streaming CDC latest-wins apply (Streams.cdcLatestStream):
+    // change events (key = user_id, sequence = event_id, delete when
+    // event_type = 'purchase') are delivered OUT OF ORDER across two
+    // epochs (evens first, odds appended, query restarted from its
+    // checkpoint) — a stale odd-sequence change arriving after a fresher
+    // even one must be SKIPPED by the per-key max-seq state, which the
+    // gate asserts actually happened. Materialization = applied rows,
+    // latest per key, deletes dropped; oracle = the batch dedup-latest
+    // window over the SAME feed, which order-independence guarantees.
+    "evt_stream_cdc_apply" -> (((spark, dir) => withStreamPartitions(spark) {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("cdc_gate")
+      val (raw, outp, chk) = (tmp.resolve("raw").toString,
+        tmp.resolve("out").toString, tmp.resolve("chk").toString)
+      try {
+        val feed = load(spark, dir, "events").select(
+          col("user_id").as("key"), col("event_id").as("seq"),
+          when(col("event_type") === "purchase", "D").otherwise("U")
+            .as("op"),
+          col("value"))
+        feed.filter(col("seq") % 2 === 0).coalesce(1).write.parquet(raw)
+        val schema = spark.read.parquet(raw).schema
+        def run(): Unit = {
+          val in = spark.readStream.schema(schema).parquet(raw)
+          val q = graft.streaming.Streams
+            .cdcLatestStream(
+              in.as[graft.streaming.Streams.CdcOp](
+                org.apache.spark.sql.Encoders.product))
+            .toDF().writeStream.format("parquet")
+            .option("path", outp).option("checkpointLocation", chk)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        run() // epoch 1: even sequences
+        feed.filter(col("seq") % 2 === 1).coalesce(1)
+          .write.mode("append").parquet(raw)
+        run() // epoch 2: odd (often STALE) sequences against epoch-1 state
+        val decisions = spark.read.parquet(outp)
+        require(decisions.filter(!col("applied")).count() > 0,
+          "no stale event was skipped — the out-of-order guard never fired")
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("key").orderBy(col("seq").desc)
+        decisions.filter(col("applied"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .filter(col("op") === "U")
+          .select(col("key").as("user_id"), col("seq").as("last_seq"),
+            col("value"))
+          .orderBy("user_id")
+          .localCheckpoint() // materialize before the sink dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT user_id, event_id AS last_seq, "value"
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY event_id DESC) AS rn FROM events)
+      WHERE rn = 1 AND event_type <> 'purchase'
+      ORDER BY user_id"""))),
+
     // Weighted PageRank over the nation trade network (operators.PageRank):
     // edges = customer-nation -> supplier-nation trade counts aggregated
     // from lineitem|x|orders|x|customer|x|supplier|x|nation^2 (the 100 TB

@@ -204,6 +204,39 @@ object Streams {
         })
   }
 
+  final case class CdcOp(key: Long, seq: Long, op: String, value: Double)
+  final case class CdcState(seq: Long, op: String, value: Double)
+  final case class CdcDecision(key: Long, seq: Long, op: String,
+      value: Double, applied: Boolean)
+
+  /** Streaming CDC latest-wins apply with OUT-OF-ORDER tolerance (D127) —
+    * the streaming twin of the batch dedup-latest window (C3) and the CDC
+    * merge (C6): change events (key, monotone sequence, upsert/delete op)
+    * arrive in ANY order across micro-batches; per-key state remembers
+    * only the highest sequence applied (O(1) — a dozen bytes per live
+    * key), and each event is emitted as a DECISION: applied (it advanced
+    * the key) or skipped (a fresher change was already applied — the
+    * Debezium-style stale-event guard). Applied decisions per key have
+    * strictly increasing sequences, so the materialized table is just
+    * "applied rows, latest per key, deletes dropped" — and because the
+    * final state is the max-sequence op regardless of delivery order, the
+    * result is replay-deterministic and a plain batch window oracles it. */
+  def cdcLatestStream(ops: Dataset[CdcOp]): Dataset[CdcDecision] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[CdcOp], state: GroupState[CdcState]) => {
+          var cur = state.getOption
+          val out = rows.toSeq.sortBy(_.seq).map { o =>
+            val applied = cur.forall(_.seq < o.seq)
+            if (applied) cur = Some(CdcState(o.seq, o.op, o.value))
+            CdcDecision(key, o.seq, o.op, o.value, applied)
+          }
+          cur.foreach(state.update)
+          out.iterator
+        })
+  }
+
   /** Streaming MERGE upsert: file-source stream → transform → per-micro-
     * batch MERGE into the stage table via foreachBatch — the streaming twin
     * of the C6 incremental upsert (each micro-batch's keyed rows replace
