@@ -100,10 +100,13 @@ object Layout {
 
   /** The k bit positions of one key — pure xxhash64 arithmetic, identical
     * on the build and probe sides (seeded by subscript, modded into
-    * [0, bits)). */
+    * [0, bits)). Keys hash by their CANONICAL STRING form so integral and
+    * string key columns share one code path (a long probe 42 matches an
+    * int32 column's 42); intended for integral/string keys — fractional
+    * types would need their own canonicalization. */
   private def bloomPositions(key: Column, bits: Int, k: Int): Column =
     array((0 until k).map(i =>
-      pmod(xxhash64(key.cast("long"), lit(i)), lit(bits.toLong))): _*)
+      pmod(xxhash64(key.cast("string"), lit(i)), lit(bits.toLong))): _*)
 
   /** Per-file Bloom sidecar table `(file, bitset)`: the fixed-size filter
     * of the file's keys. ONE scan of only the key column; runs once per
@@ -141,7 +144,7 @@ object Layout {
     * a wrong row — callers still apply the exact IN filter. Returns
     * (dataframe, filesRead, filesTotal). */
   def bloomPrunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
-      column: String, keys: Seq[Long], bits: Int = 8192, k: Int = 3,
+      column: String, keys: Seq[Any], bits: Int = 8192, k: Int = 3,
       sidecarPath: Option[String] = None): (DataFrame, Int, Int) = {
     import spark.implicits._
     val fromDisk = sidecarPath.map(spark.read.parquet(_))
@@ -154,7 +157,8 @@ object Layout {
         have == now
       }
       .getOrElse(fileBlooms(spark, path, column, bits, k))
-    val probes = keys.toDF(column)
+    // canonical string form on the probe side too (see bloomPositions)
+    val probes = keys.map(_.toString).toDF(column)
       .select(bloomPositions(col(column), bits, k).as("ps"))
     val keep = blooms.join(broadcast(probes), ProbeHit)
       .select("file").distinct().as[String].collect()

@@ -111,6 +111,21 @@ class LayoutSpec extends AnyFunSuite {
     graft.sink.StageWriter.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("bloom pruning works on STRING keys (canonical-form hashing)") {
+    val dir = java.nio.file.Files.createTempDirectory("bloomstr").toString
+    val df = (0L until 2048L).map(i => (s"doc-${i}", i % 16))
+      .toDF("doc_id", "shard")
+    df.repartitionByRange(8, $"shard").write.parquet(s"$dir/t")
+    val (pruned, read, total) = Layout.bloomPrunedRead(spark, s"$dir/t",
+      "doc_id", Seq("doc-777", "doc-1500"))
+    assert(total == 8 && read <= 4,
+      s"string-key bloom should skip files: $read/$total")
+    val got = pruned.filter($"doc_id".isin("doc-777", "doc-1500"))
+      .select("doc_id").as[String].collect().toSet
+    assert(got == Set("doc-777", "doc-1500"))
+    graft.sink.StageWriter.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("a stale bloom sidecar (table rewritten) is detected and rebuilt") {
     val dir = java.nio.file.Files.createTempDirectory("bloomstale").toString
     val mk = (n: Long) => (0L until n).map(i => (i, i % 8)).toDF("x", "y")
