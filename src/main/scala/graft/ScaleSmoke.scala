@@ -363,7 +363,7 @@ object ScaleSmoke {
     val sideBytes = graft.sink.StageWriter.dirSize(
       java.nio.file.Paths.get(bloomSide))
     println(f"[scale] bloom prune ${rep}x   $probeWall%8.2f s  " +
-      s"($nBloom rows from $bKept/$bTotal files; build $buildWall%.2f s, " +
+      f"($nBloom rows from $bKept/$bTotal files; build $buildWall%.2f s, " +
       f"sidecar ${sideBytes / 1048576.0}%.1f MB = 1 MB/file)")
     assert(nBloom == nBloomFull,
       s"bloom read found $nBloom rows, full scan $nBloomFull — a false " +

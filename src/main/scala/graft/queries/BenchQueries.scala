@@ -636,6 +636,33 @@ object BenchQueries {
       FROM lineitem f JOIN cut ON f.l_returnflag = cut.l_returnflag
       GROUP BY 1 ORDER BY 1"""))),
 
+    // D128 — EXACT distributed selection (operators.Select.kthLong): the
+    // exact percentile that is safe at 100 TB — multi-round histogram
+    // narrowing (each round ONE ≤4096-counter map-side-combinable
+    // aggregation + a pushed-down range filter; ≤6 rounds for a 64-bit
+    // domain) instead of the whole-sort shape ScaleSmoke bans from the
+    // scale path. Values are fixed-pointed to cents so the arithmetic is
+    // integral end-to-end; the oracle is the plain nearest-rank
+    // row_number selection.
+    "q_exact_kth" -> (((spark, dir) => {
+      val cents = load(spark, dir, "lineitem")
+        .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
+      val p50 = graft.operators.Select.percentileLong(cents, "v", 0.5)
+      val p90 = graft.operators.Select.percentileLong(cents, "v", 0.9)
+      val n = cents.count()
+      spark.createDataFrame(Seq((p50, p90, n))).toDF("p50", "p90", "n")
+    }, Some("""
+      WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+                 FROM lineitem),
+      nn AS (SELECT count(*) AS n FROM c),
+      s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c)
+      SELECT
+        (SELECT v FROM s, nn
+         WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))) AS p50,
+        (SELECT v FROM s, nn
+         WHERE rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))) AS p90,
+        (SELECT n FROM nn) AS n"""))),
+
     // Z-order (Morton) clustering values — the arithmetic behind
     // Layout.zorderWrite's multi-dimensional file clustering (Delta
     // OPTIMIZE ZORDER twin), verified bit-for-bit: the oracle computes the
