@@ -683,6 +683,39 @@ object BenchQueries {
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""
     })),
 
+    // Hive-style partitioned stage table + partition-directory pruning:
+    // the reference's processdate-partitioned stage layout
+    // (light_transform writes partitioned Delta; crawlers register the
+    // partitions). StageWriter.overwrite(partitionBy) lays the table out
+    // as type=<v> directories; a filter on the partition column must
+    // reach the scan as a PartitionFilter so only that directory's files
+    // are touched — asserted here by counting DISTINCT input files
+    // against the partition's own file count (PartitionPruneSpec pins
+    // the plan shape under a fixed session).
+    "q_partition_prune" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("ppart_gate")
+      try {
+        val p = tmp.resolve("ev").toString
+        graft.sink.StageWriter.overwrite(
+          load(spark, dir, "events")
+            .select(col("event_id"), col("event_type"), col("value")),
+          p, partitionBy = Seq("event_type"))
+        val one = spark.read.parquet(p)
+          .filter(col("event_type") === "click")
+        val touched = one.select(input_file_name()).distinct().count()
+        val inDir = java.nio.file.Files.walk(
+            java.nio.file.Paths.get(p, "event_type=click"))
+          .toArray.count(_.toString.endsWith(".parquet")).toLong
+        require(touched == inDir && touched > 0,
+          s"partition pruning read $touched files, partition has $inDir")
+        one.agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+          .localCheckpoint() // materialize before the table dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT count(*) AS n,
+             CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events WHERE event_type = 'click'"""))),
+
     // D123 — per-file BLOOM sidecar point-lookup pruning
     // (Layout.writeBlooms/bloomPrunedRead): orders is written clustered by
     // o_custkey, so every file's o_orderkey [min, max] straddles any probe
