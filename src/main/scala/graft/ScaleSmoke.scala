@@ -114,7 +114,16 @@ object ScaleSmoke {
       "q_communities", "q_rollup_incr", "q_file_prune",
       "dd_strip_spans", "q_topk_heap", "q_kcore", "q_bfs_hops",
       "dd_containment", "mm_scene_cuts", "q_cooccur",
-      "dd_incremental_update", "dd_cluster_incr", "q_distinct_rollup"))
+      "dd_incremental_update", "dd_cluster_incr", "q_distinct_rollup",
+      // round-7 additions. dd_stream_neardup is NOT here: its state
+      // deliberately carries exact-verification shingle-hash sets (the
+      // oracle-exactness tradeoff its scaladoc documents — production
+      // would keep signatures only), so at 20× the wall is state-store
+      // checkpoint I/O (~170 s measured), not plan shape; per-bucket
+      // boundedness is capped by construction and spec'd.
+      "q_bloom_file_prune", "q_join_view_incr", "llm_lr_quality",
+      "evt_stream_cdc_apply", "q_exact_kth", "q_partition_prune",
+      "q17_small_qty", "q20_part_suppliers", "q21_sole_late"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----
