@@ -752,6 +752,28 @@ object BenchQueries {
       WHERE o_orderkey IN (11, 4000, 7777, 9988, 14000)
       ORDER BY o_orderkey"""))),
 
+    // N-ary Morton interleave (Layout.zValueN — Delta ZORDER BY takes any
+    // column count; bit j of col i → position j·n + i), verified
+    // bit-for-bit on 3 columns: the oracle computes the identical
+    // interleave as a sum of disjoint-bit products
+    "q_zvalue3" -> (((spark, dir) => {
+      load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.sink.Layout.zValueN(Seq(
+            pmod(col("l_orderkey"), lit(1024)),
+            pmod(col("l_partkey"), lit(1024)),
+            pmod(col("l_suppkey"), lit(1024))), bits = 10).as("z"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }, Some {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+      val terms = (for (j <- 0 until 10; i <- cols.indices) yield
+        s"(((${cols(i)} % 1024) >> $j) & 1) * ${1L << (j * 3 + i)}")
+        .mkString(" + ")
+      s"""
+      SELECT l_orderkey, l_linenumber, $terms AS z
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+    })),
+
     // D107 — stats-manifest file pruning (Layout.prunedRead): lineitem is
     // z-order-written into range-disjoint files, the per-file (min, max)
     // manifest is built in one stat-column scan, and a range predicate

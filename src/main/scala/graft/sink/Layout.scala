@@ -24,18 +24,33 @@ object Layout {
     * Morton (Z) curve — pure integer arithmetic, identical in any engine. */
   def zValue2(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    (0 until bits).map { j =>
-      shiftleft(shiftright(x, j).bitwiseAND(lit(1L)), 2 * j)
-        .bitwiseOR(shiftleft(shiftright(y, j).bitwiseAND(lit(1L)), 2 * j + 1))
-    }.reduce(_ bitwiseOR _)
+    zValueN(Seq(x, y), bits)
+  }
+
+  /** N-ary Morton interleave (Delta `OPTIMIZE ZORDER BY c1, …, cN` takes
+    * any column count): bit j of column i lands at position j·n + i, so
+    * [[zValue2]] is exactly the n = 2 case. n·bits must fit a long. */
+  def zValueN(cols: Seq[Column], bits: Int = 16): Column = {
+    val n = cols.length
+    require(n >= 2, s"need at least 2 clustering columns, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"$n cols x $bits bits exceeds the long interleave range")
+    (for (j <- 0 until bits; i <- cols.indices) yield
+      shiftleft(shiftright(cols(i), j).bitwiseAND(lit(1L)), j * n + i))
+      .reduce(_ bitwiseOR _)
   }
 
   /** Write `df` z-order-clustered on (xCol, yCol) into `numFiles`
     * range-disjoint files. The z column is computed, used for the range
     * repartition + intra-file sort, and pruned from the output. */
   def zorderWrite(df: DataFrame, path: String, xCol: String, yCol: String,
+      bits: Int = 16, numFiles: Int = 32): Unit =
+    zorderWriteN(df, path, Seq(xCol, yCol), bits, numFiles)
+
+  /** N-column z-order-clustered write. */
+  def zorderWriteN(df: DataFrame, path: String, cols: Seq[String],
       bits: Int = 16, numFiles: Int = 32): Unit = {
-    val z = zValue2(col(xCol), col(yCol), bits)
+    val z = zValueN(cols.map(col), bits)
     val clustered = df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

@@ -22,6 +22,20 @@ class LayoutSpec extends AnyFunSuite {
     assert(got == Seq(0L, 1L, 2L, 3L, 39L, 63L))
   }
 
+  test("zValueN: 3-way interleave known values; n=2 case equals zValue2") {
+    // z3(1,1,1) = bits at positions 0,1,2 = 7; z3(2,0,0) = x bit1 -> pos 3
+    val got = Seq((1L, 1L, 1L), (2L, 0L, 0L), (0L, 2L, 0L), (0L, 0L, 2L))
+      .toDF("x", "y", "w")
+      .select(Layout.zValueN(Seq(col("x"), col("y"), col("w")), bits = 4)
+        .as("z")).as[Long].collect().toSeq
+    assert(got == Seq(7L, 8L, 16L, 32L))
+    val pairs = Seq((3L, 5L), (7L, 7L), (123L, 456L)).toDF("x", "y")
+    val both = pairs.select(Layout.zValue2(col("x"), col("y"), 12).as("a"),
+      Layout.zValueN(Seq(col("x"), col("y")), 12).as("b"))
+      .as[(Long, Long)].collect()
+    assert(both.forall(p => p._1 == p._2))
+  }
+
   /** Per-file [min,max] of a column across the files of a parquet dir. */
   private def fileBounds(path: String, c: String): Seq[(Long, Long)] = {
     val files = Files.list(java.nio.file.Paths.get(path)).toArray
