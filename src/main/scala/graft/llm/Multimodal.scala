@@ -212,4 +212,42 @@ object Multimodal {
       lit("image/fake").as("media_type"),
       encode(col("text"), "UTF-8").as("payload"),
       lit("synthetic").as("meta_format"))
+
+  /** Per-window audio feature rows produced by [[audioWindows]]. */
+  val audioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("window_idx", IntegerType, nullable = false),
+    StructField("energy", IntegerType, nullable = false),
+    StructField("is_silent", BooleanType, nullable = false)))
+
+  /** Audio-analysis stage — the AUDIO member of the modality triple
+    * (image: [[decodeFeatures]]/[[resizePlan]], video: [[sampleFrames]]/
+    * scene cuts): the payload is a sample stream cut into `windows` equal
+    * windows with a per-window ENERGY and a silence flag (energy below
+    * `silenceFloor` — the voice-activity-detection shape every audio
+    * corpus pipeline runs before transcription). The energy computation
+    * is the stubbed codec (md5-derived, swap for a real RMS over decoded
+    * PCM; see object Scaladoc) so the stage has an exact SQL twin; it
+    * runs inside the SAME mapPartitions decode stage as the other
+    * modalities — payloads never shuffle, only (id, window, energy, flag)
+    * rows leave the scan. `windows` ≤ 8 keeps every derived energy inside
+    * the checksum's 60 entropy bits. */
+  def audioWindows(media: DataFrame, windows: Int = 8,
+      silenceFloor: Int = 40): DataFrame = {
+    require(windows >= 1 && windows <= 8, s"windows must be 1..8: $windows")
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val payload = Option(r.getAs[Array[Byte]]("payload"))
+          .getOrElse(Array.emptyByteArray)
+        val (_, _, _, sum) = decodeBytes(digest, payload)
+        (0 until windows).map { w =>
+          val e = ((sum >> (7 * w)) % 256).toInt
+          Row(r.getAs[Long]("media_id"), w, e, e < silenceFloor)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, audioSchema)
+  }
 }

@@ -1827,6 +1827,34 @@ object LlmQueries {
             FROM documents)
       ORDER BY media_id"""))),
 
+    // Audio windowed energy + silence detection (Multimodal.audioWindows):
+    // the audio member of the modality triple — per-window energy from
+    // the stubbed codec (md5-derived; a real deployment swaps in RMS over
+    // decoded PCM without changing the dataflow) computed INSIDE the
+    // mapPartitions decode stage, payloads never shuffle. Gate aggregates
+    // the voice-activity shape: windows, silent-window count, first
+    // window's energy.
+    "mm_audio_energy" -> (((spark, dir) => {
+      Multimodal.audioWindows(
+          Multimodal.fromDocuments(load(spark, dir, "documents")))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("is_silent").cast("int")).as("n_silent"),
+          min(when(col("window_idx") === 0, col("energy"))).as("e0"))
+        .orderBy("media_id")
+    }, Some("""
+      WITH h AS (SELECT doc_id AS media_id,
+               CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
+             FROM documents),
+      w AS (SELECT media_id, CAST(i AS INT) AS window_idx,
+              CAST((h >> CAST(7 * i AS INT)) % 256 AS INT) AS e
+            FROM h, range(0, 8) t(i))
+      SELECT media_id, count(*) AS n_windows,
+             CAST(SUM(CASE WHEN e < 40 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_silent,
+             MIN(CASE WHEN window_idx = 0 THEN e END) AS e0
+      FROM w GROUP BY 1 ORDER BY media_id"""))),
+
     // Perceptual-hash near-dup over media payloads (Multimodal.phashPairs):
     // 64 block-parity bits computed INSIDE the mapPartitions decode stage
     // (payloads never shuffle — only id + 64-bit hash leave the scan),
