@@ -164,11 +164,16 @@ object Layout {
     import spark.implicits._
     val fromDisk = sidecarPath.map(spark.read.parquet(_))
     val blooms = fromDisk
-      .filter { side => // inventory check: sidecar must cover exactly
-        val have = side.select("file").as[String].collect().toSet
-        val now = spark.read.parquet(path)
-          .select(input_file_name().as("f")).distinct().as[String]
-          .collect().toSet
+      .filter { side => // inventory check: sidecar must cover exactly.
+        // Compared by BASENAME against the directory LISTING — an O(files)
+        // metadata call, never a data scan (part-file names are
+        // uuid-unique, the same identity the D107 stats sidecar keys on)
+        val have = side.select("file").as[String].collect()
+          .map(_.split('/').last).toSet
+        val now = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+          .toArray.map(_.toString.split('/').last)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+          .toSet
         have == now
       }
       .getOrElse(fileBlooms(spark, path, column, bits, k))
