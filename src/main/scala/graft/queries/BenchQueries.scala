@@ -736,10 +736,16 @@ object BenchQueries {
           .repartitionByRange(32, col("o_custkey"))
           .sortWithinPartitions("o_custkey")
           .write.parquet(p)
-        val sidecar = graft.sink.Layout.writeBlooms(spark, p, "o_orderkey")
+        // filter sized to rows/file (sf0.1: ~4700 keys x 3 positions —
+        // the 8192-bit default SATURATES there and skips nothing; 2^17
+        // bits = 16 KB/file keeps fp < 1e-3 at every battery SF)
+        val bloomBits = 1 << 17
+        val sidecar = graft.sink.Layout.writeBlooms(spark, p, "o_orderkey",
+          bits = bloomBits)
         val keys = Seq(11L, 4000L, 7777L, 9988L, 14000L)
         val (pruned, read, total) = graft.sink.Layout.bloomPrunedRead(
-          spark, p, "o_orderkey", keys, sidecarPath = Some(sidecar))
+          spark, p, "o_orderkey", keys, bits = bloomBits,
+          sidecarPath = Some(sidecar))
         require(read <= total / 3 && total >= 16,
           s"bloom pruning ineffective: read $read of $total files")
         pruned.filter(col("o_orderkey").isin(keys: _*))
