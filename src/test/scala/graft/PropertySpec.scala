@@ -111,4 +111,63 @@ class PropertySpec extends AnyFunSuite {
       if (deltaKeys(k)) assert(v == dM(k)) else assert(v == oldM(k))
     }
   }
+
+  test("join-view delta rule ≡ rebuild for random tables and splits") {
+    val rowGen = Gen.listOfN(120,
+      Gen.zip(Gen.choose(0L, 15L), Gen.choose(0, 999)))
+    (1 to 4).foreach { seed =>
+      val aRows = rowGen.sample.get.map { case (k, v) => (k, s"a$v") }
+      val bRows = rowGen.sample.get.map { case (k, v) => (k, s"b$v") }
+      val aCut = Gen.choose(0, aRows.size).sample.get
+      val bCut = Gen.choose(0, bRows.size).sample.get
+      val (a0, dA) = aRows.splitAt(aCut)
+      val (b0, dB) = bRows.splitAt(bCut)
+      def df(rs: Seq[(Long, String)], c: String) =
+        if (rs.isEmpty) Seq((0L, "x")).toDF("k", c).limit(0)
+        else rs.toDF("k", c)
+      val maintained = df(a0, "av").join(df(b0, "bv"), Seq("k"))
+        .unionByName(graft.operators.JoinView.delta(
+          df(a0, "av"), df(dA, "av"), df(b0, "bv"), df(dB, "bv"), Seq("k")))
+        .as[(Long, String, String)].collect().sorted.toSeq
+      val rebuilt = aRows.toDF("k", "av").join(bRows.toDF("k", "bv"), Seq("k"))
+        .as[(Long, String, String)].collect().sorted.toSeq
+      assert(maintained == rebuilt, s"seed $seed: delta rule diverged")
+    }
+  }
+
+  test("exact selection ≡ sorted answer for random arrays and every rank " +
+      "decile") {
+    val vGen = Gen.listOfN(200, Gen.oneOf(
+      Gen.choose(-1000L, 1000L),            // dense with duplicates
+      Gen.choose(Long.MinValue / 4, Long.MaxValue / 4))) // wide domain
+    (1 to 3).foreach { _ =>
+      val vs = vGen.sample.get
+      val sorted = vs.sorted
+      val df = vs.toDF("v")
+      (1 to vs.size by math.max(1, vs.size / 10)).foreach { k =>
+        assert(graft.operators.Select.kthLong(df, "v", k, buckets = 64) ==
+          sorted(k - 1))
+      }
+    }
+  }
+
+  test("CDC latest-wins final state is delivery-order independent") {
+    val opGen = Gen.listOfN(60, Gen.zip(Gen.choose(0L, 9L),
+      Gen.choose(0, 999), Gen.oneOf("U", "D")))
+    (1 to 3).foreach { _ =>
+      // unique seqs per key: index the ops
+      val ops = opGen.sample.get.zipWithIndex.map { case ((k, v, op), i) =>
+        (k, i.toLong, op, v.toDouble) }
+      def finalState(order: Seq[(Long, Long, String, Double)]) = {
+        // replay sequentially with the SAME max-seq-wins rule
+        val st = scala.collection.mutable.Map[Long, (Long, String, Double)]()
+        order.foreach { case (k, seq, op, v) =>
+          if (st.get(k).forall(_._1 < seq)) st(k) = (seq, op, v) }
+        st.toMap
+      }
+      val shuffled = scala.util.Random.shuffle(ops)
+      assert(finalState(ops) == finalState(shuffled),
+        "max-seq-wins must be order independent")
+    }
+  }
 }
