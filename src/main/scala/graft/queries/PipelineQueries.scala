@@ -115,6 +115,45 @@ object PipelineQueries {
                   ELSE o_totalprice END AS total
       FROM orders ORDER BY o_orderkey"""))),
 
+    // C6+ — SCHEMA EVOLUTION through the MERGE path end-to-end (the
+    // Delta-autoMerge contract — previously spec-only): a delta carrying
+    // a NEW column merges into a table without it. The merge takes the
+    // full-rewrite arm (targeted pruning requires schema parity — the
+    // documented fallback), old unmatched rows surface the new column as
+    // NULL, and the widened table on disk accepts a SECOND, file-targeted
+    // merge afterward.
+    "c6_evolution" -> (((spark, dir) => {
+      val orders = load(spark, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+      val widened = orders.filter(col("o_orderkey") < 5000)
+        .withColumn("o_channel",
+          concat(lit("ch"), pmod(col("o_orderkey"), lit(3))))
+      val later = orders.filter(col("o_orderkey") >= 14000)
+        .withColumn("o_totalprice", col("o_totalprice") + 500)
+        .withColumn("o_channel", lit("late"))
+      val tmp = java.nio.file.Files.createTempDirectory("evolve_gate")
+      try {
+        val t = tmp.resolve("orders").toString
+        StageWriter.mergeInto(spark, orders, t, Seq("o_orderkey"))
+        StageWriter.mergeInto(spark, widened, t, Seq("o_orderkey"))
+        StageWriter.mergeInto(spark, later, t, Seq("o_orderkey"))
+        require(StageWriter.committedSeq(t) == 3L,
+          "bootstrap + widening merge + targeted merge must commit seq 3")
+        spark.read.parquet(t)
+          .select(col("o_orderkey"), col("o_totalprice").as("total"),
+            col("o_channel"))
+          .orderBy("o_orderkey")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey >= 14000 THEN o_totalprice + 500
+                  ELSE o_totalprice END AS total,
+             CASE WHEN o_orderkey >= 14000 THEN 'late'
+                  WHEN o_orderkey < 5000 THEN 'ch' || (o_orderkey % 3)
+                  ELSE NULL END AS o_channel
+      FROM orders ORDER BY o_orderkey"""))),
+
     // C6+ — CDC MERGE with tombstones: the delta carries op U/D; deletes
     // remove matched keys, upserts replace-or-insert, one key shuffle
     // (the whenMatchedDelete leg Delta adds over plain upsert MERGE).
