@@ -683,6 +683,46 @@ object BenchQueries {
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""
     })),
 
+    // Bucketed co-located join end-to-end (StageWriter.writeBucketed —
+    // previously plan-spec-only): both sides bucketed on the join key
+    // through the session catalog, joined and aggregated with the
+    // broadcast threshold disabled so the co-located (zero-exchange,
+    // BucketingSpec-pinned) path actually executes, result vs the plain
+    // join oracle. The pre-shuffle that pays for itself on first reuse —
+    // at 100 TB the difference between re-shuffling the fact table per
+    // join and never shuffling it again.
+    "q_bucketed_join" -> (((spark, dir) => {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val (to, tl) = (s"bkt_orders_${Q.nextSinkId()}",
+        s"bkt_lineitem_${Q.nextSinkId()}")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        graft.sink.StageWriter.writeBucketed(
+          load(spark, dir, "orders").select("o_orderkey", "o_orderstatus"),
+          to, Seq("o_orderkey"), numBuckets = 8, sortCols = Seq("o_orderkey"))
+        graft.sink.StageWriter.writeBucketed(
+          load(spark, dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice"),
+          tl, Seq("l_orderkey"), numBuckets = 8, sortCols = Seq("l_orderkey"))
+        spark.table(tl)
+          .join(spark.table(to),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("rev"))
+          .orderBy("o_orderstatus")
+          .localCheckpoint() // materialize before the tables drop
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(s"DROP TABLE IF EXISTS $to")
+        spark.sql(s"DROP TABLE IF EXISTS $tl")
+      }
+    }, Some("""
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS rev
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY o_orderstatus"""))),
+
     // Hive-style partitioned stage table + partition-directory pruning:
     // the reference's processdate-partitioned stage layout
     // (light_transform writes partitioned Delta; crawlers register the
