@@ -123,7 +123,8 @@ object ScaleSmoke {
       // boundedness is capped by construction and spec'd.
       "q_bloom_file_prune", "q_join_view_incr", "llm_lr_quality",
       "evt_stream_cdc_apply", "q_exact_kth", "q_partition_prune",
-      "q17_small_qty", "q20_part_suppliers", "q21_sole_late"))
+      "q17_small_qty", "q20_part_suppliers", "q21_sole_late",
+      "q_bucketed_join", "c6_evolution", "q_zvalue3", "mm_audio_energy"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

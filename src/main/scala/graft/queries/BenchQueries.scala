@@ -776,10 +776,14 @@ object BenchQueries {
           .repartitionByRange(32, col("o_custkey"))
           .sortWithinPartitions("o_custkey")
           .write.parquet(p)
-        // filter sized to rows/file (sf0.1: ~4700 keys x 3 positions —
-        // the 8192-bit default SATURATES there and skips nothing; 2^17
-        // bits = 16 KB/file keeps fp < 1e-3 at every battery SF)
-        val bloomBits = 1 << 17
+        // filter sized to the DATA (~64 bits per key across the 32
+        // files, pow2, floor 2^17, cap 2^24): a fixed size saturates as
+        // rows/file grow — 8192 bits skipped nothing at sf0.1, 2^17
+        // would skip nothing at the 20x smoke. fp stays < 1e-3 at every
+        // scale this gate runs
+        val nRows = load(spark, dir, "orders").count()
+        val bloomBits = math.min(1L << 24,
+          math.max(1L << 17, java.lang.Long.highestOneBit(nRows * 2))).toInt
         val sidecar = graft.sink.Layout.writeBlooms(spark, p, "o_orderkey",
           bits = bloomBits)
         val keys = Seq(11L, 4000L, 7777L, 9988L, 14000L)
