@@ -1574,6 +1574,9 @@ object LlmQueries {
         round(least(when(words === lit(0), lit(0.0))
             .otherwise(length(col("text")) / words.cast("double")),
           lit(20.0)) / lit(20.0), 6).as("x3"))
+        .cache() // tokenize/intersect ONCE; the 5 GD rounds iterate on
+                 // cached feature columns (the treeAggregate discipline —
+                 // roughly halves the 20x smoke wall)
       val w = LogReg.train(feats, Seq("x1", "x2", "x3"), "y", iters = 5,
         lr = 4.0)
       val scored = feats.select(col("doc_id"), col("y"),
@@ -1582,7 +1585,10 @@ object LlmQueries {
         .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
       require(sep(1.0) > sep(0.0) + 0.01,
         s"model failed to separate the weak classes: $sep")
-      scored.select("doc_id", "score").orderBy("doc_id")
+      val out = scored.select("doc_id", "score").orderBy("doc_id")
+        .localCheckpoint()
+      feats.unpersist()
+      out
     }, Some(lrQualityOracle))),
 
     // Language ID (stopword heuristic + CJK density)
