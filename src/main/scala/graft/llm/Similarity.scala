@@ -270,8 +270,6 @@ object Similarity {
       dim: Int, nlist: Int = 16, m: Int = 4, ncodes: Int = 16,
       roundDigits: Int = 4): (DataFrame, DataFrame, DataFrame) = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subvectors")
-    val sub = dim / m
-    val subD = pqSubDistPre(roundDigits) _
     val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
     // the assignment+residual pass is referenced by BOTH the codebook
     // top-k and the encode cross join (and again when the caller writes
@@ -287,16 +285,25 @@ object Similarity {
       .localCheckpoint()
     val codebook = resid.orderBy(col(idCol).desc).limit(ncodes)
       .select(col(idCol).as("code_id"), col("r").as("cr"))
-    // pre-split both sides into their m subvectors BEFORE the pair join:
-    // slicing happens once per row/codeword, not once per (row, codeword,
-    // subspace) — the zip_with over pre-sliced arrays computes the exact
-    // same rounded distances (slice-then-zip ≡ zip-of-slices)
+    (cents, codebook, encodeResid(resid, codebook, idCol, dim, m, roundDigits))
+  }
+
+  /** Encode residual rows `(id, list_id, r)` against a codebook — the
+    * shared encode stage of [[ivfPqBuild]] and [[ivfPqEncode]]. Both
+    * sides pre-split into their m subvectors BEFORE the pair join:
+    * slicing happens once per row/codeword, not once per (row, codeword,
+    * subspace) — the zip_with over pre-sliced arrays computes the exact
+    * same rounded distances (slice-then-zip ≡ zip-of-slices). */
+  private def encodeResid(resid: DataFrame, codebook: DataFrame,
+      idCol: String, dim: Int, m: Int, roundDigits: Int): DataFrame = {
+    val sub = dim / m
+    val subD = pqSubDistPre(roundDigits) _
     val residS = resid.select(col(idCol) +: col("list_id") +:
       (0 until m).map(j => slice(col("r"), j * sub + 1, sub).as(s"r$j")): _*)
     val cbS = codebook.select(col("code_id") +:
       (0 until m).map(j =>
         slice(col("cr"), j * sub + 1, sub).as(s"c$j")): _*)
-    val codes = residS.crossJoin(broadcast(cbS))
+    residS.crossJoin(broadcast(cbS))
       .groupBy(col(idCol), col("list_id"))
       .agg(min(struct(subD(col("r0"), col("c0")).as("d"),
           col("code_id").as("c"))).as("b0"),
@@ -304,7 +311,38 @@ object Similarity {
           col("code_id").as("c"))).as(s"b$j")): _*)
       .select(col(idCol), col("list_id"),
         array((0 until m).map(j => col(s"b$j.c")): _*).as("codes"))
-    (cents, codebook, codes)
+  }
+
+  /** Incremental index MAINTENANCE (D131): encode a NEW vector batch
+    * against a STORED index's centroids and codebook — assign to the
+    * frozen coarse quantizer, residual, per-subspace argmin — and return
+    * its codes rows to APPEND to the stored codes table. The index model
+    * (centroids + codebook) is pinned at training time, exactly how a
+    * served ANN index ingests: growing vectors re-train nothing, and
+    * queries see the union immediately. Cost is O(batch · nlist + batch ·
+    * ncodes) — the stored corpus is never touched. */
+  def ivfPqEncode(batch: DataFrame, cents: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, dim: Int, m: Int = 4,
+      roundDigits: Int = 4): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subvectors")
+    val c = broadcast(cents)
+    val normed = batch.select(col(idCol), col(vecCol))
+      .withColumn("_n", sqrt(dot(col(vecCol), col(vecCol))))
+    val assigned = normed.crossJoin(c)
+      .withColumn("dist", -cosineWithNorms(col(vecCol), col("_n"),
+        col("cent_v"), col("cent_n")))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("dist"), col("cent_id"))).as("_best"),
+        first(col(vecCol)).as("_v"))
+      .select(col(idCol), col("_v").as(vecCol),
+        col("_best.cent_id").as("list_id"))
+    val resid = assigned
+      .join(broadcast(cents.select(col("cent_id").as("list_id"),
+        col("cent_v"))), "list_id")
+      .select(col(idCol), col("list_id"),
+        zip_with(col(vecCol), col("cent_v"),
+          (x, cc) => x.cast(DoubleType) - cc.cast(DoubleType)).as("r"))
+    encodeResid(resid, codebook, idCol, dim, m, roundDigits)
   }
 
   /** Serve top-k from a (possibly stored) IVF-PQ index — the online half:

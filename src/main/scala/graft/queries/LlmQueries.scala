@@ -202,7 +202,13 @@ object LlmQueries {
     * per-(query, list) asymmetric distance tables, decimal-exact code-sum
     * ranking. Sub-distances use the canonical left-fold (dotSql's shape)
     * over list_slice subvectors so every rounded value matches to the bit. */
-  private def ivfPqOracle: String = {
+  private def ivfPqOracle: String = ivfPqOracleFrom("TRUE")
+
+  /** IVF-PQ full SQL replay, with the index MODEL (centroids + codebook)
+    * trained on the subset of the corpus satisfying `baseFilter` — "TRUE"
+    * replays a full build; a cut predicate replays the D131 incremental
+    * shape (model pinned on the base epoch, codes over everything). */
+  private def ivfPqOracleFrom(baseFilter: String): String = {
     def fold(listExpr: String) =
       s"list_reduce(list_prepend(0.0, $listExpr), (a, b) -> a + b)"
     def subd(a: String, b: String) =
@@ -213,7 +219,7 @@ object LlmQueries {
     s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
-               ORDER BY vec_id LIMIT 32),
+               WHERE $baseFilter ORDER BY vec_id LIMIT 32),
       assign AS (
         SELECT vec_id, v, cent_id,
                row_number() OVER (PARTITION BY vec_id ORDER BY
@@ -226,7 +232,7 @@ object LlmQueries {
                list_transform(list_zip(a.v, c.cv), p -> p[1] - p[2]) AS r
         FROM assign a JOIN cent c ON a.cent_id = c.cent_id WHERE a.rn = 1),
       cb AS (SELECT vec_id AS code_id, r AS cr FROM resid
-             ORDER BY vec_id DESC LIMIT 64),
+             WHERE $baseFilter ORDER BY vec_id DESC LIMIT 64),
       js AS (SELECT unnest(range(8)) AS j),
       subd AS (
         SELECT r.vec_id, r.list_id, c.code_id, j.j,
@@ -1073,6 +1079,27 @@ object LlmQueries {
           .localCheckpoint() // materialize before the index dir dies
       } finally graft.sink.StageWriter.deleteRecursively(tmp)
     }, Some(ivfPqOracle))),
+
+    // D131 — incremental IVF-PQ index MAINTENANCE (Similarity.ivfPqEncode):
+    // the index model (centroids + codebook) trains on a BASE epoch and
+    // is then FROZEN; a later vector batch is assigned/encoded against
+    // the stored model and its codes rows APPENDED — the stored corpus is
+    // never touched and queries see the union immediately (how a served
+    // ANN index actually ingests). The oracle replays the same pinned
+    // model in SQL (ivfPqOracleFrom with the base-epoch filter).
+    "sim_ivfpq_incr" -> (((spark, dir) => {
+      val emb = load(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val base = emb.filter(col("vec_id") < 100)
+      val add = emb.filter(col("vec_id") >= 100)
+      val (cents, cb, codes0) = Similarity.ivfPqBuild(base, "vec_id",
+        "embedding", dim = 64, nlist = 32, m = 8, ncodes = 64)
+      val codes = codes0.unionByName(Similarity.ivfPqEncode(add, cents, cb,
+        "vec_id", "embedding", dim = 64, m = 8))
+      Similarity.ivfPqQuery(q, cents, cb, codes, emb, "vec_id", "embedding",
+        dim = 64, k = 10, nprobe = 8, m = 8, rerank = 8)
+        .orderBy("query_id", "rank")
+    }, Some(ivfPqOracleFrom("vec_id < 100")))),
 
     // Embedding L2 norms (deterministic double fold — exact cross-engine)
     "sim_norms" -> (((spark, dir) => {
