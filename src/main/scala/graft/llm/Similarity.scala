@@ -380,7 +380,13 @@ object Similarity {
       .select(col("query_id"), col("list_id"), col("code_id"),
         posexplode(array((0 until m).map(j =>
           subD(col("qr"), col("cr"), j)): _*)).as(Seq("j", "dj")))
-    val joined = codeRows.alias("c").join(dtab.alias("d"),
+    // the distance table is queries·nprobe·ncodes·m rows (KBs per query) —
+    // BROADCAST it so the corpus-sized codes table never shuffles: the
+    // hash join doubles as the list prune (codes outside every probed
+    // list match nothing). Without the hint Catalyst sees an unestimable
+    // window+crossJoin subtree and shuffles BOTH sides on the join key —
+    // at 100 TB that is a full exchange of the codes table per query batch.
+    val joined = codeRows.alias("c").join(broadcast(dtab.alias("d")),
         col("c.list_id") === col("d.list_id") &&
           col("c.j") === col("d.j") && col("c.code") === col("d.code_id"))
       .filter(col(s"c.$idCol") =!= col("d.query_id"))
@@ -393,9 +399,12 @@ object Similarity {
     val shortlist = joined.withColumn("prank", row_number().over(wPq))
       .filter(col("prank") <= k * rerank)
       .select(col("query_id"), col("neighbor_id"))
-    val cand = shortlist
-      .join(corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).as("cv")), "neighbor_id")
+    // k·rerank rows per query: broadcast the shortlist so the refine step
+    // is a semi-join POINT-READ of the full-precision corpus (scan pruned
+    // by the broadcast hash table), never a corpus shuffle
+    val cand = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv"))
+      .join(broadcast(shortlist), "neighbor_id")
       .join(broadcast(queries.select(col(idCol).as("query_id"),
         col(vecCol).as("qv"))), "query_id")
     val cos4 = round(dot(col("qv"), col("cv")) /

@@ -151,4 +151,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(df) == 1)
     assert(windowExecs(df) == 1)
   }
+
+  test("ivf-pq query: the ADC scan joins codes against a BROADCAST " +
+    "distance table and the refine step point-reads the corpus through a " +
+    "broadcast shortlist — the corpus-sized sides never exchange on the " +
+    "join keys") {
+    val q = emb.filter(col("vec_id") < 4)
+    val (cents, cb, codes) = Similarity.ivfPqBuild(emb, "vec_id",
+      "embedding", dim = 64, nlist = 8, m = 8, ncodes = 16)
+    val df = Similarity.ivfPqQuery(q, cents, cb, codes, emb, "vec_id",
+      "embedding", dim = 64, k = 5, nprobe = 2, m = 8, rerank = 4)
+    // dtab (ADC) + shortlist (refine) + queries (refine) + the two
+    // centroid probes on the build/query sides are all broadcast
+    assert(broadcasts(df) >= 3)
+    // remaining exchanges are candidate- or query-sized: the ADC groupBy,
+    // the two rank windows, and the build's encode groupBy — never a
+    // codes- or corpus-keyed join shuffle. Pin the ceiling so a dropped
+    // hint (codes or corpus shuffling on the join key) fails this test.
+    assert(shuffles(df) <= 6)
+  }
 }
