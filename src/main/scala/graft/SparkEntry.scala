@@ -35,7 +35,8 @@ object SparkEntry {
   private val all: Map[String, Q.Entry] =
     ExtractionQueries.defs ++ DslQueries.defs ++ PipelineQueries.defs ++
       BenchQueries.defs ++ LlmQueries.defs ++ AnalyticsQueries.defs ++
-      RetrievalQueries.defs ++ CurationQueries.defs
+      RetrievalQueries.defs ++ CurationQueries.defs ++
+      GovernanceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

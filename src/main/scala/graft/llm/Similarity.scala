@@ -513,6 +513,44 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** Nearest-centroid (Rocchio) classification — the cheapest useful
+    * embedding classifier, and the standard first probe of whether a
+    * label is linearly recoverable from an embedding space: one centroid
+    * per label (DECIMAL-exact component means, the [[kmeans]] discipline,
+    * so distributed summation order cannot move a centroid and a SQL
+    * oracle replays training), every vector assigned to the label of its
+    * nearest centroid by rounded cosine. Returns the confusion matrix
+    * (label, pred, n) — the evaluation artifact, data-size-independent.
+    *
+    * Scale shape: one (label, pos)-keyed mean aggregation (map-side
+    * combinable, |labels|·dim groups), one broadcast of |labels|
+    * centroids, one id-keyed window for the argmax, one confusion
+    * aggregation — vectors shuffle only on their own id. */
+  def nearestCentroidClassify(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val pts = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"), col(labelCol).as("label"))
+    val cents = pts
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(round(sum(col("x").cast(DecimalType(18, 8)))
+        .cast(DoubleType) / count(lit(1)), 6).as("m"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+        col("m")))), s => s.getField("m")).as("cv"))
+      .select(col("label").as("clabel"), col("cv"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("cos4").desc, col("clabel").asc)
+    pts.crossJoin(broadcast(cents))
+      .withColumn("cos4", round(dotHof(col("v"), col("cv")) /
+        (sqrt(dotHof(col("v"), col("v"))) *
+         sqrt(dotHof(col("cv"), col("cv")))), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("clabel").as("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Johnson-Lindenstrauss random projection (Achlioptas ±1 construction —
     * public result): project `dim`-d float vectors to `outDim` components,
     * `p_j = dot(v, s_j) / sqrt(outDim)`, with the deterministic ±1 sign

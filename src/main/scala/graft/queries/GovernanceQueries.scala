@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Data-governance + evaluation-hygiene operators (SURVEY §2D,
+  * D132–D135): k-anonymity release suppression, leakage-safe corpus
+  * splitting, nearest-centroid label evaluation, and interval-coverage
+  * analytics. The plane a dataset passes through BETWEEN curation and
+  * training: can it be released, how is it split, does the embedding
+  * space recover the labels, what did the activity actually cover.
+  */
+object GovernanceQueries {
+
+  val defs: Map[String, Entry] = Map(
+
+    // D132 — k-anonymity suppression (Sweeney's model): a (lang, source,
+    // length-bucket) quasi-identifier combination is released only when
+    // >= k rows share it. The gate runs BOTH halves — the governance
+    // report (every QI combo, size, verdict) and the actual anonymized
+    // dataset (Privacy.kAnonymize's broadcast semi-join) — and pins that
+    // released combos carry exactly their full row count while suppressed
+    // ones contribute zero. Scale: one bounded-cardinality QI aggregation
+    // + one broadcast semi-join; the data never shuffles.
+    "llm_k_anonymity" -> (((spark, dir) => {
+      val k = 20L
+      val qi = Seq("lang", "source", "len_bucket")
+      val docs = load(spark, dir, "documents")
+        .withColumn("len_bucket", expr("n_chars div 64"))
+      val rep = graft.llm.Privacy.kAnonymityReport(docs, qi, k)
+      val anonN = graft.llm.Privacy.kAnonymize(docs, qi, k)
+        .groupBy(qi.map(col): _*).agg(count(lit(1)).as("n_anon"))
+      rep.join(anonN, qi, "left")
+        .select(col("lang"), col("source"), col("len_bucket"), col("n"),
+          col("released"), coalesce(col("n_anon"), lit(0L)).as("n_released"))
+        .orderBy("lang", "source", "len_bucket")
+    }, Some("""
+      WITH g AS (
+        SELECT lang, source, n_chars // 64 AS len_bucket, count(*) AS n
+        FROM documents GROUP BY 1, 2, 3)
+      SELECT lang, source, len_bucket, n,
+             CASE WHEN n >= 20 THEN 1 ELSE 0 END AS released,
+             CASE WHEN n >= 20 THEN n ELSE 0 END AS n_released
+      FROM g ORDER BY lang, source, len_bucket"""))),
+
+    // D133 — leakage-safe train/val/test split: split assignment hashes
+    // the duplicate-GROUP identity (here the exact-dup group, md5(text);
+    // any cluster label from D30/D119 slots in unchanged), so identical
+    // documents can never straddle the train/eval boundary — the split
+    // that makes an eval set measure generalization instead of
+    // memorization. The gate pins per-split doc/group counts AND the
+    // leaked-group count (groups spanning >1 split) as a result column:
+    // any violation of the by-construction guarantee fails the hash.
+    // Scale: assignment is a pure projection (zero shuffles); the audit
+    // aggregations are gate-side evidence, not the operator.
+    "llm_split_leakfree" -> (((spark, dir) => {
+      val s = graft.llm.Splits.byGroupHash(
+        load(spark, dir, "documents").withColumn("grp", md5(col("text"))),
+        col("grp"), Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      val leak = s.groupBy("grp")
+        .agg(count_distinct(col("split")).as("ns"))
+        .agg(sum(when(col("ns") > 1, 1L).otherwise(0L))
+          .as("leaked_groups"))
+      s.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("grp")).as("n_groups"))
+        .crossJoin(broadcast(leak))
+        .orderBy("split")
+    }, Some("""
+      WITH s AS (
+        SELECT doc_id, md5(text) AS grp,
+               CASE WHEN CAST('0x' || substring(md5(md5(text)), 1, 15)
+                           AS BIGINT) % 100 < 80 THEN 'train'
+                    WHEN CAST('0x' || substring(md5(md5(text)), 1, 15)
+                           AS BIGINT) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents),
+      l AS (
+        SELECT count(*) AS leaked_groups FROM (
+          SELECT grp FROM s GROUP BY grp
+          HAVING count(DISTINCT split) > 1))
+      SELECT split, count(*) AS n_docs, count(DISTINCT grp) AS n_groups,
+             (SELECT leaked_groups FROM l) AS leaked_groups
+      FROM s GROUP BY split ORDER BY split"""))),
+
+    // D134 — nearest-centroid (Rocchio) classification: one DECIMAL-exact
+    // centroid per label, every vector assigned by rounded cosine, output
+    // = the confusion matrix. The standard first probe of "does this
+    // embedding space recover this label" before anything heavier is
+    // trained; the SQL oracle REPLAYS the training (centroid means) and
+    // the assignment, so a drifting centroid or tiebreak fails the hash.
+    "sim_centroid_classify" -> (((spark, dir) => {
+      graft.llm.Similarity.nearestCentroidClassify(
+        load(spark, dir, "embeddings"), "vec_id", "embedding", "label")
+        .orderBy("label", "pred")
+    }, Some {
+      val dot = dotSql("e.v", "c.cv")
+      val qq = dotSql("e.v", "e.v")
+      val cc = dotSql("c.cv", "c.cv")
+      s"""
+      WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label
+                 FROM embeddings),
+      cents AS (
+        SELECT label AS clabel, list(m ORDER BY i) AS cv FROM (
+          SELECT label, i,
+                 round(CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(18,8)))
+                   AS DOUBLE) / count(*), 6) AS m
+          FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+          GROUP BY label, i) GROUP BY label),
+      assigned AS (
+        SELECT id, label, clabel FROM (
+          SELECT e.id, e.label, c.clabel,
+                 row_number() OVER (PARTITION BY e.id ORDER BY
+                   round($dot / (sqrt($qq) * sqrt($cc)), 4) DESC,
+                   c.clabel) AS rn
+          FROM e CROSS JOIN cents c) WHERE rn = 1)
+      SELECT label, clabel AS pred, count(*) AS n
+      FROM assigned GROUP BY label, clabel ORDER BY label, pred"""
+    })),
+
+    // D135 — interval coalescing (gaps-and-islands MERGE): events carry
+    // [ts, ts + floor(value·60) s] activity intervals; overlapping ones
+    // per user merge into maximal islands, then per-user coverage =
+    // interval count, island count, covered nanos, longest island. The
+    // answer naive sum(end-start) gets WRONG whenever intervals overlap.
+    // One user-keyed exchange end-to-end (two windows + the aggregations
+    // share the partitioning) — no self-join, no O(n²) overlap pairing.
+    "evt_coverage" -> (((spark, dir) => {
+      val iv = load(spark, dir, "events")
+        .select(col("user_id"), col("ts").as("s"),
+          (col("ts") + floor(col("value") * 60) * 1000000000L).as("e"))
+      graft.operators.Intervals.coverage(iv, "user_id", "s", "e")
+        .orderBy("user_id")
+    }, Some("""
+      WITH iv AS (
+        SELECT user_id, epoch_ns(ts) AS s,
+               epoch_ns(ts) + CAST(floor("value" * 60) AS BIGINT)
+                 * 1000000000 AS e
+        FROM events),
+      marked AS (
+        SELECT user_id, s, e,
+               max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        FROM iv),
+      opened AS (
+        SELECT user_id, s, e,
+               CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS o
+        FROM marked),
+      islands AS (
+        SELECT user_id, s, e,
+               sum(o) OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS island
+        FROM opened),
+      merged AS (
+        SELECT user_id, island, min(s) AS i_start, max(e) AS i_end,
+               count(*) AS n_merged
+        FROM islands GROUP BY user_id, island)
+      SELECT user_id, CAST(sum(n_merged) AS BIGINT) AS n_intervals,
+             count(*) AS n_islands,
+             CAST(sum(i_end - i_start) AS BIGINT) AS covered,
+             max(i_end - i_start) AS longest
+      FROM merged GROUP BY user_id ORDER BY user_id""")))
+  )
+}

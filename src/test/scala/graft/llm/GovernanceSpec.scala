@@ -1,0 +1,80 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Privacy.kAnonymize / Splits.byGroupHash /
+  * Similarity.nearestCentroidClassify boundary behavior. */
+class GovernanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("kAnonymize keeps groups of exactly k and drops k-1 groups; " +
+    "null QI values form their own releasable group") {
+    val df = Seq(
+      ("a", "x", 1L), ("a", "x", 2L), ("a", "x", 3L), // n=3 = k
+      ("b", "y", 4L), ("b", "y", 5L),                 // n=2 < k
+      (null, "z", 6L), (null, "z", 7L), (null, "z", 8L) // null QI, n=3
+    ).toDF("lang", "src", "id")
+    val out = Privacy.kAnonymize(df, Seq("lang", "src"), 3)
+      .select("id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L, 6L, 7L, 8L))
+    val rep = Privacy.kAnonymityReport(df, Seq("lang", "src"), 3)
+      .select("src", "n", "released").as[(String, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(rep.toSeq == Seq(("x", 3L, 1L), ("y", 2L, 0L), ("z", 3L, 1L)))
+  }
+
+  test("kAnonymize rejects empty QI and k < 1") {
+    val df = Seq(("a", 1L)).toDF("lang", "id")
+    intercept[IllegalArgumentException](Privacy.kAnonymize(df, Nil, 3))
+    intercept[IllegalArgumentException](
+      Privacy.kAnonymize(df, Seq("lang"), 0))
+  }
+
+  test("byGroupHash: every row assigned, no group spans two splits, " +
+    "assignment is partitioning-independent") {
+    val docs = (0L until 400L).map(i => (i, s"g${i % 57}"))
+      .toDF("id", "grp")
+    val s1 = Splits.byGroupHash(docs.repartition(7), col("grp"),
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    assert(s1.filter(col("split").isNull).count() == 0)
+    val spans = s1.groupBy("grp")
+      .agg(count_distinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(spans == 0, "a group straddled the split boundary")
+    val a1 = s1.select("id", "split").as[(Long, String)].collect().toMap
+    val a2 = Splits.byGroupHash(docs.repartition(1), col("grp"),
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a1 == a2, "split assignment depended on partitioning")
+    // all three splits actually occur at this group count
+    assert(s1.select("split").distinct().count() == 3)
+  }
+
+  test("byGroupHash rejects percents not summing to 100") {
+    val df = Seq((1L, "g")).toDF("id", "grp")
+    intercept[IllegalArgumentException](
+      Splits.byGroupHash(df, col("grp"), Seq("train" -> 90, "val" -> 5)))
+  }
+
+  test("nearestCentroidClassify: orthogonal clusters classify perfectly; " +
+    "confusion is diagonal") {
+    // axis-aligned clusters with small same-axis jitter: centroids stay
+    // on-axis, every member's cosine to its own centroid ≈ 1
+    val rows = (for {
+      lab <- 0 until 3
+      i <- 0 until 5
+    } yield {
+      val v = Array.fill(6)(0.0f)
+      v(lab) = 1.0f + 0.1f * i
+      (lab.toLong * 10 + i, v, lab)
+    }).toSeq
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val conf = Similarity
+      .nearestCentroidClassify(df, "vec_id", "embedding", "label")
+      .as[(Int, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(conf.toSeq == Seq((0, 0, 5L), (1, 1, 5L), (2, 2, 5L)))
+  }
+}
