@@ -124,7 +124,12 @@ object ScaleSmoke {
       "q_bloom_file_prune", "q_join_view_incr", "llm_lr_quality",
       "evt_stream_cdc_apply", "q_exact_kth", "q_partition_prune",
       "q17_small_qty", "q20_part_suppliers", "q21_sole_late",
-      "q_bucketed_join", "c6_evolution", "q_zvalue3", "mm_audio_energy"))
+      "q_bucketed_join", "c6_evolution", "q_zvalue3", "mm_audio_energy",
+      // governance plane (D132-D135): two pure projections/bounded aggs,
+      // the Rocchio crossJoin (|labels| broadcast — linear in vectors),
+      // and the one-exchange interval merge
+      "llm_k_anonymity", "llm_split_leakfree", "sim_centroid_classify",
+      "evt_coverage", "sim_triplets"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

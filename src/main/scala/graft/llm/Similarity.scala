@@ -513,6 +513,50 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** Triplet mining for contrastive/metric training (FaceNet's online
+    * selection, public literature): per anchor, the HARD POSITIVE (the
+    * least-similar same-label vector — the pair the model most needs to
+    * pull together) and the HARD NEGATIVE (the most-similar
+    * different-label vector — the imposter it most needs to push away),
+    * plus the `active` flag (pos_cos − neg_cos < margin: the triplet
+    * violates the margin and contributes gradient).
+    *
+    * Scale shape: anchors broadcast (a training batch — small by
+    * construction), the corpus is scanned ONCE, and both extremes come
+    * from a single map-side-combinable `min(struct(...))` aggregation
+    * keyed by anchor — no window over the |corpus|·|anchors| score table,
+    * no second scan for the negative side. Ties break to the smallest
+    * neighbor id; cosines are rounded so the SQL oracle replays the
+    * selection exactly. Anchors whose label has no other member (or no
+    * other label) carry nulls on that side and an inactive flag. */
+  def mineTriplets(anchors: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, margin: Double = 0.2,
+      roundDigits: Int = 4): DataFrame = {
+    val a = anchors.select(col(idCol).as("anchor_id"),
+        col(vecCol).as("qv"), col(labelCol).as("alabel"))
+      .withColumn("_qn", sqrt(dot(col("qv"), col("qv"))))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"),
+        col(labelCol).as("nlabel"))
+      .withColumn("_cn", sqrt(dot(col("cv"), col("cv"))))
+    c.crossJoin(broadcast(a))
+      .filter(col("nid") =!= col("anchor_id"))
+      .withColumn("cos4", round(cosineWithNorms(col("cv"), col("_cn"),
+        col("qv"), col("_qn")), roundDigits))
+      .groupBy(col("anchor_id"))
+      .agg(
+        // min(struct) ≡ ORDER BY cos ASC, id ASC LIMIT 1 (hard positive);
+        // negating the cosine turns the same min into the DESC extreme
+        min(when(col("nlabel") === col("alabel"),
+          struct(col("cos4").as("c"), col("nid").as("i")))).as("_p"),
+        min(when(col("nlabel") =!= col("alabel"),
+          struct((-col("cos4")).as("c"), col("nid").as("i")))).as("_n"))
+      .select(col("anchor_id"),
+        col("_p.i").as("pos_id"), col("_p.c").as("pos_cos4"),
+        col("_n.i").as("neg_id"), (-col("_n.c")).as("neg_cos4"))
+      .withColumn("active",
+        when(col("pos_cos4") - col("neg_cos4") < margin, 1L).otherwise(0L))
+  }
+
   /** Nearest-centroid (Rocchio) classification — the cheapest useful
     * embedding classifier, and the standard first probe of whether a
     * label is linearly recoverable from an embedding space: one centroid

@@ -118,6 +118,50 @@ object GovernanceQueries {
       FROM assigned GROUP BY label, clabel ORDER BY label, pred"""
     })),
 
+    // D136 — triplet mining for contrastive training (FaceNet online
+    // selection): per anchor, the hard positive (least-similar same-label
+    // vector), the hard negative (most-similar different-label vector),
+    // and whether the triplet violates the margin (contributes gradient).
+    // One corpus scan, one broadcast of the anchor batch, both extremes
+    // from a single map-side-combinable min(struct) aggregation — no
+    // window over the score table. The oracle replays selection AND
+    // tiebreaks, so a drifted extreme or margin flag fails the hash.
+    "sim_triplets" -> (((spark, dir) => {
+      val emb = load(spark, dir, "embeddings")
+      graft.llm.Similarity.mineTriplets(emb.filter(col("vec_id") < 16),
+        emb, "vec_id", "embedding", "label", margin = 0.2)
+        .orderBy("anchor_id")
+    }, Some {
+      val dot = dotSql("e.v", "a.qv")
+      val nn = dotSql("e.v", "e.v")
+      val qq = dotSql("a.qv", "a.qv")
+      s"""
+      WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label
+                 FROM embeddings),
+      a AS (SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS qv,
+                   label AS alabel
+            FROM embeddings WHERE vec_id < 16),
+      s AS (
+        SELECT a.anchor_id, a.alabel, e.id, e.label,
+               round($dot / (sqrt($nn) * sqrt($qq)), 4) AS cos4
+        FROM e CROSS JOIN a WHERE e.id <> a.anchor_id),
+      pos AS (
+        SELECT anchor_id, id AS pos_id, cos4 AS pos_cos4 FROM (
+          SELECT anchor_id, id, cos4, row_number() OVER (
+            PARTITION BY anchor_id ORDER BY cos4 ASC, id ASC) AS rn
+          FROM s WHERE label = alabel) WHERE rn = 1),
+      neg AS (
+        SELECT anchor_id, id AS neg_id, cos4 AS neg_cos4 FROM (
+          SELECT anchor_id, id, cos4, row_number() OVER (
+            PARTITION BY anchor_id ORDER BY cos4 DESC, id ASC) AS rn
+          FROM s WHERE label <> alabel) WHERE rn = 1)
+      SELECT b.anchor_id, pos_id, pos_cos4, neg_id, neg_cos4,
+             CASE WHEN pos_cos4 - neg_cos4 < 0.2 THEN 1 ELSE 0 END AS active
+      FROM (SELECT DISTINCT anchor_id FROM s) b
+      LEFT JOIN pos USING (anchor_id) LEFT JOIN neg USING (anchor_id)
+      ORDER BY anchor_id"""
+    })),
+
     // D135 — interval coalescing (gaps-and-islands MERGE): events carry
     // [ts, ts + floor(value·60) s] activity intervals; overlapping ones
     // per user merge into maximal islands, then per-user coverage =

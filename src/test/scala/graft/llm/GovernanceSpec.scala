@@ -59,6 +59,33 @@ class GovernanceSpec extends AnyFunSuite {
       Splits.byGroupHash(df, col("grp"), Seq("train" -> 90, "val" -> 5)))
   }
 
+  test("mineTriplets: hard positive = least-similar same-label, hard " +
+    "negative = most-similar different-label; lone-label anchor gets a " +
+    "null positive and an inactive flag") {
+    def v(x: Float, y: Float) = Array(x, y)
+    val df = Seq(
+      (1L, v(1f, 0f), 0),      // anchor
+      (2L, v(1f, 0.1f), 0),    // near same-label
+      (3L, v(0.4f, 1f), 0),    // far same-label → hard positive
+      (4L, v(1f, 0.2f), 1),    // near diff-label → hard negative
+      (5L, v(0f, 1f), 1),      // far diff-label
+      (9L, v(1f, 1f), 7)       // lone label anchor
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.mineTriplets(
+        df.filter(col("vec_id").isin(1L, 9L)), df,
+        "vec_id", "embedding", "label", margin = 0.2)
+      .select("anchor_id", "pos_id", "neg_id", "active")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    // anchor 1: pos = 3 (farthest same-label), neg = 4 (closest
+    // diff-label), and cos(1,3) - cos(1,4) < 0.2 → active.
+    // anchor 9: no same-label peer → pos null, inactive; its hard
+    // negative is 3 (cos((1,1),(0.4,1)) ≈ 0.92 beats every other).
+    assert(out == Seq((1L, 3L, 4L, 1L), (9L, -1L, 3L, 0L)))
+  }
+
   test("nearestCentroidClassify: orthogonal clusters classify perfectly; " +
     "confusion is diagonal") {
     // axis-aligned clusters with small same-axis jitter: centroids stay
