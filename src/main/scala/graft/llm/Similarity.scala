@@ -88,6 +88,63 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Multi-probe sign-LSH top-k (Lv et al., VLDB 2007 — public result):
+    * the query-TIME recall knob for hyperplane LSH. Each corpus vector
+    * lives in exactly ONE sign bucket (the [[Dedup.portablePlanes]]
+    * deterministic matrix, so the oracle replays it); a query probes its
+    * own bucket PLUS the `nflip` buckets reached by flipping its
+    * least-confident plane bits (smallest |projection| — the planes the
+    * query sits closest to, where its true neighbors most likely fell on
+    * the other side). Recall grows with nflip at zero index cost: same
+    * one-bucket-per-vector table that a single-probe scan uses, no extra
+    * hash tables (the multi-TABLE LSH alternative multiplies index state).
+    *
+    * Scale shape: the corpus is bucketed once (per-row projection — no
+    * shuffle); the probe list ((nflip+1)·|queries| rows) BROADCASTS to
+    * the bucket join, so the corpus never exchanges; exact rounded cosine
+    * then ranks only the probed members. Returns (query_id, neighbor_id,
+    * cosine4, rank), rank 1..k. */
+  def multiProbeTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, planes: Seq[Seq[Double]], nflip: Int, k: Int,
+      roundDigits: Int = 4): DataFrame = {
+    require(nflip >= 0 && nflip <= planes.size,
+      s"nflip=$nflip must be in [0, ${planes.size}]")
+    def dotLit(v: Column, cs: Seq[Double]): Column =
+      aggregate(zip_with(v, typedLit(cs), (x, y) => x.cast(DoubleType) * y),
+        lit(0.0), (acc, x) => acc + x)
+    def bucketOf(v: Column): Column = planes.zipWithIndex.map {
+      case (cs, p) => when(dotLit(v, cs) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", bucketOf(col("cv")))
+    val projCols = planes.zipWithIndex.map { case (cs, p) =>
+      dotLit(col("qv"), cs).as(s"pr$p") }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id") +: col("qv") +: projCols: _*)
+      .withColumn("bucket0", planes.indices.map(p =>
+        when(col(s"pr$p") > 0, lit(1 << p)).otherwise(lit(0)))
+        .reduce(_ + _))
+    // flip candidates ordered by |projection| asc (ties: plane asc via
+    // the mask field — both engines sort the struct lexicographically)
+    val flips = slice(array_sort(array(planes.indices.map(p =>
+      struct(abs(col(s"pr$p")).as("a"), lit(1 << p).as("m"))): _*)),
+      1, nflip)
+    val probes = concat(array(col("bucket0")),
+      transform(flips, f => col("bucket0").bitwiseXOR(f.getField("m"))))
+    val probed = q.withColumn("probe", explode(probes))
+      .select(col("query_id"), col("qv"), col("probe"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine4").desc, col("neighbor_id").asc)
+    c.join(broadcast(probed), col("bucket") === col("probe"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine4", round(cosine(col("qv"), col("cv")),
+        roundDigits))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine4"),
+        col("rank"))
+  }
+
   /** Brute-force cosine top-k. `queries` must be small (broadcast side).
     * Returns (query_id, neighbor_id, cosine, rank), rank 1..k per query,
     * self-matches excluded. Ties broken by neighbor id for determinism.

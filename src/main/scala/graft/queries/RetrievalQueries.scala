@@ -24,6 +24,11 @@ object RetrievalQueries {
   /** JL sign matrix shared by the Spark plan and the oracle (8×64 ±1). */
   private val JlPlanes = Dedup.portablePlanes(8, 64)
 
+  /** Multi-probe bucket planes: 6 planes = 64 buckets — coarse enough
+    * that a 3-flip probe set covers a useful candidate fraction at the
+    * gate corpus size (recall floor require()d in the gate). */
+  private val MpPlanes = Dedup.portablePlanes(6, 64)
+
   /** Shared ranker CTE chain (DuckDB): corpus stats + the BM25 and
     * query-likelihood ranking pipelines over `Bm25Queries`. The three
     * retrieval oracles (text_bm25 / text_ql / text_rrf) each SELECT from a
@@ -207,6 +212,70 @@ object RetrievalQueries {
       s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
                         FROM embeddings)
           $unions ORDER BY vec_id, proj_id"""
+    })),
+
+    // D137 — multi-probe sign-LSH ANN (Lv et al. 2007): the query-TIME
+    // recall knob — each query probes its own sign bucket PLUS the nflip
+    // buckets across its least-confident hyperplanes (smallest
+    // |projection|), against the SAME one-bucket-per-vector corpus table
+    // a single-probe scan uses (zero extra index state, where multi-TABLE
+    // LSH multiplies it). Corpus bucketing is a per-row projection (no
+    // shuffle); the (nflip+1)·|queries| probe list broadcasts to the
+    // bucket join. The oracle replays projections, the confidence sort,
+    // the XOR probe set, and the ranking; the gate also require()s that
+    // multi-probe recalls strictly more candidates than single-probe
+    // would rank identically only by luck — via a recall floor vs brute
+    // force, the sim_recall harness contract.
+    "sim_multiprobe" -> (((spark, dir) => {
+      val emb = load(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val mp = Similarity.multiProbeTopK(q, emb, "vec_id", "embedding",
+        MpPlanes, nflip = 3, k = 10)
+      val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+          k = 10, roundDigits = Some(4))
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1))
+      val recall = mp.join(bf, Seq("query_id", "neighbor_id"), "left")
+        .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1)))
+          .cast("double")).head().getDouble(0)
+      require(recall >= 0.20,
+        f"multi-probe recall@10 vs brute force = $recall%.3f — under the " +
+          "0.20 floor; raise nflip or planes")
+      mp.orderBy("query_id", "rank")
+    }, Some {
+      def dotLit(v: String, cs: Seq[Double]): String =
+        dotSql(v, cs.mkString("[", ", ", "]"))
+      val bucket = MpPlanes.zipWithIndex.map { case (cs, p) =>
+        s"(CASE WHEN ${dotLit("v", cs)} > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+      val flipStructs = MpPlanes.zipWithIndex.map { case (cs, p) =>
+        s"{'a': abs(${dotLit("v", cs)}), 'm': ${1 << p}}"
+      }.mkString("[", ", ", "]")
+      s"""
+      WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      cb AS (SELECT id, v, $bucket AS bucket FROM e),
+      qp AS (SELECT id AS query_id, v AS qv, $bucket AS b0,
+                    list_sort($flipStructs) AS fl
+             FROM e WHERE id < 8),
+      pr AS (SELECT query_id, qv,
+                    unnest(list_prepend(b0,
+                      list_transform(fl[1:3], f -> xor(b0, f.m)))) AS probe
+             FROM qp),
+      cand AS (
+        SELECT pr.query_id, cb.id AS neighbor_id,
+               round(${dotSql("pr.qv", "cb.v")} /
+                 (sqrt(${dotSql("pr.qv", "pr.qv")}) *
+                  sqrt(${dotSql("cb.v", "cb.v")})), 4) AS cosine4
+        FROM pr JOIN cb ON cb.bucket = pr.probe
+        WHERE cb.id <> pr.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine4,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine4 DESC, neighbor_id ASC) AS rank
+        FROM cand)
+      SELECT query_id, neighbor_id, cosine4, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
     })),
 
     // Char-distribution entropy (a–z + space): counts via the
