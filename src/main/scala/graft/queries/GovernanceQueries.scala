@@ -14,6 +14,89 @@ object GovernanceQueries {
 
   val defs: Map[String, Entry] = Map(
 
+    // D138 — STREAMING interval coalescing (Streams.coverageStream), the
+    // watermark-fenced twin of D135: intervals arrive out of order across
+    // micro-batches (odd users' intervals land before even users', one
+    // file per trigger), per-key state holds only the OPEN merged islands,
+    // and an island is emitted exactly when the watermark passes its end —
+    // no admissible future interval can still merge into it, so emission
+    // is final without buffering raw intervals. An EventTimeTimeout
+    // re-visits keys whose rows stopped; a far-future sentinel closes the
+    // stream. The oracle is the BATCH gaps-and-islands replay — identical
+    // text to evt_coverage's, which order-independence guarantees.
+    "evt_stream_coverage" -> (((spark, dir) => withStreamPartitions(spark) {
+      import org.apache.spark.sql.streaming.Trigger
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = java.nio.file.Files.createTempDirectory("cov_gate")
+      try {
+        val src = tmp.resolve("src").toString
+        val ev = load(spark, dir, "events")
+        val mx = ev.agg(max(col("ts"))).head().getLong(0)
+        val iv = ev.select(col("user_id"), col("ts").as("s"),
+          (col("ts") + floor(col("value") * 60) * 1000000000L).as("e"))
+          .withColumn("event_time",
+            timestamp_micros((col("s") / 1000).cast("long")))
+        iv.filter(col("user_id") % 2 === 1).coalesce(1).write.parquet(src)
+        iv.filter(col("user_id") % 2 === 0).coalesce(1)
+          .write.mode("append").parquet(src)
+        // sentinel: pushes the final watermark past every real island end
+        // (+200 d − 180 d lateness = +20 d) without closing its own island
+        val sNs = mx + 200L * 86400 * 1000000000L
+        spark.range(1).select(lit(-999L).as("user_id"), lit(sNs).as("s"),
+            lit(sNs).as("e"),
+            timestamp_micros(lit(sNs / 1000)).as("event_time"))
+          .coalesce(1).write.mode("append").parquet(src)
+        val schema = spark.read.parquet(src).schema
+        val in = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val islands = graft.streaming.Streams.coverageStream(
+          in.as[graft.streaming.Streams.Interval](
+            org.apache.spark.sql.Encoders.product),
+          lateness = "180 days")
+        val sink = s"evt_stream_cov_${Q.nextSinkId()}"
+        val q = islands.toDF().writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        spark.table(sink)
+          .filter(col("user_id") =!= -999L)
+          .groupBy(col("user_id"))
+          .agg(sum(col("n_merged")).as("n_intervals"),
+            count(lit(1)).as("n_islands"),
+            sum(col("i_end") - col("i_start")).as("covered"),
+            max(col("i_end") - col("i_start")).as("longest"))
+          .orderBy("user_id")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      WITH iv AS (
+        SELECT user_id, epoch_ns(ts) AS s,
+               epoch_ns(ts) + CAST(floor("value" * 60) AS BIGINT)
+                 * 1000000000 AS e
+        FROM events),
+      marked AS (
+        SELECT user_id, s, e,
+               max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        FROM iv),
+      opened AS (
+        SELECT user_id, s, e,
+               CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS o
+        FROM marked),
+      islands AS (
+        SELECT user_id, s, e,
+               sum(o) OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS island
+        FROM opened),
+      merged AS (
+        SELECT user_id, island, min(s) AS i_start, max(e) AS i_end,
+               count(*) AS n_merged
+        FROM islands GROUP BY user_id, island)
+      SELECT user_id, CAST(sum(n_merged) AS BIGINT) AS n_intervals,
+             count(*) AS n_islands,
+             CAST(sum(i_end - i_start) AS BIGINT) AS covered,
+             max(i_end - i_start) AS longest
+      FROM merged GROUP BY user_id ORDER BY user_id"""))),
+
     // D132 — k-anonymity suppression (Sweeney's model): a (lang, source,
     // length-bucket) quasi-identifier combination is released only when
     // >= k rows share it. The gate runs BOTH halves — the governance

@@ -91,6 +91,68 @@ object Streams {
         })
   }
 
+  final case class Interval(user_id: Long, s: Long, e: Long,
+      event_time: java.sql.Timestamp)
+  final case class IslandsState(islands: List[(Long, Long, Long)])
+  final case class Island(user_id: Long, i_start: Long, i_end: Long,
+      n_merged: Long)
+
+  /** Streaming interval coalescing — the watermark-fenced twin of
+    * [[graft.operators.Intervals.coalesce]]: per-key [s, e] activity
+    * intervals arrive IN ANY ORDER across micro-batches; state holds each
+    * key's currently-open merged islands (sorted, non-overlapping), and an
+    * island is EMITTED exactly when the event-time watermark passes its
+    * end — at that point no admissible future interval can still merge
+    * into it (a future start is ≥ the watermark > island end, and touching
+    * needs start == end), so emission is final and exactly-once without
+    * ever buffering raw intervals.
+    *
+    * State per key = open islands only: bounded by (lateness horizon /
+    * typical island length), independent of stream length — closed
+    * islands leave state the moment the watermark fences them.
+    * `event_time` must equal `s` at micro precision (the caller derives
+    * it); the watermark argument fences both late-drop and emission. */
+  def coverageStream(iv: Dataset[Interval],
+      lateness: String): Dataset[Island] = {
+    import iv.sparkSession.implicits._
+    def insert(sorted: List[(Long, Long, Long)],
+        s: Long, e: Long): List[(Long, Long, Long)] = {
+      val (before, rest) = sorted.span(_._2 < s) // strictly before (no touch)
+      val (overlap, after) = rest.span(_._1 <= e)
+      val merged =
+        if (overlap.isEmpty) (s, e, 1L)
+        else (math.min(s, overlap.head._1),
+          math.max(e, overlap.map(_._2).max),
+          overlap.map(_._3).sum + 1L)
+      before ::: merged :: after
+    }
+    // EventTimeTimeout, not NoTimeout: a key whose rows STOP arriving is
+    // only re-visited by a timeout — without one its closed islands would
+    // sit in state forever waiting for a batch that never comes
+    iv.withWatermark("event_time", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, rows: Iterator[Interval],
+         state: GroupState[IslandsState]) => {
+          var islands = state.getOption.map(_.islands).getOrElse(Nil)
+          rows.foreach(r => islands = insert(islands, r.s, r.e))
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmNs = wmMs * 1000000L
+          val (closed, open) = islands.partition(_._2 < wmNs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(IslandsState(open))
+            // wake when the watermark can first fence the earliest open
+            // island (never at-or-before the current watermark — Spark
+            // rejects a non-advancing timeout)
+            state.setTimeoutTimestamp(
+              math.max(open.map(_._2).min / 1000000L + 1L, wmMs + 1L))
+          }
+          closed.iterator.map { case (s, e, n) => Island(uid, s, e, n) }
+        })
+  }
+
   /** Streaming exact dedup: drops re-deliveries of the same key within the
     * watermark horizon — state stays bounded by `lateness` instead of
     * growing with the stream (the streaming twin of Dedup.exact). */
