@@ -129,7 +129,8 @@ object ScaleSmoke {
       // the Rocchio crossJoin (|labels| broadcast — linear in vectors),
       // and the one-exchange interval merge
       "llm_k_anonymity", "llm_split_leakfree", "sim_centroid_classify",
-      "evt_coverage", "sim_triplets", "sim_multiprobe"))
+      "evt_coverage", "sim_triplets", "sim_multiprobe", "evt_scd2_incr",
+      "evt_stream_coverage"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

@@ -58,6 +58,42 @@ object Scd2 {
         attrCols.map(col): _*)
   }
 
+  /** INCREMENTAL dimension maintenance (the IVM discipline of
+    * JoinView/Rollup/KmvDistinct applied to SCD2): merge a NEW change
+    * batch into an existing versioned dimension without rebuilding
+    * untouched keys. Keys absent from the batch pass through UNCHANGED
+    * (anti-join); each touched key's versions are reconstructed from its
+    * existing rows (valid_from IS its change timestamp — the dimension is
+    * a lossless encoding of its change set) unioned with the key's new
+    * changes, through the same [[build]] window. Late-arriving changes
+    * therefore splice correctly into history, and a change at an EXISTING
+    * version timestamp REPLACES that version (new batch wins — the CDC
+    * re-delivery contract).
+    *
+    * Cost: O(|touched keys' versions| + |batch|) rewrite work plus one
+    * dim scan for the key split — never a full-dimension window. The
+    * batch's key set broadcasts to both joins; at 100 TB compose with the
+    * D107/D123 sidecars so the dim scan prunes to key-intersecting files. */
+  def applyChanges(dim: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      timeCol: String, attrCols: Seq[String],
+      tiebreak: Seq[Column] = Nil): DataFrame = {
+    val resolved = resolveTies(changes, keyCols, timeCol, tiebreak)
+      .select(keyCols.map(col) ++ (timeCol +: attrCols).map(col): _*)
+    val keys = resolved.select(keyCols.map(col): _*).distinct()
+    val untouched = dim.join(broadcast(keys), keyCols, "left_anti")
+    val touchedOld = dim.join(broadcast(keys), keyCols, "left_semi")
+      .select(keyCols.map(col) ++ (col("valid_from").as(timeCol) +:
+        attrCols.map(col)): _*)
+    // new-batch-wins on (keys, timeCol) collisions with existing versions
+    val w = Window.partitionBy((keyCols :+ timeCol).map(col): _*)
+      .orderBy(col("__src").desc)
+    val merged = touchedOld.withColumn("__src", lit(0))
+      .unionByName(resolved.withColumn("__src", lit(1)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__src", "__rn")
+    untouched.unionByName(build(merged, keyCols, timeCol, attrCols))
+  }
+
   /** Enrich each fact with the dimension attributes in effect at its
     * event time (NULL attrs for facts before the first change). Carried
     * columns arrive prefixed `asof_` (the AsofJoin contract). `tiebreak`

@@ -97,6 +97,52 @@ object GovernanceQueries {
              max(i_end - i_start) AS longest
       FROM merged GROUP BY user_id ORDER BY user_id"""))),
 
+    // D139 — incremental SCD2 maintenance (Scd2.applyChanges): a change
+    // batch merges into an EXISTING versioned dimension — untouched keys
+    // pass through the anti-join unchanged, touched keys rebuild from
+    // their own rows + the batch. The batch is a hash-interleaved THIRD
+    // of the change set (not a time suffix), so late arrivals must
+    // splice INTO history, not just append: any valid_from/valid_to
+    // mis-splice diverges from the full-rebuild oracle and fails the
+    // hash. Delta-proportional: rewrite work is O(touched versions +
+    // batch), never a full-dimension window.
+    "evt_scd2_incr" -> (((spark, dir) => {
+      val changes = load(spark, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("v"))
+        .withColumn("tier", when(col("v") >= 75, "gold")
+          .when(col("v") >= 40, "silver").otherwise("bronze"))
+        .select("user_id", "ts", "tier")
+      val late = Q.portableHash60(col("user_id"), col("ts")) % 3 === 0
+      val dim0 = graft.operators.Scd2.build(changes.filter(!late),
+        Seq("user_id"), "ts", Seq("tier"))
+      val dim = graft.operators.Scd2.applyChanges(dim0,
+        changes.filter(late), Seq("user_id"), "ts", Seq("tier"))
+      dim.groupBy("tier")
+        .agg(count(lit(1)).as("n_versions"),
+          sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_open"),
+          count_distinct(col("user_id")).as("n_users"),
+          min(col("valid_from")).as("first_from"),
+          max(col("valid_from")).as("last_from"))
+        .orderBy("tier")
+    }, Some("""
+      WITH ch AS (
+        SELECT user_id, epoch_ns(ts) AS t,
+               CASE WHEN max("value") >= 75 THEN 'gold'
+                    WHEN max("value") >= 40 THEN 'silver'
+                    ELSE 'bronze' END AS tier
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      iv AS (SELECT user_id, t AS vf,
+               lead(t) OVER (PARTITION BY user_id ORDER BY t) AS vt, tier
+             FROM ch)
+      SELECT tier, count(*) AS n_versions,
+             CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_open,
+             count(DISTINCT user_id) AS n_users,
+             min(vf) AS first_from, max(vf) AS last_from
+      FROM iv GROUP BY tier ORDER BY tier"""))),
+
     // D132 — k-anonymity suppression (Sweeney's model): a (lang, source,
     // length-bucket) quasi-identifier combination is released only when
     // >= k rows share it. The gate runs BOTH halves — the governance

@@ -70,4 +70,35 @@ class Scd2Spec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(a == b)
   }
+
+  test("applyChanges splices a late batch into history ≡ full rebuild; " +
+    "untouched keys pass through; a colliding timestamp is replaced by " +
+    "the new batch") {
+    val base = Seq((1L, 10L, "a"), (1L, 30L, "c"), (2L, 15L, "x"),
+      (3L, 5L, "p")).toDF("k", "t", "attr")
+    // batch: key 1 gets a LATE middle version (t=20, splices between
+    // 10 and 30) AND replaces t=30; key 3 untouched; key 4 is new
+    val batch = Seq((1L, 20L, "b"), (1L, 30L, "C2"), (4L, 1L, "n"))
+      .toDF("k", "t", "attr")
+    val incr = Scd2.applyChanges(
+        Scd2.build(base, Seq("k"), "t", Seq("attr")),
+        batch, Seq("k"), "t", Seq("attr"))
+      .as[(Long, Long, Option[Long], String)].collect().toSeq.sorted
+    val full = Scd2.build(
+        base.filter(!($"k" === 1L && $"t" === 30L)).unionByName(batch),
+        Seq("k"), "t", Seq("attr"))
+      .as[(Long, Long, Option[Long], String)].collect().toSeq.sorted
+    assert(incr == full)
+    assert(incr.contains((1L, 20L, Some(30L), "b")), "late splice missing")
+    assert(incr.contains((1L, 30L, None, "C2")), "collision not replaced")
+    assert(incr.contains((3L, 5L, None, "p")), "untouched key lost")
+  }
+
+  test("applyChanges with an empty batch is the identity") {
+    val dim = Scd2.build(changes, Seq("k"), "t", Seq("attr"))
+    val out = Scd2.applyChanges(dim, changes.limit(0), Seq("k"), "t",
+      Seq("attr"))
+    assert(out.collect().map(_.toString).sorted.toSeq ==
+      dim.collect().map(_.toString).sorted.toSeq)
+  }
 }
