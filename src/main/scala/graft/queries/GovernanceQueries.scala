@@ -97,6 +97,44 @@ object GovernanceQueries {
              max(i_end - i_start) AS longest
       FROM merged GROUP BY user_id ORDER BY user_id"""))),
 
+    // D140 — sorted-neighborhood dedup (Hernández & Stolfo 1995), the
+    // complement of q_fuzzy's equality blocking: records sort by the
+    // dirty key itself, so near-duplicates with a dirty BLOCKING key
+    // still land adjacent. Distributed form: order-consistent prefix
+    // buckets + per-bucket rank windows + a metadata-sized bucket-chain
+    // window; candidates = rank distance <= w intra-bucket plus
+    // tail×head across adjacent buckets; levenshtein verifies. The
+    // oracle replays bucketing, ranking, the chain, both candidate arms
+    // and the verification.
+    "q_sorted_neighborhood" -> (((spark, dir) => {
+      graft.operators.SortedNeighborhood.pairs(
+          load(spark, dir, "part").select(col("p_partkey"), col("p_name")),
+          "p_partkey", col("p_name"), substring(col("p_name"), 1, 3),
+          w = 3, maxDist = 4)
+        .orderBy("id1", "id2")
+    }, Some("""
+      WITH base AS (SELECT p_partkey AS id, p_name AS k,
+                           substring(p_name, 1, 3) AS b FROM part),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY b
+                   ORDER BY k, id) AS r FROM base),
+      chain AS (SELECT b, count(*) AS n,
+                  row_number() OVER (ORDER BY b) AS bi
+                FROM ranked GROUP BY b),
+      rws AS (SELECT ranked.id, ranked.k, ranked.b, ranked.r,
+                     chain.n, chain.bi
+              FROM ranked JOIN chain USING (b)),
+      cand AS (
+        SELECT a.id AS id1, b2.id AS id2, a.k AS k1, b2.k AS k2
+        FROM rws a JOIN rws b2
+          ON a.b = b2.b AND b2.r > a.r AND b2.r - a.r <= 3
+        UNION ALL
+        SELECT a.id, b2.id, a.k, b2.k
+        FROM rws a JOIN rws b2
+          ON b2.bi = a.bi + 1 AND a.r > a.n - 3 AND b2.r <= 3)
+      SELECT id1, id2, levenshtein(k1, k2) AS dist
+      FROM cand WHERE levenshtein(k1, k2) <= 4
+      ORDER BY id1, id2"""))),
+
     // D139 — incremental SCD2 maintenance (Scd2.applyChanges): a change
     // batch merges into an EXISTING versioned dimension — untouched keys
     // pass through the anti-join unchanged, touched keys rebuild from
