@@ -97,6 +97,40 @@ object GovernanceQueries {
              max(i_end - i_start) AS longest
       FROM merged GROUP BY user_id ORDER BY user_id"""))),
 
+    // D141 — cross-source quantile normalization (Bolstad et al. 2003):
+    // each doc's WITHIN-source length percentile maps onto the GLOBAL
+    // distribution's value at that percentile (B=64 breakpoints), so one
+    // global threshold curates mixed crawls fairly. No global window:
+    // source-partitioned percent_rank, a value-HISTOGRAM cdf (window
+    // over distinct values — bounded domain), breakpoints via a B-row
+    // grid, rows mapped by equi-join on floor(p·B).
+    "llm_quantile_norm" -> (((spark, dir) => {
+      graft.operators.QuantileNorm.normalize(
+          load(spark, dir, "documents")
+            .select("doc_id", "source", "n_chars"),
+          "source", "n_chars", "doc_id", b = 64)
+        .select("doc_id", "source", "n_chars", "norm")
+        .orderBy("doc_id")
+    }, Some("""
+      WITH p AS (SELECT doc_id, source, n_chars,
+                   percent_rank() OVER (PARTITION BY source
+                     ORDER BY n_chars, doc_id) AS pr
+                 FROM documents),
+      tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      cdf AS (SELECT n_chars AS v, count(*) AS c FROM documents
+              GROUP BY 1),
+      cum AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                     / (SELECT n FROM tot) AS frac
+              FROM cdf),
+      bps AS (SELECT j, min(v) AS bp
+              FROM (SELECT unnest(range(0, 65)) AS j) g
+              LEFT JOIN cum ON frac >= CAST(j AS DOUBLE) / 64
+              GROUP BY j)
+      SELECT p.doc_id, p.source, p.n_chars, bps.bp AS norm
+      FROM p JOIN bps
+        ON bps.j = least(CAST(floor(p.pr * 64) AS INT), 64)
+      ORDER BY doc_id"""))),
+
     // D140 — sorted-neighborhood dedup (Hernández & Stolfo 1995), the
     // complement of q_fuzzy's equality blocking: records sort by the
     // dirty key itself, so near-duplicates with a dirty BLOCKING key

@@ -47,4 +47,43 @@ class IntervalsSpec extends AnyFunSuite {
     assert(run(Seq((1L, 3L, 7L), (1L, 3L, 7L), (1L, 3L, 7L))) ==
       Seq((1L, 3L, 7L, 3L)))
   }
+
+  test("property: coverage equals the brute-force point union on " +
+    "deterministic pseudo-random interval sets") {
+    // LCG-generated intervals over a small integer domain: the covered
+    // length must equal |union of closed integer point sets| - islands
+    // (each closed island [s,e] covers e-s units); islands must equal
+    // the number of connected runs in the point union
+    var seed = 12345L
+    def next(bound: Int): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(seed >>> 33, bound.toLong)
+    }
+    val rows = (1 to 3).flatMap { k =>
+      (1 to 40).map { _ =>
+        val s = next(200); (k.toLong, s, s + 1 + next(15))
+      }
+    }
+    val got = Intervals.coverage(rows.toDF("k", "s", "e"), "k", "s", "e")
+      .select("k", "n_islands", "covered")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (k, ivs) =>
+        // brute force: mark every covered unit [x, x+1) for x in [s, e)
+        val pts = ivs.flatMap { case (_, s, e) => s until e }.toSet
+        // runs of consecutive covered units, allowing zero-length
+        // islands (s == e) that touch nothing
+        val zero = ivs.filter { case (_, s, e) => s == e }
+          .map { case (_, s, _) => s }
+          .filterNot(s => pts.contains(s) || pts.contains(s - 1)).toSet
+        val runs =
+          if (pts.isEmpty) zero.size.toLong
+          else pts.toSeq.sorted.foldLeft((0L, Long.MinValue)) {
+            case ((n, prev), x) =>
+              (if (x == prev + 1) n else n + 1, x)
+          }._1 + zero.size
+        (k, runs, pts.size.toLong)
+    }
+    assert(got == expected)
+  }
 }
