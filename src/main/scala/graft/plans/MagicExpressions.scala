@@ -91,5 +91,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("date_to_magic_day"),
       new ExpressionInfo(classOf[DateToMagicDay].getName, "date_to_magic_day"),
       (exprs: Seq[Expression]) => DateToMagicDay(exprs.head)))
+    // automatic D107 stats-sidecar file pruning on filtered parquet scans
+    e.injectOptimizerRule(_ => new StatsFilePrune)
   }
 }

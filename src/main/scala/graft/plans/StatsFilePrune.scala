@@ -1,0 +1,118 @@
+package graft.plans
+
+import java.nio.file.Paths
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  InMemoryFileIndex, LogicalRelation}
+
+import graft.sink.StageWriter
+
+/** Optimizer rule: AUTOMATIC stats-sidecar file pruning (the D107
+  * manifest applied transparently, the way Delta's log stats prune every
+  * query without the reader asking). `Layout.prunedRead` requires the
+  * caller to opt in per query; this rule gives every plain
+  * `spark.read.parquet(path).filter(key ...)` over a sidecar-carrying
+  * table the same skip, for equality and range predicates on the stats
+  * column.
+  *
+  * Safety: the ORIGINAL Filter always remains above the pruned scan
+  * (file skipping is file-granular; rows still filter), and pruning only
+  * fires when the sidecar's file inventory matches the directory EXACTLY
+  * (`StageWriter.loadStats`) — a stale or foreign sidecar disables the
+  * rule rather than mis-pruning. Partitioned layouts have no flat
+  * sidecar and pass through. Idempotent by construction: a pruned
+  * relation's root paths are data FILES, whose directory listing no
+  * longer validates, so the rule never re-fires on its own output.
+  *
+  * Register via `spark.experimental.extraOptimizations` or
+  * [[GraftExtensions]] (`injectOptimizerRule`). */
+class StatsFilePrune extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, lr: LogicalRelation)
+        if lr.relation.isInstanceOf[HadoopFsRelation] =>
+      prune(f, cond, lr, lr.relation.asInstanceOf[HadoopFsRelation])
+        .getOrElse(f)
+  }
+
+  private def prune(f: Filter, cond: Expression, lr: LogicalRelation,
+      rel: HadoopFsRelation): Option[Filter] = {
+    val roots = rel.location.rootPaths
+    if (roots.size != 1) return None
+    val dir = roots.head.toUri.getPath
+    if (!java.nio.file.Files.isDirectory(Paths.get(dir))) return None
+    val column = StageWriter.statsColumn(dir).getOrElse(return None)
+    val bounds = extractBounds(cond, column).getOrElse(return None)
+    val files = StageWriter.listDataFiles(Paths.get(dir))
+    val stats = StageWriter.loadStats(dir, files, column)
+      .getOrElse(return None)
+    val (lo, hi) = bounds
+    val keep = files.filter { p =>
+      stats.get(p.getFileName.toString).flatten match {
+        case Some((mn, mx)) => !(mx < lo || mn > hi)
+        case None => false // no non-null keys — cannot match
+      }
+    }
+    if (keep.size >= files.size) return None
+    val sparkSession = rel.sparkSession
+    val idx = new InMemoryFileIndex(sparkSession,
+      keep.map(p => new Path(p.toUri)), Map.empty,
+      Some(rel.dataSchema))
+    Some(Filter(cond,
+      lr.copy(relation =
+        rel.copy(location = idx)(sparkSession))))
+  }
+
+  /** Conjunctive [lo, hi] bounds on `column` from =, <, <=, >, >=,
+    * literal on either side. None when no conjunct constrains the
+    * column (no bound → no pruning — never guess). */
+  private def extractBounds(cond: Expression,
+      column: String): Option[(Long, Long)] = {
+    def lit(e: Expression): Option[Long] = e match {
+      case Literal(v: Byte, _) => Some(v.toLong)
+      case Literal(v: Short, _) => Some(v.toLong)
+      case Literal(v: Int, _) => Some(v.toLong)
+      case Literal(v: Long, _) => Some(v)
+      case _ => None
+    }
+    def isCol(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == column
+      case _ => false
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    var found = false
+    conjuncts(cond).foreach {
+      case EqualTo(c, v) if isCol(c) => lit(v).foreach { x =>
+        lo = math.max(lo, x); hi = math.min(hi, x); found = true }
+      case EqualTo(v, c) if isCol(c) => lit(v).foreach { x =>
+        lo = math.max(lo, x); hi = math.min(hi, x); found = true }
+      case GreaterThanOrEqual(c, v) if isCol(c) =>
+        lit(v).foreach { x => lo = math.max(lo, x); found = true }
+      case GreaterThan(c, v) if isCol(c) =>
+        lit(v).foreach { x => lo = math.max(lo, x + 1); found = true }
+      case LessThanOrEqual(c, v) if isCol(c) =>
+        lit(v).foreach { x => hi = math.min(hi, x); found = true }
+      case LessThan(c, v) if isCol(c) =>
+        lit(v).foreach { x => hi = math.min(hi, x - 1); found = true }
+      case GreaterThanOrEqual(v, c) if isCol(c) => // lit >= col ⟺ col <= lit
+        lit(v).foreach { x => hi = math.min(hi, x); found = true }
+      case GreaterThan(v, c) if isCol(c) =>
+        lit(v).foreach { x => hi = math.min(hi, x - 1); found = true }
+      case LessThanOrEqual(v, c) if isCol(c) =>
+        lit(v).foreach { x => lo = math.max(lo, x); found = true }
+      case LessThan(v, c) if isCol(c) =>
+        lit(v).foreach { x => lo = math.max(lo, x + 1); found = true }
+      case _ => ()
+    }
+    if (found) Some((lo, hi)) else None
+  }
+}

@@ -97,6 +97,55 @@ object GovernanceQueries {
              max(i_end - i_start) AS longest
       FROM merged GROUP BY user_id ORDER BY user_id"""))),
 
+    // D142 — AUTOMATIC stats-sidecar file pruning (plans.StatsFilePrune,
+    // a Rule[LogicalPlan] on the session optimizer): a plain
+    // spark.read.parquet(...).filter(key range) over a sidecar-carrying
+    // table skips non-intersecting files WITHOUT the reader opting in —
+    // Delta's transparent log-stats skipping on the parquet fallback,
+    // where D107's prunedRead required an explicit call. The gate writes
+    // orders range-partitioned + optimized (sidecar), queries through
+    // the rule, REQUIREs that files were actually skipped, and
+    // hash-matches the aggregate against the full-table oracle — a
+    // mis-prune loses rows and fails the hash.
+    "q_auto_prune" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("autoprune")
+      val prev = spark.experimental.extraOptimizations
+      try {
+        val path = tmp.resolve("orders").toString
+        load(spark, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.parquet(path)
+        graft.sink.StageWriter.optimize(spark, path,
+          targetFileBytes = 64 * 1024, statsColumn = Some("o_orderkey"))
+        spark.experimental.extraOptimizations =
+          prev :+ new graft.plans.StatsFilePrune
+        val q = spark.read.parquet(path)
+          .filter(col("o_orderkey") >= 2000 && col("o_orderkey") < 5000)
+        val scanned = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation =>
+            lr.relation.asInstanceOf[org.apache.spark.sql.execution
+              .datasources.HadoopFsRelation].location.inputFiles.length
+        }.head
+        val total = graft.sink.StageWriter.listDataFiles(
+          java.nio.file.Paths.get(path)).size
+        require(total >= 4 && scanned < total,
+          s"auto-prune did not skip: read $scanned of $total files")
+        q.agg(count(lit(1)).as("n"),
+            count_distinct(col("o_custkey")).as("n_cust"),
+            dsum(col("o_totalprice")).as("total"))
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally {
+        spark.experimental.extraOptimizations = prev
+        graft.sink.StageWriter.deleteRecursively(tmp)
+      }
+    }, Some("""
+      SELECT count(*) AS n, count(DISTINCT o_custkey) AS n_cust,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 5000"""))),
+
     // D141 — cross-source quantile normalization (Bolstad et al. 2003):
     // each doc's WITHIN-source length percentile maps onto the GLOBAL
     // distribution's value at that percentile (B=64 breakpoints), so one

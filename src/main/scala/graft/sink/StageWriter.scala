@@ -306,6 +306,17 @@ object StageWriter {
 
   private def statsFile(path: String) = Paths.get(path + ".__stats__")
 
+  /** Which column the stats sidecar describes (None = no sidecar) —
+    * lets the [[graft.plans.StatsFilePrune]] optimizer rule discover
+    * prunability without knowing the key upfront. */
+  private[graft] def statsColumn(path: String): Option[String] = {
+    val f = statsFile(path)
+    if (!Files.exists(f)) None
+    else Files.readAllLines(f).stream().findFirst().map[Option[String]] {
+      l => if (l.startsWith("#column\t")) Some(l.substring(8)) else None
+    }.orElse(None)
+  }
+
   /** Visible data files of a flat Parquet dir (skips `_SUCCESS`, hidden
     * in-progress merge files, sidecars). */
   private[graft] def listDataFiles(dir: Path): Seq[Path] = {
@@ -324,14 +335,14 @@ object StageWriter {
     * the base. `None` = the file holds no non-null keys (empty file or
     * all-null keys): such a file can never equi-match a delta row, so it
     * is never touched. */
-  private type FileStats = Map[String, Option[(Long, Long)]]
+  private[graft] type FileStats = Map[String, Option[(Long, Long)]]
 
   /** Load the sidecar iff it describes THIS key column and its file
     * inventory matches the directory EXACTLY (an `overwrite` or external
     * rewrite invalidates it by construction — Spark part-file names are
     * uuid-unique; stats for a different column must never prune a merge
     * on this one). */
-  private[sink] def loadStats(path: String, files: Seq[Path], column: String)
+  private[graft] def loadStats(path: String, files: Seq[Path], column: String)
       : Option[FileStats] = {
     val f = statsFile(path)
     if (!Files.exists(f)) return None
