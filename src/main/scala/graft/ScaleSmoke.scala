@@ -131,7 +131,7 @@ object ScaleSmoke {
       "llm_k_anonymity", "llm_split_leakfree", "sim_centroid_classify",
       "evt_coverage", "sim_triplets", "sim_multiprobe", "evt_scd2_incr",
       "evt_stream_coverage", "q_sorted_neighborhood", "llm_quantile_norm",
-      "q_auto_prune"))
+      "q_auto_prune", "llm_release_pipeline"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

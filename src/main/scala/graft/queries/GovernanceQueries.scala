@@ -3,12 +3,15 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import Q._
 
-/** Data-governance + evaluation-hygiene operators (SURVEY §2D,
-  * D132–D135): k-anonymity release suppression, leakage-safe corpus
-  * splitting, nearest-centroid label evaluation, and interval-coverage
-  * analytics. The plane a dataset passes through BETWEEN curation and
-  * training: can it be released, how is it split, does the embedding
-  * space recover the labels, what did the activity actually cover.
+/** Data-governance + evaluation-hygiene operators (SURVEY §2D, D132+):
+  * k-anonymity release suppression, leakage-safe corpus splitting,
+  * nearest-centroid label evaluation, interval-coverage analytics (batch
+  * + streaming), triplet mining, incremental SCD2, sorted-neighborhood
+  * dedup, quantile normalization, the auto-pruning optimizer-rule gate,
+  * and the governed-release composition. The plane a dataset passes
+  * through BETWEEN curation and training: can it be released, how is it
+  * split, does the embedding space recover the labels, what did the
+  * activity actually cover.
   */
 object GovernanceQueries {
 
@@ -96,6 +99,49 @@ object GovernanceQueries {
              CAST(sum(i_end - i_start) AS BIGINT) AS covered,
              max(i_end - i_start) AS longest
       FROM merged GROUP BY user_id ORDER BY user_id"""))),
+
+    // D143 — the governed-release pipeline COMPOSITION: anonymize
+    // (D132) → leakage-safe split (D133) → per-split release manifest
+    // (doc counts, token totals, per-split distinct sources) — the
+    // end-to-end path a dataset takes from curated corpus to published
+    // train/val/test artifact. One pass: the k-anonymity semi-join and
+    // the split assignment are both per-row against broadcast tables, so
+    // the compose adds nothing over its parts.
+    "llm_release_pipeline" -> (((spark, dir) => {
+      // coarser QI than the D132 gate: the release predicate must keep a
+      // publishable corpus at gate scale (500 docs — a (lang, source,
+      // length) QI suppresses nearly everything at k=20)
+      val docs = load(spark, dir, "documents")
+      val anon = graft.llm.Privacy.kAnonymize(docs,
+        Seq("lang", "source"), 5)
+      graft.llm.Splits.byGroupHash(anon.withColumn("grp", md5(col("text"))),
+          col("grp"), Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.llm.TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"),
+          count_distinct(col("source")).as("n_sources"))
+        .orderBy("split")
+    }, Some("""
+      WITH safe AS (
+        SELECT lang, source
+        FROM documents GROUP BY 1, 2 HAVING count(*) >= 5),
+      anon AS (
+        SELECT d.* FROM documents d
+        JOIN safe ON d.lang = safe.lang AND d.source = safe.source),
+      s AS (
+        SELECT *, CASE WHEN CAST('0x' || substring(md5(md5(text)), 1, 15)
+                         AS BIGINT) % 100 < 80 THEN 'train'
+                       WHEN CAST('0x' || substring(md5(md5(text)), 1, 15)
+                         AS BIGINT) % 100 < 90 THEN 'val'
+                       ELSE 'test' END AS split
+        FROM anon)
+      SELECT split, count(*) AS n_docs,
+             CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END)
+               AS BIGINT) AS n_tokens,
+             count(DISTINCT source) AS n_sources
+      FROM s GROUP BY split ORDER BY split"""))),
 
     // D142 — AUTOMATIC stats-sidecar file pruning (plans.StatsFilePrune,
     // a Rule[LogicalPlan] on the session optimizer): a plain
