@@ -92,11 +92,81 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native (codegen'd) squared L2 distance over double arrays — the
+  * inner loop of PQ encoding and the ADC distance tables (one
+  * sub-distance per (row, codeword, subspace)): `Σ (x_i − y_i)²` as a
+  * strict left fold, element 0 first — bit-identical to the HOF form
+  * `aggregate(zip_with(a, b, (x, y) => (x−y)*(x−y)), 0.0, _+_)` it
+  * replaces (spec-asserted), so every IVF-PQ oracle stays valid. Null
+  * semantics mirror the HOF form (NULL array/element or length mismatch
+  * → NULL). */
+case class SqDistDouble(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_sqdist expects (array<double>, array<double>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_sqdist"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $d = $x.getDouble($i) - $y.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorOps {
 
   /** Column-API form — no registry needed, usable on any session. */
   def vecDot(a: Column, b: Column): Column =
     Bridge.column(DotProductFloat(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Native squared-L2 over double arrays (Column form). */
+  def vecSqDist(a: Column, b: Column): Column =
+    Bridge.column(SqDistDouble(Bridge.expression(a), Bridge.expression(b)))
 
   private val fnId = FunctionIdentifier("vec_dot")
   private val fnInfo = new ExpressionInfo(

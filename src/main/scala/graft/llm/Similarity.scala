@@ -106,9 +106,11 @@ object Similarity {
     * cosine4, rank), rank 1..k. */
   def multiProbeTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, planes: Seq[Seq[Double]], nflip: Int, k: Int,
-      roundDigits: Int = 4): DataFrame = {
+      roundDigits: Int = 4, pairDepth: Int = 0): DataFrame = {
     require(nflip >= 0 && nflip <= planes.size,
       s"nflip=$nflip must be in [0, ${planes.size}]")
+    require(pairDepth >= 0 && pairDepth <= nflip,
+      s"pairDepth=$pairDepth must be in [0, nflip=$nflip]")
     def dotLit(v: Column, cs: Seq[Double]): Column =
       aggregate(zip_with(v, typedLit(cs), (x, y) => x.cast(DoubleType) * y),
         lit(0.0), (acc, x) => acc + x)
@@ -126,11 +128,22 @@ object Similarity {
         .reduce(_ + _))
     // flip candidates ordered by |projection| asc (ties: plane asc via
     // the mask field — both engines sort the struct lexicographically)
-    val flips = slice(array_sort(array(planes.indices.map(p =>
-      struct(abs(col(s"pr$p")).as("a"), lit(1 << p).as("m"))): _*)),
-      1, nflip)
-    val probes = concat(array(col("bucket0")),
+    val sortedFlips = array_sort(array(planes.indices.map(p =>
+      struct(abs(col(s"pr$p")).as("a"), lit(1 << p).as("m"))): _*))
+    val flips = slice(sortedFlips, 1, nflip)
+    // Hamming-2 shell: pairwise flips among the pairDepth least-confident
+    // planes — the next ring of Lv et al.'s perturbation sequence. Masks
+    // are distinct powers of two, so m_i + m_j == m_i | m_j and every
+    // probe value is distinct (no candidate double-counting).
+    val pairProbes = for {
+      i <- 0 until pairDepth; j <- i + 1 until pairDepth
+    } yield col("bucket0").bitwiseXOR(
+      element_at(sortedFlips, i + 1).getField("m") +
+        element_at(sortedFlips, j + 1).getField("m"))
+    val singleProbes = concat(array(col("bucket0")),
       transform(flips, f => col("bucket0").bitwiseXOR(f.getField("m"))))
+    val probes = if (pairProbes.isEmpty) singleProbes
+      else concat(singleProbes, array(pairProbes: _*))
     val probed = q.withColumn("probe", explode(probes))
       .select(col("query_id"), col("qv"), col("probe"))
     val w = Window.partitionBy(col("query_id"))
@@ -301,10 +314,13 @@ object Similarity {
       slice(b, j * sub + 1, sub))
   }
 
-  /** Same rounded squared L2, over ALREADY-SLICED subvectors. */
+  /** Same rounded squared L2, over ALREADY-SLICED subvectors — the
+    * codegen'd [[graft.functions.SqDistDouble]] loop (bit-identical to
+    * the HOF `aggregate(zip_with(...))` fold it replaced, spec-pinned),
+    * because this runs once per (row, codeword, subspace): the IVF-PQ
+    * encode/ADC hot loop. */
   private def pqSubDistPre(roundDigits: Int)(a: Column, b: Column): Column =
-    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v), roundDigits)
+    round(graft.functions.VectorOps.vecSqDist(a, b), roundDigits)
 
   /** Build the PERSISTABLE IVF-PQ index — three plain DataFrames that
     * write to parquet once and serve queries forever (the offline half of

@@ -229,8 +229,13 @@ object RetrievalQueries {
     "sim_multiprobe" -> (((spark, dir) => {
       val emb = load(spark, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
+      // nflip=6 covers the full Hamming-1 shell; pairDepth=3 adds the 3
+      // pairwise (Hamming-2) probes of the least-confident planes — 10
+      // probes of 64 buckets, sized so the recall floor holds as the
+      // corpus grows (4 probes measured 0.138 recall at sf0.1; the knob
+      // exists precisely to be turned at query time)
       val mp = Similarity.multiProbeTopK(q, emb, "vec_id", "embedding",
-        MpPlanes, nflip = 3, k = 10)
+        MpPlanes, nflip = 6, k = 10, pairDepth = 3)
       val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
           k = 10, roundDigits = Some(4))
         .select(col("query_id"), col("neighbor_id"))
@@ -259,8 +264,12 @@ object RetrievalQueries {
                     list_sort($flipStructs) AS fl
              FROM e WHERE id < 8),
       pr AS (SELECT query_id, qv,
-                    unnest(list_prepend(b0,
-                      list_transform(fl[1:3], f -> xor(b0, f.m)))) AS probe
+                    unnest(list_concat(
+                      list_prepend(b0,
+                        list_transform(fl[1:6], f -> xor(b0, f.m))),
+                      [xor(b0, fl[1].m + fl[2].m),
+                       xor(b0, fl[1].m + fl[3].m),
+                       xor(b0, fl[2].m + fl[3].m)])) AS probe
              FROM qp),
       cand AS (
         SELECT pr.query_id, cb.id AS neighbor_id,

@@ -88,6 +88,47 @@ class VectorOpsSpec extends AnyFunSuite {
       s"vec_dot not inside WholeStageCodegen:\n${out.queryExecution.executedPlan}")
   }
 
+  test("vec_sqdist is bit-identical to the HOF (x-y)^2 fold and runs " +
+    "inside WholeStageCodegen") {
+    val df = spark.range(1000)
+      .withColumn("x", expr(
+        "transform(sequence(0, 7), d -> cast(((id*31 + d*7) % 17 - 8) / 3.0 as double))"))
+      .withColumn("y", expr(
+        "transform(sequence(0, 7), d -> cast(((id*13 + d*5) % 23 - 11) / 7.0 as double))"))
+      .select(
+        VectorOps.vecSqDist(col("x"), col("y")).as("native"),
+        aggregate(zip_with(col("x"), col("y"), (p, q) => (p - q) * (p - q)),
+          lit(0.0), (acc, v) => acc + v).as("hof"))
+    val rows = df.collect()
+    assert(rows.length == 1000)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+    // codegen check on a native-only projection (the HOF twin column
+    // above is CodegenFallback and would veto the shared stage)
+    val solo = spark.range(100)
+      .withColumn("x", expr(
+        "transform(sequence(0, 7), d -> cast(d as double))"))
+      .select(VectorOps.vecSqDist(col("x"), col("x")).as("d"))
+    solo.collect()
+    val stages = solo.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec => w.toString
+    }
+    assert(stages.exists(_.contains("vec_sqdist")),
+      s"vec_sqdist not inside WholeStageCodegen")
+    // null + length-mismatch semantics mirror the HOF form
+    val edge = Seq(
+      (1L, Seq(1.0, 2.0), Seq(3.0, 5.0)),
+      (2L, null, Seq(1.0)),
+      (3L, Seq(1.0), Seq(1.0, 2.0))
+    ).toDF("id", "x", "y")
+      .select(col("id"), VectorOps.vecSqDist(col("x"), col("y")).as("d"))
+      .orderBy("id").collect()
+    assert(edge.map(r => if (r.isNullAt(1)) null else r.getDouble(1))
+      .toSeq == Seq(13.0, null, null))
+  }
+
   test("extensions entry point injects vec_dot into a fresh session") {
     val s2 = SparkSession.builder().master("local[2]")
       .appName("graft-ext-test")
