@@ -116,3 +116,22 @@ class StatsFilePrune extends Rule[LogicalPlan] {
     if (found) Some((lo, hi)) else None
   }
 }
+
+object StatsFilePrune {
+
+  /** Idempotently install the rule on a session's experimental optimizer
+    * list and LEAVE it installed. `extraOptimizations` is session-global
+    * mutable state: concurrent save-mutate-restore scoping (a gate and a
+    * spec racing on the shared session) can clobber each other's
+    * installs mid-query — observed as the rule silently not firing. The
+    * rule is fail-safe by construction (prunes only validated
+    * sidecar-carrying scans), so permanent installation is the correct
+    * lifecycle, matching how [[graft.GraftExtensions]] injects it. */
+  def ensureInstalled(spark: org.apache.spark.sql.SparkSession): Unit =
+    synchronized {
+      if (!spark.experimental.extraOptimizations
+          .exists(_.isInstanceOf[StatsFilePrune]))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ new StatsFilePrune
+    }
+}

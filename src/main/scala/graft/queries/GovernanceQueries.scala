@@ -100,6 +100,30 @@ object GovernanceQueries {
              max(i_end - i_start) AS longest
       FROM merged GROUP BY user_id ORDER BY user_id"""))),
 
+    // Battery hardening (not a SURVEY row): VALUE-based (RANGE) window
+    // frames — every other window gate is row-framed; a trailing-hour
+    // frame is defined by the ORDER value, includes ties symmetrically
+    // in both engines, and exercises Spark's rangeBetween codepath.
+    "evt_range_frame" -> (((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hour = 3600L * 1000000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(-hour, 0)
+      load(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(d18(col("value"))).over(w).cast("double").as("sum_1h"))
+        .orderBy("event_id")
+    }, Some("""
+      SELECT event_id, user_id, epoch_ns(ts) AS ts,
+             count(*) OVER w AS n_1h,
+             CAST(sum(CAST("value" AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS sum_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))),
+
     // D143 — the governed-release pipeline COMPOSITION: anonymize
     // (D132) → leakage-safe split (D133) → per-split release manifest
     // (doc counts, token totals, per-split distinct sources) — the
@@ -155,7 +179,6 @@ object GovernanceQueries {
     // mis-prune loses rows and fails the hash.
     "q_auto_prune" -> (((spark, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("autoprune")
-      val prev = spark.experimental.extraOptimizations
       try {
         val path = tmp.resolve("orders").toString
         load(spark, dir, "orders")
@@ -164,8 +187,9 @@ object GovernanceQueries {
           .write.parquet(path)
         graft.sink.StageWriter.optimize(spark, path,
           targetFileBytes = 64 * 1024, statsColumn = Some("o_orderkey"))
-        spark.experimental.extraOptimizations =
-          prev :+ new graft.plans.StatsFilePrune
+        // idempotent permanent install — scoped save/restore raced with
+        // concurrent users of the session-global list (see companion)
+        graft.plans.StatsFilePrune.ensureInstalled(spark)
         val q = spark.read.parquet(path)
           .filter(col("o_orderkey") >= 2000 && col("o_orderkey") < 5000)
         val scanned = q.queryExecution.optimizedPlan.collect {
@@ -182,10 +206,7 @@ object GovernanceQueries {
             count_distinct(col("o_custkey")).as("n_cust"),
             dsum(col("o_totalprice")).as("total"))
           .localCheckpoint() // materialize before the scratch dir dies
-      } finally {
-        spark.experimental.extraOptimizations = prev
-        graft.sink.StageWriter.deleteRecursively(tmp)
-      }
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
     }, Some("""
       SELECT count(*) AS n, count(DISTINCT o_custkey) AS n_cust,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -20,11 +20,12 @@ class StatsFilePruneSpec extends AnyFunSuite {
           .location.inputFiles.length
     }
 
+  // idempotent permanent install: a scoped save/restore here raced with
+  // q_auto_prune (CurationPlanSpec drives gates on the same shared
+  // session), intermittently clobbering the rule mid-test
   private def withRule[T](body: => T): T = {
-    val prev = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations = prev :+ new StatsFilePrune
-    try body
-    finally spark.experimental.extraOptimizations = prev
+    StatsFilePrune.ensureInstalled(spark)
+    body
   }
 
   private def writeTable(): (java.nio.file.Path, String) = {
