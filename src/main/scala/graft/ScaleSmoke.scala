@@ -131,7 +131,13 @@ object ScaleSmoke {
       "llm_k_anonymity", "llm_split_leakfree", "sim_centroid_classify",
       "evt_coverage", "sim_triplets", "sim_multiprobe", "evt_scd2_incr",
       "evt_stream_coverage", "q_sorted_neighborhood", "llm_quantile_norm",
-      "q_auto_prune", "llm_release_pipeline"))
+      "q_auto_prune", "llm_release_pipeline",
+      // mining plane (D144-D146): Apriori-pruned capped pair join; two
+      // window passes on one per-key partitioning; |days|-row decompose
+      "q_assoc_rules", "evt_cusum", "evt_seasonal",
+      // D147-D149: block-capped linkage pairs; one-pass PERMISSIVE
+      // ingest split; fixed-size per-group CMS state
+      "q_record_linkage", "q_json_quarantine", "evt_stream_heavy"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Round-7 mining plane: association rules, change-point detection,
+  * seasonal decomposition — the classical pattern-mining / monitoring
+  * passes a warehouse team runs on the stage tables the ingest framework
+  * materializes. Every gate keeps the battery's exact-arithmetic
+  * discipline (decimal-exact internals, single final IEEE double ops) so
+  * the DuckDB oracle replays results bit-for-bit.
+  */
+object MiningQueries {
+
+  val defs: Map[String, Entry] = Map(
+
+    // D144 — frequent-pair association rules (operators.AssocRules):
+    // Apriori item prune (support ≥ 25, broadcast) + deterministic
+    // per-basket cap (8) bound the pair self-join BEFORE it happens; pair
+    // support ≥ 2 on the uniform catalog. Confidence/lift are single IEEE
+    // divisions over exact int64 counts.
+    "q_assoc_rules" -> (((spark, dir) => {
+      graft.operators.AssocRules.frequentPairs(
+        load(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey",
+        minItemSupport = 25L, minPairSupport = 2L, maxPerBasket = 8)
+        .orderBy("item_a", "item_b")
+    }, Some("""
+      WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                 FROM lineitem),
+      n AS (SELECT count(DISTINCT basket) AS n_baskets FROM b),
+      s AS (SELECT item, count(*) AS supp FROM b GROUP BY 1),
+      f AS (SELECT * FROM s WHERE supp >= 25),
+      pb AS (SELECT basket, item, supp,
+               row_number() OVER (PARTITION BY basket ORDER BY item) AS rn
+             FROM b JOIN f USING (item)),
+      pr AS (SELECT basket, item, supp FROM pb WHERE rn <= 8),
+      pairs AS (SELECT a.item AS item_a, b2.item AS item_b,
+                  a.supp AS supp_a, b2.supp AS supp_b,
+                  CAST(count(*) AS BIGINT) AS supp_ab
+                FROM pr a JOIN pr b2
+                  ON a.basket = b2.basket AND a.item < b2.item
+                GROUP BY 1, 2, 3, 4)
+      SELECT item_a, item_b, supp_a, supp_b, supp_ab,
+             CAST(supp_ab AS DOUBLE) / CAST(supp_a AS DOUBLE)
+               AS confidence,
+             CAST(supp_ab * n_baskets AS DOUBLE) /
+               CAST(supp_a * supp_b AS DOUBLE) AS lift
+      FROM pairs CROSS JOIN n
+      WHERE supp_ab >= 2
+      ORDER BY item_a, item_b"""))),
+
+    // D145 — one-sided CUSUM change-point detection
+    // (operators.ChangePoint): the max(0, S+x−μ−k) recursion via its
+    // prefix-sum closed form — two windows on ONE per-user partitioning.
+    // Slack k=25 (≈σ/2), alarm h=150 (≈3σ); everything n-scaled so the
+    // baseline mean never divides.
+    "evt_cusum" -> (((spark, dir) => {
+      graft.operators.ChangePoint.cusum(
+        load(spark, dir, "events"),
+        key = "user_id", ord = Seq("ts", "event_id"), value = col("value"),
+        slack = BigDecimal("25.00"), h = BigDecimal("150.00"))
+        .orderBy("user_id")
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id,
+                   CAST("value" AS DECIMAL(18,2)) AS x FROM events),
+      k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, sum(x) AS s
+            FROM e GROUP BY 1),
+      d AS (SELECT e.user_id, t, event_id, n,
+              n * x - s - n * CAST(25.00 AS DECIMAL(18,2)) AS nd
+            FROM e JOIN k USING (user_id)),
+      p AS (SELECT user_id, t, event_id, n, sum(nd) OVER w AS p
+            FROM d WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      st AS (SELECT user_id, t, n,
+               -- no least(): DuckDB's least() over DECIMALs (any width)
+               -- silently returns DOUBLE; CASE keeps DECIMAL(38,2) exact
+               p - CASE WHEN min(p) OVER w < 0
+                        THEN min(p) OVER w
+                        ELSE CAST(0 AS DECIMAL(38,2)) END AS stat
+             FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT user_id,
+             CAST(sum(CASE WHEN stat > n * CAST(150.00 AS DECIMAL(18,2))
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+             CAST(max(stat) AS DOUBLE) / CAST(n AS DOUBLE) AS peak_stat,
+             min(CASE WHEN stat > n * CAST(150.00 AS DECIMAL(18,2))
+               THEN t END) AS first_alarm
+      FROM st GROUP BY user_id, n
+      ORDER BY user_id"""))),
+
+    // D146 — classical weekly seasonal decomposition (operators.Seasonal)
+    // over the daily value series: centered 7-day moving-average trend,
+    // per-day-of-week seasonal means, additive remainder — carried
+    // scaled-exact (×7, ×7·n_phase) so only the final per-row divisions
+    // are floating point.
+    "evt_seasonal" -> (((spark, dir) => {
+      val daily = load(spark, dir, "events")
+        .groupBy(expr("ts div 86400000000000").as("d"))
+        .agg(sum(d18(col("value"))).as("x"))
+      graft.operators.Seasonal.decompose(daily, period = 7)
+        .orderBy("d")
+    }, Some("""
+      WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS d,
+                       sum(CAST("value" AS DECIMAL(18,2))) AS x
+                     FROM events GROUP BY 1),
+      t AS (SELECT d, d % 7 AS phase, x,
+              CAST(count(*) OVER w AS BIGINT) AS win_n,
+              sum(x) OVER w AS tsum
+            FROM daily WINDOW w AS (ORDER BY d
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      dt AS (SELECT *, CASE WHEN win_n = 7 THEN 7 * x - tsum END AS det
+             FROM t),
+      se AS (SELECT phase, sum(det) AS ps, CAST(count(det) AS BIGINT) AS pn
+             FROM dt WHERE det IS NOT NULL GROUP BY 1)
+      SELECT dt.d, dt.phase, CAST(x AS DOUBLE) AS total,
+             CAST(CASE WHEN win_n = 7 THEN tsum END AS DOUBLE) / 7.0
+               AS trend,
+             CAST(ps AS DOUBLE) / CAST(7 * pn AS DOUBLE) AS seasonal,
+             CASE WHEN det IS NOT NULL THEN
+               CAST(det AS DOUBLE) / 7.0 -
+                 CAST(ps AS DOUBLE) / CAST(7 * pn AS DOUBLE) END
+               AS remainder
+      FROM dt LEFT JOIN se USING (phase)
+      ORDER BY d"""))),
+
+    // D147 — probabilistic record linkage (operators.RecordLinkage,
+    // Fellegi–Sunter): brand-blocked candidate pairs (per-block cap 128,
+    // smallest ids), per-field agreement, data-driven chance-agreement
+    // u's (Σ c(c−1)/N(N−1) from ONE exploded count pass), and the
+    // likelihood-ratio PRODUCT weight — no logs, so the doubles replay
+    // bit-for-bit. m = 0.9 prior; emit weight ≥ 5 (≈ two agreements).
+    "q_record_linkage" -> (((spark, dir) => {
+      graft.operators.RecordLinkage.linkageWeights(
+        load(spark, dir, "part"), "p_partkey", "p_brand",
+        Seq("name" -> split(col("p_name"), " ").getItem(0),
+          "type" -> col("p_type"), "size" -> col("p_size")),
+        m = 0.9, maxBlock = 128, minWeight = 5.0)
+        .orderBy("id_a", "id_b")
+    }, Some("""
+      WITH r0 AS (SELECT p_partkey AS id, p_brand AS blk,
+                    split_part(p_name, ' ', 1) AS f_name,
+                    p_type AS f_type, p_size AS f_size FROM part),
+      r AS (SELECT id, blk, f_name, f_type, f_size FROM
+              (SELECT r0.*, row_number() OVER (PARTITION BY blk
+                 ORDER BY id) AS rn FROM r0)
+            WHERE rn <= 128),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+      u AS (SELECT
+        (SELECT CAST(sum(c*(c-1)) AS DOUBLE) FROM
+           (SELECT count(*) AS c FROM r GROUP BY f_name)) /
+          (SELECT CAST(n*(n-1) AS DOUBLE) FROM n) AS u_name,
+        (SELECT CAST(sum(c*(c-1)) AS DOUBLE) FROM
+           (SELECT count(*) AS c FROM r GROUP BY f_type)) /
+          (SELECT CAST(n*(n-1) AS DOUBLE) FROM n) AS u_type,
+        (SELECT CAST(sum(c*(c-1)) AS DOUBLE) FROM
+           (SELECT count(*) AS c FROM r GROUP BY f_size)) /
+          (SELECT CAST(n*(n-1) AS DOUBLE) FROM n) AS u_size),
+      p AS (SELECT a.id AS id_a, b.id AS id_b,
+              a.f_name = b.f_name AS ag_name,
+              a.f_type = b.f_type AS ag_type,
+              a.f_size = b.f_size AS ag_size
+            FROM r a JOIN r b ON a.blk = b.blk AND a.id < b.id),
+      w AS (SELECT id_a, id_b, ag_name, ag_type, ag_size,
+              ((1.0 * (CASE WHEN ag_name THEN 0.9 / u_name
+                 ELSE (CAST(1.0 AS DOUBLE) - 0.9) / (1.0 - u_name) END))
+                 * (CASE WHEN ag_type THEN 0.9 / u_type
+                 ELSE (CAST(1.0 AS DOUBLE) - 0.9) / (1.0 - u_type) END))
+                 * (CASE WHEN ag_size THEN 0.9 / u_size
+                 ELSE (CAST(1.0 AS DOUBLE) - 0.9) / (1.0 - u_size) END) AS weight
+            FROM p CROSS JOIN u)
+      SELECT * FROM w WHERE weight >= 5.0
+      ORDER BY id_a, id_b"""))),
+
+    // D148 — malformed-record quarantine ingest (sources.JsonQuarantine):
+    // a JSON-lines feed with a deterministic corruption (event_id % 7 = 3
+    // rows lose their closing brace) parses ONCE in PERMISSIVE mode; good
+    // rows surface typed, corrupt rows land in a quarantine frame with
+    // the raw line preserved for repair — no failed batch, no silent
+    // drops. The gate proves the split is exact (counts, good-side sum)
+    // and that quarantined raws really are the broken lines.
+    "q_json_quarantine" -> (((spark, dir) => {
+      import org.apache.spark.sql.types._
+      val tmp = java.nio.file.Files.createTempDirectory("jsonq_gate")
+      val feedPath = tmp.resolve("feed").toString
+      try {
+        val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+        load(spark, dir, "events")
+          .select(col("event_id"),
+            to_json(struct(cols.map(col): _*)).as("j"))
+          .select(when(col("event_id") % 7 === 3,
+              expr("substring(j, 1, length(j) - 1)"))
+            .otherwise(col("j")).as("value"))
+          .write.text(feedPath)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("ts", LongType)))
+        val (good, bad) = graft.sources.JsonQuarantine
+          .read(spark, feedPath, schema)
+        require(bad.filter(col("raw").endsWith("}")).count() == 0,
+          "a well-formed line reached quarantine")
+        val g = good.agg(count(lit(1)).as("n_good"),
+          dsum(col("value")).as("total_good"),
+          count_distinct(col("event_type")).as("n_types"))
+        val b = bad.agg(count(lit(1)).as("n_bad"))
+        g.crossJoin(b).select("n_good", "n_bad", "total_good", "n_types")
+          .localCheckpoint() // materialize before the feed dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT CAST(sum(CASE WHEN event_id % 7 <> 3 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_good,
+             CAST(sum(CASE WHEN event_id % 7 = 3 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_bad,
+             CAST(sum(CASE WHEN event_id % 7 <> 3
+               THEN CAST("value" AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS total_good,
+             CAST(count(DISTINCT CASE WHEN event_id % 7 <> 3
+               THEN event_type END) AS BIGINT) AS n_types
+      FROM events"""))),
+
+    // D149 — streaming heavy hitters (Streams.heavyHittersStream): a
+    // per-group count-min sketch as flatMapGroupsWithState state — FIXED
+    // d·w·8 bytes per group at any item cardinality, where per-item
+    // counting state grows forever. Two epochs (evens, then odds appended
+    // and the query RESTARTED from its checkpoint) prove the sketch
+    // survives the state store; absorb-then-emit makes every estimate a
+    // pure function of (prior state ∪ batch), so the oracle replays the
+    // final estimates from per-epoch exact counts over the same portable
+    // md5 buckets as the batch CMS.
+    "evt_stream_heavy" -> (((spark, dir) => withStreamPartitions(spark) {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("hh_gate")
+      val (raw, outp, chk) = (tmp.resolve("raw").toString,
+        tmp.resolve("out").toString, tmp.resolve("chk").toString)
+      try {
+        val feed = load(spark, dir, "events")
+          .select(col("event_id"), col("user_id"))
+        feed.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(raw)
+        val schema = spark.read.parquet(raw).schema
+        def run(): Unit = {
+          val in = spark.readStream.schema(schema).parquet(raw)
+          val q = graft.streaming.Streams
+            .heavyHittersStream(in, "user_id", d = 4, w = 32, nBuckets = 8)
+            .toDF().writeStream.format("parquet").option("path", outp)
+            .option("checkpointLocation", chk)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        run() // epoch 0: even event ids
+        feed.filter(col("event_id") % 2 === 1).coalesce(1)
+          .write.mode("append").parquet(raw)
+        run() // epoch 1: odds against checkpointed sketch state
+        // materialize BEFORE the finally deletes the sink files (the
+        // returned frame must not reference tmp); bounded: ≤ |items| rows
+        val rows = spark.read.parquet(outp)
+          .groupBy(col("item")).agg(max(col("est")).as("est"))
+          .filter(col("est") >= 80)
+          .orderBy("item")
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        import spark.implicits._
+        rows.toDF("item", "est").orderBy("item")
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some {
+      val ests = (0 until 4).map { r =>
+        s"""est$r AS (SELECT i.item, CAST(sum(c.c) AS BIGINT) AS s
+           FROM it i
+           JOIN it j ON j.grp = i.grp AND j.b$r = i.b$r
+           JOIN cnt c ON c.item = j.item AND c.ep <= i.lep
+           GROUP BY 1)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH e AS (SELECT CAST(user_id AS VARCHAR) AS item,
+                   event_id % 2 AS ep FROM events),
+      cnt AS (SELECT item, ep, CAST(count(*) AS BIGINT) AS c
+              FROM e GROUP BY 1, 2),
+      it AS (SELECT item, max(ep) AS lep,
+               CAST('0x' || substring(md5(item), 1, 15) AS BIGINT) % 8
+                 AS grp,
+               CAST('0x' || substring(md5(item), 1, 8) AS BIGINT) % 32
+                 AS b0,
+               CAST('0x' || substring(md5(item), 9, 8) AS BIGINT) % 32
+                 AS b1,
+               CAST('0x' || substring(md5(item), 17, 8) AS BIGINT) % 32
+                 AS b2,
+               CAST('0x' || substring(md5(item), 25, 8) AS BIGINT) % 32
+                 AS b3
+             FROM e GROUP BY 1),
+      $ests
+      SELECT i.item, least(e0.s, e1.s, e2.s, e3.s) AS est
+      FROM it i JOIN est0 e0 USING (item) JOIN est1 e1 USING (item)
+        JOIN est2 e2 USING (item) JOIN est3 e3 USING (item)
+      WHERE least(e0.s, e1.s, e2.s, e3.s) >= 80
+      ORDER BY item"""
+    }))
+  )
+}

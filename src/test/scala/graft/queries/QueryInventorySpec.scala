@@ -26,7 +26,8 @@ class QueryInventorySpec extends AnyFunSuite {
       "llm" -> LlmQueries.defs.keys.toSeq,
       "retrieval" -> RetrievalQueries.defs.keys.toSeq,
       "curation" -> CurationQueries.defs.keys.toSeq,
-      "governance" -> GovernanceQueries.defs.keys.toSeq)
+      "governance" -> GovernanceQueries.defs.keys.toSeq,
+      "mining" -> MiningQueries.defs.keys.toSeq)
     val dupes = groups.flatMap { case (g, ks) => ks.map(_ -> g) }
       .groupBy(_._1).filter(_._2.size > 1)
     assert(dupes.isEmpty, s"colliding query names: ${dupes.keys.mkString(", ")}")
