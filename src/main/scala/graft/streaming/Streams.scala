@@ -321,6 +321,70 @@ object Streams {
       .start()
   }
 
+  final case class HhEmit(grp: Int, item: String, est: Long)
+
+  /** D149 — streaming heavy hitters with BOUNDED state: a count-min
+    * sketch per hash-partitioned item group, kept as
+    * `flatMapGroupsWithState` state (d·w·8 bytes per group, FIXED at any
+    * stream length or item cardinality — the unbounded-domain case where
+    * per-item counting state grows forever).
+    *
+    * Order-independence discipline: a micro-batch first absorbs ALL its
+    * rows into the sketch (sums — commutative), and only then emits one
+    * (item, estimate) row per DISTINCT item in the batch. The emitted
+    * estimate is therefore a pure function of (prior state ∪ whole
+    * batch) no matter how Spark orders the group iterator, and estimates
+    * only grow, so `max(est) per item` downstream equals the sketch
+    * estimate at the item's LAST batch — which a SQL oracle replays from
+    * per-epoch exact counts (the same portable md5 bucket derivation as
+    * the batch CMS, `functions.CountMin.bucket`).
+    *
+    * The per-batch distinct-item buffer is batch-bounded (never
+    * stream-bounded); state never stores items, only counters.
+    *
+    * @param items   streaming DataFrame
+    * @param itemCol item column (stringified for hashing)
+    * @param d       sketch hash rows (≤ 4, one md5 digest)
+    * @param w       sketch width per row
+    * @param nBuckets stream partitioning groups (parallelism knob: state
+    *                 rows = nBuckets, each d·w·8 bytes)
+    */
+  def heavyHittersStream(items: DataFrame, itemCol: String, d: Int, w: Int,
+      nBuckets: Int): Dataset[HhEmit] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val prepared = items.select(
+        pmod(graft.llm.Dedup.portableHash60(col(itemCol).cast("string")),
+          lit(nBuckets.toLong)).cast("int").as("grp"),
+        col(itemCol).cast("string").as("item"),
+        graft.functions.CountMin.buckets(col(itemCol).cast("string"), d, w)
+          .as("bks"))
+      .as[(Int, String, Seq[Int])]
+    prepared.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], HhEmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (grp, rows, state) =>
+          val buf = state.getOption.getOrElse(new Array[Long](d * w))
+          val batch = rows.toArray // batch-bounded, see scaladoc
+          batch.foreach { case (_, _, bks) =>
+            var i = 0
+            while (i < d) { buf(i * w + bks(i)) += 1L; i += 1 }
+          }
+          state.update(buf)
+          val seen = scala.collection.mutable.LinkedHashMap[String, Seq[Int]]()
+          batch.foreach { case (_, it, bks) =>
+            if (!seen.contains(it)) seen(it) = bks }
+          seen.iterator.map { case (it, bks) =>
+            var est = Long.MaxValue
+            var i = 0
+            while (i < d) {
+              est = math.min(est, buf(i * w + bks(i))); i += 1
+            }
+            HhEmit(grp, it, est)
+          }
+      }
+  }
+
   /** Incremental micro-batch runner: file-source stream over a raw-zone
     * directory → transform → parquet sink with checkpoint. The streaming
     * twin of the watermark-incremental batch loop (exactly-once via the
