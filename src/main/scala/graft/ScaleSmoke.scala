@@ -137,7 +137,9 @@ object ScaleSmoke {
       "q_assoc_rules", "evt_cusum", "evt_seasonal",
       // D147-D149: block-capped linkage pairs; one-pass PERMISSIVE
       // ingest split; fixed-size per-group CMS state
-      "q_record_linkage", "q_json_quarantine", "evt_stream_heavy"))
+      "q_record_linkage", "q_json_quarantine", "evt_stream_heavy",
+      // D150: one bounded-cardinality agg + per-group noise projection
+      "llm_dp_release"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

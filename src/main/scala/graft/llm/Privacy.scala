@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Privacy-preserving release operators (SURVEY §2D).
@@ -47,4 +47,51 @@ object Privacy {
     df.groupBy(qiCols.map(col): _*)
       .agg(count(lit(1)).as("n"))
       .withColumn("released", when(col("n") >= k, 1L).otherwise(0L))
+
+  /** Inverse-CDF breakpoints of the TRUNCATED two-sided geometric
+    * (discrete Laplace) distribution P(K = k) ∝ α^|k| with α = e^(−ε),
+    * the integer-valued ε-DP mechanism for counting queries (Ghosh,
+    * Roughgarden & Sundararajan 2009 — the universally-optimal discrete
+    * analogue of Laplace noise). Computed ONCE on the driver and
+    * embedded as literal doubles in BOTH engines (the portable-constants
+    * discipline of the LSH planes): at query time neither engine
+    * evaluates a transcendental, so releases replay bit-for-bit in SQL
+    * where `exp`/`ln` would ulp-drift. Tail mass beyond ±maxNoise folds
+    * into the extremes (the standard bounded-geometric variant; at
+    * ε = 0.5, maxNoise = 39 leaves < 3·10⁻⁹ folded). */
+  def geometricBreakpoints(eps: Double,
+      maxNoise: Int = 39): Seq[(Int, Double)] = {
+    require(eps > 0 && maxNoise >= 1)
+    val alpha = math.exp(-eps)
+    val p0 = (1 - alpha) / (1 + alpha)
+    val ks = (-maxNoise to maxNoise).toSeq
+    val cums = ks.map(k => p0 * math.pow(alpha, math.abs(k)))
+      .scanLeft(0.0)(_ + _).tail
+    ks.zip(cums.updated(cums.size - 1, 1.0))
+  }
+
+  /** ε-DP noisy group counts: count per group + two-sided geometric
+    * noise, sampled by inverse-CDF lookup of a uniform drawn from the
+    * portable 60-bit hash of (group key, seed) — deterministic per
+    * (release, seed), a fresh seed per release epoch. Output carries the
+    * released (noisy) count and the ε spent, NEVER the true count —
+    * sequential releases compose by summing the ε column (basic
+    * composition). One map-side-combinable aggregation; the noise is a
+    * per-group projection over the bounded group table. */
+  def dpCounts(df: DataFrame, groupCols: Seq[String], eps: Double,
+      seed: Long, maxNoise: Int = 39): DataFrame = {
+    require(groupCols.nonEmpty)
+    val bps = geometricBreakpoints(eps, maxNoise)
+    val u = Dedup.portableHash60(
+      concat_ws("|", groupCols.map(col) :+ lit(seed.toString): _*))
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    val noise = bps.dropRight(1).foldRight(
+      lit(bps.last._1.toLong): Column) { case ((k, cum), rest) =>
+      when(u < lit(cum), lit(k.toLong)).otherwise(rest)
+    }
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .select(groupCols.map(col) ++ Seq(
+        (col("__n") + noise).as("released"), lit(eps).as("eps")): _*)
+  }
 }

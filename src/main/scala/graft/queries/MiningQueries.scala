@@ -293,6 +293,43 @@ object MiningQueries {
         JOIN est2 e2 USING (item) JOIN est3 e3 USING (item)
       WHERE least(e0.s, e1.s, e2.s, e3.s) >= 80
       ORDER BY item"""
+    })),
+
+    // D150 — ε-DP released counts (llm.Privacy.dpCounts): daily
+    // per-event-type counts + two-sided geometric noise (the discrete
+    // ε-DP mechanism for counting queries), sampled by inverse-CDF
+    // lookup against driver-precomputed breakpoints embedded in BOTH
+    // engines — no transcendental evaluates at query time, so the
+    // release replays bit-for-bit. ε = 0.5, seed 42; the gate proves the
+    // mechanism actually perturbed at least one group.
+    "llm_dp_release" -> (((spark, dir) => {
+      val daily = load(spark, dir, "events")
+        .select(col("event_type"), expr("ts div 86400000000000").as("d"))
+      val rel = graft.llm.Privacy.dpCounts(daily,
+        Seq("event_type", "d"), eps = 0.5, seed = 42L)
+      val truth = daily.groupBy("event_type", "d")
+        .agg(count(lit(1)).as("n"))
+      val perturbed = rel.join(truth, Seq("event_type", "d"))
+        .filter(col("released") =!= col("n")).count()
+      require(perturbed > 0, "no group was perturbed — mechanism inert")
+      rel.orderBy("event_type", "d")
+    }, Some {
+      val bps = graft.llm.Privacy.geometricBreakpoints(0.5)
+      val cases = bps.dropRight(1).map { case (k, c) =>
+        s"WHEN u < $c THEN CAST($k AS BIGINT)" }.mkString("\n        ")
+      s"""
+      WITH g AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM events GROUP BY 1, 2),
+      h AS (SELECT *, CAST(CAST('0x' || substring(md5(
+               event_type || '|' || CAST(d AS VARCHAR) || '|42'),
+               1, 15) AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+            FROM g)
+      SELECT event_type, d,
+             n + (CASE $cases
+               ELSE CAST(${bps.last._1} AS BIGINT) END) AS released,
+             CAST(0.5 AS DOUBLE) AS eps
+      FROM h ORDER BY event_type, d"""
     }))
   )
 }

@@ -1,0 +1,54 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Privacy.dpCounts / geometricBreakpoints — mechanism shape, bounds,
+  * determinism, seed sensitivity. */
+class PrivacyDpSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("breakpoints are a valid CDF: strictly increasing, ending at 1.0, " +
+    "symmetric mass around zero") {
+    val bps = Privacy.geometricBreakpoints(0.5, maxNoise = 39)
+    assert(bps.size == 79)
+    assert(bps.last._2 == 1.0)
+    bps.sliding(2).foreach { case Seq((_, a), (_, b)) => assert(a < b) }
+    // P(K <= -1) == P(K >= 1) up to the folded tail mass (the positive
+    // extreme absorbs the clamp to 1.0): ~2.6e-9 at eps=0.5, K=39
+    val cumBelowZero = bps.find(_._1 == -1).get._2
+    val cumAtZero = bps.find(_._1 == 0).get._2
+    assert(math.abs(cumBelowZero - (1.0 - cumAtZero)) < 1e-8)
+    // P(K = 0) = (1-α)/(1+α)
+    val alpha = math.exp(-0.5)
+    assert(math.abs((cumAtZero - cumBelowZero) -
+      (1 - alpha) / (1 + alpha)) < 1e-12)
+  }
+
+  private def release(seed: Long) = {
+    val df = (1L to 1000L).map(i => (s"g${i % 20}", 1)).toDF("g", "x")
+    Privacy.dpCounts(df, Seq("g"), eps = 0.5, seed = seed)
+      .select("g", "released").as[(String, Long)].collect()
+      .sortBy(_._1).toSeq
+  }
+
+  test("noise is bounded by maxNoise and the release is deterministic " +
+    "per seed but differs across seeds") {
+    val a = release(42L)
+    val b = release(42L)
+    val c = release(7L)
+    assert(a == b)
+    assert(a != c) // 20 groups: astronomically unlikely to coincide
+    // every group's true count is 50; noise bound ±39
+    assert(a.forall { case (_, r) => math.abs(r - 50L) <= 39L })
+    // the mechanism is not inert across 20 groups
+    assert(a.exists(_._2 != 50L))
+  }
+
+  test("output never carries the true count column") {
+    val df = Seq(("a", 1), ("a", 1), ("b", 1)).toDF("g", "x")
+    val out = Privacy.dpCounts(df, Seq("g"), 0.5, 1L)
+    assert(out.columns.toSeq == Seq("g", "released", "eps"))
+  }
+}
