@@ -139,7 +139,9 @@ object ScaleSmoke {
       // ingest split; fixed-size per-group CMS state
       "q_record_linkage", "q_json_quarantine", "evt_stream_heavy",
       // D150: one bounded-cardinality agg + per-group noise projection
-      "llm_dp_release"))
+      "llm_dp_release",
+      // D151: touched-partition-only rewrite with byte-stable others
+      "q_partition_overwrite"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

@@ -330,6 +330,57 @@ object MiningQueries {
                ELSE CAST(${bps.last._1} AS BIGINT) END) AS released,
              CAST(0.5 AS DOUBLE) AS eps
       FROM h ORDER BY event_type, d"""
-    }))
+    })),
+
+    // D151 — dynamic partition overwrite (StageWriter.overwritePartitions,
+    // Delta replaceWhere on the parquet fallback): a restatement batch
+    // replaces ONLY its own partitions — the gate rewrites the 'view'
+    // partition with doubled values and REQUIREs every other partition's
+    // file inventory (names + sizes) byte-stable, then oracle-matches the
+    // final table. Write cost O(touched partition), never O(table).
+    "q_partition_overwrite" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("dynov_gate")
+      try {
+        val p = tmp.resolve("ev").toString
+        val ev = load(spark, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        graft.sink.StageWriter.overwrite(ev, p,
+          partitionBy = Seq("event_type"))
+        def inventory(): Map[String, Seq[(String, Long)]] = {
+          val root = java.nio.file.Paths.get(p)
+          val parts = java.nio.file.Files.list(root)
+          try parts.toArray.map(_.asInstanceOf[java.nio.file.Path])
+            .filter(d => java.nio.file.Files.isDirectory(d) &&
+              d.getFileName.toString.startsWith("event_type="))
+            .map { d =>
+              d.getFileName.toString ->
+                graft.sink.StageWriter.listDataFiles(d).map(f =>
+                  (f.getFileName.toString, java.nio.file.Files.size(f)))
+            }.toMap
+          finally parts.close()
+        }
+        val before = inventory()
+        graft.sink.StageWriter.overwritePartitions(
+          ev.filter(col("event_type") === "view")
+            .withColumn("value", col("value") * 2),
+          p, Seq("event_type"))
+        val after = inventory()
+        val untouched = before.keySet - "event_type=view"
+        require(untouched.forall(k => before(k) == after(k)),
+          "an untouched partition's files changed under dynamic overwrite")
+        require(before("event_type=view") != after("event_type=view"),
+          "the targeted partition was not rewritten")
+        spark.read.parquet(p)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+          .orderBy("event_type")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CASE WHEN event_type = 'view'
+               THEN "value" * 2 ELSE "value" END AS DECIMAL(18,2)))
+               AS DOUBLE) AS total
+      FROM events GROUP BY 1 ORDER BY 1""")))
   )
 }

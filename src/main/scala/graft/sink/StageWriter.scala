@@ -43,6 +43,32 @@ object StageWriter {
     swapTmp(path)
   }
 
+  /** Dynamic partition overwrite (Delta's `replaceWhere` shape on the
+    * parquet fallback, Spark's `partitionOverwriteMode=dynamic`):
+    * replaces ONLY the partitions present in `df`, leaving every other
+    * partition's files physically untouched — write cost is O(touched
+    * partitions), never O(table). The restatement/backfill primitive: a
+    * late-arriving day re-lands by rewriting that day alone (the
+    * reference reloads BETWEEN-date slices the same way,
+    * `raw_extract.py` date-window reloads). The conf is scoped and
+    * restored; cardinality-guarded like [[overwrite]]. */
+  def overwritePartitions(df: DataFrame, path: String,
+      partitionBy: Seq[String], maxPartitionValues: Long = 10000): Unit = {
+    require(partitionBy.nonEmpty, "dynamic overwrite needs partition cols")
+    val n = df.select(partitionBy.map(col): _*).distinct()
+      .limit((maxPartitionValues + 1).toInt).count()
+    require(n <= maxPartitionValues,
+      s"partition columns ${partitionBy.mkString(",")} have >" +
+        s"$maxPartitionValues distinct values in this batch")
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionBy: _*).parquet(path)
+    finally spark.conf.set(key, prev)
+  }
+
   /** Atomic-ish `path.__tmp__` → `path` swap shared by the overwrite and
     * optimize paths (see the class doc for the crash-window contract). */
   private def swapTmp(path: String): Unit = {
