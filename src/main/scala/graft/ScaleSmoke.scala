@@ -141,7 +141,9 @@ object ScaleSmoke {
       // D150: one bounded-cardinality agg + per-group noise projection
       "llm_dp_release",
       // D151: touched-partition-only rewrite with byte-stable others
-      "q_partition_overwrite"))
+      "q_partition_overwrite",
+      // D152: anchors-only funnel state, two-epoch restart
+      "evt_stream_funnel"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

@@ -381,6 +381,75 @@ object MiningQueries {
              CAST(SUM(CAST(CASE WHEN event_type = 'view'
                THEN "value" * 2 ELSE "value" END AS DECIMAL(18,2)))
                AS DOUBLE) AS total
-      FROM events GROUP BY 1 ORDER BY 1""")))
+      FROM events GROUP BY 1 ORDER BY 1"""))),
+
+    // D152 — streaming N-step funnel (Streams.funnelStream): per-user
+    // state is just the N anchor timestamps; the ascending fold computes
+    // the greedy window-min chain EXACTLY (a later event can never lower
+    // an earlier anchor). Feed is split by event time (first half of the
+    // month, then the rest, query restarted from its checkpoint) —
+    // the ordered daily-landing contract the operator documents. Oracle
+    // is the batch window chain over the full table.
+    "evt_stream_funnel" -> (((spark, dir) => withStreamPartitions(spark) {
+      import org.apache.spark.sql.streaming.Trigger
+      val day = 86400000000000L
+      val tmp = java.nio.file.Files.createTempDirectory("sfunnel_gate")
+      val (raw, outp, chk) = (tmp.resolve("raw").toString,
+        tmp.resolve("out").toString, tmp.resolve("chk").toString)
+      try {
+        val feed = load(spark, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_type"))
+        val mid = lit(19738L) // 2024-01-16 in epoch days
+        feed.filter(expr("ts div 86400000000000") < mid)
+          .coalesce(1).write.parquet(raw)
+        val schema = spark.read.parquet(raw).schema
+        def run(): Unit = {
+          val in = spark.readStream.schema(schema).parquet(raw)
+          val q = graft.streaming.Streams
+            .funnelStream(in, "view", Seq(("click", day), ("purchase", day)))
+            .toDF().writeStream.format("parquet").option("path", outp)
+            .option("checkpointLocation", chk)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        run() // epoch 1: first half of the month
+        feed.filter(expr("ts div 86400000000000") >= mid)
+          .coalesce(1).write.mode("append").parquet(raw)
+        run() // epoch 2: second half, anchors resume from the checkpoint
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ver").desc)
+        val rows = spark.read.parquet(outp)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"),
+            element_at(col("anchors"), 1).as("r1"),
+            element_at(col("anchors"), 2).as("r2"),
+            element_at(col("anchors"), 3).as("r3"))
+          .filter(col("r1") =!= Long.MaxValue)
+          .select(col("user_id"), col("r1").as("t1"),
+            when(col("r2") =!= Long.MaxValue, col("r2")).as("t2"),
+            when(col("r3") =!= Long.MaxValue, col("r3")).as("t3"))
+          .orderBy("user_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+        import spark.implicits._
+        rows.toDF("user_id", "t1", "t2", "t3").orderBy("user_id")
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
+      s1 AS (
+        SELECT *, min(CASE WHEN event_type = 'view' THEN t END)
+                    OVER (PARTITION BY user_id) AS t1 FROM e),
+      s2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND t >= t1
+                        AND t < t1 + 86400000000000 THEN t END)
+                    OVER (PARTITION BY user_id) AS t2 FROM s1),
+      s3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND t >= t2
+                        AND t < t2 + 86400000000000 THEN t END)
+                    OVER (PARTITION BY user_id) AS t3 FROM s2)
+      SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+      FROM s3 WHERE t1 IS NOT NULL GROUP BY 1
+      ORDER BY user_id""")))
   )
 }

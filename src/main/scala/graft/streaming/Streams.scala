@@ -385,6 +385,66 @@ object Streams {
       }
   }
 
+  final case class FunnelChainState(anchors: Seq[Long], ver: Long)
+  final case class FunnelChainEmit(user_id: Long, ver: Long,
+      anchors: Seq[Long])
+
+  /** D152 — streaming N-step funnel (the incremental twin of
+    * `operators.Funnel.anchors`): per-user state is ONLY the N anchor
+    * timestamps (8N bytes — never the events), updated by an ascending
+    * event-time fold. The greedy window-min chain is exactly computable
+    * this way: when a step-i event at time t folds in, the step-(i−1)
+    * anchor can never improve afterwards (later events have larger
+    * timestamps and min() only moves down via SMALLER ones), so the
+    * stored anchor IS final with respect to t and the chain predicate
+    * `t ∈ [a_{i−1}, a_{i−1}+W)` evaluates exactly as the batch window
+    * chain does.
+    *
+    * Delivery contract: batches must arrive per-user event-time ORDERED
+    * ACROSS batches (each batch is sorted internally, so any order
+    * WITHIN a batch is fine) — the daily-landing-file shape, where file
+    * k holds day k. For feeds with bounded cross-batch disorder, fence
+    * with a watermark buffer first (the D138 interval-stream pattern).
+    * Emissions carry a per-user version; the latest version is the
+    * current exact funnel state, so `max(ver) per user` downstream
+    * recovers the batch answer.
+    */
+  def funnelStream(events: DataFrame, firstType: String,
+      rest: Seq[(String, Long)]): Dataset[FunnelChainEmit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val n = rest.size + 1
+    val stepExpr = rest.zipWithIndex.foldLeft(
+      when(col("event_type") === firstType, 1)) { case (e, ((t, _), i)) =>
+      e.when(col("event_type") === t, i + 2)
+    }
+    val windows = rest.map(_._2)
+    events.select(col("user_id"), col("ts"), stepExpr.as("step"))
+      .filter(col("step").isNotNull)
+      .as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelChainState, FunnelChainEmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val st = state.getOption.getOrElse(
+            FunnelChainState(Seq.fill(n)(Long.MaxValue), 0L))
+          val a = st.anchors.toArray
+          // ties (same ts): earlier step folds first, matching the batch
+          // chain's inclusive `t >= prev` predicate
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, ts, s) =>
+            if (s == 1) { if (ts < a(0)) a(0) = ts }
+            else {
+              val prev = a(s - 2)
+              if (prev != Long.MaxValue && ts >= prev &&
+                ts < prev + windows(s - 2) && ts < a(s - 1)) a(s - 1) = ts
+            }
+          }
+          val ver = st.ver + 1
+          state.update(FunnelChainState(a.toSeq, ver))
+          Iterator.single(FunnelChainEmit(uid, ver, a.toSeq))
+      }
+  }
+
   /** Incremental micro-batch runner: file-source stream over a raw-zone
     * directory → transform → parquet sink with checkpoint. The streaming
     * twin of the watermark-incremental batch loop (exactly-once via the
