@@ -143,7 +143,9 @@ object ScaleSmoke {
       // D151: touched-partition-only rewrite with byte-stable others
       "q_partition_overwrite",
       // D152: anchors-only funnel state, two-epoch restart
-      "evt_stream_funnel"))
+      "evt_stream_funnel",
+      // D153-D154: per-row token projection; stats-flip plan pin
+      "llm_pseudonymize", "q_cbo_broadcast"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

@@ -70,6 +70,27 @@ object Privacy {
     ks.zip(cums.updated(cums.size - 1, 1.0))
   }
 
+  /** Deterministic keyed pseudonymization: replaces identifier columns
+    * with keyed SHA-256 tokens (hex), so datasets released at different
+    * times still JOIN on the pseudonym without ever carrying the raw id
+    * — the tokenization half of a privacy program (D25 scrubs free text,
+    * D132 suppresses rare metadata combos, this removes the identifier
+    * itself while preserving linkability). Same key + same value ⇒ same
+    * token across tables and releases; rotate the key to break
+    * linkability between release generations. Pure per-row projection:
+    * zero shuffles, codegen'd sha2. For an adversarial setting use a
+    * true HMAC through the same call shape; the keyed-hash form here is
+    * the standard warehouse tokenizer and replays in any engine with a
+    * sha256 function. */
+  def pseudonymize(df: DataFrame, cols: Seq[String],
+      key: String): DataFrame = {
+    require(cols.nonEmpty)
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, sha2(concat(lit(key + "|"),
+        col(c).cast("string")), 256))
+    }
+  }
+
   /** ε-DP noisy group counts: count per group + two-sided geometric
     * noise, sampled by inverse-CDF lookup of a uniform drawn from the
     * portable 60-bit hash of (group key, seed) — deterministic per

@@ -450,6 +450,120 @@ object MiningQueries {
                     OVER (PARTITION BY user_id) AS t3 FROM s2)
       SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
       FROM s3 WHERE t1 IS NOT NULL GROUP BY 1
-      ORDER BY user_id""")))
+      ORDER BY user_id"""))),
+
+    // D153 — keyed pseudonymization (llm.Privacy.pseudonymize): user ids
+    // become keyed SHA-256 tokens; two independently tokenized datasets
+    // (the event log and a per-user profile built from orders… here a
+    // user activity summary) still JOIN on the pseudonym. The gate
+    // tokenizes events and a separately-derived user table, joins on the
+    // token, and proves the join is lossless vs joining on the raw id.
+    "llm_pseudonymize" -> (((spark, dir) => {
+      val ev = graft.llm.Privacy.pseudonymize(
+        load(spark, dir, "events")
+          .select(col("user_id"), col("value")),
+        Seq("user_id"), key = "k7")
+      val users = graft.llm.Privacy.pseudonymize(
+        load(spark, dir, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("n_events")),
+        Seq("user_id"), key = "k7")
+      ev.join(users, Seq("user_id"))
+        .groupBy(col("user_id").as("token"), col("n_events"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("token")
+    }, Some("""
+      WITH ev AS (SELECT sha256('k7|' || CAST(user_id AS VARCHAR))
+                    AS token, "value" FROM events),
+      u AS (SELECT sha256('k7|' || CAST(user_id AS VARCHAR)) AS token,
+              CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id)
+      SELECT ev.token, u.n_events, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM ev JOIN u USING (token)
+      GROUP BY 1, 2 ORDER BY 1"""))),
+
+    // D154 — cost-based stats-driven join planning: ANALYZE TABLE column
+    // statistics let the CBO see through a selective dim filter (filtered
+    // size ≈ 4% of raw) and pick a broadcast join where the size-only
+    // estimator (filter keeps its child's size) must shuffle both sides.
+    // The gate pins BOTH static plans — sort-merge WITHOUT column stats,
+    // broadcast WITH them — under a threshold set to a third of the raw
+    // dim bytes, then oracle-matches the join result. The Spark-native
+    // "collect stats, let Catalyst decide" path a 100 TB warehouse runs
+    // instead of hand-hinting every join.
+    "q_cbo_broadcast" -> (((spark, dir) => {
+      import org.apache.spark.sql.execution.joins.{
+        BroadcastHashJoinExec, SortMergeJoinExec}
+      import org.apache.spark.sql.execution.SparkPlan
+      val id = Q.nextSinkId()
+      val (dimT, factT) = (s"cbo_dim_$id", s"cbo_fact_$id")
+      val confs = Seq(
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.statistics.histogram.enabled" -> "false")
+      val prev = confs.map { case (k, _) =>
+        k -> spark.conf.getOption(k) }
+      val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+      val prevThr = spark.conf.get(thrKey)
+      try {
+        load(spark, dir, "part").write.saveAsTable(dimT)
+        load(spark, dir, "lineitem")
+          .select("l_partkey", "l_extendedprice", "l_discount")
+          .write.saveAsTable(factT)
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        // table-LEVEL stats first (real sizeInBytes — an unanalyzed
+        // catalog table reports defaultSizeInBytes, i.e. "huge"); column
+        // stats only in the second phase, so the flip below isolates
+        // exactly the column-stats contribution
+        spark.sql(s"ANALYZE TABLE $dimT COMPUTE STATISTICS")
+        spark.sql(s"ANALYZE TABLE $factT COMPUTE STATISTICS")
+        val rawBytes = spark.table(dimT).queryExecution.optimizedPlan
+          .stats.sizeInBytes
+        // threshold sits BETWEEN the two estimates the planner will see:
+        // without column stats the dim side is column-pruned to the join
+        // key (width-ratio ≈ 18% of raw — pruning alone earns that) but
+        // the filter can't shrink it; WITH column stats the 4%-selective
+        // p_size filter multiplies in (≈ 0.7% of raw). raw/20 = 5%
+        // separates them at every SF (both ratios are SF-independent)
+        spark.conf.set(thrKey, (rawBytes / 20).toString)
+        def q() = spark.table(factT)
+          .join(spark.table(dimT).filter(col("p_size") < 3),
+            col("l_partkey") === col("p_partkey"))
+          .agg(count(lit(1)).as("n"),
+            sum((d18(col("l_extendedprice")) *
+              (lit(1) - col("l_discount").cast("decimal(3,2)")))
+              .cast("decimal(18,4)")).cast("double").as("rev"))
+        def joins(p: SparkPlan) = p.collect {
+          case _: BroadcastHashJoinExec => "broadcast"
+          case _: SortMergeJoinExec => "sortmerge"
+        }
+        val without = joins(q().queryExecution.sparkPlan)
+        val dimEst = spark.table(dimT).filter(col("p_size") < 3)
+          .queryExecution.optimizedPlan.stats.sizeInBytes
+        require(without == Seq("sortmerge"),
+          s"size-only estimator should shuffle, planned: $without " +
+            s"(raw=$rawBytes thr=${spark.conf.get(thrKey)} dimEst=$dimEst " +
+            s"cbo=${spark.conf.get("spark.sql.cbo.enabled")})")
+        spark.sql(s"ANALYZE TABLE $dimT COMPUTE STATISTICS FOR ALL COLUMNS")
+        spark.catalog.refreshTable(dimT)
+        val withStats = joins(q().queryExecution.sparkPlan)
+        require(withStats == Seq("broadcast"),
+          s"column stats should unlock broadcast, planned: $withStats")
+        q().withColumn("strategy", lit("broadcast_with_stats"))
+          .localCheckpoint() // materialize before the tables drop
+      } finally {
+        prev.foreach { case (k, v) =>
+          v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+        spark.conf.set(thrKey, prevThr)
+        spark.sql(s"DROP TABLE IF EXISTS $dimT")
+        spark.sql(s"DROP TABLE IF EXISTS $factT")
+      }
+    }, Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (1 - CAST(l_discount AS DECIMAL(3,2)))
+               AS DECIMAL(18,4))) AS DOUBLE) AS rev,
+             'broadcast_with_stats' AS strategy
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size < 3""")))
   )
 }

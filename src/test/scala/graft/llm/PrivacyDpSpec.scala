@@ -51,4 +51,33 @@ class PrivacyDpSpec extends AnyFunSuite {
     val out = Privacy.dpCounts(df, Seq("g"), 0.5, 1L)
     assert(out.columns.toSeq == Seq("g", "released", "eps"))
   }
+
+  test("pseudonymization: deterministic per key, divergent across keys, " +
+    "join-preserving, null-passing") {
+    val rows: Seq[(java.lang.Long, String)] =
+      Seq((1L, "a"), (2L, "b"), (null, "c"))
+    val df = rows.toDF("id", "v")
+    val t1 = Privacy.pseudonymize(df, Seq("id"), "k1")
+      .select("id", "v").as[(Option[String], String)].collect()
+      .map(r => r._2 -> r._1).toMap
+    val t1b = Privacy.pseudonymize(df, Seq("id"), "k1")
+      .select("id", "v").as[(Option[String], String)].collect()
+      .map(r => r._2 -> r._1).toMap
+    val t2 = Privacy.pseudonymize(df, Seq("id"), "k2")
+      .select("id", "v").as[(Option[String], String)].collect()
+      .map(r => r._2 -> r._1).toMap
+    assert(t1 == t1b) // deterministic
+    assert(t1("a") != t2("a")) // key rotation breaks linkability
+    assert(t1("a").get.matches("[0-9a-f]{64}")) // 256-bit hex token
+    assert(t1("a") != t1("b")) // distinct ids stay distinct
+    assert(t1("c").isEmpty) // null id pseudonymizes to null
+    // join-preserving: tokenized frames join exactly like raw frames
+    val left = Privacy.pseudonymize(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"), Seq("id"), "k1")
+    val right = Privacy.pseudonymize(
+      Seq((1L, "u1"), (3L, "u3")).toDF("id", "name"), Seq("id"), "k1")
+    val joined = left.join(right, Seq("id")).select("x", "name")
+      .as[(Double, String)].collect().toSeq
+    assert(joined == Seq((10.0, "u1")))
+  }
 }
