@@ -145,7 +145,9 @@ object ScaleSmoke {
       // D152: anchors-only funnel state, two-epoch restart
       "evt_stream_funnel",
       // D153-D154: per-row token projection; stats-flip plan pin
-      "llm_pseudonymize", "q_cbo_broadcast"))
+      "llm_pseudonymize", "q_cbo_broadcast",
+      // D155: directory-level pruning from raw-ts predicates
+      "q_derived_prune"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

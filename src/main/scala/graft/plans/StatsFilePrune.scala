@@ -46,7 +46,8 @@ class StatsFilePrune extends Rule[LogicalPlan] {
     val dir = roots.head.toUri.getPath
     if (!java.nio.file.Files.isDirectory(Paths.get(dir))) return None
     val column = StageWriter.statsColumn(dir).getOrElse(return None)
-    val bounds = extractBounds(cond, column).getOrElse(return None)
+    val bounds = StatsFilePrune.extractBounds(cond, column)
+      .getOrElse(return None)
     val files = StageWriter.listDataFiles(Paths.get(dir))
     val stats = StageWriter.loadStats(dir, files, column)
       .getOrElse(return None)
@@ -67,10 +68,15 @@ class StatsFilePrune extends Rule[LogicalPlan] {
         rel.copy(location = idx)(sparkSession))))
   }
 
+}
+
+object StatsFilePrune {
+
   /** Conjunctive [lo, hi] bounds on `column` from =, <, <=, >, >=,
     * literal on either side. None when no conjunct constrains the
-    * column (no bound → no pruning — never guess). */
-  private def extractBounds(cond: Expression,
+    * column (no bound → no pruning — never guess). Shared by the stats
+    * sidecar rule and [[DerivedPartitionPrune]]. */
+  private[plans] def extractBounds(cond: Expression,
       column: String): Option[(Long, Long)] = {
     def lit(e: Expression): Option[Long] = e match {
       case Literal(v: Byte, _) => Some(v.toLong)
@@ -115,9 +121,6 @@ class StatsFilePrune extends Rule[LogicalPlan] {
     }
     if (found) Some((lo, hi)) else None
   }
-}
-
-object StatsFilePrune {
 
   /** Idempotently install the rule on a session's experimental optimizer
     * list and LEAVE it installed. `extraOptimizations` is session-global
@@ -128,10 +131,21 @@ object StatsFilePrune {
     * sidecar-carrying scans), so permanent installation is the correct
     * lifecycle, matching how [[graft.GraftExtensions]] injects it. */
   def ensureInstalled(spark: org.apache.spark.sql.SparkSession): Unit =
-    synchronized {
-      if (!spark.experimental.extraOptimizations
-          .exists(_.isInstanceOf[StatsFilePrune]))
-        spark.experimental.extraOptimizations =
-          spark.experimental.extraOptimizations :+ new StatsFilePrune
-    }
+    RuleInstall.ensure(spark)(_.isInstanceOf[StatsFilePrune],
+      new StatsFilePrune)
+}
+
+/** ONE lock for every idempotent rule install: two companions each
+  * synchronizing on THEMSELVES still lose updates when they interleave
+  * on the same session's `extraOptimizations` (read-[], read-[],
+  * write-[A], write-[B] — A's install vanishes; observed as a rule
+  * silently not firing when two spec suites ran in parallel). */
+private[plans] object RuleInstall {
+  def ensure(spark: org.apache.spark.sql.SparkSession)(
+      installed: Rule[LogicalPlan] => Boolean,
+      mk: => Rule[LogicalPlan]): Unit = synchronized {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(installed))
+      spark.experimental.extraOptimizations = cur :+ mk
+  }
 }

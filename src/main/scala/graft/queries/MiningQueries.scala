@@ -564,6 +564,45 @@ object MiningQueries {
                AS DECIMAL(18,4))) AS DOUBLE) AS rev,
              'broadcast_with_stats' AS strategy
       FROM lineitem JOIN part ON l_partkey = p_partkey
-      WHERE p_size < 3""")))
+      WHERE p_size < 3"""))),
+
+    // D155 — derived-partition pruning (plans.DerivedPartitionPrune +
+    // StageWriter.writeDerivedPartitioned): the table is day-partitioned
+    // by `d = ts div 86400e9` with the derivation recorded in a sidecar;
+    // the reader filters on RAW ts (never knowing the layout) and the
+    // optimizer rule injects the implied day-partition conjunct, turning
+    // a 30-day scan into a 3-day one at directory-listing time — Delta's
+    // generated-column pruning on plain parquet. The gate REQUIREs the
+    // file skip actually happened and hash-matches the full-scan oracle.
+    "q_derived_prune" -> (((spark, dir) => {
+      val day = 86400000000000L
+      val tmp = java.nio.file.Files.createTempDirectory("dprune_gate")
+      try {
+        val p = tmp.resolve("ev").toString
+        graft.sink.StageWriter.writeDerivedPartitioned(
+          load(spark, dir, "events")
+            .select(col("event_id"), col("ts"), col("value")),
+          p, srcCol = "ts", partCol = "d", divisor = day)
+        graft.plans.DerivedPartitionPrune.ensureInstalled(spark)
+        // Jan 3–5 (days 19725..19727) out of the 30-day month
+        val q = spark.read.parquet(p)
+          .filter(col("ts") >= lit(19725L * day) &&
+            col("ts") < lit(19728L * day))
+        val touched = q.select(input_file_name()).distinct().count()
+        val total = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+          .toArray.count(_.toString.endsWith(".parquet")).toLong
+        require(touched > 0 && touched * 5 <= total,
+          s"derived pruning read $touched of $total files — rule inert")
+        q.agg(count(lit(1)).as("n"),
+            count_distinct(col("event_id")).as("ids"),
+            dsum(col("value")).as("total"))
+          .localCheckpoint() // materialize before the table dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT count(*) AS n, count(DISTINCT event_id) AS ids,
+             CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events
+      WHERE epoch_ns(ts) >= 19725 * 86400000000000
+        AND epoch_ns(ts) < 19728 * 86400000000000""")))
   )
 }

@@ -43,6 +43,37 @@ object StageWriter {
     swapTmp(path)
   }
 
+  /** Derived-partition layout (Delta generated columns on the parquet
+    * fallback): partitions the table by `partCol = srcCol div divisor`
+    * (e.g. day buckets from a nanosecond timestamp) and records the
+    * derivation in a `_derived_partition` sidecar, which
+    * [[graft.plans.DerivedPartitionPrune]] reads to turn source-column
+    * range predicates into directory-level partition pruning — readers
+    * filter on `ts`, never needing to know the layout. */
+  def writeDerivedPartitioned(df: DataFrame, path: String, srcCol: String,
+      partCol: String, divisor: Long,
+      maxPartitionValues: Long = 10000): Unit = {
+    require(divisor > 0, s"divisor must be positive, got $divisor")
+    overwrite(df.withColumn(partCol, expr(s"$srcCol div ${divisor}L")),
+      path, partitionBy = Seq(partCol),
+      maxPartitionValues = maxPartitionValues)
+    Files.writeString(Paths.get(path, "_derived_partition"),
+      s"$partCol\n$srcCol\n$divisor\n")
+  }
+
+  /** (partCol, srcCol, divisor) from a `_derived_partition` sidecar, or
+    * None when absent/unparsable (pruning stands down, never guesses). */
+  private[graft] def derivedPartitionSpec(
+      dir: String): Option[(String, String, Long)] = {
+    val p = Paths.get(dir, "_derived_partition")
+    if (!Files.isRegularFile(p)) return None
+    Files.readString(p).split("\n").map(_.trim).toList match {
+      case part :: src :: div :: _ if part.nonEmpty && src.nonEmpty =>
+        scala.util.Try(div.toLong).toOption.map((part, src, _))
+      case _ => None
+    }
+  }
+
   /** Dynamic partition overwrite (Delta's `replaceWhere` shape on the
     * parquet fallback, Spark's `partitionOverwriteMode=dynamic`):
     * replaces ONLY the partitions present in `df`, leaving every other
@@ -563,11 +594,23 @@ object StageWriter {
     * OPTIMIZE (light_transform.py:1394-1409): coalesce to
     * ceil(bytes / targetFileBytes) files and swap. */
   def compact(spark: SparkSession, path: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Option[String] = None): Unit = {
     val df = spark.read.parquet(path)
     val bytes = dirSize(Paths.get(path))
     val files = math.max(1, (bytes + targetFileBytes - 1) / targetFileBytes)
-    val compacted = df.coalesce(files.toInt).cache()
+    // clusterBy: coalesce() merges ARBITRARY partitions (locality-driven,
+    // load-dependent), silently destroying the range-disjointness every
+    // stats-pruning plane depends on — a point probe then straddles EVERY
+    // merged file and skips nothing. When the table has a declared stats
+    // column, compaction must pay the range shuffle to keep files
+    // key-disjoint; that shuffle IS the product (clustering maintenance),
+    // not overhead.
+    val compacted = (clusterBy match {
+      case Some(c) => df.repartitionByRange(files.toInt, col(c))
+        .sortWithinPartitions(c)
+      case None => df.coalesce(files.toInt)
+    }).cache()
     compacted.count()
     overwrite(compacted, path)
     compacted.unpersist()
@@ -618,7 +661,7 @@ object StageWriter {
             numFiles = files)
           swapTmp(path)
         } finally df.unpersist()
-      case None => compact(spark, path, targetFileBytes)
+      case None => compact(spark, path, targetFileBytes, statsColumn)
     }
     val after = listDataFiles(dir)
     statsColumn.foreach(c =>

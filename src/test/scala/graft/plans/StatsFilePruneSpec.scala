@@ -59,8 +59,13 @@ class StatsFilePruneSpec extends AnyFunSuite {
         assert(df.collect().toSeq == base, "pruned result diverged")
         // equality predicate prunes too (how far depends on compaction
         // boundaries — pin strictly-fewer, not a absolute count)
+        // point probes are the canary for clustering loss: a coalesce()
+        // compaction once merged non-adjacent ranges under parallel load
+        // and every file straddled the probe (fixed: compact clusters by
+        // the stats column)
         val eq = spark.read.parquet(path).filter(col("k") === 4242L)
-        assert(scanFiles(eq).head < total)
+        val eqFiles = scanFiles(eq).head
+        assert(eqFiles < total, s"eq did not prune: $eqFiles of $total")
         assert(eq.count() == 1)
         // a predicate on a NON-stats column must not prune
         val other = spark.read.parquet(path).filter(col("v") === 1L)
