@@ -147,7 +147,9 @@ object ScaleSmoke {
       // D153-D154: per-row token projection; stats-flip plan pin
       "llm_pseudonymize", "q_cbo_broadcast",
       // D155: directory-level pruning from raw-ts predicates
-      "q_derived_prune"))
+      "q_derived_prune",
+      // D156: delta-proportional replica maintenance
+      "c5_cdc_egress"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

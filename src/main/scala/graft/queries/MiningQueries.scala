@@ -603,6 +603,48 @@ object MiningQueries {
              CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM events
       WHERE epoch_ns(ts) >= 19725 * 86400000000000
-        AND epoch_ns(ts) < 19728 * 86400000000000""")))
+        AND epoch_ns(ts) < 19728 * 86400000000000"""))),
+
+    // D156 — incremental CDC egress (VersionedTable.replicateTo): a plain
+    // parquet replica follows the versioned table by applying only the
+    // keys that changed since its last sync (bootstrap, then a
+    // delete+update batch), through the file-targeted CDC merge — the
+    // change-data-feed consumer shape. The gate REQUIREs the second sync
+    // applied a DELTA (< half the table) and oracle-matches the final
+    // replica against a from-scratch replay.
+    "c5_cdc_egress" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("egress_gate")
+      try {
+        val t = tmp.resolve("src").toString
+        val rep = tmp.resolve("replica").toString
+        val docs = load(spark, dir, "documents")
+        graft.sink.VersionedTable.commit(docs, t)
+        val s1 = graft.sink.VersionedTable
+          .replicateTo(spark, t, rep, Seq("doc_id"))
+        val total = docs.count()
+        require(s1.applied == total, s"bootstrap applied ${s1.applied}")
+        // v2: ~1/7 of keys deleted, ~1/5 of survivors updated
+        graft.sink.VersionedTable.commit(
+          docs.filter(col("doc_id") % 7 =!= 3)
+            .withColumn("n_chars", when(col("doc_id") % 5 === 0,
+              col("n_chars") + 100).otherwise(col("n_chars"))), t)
+        val s2 = graft.sink.VersionedTable
+          .replicateTo(spark, t, rep, Seq("doc_id"))
+        require(s2.applied > 0 && s2.applied * 2 < total,
+          s"second sync applied ${s2.applied} of $total — not a delta")
+        val s3 = graft.sink.VersionedTable
+          .replicateTo(spark, t, rep, Seq("doc_id"))
+        require(s3.applied == 0, "an already-current replica re-applied")
+        spark.read.parquet(rep)
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"),
+            count_distinct(col("lang")).as("langs"))
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN doc_id % 5 = 0 THEN n_chars + 100
+               ELSE n_chars END) AS BIGINT) AS total_chars,
+             CAST(count(DISTINCT lang) AS BIGINT) AS langs
+      FROM documents WHERE doc_id % 7 <> 3""")))
   )
 }

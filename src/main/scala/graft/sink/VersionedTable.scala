@@ -261,4 +261,54 @@ object VersionedTable {
     }
     drop
   }
+
+  /** One replica sync: the head version it reached and how many change
+    * rows it applied (0 = already current). */
+  final case class ReplicaSync(head: Int, applied: Long)
+
+  /** Incremental CDC egress — keep a downstream PLAIN-parquet replica
+    * current with this versioned table by applying only what CHANGED
+    * since the replica's last sync (Delta's change-data-feed consumer
+    * shape). The replica remembers its last-applied version in a sibling
+    * marker file; each sync diffs `(lastApplied, head]`, collapses the
+    * row-level diff to key-level CDC ops (a key with a replacement row
+    * is an upsert; a key whose rows only disappeared is a delete), and
+    * applies them through [[StageWriter.mergeCdcInto]] — so the APPLY
+    * side rewrites only key-intersecting replica files (O(delta)), and a
+    * re-run after a crash between merge and marker write re-applies an
+    * idempotent batch (upserts replace, deletes no-op).
+    *
+    * The diff here recomputes from two snapshots (O(snapshot) read — the
+    * storage trade of not persisting per-commit change files); the
+    * replica-side cost, which is what multiplies across consumers, is
+    * delta-proportional. `keys` must be unique per row (the [[StageWriter
+    * .mergeInto]] contract). */
+  def replicateTo(spark: SparkSession, table: String, replica: String,
+      keys: Seq[String]): ReplicaSync = {
+    import org.apache.spark.sql.functions._
+    val head = latestVersion(table).getOrElse(
+      throw new IllegalStateException(s"no committed version at $table"))
+    val marker = Paths.get(replica + ".applied_version")
+    val last =
+      if (Files.isRegularFile(marker)) Files.readString(marker).trim.toInt
+      else 0
+    if (last >= head) return ReplicaSync(head, 0L)
+    val delta =
+      if (last == 0) read(spark, table, Some(head)).withColumn("op", lit("U"))
+      else {
+        val d = diff(spark, table, last, head)
+        val ins = d.filter(col("change") === "insert").drop("change")
+        val delOnly = d.filter(col("change") === "delete").drop("change")
+          .join(ins.select(keys.map(col): _*), keys, "left_anti")
+        ins.withColumn("op", lit("U"))
+          .unionByName(delOnly.withColumn("op", lit("D")))
+      }
+    val cached = delta.cache()
+    val applied = cached.count()
+    try {
+      StageWriter.mergeCdcInto(spark, cached, replica, keys)
+      Files.writeString(marker, head.toString)
+    } finally cached.unpersist()
+    ReplicaSync(head, applied)
+  }
 }
