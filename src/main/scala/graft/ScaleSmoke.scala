@@ -149,7 +149,9 @@ object ScaleSmoke {
       // D155: directory-level pruning from raw-ts predicates
       "q_derived_prune",
       // D156: delta-proportional replica maintenance
-      "c5_cdc_egress"))
+      "c5_cdc_egress",
+      // D157: point-in-time snapshot resolution
+      "c5_asof_ts"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

@@ -645,6 +645,44 @@ object MiningQueries {
              CAST(sum(CASE WHEN doc_id % 5 = 0 THEN n_chars + 100
                ELSE n_chars END) AS BIGINT) AS total_chars,
              CAST(count(DISTINCT lang) AS BIGINT) AS langs
-      FROM documents WHERE doc_id % 7 <> 3""")))
+      FROM documents WHERE doc_id % 7 <> 3"""))),
+
+    // D157 — TIMESTAMP AS OF time travel (VersionedTable.readAsOf):
+    // commits record an injected monotone timestamp; AS OF resolves the
+    // newest version visible at a point in time — Delta's second time-
+    // travel axis on top of the existing version-based one (c5_time_
+    // travel). The gate commits three states at ts 1000/2000/3000, reads
+    // AS OF 2500 (→ the middle state) and AS OF 1000 (inclusive
+    // boundary → the first), and oracle-replays both.
+    "c5_asof_ts" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("asof_gate")
+      try {
+        val t = tmp.resolve("docs").toString
+        val docs = load(spark, dir, "documents")
+        graft.sink.VersionedTable.commit(
+          docs.filter(col("lang") === "en"), t, commitTs = 1000L)
+        graft.sink.VersionedTable.commit(
+          docs.filter(col("n_chars") >= 200), t, commitTs = 2000L)
+        graft.sink.VersionedTable.commit(docs, t, commitTs = 3000L)
+        require(graft.sink.VersionedTable.versionAsOf(t, 999L).isEmpty,
+          "a pre-history timestamp resolved to a version")
+        val mid = graft.sink.VersionedTable.readAsOf(spark, t, 2500L)
+          .groupBy("lang").agg(count(lit(1)).as("n_mid"),
+            sum(col("n_chars")).as("chars_mid"))
+        val first = graft.sink.VersionedTable.readAsOf(spark, t, 1000L)
+          .groupBy("lang").agg(count(lit(1)).as("n_first"))
+        mid.join(first, Seq("lang"), "left")
+          .orderBy("lang")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      WITH mid AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_mid,
+                     CAST(sum(n_chars) AS BIGINT) AS chars_mid
+                   FROM documents WHERE n_chars >= 200 GROUP BY lang),
+      f AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_first
+            FROM documents WHERE lang = 'en' GROUP BY lang)
+      SELECT mid.lang, n_mid, chars_mid, n_first
+      FROM mid LEFT JOIN f USING (lang)
+      ORDER BY lang""")))
   )
 }

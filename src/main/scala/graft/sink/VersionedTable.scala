@@ -78,8 +78,12 @@ object VersionedTable {
     * moved since the caller read it (the read-version check of an
     * optimistic transaction). The claim is taken BEFORE the expensive
     * data write, so the loser fails fast. */
+  private def tsMarker(table: String, v: Int) =
+    Paths.get(table, "_commit_ts", v.toString)
+
   def commit(df: DataFrame, table: String,
-      expectedBase: Option[Int] = None): Int = {
+      expectedBase: Option[Int] = None,
+      commitTs: Long = System.currentTimeMillis): Int = {
     val base = latestVersion(table).getOrElse(0)
     expectedBase.filter(_ != base).foreach { e =>
       throw new ConcurrentCommitException(
@@ -101,7 +105,20 @@ object VersionedTable {
     // would fail "already claimed" until vacuum's stranded retention
     // elapses — an observed failure is not a crash, so clean up eagerly
     try {
+      // commit timestamps must be monotone (commits serialize via the
+      // claim, so wall clocks are; an INJECTED clock must honor it too —
+      // AS OF resolution binary-searches on this order)
+      latestVersion(table).filter(_ >= 1).foreach { prev =>
+        val m = tsMarker(table, prev)
+        if (Files.isRegularFile(m)) {
+          val prevTs = Files.readString(m).trim.toLong
+          require(commitTs >= prevTs,
+            s"$table: commitTs $commitTs precedes version $prev's $prevTs")
+        }
+      }
       df.write.mode(SaveMode.Overwrite).parquet(versionDir(table, next))
+      Files.createDirectories(Paths.get(table, "_commit_ts"))
+      Files.writeString(tsMarker(table, next), commitTs.toString)
       val tmp = Paths.get(table, s"_latest.tmp$next")
       Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
@@ -191,6 +208,25 @@ object VersionedTable {
     * {insert, delete} — an update surfaces as delete+insert of the keyed
     * row versions. One anti-join each way on all columns; at scale both
     * sides hash-partition on the same row hash so AQE picks the join. */
+  /** Newest committed version whose recorded commit timestamp is ≤ `ts`
+    * (Delta's `TIMESTAMP AS OF` resolution): None when no committed
+    * version is that old. Only versions at or below the pointer count —
+    * a stranded in-flight writer's marker is invisible. */
+  def versionAsOf(table: String, ts: Long): Option[Int] = {
+    val head = latestVersion(table).getOrElse(return None)
+    (1 to head).reverseIterator.find { v =>
+      val m = tsMarker(table, v)
+      Files.isRegularFile(m) && Files.readString(m).trim.toLong <= ts
+    }
+  }
+
+  /** Snapshot read at a TIMESTAMP (the monotone-commit-ts contract of
+    * [[commit]] makes this the newest state visible at `ts`). */
+  def readAsOf(spark: SparkSession, table: String, ts: Long): DataFrame =
+    read(spark, table, Some(versionAsOf(table, ts).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table: no committed version at or before ts $ts"))))
+
   def diff(spark: SparkSession, table: String, fromV: Int, toV: Int)
       : DataFrame = {
     val a = read(spark, table, Some(fromV))

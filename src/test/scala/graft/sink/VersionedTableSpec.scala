@@ -221,4 +221,34 @@ class VersionedTableSpec extends AnyFunSuite {
         String.valueOf(c.getMessage).contains("FileNotFound")),
       s"expected a missing-file abort, got: $e")
   }
+
+  test("TIMESTAMP AS OF resolves the newest version visible at ts, " +
+    "inclusive at the boundary, None before history") {
+    val tmp = Files.createTempDirectory("vt_asof")
+    try {
+      val t = tmp.resolve("t").toString
+      VersionedTable.commit(Seq(1).toDF("x"), t, commitTs = 100L)
+      VersionedTable.commit(Seq(1, 2).toDF("x"), t, commitTs = 200L)
+      VersionedTable.commit(Seq(1, 2, 3).toDF("x"), t, commitTs = 300L)
+      assert(VersionedTable.versionAsOf(t, 99L).isEmpty)
+      assert(VersionedTable.versionAsOf(t, 100L).contains(1))
+      assert(VersionedTable.versionAsOf(t, 250L).contains(2))
+      assert(VersionedTable.versionAsOf(t, 999L).contains(3))
+      assert(VersionedTable.readAsOf(spark, t, 250L).count() == 2)
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+
+  test("a non-monotone injected commit timestamp is rejected") {
+    val tmp = Files.createTempDirectory("vt_asof2")
+    try {
+      val t = tmp.resolve("t").toString
+      VersionedTable.commit(Seq(1).toDF("x"), t, commitTs = 200L)
+      intercept[IllegalArgumentException] {
+        VersionedTable.commit(Seq(2).toDF("x"), t, commitTs = 100L)
+      }
+      // the failed commit released its claim; a correct ts lands
+      assert(VersionedTable.commit(Seq(2).toDF("x"), t,
+        commitTs = 300L) == 2)
+    } finally StageWriter.deleteRecursively(tmp)
+  }
 }
