@@ -151,7 +151,9 @@ object ScaleSmoke {
       // D156: delta-proportional replica maintenance
       "c5_cdc_egress",
       // D157: point-in-time snapshot resolution
-      "c5_asof_ts"))
+      "c5_asof_ts",
+      // D158: one-pointer multi-table atomic publish
+      "c5_multi_txn"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

@@ -683,6 +683,44 @@ object MiningQueries {
             FROM documents WHERE lang = 'en' GROUP BY lang)
       SELECT mid.lang, n_mid, chars_mid, n_first
       FROM mid LEFT JOIN f USING (lang)
-      ORDER BY lang""")))
+      ORDER BY lang"""))),
+
+    // D158 — atomic multi-table publish (sink.Txn): a corpus table and
+    // its derived per-lang summary flip together under ONE transaction
+    // pointer; a writer that dies between member commits (simulated by a
+    // direct member commit with no txn flip) leaves readers on the last
+    // COMPLETE pair. The gate proves the read pair is consistent by
+    // recounting the corpus against the published summary — the oracle
+    // computes both sides from scratch, so any skew fails the hash.
+    "c5_multi_txn" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("txn_gate")
+      try {
+        val root = tmp.resolve("wh").toString
+        val docs = load(spark, dir, "documents")
+        def stats(d: org.apache.spark.sql.DataFrame) =
+          d.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"))
+        val en = docs.filter(col("lang") === "en")
+        graft.sink.Txn.commit(root,
+          Seq("docs" -> en, "stats" -> stats(en)))
+        graft.sink.Txn.commit(root,
+          Seq("docs" -> docs, "stats" -> stats(docs)))
+        // half-published writer: member data lands, txn pointer never
+        // flips — must stay invisible to txn readers
+        graft.sink.VersionedTable.commit(docs.limit(10), s"$root/docs")
+        val d = graft.sink.Txn.read(spark, root, "docs")
+        require(d.count() == docs.count(),
+          "txn reader saw a half-published member commit")
+        val st = graft.sink.Txn.read(spark, root, "stats")
+        st.join(d.groupBy("lang").agg(count(lit(1)).as("n_live")),
+            Seq("lang"))
+          .orderBy("lang")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars,
+             CAST(count(*) AS BIGINT) AS n_live
+      FROM documents GROUP BY lang ORDER BY lang""")))
   )
 }

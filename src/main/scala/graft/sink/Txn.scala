@@ -1,0 +1,104 @@
+package graft.sink
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Atomic MULTI-TABLE publish — the multi-statement transaction a
+  * warehouse gives you and a files-on-object-store lake classically
+  * doesn't (Delta's log is per-table): a fact table and its derived
+  * summary must flip together, or a reader joins yesterday's summary to
+  * today's facts and reports numbers that were never true.
+  *
+  * Design: one transaction ROOT owns member [[VersionedTable]]s and a
+  * single `_txn_latest` pointer. A transaction commits each member's
+  * data as a normal versioned commit (per-table claims serialize
+  * per-table writers; the 100 TB data writes of different tables proceed
+  * in parallel), records the (table → version) map in a manifest file,
+  * and then makes the WHOLE set visible with ONE atomic pointer move —
+  * the same primitive the per-table pointer uses, lifted one level.
+  * Transaction-level writers serialize through a create-if-absent claim
+  * (the CAS pattern shared with `StageWriter.casMerge` and
+  * `VersionedTable.commit`).
+  *
+  * Readers that resolve through [[read]] NEVER consult per-table
+  * pointers, so a writer that dies between member commits leaves only
+  * invisible versions (reclaimed by each table's vacuum) — readers keep
+  * seeing the last complete transaction, and a member table can never be
+  * read at a version from a half-published transaction. */
+object Txn {
+
+  private def pointer(root: String) = Paths.get(root, "_txn_latest")
+  private def manifest(root: String, t: Int) =
+    Paths.get(root, "_txn", t.toString)
+  private def claim(root: String, t: Int) =
+    Paths.get(root, "_txn_claims", t.toString)
+
+  def latestTxn(root: String): Option[Int] = {
+    val p = pointer(root)
+    if (Files.isRegularFile(p)) Some(Files.readString(p).trim.toInt)
+    else None
+  }
+
+  /** The (table → version) set a transaction published. */
+  def members(root: String, txn: Int): Map[String, Int] =
+    Files.readString(manifest(root, txn)).split("\n").filter(_.nonEmpty)
+      .map { line =>
+        val Array(name, v) = line.split("\t")
+        name -> v.toInt
+      }.toMap
+
+  /** Atomically publish `writes` (table name → new contents). Returns
+    * the transaction id. A concurrent transaction makes the claim CAS
+    * throw [[VersionedTable.ConcurrentCommitException]] — retry from the
+    * new state, nothing half-published. */
+  def commit(root: String, writes: Seq[(String, DataFrame)],
+      expectedTxn: Option[Int] = None): Int = {
+    require(writes.nonEmpty)
+    val base = latestTxn(root).getOrElse(0)
+    expectedTxn.filter(_ != base).foreach { e =>
+      throw new VersionedTable.ConcurrentCommitException(
+        s"$root: expected txn $e but head is $base")
+    }
+    val next = base + 1
+    Files.createDirectories(Paths.get(root, "_txn_claims"))
+    try Files.createFile(claim(root, next))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new VersionedTable.ConcurrentCommitException(
+          s"$root: txn $next already claimed by a concurrent writer")
+    }
+    try {
+      val versions = writes.map { case (name, df) =>
+        require(!name.contains("\t") && !name.contains("\n") &&
+          !name.startsWith("_"), s"bad member table name: $name")
+        name -> VersionedTable.commit(df, s"$root/$name")
+      }
+      Files.createDirectories(Paths.get(root, "_txn"))
+      Files.writeString(manifest(root, next),
+        versions.map { case (n, v) => s"$n\t$v" }.mkString("\n"))
+      val tmp = Paths.get(root, s"_txn_latest.tmp$next")
+      Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, pointer(root), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        scala.util.Try(Files.deleteIfExists(claim(root, next)))
+        throw e
+    }
+    next
+  }
+
+  /** Read a member table AT a transaction (default: the latest complete
+    * one) — never through the member's own pointer. */
+  def read(spark: SparkSession, root: String, table: String,
+      asOfTxn: Option[Int] = None): DataFrame = {
+    val t = asOfTxn.orElse(latestTxn(root)).getOrElse(
+      throw new IllegalStateException(s"$root: no committed transaction"))
+    val v = members(root, t).getOrElse(table,
+      throw new IllegalArgumentException(
+        s"$root: table $table is not a member of txn $t"))
+    VersionedTable.read(spark, s"$root/$table", Some(v))
+  }
+}

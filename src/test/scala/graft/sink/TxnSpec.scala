@@ -1,0 +1,64 @@
+package graft.sink
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import java.nio.file.Files
+
+/** Txn — multi-table atomic visibility, half-publish invisibility,
+  * transaction-level CAS, historical reads. */
+class TxnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("both members flip together; a half-published member commit is " +
+    "invisible; old transactions stay readable") {
+    val tmp = Files.createTempDirectory("txn")
+    try {
+      val root = tmp.resolve("wh").toString
+      assert(Txn.latestTxn(root).isEmpty)
+      Txn.commit(root, Seq(
+        "a" -> Seq(1, 2).toDF("x"), "b" -> Seq(10).toDF("y")))
+      Txn.commit(root, Seq(
+        "a" -> Seq(1, 2, 3).toDF("x"), "b" -> Seq(10, 20).toDF("y")))
+      assert(Txn.latestTxn(root).contains(2))
+      assert(Txn.read(spark, root, "a").count() == 3)
+      assert(Txn.read(spark, root, "b").count() == 2)
+      // writer dies between member commits: only 'a' landed
+      VersionedTable.commit(Seq(9, 9, 9, 9).toDF("x"), s"$root/a")
+      assert(Txn.read(spark, root, "a").count() == 3,
+        "reader saw a half-published member version")
+      // historical transaction
+      assert(Txn.read(spark, root, "a", asOfTxn = Some(1)).count() == 2)
+      assert(Txn.read(spark, root, "b", asOfTxn = Some(1)).count() == 1)
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+
+  test("concurrent transactions serialize through the claim CAS") {
+    val tmp = Files.createTempDirectory("txn2")
+    try {
+      val root = tmp.resolve("wh").toString
+      Txn.commit(root, Seq("a" -> Seq(1).toDF("x")))
+      // simulate a concurrent claimant holding txn 2
+      Files.createDirectories(tmp.resolve("wh/_txn_claims"))
+      Files.createFile(tmp.resolve("wh/_txn_claims/2"))
+      intercept[VersionedTable.ConcurrentCommitException] {
+        Txn.commit(root, Seq("a" -> Seq(2).toDF("x")))
+      }
+      // stale expectation fails fast without claiming
+      intercept[VersionedTable.ConcurrentCommitException] {
+        Txn.commit(root, Seq("a" -> Seq(2).toDF("x")),
+          expectedTxn = Some(0))
+      }
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+
+  test("member names that would break the manifest are rejected") {
+    val tmp = Files.createTempDirectory("txn3")
+    try {
+      val root = tmp.resolve("wh").toString
+      intercept[IllegalArgumentException] {
+        Txn.commit(root, Seq("_txn" -> Seq(1).toDF("x")))
+      }
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+}
