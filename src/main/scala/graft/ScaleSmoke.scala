@@ -153,7 +153,9 @@ object ScaleSmoke {
       // D157: point-in-time snapshot resolution
       "c5_asof_ts",
       // D158: one-pointer multi-table atomic publish
-      "c5_multi_txn"))
+      "c5_multi_txn",
+      // D159: staged-data audit gating the pointer flip
+      "c5_wap"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

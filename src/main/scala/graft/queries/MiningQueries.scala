@@ -721,6 +721,47 @@ object MiningQueries {
       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS chars,
              CAST(count(*) AS BIGINT) AS n_live
-      FROM documents GROUP BY lang ORDER BY lang""")))
+      FROM documents GROUP BY lang ORDER BY lang"""))),
+
+    // D159 — write-audit-publish (VersionedTable.commitAudited, the
+    // Iceberg WAP pattern): data stages as the next version, the audit
+    // runs against the STAGED files, and the pointer flips only on a
+    // clean audit — a contract-violating batch (nulled keys here) aborts
+    // with staged data and claim cleaned up, so bad rows never reach a
+    // reader even for an instant. The gate publishes clean, proves the
+    // dirty batch was vetoed with the head unchanged, then publishes a
+    // corrected batch (claim demonstrably released).
+    "c5_wap" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("wap_gate")
+      try {
+        val t = tmp.resolve("docs").toString
+        val docs = load(spark, dir, "documents")
+        def audit(staged: org.apache.spark.sql.DataFrame): Unit = {
+          require(staged.filter(col("doc_id").isNull).count() == 0,
+            "audit: null keys in staged publish")
+          require(staged.count() > 0, "audit: empty publish")
+        }
+        graft.sink.VersionedTable.commitAudited(docs, t, audit)
+        val dirty = docs.withColumn("doc_id",
+          when(col("doc_id") % 10 === 0, lit(null))
+            .otherwise(col("doc_id")))
+        require(scala.util.Try(
+          graft.sink.VersionedTable.commitAudited(dirty, t, audit))
+          .isFailure, "the audit let a null-key batch publish")
+        require(graft.sink.VersionedTable.latestVersion(t).contains(1),
+          "a vetoed publish moved the head")
+        graft.sink.VersionedTable.commitAudited(
+          docs.filter(col("doc_id") % 10 =!= 0), t, audit)
+        graft.sink.VersionedTable.read(spark, t)
+          .groupBy("lang").agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).as("chars"))
+          .orderBy("lang")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents WHERE doc_id % 10 <> 0
+      GROUP BY lang ORDER BY lang""")))
   )
 }

@@ -81,9 +81,29 @@ object VersionedTable {
   private def tsMarker(table: String, v: Int) =
     Paths.get(table, "_commit_ts", v.toString)
 
+  /** Write–audit–publish (Iceberg's WAP pattern): stage the data as the
+    * next version, run `audit` against the STAGED files (row counts,
+    * null keys, distribution checks — whatever the contract is), and
+    * flip the pointer ONLY if the audit returns normally. An audit
+    * throw aborts the publish: staged data and claim are cleaned up,
+    * readers never saw anything, and the exception propagates to the
+    * caller with the head unchanged — bad data can not reach a reader
+    * even for an instant, which post-write checking cannot promise. */
+  def commitAudited(df: DataFrame, table: String,
+      audit: DataFrame => Unit,
+      expectedBase: Option[Int] = None,
+      commitTs: Long = System.currentTimeMillis): Int =
+    commitImpl(df, table, expectedBase, commitTs, Some(audit))
+
   def commit(df: DataFrame, table: String,
       expectedBase: Option[Int] = None,
-      commitTs: Long = System.currentTimeMillis): Int = {
+      commitTs: Long = System.currentTimeMillis): Int =
+    commitImpl(df, table, expectedBase, commitTs, None)
+
+  private def commitImpl(df: DataFrame, table: String,
+      expectedBase: Option[Int],
+      commitTs: Long,
+      audit: Option[DataFrame => Unit]): Int = {
     val base = latestVersion(table).getOrElse(0)
     expectedBase.filter(_ != base).foreach { e =>
       throw new ConcurrentCommitException(
@@ -117,6 +137,11 @@ object VersionedTable {
         }
       }
       df.write.mode(SaveMode.Overwrite).parquet(versionDir(table, next))
+      // WAP audit point: staged data exists, nothing is visible yet —
+      // a throw here lands in the cleanup below (version dir + claim
+      // removed, pointer untouched)
+      audit.foreach(a => a(
+        df.sparkSession.read.parquet(versionDir(table, next))))
       Files.createDirectories(Paths.get(table, "_commit_ts"))
       Files.writeString(tsMarker(table, next), commitTs.toString)
       val tmp = Paths.get(table, s"_latest.tmp$next")

@@ -251,4 +251,26 @@ class VersionedTableSpec extends AnyFunSuite {
         commitTs = 300L) == 2)
     } finally StageWriter.deleteRecursively(tmp)
   }
+
+  test("write-audit-publish: a vetoed batch leaves no trace (head, " +
+    "staged dir, claim) and the next publish proceeds") {
+    val tmp = Files.createTempDirectory("vt_wap")
+    try {
+      val t = tmp.resolve("t").toString
+      VersionedTable.commitAudited(Seq(1, 2).toDF("x"), t,
+        staged => require(staged.count() > 0))
+      val e = intercept[IllegalArgumentException] {
+        VersionedTable.commitAudited(Seq.empty[Int].toDF("x"), t,
+          staged => require(staged.count() > 0, "empty publish"))
+      }
+      assert(e.getMessage.contains("empty publish"))
+      assert(VersionedTable.latestVersion(t).contains(1))
+      assert(!Files.exists(tmp.resolve("t/v=2")), "staged dir leaked")
+      assert(!Files.exists(tmp.resolve("t/_claims/2")), "claim leaked")
+      // claim released: version 2 is reusable
+      assert(VersionedTable.commitAudited(Seq(3).toDF("x"), t,
+        _ => ()) == 2)
+      assert(VersionedTable.read(spark, t).count() == 1)
+    } finally StageWriter.deleteRecursively(tmp)
+  }
 }
