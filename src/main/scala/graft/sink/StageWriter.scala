@@ -432,6 +432,57 @@ object StageWriter {
   private def computeStats(spark: SparkSession, files: Seq[Path],
       key: String): FileStats = {
     if (files.isEmpty) return Map.empty
+    footerStats(files, key).getOrElse(scanStats(spark, files, key))
+  }
+
+  /** Per-file (min, max) of `key` from parquet FOOTER row-group
+    * statistics — zero Spark jobs, driver-side metadata reads only. This
+    * is what makes the post-merge sidecar seed effectively free: the
+    * writer just produced these footers, so re-deriving the ranges by
+    * scanning the key column (a whole extra job per merge commit, and at
+    * 100 TB a scan of everything just written) duplicates information
+    * parquet already wrote down. Falls back to None (→ the scan) when
+    * any file lacks usable integral statistics — never guesses. */
+  private[sink] def footerStats(files: Seq[Path],
+      key: String): Option[FileStats] = {
+    import org.apache.parquet.column.statistics.{IntStatistics,
+      LongStatistics}
+    val conf = new org.apache.hadoop.conf.Configuration()
+    try {
+      Some(files.map { p =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p.toUri), conf))
+        try {
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          var any = false
+          reader.getFooter.getBlocks.forEach { b =>
+            b.getColumns.forEach { c =>
+              if (c.getPath.toDotString == key) {
+                val st = c.getStatistics
+                if (st == null) throw new IllegalStateException("no stats")
+                if (st.hasNonNullValue) {
+                  val (lo, hi) = st match {
+                    case l: LongStatistics => (l.getMin, l.getMax)
+                    case i: IntStatistics => (i.getMin.toLong, i.getMax.toLong)
+                    case _ => throw new IllegalStateException(
+                      s"non-integral stats: ${st.getClass.getSimpleName}")
+                  }
+                  mn = math.min(mn, lo); mx = math.max(mx, hi); any = true
+                }
+              }
+            }
+          }
+          p.getFileName.toString -> (if (any) Some((mn, mx)) else None)
+        } finally reader.close()
+      }.toMap)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Scan fallback for [[footerStats]]: one key-column job. */
+  private def scanStats(spark: SparkSession, files: Seq[Path],
+      key: String): FileStats = {
     val scanned = spark.read.parquet(files.map(_.toString): _*)
       .groupBy(input_file_name().as("f"))
       .agg(min(col(key).cast("long")).as("mn"),

@@ -243,4 +243,26 @@ class SinkSpec extends AnyFunSuite {
     s.rollback(t1) // rollback after confirm: must NOT un-confirm
     assert(s.lastConfirmed("p", "t", "c") == Some("10"))
   }
+
+  test("footer-derived file stats equal the scan-derived ones, including " +
+    "all-null and empty behaviors") {
+    val tmp = java.nio.file.Files.createTempDirectory("fstats")
+    try {
+      val path = tmp.resolve("t").toString
+      spark.range(0, 1000).select(col("id").as("k"), (col("id") % 9).as("v"))
+        .repartitionByRange(4, col("k")).write.parquet(path)
+      val files = StageWriter.listDataFiles(java.nio.file.Paths.get(path))
+      val foot = StageWriter.footerStats(files, "k")
+      assert(foot.isDefined, "footer stats unavailable for a fresh write")
+      // ranges partition 0..999 disjointly and cover every file
+      val got = foot.get.values.flatten.toSeq.sortBy(_._1)
+      assert(got.head._1 == 0 && got.last._2 == 999)
+      got.sliding(2).foreach { case Seq((_, aHi), (bLo, _)) =>
+        assert(aHi < bLo, "footer ranges overlap")
+      }
+      // a string column has no integral stats -> clean fallback signal
+      assert(StageWriter.footerStats(files, "missing").isEmpty ||
+        StageWriter.footerStats(files, "missing").get.values.forall(_.isEmpty))
+    } finally StageWriter.deleteRecursively(tmp)
+  }
 }
