@@ -155,7 +155,9 @@ object ScaleSmoke {
       // D158: one-pointer multi-table atomic publish
       "c5_multi_txn",
       // D159: staged-data audit gating the pointer flip
-      "c5_wap"))
+      "c5_wap",
+      // D160: per-micro-batch audit-or-quarantine routing
+      "evt_stream_gated"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

@@ -762,6 +762,55 @@ object MiningQueries {
       SELECT lang, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(n_chars) AS BIGINT) AS chars
       FROM documents WHERE doc_id % 10 <> 0
-      GROUP BY lang ORDER BY lang""")))
+      GROUP BY lang ORDER BY lang"""))),
+
+    // D160 — DQ-gated streaming publish (Streams.rawToStageGated): two
+    // raw files arrive as separate micro-batches; the poisoned one
+    // (nulled user ids) is vetoed by the audit and lands WHOLE in
+    // quarantine with the reason, the clean one merges into stage, and
+    // the stream never crash-loops. Batch audits are independent, so
+    // file delivery order can't change what lands where — which is what
+    // makes the final state oracle-able.
+    "evt_stream_gated" -> (((spark, dir) => withStreamPartitions(spark) {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("gated_gate")
+      val (raw, stage, quar, chk) = (tmp.resolve("raw").toString,
+        tmp.resolve("stage").toString, tmp.resolve("quar").toString,
+        tmp.resolve("chk").toString)
+      try {
+        val feed = load(spark, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"))
+        feed.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(raw)
+        feed.filter(col("event_id") % 2 === 1)
+          .withColumn("user_id", when(col("event_id") % 5 === 0, lit(null))
+            .otherwise(col("user_id"))) // the poison
+          .coalesce(1).write.mode("append").parquet(raw)
+        val q = graft.streaming.Streams.rawToStageGated(spark, raw, stage,
+          quar, chk, keys = Seq("event_id"),
+          audit = b => require(
+            b.filter(col("user_id").isNull).count() == 0,
+            "null user ids in batch"),
+          transform = identity)
+        // AvailableNow semantics by hand: process both files, then stop
+        q.processAllAvailable(); q.stop()
+        val s = spark.read.parquet(stage).agg(
+          count(lit(1)).as("n_stage"), dsum(col("value")).as("stage_total"))
+        val qu = spark.read.parquet(quar).agg(
+          count(lit(1)).as("n_quarantined"),
+          count_distinct(col("quarantine_reason")).as("n_reasons"))
+        s.crossJoin(qu)
+          .select("n_stage", "stage_total", "n_quarantined", "n_reasons")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_stage,
+             CAST(sum(CASE WHEN event_id % 2 = 0
+               THEN CAST("value" AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS stage_total,
+             CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_quarantined,
+             CAST(1 AS BIGINT) AS n_reasons
+      FROM events""")))
   )
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -443,6 +443,53 @@ object Streams {
           state.update(FunnelChainState(a.toSeq, ver))
           Iterator.single(FunnelChainEmit(uid, ver, a.toSeq))
       }
+  }
+
+  /** D160 — DQ-GATED streaming publish (the WAP discipline applied per
+    * micro-batch): each batch is transformed, AUDITED, and either merged
+    * into the stage table or — on an audit veto — routed whole to a
+    * quarantine table with the veto reason, and the stream keeps
+    * running. A poisoned upstream batch therefore never reaches stage
+    * readers AND never wedges the pipeline (the two failure modes of
+    * audit-less streaming ingest: publish garbage, or crash-loop).
+    *
+    * Delivery semantics: the checkpoint replays an un-committed batch on
+    * restart; the stage side lands through the idempotent keyed MERGE
+    * (exactly-once effect), while the quarantine append is at-least-once
+    * (re-audit of a replayed bad batch re-appends — dedup by key
+    * downstream if it matters; quarantine is a triage surface, not a
+    * ledger). Batch audits are independent, so delivery ORDER doesn't
+    * change what lands where. */
+  def rawToStageGated(spark: SparkSession, rawPath: String,
+      stagePath: String, quarantinePath: String, checkpoint: String,
+      keys: Seq[String], audit: DataFrame => Unit,
+      transform: DataFrame => DataFrame,
+      maxFilesPerTrigger: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(rawPath).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(rawPath)
+    transform(in).writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF().cache()
+        try {
+          val veto =
+            try { audit(b); None }
+            catch { case scala.util.control.NonFatal(e) => Some(e) }
+          veto match {
+            case None =>
+              graft.sink.StageWriter.mergeInto(b.sparkSession, b,
+                stagePath, keys)
+            case Some(e) =>
+              b.withColumn("quarantine_reason",
+                  lit(String.valueOf(e.getMessage)))
+                .write.mode(SaveMode.Append).parquet(quarantinePath)
+          }
+        } finally b.unpersist()
+      }
+      .outputMode(OutputMode.Update)
+      .start()
   }
 
   /** Incremental micro-batch runner: file-source stream over a raw-zone
