@@ -157,7 +157,9 @@ object ScaleSmoke {
       // D159: staged-data audit gating the pointer flip
       "c5_wap",
       // D160: per-micro-batch audit-or-quarantine routing
-      "evt_stream_gated"))
+      "evt_stream_gated",
+      // D161: cross-scheme generation pruning, no history rewrite
+      "q_partition_evolution"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

@@ -811,6 +811,46 @@ object MiningQueries {
              CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
                AS BIGINT) AS n_quarantined,
              CAST(1 AS BIGINT) AS n_reasons
-      FROM events""")))
+      FROM events"""))),
+
+    // D161 — partition-scheme evolution (sink.PartitionEvolution):
+    // generation 0 lands day-partitioned, the scheme then EVOLVES and
+    // generation 1 lands week-partitioned — no history rewrite. A single
+    // raw-ts range read crossing the boundary prunes each generation
+    // under ITS OWN scheme (the D155 rule fires per union branch after
+    // predicate pushdown), which the gate REQUIREs via file counts
+    // before oracle-matching the result.
+    "q_partition_evolution" -> (((spark, dir) => {
+      val day = 86400000000000L
+      val tmp = java.nio.file.Files.createTempDirectory("pevo_gate")
+      try {
+        val root = tmp.resolve("ev").toString
+        val feed = load(spark, dir, "events")
+          .select(col("event_id"), col("ts"), col("value"))
+        val split = lit(19738L * day)
+        graft.sink.PartitionEvolution.addGeneration(
+          feed.filter(col("ts") < split), root, "ts", "d", day)
+        graft.sink.PartitionEvolution.addGeneration(
+          feed.filter(col("ts") >= split), root, "ts", "d", 7L * day)
+        graft.plans.DerivedPartitionPrune.ensureInstalled(spark)
+        val q = graft.sink.PartitionEvolution.read(spark, root, "d")
+          .filter(col("ts") >= lit(19734L * day) &&
+            col("ts") < lit(19741L * day))
+        val touched = q.select(input_file_name()).distinct().count()
+        val total = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+          .toArray.count(_.toString.endsWith(".parquet")).toLong
+        require(touched > 0 && touched * 2 <= total,
+          s"cross-scheme pruning read $touched of $total files")
+        q.agg(count(lit(1)).as("n"),
+            count_distinct(col("event_id")).as("ids"),
+            dsum(col("value")).as("total"))
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT count(*) AS n, count(DISTINCT event_id) AS ids,
+             CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events
+      WHERE epoch_ns(ts) >= 19734 * 86400000000000
+        AND epoch_ns(ts) < 19741 * 86400000000000""")))
   )
 }
