@@ -159,7 +159,9 @@ object ScaleSmoke {
       // D160: per-micro-batch audit-or-quarantine routing
       "evt_stream_gated",
       // D161: cross-scheme generation pruning, no history rewrite
-      "q_partition_evolution"))
+      "q_partition_evolution",
+      // D162: sidecar-append deletes, byte-stable data files
+      "q_deletion_vectors"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

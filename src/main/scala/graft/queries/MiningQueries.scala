@@ -851,6 +851,46 @@ object MiningQueries {
              CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM events
       WHERE epoch_ns(ts) >= 19734 * 86400000000000
-        AND epoch_ns(ts) < 19741 * 86400000000000""")))
+        AND epoch_ns(ts) < 19741 * 86400000000000"""))),
+
+    // D162 — deletion vectors (sink.DeletionVectors): two DELETEs record
+    // (file, row-position) pairs in a sidecar and the gate REQUIREs the
+    // data files stayed byte-identical — the GDPR-erasure shape where a
+    // delete costs a sidecar append, not a table rewrite. DV-aware reads
+    // subtract via one broadcast anti-join on _metadata.row_index; the
+    // physical fold (compaction) must agree with the vectorized view.
+    "q_deletion_vectors" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("dv_gate")
+      try {
+        val p = tmp.resolve("ev").toString
+        load(spark, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"))
+          .repartition(8).write.parquet(p)
+        def inv() = graft.sink.StageWriter
+          .listDataFiles(java.nio.file.Paths.get(p))
+          .map(f => (f.getFileName.toString, java.nio.file.Files.size(f)))
+        val before = inv()
+        graft.sink.DeletionVectors.delete(spark, p,
+          col("event_id") % 9 === 0)
+        graft.sink.DeletionVectors.delete(spark, p, col("value") >= 400)
+        require(inv() == before, "a delete rewrote data files")
+        val live = graft.sink.DeletionVectors.read(spark, p)
+        val row = live.agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("users"),
+          dsum(col("value")).as("total")).head()
+        // the physical fold must agree with the vectorized view
+        val folded = graft.sink.DeletionVectors.apply(spark, p)
+        require(folded == row.getLong(0),
+          s"fold kept $folded rows, vectorized view had ${row.getLong(0)}")
+        import spark.implicits._
+        Seq((row.getLong(0), row.getLong(1), row.getDouble(2)))
+          .toDF("n", "users", "total")
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+             CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events
+      WHERE NOT (event_id % 9 = 0 OR "value" >= 400)""")))
   )
 }

@@ -1,0 +1,78 @@
+package graft.sink
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DELETE without rewriting data files — Delta's deletion vectors on the
+  * parquet fallback. A delete scans only to find matching (file, row
+  * position) pairs and records them in a tiny sidecar table; the data
+  * files stay byte-identical. Readers subtract the vector with one
+  * BROADCAST anti-join on the file-source `_metadata.row_index` (exact
+  * per-file row positions, no synthetic ids); compaction ([[apply]] →
+  * rewrite) folds vectors into data physically when they accumulate.
+  *
+  * At 100 TB this is the difference between a GDPR erasure request
+  * costing a table rewrite and costing a sidecar append: deletes are
+  * O(matched-file scan) to locate positions (composable with the stats/
+  * bloom sidecars to prune that scan) plus a KB-sized write.
+  *
+  * The vector lives at `<path>._dv` as parquet (file name, row_index) —
+  * OUTSIDE the data directory, so plain readers of the path see the
+  * undeleted superset rather than mistaking the sidecar for data; DV-
+  * aware readers go through [[read]]. */
+object DeletionVectors {
+
+  private def dvPath(path: String) = path + "._dv"
+
+  /** Record `predicate`-matching rows as deleted. Returns how many row
+    * positions were appended to the vector. */
+  def delete(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val hits = spark.read.parquet(path)
+      .select(col("_metadata.file_path").as("file"),
+        col("_metadata.row_index").as("row_index"),
+        predicate.as("__hit"))
+      .filter(col("__hit"))
+      .select(element_at(split(col("file"), "/"), -1).as("file"),
+        col("row_index"))
+    val cached = hits.cache()
+    try {
+      val n = cached.count()
+      if (n > 0) cached.write.mode("append").parquet(dvPath(path))
+      n
+    } finally cached.unpersist()
+  }
+
+  /** DV-aware read: data minus the deletion vector. The vector is
+    * KB-sized per deleted batch — always the broadcast side. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val data = spark.read.parquet(path)
+      .withColumn("__file",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__pos", col("_metadata.row_index"))
+    if (!Files.isDirectory(Paths.get(dvPath(path)))) {
+      data.drop("__file", "__pos")
+    } else {
+      val dv = spark.read.parquet(dvPath(path))
+        .select(col("file").as("__file"), col("row_index").as("__pos"))
+        .distinct()
+      data.join(broadcast(dv), Seq("__file", "__pos"), "left_anti")
+        .drop("__file", "__pos")
+    }
+  }
+
+  /** Fold accumulated vectors into the data physically (the compaction
+    * moment): rewrite survivors, drop the vector. Uses the same tmp+swap
+    * as every other rewrite. Returns surviving row count. */
+  def apply(spark: SparkSession, path: String): Long = {
+    val survivors = read(spark, path).cache()
+    try {
+      val n = survivors.count()
+      StageWriter.overwrite(survivors, path)
+      StageWriter.deleteRecursively(Paths.get(dvPath(path)))
+      n
+    } finally survivors.unpersist()
+  }
+}
