@@ -91,28 +91,100 @@ object Privacy {
     }
   }
 
-  /** ε-DP noisy group counts: count per group + two-sided geometric
-    * noise, sampled by inverse-CDF lookup of a uniform drawn from the
-    * portable 60-bit hash of (group key, seed) — deterministic per
-    * (release, seed), a fresh seed per release epoch. Output carries the
-    * released (noisy) count and the ε spent, NEVER the true count —
-    * sequential releases compose by summing the ε column (basic
-    * composition). One map-side-combinable aggregation; the noise is a
-    * per-group projection over the bounded group table. */
-  def dpCounts(df: DataFrame, groupCols: Seq[String], eps: Double,
-      seed: Long, maxNoise: Int = 39): DataFrame = {
-    require(groupCols.nonEmpty)
+  /** The two-sided geometric noise column for a group row: inverse-CDF
+    * lookup of a uniform drawn from the portable 60-bit hash of
+    * (group key, seed, epoch). Deterministic per (seed, epoch) so a
+    * release replays bit-for-bit in SQL; the EPOCH is part of the
+    * derivation by construction — two releases over evolving data with
+    * the same long seed but different epochs draw INDEPENDENT noise, so
+    * their difference never exposes an exact count delta (the reuse
+    * hazard a merely-documented "fresh seed per release" leaves open). */
+  private def geometricNoise(groupCols: Seq[String], eps: Double,
+      seed: Long, epoch: String, maxNoise: Int): Column = {
     val bps = geometricBreakpoints(eps, maxNoise)
     val u = Dedup.portableHash60(
-      concat_ws("|", groupCols.map(col) :+ lit(seed.toString): _*))
+      concat_ws("|", groupCols.map(col) :+ lit(s"$seed|$epoch"): _*))
       .cast("double") / lit(1152921504606846976.0) // 2^60
-    val noise = bps.dropRight(1).foldRight(
+    bps.dropRight(1).foldRight(
       lit(bps.last._1.toLong): Column) { case ((k, cum), rest) =>
       when(u < lit(cum), lit(k.toLong)).otherwise(rest)
     }
+  }
+
+  /** ε-DP noisy group counts over a caller-supplied PUBLIC domain.
+    *
+    * The domain must come from public knowledge (a reference enum, a
+    * calendar spine, a released schema) — NOT from the data: a release
+    * keyed to data-derived groups leaks through its support, because a
+    * group's mere PRESENCE in the output deterministically reveals its
+    * true count is >= 1 regardless of the noise (the unknown-domain
+    * histogram problem). Here every domain row is released — absent
+    * groups as noise(0) — and groups outside the domain are withheld, so
+    * the output's key set is a constant of the release, independent of
+    * the data. For domains you cannot enumerate, use [[dpCountsStable]].
+    *
+    * Output carries the released (noisy) count and the ε spent, NEVER
+    * the true count; sequential releases compose by summing ε (basic
+    * composition). One map-side-combinable aggregation + one join onto
+    * the domain table (broadcast when small); noise is a per-row
+    * projection over the bounded group table. */
+  def dpCounts(df: DataFrame, groupCols: Seq[String], domain: DataFrame,
+      eps: Double, seed: Long, epoch: String,
+      maxNoise: Int = 39): DataFrame = {
+    require(groupCols.nonEmpty)
+    require(groupCols.forall(domain.columns.contains),
+      s"public domain must carry the group columns ${groupCols.mkString(",")}")
+    val noise = geometricNoise(groupCols, eps, seed, epoch, maxNoise)
+    val counts = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .select(groupCols.map(c => col(c).as(s"__d_$c")) :+ col("__n"): _*)
+    val cond = groupCols.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _)
+    domain.select(groupCols.map(col): _*).dropDuplicates(groupCols)
+      .join(counts, cond, "left")
+      .select(groupCols.map(col) ++ Seq(
+        (coalesce(col("__n"), lit(0L)) + noise).as("released"),
+        lit(eps).as("eps")): _*)
+  }
+
+  /** Release threshold τ of the stability histogram: a group is released
+    * only if its noisy count >= τ, with τ the smallest value such that a
+    * group a single row could remove entirely (true count 1) clears it
+    * with probability <= δ — P(1 + K >= τ) = P(K >= τ-1) = α^(τ-1)/(1+α)
+    * <= δ under the two-sided geometric. Driver-side closed form, embedded
+    * as a literal in both engines. */
+  def stabilityThreshold(eps: Double, delta: Double,
+      maxNoise: Int = 39): Long = {
+    require(eps > 0 && delta > 0 && delta < 1)
+    val alpha = math.exp(-eps)
+    val t = math.ceil(math.log(delta * (1 + alpha)) / math.log(alpha)).toLong
+    require(t <= maxNoise,
+      s"delta=$delta needs noise tail $t beyond maxNoise=$maxNoise — " +
+        "raise maxNoise or delta")
+    1L + math.max(t, 1L)
+  }
+
+  /** (ε,δ)-DP noisy group counts over an UNKNOWN (data-derived) domain —
+    * the stability histogram (Korolova et al. 2009; the mechanism behind
+    * "differentially private SQL with bounded user contribution", Wilson
+    * et al. 2020): count present groups, add two-sided geometric noise,
+    * and release ONLY groups whose noisy count clears
+    * [[stabilityThreshold]]. Presence in the output no longer certifies
+    * presence in the data at any particular count: a group one row could
+    * delete survives the threshold with probability <= δ, which is
+    * exactly the δ of the (ε,δ) guarantee. Use when the group domain
+    * cannot be enumerated publicly; prefer [[dpCounts]] with a public
+    * domain when it can (pure ε-DP, no suppressed small groups). */
+  def dpCountsStable(df: DataFrame, groupCols: Seq[String], eps: Double,
+      delta: Double, seed: Long, epoch: String,
+      maxNoise: Int = 39): DataFrame = {
+    require(groupCols.nonEmpty)
+    val tau = stabilityThreshold(eps, delta, maxNoise)
+    val noise = geometricNoise(groupCols, eps, seed, epoch, maxNoise)
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
       .select(groupCols.map(col) ++ Seq(
-        (col("__n") + noise).as("released"), lit(eps).as("eps")): _*)
+        (col("__n") + noise).as("released"), lit(eps).as("eps"),
+        lit(delta).as("delta")): _*)
+      .filter(col("released") >= tau)
   }
 }

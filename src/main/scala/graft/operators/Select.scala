@@ -43,12 +43,34 @@ object Select {
     var (lo, hi, n) = (head.getLong(0), head.getLong(1), head.getLong(2))
     require(k <= n, s"k=$k out of range, only $n rows")
     var rank = k // rank within [lo, hi]
+    // overflow guard: a column spanning more than Long.MaxValue (lo large-
+    // negative, hi large-positive — 64-bit hash values are exactly this)
+    // makes `hi - lo` wrap NEGATIVE, the histogram loop never runs, and
+    // the final pass collects EVERY distinct value to the driver — the
+    // unbounded-driver-state shape this operator exists to avoid. One
+    // split at 0 (a single extra count job, only on full-domain columns)
+    // narrows to a half whose span fits: within [MinValue, -1] and
+    // [0, MaxValue] every later `hi - lo` and `v - lo` difference is
+    // <= Long.MaxValue, where two's-complement subtraction is exact.
+    if (BigInt(hi) - BigInt(lo) > Long.MaxValue) {
+      val nNeg = base.filter(col("v") < 0).count()
+      if (rank <= nNeg) hi = -1L
+      else { lo = 0L; rank -= nNeg }
+    }
     var rounds = 0
     while (hi - lo >= buckets && rounds < maxRounds) {
       // width as ceil so bucket ids stay < buckets even at range edges
       val width = (hi - lo) / buckets + 1
+      // bucket id by INTEGRAL division (`div`), never Column./ — Spark's
+      // `/` is double division, and a 53-bit mantissa mis-bins 64-bit
+      // values at bucket boundaries (2^63-1 rounds UP to bucket
+      // `buckets`, whose lower edge then overflows Long). The subtraction
+      // stays in the Column API so no near-MinValue literal ever meets
+      // the SQL parser; two's-complement `v - lo` is exact because the
+      // initial split bounded every span by Long.MaxValue.
       val counts = base.filter(col("v").between(lo, hi))
-        .groupBy(((col("v") - lo) / width).cast("int").as("b"))
+        .select((col("v") - lit(lo)).as("d"))
+        .groupBy(expr(s"d div ${width}L").cast("int").as("b"))
         .agg(count(lit(1)).as("c"))
         .orderBy("b").collect()
       var acc = 0L

@@ -295,18 +295,24 @@ object MiningQueries {
       ORDER BY item"""
     })),
 
-    // D150 — ε-DP released counts (llm.Privacy.dpCounts): daily
+    // D150 — (ε,δ)-DP released counts over an UNKNOWN domain
+    // (llm.Privacy.dpCountsStable — the stability histogram): daily
     // per-event-type counts + two-sided geometric noise (the discrete
     // ε-DP mechanism for counting queries), sampled by inverse-CDF
     // lookup against driver-precomputed breakpoints embedded in BOTH
-    // engines — no transcendental evaluates at query time, so the
-    // release replays bit-for-bit. ε = 0.5, seed 42; the gate proves the
-    // mechanism actually perturbed at least one group.
+    // engines, and released ONLY above the stability threshold τ — a
+    // data-derived group's presence in the output no longer certifies
+    // its presence in the data (the unknown-domain histogram leak).
+    // ε = 0.5, δ = 1e-6, seed 42, epoch 'r1' (the epoch is part of the
+    // noise derivation, so re-releases under a new epoch redraw noise).
+    // The gate proves the mechanism actually perturbed at least one
+    // group AND that τ matches the closed form.
     "llm_dp_release" -> (((spark, dir) => {
       val daily = load(spark, dir, "events")
         .select(col("event_type"), expr("ts div 86400000000000").as("d"))
-      val rel = graft.llm.Privacy.dpCounts(daily,
-        Seq("event_type", "d"), eps = 0.5, seed = 42L)
+      val rel = graft.llm.Privacy.dpCountsStable(daily,
+        Seq("event_type", "d"), eps = 0.5, delta = 1e-6, seed = 42L,
+        epoch = "r1")
       val truth = daily.groupBy("event_type", "d")
         .agg(count(lit(1)).as("n"))
       val perturbed = rel.join(truth, Seq("event_type", "d"))
@@ -315,6 +321,7 @@ object MiningQueries {
       rel.orderBy("event_type", "d")
     }, Some {
       val bps = graft.llm.Privacy.geometricBreakpoints(0.5)
+      val tau = graft.llm.Privacy.stabilityThreshold(0.5, 1e-6)
       val cases = bps.dropRight(1).map { case (k, c) =>
         s"WHEN u < $c THEN CAST($k AS BIGINT)" }.mkString("\n        ")
       s"""
@@ -322,9 +329,61 @@ object MiningQueries {
                    CAST(count(*) AS BIGINT) AS n
                  FROM events GROUP BY 1, 2),
       h AS (SELECT *, CAST(CAST('0x' || substring(md5(
-               event_type || '|' || CAST(d AS VARCHAR) || '|42'),
+               event_type || '|' || CAST(d AS VARCHAR) || '|42|r1'),
                1, 15) AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
-            FROM g)
+            FROM g),
+      rel AS (SELECT event_type, d,
+                n + (CASE $cases
+                  ELSE CAST(${bps.last._1} AS BIGINT) END) AS released,
+                CAST(0.5 AS DOUBLE) AS eps,
+                CAST(0.000001 AS DOUBLE) AS delta
+              FROM h)
+      SELECT * FROM rel WHERE released >= $tau
+      ORDER BY event_type, d"""
+    })),
+
+    // D150b — ε-DP released counts over a PUBLIC domain
+    // (llm.Privacy.dpCounts): the event-type enum × a fixed calendar
+    // window is caller-supplied public knowledge, every domain cell is
+    // released (absent cells as noise-around-zero), and the output's key
+    // set is a constant of the release — the pure-ε companion of
+    // llm_dp_release, proving absent groups really do emit noisy zeros
+    // (the gate REQUIREs at least one empty cell in the release).
+    "llm_dp_domain" -> (((spark, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val days = (19720L to 19755L)
+      val domain = spark.createDataFrame(
+        for { t <- types; d <- days } yield (t, d)
+      ).toDF("event_type", "d")
+      val daily = load(spark, dir, "events")
+        .select(col("event_type"), expr("ts div 86400000000000").as("d"))
+      val rel = graft.llm.Privacy.dpCounts(daily,
+        Seq("event_type", "d"), domain, eps = 0.5, seed = 42L,
+        epoch = "r1")
+      require(rel.count() == types.size.toLong * days.size,
+        "every public-domain cell must be released")
+      val present = daily.dropDuplicates("event_type", "d").count()
+      require(present < types.size.toLong * days.size,
+        "fixture must include absent domain cells")
+      rel.orderBy("event_type", "d")
+    }, Some {
+      val bps = graft.llm.Privacy.geometricBreakpoints(0.5)
+      val cases = bps.dropRight(1).map { case (k, c) =>
+        s"WHEN u < $c THEN CAST($k AS BIGINT)" }.mkString("\n        ")
+      s"""
+      WITH dom AS (SELECT t.event_type, d.d
+                   FROM (SELECT unnest(['click','error','purchase',
+                           'signup','view']) AS event_type) t
+                   CROSS JOIN (SELECT unnest(range(19720, 19756)) AS d) d),
+      g AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+      j AS (SELECT dom.event_type, dom.d, coalesce(g.n, 0) AS n
+            FROM dom LEFT JOIN g USING (event_type, d)),
+      h AS (SELECT *, CAST(CAST('0x' || substring(md5(
+               event_type || '|' || CAST(d AS VARCHAR) || '|42|r1'),
+               1, 15) AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+            FROM j)
       SELECT event_type, d,
              n + (CASE $cases
                ELSE CAST(${bps.last._1} AS BIGINT) END) AS released,

@@ -90,6 +90,47 @@ object Txn {
     next
   }
 
+  /** Reclaim transaction claims. A writer that crashes after claiming
+    * `next` but before the pointer flip strands the claim forever: the
+    * pointer never advanced, so every later [[commit]] computes the SAME
+    * `next`, loses the claim CAS, and throws — the root is permanently
+    * wedged with no repair path short of manual deletion. This is the
+    * age-gated sweep [[VersionedTable.vacuum]] and `StageWriter.vacuum`
+    * already run for their claim dirs, lifted to the transaction level:
+    *
+    *  - claims AT or BEHIND the committed pointer are spent history (their
+    *    transaction committed; no writer ever re-attempts them) — dropped
+    *    immediately;
+    *  - a claim AHEAD of the pointer is either a live writer mid-commit or
+    *    a crashed one — indistinguishable without heartbeats — so it is
+    *    reclaimed only once older than `strandedRetentionMs`. Reclaiming a
+    *    LIVE claim would hand two writers the same transaction id, so the
+    *    retention MUST exceed the longest member-table write (the same
+    *    contract, and the same 168 h default, as the per-table vacuums).
+    *
+    * Member versions a half-committed transaction published stay invisible
+    * (readers resolve through the txn pointer only) and are reclaimed by
+    * each member table's own vacuum. Returns the txn ids whose claims were
+    * released. */
+  def vacuum(root: String,
+      strandedRetentionMs: Long = 168L * 3600 * 1000): Seq[Int] = {
+    val dir = Paths.get(root, "_txn_claims")
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val committed = latestTxn(root).getOrElse(0)
+    val cutoff = System.currentTimeMillis() - strandedRetentionMs
+    val s = Files.list(dir)
+    val released = try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .flatMap { c =>
+        val t = scala.util.Try(c.getFileName.toString.toInt).getOrElse(-1)
+        val drop = t >= 0 && (t <= committed ||
+          scala.util.Try(Files.getLastModifiedTime(c).toMillis < cutoff)
+            .getOrElse(false))
+        if (drop && Files.deleteIfExists(c)) Some(t) else None
+      }.toSeq
+    finally s.close()
+    released.sorted
+  }
+
   /** Read a member table AT a transaction (default: the latest complete
     * one) — never through the member's own pointer. */
   def read(spark: SparkSession, root: String, table: String,

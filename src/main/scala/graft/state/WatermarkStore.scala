@@ -78,14 +78,31 @@ final class FileWatermarkStore(dir: String, lockStaleMs: Long = 60000,
     * crashed holder stranded is STOLEN once older than `lockStaleMs`
     * (age-gated, the same recovery contract as merge-claim vacuum) — size
     * it above the longest log rewrite, which is milliseconds for the
-    * one-row-per-table state this store holds. */
-  private def withKeyLock[T](key: String)(body: => T): T = {
+    * one-row-per-table state this store holds.
+    *
+    * Ownership is a UUID token written into the lock file, and release
+    * deletes the lock ONLY while the token still matches: a holder that
+    * stalls past `lockStaleMs` inside the critical section may be stolen
+    * from, and an unconditional finally-delete would then remove the NEW
+    * holder's lock — letting a third process enter while the second is
+    * still inside (the cascade the token breaks). The steal itself stays
+    * delete-then-RE-RACE-createFile rather than an in-place replace:
+    * create-if-absent admits exactly ONE of the racing stealers, whereas
+    * two concurrent replaces would both "succeed" and both enter. */
+  private[state] def withKeyLock[T](key: String)(body: => T): T = {
     val lock = Paths.get(dir,
       key.replaceAll("[^A-Za-z0-9#_.-]", "_") + ".lock")
+    val token = java.util.UUID.randomUUID().toString
     var held = false
     while (!held) {
-      try { Files.createFile(lock); held = true }
-      catch {
+      try {
+        Files.createFile(lock)
+        // we own the lock (atomic create-if-absent won); stamping the
+        // token is not racing anyone — a stealer can appear only after
+        // lockStaleMs, far beyond this write
+        Files.writeString(lock, token)
+        held = true
+      } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           val stale = scala.util.Try(
             Files.getLastModifiedTime(lock).toMillis <
@@ -95,7 +112,11 @@ final class FileWatermarkStore(dir: String, lockStaleMs: Long = 60000,
       }
     }
     try body
-    finally { scala.util.Try(Files.deleteIfExists(lock)); () }
+    finally {
+      if (scala.util.Try(Files.readString(lock)).toOption
+          .exists(_.trim == token))
+        { scala.util.Try(Files.deleteIfExists(lock)); () }
+    }
   }
 
   private def append(key: String, ts: Long, id: String, status: String,

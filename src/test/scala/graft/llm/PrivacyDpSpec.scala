@@ -26,30 +26,77 @@ class PrivacyDpSpec extends AnyFunSuite {
       (1 - alpha) / (1 + alpha)) < 1e-12)
   }
 
-  private def release(seed: Long) = {
+  private def domain20 = (0 until 20).map(i => s"g$i").toDF("g")
+
+  private def release(seed: Long, epoch: String = "e1") = {
     val df = (1L to 1000L).map(i => (s"g${i % 20}", 1)).toDF("g", "x")
-    Privacy.dpCounts(df, Seq("g"), eps = 0.5, seed = seed)
+    Privacy.dpCounts(df, Seq("g"), domain20, eps = 0.5, seed = seed,
+      epoch = epoch)
       .select("g", "released").as[(String, Long)].collect()
       .sortBy(_._1).toSeq
   }
 
   test("noise is bounded by maxNoise and the release is deterministic " +
-    "per seed but differs across seeds") {
+    "per (seed, epoch) but differs across seeds AND across epochs") {
     val a = release(42L)
     val b = release(42L)
     val c = release(7L)
+    val d = release(42L, epoch = "e2")
     assert(a == b)
     assert(a != c) // 20 groups: astronomically unlikely to coincide
+    // a re-release over evolving data must redraw noise, or released
+    // deltas expose exact count deltas — the epoch is part of the
+    // derivation, not a documentation promise
+    assert(a != d)
     // every group's true count is 50; noise bound ±39
     assert(a.forall { case (_, r) => math.abs(r - 50L) <= 39L })
     // the mechanism is not inert across 20 groups
     assert(a.exists(_._2 != 50L))
   }
 
+  test("public-domain release: the output key set IS the domain — absent " +
+    "groups release noise around zero, out-of-domain groups are withheld") {
+    val df = Seq(("a", 1), ("a", 1), ("b", 1), ("zz", 1)).toDF("g", "x")
+    val dom = Seq("a", "b", "c", "d").toDF("g")
+    val out = Privacy.dpCounts(df, Seq("g"), dom, 0.5, 1L, "e1")
+      .select("g", "released").as[(String, Long)].collect().toMap
+    assert(out.keySet == Set("a", "b", "c", "d"),
+      "presence in the release must be a constant of the domain, " +
+        "never of the data")
+    assert(math.abs(out("c")) <= 39L && math.abs(out("d")) <= 39L,
+      "absent groups must release noise(0)")
+    assert(!out.contains("zz"), "data outside the public domain leaks")
+  }
+
+  test("stability histogram: tau matches the closed form, small groups " +
+    "are suppressed with the guaranteed probability shape, big groups pass") {
+    // tau: smallest t with alpha^t/(1+alpha) <= delta, plus one
+    val eps = 0.5; val delta = 1e-6
+    val alpha = math.exp(-eps)
+    val tau = Privacy.stabilityThreshold(eps, delta)
+    val t = tau - 1
+    assert(math.pow(alpha, t.toDouble) / (1 + alpha) <= delta)
+    assert(math.pow(alpha, (t - 1).toDouble) / (1 + alpha) > delta)
+    // count-1 groups can NEVER clear tau when maxNoise-bounded noise tops
+    // out below it... here 1 + 39 >= 28, so clearing is possible but only
+    // in the delta tail; assert the released set is threshold-consistent
+    val df = ((1 to 500).map(i => (s"big${i % 5}", 1)) ++
+      Seq(("rare1", 1), ("rare2", 1))).toDF("g", "x")
+    val out = Privacy.dpCountsStable(df, Seq("g"), eps, delta, 3L, "e1")
+      .select("g", "released").as[(String, Long)].collect().toMap
+    out.values.foreach(r => assert(r >= tau,
+      "released rows must clear the stability threshold"))
+    assert((0 until 5).forall(i => out.contains(s"big$i")),
+      "groups with count 100 must survive (100 - 39 > tau)")
+  }
+
   test("output never carries the true count column") {
     val df = Seq(("a", 1), ("a", 1), ("b", 1)).toDF("g", "x")
-    val out = Privacy.dpCounts(df, Seq("g"), 0.5, 1L)
+    val out = Privacy.dpCounts(df, Seq("g"), Seq("a", "b").toDF("g"),
+      0.5, 1L, "e1")
     assert(out.columns.toSeq == Seq("g", "released", "eps"))
+    val st = Privacy.dpCountsStable(df, Seq("g"), 0.5, 1e-6, 1L, "e1")
+    assert(st.columns.toSeq == Seq("g", "released", "eps", "delta"))
   }
 
   test("pseudonymization: deterministic per key, divergent across keys, " +

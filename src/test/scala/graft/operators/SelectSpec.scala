@@ -38,6 +38,17 @@ class SelectSpec extends AnyFunSuite {
     }
   }
 
+  test("full 64-bit domain (span > Long.MaxValue) stays on the bounded " +
+    "histogram path and answers exactly — the hash-column shape") {
+    // raw nextLong: lo near MinValue, hi near MaxValue, so hi - lo wraps
+    // negative without the split-at-zero guard and the operator degrades
+    // to collecting every distinct value
+    val rnd = new scala.util.Random(11)
+    val vs = Seq.fill(400)(rnd.nextLong()) ++
+      Seq(Long.MinValue, Long.MaxValue, -1L, 0L)
+    check(vs, Seq(1L, 2L, 200L, 201L, 403L, 404L))
+  }
+
   test("percentileLong nearest-rank matches the direct definition") {
     val vs = (1L to 1000L).toSeq
     val df = vs.toDF("v")

@@ -52,6 +52,36 @@ class TxnSpec extends AnyFunSuite {
     } finally StageWriter.deleteRecursively(tmp)
   }
 
+  test("vacuum reclaims a stranded claim (crashed writer) so the root " +
+    "un-wedges; spent claims drop immediately; fresh claims survive") {
+    val tmp = Files.createTempDirectory("txn4")
+    try {
+      val root = tmp.resolve("wh").toString
+      Txn.commit(root, Seq("a" -> Seq(1).toDF("x")))
+      // crashed writer: claimed txn 2, died before the pointer flip —
+      // without vacuum EVERY later commit recomputes next=2 and loses
+      Files.createDirectories(tmp.resolve("wh/_txn_claims"))
+      Files.createFile(tmp.resolve("wh/_txn_claims/2"))
+      intercept[VersionedTable.ConcurrentCommitException] {
+        Txn.commit(root, Seq("a" -> Seq(2).toDF("x")))
+      }
+      // txn 1's spent claim drops with no age gate; the stranded claim 2
+      // is presumed LIVE inside the retention window and survives
+      assert(Txn.vacuum(root, strandedRetentionMs = 60000) == Seq(1))
+      intercept[VersionedTable.ConcurrentCommitException] {
+        Txn.commit(root, Seq("a" -> Seq(2).toDF("x")))
+      }
+      Thread.sleep(10)
+      assert(Txn.vacuum(root, strandedRetentionMs = 0) == Seq(2))
+      Txn.commit(root, Seq("a" -> Seq(2, 3).toDF("x")))
+      assert(Txn.latestTxn(root).contains(2))
+      assert(Txn.read(spark, root, "a").count() == 2)
+      // the spent claim (txn <= pointer) drops without any age gate
+      assert(Txn.vacuum(root, strandedRetentionMs = 3600000) == Seq(2))
+      assert(Txn.vacuum(root, strandedRetentionMs = 3600000).isEmpty)
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+
   test("member names that would break the manifest are rejected") {
     val tmp = Files.createTempDirectory("txn3")
     try {

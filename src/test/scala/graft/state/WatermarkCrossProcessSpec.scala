@@ -51,6 +51,29 @@ class WatermarkCrossProcessSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("a stalled holder whose lock was STOLEN must not delete the new " +
+    "owner's lock on release (owner-token conditional delete)") {
+    val dir = Files.createTempDirectory("wmsteal").toString
+    val s = new FileWatermarkStore(dir, lockStaleMs = 3600000)
+    val lock = Paths.get(dir, "k.lock")
+    // holder enters the critical section, then stalls long enough to be
+    // stolen from: simulate the steal by replacing the lock with a NEW
+    // owner's token while the body is still running
+    s.withKeyLock("k") {
+      assert(Files.exists(lock), "holder must have created the lock")
+      Files.writeString(lock, "new-owner-token")
+    }
+    // the stalled holder's release saw a foreign token: the NEW owner's
+    // lock must survive — deleting it would let a third process enter
+    // while the second is still inside
+    assert(Files.exists(lock), "release deleted a lock it no longer owned")
+    assert(Files.readString(lock).trim == "new-owner-token")
+    Files.deleteIfExists(lock)
+    // normal path: the owner's own release still removes the lock
+    s.withKeyLock("k") { assert(Files.exists(lock)) }
+    assert(!Files.exists(lock), "owner must release its own lock")
+  }
+
   test("a stale lock from a crashed holder is stolen past lockStaleMs") {
     val dir = Files.createTempDirectory("wmstale").toString
     val lock = Paths.get(dir, "p#t#c.lock") // sanitized key keeps '#'
