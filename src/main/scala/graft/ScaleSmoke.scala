@@ -139,7 +139,8 @@ object ScaleSmoke {
       // ingest split; fixed-size per-group CMS state
       "q_record_linkage", "q_json_quarantine", "evt_stream_heavy",
       // D150: one bounded-cardinality agg + per-group noise projection
-      "llm_dp_release",
+      // (stability-thresholded), plus the public-domain pure-ε variant
+      "llm_dp_release", "llm_dp_domain",
       // D151: touched-partition-only rewrite with byte-stable others
       "q_partition_overwrite",
       // D152: anchors-only funnel state, two-epoch restart
@@ -161,7 +162,9 @@ object ScaleSmoke {
       // D161: cross-scheme generation pruning, no history rewrite
       "q_partition_evolution",
       // D162: sidecar-append deletes, byte-stable data files
-      "q_deletion_vectors"))
+      "q_deletion_vectors",
+      // D163: string-key targeted merge — O(delta) on natural keys
+      "c6_merge_string"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

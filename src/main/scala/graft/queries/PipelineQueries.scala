@@ -115,6 +115,62 @@ object PipelineQueries {
                   ELSE o_totalprice END AS total
       FROM orders ORDER BY o_orderkey"""))),
 
+    // D163 — file-targeted MERGE on a STRING key: the per-file (min, max)
+    // manifest generalized to the natural keys most tables actually carry
+    // (uuids, business codes). Base lands range-partitioned on the key;
+    // a low-band delta + one beyond-range insert merge through the CAS
+    // path, and the gate REQUIREs ≥3 of the 4 base files untouched on
+    // disk (names + sizes stable) plus the string-dialect sidecar — the
+    // O(delta) proof, not just the final rows. Bounds are compared with
+    // Spark's binary string ordering end-to-end (scan stats and the
+    // touched-file join both evaluate in Spark), and parquet footer
+    // bounds are trusted only when pure-ASCII (truncation can split a
+    // multi-byte sequence).
+    "c6_merge_string" -> (((spark, dir) => {
+      val base = load(spark, dir, "customer")
+        .select(concat(lit("c_"),
+          lpad(col("c_custkey").cast("string"), 8, "0")).as("c_key"),
+          col("c_acctbal").as("bal"))
+      import spark.implicits._
+      val delta = base.filter(col("c_key") <= "c_00000100")
+        .withColumn("bal", col("bal") + 10.0)
+        .unionByName(Seq(("c_zzz_insert", 999.5)).toDF("c_key", "bal"))
+      val tmp = java.nio.file.Files.createTempDirectory("merge_str_gate")
+      try {
+        val t = tmp.resolve("cust").toString
+        base.repartitionByRange(4, col("c_key")).write.parquet(t)
+        def inv() = StageWriter.listDataFiles(java.nio.file.Paths.get(t))
+          .map(p => p.getFileName.toString -> java.nio.file.Files.size(p))
+          .toMap
+        val before = inv()
+        require(before.size >= 4, "string-merge gate needs a multi-file base")
+        StageWriter.mergeInto(spark, delta, t, Seq("c_key"))
+        require(StageWriter.committedSeq(t) == 1L,
+          "the CAS merge must commit sequence 1")
+        val after = inv()
+        val untouched = before.keySet.intersect(after.keySet)
+        require(untouched.size >= before.size - 1,
+          s"string-keyed merge must rewrite ONLY the low-band file " +
+            s"(${before.size} files, ${untouched.size} untouched)")
+        untouched.foreach(f => require(before(f) == after(f),
+          s"untouched file $f changed on disk"))
+        require(StageWriter.statsColumn(t).contains("c_key"),
+          "the string-dialect stats sidecar must persist")
+        spark.read.parquet(t).orderBy("c_key")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      WITH base AS (SELECT 'c_' || lpad(CAST(c_custkey AS VARCHAR), 8, '0')
+                             AS c_key,
+                           c_acctbal AS bal
+                    FROM customer)
+      SELECT c_key,
+             CASE WHEN c_key <= 'c_00000100'
+                  THEN bal + CAST(10.0 AS DOUBLE) ELSE bal END AS bal
+      FROM base
+      UNION ALL SELECT 'c_zzz_insert', CAST(999.5 AS DOUBLE)
+      ORDER BY c_key"""))),
+
     // C6+ — SCHEMA EVOLUTION through the MERGE path end-to-end (the
     // Delta-autoMerge contract — previously spec-only): a delta carrying
     // a NEW column merges into a table without it. The merge takes the

@@ -237,23 +237,28 @@ object StageWriter {
   private final case class Targeted(delta: DataFrame, dropCols: Seq[String],
       keys: Seq[String], localMerge: DataFrame => DataFrame)
 
+  /** Stats dialect of a merge key's type: integral and string keys each
+    * have a per-file (min, max) manifest plane; anything else (None)
+    * falls back to the full rewrite. */
+  private def statsKind(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some("long")
+    case org.apache.spark.sql.types.StringType => Some("string")
+    case _ => None
+  }
+
   /** Can this merge rewrite only key-intersecting files? Requires a flat
-    * (unpartitioned) existing table, an integral first merge key on BOTH
-    * sides (per-file min/max stats need a total order the oracle can
-    * replay), and exact column-name→type parity between base and effective
-    * delta — a schema-evolving delta falls back to the full rewrite, which
-    * is the only way the untouched files can stay byte-identical while the
-    * directory keeps one schema. */
+    * (unpartitioned) existing table, a first merge key with a stats plane
+    * (integral or string — per-file min/max needs a total order the
+    * oracle can replay) on BOTH sides, and exact column-name→type parity
+    * between base and effective delta — a schema-evolving delta falls
+    * back to the full rewrite, which is the only way the untouched files
+    * can stay byte-identical while the directory keeps one schema. */
   private def targetedEligible(base: DataFrame, t: Targeted): Boolean = {
-    def integral(dt: DataType) = dt match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false
-    }
     def m(s: StructType) = s.fields.map(f => f.name -> f.dataType).toMap
     val eff = t.delta.drop(t.dropCols: _*).schema
     t.keys.nonEmpty && m(eff) == m(base.schema) &&
       base.schema.fields.find(_.name == t.keys.head).exists(f =>
-        integral(f.dataType))
+        statsKind(f.dataType).isDefined)
   }
 
   /** The optimistic claim → read → merge → swap → flip loop shared by the
@@ -295,8 +300,11 @@ object StageWriter {
       } else {
         // we HOLD claim `next`: no other merger can flip the sequence, so
         // the snapshot read below is stable. An observed in-process failure
-        // releases the claim eagerly (a crash strands it for vacuum).
+        // releases the claim eagerly (a crash strands it for vacuum) —
+        // safe even after a partial reveal, because the next claimant of
+        // this same sequence rolls the attempt back below.
         try {
+          rollbackAttempt(path, next)
           val old =
             if (Files.exists(Paths.get(path))) Some(spark.read.parquet(path))
             else None
@@ -326,15 +334,14 @@ object StageWriter {
               // stats bootstrap scan
               targeted.filter(_ => partitionBy.isEmpty).foreach { t =>
                 val key1 = t.keys.head
-                val integral = merged.schema.fields
-                  .find(_.name == key1).exists(_.dataType match {
-                    case ByteType | ShortType | IntegerType | LongType => true
-                    case _ => false
-                  })
-                if (integral) {
-                  val files = listDataFiles(Paths.get(path))
-                  writeStats(path, key1, computeStats(spark, files, key1))
-                }
+                merged.schema.fields.find(_.name == key1)
+                  .flatMap(f => statsKind(f.dataType)).foreach { kind =>
+                    val files = listDataFiles(Paths.get(path))
+                    if (kind == "long")
+                      writeStats(path, key1, computeStats(spark, files, key1))
+                    else writeStatsStr(path, key1,
+                      computeStatsStr(spark, files, key1))
+                  }
               }
             } finally merged.unpersist()
           }
@@ -354,6 +361,33 @@ object StageWriter {
     }
   }
 
+  /** Roll back a crashed prior attempt at sequence `next` before reading
+    * the snapshot. The caller HOLDS the claim for `next`, so any data file
+    * of generation `m$next-` — visible (partially revealed) or hidden
+    * (staged, never revealed) — and any `.__mergetmp__$next` staging dir
+    * can only be the leftover of an attempt whose pointer never flipped:
+    * uncommitted rows no reader was ever promised. Deleting them first
+    * restores the exact committed snapshot (the re-merge is exact, never
+    * best-effort), revalidates the stats sidecar's file inventory so
+    * recovery stays on the O(delta) targeted path, and makes repair
+    * self-healing — no FileAlreadyExistsException on re-reveal, no
+    * duplicate rows waiting on manual cleanup. The prefix includes the
+    * trailing dash, so generation 2 never matches generation 23's files. */
+  private def rollbackAttempt(path: String, next: Long): Unit = {
+    val dir = Paths.get(path)
+    if (Files.isDirectory(dir)) {
+      val vis = s"m$next-"
+      val hid = s".m$next-"
+      val s = Files.list(dir)
+      try s.toArray.map(_.asInstanceOf[Path]).foreach { p =>
+        val n = p.getFileName.toString
+        if ((n.startsWith(vis) || n.startsWith(hid)) && n.endsWith(".parquet"))
+          Files.deleteIfExists(p)
+      } finally s.close()
+    }
+    deleteRecursively(Paths.get(path + s".__mergetmp__$next"))
+  }
+
   /** Row-budgeted output file count; Long math first — at 100 TB
     * (n / 50000 + 1) overflows Int and a naive .toInt would collapse the
     * write to ONE file. */
@@ -365,12 +399,15 @@ object StageWriter {
 
   /** Which column the stats sidecar describes (None = no sidecar) —
     * lets the [[graft.plans.StatsFilePrune]] optimizer rule discover
-    * prunability without knowing the key upfront. */
+    * prunability without knowing the key upfront. Handles both header
+    * forms: `#column\tC` (integral, legacy) and `#column\tC\tstring`. */
   private[graft] def statsColumn(path: String): Option[String] = {
     val f = statsFile(path)
     if (!Files.exists(f)) None
     else Files.readAllLines(f).stream().findFirst().map[Option[String]] {
-      l => if (l.startsWith("#column\t")) Some(l.substring(8)) else None
+      l =>
+        if (l.startsWith("#column\t")) Some(l.substring(8).split("\t")(0))
+        else None
     }.orElse(None)
   }
 
@@ -497,6 +534,124 @@ object StageWriter {
       .map(n => n -> scanned.getOrElse(n, None)).toMap
   }
 
+  // ---- STRING-key stats plane (D163): the same per-file (min, max)
+  // manifest for string merge keys, so the natural keys most tables
+  // actually carry (uuids, codes, composite business keys) get the
+  // O(delta) file-targeted merge too, not the full-rewrite fallback.
+  // Separate sidecar dialect (header `#column\tC\tstring`, URL-encoded
+  // bounds with an explicit presence flag — raw strings can contain tabs,
+  // newlines, or a literal "-") so the legacy integral format and its
+  // consumers (StatsFilePrune) are untouched; the long loader rejects a
+  // string header by construction and stands down.
+
+  private[graft] type FileStatsS = Map[String, Option[(String, String)]]
+
+  private def encS(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def decS(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  private[graft] def loadStatsStr(path: String, files: Seq[Path],
+      column: String): Option[FileStatsS] = {
+    val f = statsFile(path)
+    if (!Files.exists(f)) return None
+    import scala.jdk.CollectionConverters._
+    val lines = Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty)
+    if (!lines.headOption.contains(s"#column\t$column\tstring")) return None
+    val m: FileStatsS = lines.tail.map { l =>
+      val a = l.split("\t", 4)
+      a(0) -> (if (a(1) == "0") None else Some((decS(a(2)), decS(a(3)))))
+    }.toMap
+    if (m.keySet == files.map(_.getFileName.toString).toSet) Some(m) else None
+  }
+
+  private def writeStatsStr(path: String, column: String,
+      stats: FileStatsS): Unit = {
+    val lines = s"#column\t$column\tstring" +:
+      stats.toSeq.sortBy(_._1).map {
+        case (n, Some((mn, mx))) => s"$n\t1\t${encS(mn)}\t${encS(mx)}"
+        case (n, None) => s"$n\t0"
+      }
+    val tmp = Files.createTempFile(
+      Paths.get(path).toAbsolutePath.getParent, ".stats", ".tmp")
+    Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+    Files.move(tmp, statsFile(path), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def computeStatsStr(spark: SparkSession, files: Seq[Path],
+      key: String): FileStatsS = {
+    if (files.isEmpty) return Map.empty
+    footerStatsStr(files, key).getOrElse(scanStatsStr(spark, files, key))
+  }
+
+  /** Per-file (min, max) of a STRING key from parquet footer binary
+    * statistics — driver-side metadata only, like [[footerStats]]. Two
+    * extra guards the integral path doesn't need: (a) writers may OMIT
+    * binary stats (large values) — absent stats with non-null rows must
+    * fall back to the scan, never read as "no keys" (that would silently
+    * skip a touched file: data loss); (b) binary stats may be TRUNCATED
+    * bounds, and truncation can split a multi-byte UTF-8 sequence, so
+    * only pure-ASCII bounds are trusted — anything else falls back. */
+  private[sink] def footerStatsStr(files: Seq[Path],
+      key: String): Option[FileStatsS] = {
+    import org.apache.parquet.column.statistics.BinaryStatistics
+    val conf = new org.apache.hadoop.conf.Configuration()
+    try {
+      Some(files.map { p =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p.toUri), conf))
+        try {
+          var mn: String = null
+          var mx: String = null
+          reader.getFooter.getBlocks.forEach { b =>
+            b.getColumns.forEach { c =>
+              if (c.getPath.toDotString == key) {
+                val st = c.getStatistics
+                if (st == null) throw new IllegalStateException("no stats")
+                if (st.hasNonNullValue) {
+                  val bs = st match {
+                    case x: BinaryStatistics => x
+                    case _ => throw new IllegalStateException(
+                      s"non-binary stats: ${st.getClass.getSimpleName}")
+                  }
+                  val loB = bs.genericGetMin.getBytes
+                  val hiB = bs.genericGetMax.getBytes
+                  if (loB.exists(_ < 0) || hiB.exists(_ < 0))
+                    throw new IllegalStateException("non-ASCII bound")
+                  val lo = new String(loB, java.nio.charset.StandardCharsets.UTF_8)
+                  val hi = new String(hiB, java.nio.charset.StandardCharsets.UTF_8)
+                  if (mn == null || lo < mn) mn = lo
+                  if (mx == null || hi > mx) mx = hi
+                } else if (st.getNumNulls != c.getValueCount)
+                  // stats omitted but rows exist: "no bounds" is NOT
+                  // "no keys" — bail to the scan
+                  throw new IllegalStateException("omitted binary stats")
+              }
+            }
+          }
+          p.getFileName.toString ->
+            (if (mn == null) None else Some((mn, mx)))
+        } finally reader.close()
+      }.toMap)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def scanStatsStr(spark: SparkSession, files: Seq[Path],
+      key: String): FileStatsS = {
+    val scanned = spark.read.parquet(files.map(_.toString): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(key).cast("string")).as("mn"),
+        max(col(key).cast("string")).as("mx"))
+      .collect()
+      .map { r =>
+        val base = r.getString(0).split('/').last
+        base -> (if (r.isNullAt(1)) None
+          else Some((r.getString(1), r.getString(2))))
+      }.toMap
+    files.map(_.getFileName.toString)
+      .map(n => n -> scanned.getOrElse(n, None)).toMap
+  }
+
   /** Delta-proportional MERGE commit (Delta's file-targeted MERGE on the
     * Parquet fallback, light_transform.py:1382-1392): partition the base
     * files by "could this file contain a delta key" using the per-file
@@ -508,31 +663,55 @@ object StageWriter {
     * Commit ordering inside the held claim: new files are moved in HIDDEN
     * (dot-prefixed — invisible to Parquet readers), revealed by atomic
     * per-file rename, and ONLY THEN are the touched files deleted. A crash
-    * inside the reveal→delete window leaves duplicate rows for the touched
-    * keys plus a stranded claim (fail-stop); re-running the SAME merge
-    * batch after vacuum repairs it exactly (both stale copies anti-join
-    * away) — the duplicate window is chosen over a delete-first loss
-    * window precisely because re-run CAN repair it. Readers racing the
-    * reveal see the same transient duplication; the documented
-    * Parquet-fallback reader gap ([[VersionedTable]] closes it). */
+    * (or in-process failure) inside the reveal→delete window leaves
+    * duplicate rows for the touched keys; recovery is AUTOMATIC and exact:
+    * the next claimant of the same sequence first rolls the partial
+    * attempt back ([[rollbackAttempt]] in [[casMerge]] — every revealed
+    * file carries its sequence number in its name, and a visible file at
+    * an UNCOMMITTED sequence can only be a partial reveal, because a
+    * successful attempt flips the sequence before releasing the claim).
+    * Staged names also carry a per-attempt nonce so a retry's reveal can
+    * never collide with a crashed attempt's leftovers even before the
+    * rollback sweep runs. Readers racing the reveal (or arriving between
+    * a failure and the repairing re-merge) see transient duplication; the
+    * documented Parquet-fallback reader gap ([[VersionedTable]] closes
+    * it). */
   private def targetedCommit(spark: SparkSession, path: String,
       base: DataFrame, t: Targeted, next: Long): Unit = {
     val dir = Paths.get(path)
     val key1 = t.keys.head
+    val kind = statsKind(base.schema(key1).dataType).get
     val dataFiles = listDataFiles(dir)
-    val stats = loadStats(path, dataFiles, key1)
-      .getOrElse(computeStats(spark, dataFiles, key1))
+    // both stats planes normalize to string-encoded bounds internally;
+    // the integral plane persists in its legacy sidecar dialect so
+    // StatsFilePrune and existing sidecars keep working unchanged
+    def toS(s: FileStats): FileStatsS = s.map { case (f, o) =>
+      f -> o.map { case (a, b) => (a.toString, b.toString) } }
+    val stats: FileStatsS =
+      if (kind == "long")
+        loadStats(path, dataFiles, key1).map(toS)
+          .getOrElse(toS(computeStats(spark, dataFiles, key1)))
+      else loadStatsStr(path, dataFiles, key1)
+        .getOrElse(computeStatsStr(spark, dataFiles, key1))
     // touched = any delta key inside the file's [mn, mx]; the range table
     // is file-count rows (the Delta-log size class) and broadcasts, so
     // this is ONE pass over the delta keys — never a base scan
-    val ranges = stats.toSeq.collect { case (f, Some((mn, mx))) =>
-      (f, mn, mx) }
     val touched: Set[String] =
-      if (ranges.isEmpty) Set.empty
+      if (!stats.values.exists(_.isDefined)) Set.empty
       else {
         import spark.implicits._
-        val rangesDf = ranges.toDF("f", "mn", "mx")
-        t.delta.select(col(key1).cast("long").as("__k")).na.drop().distinct()
+        val rangesDf =
+          if (kind == "long")
+            stats.toSeq.collect { case (f, Some((mn, mx))) =>
+              (f, mn.toLong, mx.toLong) }.toDF("f", "mn", "mx")
+          else
+            stats.toSeq.collect { case (f, Some((mn, mx))) =>
+              (f, mn, mx) }.toDF("f", "mn", "mx")
+        val deltaKeys =
+          if (kind == "long")
+            t.delta.select(col(key1).cast("long").as("__k"))
+          else t.delta.select(col(key1).cast("string").as("__k"))
+        deltaKeys.na.drop().distinct()
           .join(broadcast(rangesDf),
             col("__k") >= col("mn") && col("__k") <= col("mx"))
           .select("f").distinct().collect().map(_.getString(0)).toSet
@@ -552,10 +731,19 @@ object StageWriter {
       merged.coalesce(fileBudget(spark, n))
         .write.mode(SaveMode.Overwrite).parquet(tmpDir)
       val parts = listDataFiles(Paths.get(tmpDir))
-      val newStats = computeStats(spark, parts, key1) // O(delta) scan
-      // hidden staging → atomic reveal → delete touched (see ordering doc)
+      val newStats: FileStatsS = // O(delta) scan (or footer-only read)
+        if (kind == "long")
+          computeStats(spark, parts, key1).map { case (f, o) =>
+            f -> o.map { case (a, b) => (a.toString, b.toString) } }
+        else computeStatsStr(spark, parts, key1)
+      // hidden staging → atomic reveal → delete touched (see ordering doc).
+      // The nonce uniquifies THIS attempt's names: a re-run after a crash
+      // mid-reveal must never Files.move onto a previous attempt's
+      // already-revealed file (ATOMIC_MOVE without REPLACE throws and the
+      // repair path would deterministically fail).
+      val nonce = java.util.UUID.randomUUID().toString.substring(0, 8)
       val staged = parts.zipWithIndex.map { case (p, i) =>
-        val vis = dir.resolve(f"m$next-p$i%05d.parquet")
+        val vis = dir.resolve(f"m$next-$nonce%s-p$i%05d.parquet")
         val hid = dir.resolve("." + vis.getFileName.toString)
         Files.move(p, hid, StandardCopyOption.ATOMIC_MOVE)
         (hid, vis, p.getFileName.toString)
@@ -564,11 +752,14 @@ object StageWriter {
         Files.move(hid, vis, StandardCopyOption.ATOMIC_MOVE) }
       touchedPaths.foreach(Files.deleteIfExists(_))
       deleteRecursively(Paths.get(tmpDir))
-      val kept: FileStats =
+      val kept: FileStatsS =
         stats.filter { case (f, _) => !touched(f) } ++
           staged.map { case (_, vis, orig) =>
             vis.getFileName.toString -> newStats.getOrElse(orig, None) }
-      writeStats(path, key1, kept)
+      if (kind == "long")
+        writeStats(path, key1, kept.map { case (f, o) =>
+          f -> o.map { case (a, b) => (a.toLong, b.toLong) } })
+      else writeStatsStr(path, key1, kept)
     } finally merged.unpersist()
   }
 

@@ -51,8 +51,8 @@ class MergeTargetedSpec extends AnyFunSuite {
     untouched.foreach { f =>
       assert(before(f) == after(f), s"untouched file $f changed on disk") }
     val newFiles = after.keySet -- before.keySet
-    assert(newFiles.nonEmpty && newFiles.forall(_.startsWith("m1-p")),
-      s"merge output must land as m1-p* files, got $newFiles")
+    assert(newFiles.nonEmpty && newFiles.forall(_.startsWith("m1-")),
+      s"merge output must land as m1-* files, got $newFiles")
     val got = spark.read.parquet(path).as[(Long, String)].collect().toMap
     assert(got.size == 4001)
     (0 until 10).foreach(i => assert(got(i.toLong) == s"u$i"))
@@ -171,6 +171,107 @@ class MergeTargetedSpec extends AnyFunSuite {
         s"(${before.size} files, ${untouched.size} untouched)")
     untouched.foreach(f => assert(before(f) == after(f)))
     assert(spark.read.parquet(path).count() == 20000)
+  }
+
+  test("STRING-keyed merge is file-targeted: low-band update + " +
+    "beyond-range insert leave the other range files byte-identical, " +
+    "the string-dialect sidecar persists and is reused, and awkward " +
+    "key values (tab, newline, literal '-') round-trip the sidecar") {
+    val path = tmp()
+    spark.range(4000).select(
+        concat(lit("k"), lpad(col("id").cast("string"), 6, "0")).as("k"),
+        concat(lit("v"), col("id")).as("v"))
+      .repartitionByRange(4, col("k"))
+      .write.parquet(path)
+    val before = inventory(path)
+    assert(before.size == 4)
+    val delta = (Seq.tabulate(10)(i =>
+      (f"k$i%06d", s"u$i")) :+ (("zz_beyond", "ins"))).toDF("k", "v")
+    StageWriter.mergeInto(spark, delta, path, Seq("k"))
+    val after = inventory(path)
+    val untouched = before.keySet.intersect(after.keySet)
+    assert(untouched.size == 3,
+      s"expected 3 untouched files, got ${untouched.size}")
+    untouched.foreach(f => assert(before(f) == after(f)))
+    val got = spark.read.parquet(path).as[(String, String)].collect().toMap
+    assert(got.size == 4001)
+    (0 until 10).foreach(i => assert(got(f"k$i%06d") == s"u$i"))
+    assert(got("zz_beyond") == "ins" && got("k000500") == "v500")
+    // sidecar: string dialect, inventory-exact, reused by the next merge
+    assert(StageWriter.statsColumn(path).contains("k"))
+    assert(StageWriter.loadStatsStr(path,
+      StageWriter.listDataFiles(Paths.get(path)), "k").isDefined,
+      "string sidecar must validate against the directory inventory")
+    // the long-dialect loader must REJECT a string sidecar (StatsFilePrune
+    // stands down instead of comparing strings as longs)
+    assert(StageWriter.loadStats(path,
+      StageWriter.listDataFiles(Paths.get(path)), "k").isEmpty)
+    val snap = inventory(path)
+    StageWriter.mergeInto(spark,
+      Seq(("k000001", "b")).toDF("k", "v"), path, Seq("k"))
+    val after2 = inventory(path)
+    val survivors = snap.keySet.filterNot(_.startsWith("m2-"))
+      .intersect(after2.keySet)
+    assert(survivors.size >= 3, "sidecar reuse must keep merge 2 targeted")
+    // awkward values: keys containing tab/newline/'-' in a fresh table
+    val path2 = tmp()
+    Seq(("a\tb", 1), ("c\nd", 2), ("-", 3)).toDF("k", "n")
+      .write.parquet(path2)
+    StageWriter.mergeInto(spark, Seq(("-", 30), ("e", 4)).toDF("k", "n"),
+      path2, Seq("k"))
+    assert(spark.read.parquet(path2).as[(String, Int)].collect().toSet ==
+      Set(("a\tb", 1), ("c\nd", 2), ("-", 30), ("e", 4)))
+  }
+
+  test("crash inside the reveal window: the stranded claim fail-stops " +
+    "later merges, and the next claimant rolls the partial attempt back " +
+    "to an EXACT repair — no reveal collision, no lingering duplicates") {
+    val path = tmp()
+    writeBase(path)
+    // seq 1: a committed targeted merge so generation-m files exist
+    StageWriter.mergeInto(spark, Seq((1L, "a")).toDF("k", "v"), path,
+      Seq("k"))
+    assert(StageWriter.committedSeq(path) == 1L)
+    val committed = spark.read.parquet(path).as[(Long, String)]
+      .collect().toMap
+    // simulate an attempt at seq 2 that crashed mid-reveal: one of its
+    // output files was revealed (duplicating rows of a touched base file),
+    // one is still hidden, the staging dir survives, and the claim is
+    // stranded. Built from a REAL data file so the duplication is real.
+    val donor = StageWriter.listDataFiles(Paths.get(path))
+      .find(_.getFileName.toString.startsWith("m1-")).get
+    val dir = Paths.get(path)
+    Files.copy(donor, dir.resolve("m2-deadbeef-p00000.parquet"))
+    Files.copy(donor, dir.resolve(".m2-deadbeef-p00001.parquet"))
+    val stage = Paths.get(path + ".__mergetmp__2")
+    Files.createDirectories(stage)
+    Files.writeString(stage.resolve("junk"), "x")
+    Files.createFile(Paths.get(path + ".__claims__").resolve("2"))
+    // the duplication is visible (the documented reveal-window exposure)
+    assert(spark.read.parquet(path).count() > committed.size,
+      "fixture must actually duplicate rows")
+    // fail-stop: the stranded claim blocks any merger at seq 2
+    val delta2 = Seq((2L, "b"), (77777L, "ins")).toDF("k", "v")
+    intercept[StageWriter.ConcurrentMergeException] {
+      StageWriter.mergeInto(spark, delta2, path, Seq("k"),
+        maxRetries = 1, backoffMs = 1)
+    }
+    Thread.sleep(10)
+    StageWriter.vacuum(path, retentionMs = 0)
+    // re-run repairs exactly: rollback deletes the partial attempt's
+    // visible AND hidden leftovers, then the merge applies to the
+    // committed snapshot — no FileAlreadyExistsException, no duplicates
+    StageWriter.mergeInto(spark, delta2, path, Seq("k"))
+    assert(StageWriter.committedSeq(path) == 2L)
+    val got = spark.read.parquet(path).as[(Long, String)].collect()
+    assert(got.length == got.toMap.size, "repair must remove ALL duplicates")
+    assert(got.toMap == committed ++ Map(2L -> "b", 77777L -> "ins"),
+      "repaired table must equal committed ∪ merge(delta)")
+    val names = StageWriter.listDataFiles(dir).map(_.getFileName.toString)
+    assert(!names.exists(_.contains("deadbeef")),
+      "the crashed attempt's revealed file must be rolled back")
+    assert(!Files.exists(dir.resolve(".m2-deadbeef-p00001.parquet")) &&
+      !Files.exists(stage), "hidden leftovers and staging dir must be gone")
   }
 
   test("vacuum reclaims stranded staging dirs and hidden unrevealed files; " +
