@@ -164,7 +164,10 @@ object ScaleSmoke {
       // D162: sidecar-append deletes, byte-stable data files
       "q_deletion_vectors",
       // D163: string-key targeted merge — O(delta) on natural keys
-      "c6_merge_string"))
+      "c6_merge_string",
+      // D164: MV answers from the rollup (plan pin in-gate); D165:
+      // retraction feed aggregates to its key domain, base never rescanned
+      "q_mv_rewrite", "q_rollup_cdc"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

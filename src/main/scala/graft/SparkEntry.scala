@@ -36,7 +36,8 @@ object SparkEntry {
     ExtractionQueries.defs ++ DslQueries.defs ++ PipelineQueries.defs ++
       BenchQueries.defs ++ LlmQueries.defs ++ AnalyticsQueries.defs ++
       RetrievalQueries.defs ++ CurationQueries.defs ++
-      GovernanceQueries.defs ++ MiningQueries.defs
+      GovernanceQueries.defs ++ MiningQueries.defs ++
+      MaintenanceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

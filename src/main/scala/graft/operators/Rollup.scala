@@ -37,4 +37,31 @@ object Rollup {
     * as a double total (the engine-wide output convention, Q.dsum). */
   def readable(rollup: DataFrame): DataFrame =
     rollup.withColumn("total", col("s").cast(DoubleType)).drop("s")
+
+  /** Retraction-aware maintenance (D165): apply a row-level CHANGE FEED —
+    * the `VersionedTable.diff` / CDC-egress convention, a `change` column
+    * ∈ {insert, delete} carrying full rows — to a materialized rollup.
+    * [[merge]] only ADDS (append-only feeds); under updates and deletes
+    * an aggregate must SUBTRACT, and (n, s) supports exact retraction:
+    * deletes contribute (−1, −v), inserts (+1, +v), an UPDATE arrives as
+    * its delete+insert pair and nets to the value delta. Keys whose row
+    * count reaches zero leave the rollup entirely (`n != 0` filter), so
+    * a fully-retracted key is indistinguishable from one never seen —
+    * maintain(diff(v1, v2)) over build(v1) ≡ build(v2) EXACTLY (decimal
+    * arithmetic; the spec pins the equivalence on generated mutations).
+    * Scale shape unchanged: the 100 TB base is never rescanned — the
+    * feed aggregates map-side to its key domain and merges with the
+    * rollup-domain-sized state. */
+  def applyChanges(rollup: DataFrame, changes: DataFrame, keys: Seq[String],
+      valueCol: String, changeCol: String = "change"): DataFrame = {
+    val sign = when(col(changeCol) === "delete", lit(-1L)).otherwise(lit(1L))
+    val v = col(valueCol).cast(DecimalType(18, 2))
+    val feed = changes.groupBy(keys.map(col): _*).agg(
+      sum(sign).as("n"),
+      sum(when(col(changeCol) === "delete", -v).otherwise(v)).as("s"))
+    rollup.unionByName(feed)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+      .filter(col("n") =!= 0)
+  }
 }

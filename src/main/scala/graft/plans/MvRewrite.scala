@@ -1,0 +1,169 @@
+package graft.plans
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
+  Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sink.StageWriter
+
+/** Materialized-view registry + automatic aggregate rewrite (SURVEY §2D,
+  * D164) — the lakehouse MV feature: a query that aggregates the 100 TB
+  * base table is transparently answered from its KB-scale rollup
+  * ([[graft.operators.Rollup.build]] artifact) whenever the rollup
+  * subsumes it, the way warehouse optimizers (and Delta/BigQuery MVs)
+  * rewrite against materialized aggregates. The user keeps writing
+  * queries against the BASE path; maintenance (Rollup.merge /
+  * applyChanges) and answering decouple.
+  *
+  * Subsumption contract (deliberately narrow — a rewrite must be
+  * EXACTLY equivalent, never approximately):
+  *
+  *  - the scan is the registered base path (flat parquet, one root);
+  *  - every grouping expression is a bare column ⊆ the MV's keys;
+  *  - every aggregate is `sum(CAST(value AS DECIMAL(18,2)))` or
+  *    `count(1)` on the MV's value column — the engine-wide
+  *    exact-arithmetic shape [[graft.operators.Rollup.build]] persists.
+  *    Both re-aggregate losslessly from (n, s) partials: decimal sums
+  *    are associative (no IEEE reorder drift) and counts add.
+  *
+  * Freshness: registration fingerprints the base directory's file
+  * inventory (names + sizes — the log-size class, a driver-side listing,
+  * never a scan); the rule re-lists at plan time and STANDS DOWN on any
+  * mismatch, so a base the MV hasn't caught up with is answered from the
+  * base itself — stale answers are impossible by construction, the
+  * trade Delta makes by checking MV staleness in the optimizer.
+  *
+  * The rewritten Aggregate preserves the original output attribute ids
+  * and types (grouping attrs re-aliased under their exprIds; the decimal
+  * re-sum cast back to the original Sum's type), so parent operators
+  * never see the substitution. */
+object MvRewrite {
+
+  /** A registered rollup: `mvPath` holds Rollup.build(base, keys, value)
+    * — columns (keys..., n, s). */
+  final case class Mv(basePath: String, mvPath: String, keys: Seq[String],
+      valueCol: String, fingerprint: String)
+
+  private val registry =
+    scala.collection.concurrent.TrieMap[String, Mv]()
+
+  /** Names + sizes of the visible data files — the same inventory-exact
+    * validity contract as the stats sidecar. */
+  private[plans] def fingerprint(dir: String): String =
+    StageWriter.listDataFiles(Paths.get(dir))
+      .map(p => s"${p.getFileName}:${java.nio.file.Files.size(p)}")
+      .mkString("\n")
+
+  /** Register (or refresh) the MV for `basePath`. Call AFTER the rollup
+    * is (re)built so the fingerprint matches the state it summarizes. */
+  def register(basePath: String, mvPath: String, keys: Seq[String],
+      valueCol: String): Unit = {
+    val norm = Paths.get(basePath).toAbsolutePath.toString
+    registry.put(norm,
+      Mv(norm, mvPath, keys, valueCol, fingerprint(norm)))
+    ()
+  }
+
+  def deregister(basePath: String): Unit = {
+    registry.remove(Paths.get(basePath).toAbsolutePath.toString); ()
+  }
+
+  private[plans] def lookup(dir: String): Option[Mv] =
+    registry.get(Paths.get(dir).toAbsolutePath.toString)
+
+  def ensureInstalled(spark: SparkSession): Unit =
+    RuleInstall.ensure(spark)(_.isInstanceOf[MvRewrite], new MvRewrite)
+}
+
+class MvRewrite extends Rule[LogicalPlan] {
+  import MvRewrite._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case agg: Aggregate => rewrite(agg).getOrElse(agg)
+  }
+
+  /** The base-table scan under the aggregate, tolerating the Project
+    * column pruning inserts (extraOptimizations run after pruning). */
+  private def scanOf(child: LogicalPlan): Option[LogicalRelation] =
+    child match {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        Some(lr)
+      case Project(projList, lr: LogicalRelation)
+          if lr.relation.isInstanceOf[HadoopFsRelation] &&
+            projList.forall(_.isInstanceOf[AttributeReference]) =>
+        Some(lr)
+      case _ => None
+    }
+
+  private def rewrite(agg: Aggregate): Option[Aggregate] = {
+    val lr = scanOf(agg.child).getOrElse(return None)
+    val rel = lr.relation.asInstanceOf[HadoopFsRelation]
+    val roots = rel.location.rootPaths
+    if (roots.size != 1) return None
+    val dir = roots.head.toUri.getPath
+    val mv = lookup(dir).getOrElse(return None)
+    // freshness: any divergence between the inventory the MV summarizes
+    // and the directory NOW disables the rewrite (never a stale answer)
+    if (fingerprint(mv.basePath) != mv.fingerprint) return None
+
+    // every grouping expression: a bare key column of the MV
+    val groupNames = agg.groupingExpressions.map {
+      case a: AttributeReference if mv.keys.contains(a.name) => a.name
+      case _ => return None
+    }
+
+    // the MV scan (tiny — rollup-domain-sized; no pruning needed)
+    val spark = rel.sparkSession
+    val mvPlan = spark.read.parquet(mv.mvPath).queryExecution.analyzed
+    val mvAttr: Map[String, Attribute] =
+      mvPlan.output.map(a => a.name -> a).toMap
+    if (!(groupNames :+ "n" :+ "s").forall(mvAttr.contains)) return None
+
+    def isValueSum(e: Expression): Boolean = e match {
+      case Cast(a: AttributeReference, DecimalType(), _, _) =>
+        a.name == mv.valueCol
+      case _ => false
+    }
+    def aggExpr(f: aggregate.AggregateFunction): AggregateExpression =
+      AggregateExpression(f, Complete, isDistinct = false)
+    // re-express one aggregate over the (n, s) partials, cast back to
+    // the original's result type so parents see an identical schema:
+    // sum(cast(v)) → sum(s), count(1) → sum(n)
+    def reagg(ae: AggregateExpression): Option[Expression] = ae match {
+      case AggregateExpression(Sum(c, _), Complete, false, _, _)
+          if isValueSum(c) =>
+        Some(Cast(aggExpr(Sum(mvAttr("s"))), ae.dataType))
+      case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false,
+          _, _) =>
+        Some(Cast(aggExpr(Sum(mvAttr("n"))), ae.dataType))
+      case _ => None
+    }
+    // each output: grouping attr (bare or aliased) | re-expressible
+    // aggregate, possibly under a collapsed projection Cast (the
+    // optimizer folds `select(cast(s, double))` into the Aggregate)
+    val newOutputs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference if groupNames.contains(a.name) =>
+        Alias(mvAttr(a.name), a.name)(
+          exprId = a.exprId, explicitMetadata = Some(a.metadata))
+      case al @ Alias(a: AttributeReference, _)
+          if groupNames.contains(a.name) =>
+        Alias(mvAttr(a.name), al.name)(exprId = al.exprId)
+      case al @ Alias(ae: AggregateExpression, _) =>
+        Alias(reagg(ae).getOrElse(return None), al.name)(exprId = al.exprId)
+      case al @ Alias(Cast(ae: AggregateExpression, dt, tz, ansi), _) =>
+        Alias(Cast(reagg(ae).getOrElse(return None), dt, tz, ansi),
+          al.name)(exprId = al.exprId)
+      case _ => return None
+    }
+    Some(Aggregate(groupNames.map(mvAttr(_)), newOutputs, mvPlan))
+  }
+}

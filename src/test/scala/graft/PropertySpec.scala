@@ -135,6 +135,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("retraction rollup: applyChanges(diff) ≡ rebuild for random " +
+      "mutations — deletes, updates, inserts, full-key retraction") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val rowGen = Gen.listOfN(150,
+      Gen.zip(Gen.choose(1L, 5000L), Gen.choose(0L, 12L),
+        Gen.choose(0, 99999)))
+    (1 to 3).foreach { seed =>
+      val rows = rowGen.sample.get.map { case (id, k, c) =>
+        (id, k, c / 100.0) }.distinct
+      val v1 = rows.toDF("id", "k", "v")
+      // delete id%3=0, update (+7.5) id%5=0 survivors, insert a new key 99
+      val v2df = v1.filter(col("id") % 3 =!= 0)
+        .withColumn("v", when(col("id") % 5 === 0, col("v") + 7.5)
+          .otherwise(col("v")))
+        .unionByName(Seq((999999L, 99L, 1.25)).toDF("id", "k", "v"))
+      // the change feed exactly as VersionedTable.diff emits it
+      val changes = v2df.exceptAll(v1).withColumn("change", lit("insert"))
+        .unionByName(v1.exceptAll(v2df).withColumn("change", lit("delete")))
+      val maintained = graft.operators.Rollup.applyChanges(
+        graft.operators.Rollup.build(v1, Seq("k"), "v"),
+        changes, Seq("k"), "v")
+      val rebuilt = graft.operators.Rollup.build(v2df, Seq("k"), "v")
+      assert(maintained.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(maintained).isEmpty,
+        s"seed $seed: retraction maintenance diverged from rebuild")
+    }
+  }
+
   test("exact selection ≡ sorted answer for random arrays and every rank " +
       "decile") {
     val vGen = Gen.listOfN(200, Gen.oneOf(

@@ -1,0 +1,110 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Rollup
+import graft.sink.StageWriter
+
+/** D164 — MV auto-rewrite: subsuming aggregates answer from the rollup,
+  * stale or non-subsuming ones from the base, output schema preserved. */
+class MvRewriteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation =>
+        lr.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.map(_.toUri.getPath)
+    }.flatten
+
+  private def fixture(): (String, String) = {
+    val tmp = Files.createTempDirectory("rwfix")
+    val base = tmp.resolve("base").toString
+    val mv = tmp.resolve("mv").toString
+    (1 to 1000).map(i => (s"g${i % 7}", s"h${i % 3}", (i % 100) / 4.0))
+      .toDF("k1", "k2", "v").repartition(3).write.parquet(base)
+    StageWriter.overwrite(
+      Rollup.build(spark.read.parquet(base), Seq("k1", "k2"), "v"), mv)
+    MvRewrite.register(base, mv, Seq("k1", "k2"), "v")
+    MvRewrite.ensureInstalled(spark)
+    (base, mv)
+  }
+
+  private def q(base: String, keys: String*) =
+    spark.read.parquet(base).groupBy(keys.map(col): _*)
+      .agg(sum(col("v").cast(DecimalType(18, 2))).as("s"),
+        count(lit(1)).as("n"))
+
+  test("a subsuming aggregate (grouping subset, exact-decimal sum + " +
+    "count(1)) is answered from the MV with identical results and schema") {
+    val (base, mv) = fixture()
+    try {
+      val direct = q(base, "k1")
+      // force a no-rewrite twin for comparison: deregister, plan, restore
+      MvRewrite.deregister(base)
+      val want = direct.collect().map(r =>
+        (r.getString(0), r.getDecimal(1), r.getLong(2))).toSet
+      MvRewrite.register(base, mv, Seq("k1", "k2"), "v")
+
+      val rewritten = q(base, "k1")
+      assert(scanPaths(rewritten).exists(_.endsWith("/mv")),
+        s"expected the MV scan, got ${scanPaths(rewritten)}")
+      assert(!scanPaths(rewritten).exists(_.endsWith("/base")),
+        "the base table must not be scanned after the rewrite")
+      val got = rewritten.collect().map(r =>
+        (r.getString(0), r.getDecimal(1), r.getLong(2))).toSet
+      assert(got == want, "MV answer must equal the base answer exactly")
+      assert(rewritten.schema == q(base, "k1").schema)
+      // full-key grouping also rewrites (no further rollup needed)
+      assert(scanPaths(q(base, "k1", "k2")).exists(_.endsWith("/mv")))
+    } finally MvRewrite.deregister(base)
+  }
+
+  test("staleness: a base write after registration disables the rewrite " +
+    "until re-registration — never a stale answer") {
+    val (base, mv) = fixture()
+    try {
+      assert(scanPaths(q(base, "k1")).exists(_.endsWith("/mv")))
+      Seq(("g0", "h0", 1000.0)).toDF("k1", "k2", "v")
+        .write.mode("append").parquet(base)
+      val afterWrite = q(base, "k1")
+      assert(scanPaths(afterWrite).forall(!_.endsWith("/mv")),
+        "a stale MV must stand down")
+      // the fresh row is visible (answered from base)
+      val g0 = afterWrite.filter(col("k1") === "g0")
+        .select(col("s").cast("double")).as[Double].head()
+      assert(g0 > 1000.0)
+      // catch the MV up and re-register: rewrite resumes
+      StageWriter.overwrite(
+        Rollup.build(spark.read.parquet(base), Seq("k1", "k2"), "v"), mv)
+      MvRewrite.register(base, mv, Seq("k1", "k2"), "v")
+      val again = q(base, "k1")
+      assert(scanPaths(again).exists(_.endsWith("/mv")))
+      assert(again.filter(col("k1") === "g0")
+        .select(col("s").cast("double")).as[Double].head() == g0)
+    } finally MvRewrite.deregister(base)
+  }
+
+  test("non-subsuming shapes pass through untouched: plain double sum, " +
+    "avg, non-key grouping, unregistered path") {
+    val (base, _) = fixture()
+    try {
+      assert(scanPaths(spark.read.parquet(base).groupBy("k1")
+        .agg(sum("v").as("s"))).forall(!_.endsWith("/mv")),
+        "an IEEE double sum must NOT rewrite (not exactly equivalent)")
+      assert(scanPaths(spark.read.parquet(base).groupBy("k1")
+        .agg(avg("v").as("a"))).forall(!_.endsWith("/mv")))
+      assert(scanPaths(spark.read.parquet(base).groupBy("v")
+        .agg(count(lit(1)).as("n"))).forall(!_.endsWith("/mv")),
+        "grouping by a non-key column must not rewrite")
+    } finally MvRewrite.deregister(base)
+  }
+}

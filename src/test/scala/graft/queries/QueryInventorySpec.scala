@@ -27,7 +27,8 @@ class QueryInventorySpec extends AnyFunSuite {
       "retrieval" -> RetrievalQueries.defs.keys.toSeq,
       "curation" -> CurationQueries.defs.keys.toSeq,
       "governance" -> GovernanceQueries.defs.keys.toSeq,
-      "mining" -> MiningQueries.defs.keys.toSeq)
+      "mining" -> MiningQueries.defs.keys.toSeq,
+      "maintenance" -> MaintenanceQueries.defs.keys.toSeq)
     val dupes = groups.flatMap { case (g, ks) => ks.map(_ -> g) }
       .groupBy(_._1).filter(_._2.size > 1)
     assert(dupes.isEmpty, s"colliding query names: ${dupes.keys.mkString(", ")}")
