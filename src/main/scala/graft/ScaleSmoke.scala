@@ -167,7 +167,10 @@ object ScaleSmoke {
       "c6_merge_string",
       // D164: MV answers from the rollup (plan pin in-gate); D165:
       // retraction feed aggregates to its key domain, base never rescanned
-      "q_mv_rewrite", "q_rollup_cdc"))
+      "q_mv_rewrite", "q_rollup_cdc",
+      // D166: listing-fingerprint keying, result reads are KB-scale;
+      // D167: pure codegen'd replace-chain projection
+      "q_result_cache", "text_mojibake"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

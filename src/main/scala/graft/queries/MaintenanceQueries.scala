@@ -118,6 +118,89 @@ object MaintenanceQueries {
                   FROM orders WHERE o_orderkey % 7 <> 0)
       SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
              CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
-      FROM v2 GROUP BY o_custkey ORDER BY o_custkey""")))
+      FROM v2 GROUP BY o_custkey ORDER BY o_custkey"""))),
+
+    // D166 — plan-fingerprint result cache (sink.ResultCache): a repeat
+    // ask of the same canonicalized plan over the same input state reads
+    // the materialized result; ANY base write changes the inventory
+    // fingerprint → new key → fresh compute. The gate require()s the
+    // miss→hit→invalidate transitions, hit ≡ miss row equality, and that
+    // the post-write answer carries the fresh row.
+    "q_result_cache" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("rescache_gate")
+      try {
+        val base = tmp.resolve("base").toString
+        val cache = tmp.resolve("cache").toString
+        load(spark, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.parquet(base)
+        def q() = spark.read.parquet(base).groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).as("s"))
+          .select(col("o_custkey"), col("n"),
+            col("s").cast("double").as("total"))
+        val first = graft.sink.ResultCache.through(q(), cache)
+        require(!first.hit && first.key.isDefined, "first ask must MISS")
+        val second = graft.sink.ResultCache.through(q(), cache)
+        require(second.hit && second.key == first.key,
+          "an identical re-ask over unchanged inputs must HIT")
+        require(second.df.exceptAll(first.df).isEmpty &&
+          first.df.exceptAll(second.df).isEmpty,
+          "the cached answer must equal the computed answer")
+        import spark.implicits._
+        Seq((99999999L, 77777L, 123.45))
+          .toDF("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode("append").parquet(base)
+        val third = graft.sink.ResultCache.through(q(), cache)
+        require(!third.hit && third.key != first.key,
+          "a base write must invalidate (new key, fresh compute)")
+        require(third.df.filter(col("o_custkey") === 77777L).count() == 1,
+          "the fresh answer must see the appended row")
+        third.df.orderBy("o_custkey").localCheckpoint()
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      WITH base AS (SELECT o_custkey, o_totalprice FROM orders
+                    UNION ALL SELECT 77777, CAST(123.45 AS DOUBLE))
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM base GROUP BY o_custkey ORDER BY o_custkey"""))),
+
+    // D167 — mojibake repair (TextAnalysis.mojibakeRepair): fold the
+    // pinned UTF-8-as-cp1252 sequences back to their intended characters
+    // — a pure codegen'd replace chain, zero shuffles. The gate corrupts
+    // every 5th document with a known mojibake prefix in BOTH engines and
+    // pins the repaired head, characters recovered, and changed flag.
+    "text_mojibake" -> (((spark, dir) => {
+      val inject = "CafÃ© â€” rÃ©sumÃ©: "
+      val docs = load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(inject), col("text"))).otherwise(col("text")))
+      val out = graft.llm.TextAnalysis.mojibakeRepair(docs, "text")
+        .select(col("doc_id"),
+          substring(col("repaired"), 1, 60).as("head"),
+          (length(col("text")) - length(col("repaired")))
+            .cast("long").as("recovered"),
+          (col("text") =!= col("repaired")).cast("int").as("changed"))
+      require(out.filter(col("changed") === 1).count() > 0,
+        "the repair must actually fire on the corrupted docs")
+      out.orderBy("doc_id")
+    }, Some {
+      val inject = "CafÃ© â€” rÃ©sumÃ©: "
+      val chain = graft.llm.TextAnalysis.MojibakePairs
+        .foldLeft("t") { case (e, (b, g)) => s"replace($e, '$b', '$g')" }
+      s"""
+      WITH c AS (SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN '$inject' || text
+                        ELSE text END AS t
+                 FROM documents),
+      r AS (SELECT doc_id, t, $chain AS rep FROM c)
+      SELECT doc_id, substring(rep, 1, 60) AS head,
+             CAST(length(t) - length(rep) AS BIGINT) AS recovered,
+             CAST(t <> rep AS INTEGER) AS changed
+      FROM r ORDER BY doc_id"""
+    }))
   )
 }

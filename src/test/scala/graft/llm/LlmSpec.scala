@@ -668,4 +668,32 @@ class LlmSpec extends AnyFunSuite {
       r.getAs[Long]("media_id") -> r.getAs[Long]("checksum")).toMap
     assert(sums(1L) == sums(4L) && sums(1L) != sums(3L))
   }
+
+  test("mojibake repair: corrupted sequences fold back, clean text is a " +
+    "fixed point, repair is idempotent, pairs are order-confluent") {
+    import graft.llm.TextAnalysis
+    val rows = Seq(
+      (1L, "CafÃ© â€” itâ€™s a rÃ©sumÃ©"),
+      (2L, "already clean text with accents: café, niño"),
+      (3L, "â‚¬ 5 Â° outside, â€œquotedâ€“rangeâ€\u009d ish"),
+      (4L, "")).toDF("id", "text")
+    val out = TextAnalysis.mojibakeRepair(rows, "text")
+      .select("id", "repaired").as[(Long, String)].collect().toMap
+    assert(out(1L) == "Café — it’s a résumé")
+    assert(out(2L) == "already clean text with accents: café, niño",
+      "clean text must be a fixed point")
+    assert(out(3L).startsWith("€ 5 ° outside, “quoted–range"))
+    assert(out(4L) == "")
+    // idempotent: repairing repaired text changes nothing
+    val twice = TextAnalysis.mojibakeRepair(
+      TextAnalysis.mojibakeRepair(rows, "text")
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("repaired").as("text")),
+      "text").select("id", "repaired").as[(Long, String)].collect().toMap
+    assert(twice == out)
+    // no repair output contains any pair's input (confluence invariant)
+    TextAnalysis.MojibakePairs.foreach { case (bad, _) =>
+      TextAnalysis.MojibakePairs.foreach { case (_, good) =>
+        assert(!good.contains(bad)) } }
+  }
 }
