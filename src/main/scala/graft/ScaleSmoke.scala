@@ -170,7 +170,10 @@ object ScaleSmoke {
       "q_mv_rewrite", "q_rollup_cdc",
       // D166: listing-fingerprint keying, result reads are KB-scale;
       // D167: pure codegen'd replace-chain projection
-      "q_result_cache", "text_mojibake"))
+      "q_result_cache", "text_mojibake",
+      // D168: codegen'd per-row index + one range shuffle; D169:
+      // zero-copy pointer commit — O(1) whatever the table size
+      "q_hilbert", "c5_clone"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

@@ -201,6 +201,104 @@ object MaintenanceQueries {
              CAST(length(t) - length(rep) AS BIGINT) AS recovered,
              CAST(t <> rep AS INTEGER) AS changed
       FROM r ORDER BY doc_id"""
-    }))
+    })),
+
+    // D168 — Hilbert-curve clustering (Layout.hilbertWrite over the
+    // codegen'd functions.Hilbert expression): rows land in files that
+    // are contiguous RANGES of the unit-step curve, so an aligned
+    // rectangle is one curve interval and its query touches a handful of
+    // files. The gate clusters lineitem on a 1024×1024 grid, REQUIREs
+    // file skipping on each single dimension AND that the 128×128
+    // rectangle touches ≤ max(3, files/4) files, then oracle-matches the
+    // rectangle rows themselves (layout must never change results).
+    "q_hilbert" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("hilbert_gate")
+      try {
+        val path = tmp.resolve("t").toString
+        val src = load(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+            col("l_quantity"),
+            pmod(col("l_orderkey"), lit(1024)).cast("long").as("x"),
+            pmod(col("l_partkey"), lit(1024)).cast("long").as("y"))
+        graft.sink.Layout.hilbertWrite(src, path, "x", "y",
+          bits = 10, numFiles = 32)
+        val total = graft.sink.StageWriter.listDataFiles(
+          java.nio.file.Paths.get(path)).size
+        require(total >= 16, s"need a multi-file layout, got $total")
+        val fx = graft.sink.Layout.fileRanges(spark, path, "x")
+          .withColumnRenamed("mn", "xmn").withColumnRenamed("mx", "xmx")
+        val fy = graft.sink.Layout.fileRanges(spark, path, "y")
+          .withColumnRenamed("mn", "ymn").withColumnRenamed("mx", "ymx")
+        val both = fx.join(fy, "file").cache()
+        try {
+          val px = both.filter(col("xmn") <= 127).count()
+          val py = both.filter(col("ymn") <= 127).count()
+          require(px <= total * 2 / 3 && py <= total * 2 / 3,
+            s"hilbert layout must skip files on EACH dim " +
+              s"(x=$px, y=$py of $total)")
+          val rect = both.filter(col("xmn") <= 127 && col("ymn") <= 127)
+            .count()
+          require(rect <= math.max(3, total / 4),
+            s"an aligned 128x128 rectangle must be a near-contiguous " +
+              s"curve interval ($rect of $total files)")
+        } finally both.unpersist()
+        spark.read.parquet(path)
+          .filter(col("x") < 128 && col("y") < 128)
+          .orderBy("l_orderkey", "l_linenumber")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+             l_orderkey % 1024 AS x, l_partkey % 1024 AS y
+      FROM lineitem
+      WHERE l_orderkey % 1024 < 128 AND l_partkey % 1024 < 128
+      ORDER BY l_orderkey, l_linenumber"""))),
+
+    // D169 — shallow clone (VersionedTable.cloneShallow, Delta SHALLOW
+    // CLONE): a dev/test copy of a committed snapshot lands as a _ref
+    // pointer — the gate require()s the WHOLE clone table stays under
+    // 4 KB on disk (zero-copy proof) while reading the full snapshot.
+    // Copy-on-write divergence both ways: a commit to the clone leaves
+    // the source byte-equal; a later source commit leaves the clone's
+    // pinned version readable. Final doubled-price clone state oracled
+    // against the raw table.
+    "c5_clone" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("clone_gate")
+      try {
+        val src = tmp.resolve("src").toString
+        val dst = tmp.resolve("dev").toString
+        val orders = load(spark, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        graft.sink.VersionedTable.commit(
+          orders.filter(col("o_orderkey") <= 1000), src)
+        graft.sink.VersionedTable.commit(orders, src)
+        val v = graft.sink.VersionedTable.cloneShallow(src, dst)
+        require(v == 1, "first clone must land as version 1")
+        val cloneBytes = graft.sink.StageWriter.dirSize(
+          java.nio.file.Paths.get(dst))
+        require(cloneBytes < 4096,
+          s"shallow clone must copy NO data ($cloneBytes bytes on disk)")
+        require(graft.sink.VersionedTable.read(spark, dst).count() ==
+          orders.count(), "the clone must read the full source snapshot")
+        // copy-on-write: a clone commit never touches the source
+        val dev = graft.sink.VersionedTable.read(spark, dst)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        graft.sink.VersionedTable.commit(dev, dst)
+        require(graft.sink.VersionedTable.read(spark, src)
+          .exceptAll(orders).isEmpty,
+          "a commit to the clone must leave the source untouched")
+        // source advances; the clone's pinned version stays readable
+        graft.sink.VersionedTable.commit(
+          orders.filter(col("o_orderkey") <= 10), src)
+        require(graft.sink.VersionedTable.read(spark, dst, Some(1))
+          .count() == orders.count(),
+          "the clone's referenced snapshot must survive source commits")
+        graft.sink.VersionedTable.read(spark, dst)
+          .orderBy("o_orderkey")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+      FROM orders ORDER BY o_orderkey""")))
   )
 }

@@ -58,6 +58,24 @@ object Layout {
     clustered.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
   }
 
+  /** Hilbert-clustered write (D168): like [[zorderWriteN]] but on the
+    * Hilbert index ([[graft.functions.Hilbert]]) — unit-step curve
+    * locality, so equal-size index ranges cover more compact rectangles
+    * than Morton's quadrant jumps and rectangle queries touch fewer
+    * files at the same file count (Databricks liquid clustering /
+    * Iceberg hilbert sort order). Coordinates must lie in [0, 2^bits);
+    * out-of-range rows index NULL and would pool into one partition —
+    * size `bits` to the key domain (same discipline as zorderBits). */
+  def hilbertWrite(df: DataFrame, path: String, xCol: String, yCol: String,
+      bits: Int = 10, numFiles: Int = 32): Unit = {
+    val h = graft.functions.Hilbert.hValue2(col(xCol), col(yCol), bits)
+    df.withColumn("__h", h)
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
+
   /** Per-file (min, max) of `column` (cast to long) — the data-skipping
     * index Delta keeps in its log, surfaced as a manifest table for the
     * Parquet fallback (D107). ONE scan of only the stat column; at 100 TB

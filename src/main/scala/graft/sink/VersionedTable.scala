@@ -220,12 +220,84 @@ object VersionedTable {
     val committed = latestVersion(table).getOrElse(Int.MinValue)
     require(asOf.forall(_ <= committed),
       s"versionAsOf ${asOf.get} is ahead of committed $committed")
-    if (!Files.isDirectory(Paths.get(versionDir(table, v))))
+    val dir = resolveDataDir(table, v)
+    if (!Files.isDirectory(Paths.get(dir)))
       throw new IllegalStateException(
         s"$table: version $v is not on disk — reclaimed by vacuum " +
-          s"(committed head is $committed); raise vacuum(keepLast) to " +
-          "cover the oldest snapshot readers still need")
-    spark.read.parquet(versionDir(table, v))
+          "(here or, for a shallow clone, on the SOURCE table; committed " +
+          s"head is $committed); raise vacuum(keepLast) to cover the " +
+          "oldest snapshot readers and clones still need")
+    spark.read.parquet(dir)
+  }
+
+  /** The directory a version's data actually lives in: a shallow-clone
+    * version holds a one-line `_ref` pointer instead of data files.
+    * One level by construction — [[cloneShallow]] always stores the
+    * RESOLVED source dir, so chains of clones stay flat. */
+  private def resolveDataDir(table: String, v: Int): String = {
+    val vd = versionDir(table, v)
+    val ref = Paths.get(vd, "_ref")
+    if (Files.isRegularFile(ref)) Files.readString(ref).trim else vd
+  }
+
+  /** Shallow clone (Delta `SHALLOW CLONE` / snapshot import): commit a
+    * version of `dst` that REFERENCES `src`'s resolved snapshot directory
+    * — zero data copied; the new version dir holds one `_ref` pointer
+    * file. Writes to the clone commit normal full versions afterward
+    * (copy-on-write at table granularity), so clone and source never
+    * observe each other's commits. Like Delta's shallow clone, the clone
+    * does NOT pin source retention: vacuuming the source past the
+    * referenced version breaks the clone's referencing version — [[read]]
+    * then fails EAGERLY with the vacuum message, never partial rows —
+    * so size the source's `vacuum(keepLast)` over live clones. Goes
+    * through the same claim CAS + atomic pointer flip as [[commit]];
+    * `dst` may already exist (the clone lands as its next version).
+    * Returns the committed clone version. */
+  def cloneShallow(src: String, dst: String, asOf: Option[Int] = None,
+      commitTs: Long = System.currentTimeMillis): Int = {
+    val srcV = asOf.orElse(latestVersion(src)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $src"))
+    require(asOf.forall(v => latestVersion(src).exists(v <= _)),
+      s"cannot clone uncommitted $src version ${asOf.getOrElse(-1)}")
+    val srcDir = Paths.get(resolveDataDir(src, srcV)).toAbsolutePath
+    if (!Files.isDirectory(srcDir))
+      throw new IllegalStateException(
+        s"$src: version $srcV is not on disk — reclaimed by vacuum")
+    val base = latestVersion(dst).getOrElse(0)
+    val next = base + 1
+    Files.createDirectories(Paths.get(dst, "_claims"))
+    try Files.createFile(claim(dst, next))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentCommitException(
+          s"$dst: version $next is already claimed by a concurrent writer")
+    }
+    try {
+      latestVersion(dst).filter(_ >= 1).foreach { prev =>
+        val m = tsMarker(dst, prev)
+        if (Files.isRegularFile(m)) {
+          val prevTs = Files.readString(m).trim.toLong
+          require(commitTs >= prevTs,
+            s"$dst: commitTs $commitTs precedes version $prev's $prevTs")
+        }
+      }
+      val vd = Paths.get(versionDir(dst, next))
+      Files.createDirectories(vd)
+      Files.writeString(vd.resolve("_ref"), srcDir.toString)
+      Files.createDirectories(Paths.get(dst, "_commit_ts"))
+      Files.writeString(tsMarker(dst, next), commitTs.toString)
+      val tmp = Paths.get(dst, s"_latest.tmp$next")
+      Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, pointer(dst), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        scala.util.Try(StageWriter.deleteRecursively(
+          Paths.get(versionDir(dst, next))))
+        scala.util.Try(Files.deleteIfExists(claim(dst, next)))
+        throw e
+    }
+    next
   }
 
   /** Change-data feed between two snapshots (Delta CDF twin, read side):

@@ -273,4 +273,36 @@ class VersionedTableSpec extends AnyFunSuite {
       assert(VersionedTable.read(spark, t).count() == 1)
     } finally StageWriter.deleteRecursively(tmp)
   }
+
+  test("shallow clone: zero-copy, clone-into-existing pins per-version, " +
+    "and source vacuum past the referenced version fails the clone " +
+    "EAGERLY — never partial rows") {
+    val tmp = Files.createTempDirectory("vtclone")
+    try {
+      val src = tmp.resolve("src").toString
+      val dst = tmp.resolve("dst").toString
+      VersionedTable.commit(Seq(1, 2).toDF("x"), src)
+      VersionedTable.commit(Seq(1, 2, 3).toDF("x"), src)
+      assert(VersionedTable.cloneShallow(src, dst) == 1)
+      assert(VersionedTable.read(spark, dst).count() == 3)
+      assert(StageWriter.dirSize(java.nio.file.Paths.get(dst)) < 4096,
+        "a shallow clone must hold pointers, not data")
+      // clone an OLDER snapshot into the same existing clone table
+      assert(VersionedTable.cloneShallow(src, dst, asOf = Some(1)) == 2)
+      assert(VersionedTable.read(spark, dst).count() == 2)
+      assert(VersionedTable.read(spark, dst, Some(1)).count() == 3)
+      // chains stay flat: cloning a clone references the DATA dir
+      val dst2 = tmp.resolve("dst2").toString
+      assert(VersionedTable.cloneShallow(dst, dst2, asOf = Some(1)) == 1)
+      assert(VersionedTable.read(spark, dst2).count() == 3)
+      // vacuum the SOURCE past the referenced versions: clone reads must
+      // fail eagerly with the vacuum message
+      VersionedTable.commit(Seq(9).toDF("x"), src)
+      VersionedTable.vacuum(src, keepLast = 1)
+      val e = intercept[IllegalStateException] {
+        VersionedTable.read(spark, dst, Some(1))
+      }
+      assert(e.getMessage.contains("vacuum"))
+    } finally StageWriter.deleteRecursively(tmp)
+  }
 }
