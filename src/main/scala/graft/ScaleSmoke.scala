@@ -173,7 +173,9 @@ object ScaleSmoke {
       "q_result_cache", "text_mojibake",
       // D168: codegen'd per-row index + one range shuffle; D169:
       // zero-copy pointer commit — O(1) whatever the table size
-      "q_hilbert", "c5_clone"))
+      "q_hilbert", "c5_clone",
+      // D170: refresh is O(version diff) + rollup-domain merge
+      "q_mv_incremental"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

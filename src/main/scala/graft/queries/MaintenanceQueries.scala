@@ -299,6 +299,66 @@ object MaintenanceQueries {
       } finally graft.sink.StageWriter.deleteRecursively(tmp)
     }, Some("""
       SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
-      FROM orders ORDER BY o_orderkey""")))
+      FROM orders ORDER BY o_orderkey"""))),
+
+    // D170 — self-maintaining MV (plans.MvMaintain): the full lifecycle
+    // on one versioned table — build registers the rewrite against the
+    // head version's immutable data dir; a source commit structurally
+    // un-registers (new path ⇒ registry miss ⇒ base answers, correct);
+    // refresh catches the rollup up from the VERSION DIFF (O(changes),
+    // no base rescan) and re-registers. The gate require()s all three
+    // plan states and oracles the final MV-served aggregate.
+    "q_mv_incremental" -> (((spark, dir) => {
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+        LogicalRelation}
+      val tmp = java.nio.file.Files.createTempDirectory("mvincr_gate")
+      try {
+        val vt = tmp.resolve("orders").toString
+        val mv = tmp.resolve("mv").toString
+        val orders = load(spark, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        graft.sink.VersionedTable.commit(orders, vt)
+        require(graft.plans.MvMaintain.build(spark, vt, mv,
+          Seq("o_custkey"), "o_totalprice") == 1)
+        graft.plans.MvRewrite.ensureInstalled(spark)
+        def q() = graft.sink.VersionedTable.read(spark, vt)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).as("s"))
+          .select(col("o_custkey"), col("n"),
+            col("s").cast("double").as("total"))
+        def usedMv(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.optimizedPlan.collect {
+            case lr: LogicalRelation =>
+              lr.relation.asInstanceOf[HadoopFsRelation]
+                .location.rootPaths.map(_.toUri.getPath)
+          }.flatten.exists(_.endsWith("/mv"))
+        require(usedMv(q()), "after build, the head query must answer " +
+          "from the MV")
+        val v2 = orders.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+          .withColumn("o_totalprice",
+            when(pmod(col("o_orderkey"), lit(11)) === 0,
+              col("o_totalprice") + 100.0).otherwise(col("o_totalprice")))
+        graft.sink.VersionedTable.commit(v2, vt)
+        require(!usedMv(q()),
+          "an un-refreshed MV must not answer the new head")
+        val r = graft.plans.MvMaintain.refresh(spark, vt, mv,
+          Seq("o_custkey"), "o_totalprice")
+        require(r.fromV == 1 && r.toV == 2 && r.changeRows > 0,
+          s"refresh must apply the version diff, got $r")
+        val served = q()
+        require(usedMv(served),
+          "after refresh, the head query must answer from the MV again")
+        served.orderBy("o_custkey").localCheckpoint()
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      WITH v2 AS (SELECT o_custkey,
+                    CASE WHEN o_orderkey % 11 = 0
+                         THEN o_totalprice + 100.0
+                         ELSE o_totalprice END AS p
+                  FROM orders WHERE o_orderkey % 7 <> 0)
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM v2 GROUP BY o_custkey ORDER BY o_custkey""")))
   )
 }

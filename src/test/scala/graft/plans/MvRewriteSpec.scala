@@ -107,4 +107,30 @@ class MvRewriteSpec extends AnyFunSuite {
         "grouping by a non-key column must not rewrite")
     } finally MvRewrite.deregister(base)
   }
+
+  test("MvMaintain: refresh is a no-op when current, errors without " +
+    "build, and summarizedVersion tracks the lifecycle") {
+    val tmp = Files.createTempDirectory("mvmaint")
+    val vt = tmp.resolve("t").toString
+    val mv = tmp.resolve("mv").toString
+    try {
+      intercept[IllegalStateException] {
+        MvMaintain.refresh(spark, vt, mv, Seq("k"), "v")
+      }
+      graft.sink.VersionedTable.commit(
+        Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v"), vt)
+      assert(MvMaintain.build(spark, vt, mv, Seq("k"), "v") == 1)
+      assert(MvMaintain.summarizedVersion(mv).contains(1))
+      val noop = MvMaintain.refresh(spark, vt, mv, Seq("k"), "v")
+      assert(noop == MvMaintain.Refresh(1, 1, 0L))
+      graft.sink.VersionedTable.commit(
+        Seq(("a", 1.0), ("b", 2.0), ("b", 3.5)).toDF("k", "v"), vt)
+      val r = MvMaintain.refresh(spark, vt, mv, Seq("k"), "v")
+      assert(r.fromV == 1 && r.toV == 2 && r.changeRows == 1)
+      assert(MvMaintain.summarizedVersion(mv).contains(2))
+      val got = spark.read.parquet(mv)
+        .select("k", "n").as[(String, Long)].collect().toMap
+      assert(got == Map("a" -> 1L, "b" -> 2L))
+    } finally StageWriter.deleteRecursively(tmp)
+  }
 }
