@@ -175,7 +175,10 @@ object ScaleSmoke {
       // zero-copy pointer commit — O(1) whatever the table size
       "q_hilbert", "c5_clone",
       // D170: refresh is O(version diff) + rollup-domain merge
-      "q_mv_incremental"))
+      "q_mv_incremental",
+      // D171: the eliminated join IS the scale win; D172: one
+      // dimension-sized aggregation
+      "q_join_elim", "evt_scd2_weighted"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

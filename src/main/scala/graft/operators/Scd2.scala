@@ -107,4 +107,36 @@ object Scd2 {
     AsofJoin.asofJoin(facts,
       resolveTies(changes, keyCols, changeTime, tiebreak), keyCols,
       factTime, changeTime, attrCols)
+
+  /** Duration-weighted aggregation over validity intervals (D172): the
+    * reporting twin of [[pointInTime]] — not "which rate was in effect
+    * at t" but "what was the TIME-WEIGHTED AVERAGE rate over the window
+    * [winStart, winEnd)". Each version contributes value × overlap of
+    * its validity with the window (open versions clamp at winEnd); keys
+    * with zero coverage are absent, never a 0/0. ONE aggregation over
+    * the dimension table (dimension-sized, orders of magnitude under the
+    * fact table); the weighted sum is exact decimal so both engines
+    * agree to the bit, with a SINGLE final IEEE division per key. The
+    * weighted sum exceeds 2^53 (value-cents × nanoseconds), where a
+    * direct decimal→double conversion is not correctly rounded in every
+    * engine (1-ulp divergence observed); converting via the decimal's
+    * exact STRING form pins both engines to the correctly-rounded
+    * string→double parse.
+    * Returns (keys..., covered_ns, twa). */
+  def timeWeighted(dim: DataFrame, keyCols: Seq[String], valueCol: String,
+      winStart: Long, winEnd: Long): DataFrame = {
+    require(winEnd > winStart, s"empty window [$winStart, $winEnd)")
+    import org.apache.spark.sql.types.DecimalType
+    val from = greatest(col("valid_from"), lit(winStart))
+    val to = least(coalesce(col("valid_to"), lit(winEnd)), lit(winEnd))
+    val overlap = when(to > from, to - from).otherwise(lit(0L))
+    dim.withColumn("__ov", overlap)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__ov")).as("covered_ns"),
+        sum(col(valueCol).cast(DecimalType(18, 2)) * col("__ov")).as("__ws"))
+      .filter(col("covered_ns") > 0)
+      .withColumn("twa",
+        col("__ws").cast("string").cast("double") / col("covered_ns"))
+      .drop("__ws")
+  }
 }

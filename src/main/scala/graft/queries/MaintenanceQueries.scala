@@ -359,6 +359,92 @@ object MaintenanceQueries {
                   FROM orders WHERE o_orderkey % 7 <> 0)
       SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
              CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
-      FROM v2 GROUP BY o_custkey ORDER BY o_custkey""")))
+      FROM v2 GROUP BY o_custkey ORDER BY o_custkey"""))),
+
+    // D171 — RELY join elimination (plans.JoinElim): the query joins
+    // customer and then uses no customer column — with the declared
+    // o_custkey → c_custkey RELY edge the join is the identity on orders
+    // and is CUT from the plan (require()d: no Join node). At 100 TB the
+    // eliminated join is a full shuffle of the fact table, for free. The
+    // oracle runs WITH the join, proving the cut preserves semantics;
+    // the negative leg require()s a dim-referencing query keeps its join.
+    "q_join_elim" -> (((spark, dir) => {
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      val tmp = java.nio.file.Files.createTempDirectory("jelim_gate")
+      try {
+        val fact = tmp.resolve("orders").toString
+        val dim = tmp.resolve("customer").toString
+        load(spark, dir, "orders").write.parquet(fact)
+        load(spark, dir, "customer").write.parquet(dim)
+        graft.plans.Constraints.declareFk(
+          fact, Seq("o_custkey"), dim, Seq("c_custkey"))
+        graft.plans.JoinElim.ensureInstalled(spark)
+        def hasJoin(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.optimizedPlan
+            .collect { case j: Join => j }.nonEmpty
+        val q = spark.read.parquet(fact)
+          .join(spark.read.parquet(dim),
+            col("o_custkey") === col("c_custkey"), "inner")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .filter(col("o_totalprice") > 100000.0)
+        require(!hasJoin(q), "the identity join must be eliminated")
+        val withDim = spark.read.parquet(fact)
+          .join(spark.read.parquet(dim),
+            col("o_custkey") === col("c_custkey"), "inner")
+          .select("o_orderkey", "c_mktsegment")
+        require(hasJoin(withDim),
+          "a dim-referencing query must keep its join")
+        q.orderBy("o_orderkey")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally {
+        graft.plans.Constraints.drop(
+          tmp.resolve("orders").toString, tmp.resolve("customer").toString)
+        graft.sink.StageWriter.deleteRecursively(tmp)
+      }
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_totalprice > 100000.0
+      ORDER BY o_orderkey"""))),
+
+    // D172 — duration-weighted SCD2 aggregation (Scd2.timeWeighted): the
+    // time-weighted average rate in effect per user over a fixed window,
+    // from the versioned dimension the event stream builds — exact
+    // decimal weighted sums, one final IEEE division per key; zero-
+    // coverage keys absent. Window pinned to days [19728, 19745) of the
+    // events span in BOTH engines.
+    "evt_scd2_weighted" -> (((spark, dir) => {
+      val lo = 19728L * 86400L * 1000000000L
+      val hi = 19745L * 86400L * 1000000000L
+      val changes = load(spark, dir, "events")
+        .groupBy("user_id", "ts").agg(max("value").as("rate"))
+      val dim = graft.operators.Scd2.build(
+        changes, Seq("user_id"), "ts", Seq("rate"))
+      graft.operators.Scd2.timeWeighted(dim, Seq("user_id"), "rate",
+        lo, hi).orderBy("user_id")
+    }, Some {
+      val lo = 19728L * 86400L * 1000000000L
+      val hi = 19745L * 86400L * 1000000000L
+      s"""
+      WITH c AS (SELECT user_id, epoch_ns(ts) AS tsn, max("value") AS rate
+                 FROM events GROUP BY 1, 2),
+      d AS (SELECT user_id, tsn AS valid_from,
+              lead(tsn) OVER (PARTITION BY user_id ORDER BY tsn)
+                AS valid_to, rate
+            FROM c),
+      o AS (SELECT user_id, rate,
+              CASE WHEN least(coalesce(valid_to, $hi), $hi) >
+                        greatest(valid_from, $lo)
+                   THEN least(coalesce(valid_to, $hi), $hi) -
+                        greatest(valid_from, $lo)
+                   ELSE 0 END AS ov
+            FROM d),
+      a AS (SELECT user_id, CAST(SUM(ov) AS BIGINT) AS covered_ns,
+              SUM(CAST(rate AS DECIMAL(18,2)) * ov) AS ws
+            FROM o GROUP BY 1)
+      SELECT user_id, covered_ns,
+             CAST(CAST(ws AS VARCHAR) AS DOUBLE) / covered_ns AS twa
+      FROM a WHERE covered_ns > 0 ORDER BY user_id"""
+    }))
   )
 }

@@ -101,4 +101,27 @@ class Scd2Spec extends AnyFunSuite {
     assert(out.collect().map(_.toString).sorted.toSeq ==
       dim.collect().map(_.toString).sorted.toSeq)
   }
+
+  test("timeWeighted: overlap clamping, open-version clamp at winEnd, " +
+    "zero-coverage keys absent, hand-computed weighted average") {
+    // A: rate 10 on [0, 100), rate 20 on [100, open)
+    // B: single version starting AFTER the window (zero coverage)
+    val changes = Seq(
+      ("A", 0L, 10.0), ("A", 100L, 20.0), ("B", 1000L, 5.0))
+      .toDF("k", "ts", "rate")
+    val dim = Scd2.build(changes, Seq("k"), "ts", Seq("rate"))
+    // window [50, 150): A covers 10.0 over 50ns and 20.0 over 50ns
+    val rows = Scd2.timeWeighted(dim, Seq("k"), "rate", 50L, 150L)
+      .collect()
+    assert(rows.length == 1, "zero-coverage B must be absent")
+    val r = rows.head
+    assert(r.getString(0) == "A")
+    assert(r.getAs[Long]("covered_ns") == 100L)
+    assert(r.getAs[Double]("twa") == 15.0)
+    // window entirely inside one version
+    val inner = Scd2.timeWeighted(dim, Seq("k"), "rate", 110L, 120L)
+      .collect().head
+    assert(inner.getAs[Long]("covered_ns") == 10L &&
+      inner.getAs[Double]("twa") == 20.0)
+  }
 }

@@ -1,0 +1,85 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sink.StageWriter
+
+/** D171 — RELY join elimination: identity joins vanish, every unsound
+  * shape keeps its join, fk-NULL rows still drop. */
+class JoinElimSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def hasJoin(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect { case j: Join => j }.nonEmpty
+
+  private def fixture(): (String, String) = {
+    val tmp = Files.createTempDirectory("jelim")
+    val fact = tmp.resolve("fact").toString
+    val dim = tmp.resolve("dim").toString
+    // one NULL fk row: the rewrite must keep dropping it (inner-join
+    // semantics), via the IsNotNull filter it leaves behind
+    val rows: Seq[(Long, java.lang.Long, Double)] =
+      (1L to 100L).map(i => (i, java.lang.Long.valueOf(i % 10), i / 2.0)) :+
+        ((101L, null.asInstanceOf[java.lang.Long], 9.9))
+    rows.toDF("id", "fk", "v").write.parquet(fact)
+    (0L until 10L).map(i => (i, s"dim$i")).toDF("pk", "attr")
+      .write.parquet(dim)
+    Constraints.declareFk(fact, Seq("fk"), dim, Seq("pk"))
+    JoinElim.ensureInstalled(spark)
+    (fact, dim)
+  }
+
+  test("an identity join is eliminated; results (incl. fk-NULL drop) " +
+    "match the real join exactly") {
+    val (fact, dim) = fixture()
+    try {
+      def q() = spark.read.parquet(fact)
+        .join(spark.read.parquet(dim),
+          col("fk") === col("pk"), "inner")
+        .select("id", "v")
+      Constraints.drop(fact, dim)
+      val want = q().collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sorted.toSeq
+      Constraints.declareFk(fact, Seq("fk"), dim, Seq("pk"))
+      val opt = q()
+      assert(!hasJoin(opt), "declared identity join must be eliminated")
+      val got = opt.collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sorted.toSeq
+      assert(got == want)
+      assert(got.size == 100, "the fk-NULL row must still be dropped")
+      // reversed sides eliminate too
+      val rev = spark.read.parquet(dim)
+        .join(spark.read.parquet(fact), col("pk") === col("fk"))
+        .select("id", "v")
+      assert(!hasJoin(rev))
+      assert(rev.count() == 100)
+    } finally Constraints.drop(fact, dim)
+  }
+
+  test("unsound shapes keep their join: dim column referenced, filtered " +
+    "dim, outer join, undeclared edge, extra join predicate") {
+    val (fact, dim) = fixture()
+    try {
+      val f = spark.read.parquet(fact)
+      val d = spark.read.parquet(dim)
+      assert(hasJoin(f.join(d, col("fk") === col("pk"))
+        .select("id", "attr")), "dim column referenced")
+      assert(hasJoin(f.join(d.filter(col("attr") =!= "dim3"),
+        col("fk") === col("pk")).select("id", "v")), "filtered dim")
+      assert(hasJoin(f.join(d, col("fk") === col("pk"), "left")
+        .select("id", "v")), "outer join")
+      assert(hasJoin(f.join(d,
+        col("fk") === col("pk") && col("v") > col("pk"))
+        .select("id", "v")), "extra non-declared predicate")
+      Constraints.drop(fact, dim)
+      assert(hasJoin(f.join(d, col("fk") === col("pk"))
+        .select("id", "v")), "undeclared edge")
+    } finally Constraints.drop(fact, dim)
+  }
+}
