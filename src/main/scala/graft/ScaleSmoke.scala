@@ -178,7 +178,10 @@ object ScaleSmoke {
       "q_mv_incremental",
       // D171: the eliminated join IS the scale win; D172: one
       // dimension-sized aggregation
-      "q_join_elim", "evt_scd2_weighted"))
+      "q_join_elim", "evt_scd2_weighted",
+      // D173: per-batch key-domain agg + rollup-domain merge; D174: one
+      // count + one key-domain anti-join; D175: pure narrow projection
+      "evt_stream_rollup", "q_fk_validate", "q_unpivot"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

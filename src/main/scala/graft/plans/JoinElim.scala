@@ -61,6 +61,63 @@ object Constraints {
 
   private[plans] def lookup(factPath: String, dimPath: String): Option[Fk] =
     fks.get((norm(factPath), norm(dimPath)))
+
+  /** What a declared edge's data actually looks like. */
+  final case class Validation(dupPkGroups: Long, orphanRows: Long) {
+    def holds: Boolean = dupPkGroups == 0 && orphanRows == 0
+  }
+
+  /** Validate a declared RELY edge against the data (D174): RELY means
+    * the engine TRUSTS the declaration ([[JoinElim]] cuts joins on it),
+    * so governance runs this audit on write cadence — pk uniqueness via
+    * one map-side-combinable count, fk coverage via one anti-join of the
+    * DISTINCT fk domain (key-domain-sized, orders under the fact table)
+    * against the pk side. NULL fks are not orphans (the eliminated
+    * join's IsNotNull filter drops them, matching inner-join semantics). */
+  def validate(spark: org.apache.spark.sql.SparkSession, factPath: String,
+      dimPath: String): Validation = {
+    import org.apache.spark.sql.functions._
+    val fk = lookup(factPath, dimPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"no declared edge $factPath -> $dimPath"))
+    val dim = spark.read.parquet(fk.dimPath)
+    val dups = dim.groupBy(fk.pkCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+    val fact = spark.read.parquet(fk.factPath)
+    val orphanKeys = fact
+      .select(fk.fkCols.zip(fk.pkCols).map { case (f, p) =>
+        col(f).as(p) }: _*)
+      .na.drop().distinct()
+      .join(dim.select(fk.pkCols.map(col): _*), fk.pkCols, "left_anti")
+    val orphans = fact.join(orphanKeys,
+      fk.fkCols.zip(fk.pkCols).map { case (f, p) =>
+        fact(f) === orphanKeys(p) }.reduce(_ && _), "left_semi").count()
+    Validation(dups, orphans)
+  }
+
+  /** Split the fact into (referentially valid, orphan) halves — the
+    * repair surface when [[validate]] fails: quarantine the orphans,
+    * publish the valid side, fix upstream. NULL-fk rows count as VALID
+    * here (they are legal under the declaration; deletion is a policy,
+    * not a referential fact). */
+  def splitOrphans(spark: org.apache.spark.sql.SparkSession,
+      factPath: String, dimPath: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val fk = lookup(factPath, dimPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"no declared edge $factPath -> $dimPath"))
+    val fact = spark.read.parquet(fk.factPath)
+    val pks = spark.read.parquet(fk.dimPath)
+      .select(fk.pkCols.map(col): _*).distinct()
+    val cond = fk.fkCols.zip(fk.pkCols).map { case (f, p) =>
+      fact(f) === pks(p) }.reduce(_ && _)
+    val anyNull = fk.fkCols.map(c => fact(c).isNull).reduce(_ || _)
+    val orphans = fact.join(pks, cond, "left_anti").filter(!anyNull)
+    val valid = fact.join(pks, cond, "left_semi")
+      .unionByName(fact.filter(anyNull))
+    (valid, orphans)
+  }
 }
 
 class JoinElim extends Rule[LogicalPlan] {

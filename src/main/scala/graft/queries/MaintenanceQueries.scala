@@ -445,6 +445,141 @@ object MaintenanceQueries {
       SELECT user_id, covered_ns,
              CAST(CAST(ws AS VARCHAR) AS DOUBLE) / covered_ns AS twa
       FROM a WHERE covered_ns > 0 ORDER BY user_id"""
-    }))
+    })),
+
+    // D173 — streaming rollup maintenance (Streams.rollupMaintainStream):
+    // a CDC change stream keeps the (n, s) rollup current per micro-batch
+    // — two epochs (bootstrap inserts, then the delete/update diff) with
+    // a REAL checkpoint restart between them, then a replay-fence proof:
+    // the checkpoint is DELETED and the whole feed re-delivered, and the
+    // applied-batch marker (swapped atomically WITH the data) must turn
+    // the double-maintenance into a no-op. Final rollup require()d ≡ the
+    // batch rebuild, then oracled.
+    "evt_stream_rollup" -> (((spark, dir) => withStreamPartitions(spark) {
+      val tmp = java.nio.file.Files.createTempDirectory("strollup_gate")
+      try {
+        val (feed, roll, chk) = (tmp.resolve("feed").toString,
+          tmp.resolve("rollup").toString, tmp.resolve("chk").toString)
+        val v1 = load(spark, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val v2 = v1.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+          .withColumn("o_totalprice",
+            when(pmod(col("o_orderkey"), lit(11)) === 0,
+              col("o_totalprice") + 100.0).otherwise(col("o_totalprice")))
+        // epoch 1: bootstrap inserts
+        v1.withColumn("change", lit("insert")).coalesce(1)
+          .write.parquet(feed)
+        val q1 = graft.streaming.Streams.rollupMaintainStream(spark,
+          feed, roll, chk, Seq("o_custkey"), "o_totalprice")
+        // AvailableNow semantics via processAllAvailable + stop
+        q1.processAllAvailable(); q1.stop(); q1.awaitTermination()
+        // epoch 2 (after a restart): the v1→v2 change feed
+        v2.exceptAll(v1).withColumn("change", lit("insert"))
+          .unionByName(v1.exceptAll(v2).withColumn("change", lit("delete")))
+          .coalesce(1).write.mode("append").parquet(feed)
+        val q2 = graft.streaming.Streams.rollupMaintainStream(spark,
+          feed, roll, chk, Seq("o_custkey"), "o_totalprice")
+        q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+        val rebuilt = graft.operators.Rollup.build(v2,
+          Seq("o_custkey"), "o_totalprice")
+        val afterEpochs = spark.read.parquet(roll)
+        require(afterEpochs.exceptAll(rebuilt).isEmpty &&
+          rebuilt.exceptAll(afterEpochs).isEmpty,
+          "streamed maintenance must equal the batch rebuild")
+        // replay fence: rebuilt checkpoint re-delivers EVERYTHING; the
+        // marker must no-op it (without the fence this double-counts)
+        graft.sink.StageWriter.deleteRecursively(
+          java.nio.file.Paths.get(chk))
+        val q3 = graft.streaming.Streams.rollupMaintainStream(spark,
+          feed, roll, chk, Seq("o_custkey"), "o_totalprice")
+        q3.processAllAvailable(); q3.stop(); q3.awaitTermination()
+        val afterReplay = spark.read.parquet(roll)
+        require(afterReplay.exceptAll(rebuilt).isEmpty &&
+          rebuilt.exceptAll(afterReplay).isEmpty,
+          "the applied-batch fence must no-op a full re-delivery")
+        graft.operators.Rollup.readable(afterReplay)
+          .orderBy("o_custkey").localCheckpoint()
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      WITH v2 AS (SELECT o_custkey,
+                    CASE WHEN o_orderkey % 11 = 0
+                         THEN o_totalprice + 100.0
+                         ELSE o_totalprice END AS p
+                  FROM orders WHERE o_orderkey % 7 <> 0)
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM v2 GROUP BY o_custkey ORDER BY o_custkey"""))),
+
+    // D174 — RELY constraint validation + orphan quarantine
+    // (Constraints.validate/splitOrphans): the audit that makes D171's
+    // trust honest — pk uniqueness via one count, fk coverage via one
+    // key-domain anti-join. The gate corrupts copies (3 orphan fact
+    // rows, 1 duplicated pk) and require()s the exact violation counts
+    // plus a clean valid/orphan split.
+    "q_fk_validate" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("fkval_gate")
+      val fact = tmp.resolve("orders").toString
+      val dim = tmp.resolve("customer").toString
+      try {
+        import spark.implicits._
+        val orders = load(spark, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        orders.unionByName(Seq(
+          (9000001L, 999999L, 1.0), (9000002L, 999999L, 2.0),
+          (9000003L, 888888L, 3.0))
+          .toDF("o_orderkey", "o_custkey", "o_totalprice"))
+          .write.parquet(fact)
+        val cust = load(spark, dir, "customer")
+        cust.unionByName(cust.filter(col("c_custkey") === 1))
+          .write.parquet(dim)
+        graft.plans.Constraints.declareFk(
+          fact, Seq("o_custkey"), dim, Seq("c_custkey"))
+        val v = graft.plans.Constraints.validate(spark, fact, dim)
+        require(v == graft.plans.Constraints.Validation(1L, 3L),
+          s"expected exactly (1 dup pk group, 3 orphans), got $v")
+        val (valid, orphans) = graft.plans.Constraints.splitOrphans(
+          spark, fact, dim)
+        val nOrphans = orphans.count()
+        val nValid = valid.count()
+        require(nOrphans == 3, s"orphan split must isolate 3, got $nOrphans")
+        require(nValid == orders.count(),
+          "every original fact row is referentially valid")
+        Seq(("dup_pk_groups", v.dupPkGroups),
+          ("orphan_rows", v.orphanRows), ("valid_rows", nValid))
+          .toDF("metric", "value").orderBy("metric")
+      } finally {
+        graft.plans.Constraints.drop(fact, dim)
+        graft.sink.StageWriter.deleteRecursively(tmp)
+      }
+    }, Some("""
+      SELECT 'dup_pk_groups' AS metric, CAST(1 AS BIGINT) AS value
+      UNION ALL SELECT 'orphan_rows', 3
+      UNION ALL SELECT 'valid_rows', (SELECT count(*) FROM orders)
+      ORDER BY metric"""))),
+
+    // D175 — unpivot/melt (the inverse of D90's pivot, Spark's built-in
+    // Dataset.unpivot): wide metric columns to long (id, metric, val)
+    // form — pure narrow projection, no shuffle beyond the final sort.
+    "q_unpivot" -> (((spark, dir) => {
+      load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    }, Some("""
+      SELECT l_orderkey, l_linenumber, metric, val FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+               l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+               l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem)
+      ORDER BY l_orderkey, l_linenumber, metric""")))
   )
 }

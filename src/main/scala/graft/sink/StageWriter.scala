@@ -101,8 +101,11 @@ object StageWriter {
   }
 
   /** Atomic-ish `path.__tmp__` → `path` swap shared by the overwrite and
-    * optimize paths (see the class doc for the crash-window contract). */
-  private def swapTmp(path: String): Unit = {
+    * optimize paths (see the class doc for the crash-window contract).
+    * `private[graft]` so sinks that must co-publish a sidecar ATOMICALLY
+    * with the data (the streaming rollup's applied-batch marker) can
+    * stage both into the tmp dir and swap once. */
+  private[graft] def swapTmp(path: String): Unit = {
     val target = Paths.get(path)
     val old = Paths.get(path + ".__old__")
     deleteRecursively(old)

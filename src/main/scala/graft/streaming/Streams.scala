@@ -492,6 +492,61 @@ object Streams {
       .start()
   }
 
+  /** D173 — streaming rollup maintenance: a CDC change stream (the
+    * `VersionedTable.diff` insert|delete convention) keeps a materialized
+    * (n, s) rollup current per micro-batch via
+    * [[graft.operators.Rollup.applyChanges]] — the streaming twin of the
+    * D165 batch maintenance, and the streaming half of the D170 MV
+    * lifecycle. The 100 TB discipline carries over: each batch aggregates
+    * map-side to its key domain and merges with rollup-domain state; no
+    * base ever rescans.
+    *
+    * Exactly-once: applying a change delta is NOT idempotent (a replayed
+    * batch double-counts), so the sink records the last applied batch id
+    * INSIDE the rollup directory (`_applied`) and stages data + marker
+    * through ONE atomic dir swap — data and watermark can never diverge.
+    * A replayed batch id (crash after swap, restart re-delivers) is
+    * skipped; a REBUILT checkpoint against an already-maintained rollup
+    * restarts ids at 0 and is likewise fenced (ids ≤ marker skip), which
+    * turns the classic accidental double-maintenance into a no-op. Pair
+    * a fresh checkpoint with a fresh rollup to rebuild from scratch. */
+  def rollupMaintainStream(spark: SparkSession, changesPath: String,
+      rollupPath: String, checkpoint: String, keys: Seq[String],
+      valueCol: String, changeCol: String = "change",
+      maxFilesPerTrigger: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import java.nio.file.{Files, Paths}
+    val schema = spark.read.parquet(changesPath).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(changesPath)
+    in.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val sp = batch.sparkSession
+        val marker = Paths.get(rollupPath, "_applied")
+        val last =
+          if (Files.isRegularFile(marker))
+            Files.readString(marker).trim.toLong
+          else -1L
+        if (id > last) {
+          val cur =
+            if (Files.isDirectory(Paths.get(rollupPath)))
+              sp.read.parquet(rollupPath)
+            else graft.operators.Rollup.build(
+              batch.toDF().drop(changeCol).limit(0), keys, valueCol)
+          val next = graft.operators.Rollup.applyChanges(
+            cur, batch.toDF(), keys, valueCol)
+            .localCheckpoint() // materialize BEFORE overwriting its input
+          val tmpDir = rollupPath + ".__tmp__"
+          next.write.mode(SaveMode.Overwrite).parquet(tmpDir)
+          Files.writeString(Paths.get(tmpDir, "_applied"), id.toString)
+          graft.sink.StageWriter.swapTmp(rollupPath)
+        }
+      }
+      .outputMode(OutputMode.Update)
+      .start()
+  }
+
   /** Incremental micro-batch runner: file-source stream over a raw-zone
     * directory → transform → parquet sink with checkpoint. The streaming
     * twin of the watermark-incremental batch loop (exactly-once via the

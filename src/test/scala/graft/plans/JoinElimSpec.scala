@@ -82,4 +82,35 @@ class JoinElimSpec extends AnyFunSuite {
         .select("id", "v")), "undeclared edge")
     } finally Constraints.drop(fact, dim)
   }
+
+  test("validate/splitOrphans: NULL fks are valid, real orphans counted " +
+    "and isolated, duplicate pks detected") {
+    val (fact, dim) = fixture()
+    try {
+      // fixture: fks 0..9 all covered, one NULL fk row
+      assert(Constraints.validate(spark, fact, dim) ==
+        Constraints.Validation(0L, 0L))
+      val (valid0, orphans0) = Constraints.splitOrphans(spark, fact, dim)
+      assert(valid0.count() == 101 && orphans0.count() == 0,
+        "a NULL fk is legal under the declaration, not an orphan")
+      // corrupt: orphan fk 42, duplicated pk 3
+      val tmp = Files.createTempDirectory("jelimval")
+      val fact2 = tmp.resolve("f2").toString
+      val dim2 = tmp.resolve("d2").toString
+      spark.read.parquet(fact).unionByName(
+        Seq((999L, java.lang.Long.valueOf(42L), 1.0)).toDF("id", "fk", "v"))
+        .write.parquet(fact2)
+      spark.read.parquet(dim).unionByName(
+        Seq((3L, "dup")).toDF("pk", "attr")).write.parquet(dim2)
+      Constraints.declareFk(fact2, Seq("fk"), dim2, Seq("pk"))
+      try {
+        assert(Constraints.validate(spark, fact2, dim2) ==
+          Constraints.Validation(1L, 1L))
+        val (valid, orphans) = Constraints.splitOrphans(spark, fact2, dim2)
+        assert(orphans.count() == 1 &&
+          orphans.select("id").as[Long].head() == 999L)
+        assert(valid.count() == 101)
+      } finally Constraints.drop(fact2, dim2)
+    } finally Constraints.drop(fact, dim)
+  }
 }
