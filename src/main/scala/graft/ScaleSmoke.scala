@@ -181,7 +181,9 @@ object ScaleSmoke {
       "q_join_elim", "evt_scd2_weighted",
       // D173: per-batch key-domain agg + rollup-domain merge; D174: one
       // count + one key-domain anti-join; D175: pure narrow projection
-      "evt_stream_rollup", "q_fk_validate", "q_unpivot"))
+      "evt_stream_rollup", "q_fk_validate", "q_unpivot",
+      // D163+D142: string-dialect sidecar drives the auto-prune rule
+      "q_auto_prune_string"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

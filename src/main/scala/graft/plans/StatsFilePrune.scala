@@ -45,19 +45,38 @@ class StatsFilePrune extends Rule[LogicalPlan] {
     if (roots.size != 1) return None
     val dir = roots.head.toUri.getPath
     if (!java.nio.file.Files.isDirectory(Paths.get(dir))) return None
-    val column = StageWriter.statsColumn(dir).getOrElse(return None)
-    val bounds = StatsFilePrune.extractBounds(cond, column)
-      .getOrElse(return None)
+    val (column, kind) = StageWriter.statsHeader(dir).getOrElse(return None)
     val files = StageWriter.listDataFiles(Paths.get(dir))
-    val stats = StageWriter.loadStats(dir, files, column)
-      .getOrElse(return None)
-    val (lo, hi) = bounds
-    val keep = files.filter { p =>
-      stats.get(p.getFileName.toString).flatten match {
-        case Some((mn, mx)) => !(mx < lo || mn > hi)
-        case None => false // no non-null keys — cannot match
-      }
+    // keep-decision per dialect; both relax strict bounds to inclusive
+    // (over-keeping is always safe — the original Filter stays above)
+    val keepFile: String => Boolean = kind match {
+      case "long" =>
+        val (lo, hi) = StatsFilePrune.extractBounds(cond, column)
+          .getOrElse(return None)
+        val stats = StageWriter.loadStats(dir, files, column)
+          .getOrElse(return None)
+        name => stats.get(name).flatten match {
+          case Some((mn, mx)) => !(mx < lo || mn > hi)
+          case None => false // no non-null keys — cannot match
+        }
+      case _ =>
+        val (lo, hi) = StatsFilePrune.extractBoundsStr(cond, column)
+          .getOrElse(return None)
+        val stats = StageWriter.loadStatsStr(dir, files, column)
+          .getOrElse(return None)
+        // ASCII-only guard: driver-side String ordering must agree with
+        // Spark's UTF8 byte ordering, which holds for ASCII; anything
+        // else stands down rather than risking a wrong prune
+        val ascii = (s: String) => s.forall(_ < 128)
+        if (!(lo.toSeq ++ hi.toSeq).forall(ascii)) return None
+        name => stats.get(name).flatten match {
+          case Some((mn, mx)) =>
+            if (!ascii(mn) || !ascii(mx)) true // opaque bounds: keep
+            else !(lo.exists(mx < _) || hi.exists(mn > _))
+          case None => false
+        }
     }
+    val keep = files.filter(p => keepFile(p.getFileName.toString))
     if (keep.size >= files.size) return None
     val sparkSession = rel.sparkSession
     val idx = new InMemoryFileIndex(sparkSession,
@@ -117,6 +136,54 @@ object StatsFilePrune {
         lit(v).foreach { x => lo = math.max(lo, x); found = true }
       case LessThan(v, c) if isCol(c) =>
         lit(v).foreach { x => lo = math.max(lo, x + 1); found = true }
+      case _ => ()
+    }
+    if (found) Some((lo, hi)) else None
+  }
+
+  /** Conjunctive [lo, hi] bounds on a STRING `column` from =, <, <=, >,
+    * >= against string literals (either side). Strict comparisons relax
+    * to inclusive — sound for pruning (over-keep, never over-prune);
+    * None of a side means unbounded. None overall when no conjunct
+    * constrains the column. */
+  private[plans] def extractBoundsStr(cond: Expression,
+      column: String): Option[(Option[String], Option[String])] = {
+    def lit(e: Expression): Option[String] = e match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+        Some(v.toString)
+      case Literal(v: String, _) => Some(v)
+      case _ => None
+    }
+    def isCol(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == column
+      case _ => false
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    var lo: Option[String] = None
+    var hi: Option[String] = None
+    var found = false
+    def raiseLo(x: String): Unit = {
+      if (lo.forall(_ < x)) lo = Some(x); found = true
+    }
+    def lowerHi(x: String): Unit = {
+      if (hi.forall(_ > x)) hi = Some(x); found = true
+    }
+    conjuncts(cond).foreach {
+      case EqualTo(c, v) if isCol(c) =>
+        lit(v).foreach { x => raiseLo(x); lowerHi(x) }
+      case EqualTo(v, c) if isCol(c) =>
+        lit(v).foreach { x => raiseLo(x); lowerHi(x) }
+      case GreaterThanOrEqual(c, v) if isCol(c) => lit(v).foreach(raiseLo)
+      case GreaterThan(c, v) if isCol(c) => lit(v).foreach(raiseLo)
+      case LessThanOrEqual(c, v) if isCol(c) => lit(v).foreach(lowerHi)
+      case LessThan(c, v) if isCol(c) => lit(v).foreach(lowerHi)
+      case GreaterThanOrEqual(v, c) if isCol(c) => lit(v).foreach(lowerHi)
+      case GreaterThan(v, c) if isCol(c) => lit(v).foreach(lowerHi)
+      case LessThanOrEqual(v, c) if isCol(c) => lit(v).foreach(raiseLo)
+      case LessThan(v, c) if isCol(c) => lit(v).foreach(raiseLo)
       case _ => ()
     }
     if (found) Some((lo, hi)) else None

@@ -580,6 +580,45 @@ object MaintenanceQueries {
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
         FROM lineitem)
-      ORDER BY l_orderkey, l_linenumber, metric""")))
+      ORDER BY l_orderkey, l_linenumber, metric"""))),
+
+    // D163+D142 composition — automatic file pruning on a STRING-keyed
+    // table: optimize writes the string-dialect sidecar, the (installed)
+    // StatsFilePrune rule prunes a plain string-range filter's scan, and
+    // the rows match the full-scan oracle. The gate require()s strictly
+    // fewer files scanned than the directory holds.
+    "q_auto_prune_string" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("apstr_gate")
+      try {
+        val path = tmp.resolve("t").toString
+        load(spark, dir, "customer")
+          .select(concat(lit("c_"),
+            lpad(col("c_custkey").cast("string"), 8, "0")).as("c_key"),
+            col("c_acctbal").as("bal"))
+          .repartitionByRange(8, col("c_key"))
+          .write.parquet(path)
+        graft.sink.StageWriter.optimize(spark, path,
+          targetFileBytes = 8 * 1024, statsColumn = Some("c_key"))
+        graft.plans.StatsFilePrune.ensureInstalled(spark)
+        val q = spark.read.parquet(path)
+          .filter(col("c_key") >= "c_00000200" && col("c_key") < "c_00000400")
+        val total = graft.sink.StageWriter.listDataFiles(
+          java.nio.file.Paths.get(path)).size
+        val scanned = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation =>
+            lr.relation.asInstanceOf[org.apache.spark.sql.execution
+              .datasources.HadoopFsRelation].location.inputFiles.length
+        }.head
+        require(total >= 2 && scanned < total,
+          s"string auto-prune must skip files ($scanned of $total)")
+        q.orderBy("c_key").localCheckpoint()
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT 'c_' || lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS c_key,
+             c_acctbal AS bal
+      FROM customer
+      WHERE c_custkey >= 200 AND c_custkey < 400
+      ORDER BY c_key""")))
   )
 }

@@ -404,14 +404,23 @@ object StageWriter {
     * lets the [[graft.plans.StatsFilePrune]] optimizer rule discover
     * prunability without knowing the key upfront. Handles both header
     * forms: `#column\tC` (integral, legacy) and `#column\tC\tstring`. */
-  private[graft] def statsColumn(path: String): Option[String] = {
+  private[graft] def statsColumn(path: String): Option[String] =
+    statsHeader(path).map(_._1)
+
+  /** (column, dialect) of the stats sidecar: dialect is "long" (legacy
+    * two-field header) or "string". */
+  private[graft] def statsHeader(path: String): Option[(String, String)] = {
     val f = statsFile(path)
     if (!Files.exists(f)) None
-    else Files.readAllLines(f).stream().findFirst().map[Option[String]] {
-      l =>
-        if (l.startsWith("#column\t")) Some(l.substring(8).split("\t")(0))
-        else None
-    }.orElse(None)
+    else Files.readAllLines(f).stream().findFirst()
+      .map[Option[(String, String)]] { l =>
+        if (!l.startsWith("#column\t")) None
+        else l.split("\t") match {
+          case Array(_, c) => Some((c, "long"))
+          case Array(_, c, "string") => Some((c, "string"))
+          case _ => None
+        }
+      }.orElse(None)
   }
 
   /** Visible data files of a flat Parquet dir (skips `_SUCCESS`, hidden
@@ -909,8 +918,21 @@ object StageWriter {
       case None => compact(spark, path, targetFileBytes, statsColumn)
     }
     val after = listDataFiles(dir)
-    statsColumn.foreach(c =>
-      writeStats(path, c, computeStats(spark, after, c)))
+    // dialect-aware sidecar refresh: a string stats column must land in
+    // the string dialect — casting it to long would record every file as
+    // "no non-null keys", which a pruning reader takes as "never matches"
+    statsColumn.foreach { c =>
+      val dt = spark.read.parquet(path).schema.fields
+        .find(_.name == c).map(_.dataType)
+      dt.flatMap(statsKind) match {
+        case Some("string") => writeStatsStr(path, c,
+          computeStatsStr(spark, after, c))
+        case Some(_) => writeStats(path, c, computeStats(spark, after, c))
+        case None => throw new IllegalArgumentException(
+          s"$path: stats column $c has no stats dialect " +
+            s"(type ${dt.map(_.simpleString).getOrElse("missing")})")
+      }
+    }
     writeManifest(path)
     vacuum(path, retentionMs)
     OptimizeReport(before, after.size, bytes)

@@ -93,4 +93,42 @@ class StatsFilePruneSpec extends AnyFunSuite {
       }
     } finally StageWriter.deleteRecursively(tmp)
   }
+
+  test("STRING sidecar: range and point probes prune with identical " +
+    "results; non-ASCII literals stand down; the long loader rejects it") {
+    val tmp = java.nio.file.Files.createTempDirectory("sfps")
+    val path = tmp.resolve("t").toString
+    try {
+      spark.range(0, 8000).select(
+          concat(lit("k"), lpad(col("id").cast("string"), 6, "0")).as("k"),
+          (col("id") % 97).as("v"))
+        .repartitionByRange(8, col("k"))
+        .write.parquet(path)
+      StageWriter.optimize(spark, path, targetFileBytes = 6 * 1024,
+        statsColumn = Some("k"))
+      def q() = spark.read.parquet(path)
+        .filter(col("k") >= "k001000" && col("k") < "k002000")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      val base = q().collect().toSeq
+      withRule {
+        val total = StageWriter.listDataFiles(
+          java.nio.file.Paths.get(path)).size
+        assert(total >= 4, s"want multiple files, got $total")
+        val files = scanFiles(q()).head
+        assert(files < total, s"string range did not prune: $files/$total")
+        assert(q().collect().toSeq == base, "pruned result diverged")
+        val eq = spark.read.parquet(path).filter(col("k") === "k004242")
+        assert(scanFiles(eq).head < total)
+        assert(eq.count() == 1)
+        // a non-ASCII literal must stand down (driver String order is
+        // not UTF8 byte order beyond ASCII)
+        val exotic = spark.read.parquet(path)
+          .filter(col("k") >= "k\u00e4")
+        assert(scanFiles(exotic).head == total)
+        // the long-dialect loader must reject the string sidecar
+        assert(StageWriter.loadStats(path, StageWriter.listDataFiles(
+          java.nio.file.Paths.get(path)), "k").isEmpty)
+      }
+    } finally StageWriter.deleteRecursively(tmp)
+  }
 }
