@@ -183,7 +183,9 @@ object ScaleSmoke {
       // count + one key-domain anti-join; D175: pure narrow projection
       "evt_stream_rollup", "q_fk_validate", "q_unpivot",
       // D163+D142: string-dialect sidecar drives the auto-prune rule
-      "q_auto_prune_string"))
+      "q_auto_prune_string",
+      // D176: distributed per-file hashing; D177: O(dropped dirs) TTL
+      "q_portable_bundle", "q_partition_ttl"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

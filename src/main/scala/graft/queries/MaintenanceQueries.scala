@@ -619,6 +619,89 @@ object MaintenanceQueries {
              c_acctbal AS bal
       FROM customer
       WHERE c_custkey >= 200 AND c_custkey < 400
-      ORDER BY c_key""")))
+      ORDER BY c_key"""))),
+
+    // D176 — portable bundle export/import (sink.Portable): export with
+    // a distributed sha256 manifest, flip ONE byte in one bundled file,
+    // require import to REFUSE naming that file, repair, then require
+    // the clean import to round-trip exactly (oracled rows).
+    "q_portable_bundle" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("bundle_gate")
+      try {
+        val src = tmp.resolve("src").toString
+        val bundle = tmp.resolve("bundle").toString
+        val dst = tmp.resolve("dst").toString
+        load(spark, dir, "nation").repartition(3).write.parquet(src)
+        val n = graft.sink.Portable.exportTable(spark, src, bundle)
+        require(n >= 2, s"want a multi-file bundle, got $n")
+        // bit-flip one data byte mid-file
+        val victim = graft.sink.StageWriter.listDataFiles(
+          java.nio.file.Paths.get(bundle, "data")).head
+        val bytes = java.nio.file.Files.readAllBytes(victim)
+        bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x1).toByte
+        java.nio.file.Files.write(victim, bytes)
+        val e = try {
+          graft.sink.Portable.importTable(spark, bundle, dst); None
+        } catch {
+          case ex: graft.sink.Portable.IntegrityException => Some(ex)
+        }
+        require(e.exists(_.getMessage.contains(
+          victim.getFileName.toString)),
+          "import must refuse and NAME the corrupted file")
+        require(!java.nio.file.Files.exists(java.nio.file.Paths.get(dst)),
+          "nothing may be installed from a failed verification")
+        // repair (re-export) and import cleanly
+        graft.sink.Portable.exportTable(spark, src, bundle)
+        require(graft.sink.Portable.importTable(spark, bundle, dst) == n)
+        spark.read.parquet(dst).orderBy("n_nationkey")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("SELECT * FROM nation ORDER BY n_nationkey"))),
+
+    // D177 — partition-level retention/TTL (StageWriter.expirePartitions):
+    // drop whole day-partitions below the cutoff — O(dropped partitions)
+    // metadata work, surviving partitions require()d byte-stable, and
+    // the remaining rows oracled against the day filter.
+    "q_partition_ttl" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("ttl_gate")
+      try {
+        val path = tmp.resolve("events").toString
+        val ev = load(spark, dir, "events").select("event_id", "ts")
+        graft.sink.StageWriter.writeDerivedPartitioned(ev, path,
+          srcCol = "ts", partCol = "d", divisor = 86400L * 1000000000L)
+        def inventory(): Map[String, Seq[(String, Long)]] = {
+          val root = java.nio.file.Paths.get(path)
+          val parts = java.nio.file.Files.list(root)
+          try parts.toArray.map(_.asInstanceOf[java.nio.file.Path])
+            .filter(p => java.nio.file.Files.isDirectory(p) &&
+              p.getFileName.toString.startsWith("d="))
+            .map(p => p.getFileName.toString ->
+              graft.sink.StageWriter.listDataFiles(p).map(f =>
+                (f.getFileName.toString, java.nio.file.Files.size(f))))
+            .toMap
+          finally parts.close()
+        }
+        val before = inventory()
+        val dropped = graft.sink.StageWriter.expirePartitions(
+          path, "d", cutoff = 19740L)
+        require(dropped.nonEmpty && dropped.forall(_ < 19740L),
+          s"expected expired day partitions, got $dropped")
+        val after = inventory()
+        require(after.keySet ==
+          before.keySet.filter(_.drop(2).toLong >= 19740L),
+          "exactly the sub-cutoff partitions must be gone")
+        after.foreach { case (p, files) =>
+          require(before(p) == files,
+            s"surviving partition $p changed on disk") }
+        spark.read.parquet(path)
+          .select(col("event_id"), col("d").cast("long").as("d"))
+          .orderBy("event_id")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT event_id, epoch_ns(ts) // 86400000000000 AS d
+      FROM events
+      WHERE epoch_ns(ts) // 86400000000000 >= 19740
+      ORDER BY event_id""")))
   )
 }

@@ -844,6 +844,35 @@ object StageWriter {
       .saveAsTable(table)
   }
 
+  /** Partition-level retention / TTL (D177): drop WHOLE partition
+    * directories whose numeric partition value is strictly below
+    * `cutoff` — retention enforcement as an O(dropped partitions)
+    * METADATA operation. At 100 TB, TTL by row filter is a full-table
+    * rewrite per enforcement run; TTL by partition drop is a handful of
+    * directory deletes, and every surviving partition stays
+    * byte-identical (gate-asserted). Works on the hive `part=value`
+    * layouts [[overwrite]]`(partitionBy)` / [[writeDerivedPartitioned]]
+    * produce; unparsable partition values are SKIPPED (never guessed
+    * into deletion). Returns the dropped partition values. */
+  def expirePartitions(path: String, partCol: String,
+      cutoff: Long): Seq[Long] = {
+    val root = Paths.get(path)
+    if (!Files.isDirectory(root)) return Seq.empty
+    val prefix = s"$partCol="
+    val s = Files.list(root)
+    val dropped = try s.toArray.map(_.asInstanceOf[Path])
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(prefix))
+      .flatMap { p =>
+        scala.util.Try(
+          p.getFileName.toString.drop(prefix.length).toLong).toOption
+          .filter(_ < cutoff)
+          .map { v => deleteRecursively(p); v }
+      }.toSeq
+    finally s.close()
+    dropped.sorted
+  }
+
   /** Small-file compaction — the Parquet-fallback equivalent of Delta
     * OPTIMIZE (light_transform.py:1394-1409): coalesce to
     * ceil(bytes / targetFileBytes) files and swap. */

@@ -1,0 +1,65 @@
+package graft.sink
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** D176/D177 — bundle integrity edge cases and partition TTL parsing. */
+class PortableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("import refuses a bundle with a MISSING file and with an " +
+    "UNEXPECTED extra file; clean import round-trips") {
+    val tmp = Files.createTempDirectory("portable")
+    try {
+      val src = tmp.resolve("src").toString
+      val bundle = tmp.resolve("b").toString
+      val dst = tmp.resolve("dst").toString
+      (1 to 100).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartition(2).write.parquet(src)
+      Portable.exportTable(spark, src, bundle)
+      val dataDir = Paths.get(bundle, "data")
+      val victim = StageWriter.listDataFiles(dataDir).head
+      val saved = Files.readAllBytes(victim)
+      Files.delete(victim)
+      val missing = intercept[Portable.IntegrityException] {
+        Portable.importTable(spark, bundle, dst)
+      }
+      assert(missing.getMessage.contains("MISSING"))
+      Files.write(victim, saved)
+      Files.writeString(dataDir.resolve("stray.parquet"), "junk")
+      val extra = intercept[Portable.IntegrityException] {
+        Portable.importTable(spark, bundle, dst)
+      }
+      assert(extra.getMessage.contains("UNEXPECTED"))
+      Files.delete(dataDir.resolve("stray.parquet"))
+      Portable.importTable(spark, bundle, dst)
+      assert(spark.read.parquet(dst).as[(Int, String)].collect().toSet ==
+        (1 to 100).map(i => (i, s"v$i")).toSet)
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+
+  test("expirePartitions drops only parsable sub-cutoff values and " +
+    "never touches foreign or unparsable directories") {
+    val tmp = Files.createTempDirectory("ttl")
+    val path = tmp.resolve("t").toString
+    try {
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "d")
+        .write.partitionBy("d").parquet(path)
+      Files.createDirectories(Paths.get(path, "d=notanumber"))
+      Files.createDirectories(Paths.get(path, "other=5"))
+      assert(StageWriter.expirePartitions(path, "d", cutoff = 25L) ==
+        Seq(10L, 20L))
+      assert(!Files.exists(Paths.get(path, "d=10")) &&
+        !Files.exists(Paths.get(path, "d=20")))
+      assert(Files.exists(Paths.get(path, "d=30")) &&
+        Files.exists(Paths.get(path, "d=notanumber")) &&
+        Files.exists(Paths.get(path, "other=5")))
+      assert(StageWriter.expirePartitions(path, "d", cutoff = 25L).isEmpty,
+        "a second enforcement run is a no-op")
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+}
