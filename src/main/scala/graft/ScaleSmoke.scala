@@ -185,7 +185,9 @@ object ScaleSmoke {
       // D163+D142: string-dialect sidecar drives the auto-prune rule
       "q_auto_prune_string",
       // D176: distributed per-file hashing; D177: O(dropped dirs) TTL
-      "q_portable_bundle", "q_partition_ttl"))
+      "q_portable_bundle", "q_partition_ttl",
+      // D178: one key join + one agg, never per-column join loops
+      "q_table_diff"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

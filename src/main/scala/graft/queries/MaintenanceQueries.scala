@@ -702,6 +702,45 @@ object MaintenanceQueries {
       SELECT event_id, epoch_ns(ts) // 86400000000000 AS d
       FROM events
       WHERE epoch_ns(ts) // 86400000000000 >= 19740
-      ORDER BY event_id""")))
+      ORDER BY event_id"""))),
+
+    // D178 — keyed table compare (operators.TableDiff): old-pipeline vs
+    // new-pipeline disagreement as (added, removed, changed, same) plus
+    // PER-COLUMN changed counts — one full-outer key join + one
+    // aggregation, null-safe per column. The gate mutates a copy three
+    // ways and oracles the exact summary; a sampled changed row is
+    // require()d to blame exactly the mutated column.
+    "q_table_diff" -> (((spark, dir) => {
+      import spark.implicits._
+      val left = load(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val right = left.filter(pmod(col("o_orderkey"), lit(13)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(17)) === 0,
+            col("o_totalprice") + 50.0).otherwise(col("o_totalprice")))
+        .unionByName(Seq((8000001L, 1L, 10.0), (8000002L, 2L, 20.0))
+          .toDF("o_orderkey", "o_custkey", "o_totalprice"))
+      val sample = graft.operators.TableDiff.rows(left, right,
+        Seq("o_orderkey")).filter(col("status") === "changed")
+        .select(col("changed_cols")).limit(1)
+        .as[Seq[String]].collect()
+      require(sample.headOption.contains(Seq("o_totalprice")),
+        s"a changed row must blame exactly the mutated column, got $sample")
+      graft.operators.TableDiff.summary(left, right, Seq("o_orderkey"))
+        .orderBy("metric")
+    }, Some("""
+      WITH m AS (SELECT
+          count(*) FILTER (WHERE o_orderkey % 13 = 0) AS rem,
+          count(*) FILTER (WHERE o_orderkey % 13 <> 0
+                             AND o_orderkey % 17 = 0) AS chg,
+          count(*) AS tot
+        FROM orders)
+      SELECT metric, value FROM (
+        SELECT 'n_added' AS metric, CAST(2 AS BIGINT) AS value
+        UNION ALL SELECT 'n_removed', rem FROM m
+        UNION ALL SELECT 'n_changed', chg FROM m
+        UNION ALL SELECT 'n_same', tot - rem - chg FROM m
+        UNION ALL SELECT 'col:o_totalprice', chg FROM m)
+      ORDER BY metric""")))
   )
 }
