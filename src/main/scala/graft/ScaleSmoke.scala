@@ -187,7 +187,9 @@ object ScaleSmoke {
       // D176: distributed per-file hashing; D177: O(dropped dirs) TTL
       "q_portable_bundle", "q_partition_ttl",
       // D178: one key join + one agg, never per-column join loops
-      "q_table_diff"))
+      "q_table_diff",
+      // D179: root projection + chained semi-joins; D180: one key-sort
+      "q_linked_sample", "evt_asof_tolerance"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

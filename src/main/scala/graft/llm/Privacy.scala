@@ -105,10 +105,16 @@ object Privacy {
     val u = Dedup.portableHash60(
       concat_ws("|", groupCols.map(col) :+ lit(s"$seed|$epoch"): _*))
       .cast("double") / lit(1152921504606846976.0) // 2^60
-    bps.dropRight(1).foldRight(
-      lit(bps.last._1.toLong): Column) { case ((k, cum), rest) =>
-      when(u < lit(cum), lit(k.toLong)).otherwise(rest)
-    }
+    // FLAT inverse-CDF: k = -maxNoise + #{cum_i <= u} — a shallow sum of
+    // comparisons instead of a 2·maxNoise-level nested CASE chain, which
+    // janino refuses to compile (observed: whole-stage codegen fallback
+    // at maxNoise = 39). Equivalent to "smallest k with u < cum(k)"
+    // including exact-tie behavior, and the SQL oracle keeps its CASE
+    // form (DuckDB compiles it fine; both pick the same k for the same
+    // double u).
+    bps.dropRight(1).map { case (_, cum) =>
+      when(u >= lit(cum), lit(1L)).otherwise(lit(0L)) }
+      .reduce(_ + _) + lit(bps.head._1.toLong)
   }
 
   /** ε-DP noisy group counts over a caller-supplied PUBLIC domain.

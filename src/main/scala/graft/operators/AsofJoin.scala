@@ -67,4 +67,27 @@ object AsofJoin {
       case (df, c) => df.withColumn(s"asof_$c", col("__carry").getField(c))
     }.drop("__t", "__side", "__carry")
   }
+
+  /** As-of join with a STALENESS TOLERANCE (D180): a matched right row
+    * older than `maxGap` (left.time − right.time) is nulled out — the
+    * sensor-fusion / market-data contract ("a quote staler than X is no
+    * quote"), which a plain as-of join cannot express and a range join
+    * would pay a per-key cross product for. Same single key-sort plan as
+    * [[asofJoin]]; the tolerance is one post-projection over the carried
+    * right timestamp, and ALL carried columns null together (the match
+    * is rejected as a unit, never per-column). */
+  def asofJoinTolerant(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftTime: String, rightTime: String,
+      rightCols: Seq[String], maxGap: Long): DataFrame = {
+    require(maxGap >= 0, s"maxGap must be >= 0, got $maxGap")
+    val carryCols = (rightCols :+ rightTime).distinct
+    val j = asofJoin(left, right, keyCols, leftTime, rightTime, carryCols)
+    val stale = col(s"asof_$rightTime").isNull ||
+      col(leftTime) - col(s"asof_$rightTime") > maxGap
+    carryCols.foldLeft(j) { (d, c) =>
+      d.withColumn(s"asof_$c",
+        when(stale, lit(null).cast(d.schema(s"asof_$c").dataType))
+          .otherwise(col(s"asof_$c")))
+    }
+  }
 }

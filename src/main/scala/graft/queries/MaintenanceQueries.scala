@@ -741,6 +741,90 @@ object MaintenanceQueries {
         UNION ALL SELECT 'n_changed', chg FROM m
         UNION ALL SELECT 'n_same', tot - rem - chg FROM m
         UNION ALL SELECT 'col:o_totalprice', chg FROM m)
-      ORDER BY metric""")))
+      ORDER BY metric"""))),
+
+    // D179 — referentially-closed dev sampling (operators.LinkedSample):
+    // sample the ROOT key domain by the portable hash, take children by
+    // key containment — the extract still JOINS. The gate require()s
+    // closure (zero orphan custkeys among sampled orders) and a sane
+    // fraction, then oracles per-table counts + exact-decimal sums.
+    "q_linked_sample" -> (((spark, dir) => {
+      import spark.implicits._
+      val cust = load(spark, dir, "customer")
+      val orders = load(spark, dir, "orders")
+      val li = load(spark, dir, "lineitem")
+      val sc = graft.operators.LinkedSample.root(cust, "c_custkey",
+        rate = 0.2, salt = "dev")
+      val so = graft.operators.LinkedSample.linked(orders, "o_custkey",
+        sc, "c_custkey")
+      val sl = graft.operators.LinkedSample.linked(li, "l_orderkey",
+        so, "o_orderkey")
+      val nC = sc.count(); val nO = so.count(); val nL = sl.count()
+      require(so.join(sc, so("o_custkey") === sc("c_custkey"), "left_anti")
+        .isEmpty, "sampled orders must be CLOSED over sampled customers")
+      val frac = nC.toDouble / cust.count()
+      require(frac > 0.1 && frac < 0.3,
+        s"20% hash sample drifted to $frac")
+      val rows = Seq(
+        ("customer", nC, sc.agg(dsum(col("c_acctbal"))).head().getDouble(0)),
+        ("lineitem", nL, sl.agg(dsum(col("l_quantity"))).head().getDouble(0)),
+        ("orders", nO, so.agg(dsum(col("o_totalprice"))).head().getDouble(0)))
+      rows.toDF("t", "n", "total").orderBy("t")
+    }, Some("""
+      WITH sc AS (SELECT * FROM customer
+                  WHERE CAST(CAST('0x' || substring(md5(
+                      CAST(c_custkey AS VARCHAR) || '|dev'), 1, 15)
+                    AS BIGINT) AS DOUBLE) / 1152921504606846976.0 < 0.2),
+      so AS (SELECT o.* FROM orders o
+             WHERE o.o_custkey IN (SELECT c_custkey FROM sc)),
+      sl AS (SELECT l.* FROM lineitem l
+             WHERE l.l_orderkey IN (SELECT o_orderkey FROM so))
+      SELECT t, n, total FROM (
+        SELECT 'customer' AS t, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total FROM sc
+        UNION ALL SELECT 'orders', count(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               FROM so
+        UNION ALL SELECT 'lineitem', count(*),
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               FROM sl)
+      ORDER BY t"""))),
+
+    // D180 — tolerance-bounded as-of join (AsofJoin.asofJoinTolerant):
+    // the latest click at-or-before each error, REJECTED when staler
+    // than one hour — all carried columns null as a unit. Same one
+    // key-sort plan as the plain as-of; the gate require()s the
+    // tolerance actually rejected matches the plain join kept.
+    "evt_asof_tolerance" -> (((spark, dir) => {
+      val ev = load(spark, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val hour = 3600L * 1000000000L
+      val plain = graft.operators.AsofJoin.asofJoin(errors, clicks,
+        Seq("user_id"), "ts", "ts", Seq("click_id"))
+        .filter(col("asof_click_id").isNull).count()
+      val out = graft.operators.AsofJoin.asofJoinTolerant(errors, clicks,
+        Seq("user_id"), "ts", "ts", Seq("click_id"), maxGap = hour)
+        .select(col("event_id"), col("user_id"),
+          col("asof_click_id").as("prev_click_id"))
+      require(out.filter(col("prev_click_id").isNull).count() > plain,
+        "the tolerance must reject at least one stale match")
+      out.orderBy("event_id")
+    }, Some("""
+      WITH errors AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn
+                      FROM events WHERE event_type = 'error'),
+           clicks AS (SELECT event_id AS click_id, user_id,
+                        epoch_ns(ts) AS tsn
+                      FROM events WHERE event_type = 'click')
+      SELECT e.event_id, e.user_id,
+             CASE WHEN c.tsn IS NOT NULL
+                    AND e.tsn - c.tsn <= 3600000000000
+                  THEN c.click_id END AS prev_click_id
+      FROM errors e ASOF LEFT JOIN clicks c
+        ON e.user_id = c.user_id AND e.tsn >= c.tsn
+      ORDER BY e.event_id""")))
   )
 }
