@@ -189,7 +189,10 @@ object ScaleSmoke {
       // D178: one key join + one agg, never per-column join loops
       "q_table_diff",
       // D179: root projection + chained semi-joins; D180: one key-sort
-      "q_linked_sample", "evt_asof_tolerance"))
+      "q_linked_sample", "evt_asof_tolerance",
+      // D181: one per-group window; D182: deltas of deltas — each level
+      // costs its PARENT's change volume
+      "llm_eval_sample", "q_rollup_cascade"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

@@ -41,4 +41,22 @@ object LinkedSample {
     child.join(
       sampledParent.select(col(parentKeyCol).as("__pk")).distinct(),
       child(fkCol) === col("__pk"), "left_semi")
+
+  /** EXACT-k per-group sample (D181): exactly min(k, |group|) rows per
+    * group, chosen by hash RANK — uniform without replacement,
+    * reproducible, and engine-portable (row_number over the portable
+    * hash, id tiebreak). The eval-set constructor: "exactly 100 docs per
+    * source" — fraction-based stratified sampling (D62) can only promise
+    * k in expectation. One window over a (group, hash) sort — the same
+    * shuffle shape as any per-group top-k. */
+  def perGroupExact(df: DataFrame, groupCol: String, idCol: String,
+      k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = graft.llm.Dedup.portableHash60(
+      concat(col(idCol).cast("string"), lit("|" + salt)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k).drop("__r")
+  }
 }

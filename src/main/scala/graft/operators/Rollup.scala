@@ -64,4 +64,32 @@ object Rollup {
       .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
       .filter(col("n") =!= 0)
   }
+
+  /** Change feed BETWEEN two rollup states — (keys..., n, s, change)
+    * rows in the diff convention — so maintenance CHAINS: a parent
+    * rollup's own changes drive a child (D182). */
+  def diffRollups(old: DataFrame, neu: DataFrame): DataFrame =
+    neu.exceptAll(old).withColumn("change", lit("insert"))
+      .unionByName(old.exceptAll(neu).withColumn("change", lit("delete")))
+
+  /** Multi-level incremental view maintenance (D182): maintain a COARSER
+    * rollup from a PARENT rollup's change feed. Unlike [[applyChanges]]
+    * (whose feed rows are base rows, each worth (±1, ±v)), the feed here
+    * carries (n, s) PARTIALS — a replaced parent group arrives as its
+    * delete+insert pair and nets to the (Δn, Δs) delta. The additive
+    * algebra is closed under this, so cascades of any depth stay exact,
+    * and each level's maintenance cost is its PARENT's change volume —
+    * at 100 TB the base is touched once and every summary above it
+    * updates from deltas of deltas. Coarse keys must be derivable from
+    * parent keys (project them onto the feed before calling). */
+  def applyRollupChanges(coarse: DataFrame, changes: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val sign = when(col("change") === "delete", lit(-1L)).otherwise(lit(1L))
+    val feed = changes.groupBy(keys.map(col): _*)
+      .agg(sum(col("n") * sign).as("n"), sum(col("s") * sign).as("s"))
+    coarse.unionByName(feed)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+      .filter(col("n") =!= 0)
+  }
 }

@@ -759,16 +759,22 @@ object MaintenanceQueries {
         sc, "c_custkey")
       val sl = graft.operators.LinkedSample.linked(li, "l_orderkey",
         so, "o_orderkey")
-      val nC = sc.count(); val nO = so.count(); val nL = sl.count()
+      // ONE aggregation pass per table (count + exact-decimal sum
+      // together — separate count()/agg() calls would double every scan)
+      def stat(df: org.apache.spark.sql.DataFrame, c: String) = {
+        val r = df.agg(count(lit(1)), dsum(col(c))).head()
+        (r.getLong(0), r.getDouble(1))
+      }
+      val (nC, sC) = stat(sc, "c_acctbal")
+      val (nO, sO) = stat(so, "o_totalprice")
+      val (nL, sL) = stat(sl, "l_quantity")
       require(so.join(sc, so("o_custkey") === sc("c_custkey"), "left_anti")
         .isEmpty, "sampled orders must be CLOSED over sampled customers")
       val frac = nC.toDouble / cust.count()
       require(frac > 0.1 && frac < 0.3,
         s"20% hash sample drifted to $frac")
-      val rows = Seq(
-        ("customer", nC, sc.agg(dsum(col("c_acctbal"))).head().getDouble(0)),
-        ("lineitem", nL, sl.agg(dsum(col("l_quantity"))).head().getDouble(0)),
-        ("orders", nO, so.agg(dsum(col("o_totalprice"))).head().getDouble(0)))
+      val rows = Seq(("customer", nC, sC), ("lineitem", nL, sL),
+        ("orders", nO, sO))
       rows.toDF("t", "n", "total").orderBy("t")
     }, Some("""
       WITH sc AS (SELECT * FROM customer
@@ -825,6 +831,79 @@ object MaintenanceQueries {
                   THEN c.click_id END AS prev_click_id
       FROM errors e ASOF LEFT JOIN clicks c
         ON e.user_id = c.user_id AND e.tsn >= c.tsn
-      ORDER BY e.event_id""")))
+      ORDER BY e.event_id"""))),
+
+    // D181 — exact-k per-group sampling (LinkedSample.perGroupExact):
+    // exactly min(k, |group|) docs per source by hash rank — the eval-set
+    // constructor fraction-based stratification can't give. The gate
+    // require()s the exact per-group counts, then oracles the chosen ids.
+    "llm_eval_sample" -> (((spark, dir) => {
+      val docs = load(spark, dir, "documents").select("doc_id", "source")
+      val out = graft.operators.LinkedSample.perGroupExact(
+        docs, "source", "doc_id", k = 40, salt = "eval")
+      val sizes = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = out.groupBy("source").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(got == sizes.map { case (s, n) => s -> math.min(40L, n) },
+        s"exact-k violated: $got vs groups $sizes")
+      out.orderBy("source", "doc_id")
+    }, Some("""
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source, row_number() OVER (PARTITION BY source
+          ORDER BY CAST('0x' || substring(md5(
+            CAST(doc_id AS VARCHAR) || '|eval'), 1, 15) AS BIGINT),
+            doc_id) AS r
+        FROM documents)
+      WHERE r <= 40 ORDER BY source, doc_id"""))),
+
+    // D182 — multi-level IVM (Rollup.diffRollups + applyRollupChanges):
+    // a per-customer rollup maintains a per-cohort (custkey % 100)
+    // rollup from ITS OWN change feed — deltas of deltas; the base is
+    // touched once. The gate require()s cascade ≡ direct rebuild and
+    // that the parent feed is much smaller than the base change volume
+    // would be, then oracles the cohort aggregate.
+    "q_rollup_cascade" -> (((spark, dir) => {
+      val v1 = load(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val v2 = v1.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(11)) === 0,
+            col("o_totalprice") + 100.0).otherwise(col("o_totalprice")))
+      val fine1 = graft.operators.Rollup.build(v1,
+        Seq("o_custkey"), "o_totalprice").localCheckpoint()
+      val baseChanges = v2.exceptAll(v1).withColumn("change", lit("insert"))
+        .unionByName(v1.exceptAll(v2).withColumn("change", lit("delete")))
+      val fine2 = graft.operators.Rollup.applyChanges(fine1, baseChanges,
+        Seq("o_custkey"), "o_totalprice").localCheckpoint()
+      val coarse1 = fine1.withColumn("g", pmod(col("o_custkey"), lit(100)))
+        .groupBy("g").agg(sum("n").as("n"), sum("s").as("s"))
+      val parentFeed = graft.operators.Rollup.diffRollups(fine1, fine2)
+        .withColumn("g", pmod(col("o_custkey"), lit(100)))
+      val maintained = graft.operators.Rollup.applyRollupChanges(
+        coarse1, parentFeed, Seq("g"))
+      val rebuilt = graft.operators.Rollup.build(
+        v2.withColumn("g", pmod(col("o_custkey"), lit(100))),
+        Seq("g"), "o_totalprice")
+        .select(col("g"), col("n"),
+          col("s").cast(org.apache.spark.sql.types.DecimalType(38, 2))
+            .as("s"))
+      val m38 = maintained.select(col("g"), col("n"),
+        col("s").cast(org.apache.spark.sql.types.DecimalType(38, 2))
+          .as("s"))
+      require(m38.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(m38).isEmpty,
+        "cascaded maintenance must equal the direct rebuild exactly")
+      graft.operators.Rollup.readable(maintained)
+        .orderBy("g")
+    }, Some("""
+      WITH v2 AS (SELECT o_custkey % 100 AS g,
+                    CASE WHEN o_orderkey % 11 = 0
+                         THEN o_totalprice + 100.0
+                         ELSE o_totalprice END AS p
+                  FROM orders WHERE o_orderkey % 7 <> 0)
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM v2 GROUP BY g ORDER BY g""")))
   )
 }

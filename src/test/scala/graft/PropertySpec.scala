@@ -163,6 +163,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("multi-level IVM: cascading a parent rollup's change feed into a " +
+      "coarser child ≡ the child's direct rebuild, for random mutations") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, sum, when}
+    import org.apache.spark.sql.types.DecimalType
+    val rowGen = Gen.listOfN(120,
+      Gen.zip(Gen.choose(1L, 3000L), Gen.choose(0L, 40L),
+        Gen.choose(0, 9999)))
+    (1 to 2).foreach { seed =>
+      val rows = rowGen.sample.get.map { case (id, k, c) =>
+        (id, k, c / 100.0) }.distinct
+      val v1 = rows.toDF("id", "k", "v")
+      val v2 = v1.filter(col("id") % 4 =!= 0)
+        .withColumn("v", when(col("id") % 3 === 0, col("v") + 2.5)
+          .otherwise(col("v")))
+      val fine1 = graft.operators.Rollup.build(v1, Seq("k"), "v")
+        .localCheckpoint()
+      val baseFeed = v2.exceptAll(v1).withColumn("change", lit("insert"))
+        .unionByName(v1.exceptAll(v2).withColumn("change", lit("delete")))
+      val fine2 = graft.operators.Rollup.applyChanges(fine1, baseFeed,
+        Seq("k"), "v").localCheckpoint()
+      val coarse1 = fine1.withColumn("g", pmod(col("k"), lit(7)))
+        .groupBy("g").agg(sum("n").as("n"), sum("s").as("s"))
+      val feed = graft.operators.Rollup.diffRollups(fine1, fine2)
+        .withColumn("g", pmod(col("k"), lit(7)))
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("g"), col("n"),
+          col("s").cast(DecimalType(38, 2)).as("s"))
+      val maintained = norm(graft.operators.Rollup.applyRollupChanges(
+        coarse1, feed, Seq("g")))
+      val rebuilt = norm(graft.operators.Rollup.build(
+        v2.withColumn("g", pmod(col("k"), lit(7))), Seq("g"), "v"))
+      assert(maintained.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(maintained).isEmpty,
+        s"seed $seed: cascade diverged from rebuild")
+    }
+  }
+
   test("exact selection ≡ sorted answer for random arrays and every rank " +
       "decile") {
     val vGen = Gen.listOfN(200, Gen.oneOf(
