@@ -192,7 +192,9 @@ object ScaleSmoke {
       "q_linked_sample", "evt_asof_tolerance",
       // D181: one per-group window; D182: deltas of deltas — each level
       // costs its PARENT's change volume
-      "llm_eval_sample", "q_rollup_cascade"))
+      "llm_eval_sample", "q_rollup_cascade",
+      // D183: one write-time scan; reads skip on every mapped column
+      "q_zonemap"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

@@ -904,6 +904,48 @@ object MaintenanceQueries {
                   FROM orders WHERE o_orderkey % 7 <> 0)
       SELECT g, CAST(count(*) AS BIGINT) AS n,
              CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
-      FROM v2 GROUP BY g ORDER BY g""")))
+      FROM v2 GROUP BY g ORDER BY g"""))),
+
+    // D183 — multi-column zone map + automatic pruning (sink.ZoneMap +
+    // plans.ZoneMapPrune): the read-side payoff of the D168 Hilbert
+    // layout — BOTH clustered columns skip files on plain filters, the
+    // reader asks for neither. The gate clusters on (x, y), writes one
+    // zone map for both, and require()s file skipping for an x-only AND
+    // a y-only predicate before oracling the y-filter rows.
+    "q_zonemap" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("zonemap_gate")
+      try {
+        val path = tmp.resolve("t").toString
+        graft.sink.Layout.hilbertWrite(
+          load(spark, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"),
+              pmod(col("l_orderkey"), lit(1024)).cast("long").as("x"),
+              pmod(col("l_partkey"), lit(1024)).cast("long").as("y")),
+          path, "x", "y", bits = 10, numFiles = 32)
+        graft.sink.ZoneMap.write(spark, path, Seq("x", "y"))
+        graft.plans.ZoneMapPrune.ensureInstalled(spark)
+        def scanned(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.optimizedPlan.collect {
+            case lr: org.apache.spark.sql.execution.datasources
+                .LogicalRelation =>
+              lr.relation.asInstanceOf[org.apache.spark.sql.execution
+                .datasources.HadoopFsRelation].location.inputFiles.length
+          }.head
+        val total = graft.sink.StageWriter.listDataFiles(
+          java.nio.file.Paths.get(path)).size
+        val xq = spark.read.parquet(path).filter(col("x") < 100)
+        val yq = spark.read.parquet(path).filter(col("y") < 100)
+        require(scanned(xq) < total && scanned(yq) < total,
+          s"zone map must skip on BOTH clustered dims " +
+            s"(x=${scanned(xq)}, y=${scanned(yq)} of $total)")
+        yq.orderBy("l_orderkey", "l_linenumber")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT l_orderkey, l_linenumber,
+             l_orderkey % 1024 AS x, l_partkey % 1024 AS y
+      FROM lineitem
+      WHERE l_partkey % 1024 < 100
+      ORDER BY l_orderkey, l_linenumber""")))
   )
 }

@@ -1,0 +1,115 @@
+package graft.sink
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType,
+  ShortType, StringType}
+
+/** Multi-column zone map (SURVEY §2D, D183) — the Delta-log data-skipping
+  * shape completed: the single-column stats sidecar (D107/D163) serves
+  * the MERGE key, but queries filter on OTHER columns too, and with a
+  * Hilbert/Z layout (D23/D168) SEVERAL columns are simultaneously
+  * clustered — each deserves per-file (min, max). One write-time scan
+  * records them all; [[graft.plans.ZoneMapPrune]] then skips files for a
+  * predicate on ANY mapped column, no reader opt-in.
+  *
+  * Format (`path.__zonemap__`): a header row per column (`#col name
+  * kind`), then one line per (file, column) with an explicit presence
+  * flag and URL-encoded bounds (string keys can contain anything).
+  * Validity contract is inventory-exact like every sidecar here: any
+  * file added/removed/rewritten invalidates the map, and consumers stand
+  * down rather than guess. Long and string kinds only — same dialects,
+  * same ASCII caution for strings as the single-column plane. */
+object ZoneMap {
+
+  private def mapFile(path: String) = Paths.get(path + ".__zonemap__")
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  private[graft] def kindOf(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some("long")
+    case StringType => Some("string")
+    case _ => None
+  }
+
+  /** Loaded map: column → kind, and (file, column) → bounds (None = no
+    * non-null values of that column in that file). */
+  final case class Zones(kinds: Map[String, String],
+      bounds: Map[(String, String), Option[(String, String)]])
+
+  /** ONE scan over the visible data files → per-(file, column) bounds
+    * for every requested column (each must be integral or string).
+    * Overwrites the previous map atomically. */
+  def write(spark: SparkSession, path: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "zone map needs at least one column")
+    val files = StageWriter.listDataFiles(Paths.get(path))
+    require(files.nonEmpty, s"$path has no data files")
+    val schema = spark.read.parquet(path).schema
+    val kinds = cols.map { c =>
+      val dt = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"$path: no column $c")).dataType
+      c -> kindOf(dt).getOrElse(throw new IllegalArgumentException(
+        s"$path: column $c (${dt.simpleString}) has no zone-map dialect"))
+    }
+    // aggregate in the column's OWN order, stringify the result — a
+    // min/max over the string CAST of a long column is lexicographic
+    // ("99" > "100") and records inverted bounds that mis-prune
+    val aggs = kinds.flatMap { case (c, kind) =>
+      val v = if (kind == "long") col(c).cast("long") else col(c)
+      Seq(min(v).cast("string").as(s"mn_$c"),
+        max(v).cast("string").as(s"mx_$c"))
+    }
+    val scanned = spark.read.parquet(files.map(_.toString): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val name = r.getAs[String]("f").split('/').last
+        name -> kinds.map { case (c, _) =>
+          val mn = r.getAs[String](s"mn_$c")
+          c -> (if (mn == null) None
+            else Some((mn, r.getAs[String](s"mx_$c"))))
+        }.toMap
+      }.toMap
+    val lines =
+      kinds.map { case (c, k) => s"#col\t${enc(c)}\t$k" } ++
+        files.map(_.getFileName.toString).sorted.flatMap { n =>
+          kinds.map { case (c, _) =>
+            scanned.getOrElse(n, Map.empty).getOrElse(c, None) match {
+              case Some((mn, mx)) => s"$n\t${enc(c)}\t1\t${enc(mn)}\t${enc(mx)}"
+              case None => s"$n\t${enc(c)}\t0"
+            }
+          }
+        }
+    val tmp = Files.createTempFile(
+      Paths.get(path).toAbsolutePath.getParent, ".zonemap", ".tmp")
+    Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+    Files.move(tmp, mapFile(path), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Load iff the map's file inventory matches `files` EXACTLY. */
+  private[graft] def load(path: String, files: Seq[Path]): Option[Zones] = {
+    val f = mapFile(path)
+    if (!Files.exists(f)) return None
+    import scala.jdk.CollectionConverters._
+    val lines = Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty)
+    val (header, rows) = lines.partition(_.startsWith("#col\t"))
+    if (header.isEmpty) return None
+    val kinds = header.map { l =>
+      val a = l.split("\t", 3)
+      dec(a(1)) -> a(2)
+    }.toMap
+    val bounds = rows.map { l =>
+      val a = l.split("\t", 5)
+      (a(0), dec(a(1))) -> (if (a(2) == "0") None
+        else Some((dec(a(3)), dec(a(4)))))
+    }.toMap
+    val mapped = bounds.keySet.map(_._1)
+    if (mapped == files.map(_.getFileName.toString).toSet)
+      Some(Zones(kinds, bounds))
+    else None
+  }
+}
