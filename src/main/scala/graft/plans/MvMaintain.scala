@@ -67,6 +67,28 @@ object MvMaintain {
     v
   }
 
+  /** Re-register an existing MV after a DRIVER RESTART: the rewrite
+    * registry is session memory, but the MV's state sidecar is durable —
+    * a no-op refresh when the source hasn't moved, a real one when it
+    * has, and either way the registration is re-pointed at the current
+    * head it now summarizes. Losing the registry was never a correctness
+    * hazard (queries fall back to the base), only a performance one;
+    * this closes it. */
+  def rehydrate(spark: SparkSession, mvPath: String, keys: Seq[String],
+      valueCol: String): Refresh = {
+    val p = statePath(mvPath)
+    require(Files.isRegularFile(p), s"$mvPath: no MV state to rehydrate")
+    val srcTable = Files.readAllLines(p).get(0).trim
+    refresh(spark, srcTable, mvPath, keys, valueCol) match {
+      case r @ Refresh(from, to, _) if from == to =>
+        // refresh no-ops without re-registering — do it here
+        MvRewrite.register(scanDir(spark, srcTable, to), mvPath, keys,
+          valueCol)
+        r
+      case r => r
+    }
+  }
+
   /** Catch the rollup up from its summarized version to the source head
     * using the change feed — O(changed rows), never a base rescan — and
     * re-point the rewrite registration at the new head. No-op when

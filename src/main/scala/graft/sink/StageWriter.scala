@@ -772,6 +772,12 @@ object StageWriter {
         writeStats(path, key1, kept.map { case (f, o) =>
           f -> o.map { case (a, b) => (a.toLong, b.toLong) } })
       else writeStatsStr(path, key1, kept)
+      // keep the multi-column zone map (D183) alive across merges too —
+      // O(new files); a map that no longer matches is deleted, never
+      // left half-true
+      ZoneMap.maintainAfterRewrite(spark, path,
+        dataFiles.map(_.getFileName.toString), touched,
+        staged.map(_._2))
     } finally merged.unpersist()
   }
 

@@ -42,17 +42,10 @@ object ZoneMap {
   /** ONE scan over the visible data files → per-(file, column) bounds
     * for every requested column (each must be integral or string).
     * Overwrites the previous map atomically. */
-  def write(spark: SparkSession, path: String, cols: Seq[String]): Unit = {
-    require(cols.nonEmpty, "zone map needs at least one column")
-    val files = StageWriter.listDataFiles(Paths.get(path))
-    require(files.nonEmpty, s"$path has no data files")
-    val schema = spark.read.parquet(path).schema
-    val kinds = cols.map { c =>
-      val dt = schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(s"$path: no column $c")).dataType
-      c -> kindOf(dt).getOrElse(throw new IllegalArgumentException(
-        s"$path: column $c (${dt.simpleString}) has no zone-map dialect"))
-    }
+  private def scanBounds(spark: SparkSession, files: Seq[Path],
+      kinds: Seq[(String, String)])
+      : Map[String, Map[String, Option[(String, String)]]] = {
+    if (files.isEmpty) return Map.empty
     // aggregate in the column's OWN order, stringify the result — a
     // min/max over the string CAST of a long column is lexicographic
     // ("99" > "100") and records inverted bounds that mis-prune
@@ -61,7 +54,7 @@ object ZoneMap {
       Seq(min(v).cast("string").as(s"mn_$c"),
         max(v).cast("string").as(s"mx_$c"))
     }
-    val scanned = spark.read.parquet(files.map(_.toString): _*)
+    spark.read.parquet(files.map(_.toString): _*)
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -73,12 +66,18 @@ object ZoneMap {
             else Some((mn, r.getAs[String](s"mx_$c"))))
         }.toMap
       }.toMap
+  }
+
+  private def writeLines(path: String, kinds: Seq[(String, String)],
+      names: Seq[String],
+      bounds: Map[String, Map[String, Option[(String, String)]]]): Unit = {
     val lines =
       kinds.map { case (c, k) => s"#col\t${enc(c)}\t$k" } ++
-        files.map(_.getFileName.toString).sorted.flatMap { n =>
+        names.sorted.flatMap { n =>
           kinds.map { case (c, _) =>
-            scanned.getOrElse(n, Map.empty).getOrElse(c, None) match {
-              case Some((mn, mx)) => s"$n\t${enc(c)}\t1\t${enc(mn)}\t${enc(mx)}"
+            bounds.getOrElse(n, Map.empty).getOrElse(c, None) match {
+              case Some((mn, mx)) =>
+                s"$n\t${enc(c)}\t1\t${enc(mn)}\t${enc(mx)}"
               case None => s"$n\t${enc(c)}\t0"
             }
           }
@@ -90,8 +89,59 @@ object ZoneMap {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** ONE scan over the visible data files → per-(file, column) bounds
+    * for every requested column (each must be integral or string).
+    * Overwrites the previous map atomically. */
+  def write(spark: SparkSession, path: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "zone map needs at least one column")
+    val files = StageWriter.listDataFiles(Paths.get(path))
+    require(files.nonEmpty, s"$path has no data files")
+    val schema = spark.read.parquet(path).schema
+    val kinds = cols.map { c =>
+      val dt = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"$path: no column $c")).dataType
+      c -> kindOf(dt).getOrElse(throw new IllegalArgumentException(
+        s"$path: column $c (${dt.simpleString}) has no zone-map dialect"))
+    }
+    writeLines(path, kinds, files.map(_.getFileName.toString),
+      scanBounds(spark, files, kinds))
+  }
+
+  /** Incremental maintenance after a FILE-TARGETED rewrite (D163's
+    * merge): drop the replaced files' rows, scan ONLY the new files, and
+    * republish — O(new files), so automatic pruning SURVIVES merges
+    * instead of silently standing down at the first inventory change.
+    * `preNames` is the inventory the old map must describe (the caller
+    * holds the merge claim and knows it exactly); a map that doesn't
+    * match it is DELETED rather than patched (never half-true). No-op
+    * without a map. */
+  def maintainAfterRewrite(spark: SparkSession, path: String,
+      preNames: Seq[String], removed: Set[String],
+      added: Seq[Path]): Unit = {
+    val f = mapFile(path)
+    if (!Files.exists(f)) return
+    loadByNames(path, preNames.toSet) match {
+      case None => Files.deleteIfExists(f); ()
+      case Some(z) =>
+        val kinds = z.kinds.toSeq.sortBy(_._1)
+        val fresh = scanBounds(spark, added, kinds)
+        val keptNames = preNames.filterNot(removed) ++
+          added.map(_.getFileName.toString)
+        val kept = z.bounds.collect {
+          case ((n, c), b) if !removed(n) => (n, c) -> b
+        }.groupBy(_._1._1).map { case (n, m) =>
+          n -> m.map { case ((_, c), b) => c -> b }
+        }
+        writeLines(path, kinds, keptNames, kept ++ fresh)
+    }
+  }
+
   /** Load iff the map's file inventory matches `files` EXACTLY. */
-  private[graft] def load(path: String, files: Seq[Path]): Option[Zones] = {
+  private[graft] def load(path: String, files: Seq[Path]): Option[Zones] =
+    loadByNames(path, files.map(_.getFileName.toString).toSet)
+
+  private[graft] def loadByNames(path: String,
+      names: Set[String]): Option[Zones] = {
     val f = mapFile(path)
     if (!Files.exists(f)) return None
     import scala.jdk.CollectionConverters._
@@ -107,9 +157,7 @@ object ZoneMap {
       (a(0), dec(a(1))) -> (if (a(2) == "0") None
         else Some((dec(a(3)), dec(a(4)))))
     }.toMap
-    val mapped = bounds.keySet.map(_._1)
-    if (mapped == files.map(_.getFileName.toString).toSet)
-      Some(Zones(kinds, bounds))
+    if (bounds.keySet.map(_._1) == names) Some(Zones(kinds, bounds))
     else None
   }
 }

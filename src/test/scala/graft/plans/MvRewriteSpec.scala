@@ -133,4 +133,34 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(got == Map("a" -> 1L, "b" -> 2L))
     } finally StageWriter.deleteRecursively(tmp)
   }
+
+  test("MvMaintain.rehydrate restores the rewrite registration after a " +
+    "registry wipe (driver restart)") {
+    val tmp = Files.createTempDirectory("mvreh")
+    val vt = tmp.resolve("t").toString
+    val mv = tmp.resolve("mv").toString
+    try {
+      graft.sink.VersionedTable.commit(
+        Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v"), vt)
+      MvMaintain.build(spark, vt, mv, Seq("k"), "v")
+      def q() = graft.sink.VersionedTable.read(spark, vt).groupBy("k")
+        .agg(sum(col("v").cast(DecimalType(18, 2))).as("s"),
+          count(lit(1)).as("n"))
+      MvRewrite.ensureInstalled(spark)
+      assert(scanPaths(q()).exists(_.endsWith("/mv")))
+      // simulate a restart: the in-memory registry loses the entry
+      MvRewrite.deregister(
+        q().queryExecution.analyzed.collectLeaves().collectFirst {
+          case lr: LogicalRelation =>
+            lr.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.head.toUri.getPath
+        }.get)
+      assert(scanPaths(q()).forall(!_.endsWith("/mv")))
+      val r = MvMaintain.rehydrate(spark, mv, Seq("k"), "v")
+      assert(r.fromV == 1 && r.toV == 1)
+      assert(scanPaths(q()).exists(_.endsWith("/mv")),
+        "rehydrate must re-point the registration")
+    } finally StageWriter.deleteRecursively(tmp)
+  }
 }

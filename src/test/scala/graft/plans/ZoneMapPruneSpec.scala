@@ -73,4 +73,36 @@ class ZoneMapPruneSpec extends AnyFunSuite {
       assert(kq().count() == 1000)
     } finally StageWriter.deleteRecursively(tmp)
   }
+
+  test("the zone map SURVIVES a file-targeted merge (O(new files) " +
+    "maintenance) and still prunes correctly afterwards") {
+    val tmp = java.nio.file.Files.createTempDirectory("zmm")
+    val path = tmp.resolve("t").toString
+    try {
+      spark.range(0, 8000).select(col("id").as("k"),
+          (col("id") % 500).as("y"))
+        .repartitionByRange(8, col("k"))
+        .write.parquet(path)
+      ZoneMap.write(spark, path, Seq("k", "y"))
+      ZoneMapPrune.ensureInstalled(spark)
+      val total0 = StageWriter.listDataFiles(
+        java.nio.file.Paths.get(path)).size
+      def kq() = spark.read.parquet(path).filter(col("k") < 1000)
+      assert(scanFiles(kq()) < total0)
+      // targeted merge: updates inside one file's range + one insert
+      StageWriter.mergeInto(spark,
+        Seq((1L, 999L), (99999L, 7L)).toDF("k", "y"), path, Seq("k"))
+      val total1 = StageWriter.listDataFiles(
+        java.nio.file.Paths.get(path)).size
+      // the maintained map still prunes — no stand-down, no rewrite
+      assert(scanFiles(kq()) < total1,
+        "zone map must survive the merge and keep pruning")
+      assert(kq().count() == 1000)
+      assert(kq().filter(col("k") === 1L).select("y")
+        .as[Long].head() == 999L, "merged row visible through the prune")
+      // the new out-of-range key's file is found via the map too
+      val ins = spark.read.parquet(path).filter(col("k") === 99999L)
+      assert(scanFiles(ins) < total1 && ins.count() == 1)
+    } finally StageWriter.deleteRecursively(tmp)
+  }
 }

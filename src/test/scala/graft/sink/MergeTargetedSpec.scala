@@ -290,4 +290,24 @@ class MergeTargetedSpec extends AnyFunSuite {
     StageWriter.vacuum(path, retentionMs = -1000)
     assert(!Files.exists(stage) && !Files.exists(hidden))
   }
+
+  test("STRING-keyed CDC merge (tombstones) stays file-targeted") {
+    val path = tmp()
+    spark.range(4000).select(
+        concat(lit("k"), lpad(col("id").cast("string"), 6, "0")).as("k"),
+        concat(lit("v"), col("id")).as("v"))
+      .repartitionByRange(4, col("k"))
+      .write.parquet(path)
+    val before = inventory(path)
+    val delta = Seq(("k000000", "z", "U"), ("k000001", "", "D"),
+      ("k000002", "", "D")).toDF("k", "v", "op")
+    StageWriter.mergeCdcInto(spark, delta, path, Seq("k"))
+    val after = inventory(path)
+    assert(before.keySet.intersect(after.keySet).size == 3,
+      "only the file holding k000000..k000002 may be rewritten")
+    val got = spark.read.parquet(path).as[(String, String)].collect().toMap
+    assert(got.size == 3998)
+    assert(got("k000000") == "z" && !got.contains("k000001") &&
+      !got.contains("k000002"))
+  }
 }
