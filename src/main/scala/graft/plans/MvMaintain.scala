@@ -109,7 +109,9 @@ object MvMaintain {
     val maintained = Rollup.applyChanges(
       spark.read.parquet(mvPath), changes, keys, valueCol)
       .localCheckpoint() // materialize BEFORE overwriting what it reads
-    MvRewrite.deregister(scanDir(spark, srcTable, fromV))
+    // drop only THIS MV's registration (siblings on the same snapshot
+    // dir — other granularities of a cascade — stay registered)
+    MvRewrite.deregister(scanDir(spark, srcTable, fromV), mvPath)
     StageWriter.overwrite(maintained, mvPath)
     Files.writeString(statePath(mvPath), s"$srcTable\n$toV\n")
     MvRewrite.register(scanDir(spark, srcTable, toV), mvPath, keys, valueCol)

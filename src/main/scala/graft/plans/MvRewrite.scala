@@ -53,8 +53,11 @@ object MvRewrite {
   final case class Mv(basePath: String, mvPath: String, keys: Seq[String],
       valueCol: String, fingerprint: String)
 
+  // base path → (mv path → Mv): a base can carry SEVERAL rollups at
+  // different granularities (the D182 cascade registers fine AND coarse);
+  // the rule picks the COARSEST subsumer — fewest keys = smallest scan
   private val registry =
-    scala.collection.concurrent.TrieMap[String, Mv]()
+    scala.collection.concurrent.TrieMap[String, Map[String, Mv]]()
 
   /** Names + sizes of the visible data files — the same inventory-exact
     * validity contract as the stats sidecar. */
@@ -63,22 +66,35 @@ object MvRewrite {
       .map(p => s"${p.getFileName}:${java.nio.file.Files.size(p)}")
       .mkString("\n")
 
-  /** Register (or refresh) the MV for `basePath`. Call AFTER the rollup
+  /** Register (or refresh) an MV for `basePath`. Call AFTER the rollup
     * is (re)built so the fingerprint matches the state it summarizes. */
   def register(basePath: String, mvPath: String, keys: Seq[String],
-      valueCol: String): Unit = {
+      valueCol: String): Unit = synchronized {
     val norm = Paths.get(basePath).toAbsolutePath.toString
-    registry.put(norm,
-      Mv(norm, mvPath, keys, valueCol, fingerprint(norm)))
+    val mv = Mv(norm, mvPath, keys, valueCol, fingerprint(norm))
+    registry.put(norm, registry.getOrElse(norm, Map.empty) + (mvPath -> mv))
     ()
   }
 
-  def deregister(basePath: String): Unit = {
+  /** Drop every MV registered for `basePath`. */
+  def deregister(basePath: String): Unit = synchronized {
     registry.remove(Paths.get(basePath).toAbsolutePath.toString); ()
   }
 
-  private[plans] def lookup(dir: String): Option[Mv] =
+  /** Drop ONE MV of a base (several can share a base — a cascade's
+    * levels, or siblings on one versioned-table snapshot dir). */
+  def deregister(basePath: String, mvPath: String): Unit = synchronized {
+    val norm = Paths.get(basePath).toAbsolutePath.toString
+    registry.get(norm).foreach { m =>
+      val rest = m - mvPath
+      if (rest.isEmpty) registry.remove(norm) else registry.put(norm, rest)
+    }
+    ()
+  }
+
+  private[plans] def lookup(dir: String): Seq[Mv] =
     registry.get(Paths.get(dir).toAbsolutePath.toString)
+      .map(_.values.toSeq).getOrElse(Seq.empty)
 
   def ensureInstalled(spark: SparkSession): Unit =
     RuleInstall.ensure(spark)(_.isInstanceOf[MvRewrite], new MvRewrite)
@@ -110,11 +126,19 @@ class MvRewrite extends Rule[LogicalPlan] {
     val roots = rel.location.rootPaths
     if (roots.size != 1) return None
     val dir = roots.head.toUri.getPath
-    val mv = lookup(dir).getOrElse(return None)
-    // freshness: any divergence between the inventory the MV summarizes
-    // and the directory NOW disables the rewrite (never a stale answer)
-    if (fingerprint(mv.basePath) != mv.fingerprint) return None
+    val candidates = lookup(dir)
+    if (candidates.isEmpty) return None
+    // freshness: any divergence between the inventory an MV summarizes
+    // and the directory NOW disqualifies it (never a stale answer).
+    // Among the fresh subsumers, the COARSEST (fewest keys) wins — it is
+    // the smallest rollup that can still answer exactly.
+    candidates.filter(mv => fingerprint(mv.basePath) == mv.fingerprint)
+      .sortBy(_.keys.size)
+      .view.flatMap(mv => tryMv(agg, rel, mv)).headOption
+  }
 
+  private def tryMv(agg: Aggregate, rel: HadoopFsRelation,
+      mv: Mv): Option[Aggregate] = {
     // every grouping expression: a bare key column of the MV
     val groupNames = agg.groupingExpressions.map {
       case a: AttributeReference if mv.keys.contains(a.name) => a.name

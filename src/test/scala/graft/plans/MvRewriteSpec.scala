@@ -163,4 +163,38 @@ class MvRewriteSpec extends AnyFunSuite {
         "rehydrate must re-point the registration")
     } finally StageWriter.deleteRecursively(tmp)
   }
+
+  test("several MVs on one base: the COARSEST fresh subsumer answers; " +
+    "a stale coarse MV falls through to the fine one") {
+    val tmp = Files.createTempDirectory("mvmulti")
+    val base = tmp.resolve("base").toString
+    val fine = tmp.resolve("fine").toString
+    val coarse = tmp.resolve("coarse").toString
+    try {
+      (1 to 600).map(i => (s"g${i % 6}", s"h${i % 3}", i / 4.0))
+        .toDF("k1", "k2", "v").write.parquet(base)
+      StageWriter.overwrite(Rollup.build(
+        spark.read.parquet(base), Seq("k1", "k2"), "v"), fine)
+      StageWriter.overwrite(Rollup.build(
+        spark.read.parquet(base), Seq("k1"), "v"), coarse)
+      MvRewrite.register(base, fine, Seq("k1", "k2"), "v")
+      MvRewrite.register(base, coarse, Seq("k1"), "v")
+      MvRewrite.ensureInstalled(spark)
+      // k1 grouping: BOTH subsume; the coarse (1-key) rollup must win
+      assert(scanPaths(q(base, "k1")).exists(_.endsWith("/coarse")),
+        s"coarsest subsumer must answer, got ${scanPaths(q(base, "k1"))}")
+      // (k1, k2): only the fine MV subsumes
+      assert(scanPaths(q(base, "k1", "k2")).exists(_.endsWith("/fine")))
+      // stale the coarse registration only: k1 falls through to fine
+      MvRewrite.deregister(base, coarse)
+      assert(scanPaths(q(base, "k1")).exists(_.endsWith("/fine")),
+        "with the coarse MV gone, the fine one must still answer")
+      val got = q(base, "k1").collect()
+        .map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toSet
+      MvRewrite.deregister(base)
+      val want = q(base, "k1").collect()
+        .map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toSet
+      assert(got == want)
+    } finally MvRewrite.deregister(base)
+  }
 }
