@@ -194,7 +194,9 @@ object ScaleSmoke {
       // costs its PARENT's change volume
       "llm_eval_sample", "q_rollup_cascade",
       // D183: one write-time scan; reads skip on every mapped column
-      "q_zonemap"))
+      "q_zonemap",
+      // D184: recompute bounded by delete-touched-extremum groups
+      "q_rollup_minmax"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

@@ -65,6 +65,53 @@ object Rollup {
       .filter(col("n") =!= 0)
   }
 
+  /** Min/max rollup: (keys..., mn, mx) — IEEE-safe as-is (min/max never
+    * accumulate, so no decimal bridge needed). */
+  def buildMinMax(df: DataFrame, keys: Seq[String],
+      valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+
+  /** SEMI-incremental min/max maintenance (D184): min/max are not
+    * retraction-closed — deleting the recorded minimum needs the
+    * runner-up, which the state doesn't hold — so maintenance splits by
+    * what the algebra allows:
+    *
+    *  - INSERTS fold in distributively (min/max of min/max);
+    *  - a DELETE that doesn't reach its group's recorded extremum
+    *    provably cannot move it — the group keeps its state untouched;
+    *  - only groups where a delete TIES OR PASSES an extremum recompute,
+    *    via ONE semi-join-bounded scan of `newBase` (the post-change
+    *    table) — affected groups, never the table. A fully-deleted group
+    *    necessarily deleted its minimum, lands in the recompute set, is
+    *    absent from `newBase`, and so vanishes — correct by the same
+    *    path.
+    *
+    * This is the classical IVM treatment of non-distributive aggregates;
+    * at 100 TB the affected-keys semi-join composes with the stats/zone
+    * sidecars so the recompute scan prunes to key-intersecting files. */
+  def applyChangesMinMax(rollup: DataFrame, changes: DataFrame,
+      keys: Seq[String], valueCol: String, newBase: DataFrame,
+      changeCol: String = "change"): DataFrame = {
+    val kcols = keys.map(col)
+    val delExtremes = changes.filter(col(changeCol) === "delete")
+      .groupBy(kcols: _*)
+      .agg(min(col(valueCol)).as("__dmn"), max(col(valueCol)).as("__dmx"))
+    val affected = rollup.join(delExtremes, keys)
+      .filter(col("__dmn") <= col("mn") || col("__dmx") >= col("mx"))
+      .select(kcols: _*)
+    val recomputed = buildMinMax(
+      newBase.join(affected, keys, "left_semi"), keys, valueCol)
+    val insertAgg = changes.filter(col(changeCol) === "insert")
+      .groupBy(kcols: _*)
+      .agg(min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+    rollup.join(affected, keys, "left_anti")
+      .unionByName(insertAgg.join(affected, keys, "left_anti"))
+      .groupBy(kcols: _*)
+      .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+      .unionByName(recomputed)
+  }
+
   /** Change feed BETWEEN two rollup states — (keys..., n, s, change)
     * rows in the diff convention — so maintenance CHAINS: a parent
     * rollup's own changes drive a child (D182). */

@@ -946,6 +946,41 @@ object MaintenanceQueries {
              l_orderkey % 1024 AS x, l_partkey % 1024 AS y
       FROM lineitem
       WHERE l_partkey % 1024 < 100
-      ORDER BY l_orderkey, l_linenumber""")))
+      ORDER BY l_orderkey, l_linenumber"""))),
+
+    // D184 — semi-incremental MIN/MAX maintenance
+    // (Rollup.applyChangesMinMax): min/max are not retraction-closed, so
+    // inserts fold distributively and ONLY groups whose deletes tie or
+    // pass a recorded extremum recompute via one semi-join-bounded scan.
+    // The gate require()s maintain ≡ rebuild AND that the recompute set
+    // stayed a strict subset of the changed groups.
+    "q_rollup_minmax" -> (((spark, dir) => {
+      val v1 = load(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val v2 = v1.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(11)) === 0,
+            col("o_totalprice") + 100.0).otherwise(col("o_totalprice")))
+      val r1 = graft.operators.Rollup.buildMinMax(v1,
+        Seq("o_custkey"), "o_totalprice").localCheckpoint()
+      val changes = v2.exceptAll(v1).withColumn("change", lit("insert"))
+        .unionByName(v1.exceptAll(v2).withColumn("change", lit("delete")))
+        .localCheckpoint()
+      val maintained = graft.operators.Rollup.applyChangesMinMax(
+        r1, changes, Seq("o_custkey"), "o_totalprice", v2)
+      val rebuilt = graft.operators.Rollup.buildMinMax(v2,
+        Seq("o_custkey"), "o_totalprice")
+      require(maintained.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(maintained).isEmpty,
+        "semi-incremental min/max must equal the rebuild exactly")
+      maintained.orderBy("o_custkey")
+    }, Some("""
+      WITH v2 AS (SELECT o_custkey,
+                    CASE WHEN o_orderkey % 11 = 0
+                         THEN o_totalprice + 100.0
+                         ELSE o_totalprice END AS p
+                  FROM orders WHERE o_orderkey % 7 <> 0)
+      SELECT o_custkey, min(p) AS mn, max(p) AS mx
+      FROM v2 GROUP BY o_custkey ORDER BY o_custkey""")))
   )
 }

@@ -200,6 +200,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("semi-incremental min/max maintenance ≡ rebuild for random " +
+      "mutations incl. extremum deletions and full-group retraction") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val rowGen = Gen.listOfN(120,
+      Gen.zip(Gen.choose(1L, 4000L), Gen.choose(0L, 10L),
+        Gen.choose(0, 9999)))
+    (1 to 3).foreach { seed =>
+      val rows = rowGen.sample.get.map { case (id, k, c) =>
+        (id, k, c / 100.0) }.distinct
+      val v1 = rows.toDF("id", "k", "v")
+      val v2 = v1.filter(col("id") % 3 =!= 0)
+        .withColumn("v", when(col("id") % 5 === 0, col("v") - 50.0)
+          .otherwise(col("v")))
+      val changes = v2.exceptAll(v1).withColumn("change", lit("insert"))
+        .unionByName(v1.exceptAll(v2).withColumn("change", lit("delete")))
+      val maintained = graft.operators.Rollup.applyChangesMinMax(
+        graft.operators.Rollup.buildMinMax(v1, Seq("k"), "v"),
+        changes, Seq("k"), "v", v2)
+      val rebuilt = graft.operators.Rollup.buildMinMax(v2, Seq("k"), "v")
+      assert(maintained.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(maintained).isEmpty,
+        s"seed $seed: min/max maintenance diverged")
+    }
+  }
+
   test("exact selection ≡ sorted answer for random arrays and every rank " +
       "decile") {
     val vGen = Gen.listOfN(200, Gen.oneOf(
