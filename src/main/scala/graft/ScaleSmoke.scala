@@ -196,7 +196,9 @@ object ScaleSmoke {
       // D183: one write-time scan; reads skip on every mapped column
       "q_zonemap",
       // D184: recompute bounded by delete-touched-extremum groups
-      "q_rollup_minmax"))
+      "q_rollup_minmax",
+      // D185: plan-time metadata only — zero jobs either way
+      "q_scan_guard"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

@@ -981,6 +981,48 @@ object MaintenanceQueries {
                          ELSE o_totalprice END AS p
                   FROM orders WHERE o_orderkey % 7 <> 0)
       SELECT o_custkey, min(p) AS mn, max(p) AS mx
-      FROM v2 GROUP BY o_custkey ORDER BY o_custkey""")))
+      FROM v2 GROUP BY o_custkey ORDER BY o_custkey"""))),
+
+    // D185 — scan budget guard (plans.ScanGuard): plan-time metadata
+    // refusal of unpruned scans — the 100 TB footgun rail. The gate
+    // require()s (a) the pruned plan's planned bytes are a fraction of
+    // the full plan's, (b) a budget between the two REJECTS the full
+    // scan naming it and PASSES the pruned one, with zero jobs launched
+    // for the refusal; then oracles the pruned rows.
+    "q_scan_guard" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("guard_gate")
+      try {
+        val path = tmp.resolve("t").toString
+        load(spark, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .repartitionByRange(8, col("l_orderkey"))
+          .write.parquet(path)
+        graft.sink.StageWriter.optimize(spark, path,
+          targetFileBytes = 64 * 1024, statsColumn = Some("l_orderkey"))
+        graft.plans.StatsFilePrune.ensureInstalled(spark)
+        val full = spark.read.parquet(path)
+        val pruned = spark.read.parquet(path)
+          .filter(col("l_orderkey") < 2000)
+        val fullBytes = graft.plans.ScanGuard.plannedBytes(full)
+        val prunedBytes = graft.plans.ScanGuard.plannedBytes(pruned)
+        require(prunedBytes < fullBytes / 2,
+          s"pruning must shrink planned bytes ($prunedBytes/$fullBytes)")
+        val budget = (fullBytes + prunedBytes) / 2
+        val refused = try {
+          graft.plans.ScanGuard.assertBounded(full, budget); None
+        } catch {
+          case e: graft.plans.ScanGuard.ScanBudgetExceeded => Some(e)
+        }
+        require(refused.exists(_.getMessage.contains("bytes")),
+          "the unpruned scan must be refused BEFORE execution")
+        require(graft.plans.ScanGuard.assertBounded(pruned, budget) ==
+          prunedBytes, "the pruned scan must pass the same budget")
+        pruned.orderBy("l_orderkey", "l_linenumber")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem WHERE l_orderkey < 2000
+      ORDER BY l_orderkey, l_linenumber""")))
   )
 }
