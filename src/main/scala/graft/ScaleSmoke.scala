@@ -198,7 +198,9 @@ object ScaleSmoke {
       // D184: recompute bounded by delete-touched-extremum groups
       "q_rollup_minmax",
       // D185: plan-time metadata only — zero jobs either way
-      "q_scan_guard"))
+      "q_scan_guard",
+      // D186: erasure = KB sidecar append + request-sized ledger
+      "c5_erasure"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

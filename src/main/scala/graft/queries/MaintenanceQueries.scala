@@ -1023,6 +1023,62 @@ object MaintenanceQueries {
     }, Some("""
       SELECT l_orderkey, l_linenumber, l_quantity
       FROM lineitem WHERE l_orderkey < 2000
-      ORDER BY l_orderkey, l_linenumber""")))
+      ORDER BY l_orderkey, l_linenumber"""))),
+
+    // D186 — right-to-be-forgotten composition (sink.Erasure = deletion
+    // vectors + keyed-pseudonym ledger): erasing ~1% of users costs a
+    // KB sidecar append (data files require()d byte-identical), the
+    // DV-aware read excludes them immediately, the ledger answers "was
+    // X honored?" to the key holder while require()d to never carry the
+    // raw id. Survivor aggregate oracled.
+    "c5_erasure" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("erasure_gate")
+      try {
+        val path = tmp.resolve("events").toString
+        val ledger = tmp.resolve("ledger").toString
+        load(spark, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+          .write.parquet(path)
+        def inv() = graft.sink.StageWriter.listDataFiles(
+          java.nio.file.Paths.get(path))
+          .map(p => p.getFileName.toString -> java.nio.file.Files.size(p))
+          .toMap
+        val before = inv()
+        val subjects = spark.read.parquet(path)
+          .filter(pmod(col("user_id"), lit(97)) === 0)
+          .select(col("user_id")).distinct()
+        val r = graft.sink.Erasure.eraseSubjects(spark, path, "user_id",
+          subjects, ledger, ledgerKey = "dsar-key")
+        require(r.subjects > 0 && r.rows > r.subjects,
+          s"erasure must tombstone every subject row, got $r")
+        require(inv() == before,
+          "erasure must not rewrite a single data file")
+        val survivors = graft.sink.DeletionVectors.read(spark, path)
+        require(survivors.filter(
+          pmod(col("user_id"), lit(97)) === 0).count() == 0,
+          "DV-aware reads must exclude erased subjects immediately")
+        require(spark.read.parquet(path).count() > survivors.count(),
+          "plain readers see the superset until the fold (documented)")
+        // ledger: verifiable by the key holder, raw ids never stored
+        val someId = subjects.limit(1).collect().head.getLong(0).toString
+        require(graft.sink.Erasure.isErased(spark, ledger, someId,
+          "dsar-key"), "the ledger must answer an honored request")
+        require(!graft.sink.Erasure.isErased(spark, ledger, "1",
+          "dsar-key") || someId == "1",
+          "an un-erased id must not appear honored")
+        require(spark.read.parquet(ledger)
+          .filter(col("subject") === someId).isEmpty,
+          "the ledger must never carry the raw id")
+        survivors.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+          .orderBy("event_type")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events
+      WHERE user_id % 97 <> 0 OR user_id IS NULL
+      GROUP BY event_type ORDER BY event_type""")))
   )
 }

@@ -2,11 +2,12 @@ package graft.sink
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
-/** D176/D177 — bundle integrity edge cases and partition TTL parsing. */
+/** D176/D177/D186 — bundle integrity, partition TTL parsing, erasure. */
 class PortableSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -60,6 +61,36 @@ class PortableSpec extends AnyFunSuite {
         Files.exists(Paths.get(path, "other=5")))
       assert(StageWriter.expirePartitions(path, "d", cutoff = 25L).isEmpty,
         "a second enforcement run is a no-op")
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+
+  test("erasure: re-erasing is effect-idempotent, ledger answers only " +
+    "with the right key, empty ledger answers false") {
+    val tmp = Files.createTempDirectory("erasure")
+    try {
+      val path = tmp.resolve("t").toString
+      val ledger = tmp.resolve("ledger").toString
+      (1L to 300L).map(i => (i, i % 10, i / 2.0))
+        .toDF("event_id", "user_id", "value").write.parquet(path)
+      assert(!Erasure.isErased(spark, ledger, "3", "k1"),
+        "an empty ledger answers false")
+      val subjects = Seq(3L).toDF("user_id")
+      val r1 = Erasure.eraseSubjects(spark, path, "user_id", subjects,
+        ledger, "k1")
+      assert(r1 == Erasure.Erased(1, 30))
+      assert(DeletionVectors.read(spark, path)
+        .filter(col("user_id") === 3L).count() == 0)
+      // re-erase: the same positions re-append (delete scans the raw
+      // data by design — overlapping vectors dedup at read); the VISIBLE
+      // state is unchanged
+      val r2 = Erasure.eraseSubjects(spark, path, "user_id", subjects,
+        ledger, "k1")
+      assert(r2.rows == 30)
+      assert(DeletionVectors.read(spark, path).count() == 270)
+      assert(Erasure.isErased(spark, ledger, "3", "k1"))
+      assert(!Erasure.isErased(spark, ledger, "3", "WRONG-KEY"),
+        "the ledger must be meaningless without the key")
+      assert(!Erasure.isErased(spark, ledger, "4", "k1"))
     } finally StageWriter.deleteRecursively(tmp)
   }
 }
