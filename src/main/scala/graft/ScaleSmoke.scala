@@ -200,7 +200,9 @@ object ScaleSmoke {
       // D185: plan-time metadata only — zero jobs either way
       "q_scan_guard",
       // D186: erasure = KB sidecar append + request-sized ledger
-      "c5_erasure"))
+      "c5_erasure",
+      // D187: rollup-domain join + TakeOrdered top-k
+      "q_top_movers"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

@@ -112,6 +112,35 @@ object Rollup {
       .unionByName(recomputed)
   }
 
+  /** Top movers between two rollup states (D187): "which groups changed
+    * the most since yesterday" — the first question anyone asks of a
+    * maintained summary. One null-safe full-outer join of two
+    * rollup-domain tables (absent side counts as zero: appeared and
+    * vanished groups are movers too) + a top-k by |Δsum| with a
+    * deterministic key tiebreak — TakeOrderedAndProject, never a global
+    * sort. Returns (keys..., dn, ds) with ds exact-decimal inside and
+    * double out. */
+  def topMovers(old: DataFrame, neu: DataFrame, keys: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val o = old.select(keys.map(c => col(c).as(s"o_$c")) ++
+      Seq(col("n").as("n1"), col("s").as("s1")): _*)
+    val n = neu.select(keys.map(c => col(c).as(s"n_$c")) ++
+      Seq(col("n").as("n2"), col("s").as("s2")): _*)
+    val cond = keys.map(c => col(s"o_$c") <=> col(s"n_$c")).reduce(_ && _)
+    val zeroS = lit(0).cast(old.schema("s").dataType)
+    val dsDec = coalesce(col("s2"), zeroS) - coalesce(col("s1"), zeroS)
+    o.join(n, cond, "full_outer")
+      .select(keys.map(c =>
+        coalesce(col(s"o_$c"), col(s"n_$c")).as(c)) ++ Seq(
+        (coalesce(col("n2"), lit(0L)) - coalesce(col("n1"), lit(0L)))
+          .as("dn"),
+        dsDec.as("__ds")): _*)
+      .orderBy(abs(col("__ds")).desc +: keys.map(col(_).asc): _*)
+      .limit(k)
+      .withColumn("ds", col("__ds").cast(DoubleType)).drop("__ds")
+  }
+
   /** Change feed BETWEEN two rollup states — (keys..., n, s, change)
     * rows in the diff convention — so maintenance CHAINS: a parent
     * rollup's own changes drive a child (D182). */

@@ -1080,6 +1080,40 @@ object MaintenanceQueries {
              CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM events
       WHERE user_id % 97 <> 0 OR user_id IS NULL
-      GROUP BY event_type ORDER BY event_type""")))
+      GROUP BY event_type ORDER BY event_type"""))),
+
+    // D187 — top movers between rollup states (Rollup.topMovers): the
+    // "which customers changed most" report from two maintained
+    // summaries — one rollup-domain full-outer join + top-k by |Δsum|
+    // with a key tiebreak; appeared/vanished groups count as movers.
+    "q_top_movers" -> (((spark, dir) => {
+      val v1 = load(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val v2 = v1.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(11)) === 0,
+            col("o_totalprice") + 100.0).otherwise(col("o_totalprice")))
+      val r1 = graft.operators.Rollup.build(v1,
+        Seq("o_custkey"), "o_totalprice")
+      val r2 = graft.operators.Rollup.build(v2,
+        Seq("o_custkey"), "o_totalprice")
+      graft.operators.Rollup.topMovers(r1, r2, Seq("o_custkey"), k = 25)
+    }, Some("""
+      WITH r1 AS (SELECT o_custkey, count(*) AS n1,
+                    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s1
+                  FROM orders GROUP BY 1),
+      v2 AS (SELECT o_custkey,
+               CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS p
+             FROM orders WHERE o_orderkey % 7 <> 0),
+      r2 AS (SELECT o_custkey, count(*) AS n2,
+               SUM(CAST(p AS DECIMAL(18,2))) AS s2
+             FROM v2 GROUP BY 1),
+      d AS (SELECT o_custkey,
+              CAST(coalesce(n2, 0) - coalesce(n1, 0) AS BIGINT) AS dn,
+              coalesce(s2, 0) - coalesce(s1, 0) AS ds_dec
+            FROM r1 FULL JOIN r2 USING (o_custkey))
+      SELECT o_custkey, dn, CAST(ds_dec AS DOUBLE) AS ds
+      FROM d ORDER BY abs(ds_dec) DESC, o_custkey LIMIT 25""")))
   )
 }
