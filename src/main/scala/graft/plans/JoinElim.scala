@@ -174,9 +174,11 @@ class JoinElim extends Rule[LogicalPlan] {
         : Option[LogicalPlan] = {
       if (!refs.forall(fact.outputSet.contains)) return None
       val (dimPath, dimNullChecks) = bareScanPath(dim).getOrElse(return None)
-      // fact side may carry filters/projections — find its scan path for
-      // the declaration lookup, but keep the SUBPLAN itself
-      val factPath = factScanPath(fact).getOrElse(return None)
+      // fact side may carry filters/projections — find its scan for the
+      // declaration lookup, but keep the SUBPLAN itself
+      val factScan = factScanOf(fact).getOrElse(return None)
+      val factPath = factScan.relation.asInstanceOf[HadoopFsRelation]
+        .location.rootPaths.head.toUri.getPath
       val fk = Constraints.lookup(factPath, dimPath).getOrElse(return None)
       // a dim-side null check is harmless ONLY on pk columns (matched
       // rows have non-null pks by the equi-join); on any other column it
@@ -195,20 +197,33 @@ class JoinElim extends Rule[LogicalPlan] {
       val declared = fk.fkCols.zip(fk.pkCols).toSet
       if (pairs.map { case (a, b) => (a.name, b.name) }.toSet != declared)
         return None
+      // the declaration names SCAN columns — each fact-side attribute
+      // must BE the scan's column of that name, not merely wear it: an
+      // Alias rebinding some other column under the fk's name (e.g.
+      // withColumnRenamed) mints a fresh exprId the scan output doesn't
+      // carry, so requiring the exprId to originate from the
+      // LogicalRelation rejects it (mirrors bareScanPath's
+      // attribute-only tolerance on the dim side)
+      if (!pairs.forall { case (a, _) => factScan.outputSet.contains(a) })
+        return None
       val fkAttrs = pairs.map(_._1)
       Some(Filter(fkAttrs.map(IsNotNull(_): Expression).reduce(And), fact))
     }
     tryDirection(j.left, j.right).orElse(tryDirection(j.right, j.left))
   }
 
-  /** The fact side's scan path: unlike the dim side, Filters over the
-    * fact are fine (we keep the whole subplan). */
-  private def factScanPath(plan: LogicalPlan): Option[String] = {
+  /** The fact side's single scan: unlike the dim side, Filters over the
+    * fact are fine (we keep the whole subplan) — but the caller checks
+    * the join's fk attributes against THIS scan's output so aliases
+    * can't smuggle another column under a declared name. */
+  private def factScanOf(plan: LogicalPlan): Option[LogicalRelation] = {
     val scans = plan.collectLeaves().collect {
-      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
-        lr.relation.asInstanceOf[HadoopFsRelation].location.rootPaths
-    }.flatten
-    if (scans.size == 1) Some(scans.head.toUri.getPath) else None
+      case lr: LogicalRelation
+          if lr.relation.isInstanceOf[HadoopFsRelation] &&
+            lr.relation.asInstanceOf[HadoopFsRelation]
+              .location.rootPaths.size == 1 => lr
+    }
+    if (scans.size == 1) Some(scans.head) else None
   }
 }
 

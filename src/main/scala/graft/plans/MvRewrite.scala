@@ -5,7 +5,7 @@ import java.nio.file.Paths
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Complete, Count, Sum}
+  AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
   Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -48,10 +48,12 @@ import graft.sink.StageWriter
   * never see the substitution. */
 object MvRewrite {
 
-  /** A registered rollup: `mvPath` holds Rollup.build(base, keys, value)
-    * — columns (keys..., n, s). */
+  /** A registered rollup. `kind` selects the artifact dialect:
+    * "sum" — `mvPath` holds Rollup.build(base, keys, value), columns
+    * (keys..., n, s), serving sum/count/avg; "minmax" — mvPath holds
+    * Rollup.buildMinMax, columns (keys..., mn, mx), serving min/max. */
   final case class Mv(basePath: String, mvPath: String, keys: Seq[String],
-      valueCol: String, fingerprint: String)
+      valueCol: String, fingerprint: String, kind: String = "sum")
 
   // base path → (mv path → Mv): a base can carry SEVERAL rollups at
   // different granularities (the D182 cascade registers fine AND coarse);
@@ -69,12 +71,28 @@ object MvRewrite {
   /** Register (or refresh) an MV for `basePath`. Call AFTER the rollup
     * is (re)built so the fingerprint matches the state it summarizes. */
   def register(basePath: String, mvPath: String, keys: Seq[String],
-      valueCol: String): Unit = synchronized {
-    val norm = Paths.get(basePath).toAbsolutePath.toString
-    val mv = Mv(norm, mvPath, keys, valueCol, fingerprint(norm))
-    registry.put(norm, registry.getOrElse(norm, Map.empty) + (mvPath -> mv))
-    ()
-  }
+      valueCol: String): Unit = registerKind(basePath, mvPath, keys,
+    valueCol, "sum")
+
+  /** Register a [[graft.operators.Rollup.buildMinMax]] artifact
+    * (keys..., mn, mx) to serve min/max groupings (D184's plane made
+    * query-facing): min/max re-aggregate losslessly from per-group
+    * extrema in ANY type — no decimal bridge needed. Freshness is the
+    * same inventory fingerprint (a retraction rewrites files, so a
+    * stale minmax MV stands down like any other). */
+  def registerMinMax(basePath: String, mvPath: String, keys: Seq[String],
+      valueCol: String): Unit = registerKind(basePath, mvPath, keys,
+    valueCol, "minmax")
+
+  private def registerKind(basePath: String, mvPath: String,
+      keys: Seq[String], valueCol: String, kind: String): Unit =
+    synchronized {
+      val norm = Paths.get(basePath).toAbsolutePath.toString
+      val mv = Mv(norm, mvPath, keys, valueCol, fingerprint(norm), kind)
+      registry.put(norm,
+        registry.getOrElse(norm, Map.empty) + (mvPath -> mv))
+      ()
+    }
 
   /** Drop every MV registered for `basePath`. */
   def deregister(basePath: String): Unit = synchronized {
@@ -150,27 +168,61 @@ class MvRewrite extends Rule[LogicalPlan] {
     val mvPlan = spark.read.parquet(mv.mvPath).queryExecution.analyzed
     val mvAttr: Map[String, Attribute] =
       mvPlan.output.map(a => a.name -> a).toMap
-    if (!(groupNames :+ "n" :+ "s").forall(mvAttr.contains)) return None
+    val needed = if (mv.kind == "minmax") Seq("mn", "mx") else Seq("n", "s")
+    if (!(groupNames ++ needed).forall(mvAttr.contains)) return None
 
+    // the EXACT engine-wide shape only: Rollup.build persists
+    // sum(cast(v AS DECIMAL(18,2))), so a cast to any OTHER decimal
+    // precision/scale rounds per-row differently than the rollup did —
+    // rewriting it would swap a differently-rounded sum in. Any
+    // mismatched decimal stands down (answered from the base).
     def isValueSum(e: Expression): Boolean = e match {
-      case Cast(a: AttributeReference, DecimalType(), _, _) =>
-        a.name == mv.valueCol
+      case Cast(a: AttributeReference, dt: DecimalType, _, _) =>
+        a.name == mv.valueCol && dt == DecimalType(18, 2)
       case _ => false
     }
     def aggExpr(f: aggregate.AggregateFunction): AggregateExpression =
       AggregateExpression(f, Complete, isDistinct = false)
-    // re-express one aggregate over the (n, s) partials, cast back to
+    // re-express one aggregate over the MV's partials, cast back to
     // the original's result type so parents see an identical schema:
-    // sum(cast(v)) → sum(s), count(1) → sum(n)
-    def reagg(ae: AggregateExpression): Option[Expression] = ae match {
-      case AggregateExpression(Sum(c, _), Complete, false, _, _)
-          if isValueSum(c) =>
-        Some(Cast(aggExpr(Sum(mvAttr("s"))), ae.dataType))
-      case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false,
-          _, _) =>
-        Some(Cast(aggExpr(Sum(mvAttr("n"))), ae.dataType))
-      case _ => None
-    }
+    // sum(cast(v)) → sum(s), count(1) → sum(n), avg(cast(v)) →
+    // sum(s)/sum(n) in Average's own division shape, min/max(v) →
+    // min(mn)/max(mx)
+    def reagg(ae: AggregateExpression): Option[Expression] =
+      if (mv.kind == "minmax") ae match {
+        case AggregateExpression(Min(a: AttributeReference), Complete,
+            false, _, _) if a.name == mv.valueCol =>
+          Some(Cast(aggExpr(Min(mvAttr("mn"))), ae.dataType))
+        case AggregateExpression(Max(a: AttributeReference), Complete,
+            false, _, _) if a.name == mv.valueCol =>
+          Some(Cast(aggExpr(Max(mvAttr("mx"))), ae.dataType))
+        case _ => None
+      } else ae match {
+        case AggregateExpression(Sum(c, _), Complete, false, _, _)
+            if isValueSum(c) =>
+          Some(Cast(aggExpr(Sum(mvAttr("s"))), ae.dataType))
+        case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false,
+            _, _) =>
+          // a GLOBAL count over an EMPTY rollup: sum(n) is NULL where
+          // count(1) must be 0 — coalesce closes the value edge (grouped
+          // counts never see it: no group row, no output row)
+          Some(Cast(Coalesce(Seq(aggExpr(Sum(mvAttr("n"))), Literal(0L))),
+            ae.dataType))
+        case AggregateExpression(Average(c, _), Complete, false, _, _)
+            if isValueSum(c) =>
+          // Average over DECIMAL(18,2) finalizes as Divide(buffer sum
+          // (28,2), count (20,0)) cast to (22,6); re-derive the SAME
+          // division from the partials — Sum(s) folded back to the
+          // (28,2) buffer type (identical overflow edge), Sum(n) as the
+          // (20,0) count — so every intermediate type, rounding point
+          // and the final cast match the un-rewritten aggregate bit for
+          // bit. IEEE double avg never reaches here (isValueSum demands
+          // the exact decimal cast) — sum order would drift it.
+          val s28 = Cast(aggExpr(Sum(mvAttr("s"))), DecimalType(28, 2))
+          val n20 = Cast(aggExpr(Sum(mvAttr("n"))), DecimalType(20, 0))
+          Some(Cast(Divide(s28, n20, EvalMode.LEGACY), ae.dataType))
+        case _ => None
+      }
     // each output: grouping attr (bare or aliased) | re-expressible
     // aggregate, possibly under a collapsed projection Cast (the
     // optimizer folds `select(cast(s, double))` into the Aggregate)

@@ -1,6 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan,
+  Project}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
 
@@ -25,16 +28,40 @@ object ScanGuard {
 
   final case class Scan(path: String, files: Int, bytes: Long)
 
-  /** Every file scan in the optimized plan with its listed size. */
-  def scans(df: DataFrame): Seq[Scan] =
-    df.queryExecution.optimizedPlan.collect {
-      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
-        val rel = lr.relation.asInstanceOf[HadoopFsRelation]
-        val sizes = rel.location.listFiles(Nil, Nil)
-          .flatMap(_.files.map(_.getLen))
-        Scan(rel.location.rootPaths.map(_.toUri.getPath).mkString(","),
-          sizes.size, sizes.sum)
+  /** Every file scan in the optimized plan with its listed size.
+    *
+    * For PATH-BASED hive-layout reads the logical FileIndex still lists
+    * every partition (pruning happens at physical planning), so the
+    * walk carries each scan's enclosing Filter conjuncts down and hands
+    * the partition-column ones to `listFiles` — crediting exactly the
+    * partitions the physical scan will skip, no more (a non-partition
+    * or non-deterministic conjunct prunes nothing here). */
+  def scans(df: DataFrame): Seq[Scan] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
     }
+    def walk(plan: LogicalPlan, filters: Seq[Expression]): Seq[Scan] =
+      plan match {
+        case Filter(cond, child) => walk(child, filters ++ conjuncts(cond))
+        case Project(_, child) => walk(child, filters)
+        case lr: LogicalRelation
+            if lr.relation.isInstanceOf[HadoopFsRelation] =>
+          val rel = lr.relation.asInstanceOf[HadoopFsRelation]
+          val partCols = rel.partitionSchema.fieldNames.toSet
+          val partFilters = filters.filter { f =>
+            f.deterministic && f.references.nonEmpty &&
+              f.references.forall(a => lr.outputSet.contains(a) &&
+                partCols.contains(a.name))
+          }
+          val sizes = rel.location.listFiles(partFilters, Nil)
+            .flatMap(_.files.map(_.getLen))
+          Seq(Scan(rel.location.rootPaths.map(_.toUri.getPath).mkString(","),
+            sizes.size, sizes.sum))
+        case other => other.children.flatMap(walk(_, Nil))
+      }
+    walk(df.queryExecution.optimizedPlan, Nil)
+  }
 
   final class ScanBudgetExceeded(msg: String) extends RuntimeException(msg)
 

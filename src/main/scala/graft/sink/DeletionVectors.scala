@@ -45,9 +45,48 @@ object DeletionVectors {
     } finally cached.unpersist()
   }
 
-  /** DV-aware read: data minus the deletion vector. The vector is
-    * KB-sized per deleted batch — always the broadcast side. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  /** Rows deleted for a FRAME of subject keys, and the per-key counts. */
+  final case class KeyDelete(rowsDeleted: Long, perKey: DataFrame)
+
+  /** Record every row whose `keyCol` matches `keys` (a one-column frame)
+    * as deleted, via a semi-join INSIDE the position-finding scan — the
+    * subject frame never touches the driver, so a right-to-be-forgotten
+    * batch of 10⁷ ids costs one join, never a 10⁷-term `In` expression.
+    * The join side is the REQUEST (orders under the table); Catalyst/AQE
+    * broadcasts it while it fits and falls back to a shuffle join past
+    * that — both shapes scan the table once. Returns the total appended
+    * plus per-key counts (`keyCol`, `rows_deleted`; keys with no rows
+    * are absent), materialized so consumers don't re-run the scan. */
+  def deleteKeys(spark: SparkSession, path: String, keys: DataFrame,
+      keyCol: String): KeyDelete = {
+    require(keys.columns.length == 1,
+      s"keys must be a one-column frame, got ${keys.columns.mkString(",")}")
+    val subj = keys.select(col(keys.columns.head).as(keyCol))
+      .na.drop().distinct()
+    val hits = spark.read.parquet(path)
+      .select(col(keyCol),
+        element_at(split(col("_metadata.file_path"), "/"), -1).as("file"),
+        col("_metadata.row_index").as("row_index"))
+      .join(subj, Seq(keyCol), "left_semi")
+    val cached = hits.cache()
+    try {
+      val n = cached.count()
+      if (n > 0) cached.select("file", "row_index")
+        .write.mode("append").parquet(dvPath(path))
+      val perKey = cached.groupBy(keyCol)
+        .agg(count(lit(1)).as("rows_deleted"))
+        .localCheckpoint()
+      KeyDelete(n, perKey)
+    } finally cached.unpersist()
+  }
+
+  /** DV-aware read: data minus the deletion vector. Each deleted batch
+    * is KB-sized, but vectors ACCUMULATE until [[apply]] folds them —
+    * so the anti-join side is broadcast only while the sidecar's listed
+    * bytes fit `maxBroadcastBytes`, and past that the read falls back
+    * to a shuffle anti-join: slower, never an outage. */
+  def read(spark: SparkSession, path: String,
+      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
     val data = spark.read.parquet(path)
       .withColumn("__file",
         element_at(split(col("_metadata.file_path"), "/"), -1))
@@ -58,7 +97,10 @@ object DeletionVectors {
       val dv = spark.read.parquet(dvPath(path))
         .select(col("file").as("__file"), col("row_index").as("__pos"))
         .distinct()
-      data.join(broadcast(dv), Seq("__file", "__pos"), "left_anti")
+      val dvBytes = StageWriter.listDataFiles(Paths.get(dvPath(path)))
+        .map(Files.size(_)).sum
+      val right = if (dvBytes <= maxBroadcastBytes) broadcast(dv) else dv
+      data.join(right, Seq("__file", "__pos"), "left_anti")
         .drop("__file", "__pos")
     }
   }

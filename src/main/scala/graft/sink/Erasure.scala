@@ -41,20 +41,25 @@ object Erasure {
     try {
       val nSubjects = ids.count()
       require(nSubjects > 0, "no subjects to erase")
-      // the DV predicate: key ∈ subjects — broadcast the (small) request
-      val idList = ids // stays distributed; DV delete joins via isin-less
-      val rows = DeletionVectors.delete(spark, path,
-        col(keyCol).isin( // erasure requests are human-scale (a batch of
-          // subject ids), so the driver-side collect here is bounded by
-          // the REQUEST size, never by the table
-          idList.collect().map(_.get(0)).toIndexedSeq: _*))
+      // the delete is a DISTRIBUTED key join inside the position-finding
+      // scan (DeletionVectors.deleteKeys) — the subject frame never
+      // touches the driver, so a quarterly backlog of 10⁷ subjects costs
+      // the same single table scan a ten-subject request does
+      val kd = DeletionVectors.deleteKeys(spark, path, ids, keyCol)
+      val perKey = kd.perKey
+        .select(col(keyCol).as("__erase_id"),
+          col("rows_deleted").as("rows_erased"))
+      // each ledger line carries ITS subject's row count (a subject with
+      // no rows ledgers 0 — the request was still honored)
       val ledger = Privacy.pseudonymizeFrame(
-        ids.select(col("__erase_id").as("subject")), Seq("subject"),
-        ledgerKey)
-        .withColumn("erased_at_ms", lit(erasedAtMs))
-        .withColumn("rows_erased", lit(rows))
+        ids.join(perKey, Seq("__erase_id"), "left")
+          .select(col("__erase_id").as("subject"),
+            coalesce(col("rows_erased"), lit(0L)).as("rows_erased")),
+        Seq("subject"), ledgerKey)
+        .select(col("subject"), lit(erasedAtMs).as("erased_at_ms"),
+          col("rows_erased"))
       ledger.write.mode(SaveMode.Append).parquet(ledgerPath)
-      Erased(nSubjects, rows)
+      Erased(nSubjects, kd.rowsDeleted)
     } finally ids.unpersist()
   }
 

@@ -83,6 +83,30 @@ class JoinElimSpec extends AnyFunSuite {
     } finally Constraints.drop(fact, dim)
   }
 
+  test("a fact-side alias wearing the fk's name blocks elimination — " +
+    "the attribute must BE the scan's column, not merely carry its name") {
+    val (fact, dim) = fixture()
+    try {
+      val d = spark.read.parquet(dim)
+      // rebind `id` (NOT the declared fk) under the name `fk`: ids run
+      // 1..101 while pks run 0..9, so the real join keeps 9 rows — an
+      // unsound elimination would keep all 101
+      val smuggled = spark.read.parquet(fact).drop("fk")
+        .withColumnRenamed("id", "fk")
+      val q = smuggled.join(d, col("fk") === col("pk")).select("fk", "v")
+      assert(hasJoin(q),
+        "an alias rebinding another column under the declared fk name " +
+          "must NOT eliminate the join")
+      assert(q.count() == 9)
+      // the genuine column under a pass-through projection still
+      // eliminates (attribute-only Projects preserve the scan exprId)
+      val genuine = spark.read.parquet(fact).select("fk", "v")
+        .join(d, col("fk") === col("pk")).select("fk", "v")
+      assert(!hasJoin(genuine))
+      assert(genuine.count() == 100)
+    } finally Constraints.drop(fact, dim)
+  }
+
   test("validate/splitOrphans: NULL fks are valid, real orphans counted " +
     "and isolated, duplicate pks detected") {
     val (fact, dim) = fixture()

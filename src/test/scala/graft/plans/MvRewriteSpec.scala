@@ -108,6 +108,48 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally MvRewrite.deregister(base)
   }
 
+  test("a cast to any OTHER decimal precision/scale stands down — the " +
+    "rollup's per-row rounding was DECIMAL(18,2), nothing else") {
+    val (base, _) = fixture()
+    try {
+      for (dt <- Seq(DecimalType(38, 10), DecimalType(10, 0),
+          DecimalType(18, 4))) {
+        val q = spark.read.parquet(base).groupBy("k1")
+          .agg(sum(col("v").cast(dt)).as("s"))
+        assert(scanPaths(q).forall(!_.endsWith("/mv")),
+          s"sum(cast(v AS ${dt.simpleString})) must NOT be served from " +
+            "a DECIMAL(18,2)-rounded rollup")
+      }
+      // the exact persisted shape still rewrites
+      assert(scanPaths(spark.read.parquet(base).groupBy("k1")
+        .agg(sum(col("v").cast(DecimalType(18, 2))).as("s")))
+        .exists(_.endsWith("/mv")))
+    } finally MvRewrite.deregister(base)
+  }
+
+  test("a GLOBAL count(1) over an empty base/rollup answers 0 from the " +
+    "MV, never NULL") {
+    val tmp = Files.createTempDirectory("mvempty")
+    val base = tmp.resolve("base").toString
+    val mv = tmp.resolve("mv").toString
+    try {
+      Seq.empty[(String, Double)].toDF("k", "v").repartition(1)
+        .write.parquet(base)
+      StageWriter.overwrite(
+        Rollup.build(spark.read.parquet(base), Seq("k"), "v")
+          .repartition(1), mv)
+      MvRewrite.register(base, mv, Seq("k"), "v")
+      MvRewrite.ensureInstalled(spark)
+      val q = spark.read.parquet(base).agg(count(lit(1)).as("n"))
+      assert(scanPaths(q).exists(_.endsWith("/mv")),
+        s"global count must rewrite, got ${scanPaths(q)}")
+      assert(q.as[Long].head() == 0L, "count over empty must be 0")
+    } finally {
+      MvRewrite.deregister(base)
+      StageWriter.deleteRecursively(tmp)
+    }
+  }
+
   test("MvMaintain: refresh is a no-op when current, errors without " +
     "build, and summarizedVersion tracks the lifecycle") {
     val tmp = Files.createTempDirectory("mvmaint")

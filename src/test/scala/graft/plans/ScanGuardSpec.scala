@@ -38,4 +38,30 @@ class ScanGuardSpec extends AnyFunSuite {
       assert(ScanGuard.plannedBytes(Seq(1, 2).toDF("x")) == 0L)
     } finally StageWriter.deleteRecursively(tmp)
   }
+
+  test("hive-layout partition filters are credited: the guard counts " +
+    "only the partitions the physical scan will read") {
+    val tmp = java.nio.file.Files.createTempDirectory("guardpart")
+    try {
+      val p = tmp.resolve("t").toString
+      (1 to 10000).map(i => (i.toLong, i % 8, s"pad-$i-padding"))
+        .toDF("k", "part", "pad")
+        .write.partitionBy("part").parquet(p)
+      val full = ScanGuard.plannedBytes(spark.read.parquet(p))
+      val one = ScanGuard.plannedBytes(
+        spark.read.parquet(p).filter(col("part") === 3))
+      assert(one > 0 && one < full / 4,
+        s"one of 8 partitions must be credited, got $one of $full")
+      // a data-column filter prunes nothing at file granularity
+      assert(ScanGuard.plannedBytes(
+        spark.read.parquet(p).filter(col("k") > 100)) == full)
+      // the credited plan passes a budget the unpruned one refuses
+      val budget = (full + one) / 2
+      intercept[ScanGuard.ScanBudgetExceeded] {
+        ScanGuard.assertBounded(spark.read.parquet(p), budget)
+      }
+      assert(ScanGuard.assertBounded(
+        spark.read.parquet(p).filter(col("part") === 3), budget) == one)
+    } finally StageWriter.deleteRecursively(tmp)
+  }
 }

@@ -41,6 +41,37 @@ class DeletionVectorsSpec extends AnyFunSuite {
     } finally StageWriter.deleteRecursively(tmp)
   }
 
+  test("deleteKeys: a distributed subject frame deletes via the join " +
+    "path with per-key counts; the DV broadcast is size-gated with a " +
+    "correct shuffle fallback") {
+    val tmp = Files.createTempDirectory("dvk")
+    try {
+      val p = tmp.resolve("t").toString
+      // 150 rows: k 0..99 once each, even k a second time
+      spark.range(0, 100).select(col("id").as("k"))
+        .unionByName(spark.range(0, 100).filter(col("id") % 2 === 0)
+          .select(col("id").as("k")))
+        .repartition(4).write.parquet(p)
+      val keys = Seq(Option(2L), Option(3L), Option(500L), None).toDF("k")
+      val kd = DeletionVectors.deleteKeys(spark, p, keys, "k")
+      assert(kd.rowsDeleted == 3, "k=2 twice + k=3 once")
+      val per = kd.perKey.as[(Long, Long)].collect().toMap
+      assert(per == Map(2L -> 2L, 3L -> 1L),
+        "per-key counts; an absent key contributes no row")
+      assert(DeletionVectors.read(spark, p).count() == 147)
+      // size gate: hinted under the default budget, plain join past it,
+      // identical results either way (slower, never an outage)
+      val hinted = DeletionVectors.read(spark, p)
+      assert(hinted.queryExecution.optimizedPlan.toString
+        .contains("broadcast"))
+      val fallback = DeletionVectors.read(spark, p, maxBroadcastBytes = 0)
+      assert(!fallback.queryExecution.optimizedPlan.toString
+        .contains("broadcast"))
+      assert(fallback.select("k").as[Long].collect().sorted.toSeq ==
+        hinted.select("k").as[Long].collect().sorted.toSeq)
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+
   test("a no-match delete appends nothing and reads are unaffected") {
     val tmp = Files.createTempDirectory("dv2")
     try {
