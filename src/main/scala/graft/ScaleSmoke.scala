@@ -202,7 +202,9 @@ object ScaleSmoke {
       // D186: erasure = KB sidecar append + request-sized ledger
       "c5_erasure",
       // D187: rollup-domain join + TakeOrdered top-k
-      "q_top_movers"))
+      "q_top_movers",
+      // D188/D189: avg and min/max served from rollup-domain scans
+      "q_mv_rewrite_avg", "q_mv_rewrite_minmax"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

@@ -1082,6 +1082,134 @@ object MaintenanceQueries {
       WHERE user_id % 97 <> 0 OR user_id IS NULL
       GROUP BY event_type ORDER BY event_type"""))),
 
+    // D188 — MV rewrite serves avg (plans.MvRewrite): avg(cast(v AS
+    // DECIMAL(18,2))) re-derives as sum(s)/sum(n) in Average's OWN
+    // division shape — buffer-typed (28,2) sum over (20,0) count, cast
+    // to (22,6) — so the served answer is require()d BIT-identical
+    // (BigDecimal value+scale) to the base's. IEEE double avg never
+    // rewrites (sum order would drift). The oracle replays Spark's
+    // two-step HALF_UP rounding (scale 12 division, then the cast to
+    // scale 6) in exact HUGEINT arithmetic — DuckDB's own decimal
+    // division returns DOUBLE, so the rounding chain is emulated, not
+    // approximated.
+    "q_mv_rewrite_avg" -> (((spark, dir) => {
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+        LogicalRelation}
+      val tmp = java.nio.file.Files.createTempDirectory("mvavg_gate")
+      try {
+        val base = tmp.resolve("base").toString
+        val mvp = tmp.resolve("mv").toString
+        load(spark, dir, "lineitem")
+          .select(col("l_returnflag").as("rf"),
+            col("l_linestatus").as("ls"), col("l_quantity").as("qty"))
+          .repartition(4).write.parquet(base)
+        graft.sink.StageWriter.overwrite(
+          graft.operators.Rollup.build(
+            spark.read.parquet(base), Seq("rf", "ls"), "qty"), mvp)
+        graft.plans.MvRewrite.register(base, mvp, Seq("rf", "ls"), "qty")
+        graft.plans.MvRewrite.ensureInstalled(spark)
+        def q() = spark.read.parquet(base).groupBy("rf")
+          .agg(avg(col("qty").cast(DecimalType(18, 2))).as("a"),
+            count(lit(1)).as("n"))
+        def scans(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.optimizedPlan.collect {
+            case lr: LogicalRelation =>
+              lr.relation.asInstanceOf[HadoopFsRelation]
+                .location.rootPaths.map(_.toUri.getPath)
+          }.flatten
+        val served = q()
+        require(scans(served).exists(_.endsWith("/mv")) &&
+          !scans(served).exists(_.endsWith("/base")),
+          "the decimal avg must be answered from the MV")
+        val fromMv = served.collect().map(r =>
+          (r.getString(0), r.getDecimal(1), r.getLong(2))).toSet
+        graft.plans.MvRewrite.deregister(base)
+        val fromBase = q().collect().map(r =>
+          (r.getString(0), r.getDecimal(1), r.getLong(2))).toSet
+        require(fromMv == fromBase,
+          "the MV-served avg must be BIT-identical to the base avg")
+        // a double avg must keep reading the base even while registered
+        graft.plans.MvRewrite.register(base, mvp, Seq("rf", "ls"), "qty")
+        require(scans(spark.read.parquet(base).groupBy("rf")
+          .agg(avg(col("qty")).as("a"))).forall(!_.endsWith("/mv")),
+          "IEEE double avg must stand down")
+        q().select(col("rf"), col("a").cast("double").as("avg_qty"),
+          col("n")).orderBy("rf").localCheckpoint()
+      } finally {
+        graft.plans.MvRewrite.deregister(
+          tmp.resolve("base").toAbsolutePath.toString)
+        graft.sink.StageWriter.deleteRecursively(tmp)
+      }
+    }, Some("""
+      WITH g AS (SELECT l_returnflag AS rf,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100
+                     AS HUGEINT) AS su,
+                   CAST(COUNT(*) AS HUGEINT) AS n
+                 FROM lineitem GROUP BY 1),
+      r AS (SELECT rf, (su * 10000000000 * 2 + n) // (2 * n) AS r12, n
+            FROM g)
+      SELECT rf,
+             CAST((r12 + 500000) // 1000000 AS DOUBLE) / 1000000.0
+               AS avg_qty,
+             CAST(n AS BIGINT) AS n
+      FROM r ORDER BY rf"""))),
+
+    // D189 — MV rewrite serves min/max (MvRewrite.registerMinMax over
+    // Rollup.buildMinMax artifacts, D184's plane made query-facing):
+    // min/max re-aggregate losslessly from per-group extrema in any
+    // type, so the (mn, mx) rollup answers coarser groupings exactly;
+    // sum/avg shapes are never served by it (no (n, s) state).
+    "q_mv_rewrite_minmax" -> (((spark, dir) => {
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+        LogicalRelation}
+      val tmp = java.nio.file.Files.createTempDirectory("mvmm_gate")
+      try {
+        val base = tmp.resolve("base").toString
+        val mvp = tmp.resolve("mv").toString
+        load(spark, dir, "lineitem")
+          .select(col("l_returnflag").as("rf"),
+            col("l_linestatus").as("ls"), col("l_quantity").as("qty"))
+          .repartition(4).write.parquet(base)
+        graft.sink.StageWriter.overwrite(
+          graft.operators.Rollup.buildMinMax(
+            spark.read.parquet(base), Seq("rf", "ls"), "qty"), mvp)
+        graft.plans.MvRewrite.registerMinMax(base, mvp,
+          Seq("rf", "ls"), "qty")
+        graft.plans.MvRewrite.ensureInstalled(spark)
+        def q() = spark.read.parquet(base).groupBy("rf")
+          .agg(min(col("qty")).as("mn_q"), max(col("qty")).as("mx_q"))
+        def scans(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.optimizedPlan.collect {
+            case lr: LogicalRelation =>
+              lr.relation.asInstanceOf[HadoopFsRelation]
+                .location.rootPaths.map(_.toUri.getPath)
+          }.flatten
+        val served = q()
+        require(scans(served).exists(_.endsWith("/mv")) &&
+          !scans(served).exists(_.endsWith("/base")),
+          "min/max must be answered from the minmax MV")
+        // a sum shape has no (n, s) here — must keep reading the base
+        require(scans(spark.read.parquet(base).groupBy("rf")
+          .agg(sum(col("qty").cast(DecimalType(18, 2))).as("s")))
+          .forall(!_.endsWith("/mv")),
+          "a minmax MV must never serve a sum")
+        val fromMv = served.collect().map(r =>
+          (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+        graft.plans.MvRewrite.deregister(base)
+        require(q().collect().map(r =>
+          (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet == fromMv,
+          "MV-served min/max must equal the base answer exactly")
+        q().orderBy("rf").localCheckpoint()
+      } finally {
+        graft.plans.MvRewrite.deregister(
+          tmp.resolve("base").toAbsolutePath.toString)
+        graft.sink.StageWriter.deleteRecursively(tmp)
+      }
+    }, Some("""
+      SELECT l_returnflag AS rf, MIN(l_quantity) AS mn_q,
+             MAX(l_quantity) AS mx_q
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))),
+
     // D187 — top movers between rollup states (Rollup.topMovers): the
     // "which customers changed most" report from two maintained
     // summaries — one rollup-domain full-outer join + top-k by |Δsum|

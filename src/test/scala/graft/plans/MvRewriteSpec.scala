@@ -127,6 +127,81 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally MvRewrite.deregister(base)
   }
 
+  test("avg: the DECIMAL(18,2) shape is served bit-identically from the " +
+    "(n,s) partials; IEEE double avg and mismatched decimals stand down") {
+    val (base, mvp) = fixture()
+    try {
+      def qa() = spark.read.parquet(base).groupBy("k1")
+        .agg(avg(col("v").cast(DecimalType(18, 2))).as("a"),
+          count(lit(1)).as("n"))
+      val served = qa()
+      assert(scanPaths(served).exists(_.endsWith("/mv")),
+        s"decimal avg must be served, got ${scanPaths(served)}")
+      val got = served.collect()
+        .map(r => (r.getString(0), r.getDecimal(1))).toMap
+      MvRewrite.deregister(base)
+      val want = qa().collect()
+        .map(r => (r.getString(0), r.getDecimal(1))).toMap
+      assert(got == want,
+        "rewritten avg must be BIT-identical (BigDecimal value+scale)")
+      assert(served.schema == qa().schema)
+      MvRewrite.register(base, mvp, Seq("k1", "k2"), "v")
+      // IEEE double avg: sum order would drift — must NOT rewrite
+      assert(scanPaths(spark.read.parquet(base).groupBy("k1")
+        .agg(avg(col("v")).as("a"))).forall(!_.endsWith("/mv")),
+        "double avg must stand down")
+      // a mismatched decimal cast stands down like sum's
+      assert(scanPaths(spark.read.parquet(base).groupBy("k1")
+        .agg(avg(col("v").cast(DecimalType(20, 4))).as("a")))
+        .forall(!_.endsWith("/mv")))
+    } finally MvRewrite.deregister(base)
+  }
+
+  test("minmax MV: min/max groupings answer from a registered " +
+    "buildMinMax artifact; sum/avg shapes are never served by it") {
+    val tmp = Files.createTempDirectory("mvminmax")
+    val base = tmp.resolve("base").toString
+    val mvp = tmp.resolve("mv").toString
+    try {
+      (1 to 900).map(i => (s"g${i % 5}", s"h${i % 3}", (i % 97) / 4.0))
+        .toDF("k1", "k2", "v").repartition(3).write.parquet(base)
+      StageWriter.overwrite(graft.operators.Rollup.buildMinMax(
+        spark.read.parquet(base), Seq("k1", "k2"), "v"), mvp)
+      MvRewrite.registerMinMax(base, mvp, Seq("k1", "k2"), "v")
+      MvRewrite.ensureInstalled(spark)
+      def q() = spark.read.parquet(base).groupBy("k1")
+        .agg(min(col("v")).as("mn_v"), max(col("v")).as("mx_v"))
+      val served = q()
+      assert(scanPaths(served).exists(_.endsWith("/mv")),
+        s"min/max must be served from the minmax MV, " +
+          s"got ${scanPaths(served)}")
+      val got = served.collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+      MvRewrite.deregister(base)
+      val want = q().collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(got == want)
+      MvRewrite.registerMinMax(base, mvp, Seq("k1", "k2"), "v")
+      // a GLOBAL min also folds from the per-group extrema
+      val g = spark.read.parquet(base).agg(min(col("v")).as("m"))
+      assert(scanPaths(g).exists(_.endsWith("/mv")))
+      assert(g.head().getDouble(0) == 0.0)
+      // sum/count/avg shapes can't be answered by (mn, mx): stand down
+      assert(scanPaths(spark.read.parquet(base).groupBy("k1")
+        .agg(sum(col("v").cast(DecimalType(18, 2))).as("s")))
+        .forall(!_.endsWith("/mv")))
+      // staleness: an append stands the minmax MV down too
+      import spark.implicits._
+      Seq(("g0", "h0", -5.0)).toDF("k1", "k2", "v")
+        .write.mode("append").parquet(base)
+      assert(scanPaths(q()).forall(!_.endsWith("/mv")))
+      assert(q().filter(col("k1") === "g0").head().getDouble(1) == -5.0)
+    } finally {
+      MvRewrite.deregister(base)
+      StageWriter.deleteRecursively(tmp)
+    }
+  }
+
   test("a GLOBAL count(1) over an empty base/rollup answers 0 from the " +
     "MV, never NULL") {
     val tmp = Files.createTempDirectory("mvempty")
