@@ -204,7 +204,10 @@ object ScaleSmoke {
       // D187: rollup-domain join + TakeOrdered top-k
       "q_top_movers",
       // D188/D189: avg and min/max served from rollup-domain scans
-      "q_mv_rewrite_avg", "q_mv_rewrite_minmax"))
+      "q_mv_rewrite_avg", "q_mv_rewrite_minmax",
+      // D190: every pruning plane fresh after merge+optimize — refresh
+      // is one declared-column scan per write, skips proven per plane
+      "q_sidecar_fresh"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

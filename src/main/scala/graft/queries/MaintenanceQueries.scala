@@ -1210,6 +1210,111 @@ object MaintenanceQueries {
              MAX(l_quantity) AS mx_q
       FROM lineitem GROUP BY 1 ORDER BY 1"""))),
 
+    // D190 — unified sidecar freshness (sink.Sidecars): ONE per-table
+    // manifest declares the pruning planes (D107 ranges, D123 blooms,
+    // D183 zone maps); every writer finishes through a refresh hook —
+    // full rewrites rebuild, the file-targeted merge patches O(new
+    // files) — so after a targeted MERGE *and then* an OPTIMIZE, all
+    // three planes are require()d STILL ACTIVE (files skipped per
+    // plane, bloom sidecar inventory-exact). Before the manifest, only
+    // zone maps survived a merge; the others quietly degraded to full
+    // scans. Merged values oracled via the CASE mirror.
+    "q_sidecar_fresh" -> (((spark, dir) => {
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+        LogicalRelation}
+      val tmp = java.nio.file.Files.createTempDirectory("sidecar_gate")
+      try {
+        val path = tmp.resolve("t").toString
+        load(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            expr("l_orderkey div 1000").as("ok_bucket"),
+            expr("l_orderkey * 10 + l_linenumber").as("uid"),
+            col("l_partkey"), col("l_quantity"))
+          .repartitionByRange(8, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey")
+          .write.parquet(path)
+        graft.sink.Sidecars.declare(spark, path, Seq(
+          graft.sink.Sidecars.Stats("l_orderkey"),
+          graft.sink.Sidecars.Zone(Seq("ok_bucket")),
+          // blooms on a UNIQUE row key: point lookups where partkeys
+          // (each ~30 rows, landing in every file) could never skip
+          graft.sink.Sidecars.Bloom("uid", bits = 1 << 16)))
+        graft.plans.StatsFilePrune.ensureInstalled(spark)
+        graft.plans.ZoneMapPrune.ensureInstalled(spark)
+        val probeKey = spark.read.parquet(path)
+          .agg(min(col("uid"))).head().getLong(0)
+        def scannedOf(df: org.apache.spark.sql.DataFrame): Int =
+          df.queryExecution.optimizedPlan.collect {
+            case lr: LogicalRelation =>
+              lr.relation.asInstanceOf[HadoopFsRelation]
+                .location.inputFiles.length
+          }.head
+        def requireActive(tag: String): Unit = {
+          import spark.implicits._
+          val names = graft.sink.StageWriter.listDataFiles(
+            java.nio.file.Paths.get(path)).map(_.getFileName.toString)
+          val total = names.size
+          require(total >= 4, s"$tag: need several files, got $total")
+          val ranged = scannedOf(spark.read.parquet(path)
+            .filter(col("l_orderkey") < 3000))
+          require(ranged < total,
+            s"$tag: range(stats) pruning inactive ($ranged of $total)")
+          val zoned = scannedOf(spark.read.parquet(path)
+            .filter(col("ok_bucket") === 2L))
+          require(zoned < total,
+            s"$tag: zone-map pruning inactive ($zoned of $total)")
+          // the bloom sidecar must be inventory-EXACT (bloomPrunedRead
+          // would otherwise rebuild in-query — a hidden full scan)...
+          val have = spark.read.parquet(path + ".__blooms__")
+            .select("file").as[String].collect()
+            .map(_.split('/').last).toSet
+          require(have == names.toSet, s"$tag: bloom sidecar stale")
+          // ...and actually skip files on a point probe
+          val (_, bRead, bTotal) = graft.sink.Layout.bloomPrunedRead(
+            spark, path, "uid", Seq(probeKey), bits = 1 << 16,
+            sidecarPath = Some(path + ".__blooms__"))
+          require(bRead < bTotal,
+            s"$tag: bloom pruning inactive ($bRead of $bTotal)")
+        }
+        requireActive("initial")
+        // file-targeted MERGE: +100 qty on %7 keys confined to a narrow
+        // key range, so only range-intersecting files rewrite. The
+        // testdata's (orderkey, linenumber) is NOT unique — MERGE
+        // collapses duplicate keys to one delta row (engine-undefined
+        // pick), so the delta keeps only globally-UNIQUE keys and the
+        // oracle mirrors with the same kc = 1 guard.
+        val kw = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_orderkey", "l_linenumber")
+        val delta = spark.read.parquet(path)
+          .withColumn("__kc", count(lit(1)).over(kw))
+          .filter(col("__kc") === 1 &&
+            col("l_orderkey").between(2000, 4999) &&
+            pmod(col("l_orderkey"), lit(7)) === 0)
+          .drop("__kc")
+          .withColumn("l_quantity", col("l_quantity") + 100.0)
+        graft.sink.StageWriter.mergeInto(spark, delta, path,
+          Seq("l_orderkey", "l_linenumber"))
+        requireActive("after targeted merge")
+        graft.sink.StageWriter.optimize(spark, path,
+          targetFileBytes = 64 * 1024, statsColumn = Some("l_orderkey"))
+        requireActive("after optimize")
+        spark.read.parquet(path).filter(col("l_orderkey") < 3000)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_quantity").as("q"))
+          .orderBy("l_orderkey", "l_linenumber")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      WITH t AS (SELECT *, count(*) OVER (PARTITION BY l_orderkey,
+                     l_linenumber) AS kc
+                 FROM lineitem)
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             CASE WHEN kc = 1 AND l_orderkey BETWEEN 2000 AND 4999
+                   AND l_orderkey % 7 = 0
+                  THEN l_quantity + 100 ELSE l_quantity END AS q
+      FROM t WHERE l_orderkey < 3000
+      ORDER BY l_orderkey, l_linenumber"""))),
+
     // D187 — top movers between rollup states (Rollup.topMovers): the
     // "which customers changed most" report from two maintained
     // summaries — one rollup-domain full-outer join + top-k by |Δsum|

@@ -168,6 +168,35 @@ object Layout {
     sidecar
   }
 
+  /** Incremental Bloom-sidecar maintenance after a FILE-TARGETED rewrite
+    * (D190): keep the untouched files' filters, build filters for ONLY
+    * the new files (one key-column scan of them — O(new files), the
+    * targeted merge's cost shape), republish atomically. No-op without a
+    * sidecar. `bits`/`k` must match the original declaration — the
+    * manifest ([[Sidecars]]) carries them so build and probe agree. */
+  def maintainBloomsAfterRewrite(spark: org.apache.spark.sql.SparkSession,
+      path: String, removed: Set[String], added: Seq[java.nio.file.Path],
+      column: String, bits: Int = 8192, k: Int = 3): Unit = {
+    val sidecar = path + ".__blooms__"
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sidecar)))
+      return
+    val old = spark.read.parquet(sidecar)
+    val kept =
+      if (removed.isEmpty) old
+      else old.filter(!element_at(split(col("file"), "/"), -1)
+        .isin(removed.toSeq: _*)) // file NAMES, file-count-sized — never data
+    val fresh =
+      if (added.isEmpty) kept.limit(0)
+      else spark.read.parquet(added.map(_.toString): _*)
+        .select(input_file_name().as("file"),
+          explode(bloomPositions(col(column), bits, k)).as("pos"))
+        .groupBy("file")
+        .agg(graft.functions.BloomBits.agg(bits)(col("pos")).as("bitset"))
+    // materialize BEFORE overwriting the directory being read
+    val out = kept.unionByName(fresh).localCheckpoint()
+    out.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(sidecar)
+  }
+
   /** Point-lookup read that scans ONLY files whose Bloom filter might
     * contain one of `keys`. Uses the persisted sidecar when `sidecarPath`
     * is given (validated against the current file inventory — a rewrite

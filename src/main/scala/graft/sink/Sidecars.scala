@@ -1,0 +1,127 @@
+package graft.sink
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+
+/** Unified sidecar freshness under ONE per-table manifest (SURVEY §2D,
+  * D190) — the Delta-log discipline for the parquet fallback's pruning
+  * planes. Three inventory-keyed sidecars accumulated over rounds, each
+  * with its own dialect, staleness rule and refresh path:
+  *
+  *  - D107/D163 key-range stats (`__stats__`) — drives StatsFilePrune
+  *    and file-targeted MERGE;
+  *  - D123 per-file blooms (`__blooms__`) — point-lookup skipping;
+  *  - D183 multi-column zone maps (`__zonemap__`) — range skipping on
+  *    every mapped column.
+  *
+  * Each consumer validates its sidecar against the EXACT file inventory
+  * and stands down on any mismatch — safe, but before this manifest only
+  * zone maps survived a targeted merge and only `optimize(statsColumn)`
+  * refreshed ranges: after any other rewrite the remaining planes
+  * quietly degraded to full scans. Correct-but-slower; at 100 TB
+  * "quietly stopped pruning" is a real bill.
+  *
+  * The manifest (`path.__sidecars__`, an atomically-replaced tab file)
+  * DECLARES the planes a table carries. Every full-rewrite writer in
+  * this sink ([[StageWriter.overwrite]], hence compact / optimize /
+  * full-rewrite merges / DV folds) finishes through [[refreshAfterWrite]],
+  * and the file-targeted merge commit finishes through
+  * [[afterTargetedRewrite]] (O(new files) incremental maintenance), so a
+  * declared plane is fresh after EVERY write path — no consumer ever
+  * silently stands down. The consumers' inventory checks STAY: the
+  * manifest makes them pass, it never bypasses them, so a foreign writer
+  * that ignores this sink still degrades safely and never mis-prunes.
+  *
+  * D155's `_derived_partition` sidecar is deliberately NOT here: it
+  * records a column DERIVATION (valid for any file inventory), not
+  * inventory-keyed state, and its one writer rewrites it with the data.
+  *
+  * Refresh cost: one scan of each declared plane's column(s) over the
+  * rewritten table (stats+zone share nothing today; blooms scan the key
+  * column once) — the stats-on-write trade every Delta writer makes,
+  * paid at write cadence, never per query. */
+object Sidecars {
+
+  sealed trait Plane
+  /** D107 per-file key range (long or string dialect by column type). */
+  final case class Stats(column: String) extends Plane
+  /** D183 multi-column zone map. */
+  final case class Zone(columns: Seq[String]) extends Plane
+  /** D123 per-file Bloom filter (bits/k are part of the declaration —
+    * probe and build must agree). */
+  final case class Bloom(column: String, bits: Int = 8192, k: Int = 3)
+    extends Plane
+
+  private def manifestFile(path: String): Path =
+    Paths.get(path + ".__sidecars__")
+
+  /** Declare the pruning planes `path` carries and build them all now.
+    * Re-declaring replaces the manifest (and rebuilds). */
+  def declare(spark: SparkSession, path: String,
+      planes: Seq[Plane]): Unit = {
+    require(planes.nonEmpty, "declare at least one plane")
+    val lines = planes.map {
+      case Stats(c) => s"stats\t$c"
+      case Zone(cs) => s"zone\t${cs.mkString(",")}"
+      case Bloom(c, bits, k) => s"bloom\t$c\t$bits\t$k"
+    }
+    val target = manifestFile(path)
+    val tmp = Files.createTempFile(
+      target.toAbsolutePath.getParent, ".sidecars", ".tmp")
+    Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    refreshAfterWrite(spark, path)
+  }
+
+  /** The declared planes (empty when no manifest — every hook below is
+    * then a no-op, so undeclared tables pay nothing). */
+  def declared(path: String): Seq[Plane] = {
+    val f = manifestFile(path)
+    if (!Files.isRegularFile(f)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty).flatMap { l =>
+      l.split("\t").toList match {
+        case "stats" :: c :: Nil => Some(Stats(c))
+        case "zone" :: cs :: Nil => Some(Zone(cs.split(',').toSeq))
+        case "bloom" :: c :: b :: k :: Nil =>
+          scala.util.Try(Bloom(c, b.toInt, k.toInt)).toOption
+        case _ => None // unknown plane line: ignore, never guess
+      }
+    }
+  }
+
+  def drop(path: String): Unit = {
+    Files.deleteIfExists(manifestFile(path)); ()
+  }
+
+  /** Rebuild every declared plane against the table's CURRENT inventory
+    * — the full-rewrite hook ([[StageWriter.overwrite]] calls this after
+    * its swap). No manifest → no-op. */
+  def refreshAfterWrite(spark: SparkSession, path: String): Unit =
+    declared(path).foreach {
+      case Stats(c) => StageWriter.refreshStats(spark, path, c)
+      case Zone(cs) => ZoneMap.write(spark, path, cs)
+      case Bloom(c, bits, k) =>
+        Layout.writeBlooms(spark, path, c, bits, k); ()
+    }
+
+  /** Incremental maintenance after a FILE-TARGETED rewrite: zone maps
+    * patch via [[ZoneMap.maintainAfterRewrite]] (declared or not — the
+    * map itself is the declaration there), declared blooms re-filter
+    * only the new files, and the range stats were already re-derived
+    * inline by the merge commit (it owns the per-file ranges it wrote).
+    * O(new files) per plane — the targeted merge's cost shape holds. */
+  def afterTargetedRewrite(spark: SparkSession, path: String,
+      preNames: Seq[String], removed: Set[String],
+      added: Seq[Path]): Unit = {
+    ZoneMap.maintainAfterRewrite(spark, path, preNames, removed, added)
+    declared(path).foreach {
+      case Bloom(c, bits, k) =>
+        Layout.maintainBloomsAfterRewrite(spark, path, removed, added,
+          c, bits, k)
+      case _ => () // stats: maintained inline by targetedCommit; zone: above
+    }
+  }
+}

@@ -41,6 +41,9 @@ object StageWriter {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp)
     swapTmp(path)
+    // unified sidecar freshness (D190): a table that DECLARED pruning
+    // planes gets them rebuilt by every full rewrite — no-op otherwise
+    Sidecars.refreshAfterWrite(df.sparkSession, path)
   }
 
   /** Derived-partition layout (Delta generated columns on the parquet
@@ -772,10 +775,10 @@ object StageWriter {
         writeStats(path, key1, kept.map { case (f, o) =>
           f -> o.map { case (a, b) => (a.toLong, b.toLong) } })
       else writeStatsStr(path, key1, kept)
-      // keep the multi-column zone map (D183) alive across merges too —
-      // O(new files); a map that no longer matches is deleted, never
-      // left half-true
-      ZoneMap.maintainAfterRewrite(spark, path,
+      // keep every declared pruning plane alive across merges (D190):
+      // zone maps patch per-file, declared blooms re-filter only the
+      // new files, ranges were re-derived inline above — O(new files)
+      Sidecars.afterTargetedRewrite(spark, path,
         dataFiles.map(_.getFileName.toString), touched,
         staged.map(_._2))
     } finally merged.unpersist()
@@ -953,24 +956,34 @@ object StageWriter {
       case None => compact(spark, path, targetFileBytes, statsColumn)
     }
     val after = listDataFiles(dir)
-    // dialect-aware sidecar refresh: a string stats column must land in
-    // the string dialect — casting it to long would record every file as
-    // "no non-null keys", which a pruning reader takes as "never matches"
-    statsColumn.foreach { c =>
-      val dt = spark.read.parquet(path).schema.fields
-        .find(_.name == c).map(_.dataType)
-      dt.flatMap(statsKind) match {
-        case Some("string") => writeStatsStr(path, c,
-          computeStatsStr(spark, after, c))
-        case Some(_) => writeStats(path, c, computeStats(spark, after, c))
-        case None => throw new IllegalArgumentException(
-          s"$path: stats column $c has no stats dialect " +
-            s"(type ${dt.map(_.simpleString).getOrElse("missing")})")
-      }
-    }
+    statsColumn.foreach(refreshStats(spark, path, _))
+    // the zorder arm swaps directly (no overwrite hook) — declared
+    // planes refresh here; the compact arm already refreshed via
+    // overwrite, and refreshAfterWrite is a no-op without a manifest
+    if (zorderBy.isDefined) Sidecars.refreshAfterWrite(spark, path)
     writeManifest(path)
     vacuum(path, retentionMs)
     OptimizeReport(before, after.size, bytes)
+  }
+
+  /** Dialect-aware key-range sidecar refresh against the CURRENT
+    * inventory: a string stats column must land in the string dialect —
+    * casting it to long would record every file as "no non-null keys",
+    * which a pruning reader takes as "never matches". One scan of only
+    * the stat column. */
+  private[sink] def refreshStats(spark: SparkSession, path: String,
+      c: String): Unit = {
+    val files = listDataFiles(Paths.get(path))
+    val dt = spark.read.parquet(path).schema.fields
+      .find(_.name == c).map(_.dataType)
+    dt.flatMap(statsKind) match {
+      case Some("string") => writeStatsStr(path, c,
+        computeStatsStr(spark, files, c))
+      case Some(_) => writeStats(path, c, computeStats(spark, files, c))
+      case None => throw new IllegalArgumentException(
+        s"$path: stats column $c has no stats dialect " +
+          s"(type ${dt.map(_.simpleString).getOrElse("missing")})")
+    }
   }
 
   /** Symlink-format manifest — the engine-neutral file inventory Delta
