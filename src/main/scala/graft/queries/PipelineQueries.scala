@@ -660,6 +660,10 @@ object PipelineQueries {
       import graft.run.{GroupScheduler, TablePipeline}
       import graft.config.{ColumnMetadata, LoadMode, LoadType, TableConfig}
       val work = java.nio.file.Files.createTempDirectory("grp").toString
+      // the whole group runs under the ambient scan-budget rail (D185
+      // session enforcement): a generous default proves enforcement-on
+      // costs nothing on healthy plans — the spec proves the refusal arm
+      graft.run.ScanBudget.setDefaultUnder(work, 256L * 1024 * 1024)
       def cfg(t: String) = TableConfig("*", LoadType.Full, "auto", "", 0, 0,
         "", "", "", "", "", "G1", "dbo", t, "m", s"m_$t", "a", "1")
       def meta(id: String, cols: (String, String)*): Seq[ColumnMetadata] =
@@ -680,13 +684,15 @@ object PipelineQueries {
           s"$work/stage/$table", cfg(table), m,
           Some(DslQueries.auditNow))
       }
-      val recs = GroupScheduler.runDetailed(Seq(
-        ("nation", () => job("nation", meta("id_nation",
-          ("id_nation", "fn_transform_Concatenate(n_nationkey, n_name)"),
-          ("cod_nation", "fn_transform_ClearString(n_name)")))),
-        ("region", () => job("region", meta("id_region",
-          ("id_region", "fn_transform_ClearString(r_name)"))))),
-        maxConcurrency = 2)
+      val recs =
+        try GroupScheduler.runDetailed(Seq(
+          ("nation", () => job("nation", meta("id_nation",
+            ("id_nation", "fn_transform_Concatenate(n_nationkey, n_name)"),
+            ("cod_nation", "fn_transform_ClearString(n_name)")))),
+          ("region", () => job("region", meta("id_region",
+            ("id_region", "fn_transform_ClearString(r_name)"))))),
+          maxConcurrency = 2)
+        finally graft.run.ScanBudget.clearUnder(work)
       recs.map(r => (r.table, r.status, r.rows)).toDF("table", "status", "rows")
         .orderBy("table")
     }, Some("""

@@ -48,6 +48,7 @@ object TablePipeline {
       s"rows_${java.util.UUID.randomUUID()}")
     Strategies.extract(spark, sourcePath, cfg, mode, clock, zone,
       store, project) { df =>
+      ScanBudget.enforce(df) // ambient budget rail (refuses pre-task)
       StageWriter.overwrite(
         toRawZone(df).observe(obs, count(lit(1)).as("n")), rawPath)
     }
@@ -71,6 +72,10 @@ object TablePipeline {
   def transformWithStatus(spark: SparkSession, rawPath: String,
       stagePath: String, cfg: TableConfig, meta: Seq[ColumnMetadata],
       now: Option[Timestamp] = None): (Long, String) = {
+    // budget rail BEFORE cache(): the cache manager substitutes an
+    // InMemoryRelation for a registered plan, hiding the file scan the
+    // guard must price
+    ScanBudget.enforce(spark.read.parquet(rawPath))
     val raw = spark.read.parquet(rawPath).cache()
     try {
       val n = raw.count()
@@ -130,6 +135,16 @@ object GroupScheduler {
     runDetailed(tables.map { case (name, job) =>
       (name, () => (job(), "SUCCESS"))
     }, maxConcurrency)
+
+  /** Submit one ad-hoc frame through the pipeline's budget rail
+    * ([[ScanBudget]]): refuses — naming the offending scan — BEFORE any
+    * task launches; runs `action` otherwise. The notebook-harness shape
+    * of the same rail the scheduled jobs get implicitly. */
+  def submit[T](df: org.apache.spark.sql.DataFrame)(
+      action: org.apache.spark.sql.DataFrame => T): T = {
+    ScanBudget.enforce(df)
+    action(df)
+  }
 
   /** Persist the run log as a queryable table (C11). */
   def writeLog(spark: SparkSession, records: Seq[RunRecord],
