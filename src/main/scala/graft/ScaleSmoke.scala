@@ -207,7 +207,9 @@ object ScaleSmoke {
       "q_mv_rewrite_avg", "q_mv_rewrite_minmax",
       // D190: every pruning plane fresh after merge+optimize — refresh
       // is one declared-column scan per write, skips proven per plane
-      "q_sidecar_fresh"))
+      "q_sidecar_fresh",
+      // D191: tag views are pure per-row projections over the plain scan
+      "c10_tags"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

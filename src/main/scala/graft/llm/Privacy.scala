@@ -86,10 +86,16 @@ object Privacy {
       key: String): DataFrame = {
     require(cols.nonEmpty)
     cols.foldLeft(df) { (d, c) =>
-      d.withColumn(c, sha2(concat(lit(key + "|"),
-        col(c).cast("string")), 256))
+      d.withColumn(c, pseudonymizeCol(col(c), key))
     }
   }
+
+  /** The ONE keyed-token expression every pseudonymizing surface shares
+    * (this frame API, the D186 erasure ledger, the D191 tag views) — so
+    * tokens from any of them JOIN, and the DuckDB twin is always
+    * `sha256(key || '|' || CAST(x AS VARCHAR))`. */
+  def pseudonymizeCol(c: Column, key: String): Column =
+    sha2(concat(lit(key + "|"), c.cast("string")), 256)
 
   /** The two-sided geometric noise column for a group row: inverse-CDF
     * lookup of a uniform drawn from the portable 60-bit hash of

@@ -17,6 +17,69 @@ object GovernanceQueries {
 
   val defs: Map[String, Entry] = Map(
 
+    // D191 — access-tag governance (sources.AccessTags), the Lake
+    // Formation LF-Tag analog (crawler_stage.py:266-953 creates tags,
+    // attaches at registration, grants tag-scoped reads): (table,
+    // column) → tag registry + a tag-enforced read surface. The SAME
+    // table is read through two reader profiles — the analyst sees
+    // keyed-pseudonym ids (D153 tokens) and redacted text (D25), the
+    // steward sees raw ids but no text at all — and an untagged column
+    // (`lang`) is require()d CLOSED for both: allow-list by commission,
+    // never omission. Both views oracled in one frame.
+    "c10_tags" -> (((spark, dir) => {
+      import graft.sources.AccessTags
+      val tmp = java.nio.file.Files.createTempDirectory("tags_gate")
+      try {
+        val path = tmp.resolve("docs").toString
+        load(spark, dir, "documents").write.parquet(path)
+        AccessTags.tagTable(path, Map(
+          "doc_id" -> "id", "text" -> "freetext",
+          "source" -> "meta", "n_chars" -> "meta"))
+        // `lang` stays untagged ON PURPOSE: the default-closed proof
+        val analyst = AccessTags.Profile("analyst", Map(
+          "id" -> AccessTags.Tokenize, "freetext" -> AccessTags.Redact,
+          "meta" -> AccessTags.Open), key = "tagkey")
+        val steward = AccessTags.Profile("steward", Map(
+          "id" -> AccessTags.Open, "meta" -> AccessTags.Open))
+        val av = AccessTags.taggedView(spark, path, analyst)
+        val sv = AccessTags.taggedView(spark, path, steward)
+        require(av.columns.toSet ==
+          Set("doc_id", "text", "source", "n_chars") &&
+          sv.columns.toSet == Set("doc_id", "source", "n_chars"),
+          "profiles must earn exactly their tagged columns")
+        require(!av.columns.contains("lang") && !sv.columns.contains("lang"),
+          "an untagged column must default CLOSED for every profile")
+        // the analyst never sees a raw id: every value is a 64-hex token
+        require(av.filter(!col("doc_id").rlike("^[0-9a-f]{64}$")).isEmpty,
+          "analyst ids must be keyed pseudonyms")
+        av.select(lit("analyst").as("profile"), col("doc_id"),
+            col("source"), col("n_chars"), md5(col("text")).as("text_md5"))
+          .unionByName(sv.select(lit("steward").as("profile"),
+            col("doc_id").cast("string").as("doc_id"), col("source"),
+            col("n_chars"), lit(null).cast("string").as("text_md5")))
+          .orderBy("profile", "doc_id")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally {
+        graft.sources.AccessTags.untagTable(
+          tmp.resolve("docs").toString)
+        graft.sink.StageWriter.deleteRecursively(tmp)
+      }
+    }, Some(s"""
+      WITH a AS (SELECT 'analyst' AS profile,
+                   sha256('tagkey|' || CAST(doc_id AS VARCHAR)) AS doc_id,
+                   source, n_chars,
+                   md5(regexp_replace(regexp_replace(text,
+                     '${graft.llm.TextAnalysis.EmailPattern}', '<EMAIL>',
+                     'g'),
+                     '${graft.llm.TextAnalysis.LongNumberPattern}',
+                     '<NUM>', 'g')) AS text_md5
+                 FROM documents),
+      s AS (SELECT 'steward' AS profile, CAST(doc_id AS VARCHAR) AS doc_id,
+              source, n_chars, CAST(NULL AS VARCHAR) AS text_md5
+            FROM documents)
+      SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM s)
+      ORDER BY profile, doc_id"""))),
+
     // D138 — STREAMING interval coalescing (Streams.coverageStream), the
     // watermark-fenced twin of D135: intervals arrive out of order across
     // micro-batches (odd users' intervals land before even users', one

@@ -1,0 +1,83 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** D191 — access-tag governance: untagged columns (including ones that
+  * APPEAR after tagging) default closed, unearned tags drop, tokens
+  * join across governed surfaces, ungoverned reads refuse loudly. */
+class AccessTagsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fixture(): (java.nio.file.Path, String) = {
+    val tmp = Files.createTempDirectory("tags")
+    val p = tmp.resolve("t").toString
+    Seq((1L, "alice@x.com calls 1234567", "us", 10L),
+      (2L, "plain words", "eu", 20L))
+      .toDF("uid", "note", "region", "score").write.parquet(p)
+    AccessTags.tagTable(p, Map("uid" -> "id", "note" -> "freetext",
+      "region" -> "meta", "score" -> "meta"))
+    (tmp, p)
+  }
+
+  test("a column appearing AFTER tagging is closed for every profile; " +
+    "unearned tags drop; redaction and tokens apply") {
+    val (tmp, p) = fixture()
+    try {
+      val full = AccessTags.Profile("full", Map(
+        "id" -> AccessTags.Tokenize, "freetext" -> AccessTags.Redact,
+        "meta" -> AccessTags.Open), key = "k1")
+      val narrow = AccessTags.Profile("narrow",
+        Map("meta" -> AccessTags.Open))
+      assert(AccessTags.taggedView(spark, p, full).columns.toSet ==
+        Set("uid", "note", "region", "score"))
+      assert(AccessTags.taggedView(spark, p, narrow).columns.toSet ==
+        Set("region", "score"), "unearned tags must drop")
+      // schema drift: a NEW column lands (append with evolution)
+      spark.read.parquet(p)
+        .withColumn("ssn", concat(col("uid"), lit("-77990011")))
+        .write.mode("overwrite").parquet(p + "2")
+      AccessTags.tagTable(p + "2", AccessTags.tagsOf(p)) // same tags
+      val v = AccessTags.taggedView(spark, p + "2", full)
+      assert(!v.columns.contains("ssn"),
+        "an untagged new column must NEVER leak through the view")
+      // redaction applied; token joins the D153 pseudonymize surface
+      val note = v.filter(col("region") === "us")
+        .select("note").as[String].head()
+      assert(note == "<EMAIL> calls <NUM>", s"got $note")
+      val tok = v.filter(col("region") === "us")
+        .select("uid").as[String].head()
+      val expected = graft.llm.Privacy.pseudonymize(
+        Seq("1").toDF("uid"), Seq("uid"), "k1")
+        .select("uid").as[String].head()
+      assert(tok == expected,
+        "tag-view tokens must join D153 pseudonymized releases")
+    } finally {
+      AccessTags.untagTable(p); AccessTags.untagTable(p + "2")
+      graft.sink.StageWriter.deleteRecursively(tmp)
+    }
+  }
+
+  test("ungoverned or fully-denied reads refuse loudly, never an " +
+    "empty frame") {
+    val (tmp, p) = fixture()
+    try {
+      val none = AccessTags.Profile("none", Map.empty)
+      val e1 = intercept[IllegalArgumentException] {
+        AccessTags.taggedView(spark, p, none)
+      }
+      assert(e1.getMessage.contains("no column"))
+      AccessTags.untagTable(p)
+      val e2 = intercept[IllegalArgumentException] {
+        AccessTags.taggedView(spark, p,
+          AccessTags.Profile("x", Map("meta" -> AccessTags.Open)))
+      }
+      assert(e2.getMessage.contains("no access tags"))
+    } finally graft.sink.StageWriter.deleteRecursively(tmp)
+  }
+}
