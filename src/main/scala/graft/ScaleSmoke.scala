@@ -209,7 +209,9 @@ object ScaleSmoke {
       // is one declared-column scan per write, skips proven per plane
       "q_sidecar_fresh",
       // D191: tag views are pure per-row projections over the plain scan
-      "c10_tags"))
+      "c10_tags",
+      // D192: footer-metadata reads only — document cost is O(tables)
+      "q_schema_export"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

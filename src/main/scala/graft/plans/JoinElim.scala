@@ -62,6 +62,10 @@ object Constraints {
   private[plans] def lookup(factPath: String, dimPath: String): Option[Fk] =
     fks.get((norm(factPath), norm(dimPath)))
 
+  /** Every declared RELY edge — read-only, for the schema-doc exporter
+    * (D192) and governance audits. */
+  def declared: Seq[Fk] = fks.values.toSeq
+
   /** What a declared edge's data actually looks like. */
   final case class Validation(dupPkGroups: Long, orphanRows: Long) {
     def holds: Boolean = dupPkGroups == 0 && orphanRows == 0

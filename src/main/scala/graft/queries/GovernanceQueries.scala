@@ -80,6 +80,79 @@ object GovernanceQueries {
       SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM s)
       ORDER BY profile, doc_id"""))),
 
+    // D192 — schema-catalog export (sources.SchemaExport), the
+    // generate_dbml twin (utils/generate_dbml/output.dbml:1-20): the
+    // warehouse DBML doc from parquet-footer schemas + DECLARED RELY
+    // edges (exact refs, where the reference guesses by column naming).
+    // The gate RENDERS the document, then parses it back into (table,
+    // column, type, flags) rows; the oracle rebuilds the same rows from
+    // DuckDB's DESCRIBE + the same declared edges (declarations are
+    // config — pinned into the SQL like every driver-side constant).
+    "q_schema_export" -> (((spark, dir) => {
+      import spark.implicits._
+      val nation = s"$dir/nation.parquet"
+      val region = s"$dir/region.parquet"
+      val customer = s"$dir/customer.parquet"
+      graft.plans.Constraints.declareFk(nation, Seq("n_regionkey"),
+        region, Seq("r_regionkey"))
+      graft.plans.Constraints.declareFk(customer, Seq("c_nationkey"),
+        nation, Seq("n_nationkey"))
+      try {
+        val text = graft.sources.SchemaExport.dbml(spark,
+          Seq("customer" -> customer, "nation" -> nation,
+            "region" -> region),
+          extraPks = Map("customer" -> Seq("c_custkey")))
+        require(text.contains("ref: > region.r_regionkey") &&
+          text.contains("ref: > nation.n_nationkey"),
+          "declared edges must render as refs")
+        val rows = scala.collection.mutable.Buffer
+          .empty[(String, String, String, String)]
+        var cur = ""
+        text.linesIterator.foreach { l =>
+          if (l.startsWith("Table "))
+            cur = l.stripPrefix("Table ").stripSuffix(" {")
+          else if (l.startsWith("  ")) {
+            val body = l.trim
+            val (decl, flags) = body.indexOf(" [") match {
+              case -1 => (body, "")
+              case i => (body.substring(0, i),
+                body.substring(i + 2, body.length - 1))
+            }
+            val parts = decl.split(" ", 2)
+            rows += ((cur, parts(0), parts(1), flags))
+          }
+        }
+        rows.toSeq.toDF("tbl", "col", "typ", "flags")
+          .orderBy("tbl", "col")
+      } finally {
+        graft.plans.Constraints.drop(nation, region)
+        graft.plans.Constraints.drop(customer, nation)
+      }
+    }, Some("""
+      WITH cols AS (
+        SELECT 'customer' AS tbl, column_name AS col, column_type AS dt
+        FROM (DESCRIBE SELECT * FROM customer)
+        UNION ALL
+        SELECT 'nation', column_name, column_type
+        FROM (DESCRIBE SELECT * FROM nation)
+        UNION ALL
+        SELECT 'region', column_name, column_type
+        FROM (DESCRIBE SELECT * FROM region))
+      SELECT tbl, col,
+             CASE lower(dt) WHEN 'varchar' THEN 'varchar'
+                  WHEN 'integer' THEN 'int' WHEN 'bigint' THEN 'bigint'
+                  WHEN 'double' THEN 'float' WHEN 'boolean' THEN 'boolean'
+                  WHEN 'date' THEN 'date' ELSE lower(dt) END AS typ,
+             CASE WHEN tbl = 'customer' AND col = 'c_custkey' THEN 'pk'
+                  WHEN tbl = 'nation' AND col = 'n_nationkey' THEN 'pk'
+                  WHEN tbl = 'region' AND col = 'r_regionkey' THEN 'pk'
+                  WHEN tbl = 'nation' AND col = 'n_regionkey'
+                    THEN 'ref: > region.r_regionkey'
+                  WHEN tbl = 'customer' AND col = 'c_nationkey'
+                    THEN 'ref: > nation.n_nationkey'
+                  ELSE '' END AS flags
+      FROM cols ORDER BY tbl, col"""))),
+
     // D138 — STREAMING interval coalescing (Streams.coverageStream), the
     // watermark-fenced twin of D135: intervals arrive out of order across
     // micro-batches (odd users' intervals land before even users', one
