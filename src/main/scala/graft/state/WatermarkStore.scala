@@ -176,4 +176,63 @@ final class FileWatermarkStore(dir: String, lockStaleMs: Long = 60000,
   def delete(p: String, t: String, c: String): Unit = {
     Files.deleteIfExists(path(WatermarkStore.key(p, t, c))); ()
   }
+
+  final case class Compacted(keys: Int, linesDropped: Long)
+
+  /** Age-gated log retention — the DynamoDB 90-day-TTL twin
+    * (`dynamodb_watermark_storage.py:13-103` expires history rows; this
+    * log otherwise grows one line per extract forever). Per key, UNDER
+    * THE SAME CROSS-PROCESS CLAIM LOCK every read-modify-write takes
+    * (so a compaction can never interleave inside another process's
+    * status-check-then-append), keep:
+    *
+    *  - the LAST CONFIRMED line unconditionally, whatever its age —
+    *    monotonic incremental extraction survives any retention window;
+    *  - every line younger than `maxAgeMs` (in-flight PENDINGs live
+    *    here; history inside the window stays auditable).
+    *
+    * Everything older drops — superseded confirms, resolved or
+    * STRANDED pendings (the TTL's actual target). Confirming a token
+    * whose pending line was expired is already a protocol no-op (the
+    * status check finds nothing), which fails SAFE: the batch simply
+    * re-extracts — never a skipped batch, never a backwards watermark.
+    * `nowNs` is injectable because line timestamps are the save-side
+    * monotonic clock. */
+  def compact(maxAgeMs: Long,
+      nowNs: Long = System.nanoTime()): Compacted = synchronized {
+    val cutoff = nowNs - maxAgeMs * 1000000L
+    var keys = 0
+    var dropped = 0L
+    val logs = {
+      val s = Files.list(Paths.get(dir))
+      try s.toArray.map(_.asInstanceOf[Path])
+        .filter(_.getFileName.toString.endsWith(".log")).toSeq
+      finally s.close()
+    }
+    logs.foreach { p =>
+      val key = p.getFileName.toString.stripSuffix(".log")
+      withKeyLock(key) {
+        if (Files.exists(p)) {
+          val lines = Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+          val lastConfirmedIdx =
+            lines.lastIndexWhere(_.split("\\|", 4)(2) == "CONFIRMED")
+          val kept = lines.zipWithIndex.collect {
+            case (l, i) if i == lastConfirmedIdx ||
+              scala.util.Try(l.split("\\|", 4)(0).toLong)
+                .toOption.exists(_ >= cutoff) => l
+          }
+          if (kept.size < lines.size) {
+            keys += 1
+            dropped += lines.size - kept.size
+            val tmp = Files.createTempFile(Paths.get(dir), "wm", ".tmp")
+            // empty kept → empty file (a bare "\n" would parse as a line)
+            Files.writeString(tmp, kept.map(_ + "\n").mkString)
+            Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+              StandardCopyOption.ATOMIC_MOVE)
+          }
+        }
+      }
+    }
+    Compacted(keys, dropped)
+  }
 }

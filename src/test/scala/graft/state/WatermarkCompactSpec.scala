@@ -1,0 +1,88 @@
+package graft.state
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Watermark log retention (the DynamoDB 90-day TTL twin): compaction
+  * keeps the last confirmed value per key whatever its age, drops
+  * expired history and stranded pendings, fails SAFE on an expired
+  * in-flight token, and stays correct racing live savers under the
+  * cross-process key locks. */
+class WatermarkCompactSpec extends AnyFunSuite {
+
+  private def newStore(): (FileWatermarkStore, String) = {
+    val dir = Files.createTempDirectory("wmttl").toString
+    (new FileWatermarkStore(dir), dir)
+  }
+  private def logLines(dir: String): Seq[String] = {
+    val s = Files.list(Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".log"))
+        .flatMap(p => Files.readAllLines(p).asScala.toSeq)
+        .filter(_.nonEmpty)
+    } finally s.close()
+  }
+
+  test("expired history drops; the last confirmed line survives ANY " +
+    "retention window; monotonic reads continue") {
+    val (st, dir) = newStore()
+    for (v <- 1 to 20) st.confirm(st.savePending("p", "t", "c", v.toString))
+    // a second key with only rollbacks
+    st.rollback(st.savePending("p", "u", "c", "9"))
+    assert(logLines(dir).size == 42)
+    // everything is "old" relative to a far-future now — yet the last
+    // confirmed line must survive
+    val r = st.compact(maxAgeMs = 1,
+      nowNs = System.nanoTime() + 3600L * 1000000000L)
+    assert(r.keys == 2 && r.linesDropped == 41, s"got $r")
+    assert(logLines(dir).size == 1, "only the last confirmed line stays")
+    assert(st.lastConfirmed("p", "t", "c").contains("20"))
+    assert(st.lastConfirmed("p", "u", "c").isEmpty)
+    // life goes on: the next extract confirms on the compacted log
+    st.confirm(st.savePending("p", "t", "c", "21"))
+    assert(st.lastConfirmed("p", "t", "c").contains("21"))
+  }
+
+  test("an expired in-flight PENDING fails SAFE: its confirm is a no-op " +
+    "(batch re-extracts), the watermark never goes backwards; a young " +
+    "pending survives and confirms") {
+    val (st, _) = newStore()
+    st.confirm(st.savePending("p", "t", "c", "100"))
+    val stranded = st.savePending("p", "t", "c", "200")
+    st.compact(maxAgeMs = 1,
+      nowNs = System.nanoTime() + 3600L * 1000000000L)
+    st.confirm(stranded) // pending line expired → protocol no-op
+    assert(st.lastConfirmed("p", "t", "c").contains("100"),
+      "an expired pending must not confirm (re-extract, never skip)")
+    val young = st.savePending("p", "t", "c", "300")
+    st.compact(maxAgeMs = 24 * 3600 * 1000L) // real window: keeps it
+    st.confirm(young)
+    assert(st.lastConfirmed("p", "t", "c").contains("300"))
+  }
+
+  test("compacting mid-race with a live saver preserves monotonicity " +
+    "and ends with the final value") {
+    val (st, dir) = newStore()
+    st.confirm(st.savePending("p", "t", "c", "0"))
+    val worker = new Thread(() => {
+      for (v <- 1 to 60)
+        st.confirm(st.savePending("p", "t", "c", v.toString))
+    })
+    worker.start()
+    var lastSeen = 0L
+    while (worker.isAlive) {
+      st.compact(maxAgeMs = 0, nowNs = System.nanoTime())
+      val now = st.lastConfirmed("p", "t", "c").get.toLong
+      assert(now >= lastSeen, s"watermark went backwards: $lastSeen -> $now")
+      lastSeen = now
+    }
+    worker.join()
+    st.compact(maxAgeMs = 0, nowNs = System.nanoTime())
+    assert(st.lastConfirmed("p", "t", "c").contains("60"))
+    assert(logLines(dir).size <= 2,
+      "a zero-window compact must leave only the last confirmed tail")
+  }
+}
