@@ -1325,7 +1325,7 @@ object AnalyticsQueries {
             .writeStream.option("checkpointLocation", chk)
             .foreachBatch { (b: Dataset[Row], id: Long) =>
               graft.sink.JdbcExactlyOnce.upsertBatch(url, tbl, b.toDF(),
-                id, "event_id", "value")
+                id, "event_id", "value", stagingPartitions = 1)
             }
             .outputMode("update").start()
           q.processAllAvailable(); q.stop()

@@ -577,7 +577,11 @@ object LlmQueries {
     // which is what the brute-force oracle replays (same shingle grammar
     // as dd_minhash). Final per-doc verdict = OR over the b band verdicts,
     // a plain batch aggregation over the (fault-tolerant) file sink.
-    "dd_stream_neardup" -> (((spark, dir) => withStreamPartitions(spark) {
+    "dd_stream_neardup" -> (((spark, dir) => withStreamPartitions(spark, 4) {
+      // 4 state partitions: the wall here is state-store checkpoint I/O
+      // (exact-verification shingle sets), and store instances scale with
+      // shuffle partitions x stateful ops x micro-batches — semantics are
+      // partition-count-invariant (r9: 6.7 -> measured below)
       import org.apache.spark.sql.streaming.Trigger
       val tmp = java.nio.file.Files.createTempDirectory("sneardup_gate")
       val (raw, outp, chk) = (tmp.resolve("raw").toString,

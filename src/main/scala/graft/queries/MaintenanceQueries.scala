@@ -455,7 +455,7 @@ object MaintenanceQueries {
     // applied-batch marker (swapped atomically WITH the data) must turn
     // the double-maintenance into a no-op. Final rollup require()d ≡ the
     // batch rebuild, then oracled.
-    "evt_stream_rollup" -> (((spark, dir) => withStreamPartitions(spark) {
+    "evt_stream_rollup" -> (((spark, dir) => withStreamPartitions(spark, 4) {
       val tmp = java.nio.file.Files.createTempDirectory("strollup_gate")
       try {
         val (feed, roll, chk) = (tmp.resolve("feed").toString,

@@ -67,7 +67,8 @@ object JdbcExactlyOnce {
   }
 
   /** foreachBatch body: stage `batch` (keyCol, valueCol) then publish it
-    * under `batchId`. Executors write staging in parallel; the publish
+    * under `batchId`. Executors write staging in parallel (tunable via
+    * `stagingPartitions` — embedded endpoints prefer 1); the publish
     * transaction is the only serialized step.
     *
     * Duplicate keys WITHIN one batch resolve deterministically to the MAX
@@ -76,7 +77,8 @@ object JdbcExactlyOnce {
     * first would win the (batch_id, k) primary key, a run-to-run
     * nondeterminism. Across batches the log order still rules. */
   def upsertBatch(url: String, table0: String, batch: DataFrame,
-      batchId: Long, keyCol: String, valueCol: String): Unit = {
+      batchId: Long, keyCol: String, valueCol: String,
+      stagingPartitions: Int = 0): Unit = {
     val table = validIdent(table0)
     ensureTables(url, table)
     // fast replay exit: a batch already in the log must not re-stage
@@ -86,37 +88,58 @@ object JdbcExactlyOnce {
     val rows = batch.select(col(keyCol).cast("long").as("__k"),
         col(valueCol).cast("double").as("__v"))
       .groupBy(col("__k")).agg(max(col("__v")).as("__v"))
-    rows.foreachPartition { it: Iterator[Row] =>
+    // stagingPartitions: a REMOTE endpoint wants parallel staging
+    // connections (0 = keep the batch's partitioning); an EMBEDDED
+    // endpoint wants 1 — concurrent inserts from one JVM just fight the
+    // same page latches (measured on the restart gate)
+    val staged = if (stagingPartitions > 0) rows.coalesce(stagingPartitions)
+      else rows
+    staged.foreachPartition { it: Iterator[Row] =>
       if (it.nonEmpty) withConn(url) { c =>
-        val ps = c.prepareStatement(
-          s"INSERT INTO ${table}_stg (batch_id, k, v) VALUES (?, ?, ?)")
-        // batched inserts (one round-trip per chunk); duplicate (batch_id,
-        // k) rows — a retried partition re-inserting — are idempotent by
-        // design: swallow ONLY the duplicate-key state and re-drive the
-        // chunk row-by-row so its non-duplicate rows still land
-        def flush(chunk: Seq[Row]): Unit =
-          try { ps.executeBatch(); () }
-          catch {
-            case e: java.sql.BatchUpdateException
-                if dupKey(e) =>
-              ps.clearBatch()
-              chunk.foreach { r =>
-                ps.setLong(1, batchId)
-                ps.setLong(2, r.getLong(0))
-                ps.setDouble(3, r.getDouble(1))
-                try { ps.executeUpdate(); () }
-                catch { case d: SQLException if dupKey(d) => () }
+        // ONE transaction per partition: staging rows are invisible until
+        // the publish step anyway, and per-chunk autocommit makes the
+        // database fsync every 1000 rows — the measured wall of the
+        // streaming-restart gate. A failed partition rolls back whole and
+        // retries idempotently (dup-key swallow below).
+        c.setAutoCommit(false)
+        try {
+          // multi-row VALUES inserts (100 rows per statement): an
+          // embedded driver executes addBatch elements one by one, so
+          // real batching must happen in the STATEMENT — one parse/
+          // execute per 100 rows instead of per row. Duplicate
+          // (batch_id, k) rows — a retried partition re-inserting — are
+          // idempotent by design: a duplicate-key failure re-drives that
+          // chunk row-by-row, swallowing ONLY the dup-key state so its
+          // non-duplicate rows still land.
+          val n = 100
+          val wide = c.prepareStatement(
+            s"INSERT INTO ${table}_stg (batch_id, k, v) VALUES " +
+              Seq.fill(n)("(?, ?, ?)").mkString(", "))
+          val one = c.prepareStatement(
+            s"INSERT INTO ${table}_stg (batch_id, k, v) VALUES (?, ?, ?)")
+          def rowByRow(chunk: Seq[Row]): Unit =
+            chunk.foreach { r =>
+              one.setLong(1, batchId)
+              one.setLong(2, r.getLong(0))
+              one.setDouble(3, r.getDouble(1))
+              try { one.executeUpdate(); () }
+              catch { case d: SQLException if dupKey(d) => () }
+            }
+          try it.grouped(n).foreach { chunk =>
+            if (chunk.size == n) {
+              chunk.zipWithIndex.foreach { case (r, i) =>
+                wide.setLong(i * 3 + 1, batchId)
+                wide.setLong(i * 3 + 2, r.getLong(0))
+                wide.setDouble(i * 3 + 3, r.getDouble(1))
               }
-          }
-        try it.grouped(1000).foreach { chunk =>
-          chunk.foreach { r =>
-            ps.setLong(1, batchId)
-            ps.setLong(2, r.getLong(0))
-            ps.setDouble(3, r.getDouble(1))
-            ps.addBatch()
-          }
-          flush(chunk)
-        } finally ps.close()
+              try { wide.executeUpdate(); () }
+              catch { case e: SQLException if dupKey(e) => rowByRow(chunk) }
+            } else rowByRow(chunk) // short tail (or post-dup re-drive)
+          } finally { wide.close(); one.close() }
+          c.commit()
+        } catch {
+          case e: Throwable => scala.util.Try(c.rollback()); throw e
+        } finally c.setAutoCommit(true)
       }
     }
     withConn(url) { c =>
@@ -125,10 +148,16 @@ object JdbcExactlyOnce {
         if (!committed(c, table, batchId)) {
           val s = c.createStatement()
           try {
-            s.executeUpdate(s"DELETE FROM $table WHERE k IN " +
-              s"(SELECT k FROM ${table}_stg WHERE batch_id = $batchId)")
-            s.executeUpdate(s"INSERT INTO $table (k, v) " +
-              s"SELECT k, v FROM ${table}_stg WHERE batch_id = $batchId")
+            // one index-driven MERGE instead of DELETE-subquery +
+            // INSERT-SELECT: same upsert semantics, one pass over the
+            // staged slice (standard SQL:2003 MERGE — Derby, MSSQL,
+            // Oracle and Postgres 15+ all speak it)
+            s.executeUpdate(
+              s"MERGE INTO $table t USING ${table}_stg s " +
+                s"ON t.k = s.k AND s.batch_id = $batchId " +
+                "WHEN MATCHED THEN UPDATE SET v = s.v " +
+                "WHEN NOT MATCHED AND s.batch_id = " + batchId +
+                " THEN INSERT (k, v) VALUES (s.k, s.v)")
             s.executeUpdate(
               s"INSERT INTO ${table}_log VALUES ($batchId)")
             s.executeUpdate(

@@ -192,8 +192,13 @@ object Streams {
       .drop(s"r_$keyCol")
   }
 
-  final case class BandDoc(band: Int, bh: Long, doc_id: Long, sh: Seq[Long])
-  final case class BucketMember(id: Long, sh: Seq[Long])
+  // Array[Long] fields on purpose: the encoder bulk-copies primitive
+  // arrays (UnsafeArrayData.fromPrimitiveArray) where Seq[Long] walks a
+  // per-element MapObjects loop — and these rows cross the shuffle b
+  // times per doc and live in state
+  final case class BandDoc(band: Int, bh: Long, doc_id: Long,
+    sh: Array[Long])
+  final case class BucketMember(id: Long, sh: Array[Long])
   final case class BucketState(members: Seq[BucketMember])
   /** One bucket's verdict for one doc: `dup_of` = the smallest
     * earlier-arrived bucket-mate whose exact Jaccard clears the threshold
@@ -232,13 +237,20 @@ object Streams {
     import docs.sparkSession.implicits._
     import graft.llm.Dedup
     require(k % b == 0, s"k=$k must be divisible by b=$b")
+    // the shingle array BINDS ONCE per row (lambda variable), because
+    // projection collapse would otherwise inline its expression into
+    // every one of the k+1 consumers — measured as the dominant stage
+    // of the streaming gate (re-shingling the text 33x per row)
     val banded = docs
       .select(col(idCol).cast("long").as("doc_id"),
-        Dedup.wordShingles(col(textCol), shingleWidth).as("g"))
-      .withColumn("sh",
-        array_distinct(transform(col("g"), s => xxhash64(s))))
-      .withColumn("bb",
-        explode(Dedup.bands(Dedup.minhashSignature(col("g"), k), b, k / b)))
+        graft.llm.TextAnalysis.bindOnce(
+          Dedup.wordShingles(col(textCol), shingleWidth)) { g =>
+          struct(
+            array_distinct(transform(g, s => xxhash64(s))).as("sh"),
+            Dedup.bands(Dedup.minhashSignature(g, k), b, k / b).as("bbs"))
+        }.as("x"))
+      .select(col("doc_id"), col("x.sh").as("sh"),
+        explode(col("x.bbs")).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bh").as("bh"),
         col("doc_id"), col("sh"))
       .as[BandDoc]
@@ -246,22 +258,56 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: (Int, Long), rows: Iterator[BandDoc],
          state: GroupState[BucketState]) => {
-          var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+          // members kept SORTED by id (insertion position, ≤ maxBucket
+          // elements): the min-id qualifying mate is then the FIRST
+          // qualifying one, so the scan early-exits — and the verdict is
+          // min-id-wins under ANY feed order, not just ascending.
+          // Shingle sets are held as SORTED arrays (decoded once per
+          // group invocation, re-sorted defensively): exact Jaccard
+          // verification then runs as a merge-intersection that ABORTS
+          // as soon as the remaining overlap cannot reach the threshold
+          // — crowded buckets of dissimilar docs cost a prefix scan,
+          // never |a|+|b| work per mate.
+          var members: Vector[(Long, Array[Long])] =
+            state.getOption.map(_.members.map { m =>
+              java.util.Arrays.sort(m.sh); (m.id, m.sh)
+            }.toVector).getOrElse(Vector.empty)
+          def qualifies(a: Array[Long], b: Array[Long]): Boolean = {
+            val (la, lb) = (a.length, b.length)
+            if (la == 0 && lb == 0) return true
+            // size prefilter: J = i/u ≤ min/max
+            if (math.min(la, lb).toDouble / math.max(la, lb) < threshold)
+              return false
+            // i/(la+lb-i) ≥ t  ⟺  i ≥ t·(la+lb)/(1+t)
+            val need =
+              math.ceil(threshold * (la + lb) / (1.0 + threshold) - 1e-9)
+            var i = 0; var j = 0; var inter = 0L
+            while (i < la && j < lb) {
+              if (inter + math.min(la - i, lb - j) < need) return false
+              if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+              else if (a(i) < b(j)) i += 1
+              else j += 1
+            }
+            val union = la + lb - inter
+            union == 0 || inter.toDouble / union >= threshold
+          }
           val out = rows.toSeq.sortBy(_.doc_id).map { d =>
-            val dSet = d.sh.toSet
+            val dArr = d.sh
+            java.util.Arrays.sort(dArr)
             val hit = members.iterator
-              .filter(_.id != d.doc_id) // re-delivery is not a dup of itself
-              .filter { m =>
-                val inter = m.sh.count(dSet)
-                val union = dSet.size + m.sh.size - inter
-                union == 0 || inter.toDouble / union >= threshold
-              }.foldLeft(Option.empty[Long]) { (best, m) =>
-                Some(best.fold(m.id)(math.min(_, m.id))) }
-            if (members.size < maxBucket && !members.exists(_.id == d.doc_id))
-              members = members :+ BucketMember(d.doc_id, d.sh)
+              .filter(_._1 != d.doc_id) // re-delivery: not a dup of itself
+              .find(m => qualifies(dArr, m._2)).map(_._1)
+            if (members.size < maxBucket && !members.exists(_._1 == d.doc_id)) {
+              val at = members.indexWhere(_._1 > d.doc_id)
+              val mem = (d.doc_id, dArr)
+              members =
+                if (at < 0) members :+ mem
+                else (members.take(at) :+ mem) ++ members.drop(at)
+            }
             BucketVerdict(key._1, d.doc_id, hit.getOrElse(-1L), hit.isDefined)
           }
-          state.update(BucketState(members))
+          state.update(BucketState(members.map { case (id, a) =>
+            BucketMember(id, a) }))
           out.iterator
         })
   }
