@@ -211,7 +211,11 @@ object ScaleSmoke {
       // D191: tag views are pure per-row projections over the plain scan
       "c10_tags",
       // D192: footer-metadata reads only — document cost is O(tables)
-      "q_schema_export"))
+      "q_schema_export",
+      // D193: one predicate filter over the plain scan; D194: one
+      // map-side-combinable count+distinct per QI group; D195: pure
+      // plan metadata, zero jobs
+      "c10_rls", "llm_l_diversity", "q_lineage"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

@@ -48,6 +48,36 @@ object Privacy {
       .agg(count(lit(1)).as("n"))
       .withColumn("released", when(col("n") >= k, 1L).otherwise(0L))
 
+  /** Distinct-l-diversity release gating (D194, Machanavajjhala et al.
+    * 2007): k-anonymity alone leaks when a large-enough QI group is
+    * HOMOGENEOUS in the sensitive attribute — everyone in the group
+    * shares the secret, so group size protects nothing. A group
+    * releases only when it is big enough (n ≥ k) AND carries at least
+    * `l` DISTINCT sensitive values. One map-side-combinable aggregation
+    * (count + count distinct per QI group — the distinct dedups on the
+    * (QI, sensitive) key domain first, never the table); the release
+    * filter is the same null-safe semi-join as [[suppressRare]]. NULL
+    * sensitive values do not count toward diversity (an absent secret
+    * diversifies nothing). */
+  def lDiversityReport(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, k: Long, l: Long): DataFrame =
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("released",
+        when(col("n") >= k && col("n_sensitive") >= l, 1L).otherwise(0L))
+
+  /** Rows of the QI groups [[lDiversityReport]] releases — the
+    * publishable subset. */
+  def suppressLowDiversity(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    val safe = lDiversityReport(df, qiCols, sensitiveCol, k, l)
+      .filter(col("released") === 1L)
+      .select(qiCols.map(c => col(c).as(s"__qi_$c")): _*)
+    val cond = qiCols.map(c => col(c) <=> col(s"__qi_$c")).reduce(_ && _)
+    df.join(broadcast(safe), cond, "left_semi")
+  }
+
   /** Inverse-CDF breakpoints of the TRUNCATED two-sided geometric
     * (discrete Laplace) distribution P(K = k) ∝ α^|k| with α = e^(−ε),
     * the integer-valued ε-DP mechanism for counting queries (Ghosh,

@@ -1,0 +1,84 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+
+/** Column-level lineage extraction (SURVEY §2D, D195) — the impact-
+  * analysis half of the warehouse documentation plane (D192 renders
+  * what tables LOOK like; this answers "which SOURCE columns feed this
+  * output column", the question every schema change and every privacy
+  * review asks first).
+  *
+  * One bottom-up walk of the ANALYZED plan accumulates, per attribute
+  * exprId, the set of (source table, source column) leaves it
+  * transitively derives from: file scans seed their own columns,
+  * Project/Aggregate/Window map each NEW attribute (Alias) to the union
+  * of its referenced attributes' sets, Generate maps generator output
+  * to the generator's references, Union merges positionally. Plain
+  * attribute references pass through untouched (their exprId already
+  * carries the right set — Catalyst's attribute identity does the
+  * bookkeeping).
+  *
+  * This is VALUE lineage: join conditions and filters influence WHICH
+  * rows flow but contribute no bytes to an output column, so they are
+  * deliberately excluded (the standard OpenLineage/column-lineage
+  * contract). Pure plan metadata — zero jobs. */
+object Lineage {
+
+  /** `outCol` of the frame derives from `srcTable`.`srcCol`. */
+  final case class Edge(outCol: String, srcTable: String, srcCol: String)
+
+  /** Lineage edges of `df`'s output columns, source tables named by
+    * directory basename (stable across temp roots). Output columns with
+    * NO source dependency (literals, count(1)) contribute no edges. */
+  def of(df: DataFrame): Seq[Edge] = {
+    val deps =
+      scala.collection.mutable.Map.empty[ExprId, Set[(String, String)]]
+    def exprDeps(e: Expression): Set[(String, String)] =
+      e.references.iterator
+        .flatMap(a => deps.getOrElse(a.exprId, Set.empty)).toSet
+    def bind(ne: NamedExpression): Unit = ne match {
+      case _: AttributeReference => () // passthrough: set already bound
+      case al: Alias => deps(al.exprId) = exprDeps(al.child)
+      case other => deps(other.exprId) = exprDeps(other)
+    }
+    def walk(p: LogicalPlan): Unit = {
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk) // IN/EXISTS/scalar subqueries seed too
+      p match {
+        case lr: LogicalRelation
+            if lr.relation.isInstanceOf[HadoopFsRelation] =>
+          val roots = lr.relation.asInstanceOf[HadoopFsRelation]
+            .location.rootPaths
+          val table = roots.headOption
+            .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
+          lr.output.foreach(a => deps(a.exprId) = Set((table, a.name)))
+        case pj: Project => pj.projectList.foreach(bind)
+        case ag: Aggregate => ag.aggregateExpressions.foreach(bind)
+        case w: Window => w.windowExpressions.foreach(bind)
+        case g: Generate =>
+          val in = exprDeps(g.generator)
+          g.generatorOutput.foreach(a => deps(a.exprId) = in)
+        case u: Union =>
+          u.output.zipWithIndex.foreach { case (a, i) =>
+            deps(a.exprId) = u.children.iterator.flatMap(c =>
+              deps.getOrElse(c.output(i).exprId, Set.empty)).toSet
+          }
+        case e: Expand =>
+          e.output.zipWithIndex.foreach { case (a, i) =>
+            deps(a.exprId) = e.projections.iterator
+              .flatMap(row => exprDeps(row(i))).toSet
+          }
+        case _ => () // Filter/Join/Sort/Limit/alias nodes: passthrough
+      }
+    }
+    val plan = df.queryExecution.analyzed
+    walk(plan)
+    plan.output.flatMap(a =>
+      deps.getOrElse(a.exprId, Set.empty).toSeq.sorted
+        .map { case (t, c) => Edge(a.name, t, c) })
+  }
+}

@@ -153,6 +153,136 @@ object GovernanceQueries {
                   ELSE '' END AS flags
       FROM cols ORDER BY tbl, col"""))),
 
+    // D193 — ROW-level policies (AccessTags.tagRows), the Lake Formation
+    // data-cells-filter analog completing D191's column plane: per
+    // profile, a SQL predicate over the RAW table restricts visible
+    // rows BEFORE column shaping — so a policy may gate on a column the
+    // profile afterwards loses (here: the analyst is filtered on `lang`
+    // yet never sees it). Policies restrict; a profile without one sees
+    // every row the column plane allows. Both profiles oracled.
+    "c10_rls" -> (((spark, dir) => {
+      import graft.sources.AccessTags
+      val tmp = java.nio.file.Files.createTempDirectory("rls_gate")
+      try {
+        val path = tmp.resolve("docs").toString
+        load(spark, dir, "documents").write.parquet(path)
+        AccessTags.tagTable(path, Map(
+          "doc_id" -> "id", "source" -> "meta", "n_chars" -> "meta"))
+        AccessTags.tagRows(path, Map("analyst" -> "lang = 'en'"))
+        val analyst = AccessTags.Profile("analyst", Map(
+          "id" -> AccessTags.Tokenize, "meta" -> AccessTags.Open),
+          key = "rlskey")
+        val steward = AccessTags.Profile("steward", Map(
+          "id" -> AccessTags.Open, "meta" -> AccessTags.Open))
+        val av = AccessTags.taggedView(spark, path, analyst)
+        val sv = AccessTags.taggedView(spark, path, steward)
+        require(!av.columns.contains("lang"),
+          "the policy column itself stays closed (untagged)")
+        require(av.count() < sv.count(),
+          "the row policy must restrict the analyst's rows")
+        av.select(lit("analyst").as("profile"), col("doc_id"),
+            col("source"), col("n_chars"))
+          .unionByName(sv.select(lit("steward").as("profile"),
+            col("doc_id").cast("string").as("doc_id"), col("source"),
+            col("n_chars")))
+          .orderBy("profile", "doc_id")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally {
+        graft.sources.AccessTags.untagTable(tmp.resolve("docs").toString)
+        graft.sink.StageWriter.deleteRecursively(tmp)
+      }
+    }, Some("""
+      WITH a AS (SELECT 'analyst' AS profile,
+                   sha256('rlskey|' || CAST(doc_id AS VARCHAR)) AS doc_id,
+                   source, n_chars
+                 FROM documents WHERE lang = 'en'),
+      s AS (SELECT 'steward' AS profile, CAST(doc_id AS VARCHAR) AS doc_id,
+              source, n_chars
+            FROM documents)
+      SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM s)
+      ORDER BY profile, doc_id"""))),
+
+    // D194 — distinct-l-diversity release gating (Privacy.
+    // lDiversityReport/suppressLowDiversity, Machanavajjhala et al.
+    // 2007): k-anonymity alone leaks when a big QI group is HOMOGENEOUS
+    // in the sensitive attribute — the gate constructs exactly that
+    // ('error' events share one sensitive value), require()s that such
+    // groups pass k yet fail l, and oracles the full audit report. One
+    // map-side-combinable count + count-distinct per QI group.
+    "llm_l_diversity" -> (((spark, dir) => {
+      val t = load(spark, dir, "events")
+        .select(col("event_type"),
+          pmod(col("user_id"), lit(97)).as("region"),
+          when(col("event_type") === "error", lit("x"))
+            .otherwise(pmod(col("event_id"), lit(4)).cast("string"))
+            .as("sens"))
+      val report = graft.llm.Privacy.lDiversityReport(t,
+        Seq("event_type", "region"), "sens", k = 10L, l = 2L)
+      val homogeneous = report.filter(
+        col("n") >= 10 && col("released") === 0L)
+      require(homogeneous.count() > 0,
+        "k-passing homogeneous groups must exist AND be suppressed")
+      val kept = graft.llm.Privacy.suppressLowDiversity(t,
+        Seq("event_type", "region"), "sens", k = 10L, l = 2L).count()
+      val reportSum = report.filter(col("released") === 1L)
+        .agg(sum(col("n"))).head().getLong(0)
+      require(kept == reportSum,
+        s"released rows ($kept) must equal the report's sum ($reportSum)")
+      report.orderBy("event_type", "region")
+    }, Some("""
+      WITH t AS (SELECT event_type, user_id % 97 AS region,
+                   CASE WHEN event_type = 'error' THEN 'x'
+                        ELSE CAST(event_id % 4 AS VARCHAR) END AS sens
+                 FROM events)
+      SELECT event_type, region, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT sens) AS BIGINT) AS n_sensitive,
+             CAST(CASE WHEN count(*) >= 10
+                        AND count(DISTINCT sens) >= 2
+                       THEN 1 ELSE 0 END AS BIGINT) AS released
+      FROM t GROUP BY 1, 2 ORDER BY 1, 2"""))),
+
+    // D195 — column-level lineage extraction (plans.Lineage): one
+    // bottom-up walk of the ANALYZED plan maps every output column to
+    // the (source table, source column) leaves it derives from — VALUE
+    // lineage (join/filter columns influence rows, not bytes, and are
+    // excluded per the OpenLineage contract). Pure plan metadata, zero
+    // jobs. The expected mapping is pinned into the oracle the way
+    // every driver-side-constant gate pins its constants — and the
+    // require()s assert the semantic facts independently.
+    "q_lineage" -> (((spark, dir) => {
+      import spark.implicits._
+      val q = load(spark, dir, "lineitem")
+        .join(load(spark, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(d18(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - d18(col("l_discount"))))
+          .as("revenue"), count(lit(1)).as("n"))
+      val edges = graft.plans.Lineage.of(q)
+      require(edges.filter(_.outCol == "revenue").map(e =>
+        (e.srcTable, e.srcCol)).toSet ==
+        Set(("lineitem", "l_extendedprice"), ("lineitem", "l_discount")),
+        s"revenue must trace to price+discount, got $edges")
+      require(edges.filter(_.outCol == "o_orderpriority").map(e =>
+        (e.srcTable, e.srcCol)).toSet ==
+        Set(("orders", "o_orderpriority")),
+        "grouping key must trace to its source")
+      require(!edges.exists(e => e.srcCol == "l_orderkey" ||
+        e.srcCol == "o_orderkey"),
+        "join keys are control flow, not value lineage")
+      require(!edges.exists(_.outCol == "n"),
+        "count(1) derives from no source column")
+      edges.map(e => (e.outCol, e.srcTable, e.srcCol))
+        .toDF("out_col", "src_table", "src_col")
+        .orderBy("out_col", "src_table", "src_col")
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('o_orderpriority', 'orders', 'o_orderpriority'),
+        ('revenue', 'lineitem', 'l_discount'),
+        ('revenue', 'lineitem', 'l_extendedprice'))
+        AS t(out_col, src_table, src_col)
+      ORDER BY out_col, src_table, src_col"""))),
+
     // D138 — STREAMING interval coalescing (Streams.coverageStream), the
     // watermark-fenced twin of D135: intervals arrive out of order across
     // micro-batches (odd users' intervals land before even users', one

@@ -43,6 +43,9 @@ object AccessTags {
 
   private val registry =
     scala.collection.concurrent.TrieMap[String, Map[String, String]]()
+  // row policies: table → (profile name → SQL boolean over the RAW table)
+  private val rowPolicies =
+    scala.collection.concurrent.TrieMap[String, Map[String, String]]()
 
   private def norm(p: String) = Paths.get(p).toAbsolutePath.toString
 
@@ -56,7 +59,25 @@ object AccessTags {
   def tagsOf(path: String): Map[String, String] =
     registry.getOrElse(norm(path), Map.empty)
 
-  def untagTable(path: String): Unit = { registry.remove(norm(path)); () }
+  def untagTable(path: String): Unit = {
+    registry.remove(norm(path)); rowPolicies.remove(norm(path)); ()
+  }
+
+  /** Attach ROW policies (D193, the Lake Formation data-cells-filter
+    * analog): per profile NAME, a SQL boolean over the RAW table that
+    * restricts which rows that profile may see. Policies RESTRICT — a
+    * profile without one sees every row the column plane allows (the
+    * LF row-filter semantic; the column plane stays default-closed).
+    * The predicate evaluates BEFORE column shaping, so it may filter on
+    * columns the profile afterwards loses (a region gate on a column
+    * the reader never sees — exactly how LF filters behave). */
+  def tagRows(path: String, policies: Map[String, String]): Unit = {
+    require(policies.nonEmpty, "attach at least one row policy")
+    rowPolicies.put(norm(path), policies); ()
+  }
+
+  def rowPoliciesOf(path: String): Map[String, String] =
+    rowPolicies.getOrElse(norm(path), Map.empty)
 
   /** The table as `profile` may see it. Untagged table → every column
     * denied (an empty projection is refused loudly instead — a
@@ -67,7 +88,11 @@ object AccessTags {
     val tags = tagsOf(path)
     require(tags.nonEmpty,
       s"$path carries no access tags — tagTable() it before governed reads")
-    val df = spark.read.parquet(path)
+    val raw = spark.read.parquet(path)
+    // row policy first (on the RAW frame — may reference columns the
+    // profile loses below); no policy for this profile → unrestricted
+    val df = rowPoliciesOf(path).get(profile.name)
+      .map(p => raw.filter(expr(p))).getOrElse(raw)
     val kept: Seq[Column] = df.schema.fields.toSeq.flatMap { f =>
       tags.get(f.name).flatMap(profile.actions.get) match {
         case Some(Open) => Some(col(f.name))

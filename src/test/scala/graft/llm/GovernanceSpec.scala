@@ -26,6 +26,25 @@ class GovernanceSpec extends AnyFunSuite {
     assert(rep.toSeq == Seq(("x", 3L, 1L), ("y", 2L, 0L), ("z", 3L, 1L)))
   }
 
+  test("lDiversity: a k-passing HOMOGENEOUS group is suppressed, a " +
+    "diverse one releases, NULL sensitive values diversify nothing") {
+    val df = Seq(
+      ("a", "s1", 1L), ("a", "s2", 2L), ("a", "s1", 3L), // n=3, 2 distinct
+      ("b", "s1", 4L), ("b", "s1", 5L), ("b", "s1", 6L), // n=3, HOMOGENEOUS
+      ("c", null, 7L), ("c", null, 8L), ("c", "s9", 9L)  // nulls don't count
+    ).toDF("qi", "sens", "id")
+    val rep = Privacy.lDiversityReport(df, Seq("qi"), "sens", k = 3, l = 2)
+      .select("qi", "n", "n_sensitive", "released")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rep.toSeq == Seq(("a", 3L, 2L, 1L), ("b", 3L, 1L, 0L),
+      ("c", 3L, 1L, 0L)),
+      s"k-anonymity passes all three; only 'a' is l-diverse — got " +
+        rep.mkString(", "))
+    val kept = Privacy.suppressLowDiversity(df, Seq("qi"), "sens", 3, 2)
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("kAnonymize rejects empty QI and k < 1") {
     val df = Seq(("a", 1L)).toDF("lang", "id")
     intercept[IllegalArgumentException](Privacy.kAnonymize(df, Nil, 3))

@@ -1,0 +1,72 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** D195 — column lineage: aliases, windows, generators, unions and
+  * expand (grouping sets) all trace to their source leaves; join keys
+  * and literals contribute nothing. */
+class LineageSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def edgesOf(df: org.apache.spark.sql.DataFrame)
+      : Map[String, Set[(String, String)]] =
+    Lineage.of(df).groupBy(_.outCol)
+      .map { case (o, es) => o -> es.map(e => (e.srcTable, e.srcCol)).toSet }
+
+  test("alias chains, windows, explode and unions trace through; join " +
+    "keys and literals contribute no edges") {
+    val tmp = Files.createTempDirectory("lineage")
+    try {
+      val a = tmp.resolve("alpha").toString
+      val b = tmp.resolve("beta").toString
+      Seq((1L, 2.0, "x y")).toDF("k", "v", "words").write.parquet(a)
+      Seq((1L, 5.0)).toDF("k", "w").write.parquet(b)
+      val alpha = spark.read.parquet(a)
+      val beta = spark.read.parquet(b)
+
+      val joined = alpha.join(beta, "k")
+        .select((col("v") * col("w")).as("vw"), col("words"))
+      assert(edgesOf(joined) == Map(
+        "vw" -> Set(("alpha", "v"), ("beta", "w")),
+        "words" -> Set(("alpha", "words"))),
+        s"got ${edgesOf(joined)}")
+
+      val windowed = alpha.withColumn("r",
+        org.apache.spark.sql.functions.sum("v").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("k")
+            .orderBy("words")))
+      // window functions: the partition/order columns are part of the
+      // expression tree AND genuinely shape the value (which rows share
+      // the frame), so they count — unlike join keys, which live outside
+      // any output expression
+      assert(edgesOf(windowed)("r") ==
+        Set(("alpha", "v"), ("alpha", "k"), ("alpha", "words")))
+
+      val exploded = alpha.select(
+        explode(split(col("words"), " ")).as("tok"))
+      assert(edgesOf(exploded)("tok") == Set(("alpha", "words")))
+
+      val unioned = alpha.select(col("v").as("u"))
+        .unionByName(beta.select(col("w").as("u")))
+      assert(edgesOf(unioned)("u") ==
+        Set(("alpha", "v"), ("beta", "w")),
+        "union merges both branches' sources positionally")
+
+      val rolled = alpha.rollup("k").agg(sum("v").as("s"))
+      assert(edgesOf(rolled)("s") == Set(("alpha", "v")),
+        "grouping-set Expand passes value lineage through")
+
+      // literals and count(1): no source edges at all
+      val lits = alpha.groupBy("k").agg(count(lit(1)).as("n"))
+        .select(col("n"), lit("c").as("const"))
+      val e = edgesOf(lits)
+      assert(!e.contains("n") && !e.contains("const"))
+    } finally graft.sink.StageWriter.deleteRecursively(tmp)
+  }
+}

@@ -63,6 +63,34 @@ class AccessTagsSpec extends AnyFunSuite {
     }
   }
 
+  test("row policies restrict per profile, filter on columns the " +
+    "profile loses, and an un-policied profile keeps every row") {
+    val (tmp, p) = fixture()
+    try {
+      AccessTags.tagRows(p, Map("narrow" -> "region = 'us'"))
+      val narrow = AccessTags.Profile("narrow",
+        Map("meta" -> AccessTags.Open))
+      val full = AccessTags.Profile("full", Map(
+        "id" -> AccessTags.Open, "freetext" -> AccessTags.Open,
+        "meta" -> AccessTags.Open))
+      val nv = AccessTags.taggedView(spark, p, narrow)
+      assert(nv.count() == 1 &&
+        nv.select("score").as[Long].head() == 10L,
+        "the policy must restrict the narrow profile's rows")
+      assert(AccessTags.taggedView(spark, p, full).count() == 2,
+        "a profile without a policy sees every row")
+      // the policy column can be one the profile never sees
+      AccessTags.tagRows(p, Map("narrow" -> "uid = 2"))
+      val v2 = AccessTags.taggedView(spark, p, narrow)
+      assert(!v2.columns.contains("uid") &&
+        v2.select("region").as[String].head() == "eu",
+        "filtering on a closed column must still work (LF semantics)")
+    } finally {
+      AccessTags.untagTable(p)
+      graft.sink.StageWriter.deleteRecursively(tmp)
+    }
+  }
+
   test("ungoverned or fully-denied reads refuse loudly, never an " +
     "empty frame") {
     val (tmp, p) = fixture()
