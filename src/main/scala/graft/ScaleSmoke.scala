@@ -215,7 +215,10 @@ object ScaleSmoke {
       // D193: one predicate filter over the plain scan; D194: one
       // map-side-combinable count+distinct per QI group; D195: pure
       // plan metadata, zero jobs
-      "c10_rls", "llm_l_diversity", "q_lineage"))
+      "c10_rls", "llm_l_diversity", "q_lineage",
+      // D196: one plan walk + a registry write; the governed read is a
+      // projection over the plain scan
+      "c10_tag_propagation"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

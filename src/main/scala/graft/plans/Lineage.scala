@@ -34,7 +34,15 @@ object Lineage {
   /** Lineage edges of `df`'s output columns, source tables named by
     * directory basename (stable across temp roots). Output columns with
     * NO source dependency (literals, count(1)) contribute no edges. */
-  def of(df: DataFrame): Seq[Edge] = {
+  def of(df: DataFrame): Seq[Edge] =
+    ofPaths(df).map { case (out, path, c) =>
+      Edge(out,
+        path.split('/').last.stripSuffix(".parquet"), c)
+    }
+
+  /** As [[of]], but sources keyed by their FULL scan path — the form
+    * tag propagation (D196) joins against the governance registry. */
+  def ofPaths(df: DataFrame): Seq[(String, String, String)] = {
     val deps =
       scala.collection.mutable.Map.empty[ExprId, Set[(String, String)]]
     def exprDeps(e: Expression): Set[(String, String)] =
@@ -54,7 +62,7 @@ object Lineage {
           val roots = lr.relation.asInstanceOf[HadoopFsRelation]
             .location.rootPaths
           val table = roots.headOption
-            .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
+            .map(_.toUri.getPath).getOrElse("?")
           lr.output.foreach(a => deps(a.exprId) = Set((table, a.name)))
         case pj: Project => pj.projectList.foreach(bind)
         case ag: Aggregate => ag.aggregateExpressions.foreach(bind)
@@ -79,6 +87,6 @@ object Lineage {
     walk(plan)
     plan.output.flatMap(a =>
       deps.getOrElse(a.exprId, Set.empty).toSeq.sorted
-        .map { case (t, c) => Edge(a.name, t, c) })
+        .map { case (t, c) => (a.name, t, c) })
   }
 }

@@ -202,6 +202,64 @@ object GovernanceQueries {
       SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM s)
       ORDER BY profile, doc_id"""))),
 
+    // D196 — tag PROPAGATION through column lineage (AccessTags.
+    // propagateTags over plans.Lineage): the laundering hole of every
+    // static registry — `SELECT user_id AS uid FROM governed` yields an
+    // untagged copy. Derived columns inherit the UNION of their source
+    // columns' tags; a column MIXING a PII source with an open one
+    // reads under the most restrictive action (the concat-an-id-into-a-
+    // string trick comes out tokenized); literals inherit nothing and
+    // stay default-closed. Both the registry contents and the governed
+    // read are require()d; the view is oracled.
+    "c10_tag_propagation" -> (((spark, dir) => {
+      import graft.sources.AccessTags
+      val tmp = java.nio.file.Files.createTempDirectory("tagprop_gate")
+      try {
+        val base = tmp.resolve("docs").toString
+        val derived = tmp.resolve("derived").toString
+        load(spark, dir, "documents").write.parquet(base)
+        AccessTags.tagTable(base, Map(
+          "doc_id" -> "id", "text" -> "freetext",
+          "source" -> "meta", "n_chars" -> "meta"))
+        val d = spark.read.parquet(base)
+          .filter(col("lang") === "en") // control flow: taints nothing
+          .select(col("doc_id").as("uid"),
+            concat(col("doc_id"), lit(":"), col("source")).as("user_ref"),
+            (col("n_chars") * 2).as("nc2"),
+            lit("x").as("freebie"))
+        d.write.parquet(derived)
+        val inherited = AccessTags.propagateTags(d, derived)
+        require(inherited == Map(
+          "uid" -> Set("id"),
+          "user_ref" -> Set("id", "meta"),
+          "nc2" -> Set("meta")),
+          s"lineage-inherited tags wrong: $inherited")
+        val analyst = AccessTags.Profile("analyst", Map(
+          "id" -> AccessTags.Tokenize, "meta" -> AccessTags.Open),
+          key = "pkey")
+        val v = AccessTags.taggedView(spark, derived, analyst)
+        require(v.columns.toSet == Set("uid", "user_ref", "nc2"),
+          "the un-derived literal must stay closed (no inherited tag)")
+        require(v.filter(!col("user_ref").rlike("^[0-9a-f]{64}$")).isEmpty,
+          "a column MIXING an id source must come out tokenized")
+        v.orderBy("uid")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally {
+        graft.sources.AccessTags.untagTable(tmp.resolve("docs").toString)
+        graft.sources.AccessTags.untagTable(
+          tmp.resolve("derived").toString)
+        graft.sink.StageWriter.deleteRecursively(tmp)
+      }
+    }, Some("""
+      WITH d AS (SELECT doc_id AS uid,
+                   concat(CAST(doc_id AS VARCHAR), ':', source)
+                     AS user_ref,
+                   n_chars * 2 AS nc2
+                 FROM documents WHERE lang = 'en')
+      SELECT sha256('pkey|' || CAST(uid AS VARCHAR)) AS uid,
+             sha256('pkey|' || user_ref) AS user_ref, nc2
+      FROM d ORDER BY uid"""))),
+
     // D194 — distinct-l-diversity release gating (Privacy.
     // lDiversityReport/suppressLowDiversity, Machanavajjhala et al.
     // 2007): k-anonymity alone leaks when a big QI group is HOMOGENEOUS

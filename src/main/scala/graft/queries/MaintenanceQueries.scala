@@ -1233,12 +1233,26 @@ object MaintenanceQueries {
           .repartitionByRange(8, col("l_orderkey"))
           .sortWithinPartitions("l_orderkey")
           .write.parquet(path)
+        // bloom bits sized to the DATA (~8 bits/key/file): a fixed 2^16
+        // saturates at 20x (1.5M keys/file) and prunes nothing; capped
+        // at 2^22 — the BloomBits AGGREGATION BUFFER is bits/8 bytes
+        // PER GROUP PER TASK, and map-side partial aggregation holds
+        // (tasks x file-groups) of them concurrently (0.5 MB each at
+        // the cap; a 2^25 filter OOMed the 20x smoke). Past the cap the
+        // fill ratio rises and pruning degrades gracefully (fp ~0.3 at
+        // 20x still skips most files) — never a heap cliff.
+        val bloomBits = {
+          val perFile = spark.read.parquet(path).count() / 8
+          var b = 1 << 16
+          while (b.toLong < perFile * 8 && b < (1 << 22)) b <<= 1
+          b
+        }
         graft.sink.Sidecars.declare(spark, path, Seq(
           graft.sink.Sidecars.Stats("l_orderkey"),
           graft.sink.Sidecars.Zone(Seq("ok_bucket")),
           // blooms on a UNIQUE row key: point lookups where partkeys
           // (each ~30 rows, landing in every file) could never skip
-          graft.sink.Sidecars.Bloom("uid", bits = 1 << 16)))
+          graft.sink.Sidecars.Bloom("uid", bits = bloomBits)))
         graft.plans.StatsFilePrune.ensureInstalled(spark)
         graft.plans.ZoneMapPrune.ensureInstalled(spark)
         val probeKey = spark.read.parquet(path)
@@ -1271,7 +1285,7 @@ object MaintenanceQueries {
           require(have == names.toSet, s"$tag: bloom sidecar stale")
           // ...and actually skip files on a point probe
           val (_, bRead, bTotal) = graft.sink.Layout.bloomPrunedRead(
-            spark, path, "uid", Seq(probeKey), bits = 1 << 16,
+            spark, path, "uid", Seq(probeKey), bits = bloomBits,
             sidecarPath = Some(path + ".__blooms__"))
           require(bRead < bTotal,
             s"$tag: bloom pruning inactive ($bRead of $bTotal)")
@@ -1295,8 +1309,13 @@ object MaintenanceQueries {
         graft.sink.StageWriter.mergeInto(spark, delta, path,
           Seq("l_orderkey", "l_linenumber"))
         requireActive("after targeted merge")
+        // scale-aware file budget: a fixed 64 KB target shatters the 20x
+        // table into ~3000 files and the plane rebuilds pay per-file —
+        // ~12 output files at ANY scale keeps the gate's cost shape flat
+        val tgt = math.max(64L * 1024, graft.sink.StageWriter.dirSize(
+          java.nio.file.Paths.get(path)) / 12)
         graft.sink.StageWriter.optimize(spark, path,
-          targetFileBytes = 64 * 1024, statsColumn = Some("l_orderkey"))
+          targetFileBytes = tgt, statsColumn = Some("l_orderkey"))
         requireActive("after optimize")
         spark.read.parquet(path).filter(col("l_orderkey") < 3000)
           .select(col("l_orderkey"), col("l_linenumber"),

@@ -42,7 +42,7 @@ object AccessTags {
       key: String = "")
 
   private val registry =
-    scala.collection.concurrent.TrieMap[String, Map[String, String]]()
+    scala.collection.concurrent.TrieMap[String, Map[String, Set[String]]]()
   // row policies: table → (profile name → SQL boolean over the RAW table)
   private val rowPolicies =
     scala.collection.concurrent.TrieMap[String, Map[String, String]]()
@@ -51,12 +51,19 @@ object AccessTags {
 
   /** Attach column → tag for the table at `path` (replaces previous
     * tags — re-tag on schema evolution, like the crawler re-attaches). */
-  def tagTable(path: String, tags: Map[String, String]): Unit = {
-    require(tags.nonEmpty, "tag at least one column")
+  def tagTable(path: String, tags: Map[String, String]): Unit =
+    tagColumns(path, tags.map { case (c, t) => c -> Set(t) })
+
+  /** Multi-tag form: a column may carry SEVERAL tags — derived columns
+    * inherit every contributing source tag ([[propagateTags]]) and the
+    * profile's MOST RESTRICTIVE earned action wins at read time. */
+  def tagColumns(path: String, tags: Map[String, Set[String]]): Unit = {
+    require(tags.nonEmpty && tags.values.forall(_.nonEmpty),
+      "tag at least one column, every set non-empty")
     registry.put(norm(path), tags); ()
   }
 
-  def tagsOf(path: String): Map[String, String] =
+  def tagsOf(path: String): Map[String, Set[String]] =
     registry.getOrElse(norm(path), Map.empty)
 
   def untagTable(path: String): Unit = {
@@ -93,8 +100,16 @@ object AccessTags {
     // profile loses below); no policy for this profile → unrestricted
     val df = rowPoliciesOf(path).get(profile.name)
       .map(p => raw.filter(expr(p))).getOrElse(raw)
+    // multi-tag resolution: the MOST RESTRICTIVE action among the
+    // column's tags wins (Deny > Tokenize > Redact > Open); a tag the
+    // profile has no action for resolves to Deny — default closed
+    def rank(a: Action): Int = a match {
+      case Deny => 3; case Tokenize => 2; case Redact => 1; case Open => 0
+    }
     val kept: Seq[Column] = df.schema.fields.toSeq.flatMap { f =>
-      tags.get(f.name).flatMap(profile.actions.get) match {
+      val action = tags.get(f.name).map(_.map(t =>
+        profile.actions.getOrElse(t, Deny)).maxBy(rank))
+      action match {
         case Some(Open) => Some(col(f.name))
         case Some(Tokenize) => Some(graft.llm.Privacy
           .pseudonymizeCol(col(f.name), profile.key).as(f.name))
@@ -106,5 +121,30 @@ object AccessTags {
     require(kept.nonEmpty,
       s"profile ${profile.name} may read no column of $path")
     df.select(kept: _*)
+  }
+
+  /** Tag PROPAGATION through column lineage (SURVEY §2D, D196) — the
+    * laundering hole every static tag registry has: `SELECT user_id AS
+    * uid FROM governed` produces an untagged table, and the copy walks
+    * out the door. Here the DERIVED table's columns inherit the UNION
+    * of every tag carried by the source columns they derive from
+    * ([[graft.plans.Lineage]] value lineage, so join keys taint
+    * nothing), and [[taggedView]]'s most-restrictive-action resolution
+    * makes a column mixing a PII source with an open one read as PII.
+    * Columns derived from NO governed source (literals, untagged
+    * inputs) inherit nothing and stay default-closed. Registers the
+    * inherited tags for `outPath` and returns them. */
+  def propagateTags(df: DataFrame, outPath: String)
+      : Map[String, Set[String]] = {
+    val inherited = graft.plans.Lineage.ofPaths(df)
+      .flatMap { case (out, srcPath, srcCol) =>
+        tagsOf(srcPath).getOrElse(srcCol, Set.empty).map(out -> _)
+      }
+      .groupBy(_._1).map { case (o, ts) => o -> ts.map(_._2).toSet }
+    require(inherited.nonEmpty,
+      "no governed source column reaches this frame's output — " +
+        "propagation would register an empty tag set (tag it explicitly)")
+    tagColumns(outPath, inherited)
+    inherited
   }
 }

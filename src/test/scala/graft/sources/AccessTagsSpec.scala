@@ -42,7 +42,7 @@ class AccessTagsSpec extends AnyFunSuite {
       spark.read.parquet(p)
         .withColumn("ssn", concat(col("uid"), lit("-77990011")))
         .write.mode("overwrite").parquet(p + "2")
-      AccessTags.tagTable(p + "2", AccessTags.tagsOf(p)) // same tags
+      AccessTags.tagColumns(p + "2", AccessTags.tagsOf(p)) // same tags
       val v = AccessTags.taggedView(spark, p + "2", full)
       assert(!v.columns.contains("ssn"),
         "an untagged new column must NEVER leak through the view")
@@ -87,6 +87,40 @@ class AccessTagsSpec extends AnyFunSuite {
         "filtering on a closed column must still work (LF semantics)")
     } finally {
       AccessTags.untagTable(p)
+      graft.sink.StageWriter.deleteRecursively(tmp)
+    }
+  }
+
+  test("propagateTags: derived columns inherit source tags through " +
+    "lineage, mixed columns read most-restrictively, literals stay " +
+    "closed, ungoverned frames refuse") {
+    val (tmp, p) = fixture()
+    try {
+      val d = spark.read.parquet(p)
+        .select(col("uid").as("renamed"),
+          concat(col("uid"), lit("@"), col("region")).as("mixed"),
+          lit(1L).as("konst"))
+      val out = tmp.resolve("derived").toString
+      d.write.parquet(out)
+      val inherited = AccessTags.propagateTags(d, out)
+      assert(inherited == Map("renamed" -> Set("id"),
+        "mixed" -> Set("id", "meta")))
+      val v = AccessTags.taggedView(spark, out, AccessTags.Profile(
+        "a", Map("id" -> AccessTags.Tokenize, "meta" -> AccessTags.Open),
+        key = "k9"))
+      assert(v.columns.toSet == Set("renamed", "mixed"),
+        "the literal column must stay closed")
+      assert(v.filter(!col("mixed").rlike("^[0-9a-f]{64}$")).isEmpty,
+        "id+meta mixture must resolve to Tokenize (most restrictive)")
+      // a frame touching NO governed column refuses propagation
+      val ungoverned = spark.range(3).select(lit("c").as("c"))
+      intercept[IllegalArgumentException] {
+        AccessTags.propagateTags(ungoverned,
+          tmp.resolve("nope").toString)
+      }
+    } finally {
+      AccessTags.untagTable(p)
+      AccessTags.untagTable(tmp.resolve("derived").toString)
       graft.sink.StageWriter.deleteRecursively(tmp)
     }
   }
