@@ -593,7 +593,10 @@ object LlmQueries {
         // corpus size only scales the checkpoint I/O, not the semantics
         val docs = load(spark, dir, "documents").select("doc_id", "text")
           .filter(col("doc_id") % 2 === 0)
-        docs.filter(col("doc_id") < 250).coalesce(1).write.parquet(raw)
+        // 4 files per epoch: the file-source stream parallelizes by file,
+        // and the shingle/minhash map stage is the gate's wall — one file
+        // would run it on one core (measured 2.7 exec-s single-task)
+        docs.filter(col("doc_id") < 250).coalesce(4).write.parquet(raw)
         val schema = spark.read.parquet(raw).schema
         def run(): Unit = {
           val in = spark.readStream.schema(schema).parquet(raw)
@@ -606,7 +609,7 @@ object LlmQueries {
           q.awaitTermination()
         }
         run() // epoch 1: ids < 250
-        docs.filter(col("doc_id") >= 250).coalesce(1)
+        docs.filter(col("doc_id") >= 250).coalesce(4)
           .write.mode("append").parquet(raw)
         run() // epoch 2: restart; cross-epoch dups prove the state store
         spark.read.parquet(outp)
