@@ -218,7 +218,10 @@ object ScaleSmoke {
       "c10_rls", "llm_l_diversity", "q_lineage",
       // D196: one plan walk + a registry write; the governed read is a
       // projection over the plain scan
-      "c10_tag_propagation"))
+      "c10_tag_propagation",
+      // D197: one codegen'd aggregation pass per write — the
+      // validate-on-write trade Delta makes
+      "q_check_constraints"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

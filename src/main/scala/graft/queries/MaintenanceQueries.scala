@@ -1334,6 +1334,91 @@ object MaintenanceQueries {
       FROM t WHERE l_orderkey < 3000
       ORDER BY l_orderkey, l_linenumber"""))),
 
+    // D197 — CHECK-constraint enforcement on write (sink.Checks),
+    // Delta's ADD CONSTRAINT CHECK on the parquet fallback: declared
+    // boolean invariants validate in ONE codegen'd aggregation pass
+    // BEFORE anything lands — a violating overwrite AND a violating
+    // file-targeted merge both REFUSE naming the constraint and its
+    // count, with the target require()d untouched; the quarantine
+    // split routes bad rows aside when refusing isn't the policy.
+    // Clean writes land; merged values oracled via the CASE mirror.
+    "q_check_constraints" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("checks_gate")
+      try {
+        val path = tmp.resolve("t").toString
+        val base = load(spark, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+        graft.sink.Checks.declare(path, Map(
+          "qty_range" -> "l_quantity >= 0 AND l_quantity <= 200",
+          "key_nn" -> "l_orderkey IS NOT NULL"))
+        graft.sink.StageWriter.overwrite(
+          base.repartitionByRange(6, col("l_orderkey")), path)
+        def inv() = graft.sink.StageWriter.listDataFiles(
+          java.nio.file.Paths.get(path))
+          .map(p => p.getFileName.toString -> java.nio.file.Files.size(p))
+          .toMap
+        val before = inv()
+        // a violating OVERWRITE refuses, naming constraint + count
+        val dirty = base.withColumn("l_quantity",
+          when(pmod(col("l_orderkey"), lit(13)) === 0, lit(-5.0))
+            .otherwise(col("l_quantity")))
+        val e1 = try {
+          graft.sink.StageWriter.overwrite(dirty, path); None
+        } catch {
+          case v: graft.sink.Checks.CheckViolation => Some(v.getMessage)
+        }
+        require(e1.exists(m => m.contains("qty_range") &&
+          !m.contains("key_nn")),
+          s"refusal must name exactly the violated check, got $e1")
+        require(inv() == before, "a refused write must land NOTHING")
+        // quarantine split: good + bad partition the frame exactly
+        val (good, bad) = graft.sink.Checks.split(dirty,
+          graft.sink.Checks.declared(path))
+        require(good.count() + bad.count() == base.count() &&
+          bad.count() > 0, "split must partition the frame")
+        // a violating TARGETED merge refuses too; a clean one lands
+        val kw = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_orderkey", "l_linenumber")
+        val keys = spark.read.parquet(path)
+          .withColumn("__kc", count(lit(1)).over(kw))
+          .filter(col("__kc") === 1 &&
+            col("l_orderkey").between(1000, 2999) &&
+            pmod(col("l_orderkey"), lit(3)) === 0)
+          .drop("__kc")
+        val e2 = try {
+          graft.sink.StageWriter.mergeInto(spark,
+            keys.withColumn("l_quantity", lit(999.0)), path,
+            Seq("l_orderkey", "l_linenumber")); None
+        } catch {
+          case v: graft.sink.Checks.CheckViolation => Some(v.getMessage)
+        }
+        require(e2.exists(_.contains("qty_range")) && inv() == before,
+          "a violating merge must refuse pre-land")
+        graft.sink.StageWriter.mergeInto(spark,
+          keys.withColumn("l_quantity", col("l_quantity") + 50.0), path,
+          Seq("l_orderkey", "l_linenumber"))
+        spark.read.parquet(path)
+          .filter(col("l_orderkey") < 5000) // dump a slice; proofs above
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").as("q"))
+          .orderBy("l_orderkey", "l_linenumber")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally {
+        graft.sink.Checks.drop(tmp.resolve("t").toString)
+        graft.sink.StageWriter.deleteRecursively(tmp)
+      }
+    }, Some("""
+      WITH t AS (SELECT l_orderkey, l_linenumber, l_quantity,
+                   count(*) OVER (PARTITION BY l_orderkey, l_linenumber)
+                     AS kc
+                 FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN kc = 1 AND l_orderkey BETWEEN 1000 AND 2999
+                   AND l_orderkey % 3 = 0
+                  THEN l_quantity + 50 ELSE l_quantity END AS q
+      FROM t WHERE l_orderkey < 5000
+      ORDER BY l_orderkey, l_linenumber"""))),
+
     // D187 — top movers between rollup states (Rollup.topMovers): the
     // "which customers changed most" report from two maintained
     // summaries — one rollup-domain full-outer join + top-k by |Δsum|

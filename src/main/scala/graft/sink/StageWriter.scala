@@ -36,6 +36,9 @@ object StageWriter {
           s"$maxPartitionValues distinct values — refusing high-cardinality " +
           "partitioning at scale")
     }
+    // write-time contracts (D197): declared CHECKs refuse a violating
+    // frame BEFORE anything lands — no-op for undeclared tables
+    Checks.enforce(df, path)
     val tmp = path + ".__tmp__"
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -742,6 +745,9 @@ object StageWriter {
       .select(base.columns.map(col).toIndexedSeq: _*).cache()
     try {
       val n = merged.count()
+      // write-time contracts (D197) on the targeted path too: the merged
+      // slice is the only NEW data this commit can land
+      Checks.enforce(merged, path)
       val tmpDir = path + s".__mergetmp__$next"
       merged.coalesce(fileBudget(spark, n))
         .write.mode(SaveMode.Overwrite).parquet(tmpDir)
