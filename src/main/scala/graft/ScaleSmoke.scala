@@ -219,9 +219,12 @@ object ScaleSmoke {
       // D196: one plan walk + a registry write; the governed read is a
       // projection over the plain scan
       "c10_tag_propagation",
-      // D197: one codegen'd aggregation pass per write — the
-      // validate-on-write trade Delta makes
-      "q_check_constraints"))
+      // D197: one columnar read of the staged files per write — the
+      // validate-on-write trade Delta makes, bound to the landed bytes
+      "q_check_constraints",
+      // D198/D199: sidecar reads are metadata-sized; governed reads
+      // stay pure projections over the plain (or versioned) scan
+      "c10_tags_durable", "c10_tags_versioned"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: ONE aggregation on the QI columns (map-side combinable
   * counts; QI cardinality is bounded by the release schema, orders of
-  * magnitude under the row count) and a BROADCAST left-semi join of the
-  * surviving QI combos back onto the data — the table itself never
-  * shuffles, and no window function touches an unbounded ordering.
+  * magnitude under the row count) and a left-semi join of the surviving
+  * QI combos back onto the data, broadcast WHEN AQE's runtime size of
+  * the group table clears the threshold and shuffle-joined past it (a
+  * near-key QI set degrades, never OOMs the driver) — the table itself
+  * never shuffles in the broadcast regime, and no window function
+  * touches an unbounded ordering.
   */
 object Privacy {
 
@@ -36,7 +39,16 @@ object Privacy {
       .filter(col("__qi_n") >= k)
       .select(qiCols.map(c => col(c).as(s"__qi_$c")): _*)
     val cond = qiCols.map(c => col(c) <=> col(s"__qi_$c")).reduce(_ && _)
-    df.join(broadcast(safe), cond, "left_semi")
+    // size-gated build side (r10): NO unconditional broadcast() hint — a
+    // caller passing a near-key QI set makes `safe` table-sized, and a
+    // hint would OOM the driver where governance wants degradation. AQE
+    // reads the agg shuffle's ACTUAL output size at runtime and converts
+    // to a broadcast semi-join only under autoBroadcastJoinThreshold,
+    // falling back to a shuffle semi-join past it — the
+    // DeletionVectors.read gate discipline, with runtime stats instead
+    // of file sizes (and zero extra passes, where a cardinality probe
+    // would re-run the aggregation).
+    df.join(safe, cond, "left_semi")
   }
 
   /** Release audit: every QI combination with its size and verdict —
@@ -75,7 +87,8 @@ object Privacy {
       .filter(col("released") === 1L)
       .select(qiCols.map(c => col(c).as(s"__qi_$c")): _*)
     val cond = qiCols.map(c => col(c) <=> col(s"__qi_$c")).reduce(_ && _)
-    df.join(broadcast(safe), cond, "left_semi")
+    // same AQE size gate as [[kAnonymize]] — never an unconditional hint
+    df.join(safe, cond, "left_semi")
   }
 
   /** Inverse-CDF breakpoints of the TRUNCATED two-sided geometric

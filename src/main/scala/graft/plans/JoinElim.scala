@@ -39,31 +39,80 @@ object Constraints {
   final case class Fk(factPath: String, fkCols: Seq[String],
       dimPath: String, pkCols: Seq[String])
 
+  // DURABLE edges (round 10): RELY declarations persist as a per-fact-
+  // table sidecar (`factPath.__fks__`, the `__checks__` dialect) — a
+  // restart or a second process rehydrates the same graph, so JoinElim,
+  // SchemaExport and LinkedSample never silently lose their inputs (the
+  // reference's constraint metadata is durable in Glue by construction).
+  // The TrieMap is a rehydrate-on-miss cache, never the source of truth.
   private val fks =
     scala.collection.concurrent.TrieMap[(String, String), Fk]()
 
   private def norm(p: String) = Paths.get(p).toAbsolutePath.toString
+  private def fksFile(factNorm: String) = Paths.get(factNorm + ".__fks__")
+
+  /** Drop every in-memory cache entry (the restart simulation used by
+    * specs/gates — sidecars on disk are untouched and must rehydrate). */
+  def resetMemory(): Unit = fks.clear()
+
+  private def loadSidecar(factNorm: String): Seq[Fk] =
+    graft.state.TabSidecar.read(fksFile(factNorm)).flatMap { l =>
+      l.split("\t") match {
+        case Array(fkCols, dimPath, pkCols) =>
+          Some(Fk(factNorm, fkCols.split(",").toSeq,
+            dimPath, pkCols.split(",").toSeq))
+        case _ => None
+      }
+    }
+
+  private def writeSidecar(factNorm: String, edges: Seq[Fk]): Unit =
+    if (edges.isEmpty) graft.state.TabSidecar.delete(fksFile(factNorm))
+    else graft.state.TabSidecar.write(fksFile(factNorm),
+      edges.sortBy(_.dimPath).map { e =>
+        Seq(e.fkCols.mkString(","), e.dimPath, e.pkCols.mkString(","))
+          .mkString("\t")
+      })
+
+  /** Load `factPath`'s declared edges from its sidecar into the cache
+    * (first-touch rehydrate; in-memory entries win — they are at least
+    * as fresh in a single-catalog-writer deployment). */
+  def rehydrate(factPath: String): Unit = {
+    val nf = norm(factPath)
+    loadSidecar(nf).foreach(e => fks.putIfAbsent((nf, e.dimPath), e))
+  }
 
   /** Declare a RELY foreign key: every non-null `fkCols` combination in
     * `factPath` matches exactly one `pkCols` row in `dimPath` (which is
-    * unique there). */
+    * unique there). Durable: writes through to the fact's `__fks__`
+    * sidecar (merging with its other declared edges). */
   def declareFk(factPath: String, fkCols: Seq[String], dimPath: String,
       pkCols: Seq[String]): Unit = {
     require(fkCols.nonEmpty && fkCols.size == pkCols.size)
-    fks.put((norm(factPath), norm(dimPath)),
-      Fk(norm(factPath), fkCols, norm(dimPath), pkCols))
-    ()
+    (fkCols ++ pkCols).foreach { c =>
+      graft.state.TabSidecar.requireCell(c, "constraint column")
+      require(!c.contains(","), s"column names must not contain ',': $c")
+    }
+    val nf = norm(factPath); val nd = norm(dimPath)
+    val edge = Fk(nf, fkCols, nd, pkCols)
+    writeSidecar(nf, loadSidecar(nf).filterNot(_.dimPath == nd) :+ edge)
+    fks.put((nf, nd), edge); ()
   }
 
   def drop(factPath: String, dimPath: String): Unit = {
-    fks.remove((norm(factPath), norm(dimPath))); ()
+    val nf = norm(factPath); val nd = norm(dimPath)
+    writeSidecar(nf, loadSidecar(nf).filterNot(_.dimPath == nd))
+    fks.remove((nf, nd)); ()
   }
 
-  private[plans] def lookup(factPath: String, dimPath: String): Option[Fk] =
-    fks.get((norm(factPath), norm(dimPath)))
+  private[plans] def lookup(factPath: String, dimPath: String)
+      : Option[Fk] = {
+    val key = (norm(factPath), norm(dimPath))
+    fks.get(key).orElse { rehydrate(factPath); fks.get(key) }
+  }
 
-  /** Every declared RELY edge — read-only, for the schema-doc exporter
-    * (D192) and governance audits. */
+  /** Every declared RELY edge the CACHE knows — callers that must see
+    * cross-process declarations [[rehydrate]] their tables of interest
+    * first (the schema-doc exporter D192 does). */
   def declared: Seq[Fk] = fks.values.toSeq
 
   /** What a declared edge's data actually looks like. */

@@ -89,6 +89,93 @@ object DialectQueries {
                AS lit_oracle,
              '''1995-01-01''' AS lit_mysql"""))),
 
+    // D201 — credential-provider seam (sources.Credentials), the
+    // extract_data.py:267-312 Secrets-Manager twin: the password never
+    // lives in config — JdbcSource.securedProps resolves it through a
+    // provider CHAIN (env miss → properties file hit) at connect time,
+    // against a file-backed Derby with BUILTIN authentication actually
+    // ENABLED: an unauthenticated read is require()d to fail, the
+    // provider-resolved credentials succeed (live roundtrip, oracled),
+    // and a missing secret refuses NAMING the secret and every provider
+    // consulted.
+    "a16_secret_roundtrip" -> (((spark, dir) => {
+      import graft.sources.{Credentials, JdbcSource}
+      val tmp = java.nio.file.Files.createTempDirectory("secret_gate")
+      try {
+        val dbDir = tmp.resolve("secdb").toString
+        val secUrl = s"jdbc:derby:$dbDir"
+        // boot unauthenticated: seed + declare BUILTIN auth (static
+        // properties — they arm on the next database boot)
+        val boot = java.sql.DriverManager.getConnection(
+          s"$secUrl;create=true")
+        try {
+          val st = boot.createStatement()
+          def set(k: String, v: String): Unit = { st.execute(
+            s"CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY('$k', '$v')"); () }
+          set("derby.connection.requireAuthentication", "true")
+          set("derby.authentication.provider", "BUILTIN")
+          set("derby.user.graft_user", "s3cr3t-pw")
+          st.close()
+        } finally boot.close()
+        load(spark, dir, "orders").filter(col("o_orderkey") <= 1000)
+          .select(col("o_orderkey").cast("long").as("O_ORDERKEY"),
+            col("o_totalprice").cast("double").as("O_TOTALPRICE"))
+          .write.format("jdbc")
+          .option("url", secUrl).option("dbtable", "sec_orders")
+          .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+          .mode("overwrite").save()
+        try java.sql.DriverManager.getConnection(s"$secUrl;shutdown=true")
+        catch { case _: java.sql.SQLException => () } // 08006 = success
+        // auth is LIVE now: an unauthenticated boot must refuse
+        val unauthFails = try {
+          java.sql.DriverManager.getConnection(secUrl).close(); false
+        } catch { case _: java.sql.SQLException => true }
+        require(unauthFails,
+          "the endpoint must actually enforce authentication")
+        // the seam: env provider misses, the properties file resolves
+        val secretsFile = tmp.resolve("secrets.properties").toString
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(secretsFile),
+          "derby_main.user=graft_user\nderby_main.password=s3cr3t-pw\n")
+        val chain = Credentials.Chain(Seq(
+          Credentials.Env(), Credentials.PropsFile(secretsFile)))
+        val ep = graft.config.EndpointConfig(
+          "derby_main", "mysql", 1527, "secdb", "localhost", "cfg_user")
+        val props = JdbcSource.securedProps(ep, "derby_main", chain)
+        require(props.getProperty("user") == "graft_user",
+          "the secret's user field must override the config username")
+        props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        // a missing secret refuses, naming secret + providers
+        val refusal = try {
+          JdbcSource.securedProps(ep, "absent_secret", chain); ""
+        } catch { case m: Credentials.MissingSecret => m.getMessage }
+        require(refusal.contains("absent_secret") &&
+          refusal.contains("env(") && refusal.contains("file("),
+          s"refusal must name the secret and the chain, got: $refusal")
+        // the live read with resolved credentials (table under the
+        // pre-auth owner's APP schema; BUILTIN auth w/o sqlAuthorization
+        // lets any authenticated user read it)
+        spark.read.jdbc(secUrl,
+          "(SELECT * FROM APP.sec_orders) s", props)
+          .agg(count(expr("1")).as("n"),
+            sum(d18(col("O_TOTALPRICE"))).cast("double").as("total"),
+            min(col("O_ORDERKEY")).as("kmin"),
+            max(col("O_ORDERKEY")).as("kmax"))
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally {
+        try java.sql.DriverManager.getConnection(
+          s"jdbc:derby:${tmp.resolve("secdb")};user=graft_user;" +
+            "password=s3cr3t-pw;shutdown=true")
+        catch { case _: java.sql.SQLException => () }
+        graft.sink.StageWriter.deleteRecursively(tmp)
+      }
+    }, Some("""
+      SELECT count(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total,
+             min(o_orderkey) AS kmin, max(o_orderkey) AS kmax
+      FROM orders WHERE o_orderkey <= 1000"""))),
+
     // A17 — duplicate-column renaming executed live: the deduped SELECT
     // list (o_orderkey, o_orderkey_1) runs on Derby and both copies come
     // back; the oracle re-derives the same aliasing from the parquet rows.

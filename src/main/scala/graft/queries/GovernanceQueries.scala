@@ -80,6 +80,180 @@ object GovernanceQueries {
       SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM s)
       ORDER BY profile, doc_id"""))),
 
+    // D198 — durable governance catalog (round 10): tags + row policies
+    // persist as per-table sidecars (`__tags__`/`__rowpolicies__`, the
+    // `__checks__` dialect) — the LF-Tag durability property
+    // (crawler_stage.py:266-953: tags live in Lake Formation, surviving
+    // every process). The gate registers governance, CLEARS the
+    // in-memory registry (simulating a restart / a second writer
+    // process), and the governed read serves the SAME shaped + row-
+    // filtered view from the sidecars alone; untag deletes the sidecars
+    // and the read fails CLOSED again.
+    "c10_tags_durable" -> (((spark, dir) => {
+      import graft.sources.AccessTags
+      val tmp = java.nio.file.Files.createTempDirectory("tagsdur_gate")
+      try {
+        val path = tmp.resolve("docs").toString
+        load(spark, dir, "documents").write.parquet(path)
+        AccessTags.tagTable(path, Map(
+          "doc_id" -> "id", "text" -> "freetext", "n_chars" -> "meta"))
+        AccessTags.tagRows(path, Map("analyst" -> "lang = 'en'"))
+        require(java.nio.file.Files.isRegularFile(
+          java.nio.file.Paths.get(path + ".__tags__")) &&
+          java.nio.file.Files.isRegularFile(
+            java.nio.file.Paths.get(path + ".__rowpolicies__")),
+          "declarations must write through to durable sidecars")
+        // the restart: every process-local registration is GONE
+        AccessTags.resetMemory()
+        val analyst = AccessTags.Profile("analyst", Map(
+          "id" -> AccessTags.Tokenize, "freetext" -> AccessTags.Redact,
+          "meta" -> AccessTags.Open), key = "durkey")
+        val av = AccessTags.taggedView(spark, path, analyst)
+        require(av.columns.toSet == Set("doc_id", "text", "n_chars"),
+          "rehydrated tags must shape exactly the declared columns")
+        val out = av.select(col("doc_id"), md5(col("text")).as("text_md5"),
+            col("n_chars"))
+          .orderBy("doc_id")
+          .localCheckpoint() // materialize before the scratch dir dies
+        // untag deletes the sidecars: a fresh governed read fails closed
+        AccessTags.untagTable(path)
+        AccessTags.resetMemory()
+        val refused = try { AccessTags.taggedView(spark, path, analyst)
+          false } catch { case _: IllegalArgumentException => true }
+        require(refused, "untagged table must refuse governed reads " +
+          "after restart too")
+        out
+      } finally {
+        graft.sources.AccessTags.untagTable(tmp.resolve("docs").toString)
+        graft.sink.StageWriter.deleteRecursively(tmp)
+      }
+    }, Some(s"""
+      SELECT sha256('durkey|' || CAST(doc_id AS VARCHAR)) AS doc_id,
+             md5(regexp_replace(regexp_replace(text,
+               '${graft.llm.TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+               '${graft.llm.TextAnalysis.LongNumberPattern}',
+               '<NUM>', 'g')) AS text_md5,
+             n_chars
+      FROM documents WHERE lang = 'en'
+      ORDER BY doc_id"""))),
+
+    // D199 — governed reads over VERSIONED tables (round 10): tags key
+    // by the table ROOT — the reference grants act on catalog TABLES
+    // independent of storage layout (crawler_stage.py:233-264) — so one
+    // tagTable() call governs every committed version: the governed
+    // read routes through VersionedTable.read, honors AS OF time
+    // travel, and tags survive commits without re-attachment. Head and
+    // asOf(v1) both served through the SAME tag plane and oracled.
+    "c10_tags_versioned" -> (((spark, dir) => {
+      import graft.sources.AccessTags
+      val tmp = java.nio.file.Files.createTempDirectory("tagsver_gate")
+      try {
+        val table = tmp.resolve("docs_v").toString
+        val docs = load(spark, dir, "documents")
+          .select("doc_id", "text", "lang", "n_chars")
+        graft.sink.VersionedTable.commit(docs, table)
+        // tag ONCE, at the root, between commits — both versions governed
+        AccessTags.tagTable(table, Map(
+          "doc_id" -> "id", "n_chars" -> "meta"))
+        graft.sink.VersionedTable.commit(
+          docs.filter(col("doc_id") % 5 =!= 0), table)
+        AccessTags.resetMemory() // durability composes with versioning
+        val analyst = AccessTags.Profile("analyst", Map(
+          "id" -> AccessTags.Tokenize, "meta" -> AccessTags.Open),
+          key = "vkey")
+        val head = AccessTags.taggedView(spark, table, analyst)
+        val v1 = AccessTags.taggedView(spark, table, analyst,
+          asOf = Some(1))
+        require(head.columns.toSet == Set("doc_id", "n_chars") &&
+          v1.columns.toSet == Set("doc_id", "n_chars"),
+          "every version reads through the same tag plane")
+        // a plain parquet path must refuse time travel
+        val plain = tmp.resolve("plain").toString
+        docs.limit(5).write.parquet(plain)
+        AccessTags.tagTable(plain, Map("doc_id" -> "id"))
+        val refused = try { AccessTags.taggedView(spark, plain, analyst,
+          asOf = Some(1)); false }
+          catch { case _: IllegalArgumentException => true }
+        require(refused, "asOf on a non-versioned table must refuse")
+        v1.select(lit(1).as("v"), col("doc_id"), col("n_chars"))
+          .unionByName(head.select(lit(2).as("v"), col("doc_id"),
+            col("n_chars")))
+          .orderBy("v", "doc_id")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally {
+        graft.sources.AccessTags.untagTable(tmp.resolve("docs_v").toString)
+        graft.sources.AccessTags.untagTable(tmp.resolve("plain").toString)
+        graft.sink.StageWriter.deleteRecursively(tmp)
+      }
+    }, Some("""
+      WITH t AS (SELECT sha256('vkey|' || CAST(doc_id AS VARCHAR))
+                   AS tok, n_chars, doc_id AS k FROM documents)
+      SELECT 1 AS v, tok AS doc_id, n_chars FROM t
+      UNION ALL
+      SELECT 2 AS v, tok AS doc_id, n_chars FROM t WHERE k % 5 <> 0
+      ORDER BY v, doc_id"""))),
+
+    // D200 — automatic tag inheritance through the pipeline (round 10):
+    // the reference attaches LF-Tags to EVERY crawled stage table
+    // (crawler_stage.py:385-414) — here the raw→stage transform
+    // (TablePipeline.transform) propagates a tagged raw source's plane
+    // to the stage table with NO manual call, via value lineage of the
+    // transformed frame (D196's inheritance applied at write cadence);
+    // the governed read of the stage table is oracled end-to-end, and
+    // the inherited plane is durable (registry cleared pre-read).
+    "e2e_pipeline_tags" -> (((spark, dir) => {
+      import graft.config.{ColumnMetadata, LoadType, TableConfig}
+      import graft.sources.AccessTags
+      val tmp = java.nio.file.Files.createTempDirectory("pipetags_gate")
+      try {
+        val rawPath = tmp.resolve("raw").toString
+        val stagePath = tmp.resolve("stage").toString
+        // raw zone: stringified source (the reference raw discipline)
+        load(spark, dir, "orders")
+          .select(col("o_orderkey").cast("string").as("numdoc"),
+            col("o_custkey").cast("string").as("cliente"),
+            col("o_totalprice").cast("string").as("monto"))
+          .write.parquet(rawPath)
+        AccessTags.tagTable(rawPath, Map(
+          "numdoc" -> "id", "cliente" -> "id", "monto" -> "meta"))
+        val cfg = TableConfig("*", LoadType.Full, "auto", "", 0, 0,
+          "", "", "", "", "", "G1", "dbo", "orders", "m", "m_orders",
+          "a", "1")
+        val meta = Seq(
+          ColumnMetadata("id_orden", 1, false, true, false, false,
+            "string", "t", "fn_transform_ClearString(numdoc)"),
+          ColumnMetadata("id_cliente", 2, false, false, false, false,
+            "string", "t", "fn_transform_ClearString(cliente)"),
+          ColumnMetadata("importe", 3, false, false, false, false,
+            "numeric(18,2)", "t", "fn_transform_Numeric(monto)"))
+        graft.run.TablePipeline.transform(spark, rawPath, stagePath,
+          cfg, meta)
+        require(AccessTags.tagsOf(stagePath) == Map(
+          "id_orden" -> Set("id"), "id_cliente" -> Set("id"),
+          "importe" -> Set("meta")),
+          "stage must inherit exactly the raw plane through lineage, " +
+            s"got ${AccessTags.tagsOf(stagePath)}")
+        AccessTags.resetMemory() // inherited plane survives restart
+        val analyst = AccessTags.Profile("analyst", Map(
+          "id" -> AccessTags.Tokenize, "meta" -> AccessTags.Open),
+          key = "pipkey")
+        AccessTags.taggedView(spark, stagePath, analyst)
+          .select(col("id_orden"), col("id_cliente"),
+            col("importe").cast("double").as("importe"))
+          .orderBy("id_orden")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally {
+        graft.sources.AccessTags.untagTable(tmp.resolve("raw").toString)
+        graft.sources.AccessTags.untagTable(tmp.resolve("stage").toString)
+        graft.sink.StageWriter.deleteRecursively(tmp)
+      }
+    }, Some("""
+      SELECT sha256('pipkey|' || CAST(o_orderkey AS VARCHAR)) AS id_orden,
+             sha256('pipkey|' || CAST(o_custkey AS VARCHAR)) AS id_cliente,
+             CAST(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))
+               AS DOUBLE) AS importe
+      FROM orders ORDER BY id_orden"""))),
+
     // D192 — schema-catalog export (sources.SchemaExport), the
     // generate_dbml twin (utils/generate_dbml/output.dbml:1-20): the
     // warehouse DBML doc from parquet-footer schemas + DECLARED RELY
@@ -90,13 +264,23 @@ object GovernanceQueries {
     // config — pinned into the SQL like every driver-side constant).
     "q_schema_export" -> (((spark, dir) => {
       import spark.implicits._
-      val nation = s"$dir/nation.parquet"
-      val region = s"$dir/region.parquet"
-      val customer = s"$dir/customer.parquet"
+      // declarations write through to durable `__fks__` sidecars
+      // (round 10) — declare on warehouse copies, never the read-only
+      // source dir (governance attaches where the catalog can write)
+      val tmp = java.nio.file.Files.createTempDirectory("dbml_gate")
+      val nation = tmp.resolve("nation").toString
+      val region = tmp.resolve("region").toString
+      val customer = tmp.resolve("customer").toString
+      load(spark, dir, "nation").write.parquet(nation)
+      load(spark, dir, "region").write.parquet(region)
+      load(spark, dir, "customer").write.parquet(customer)
       graft.plans.Constraints.declareFk(nation, Seq("n_regionkey"),
         region, Seq("r_regionkey"))
       graft.plans.Constraints.declareFk(customer, Seq("c_nationkey"),
         nation, Seq("n_nationkey"))
+      // restart simulation: the export below must rebuild its edge view
+      // from the sidecars alone (D192 composing with the durable plane)
+      graft.plans.Constraints.resetMemory()
       try {
         val text = graft.sources.SchemaExport.dbml(spark,
           Seq("customer" -> customer, "nation" -> nation,
@@ -124,9 +308,11 @@ object GovernanceQueries {
         }
         rows.toSeq.toDF("tbl", "col", "typ", "flags")
           .orderBy("tbl", "col")
+          .localCheckpoint() // materialize before the scratch dir dies
       } finally {
         graft.plans.Constraints.drop(nation, region)
         graft.plans.Constraints.drop(customer, nation)
+        graft.sink.StageWriter.deleteRecursively(tmp)
       }
     }, Some("""
       WITH cols AS (

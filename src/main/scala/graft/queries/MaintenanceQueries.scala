@@ -1371,6 +1371,26 @@ object MaintenanceQueries {
           !m.contains("key_nn")),
           s"refusal must name exactly the violated check, got $e1")
         require(inv() == before, "a refused write must land NOTHING")
+        // non-deterministic frames BIND (r10): validation runs on the
+        // staged bytes (WAP), so a rand()-gated violating row either
+        // refuses or zero violators land — never validate-clean-then-
+        // land-dirty. With ~60k rows at p=0.5 refusal is certain
+        // (P(pass) = 2^-rows); the target must stay byte-identical.
+        val nd = base.withColumn("l_quantity",
+          when(rand() < 0.5, lit(-1.0)).otherwise(col("l_quantity")))
+        val ndBound = try {
+          graft.sink.StageWriter.overwrite(nd, path)
+          spark.read.parquet(path).filter(col("l_quantity") < 0)
+            .count() == 0L
+        } catch {
+          case _: graft.sink.Checks.CheckViolation => true
+        }
+        require(ndBound && inv() == before,
+          "non-deterministic write must bind validated bytes to landed " +
+            "bytes with the target untouched on refusal")
+        require(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(path + ".__tmp__")),
+          "a refused staged write must clean its staging dir")
         // quarantine split: good + bad partition the frame exactly
         val (good, bad) = graft.sink.Checks.split(dirty,
           graft.sink.Checks.declared(path))

@@ -96,6 +96,18 @@ object TablePipeline {
         StageWriter.mergeInto(spark, staged, stagePath, ids, partitions)
       else
         StageWriter.overwrite(staged, stagePath, partitions)
+      // automatic governance inheritance (r10): a TAGGED raw source
+      // propagates its plane to the stage table without a manual call —
+      // the reference attaches LF-Tags to every crawled stage table
+      // (crawler_stage.py:385-414). Value lineage of the TRANSFORMED
+      // frame decides which stage columns inherit which tags; a
+      // transform that drops every governed column inherits nothing
+      // (the stage table stays default-closed for governed reads).
+      if (graft.sources.AccessTags.tagsOf(rawPath).nonEmpty) {
+        val inherited = graft.sources.AccessTags.inheritedTags(staged)
+        if (inherited.nonEmpty)
+          graft.sources.AccessTags.tagColumns(stagePath, inherited)
+      }
       (spark.read.parquet(stagePath).count(), status)
     } finally raw.unpersist()
   }

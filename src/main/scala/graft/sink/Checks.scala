@@ -94,6 +94,32 @@ object Checks {
   def enforce(df: DataFrame, path: String): Unit = {
     val checks = declared(path)
     if (checks.isEmpty) return
+    refuseIfViolated(df, checks, path)
+  }
+
+  /** Validate the STAGED parquet bytes at `stagedDir` against the
+    * checks declared for `declaredPath` — the WAP discipline applied
+    * to contracts: the bytes validated ARE the bytes a passing swap
+    * reveals, so a non-deterministic incoming frame (rand()-derived
+    * column, unseeded sample, limit-without-order) can never pass
+    * validation and then land different, violating rows, and the
+    * guarded write pays ONE evaluation of the incoming plan (the
+    * write) plus one cheap columnar read of the staged files pruned
+    * to the checked columns — never a second full upstream pass.
+    * `schema` covers the zero-part-file empty-write case and pins
+    * partition-column types. No-op for undeclared tables; the CALLER
+    * deletes the staging dir on refusal (target untouched). */
+  def enforceStaged(spark: org.apache.spark.sql.SparkSession,
+      stagedDir: String, declaredPath: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val checks = declared(declaredPath)
+    if (checks.isEmpty) return
+    refuseIfViolated(spark.read.schema(schema).parquet(stagedDir),
+      checks, declaredPath)
+  }
+
+  private def refuseIfViolated(df: DataFrame,
+      checks: Map[String, String], path: String): Unit = {
     val bad = validate(df, checks).filter(_._2 > 0)
     if (bad.nonEmpty)
       throw new CheckViolation(

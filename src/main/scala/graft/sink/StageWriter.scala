@@ -36,13 +36,19 @@ object StageWriter {
           s"$maxPartitionValues distinct values — refusing high-cardinality " +
           "partitioning at scale")
     }
-    // write-time contracts (D197): declared CHECKs refuse a violating
-    // frame BEFORE anything lands — no-op for undeclared tables
-    Checks.enforce(df, path)
     val tmp = path + ".__tmp__"
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp)
+    // write-time contracts (D197): declared CHECKs validate the STAGED
+    // bytes — exactly what a passing swap reveals (WAP discipline, like
+    // VersionedTable.commitAudited) — so the incoming plan is evaluated
+    // ONCE (by the write) and non-deterministic frames can't validate
+    // clean then land dirty. A violation deletes the staging dir and
+    // refuses with the target untouched; no-op for undeclared tables.
+    try Checks.enforceStaged(df.sparkSession, tmp, path, df.schema)
+    catch { case t: Throwable =>
+      deleteRecursively(Paths.get(tmp)); throw t }
     swapTmp(path)
     // unified sidecar freshness (D190): a table that DECLARED pruning
     // planes gets them rebuilt by every full rewrite — no-op otherwise
@@ -745,12 +751,17 @@ object StageWriter {
       .select(base.columns.map(col).toIndexedSeq: _*).cache()
     try {
       val n = merged.count()
-      // write-time contracts (D197) on the targeted path too: the merged
-      // slice is the only NEW data this commit can land
-      Checks.enforce(merged, path)
       val tmpDir = path + s".__mergetmp__$next"
       merged.coalesce(fileBudget(spark, n))
         .write.mode(SaveMode.Overwrite).parquet(tmpDir)
+      // write-time contracts (D197) on the targeted path too: the merged
+      // slice is the only NEW data this commit can land, and the checks
+      // run on its STAGED bytes (not the cached plan — caching is
+      // best-effort, not a correctness fence); refusal deletes the
+      // staging dir with the base files untouched
+      try Checks.enforceStaged(spark, tmpDir, path, merged.schema)
+      catch { case t: Throwable =>
+        deleteRecursively(Paths.get(tmpDir)); throw t }
       val parts = listDataFiles(Paths.get(tmpDir))
       val newStats: FileStatsS = // O(delta) scan (or footer-only read)
         if (kind == "long")

@@ -41,6 +41,14 @@ object AccessTags {
   final case class Profile(name: String, actions: Map[String, Action],
       key: String = "")
 
+  // DURABLE registry (round 10): the Lake Formation analog keeps tags in
+  // a service that survives every process; the parquet-fallback answer is
+  // a per-table sidecar (`path.__tags__` / `path.__rowpolicies__`, the
+  // `__checks__` dialect) — every declaration writes through to disk, so
+  // a restart or a SECOND writer process sees the same governance plane.
+  // The TrieMaps are rehydrate-on-miss caches, never the source of truth;
+  // concurrent cross-process RE-tagging of one table follows the same
+  // single-catalog-writer-per-table discipline as `__checks__`.
   private val registry =
     scala.collection.concurrent.TrieMap[String, Map[String, Set[String]]]()
   // row policies: table → (profile name → SQL boolean over the RAW table)
@@ -48,6 +56,15 @@ object AccessTags {
     scala.collection.concurrent.TrieMap[String, Map[String, String]]()
 
   private def norm(p: String) = Paths.get(p).toAbsolutePath.toString
+  private def tagsFile(n: String) = Paths.get(n + ".__tags__")
+  private def policiesFile(n: String) = Paths.get(n + ".__rowpolicies__")
+
+  /** Drop every in-memory cache entry (the restart simulation used by
+    * specs and gates — durable state on disk is untouched and must
+    * rehydrate the same governance plane). */
+  def resetMemory(): Unit = {
+    registry.clear(); rowPolicies.clear()
+  }
 
   /** Attach column → tag for the table at `path` (replaces previous
     * tags — re-tag on schema evolution, like the crawler re-attaches). */
@@ -60,14 +77,35 @@ object AccessTags {
   def tagColumns(path: String, tags: Map[String, Set[String]]): Unit = {
     require(tags.nonEmpty && tags.values.forall(_.nonEmpty),
       "tag at least one column, every set non-empty")
-    registry.put(norm(path), tags); ()
+    val n = norm(path)
+    graft.state.TabSidecar.write(tagsFile(n),
+      tags.toSeq.sortBy(_._1).map { case (c, ts) =>
+        (graft.state.TabSidecar.requireCell(c, "column") +:
+          ts.toSeq.sorted.map(
+            graft.state.TabSidecar.requireCell(_, "tag"))).mkString("\t")
+      })
+    registry.put(n, tags); ()
   }
 
-  def tagsOf(path: String): Map[String, Set[String]] =
-    registry.getOrElse(norm(path), Map.empty)
+  def tagsOf(path: String): Map[String, Set[String]] = {
+    val n = norm(path)
+    registry.getOrElse(n, {
+      val loaded = graft.state.TabSidecar.read(tagsFile(n)).flatMap { l =>
+        l.split("\t").toSeq match {
+          case c +: ts if ts.nonEmpty => Some(c -> ts.toSet)
+          case _ => None
+        }
+      }.toMap
+      if (loaded.nonEmpty) registry.put(n, loaded)
+      loaded
+    })
+  }
 
   def untagTable(path: String): Unit = {
-    registry.remove(norm(path)); rowPolicies.remove(norm(path)); ()
+    val n = norm(path)
+    graft.state.TabSidecar.delete(tagsFile(n))
+    graft.state.TabSidecar.delete(policiesFile(n))
+    registry.remove(n); rowPolicies.remove(n); ()
   }
 
   /** Attach ROW policies (D193, the Lake Formation data-cells-filter
@@ -80,22 +118,55 @@ object AccessTags {
     * the reader never sees — exactly how LF filters behave). */
   def tagRows(path: String, policies: Map[String, String]): Unit = {
     require(policies.nonEmpty, "attach at least one row policy")
-    rowPolicies.put(norm(path), policies); ()
+    val n = norm(path)
+    graft.state.TabSidecar.write(policiesFile(n),
+      policies.toSeq.sortBy(_._1).map { case (prof, sql) =>
+        graft.state.TabSidecar.requireCell(prof, "profile") + "\t" +
+          graft.state.TabSidecar.requireCell(sql, "policy SQL")
+      })
+    rowPolicies.put(n, policies); ()
   }
 
-  def rowPoliciesOf(path: String): Map[String, String] =
-    rowPolicies.getOrElse(norm(path), Map.empty)
+  def rowPoliciesOf(path: String): Map[String, String] = {
+    val n = norm(path)
+    rowPolicies.getOrElse(n, {
+      val loaded = graft.state.TabSidecar.read(policiesFile(n))
+        .flatMap { l =>
+          l.split("\t", 2) match {
+            case Array(prof, sql) => Some(prof -> sql)
+            case _ => None
+          }
+        }.toMap
+      if (loaded.nonEmpty) rowPolicies.put(n, loaded)
+      loaded
+    })
+  }
 
   /** The table as `profile` may see it. Untagged table → every column
     * denied (an empty projection is refused loudly instead — a
     * governance read of an ungoverned table is a config error, not an
-    * empty frame). */
+    * empty frame).
+    *
+    * VERSIONED tables compose (round 10): tags key by the table ROOT —
+    * the reference grants act on catalog TABLES independent of storage
+    * layout (`crawler_stage.py:233-264`) — so when `path` is a
+    * [[graft.sink.VersionedTable]] root (it carries a `_latest`
+    * pointer) the read routes through `VersionedTable.read`, honoring
+    * `asOf` time travel; tags survive every commit without
+    * re-attachment. `asOf` on a plain parquet table is refused (there
+    * is no version to travel to). */
   def taggedView(spark: SparkSession, path: String,
-      profile: Profile): DataFrame = {
+      profile: Profile, asOf: Option[Int] = None): DataFrame = {
     val tags = tagsOf(path)
     require(tags.nonEmpty,
       s"$path carries no access tags — tagTable() it before governed reads")
-    val raw = spark.read.parquet(path)
+    val versioned = java.nio.file.Files.exists(
+      Paths.get(path).resolve("_latest"))
+    require(asOf.isEmpty || versioned,
+      s"asOf=$asOf on $path, which is not a versioned table root")
+    val raw =
+      if (versioned) graft.sink.VersionedTable.read(spark, path, asOf)
+      else spark.read.parquet(path)
     // row policy first (on the RAW frame — may reference columns the
     // profile loses below); no policy for this profile → unrestricted
     val df = rowPoliciesOf(path).get(profile.name)
@@ -136,15 +207,22 @@ object AccessTags {
     * inherited tags for `outPath` and returns them. */
   def propagateTags(df: DataFrame, outPath: String)
       : Map[String, Set[String]] = {
-    val inherited = graft.plans.Lineage.ofPaths(df)
-      .flatMap { case (out, srcPath, srcCol) =>
-        tagsOf(srcPath).getOrElse(srcCol, Set.empty).map(out -> _)
-      }
-      .groupBy(_._1).map { case (o, ts) => o -> ts.map(_._2).toSet }
+    val inherited = inheritedTags(df)
     require(inherited.nonEmpty,
       "no governed source column reaches this frame's output — " +
         "propagation would register an empty tag set (tag it explicitly)")
     tagColumns(outPath, inherited)
     inherited
   }
+
+  /** The tags `df`'s output columns inherit from their governed source
+    * columns (possibly empty) — the non-registering, non-refusing core
+    * of [[propagateTags]], for callers like the pipeline's automatic
+    * inheritance that tag only when something is actually inherited. */
+  def inheritedTags(df: DataFrame): Map[String, Set[String]] =
+    graft.plans.Lineage.ofPaths(df)
+      .flatMap { case (out, srcPath, srcCol) =>
+        tagsOf(srcPath).getOrElse(srcCol, Set.empty).map(out -> _)
+      }
+      .groupBy(_._1).map { case (o, ts) => o -> ts.map(_._2).toSet }
 }

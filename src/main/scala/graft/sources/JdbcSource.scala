@@ -43,6 +43,24 @@ object JdbcSource {
     p
   }
 
+  /** [[baseProps]] with the password (and optionally the user) resolved
+    * through a [[Credentials.Provider]] AT CONNECT TIME — the reference
+    * resolves `SRC_DB_SECRET` through Secrets Manager exactly here
+    * (`extract_data.py:267-312`): the secret never lives in the config
+    * row. A missing secret (or one without a `password` field) refuses
+    * naming the secret and the providers consulted. */
+  def securedProps(ep: EndpointConfig, secretId: String,
+      provider: Credentials.Provider): Properties = {
+    val secret = Credentials.required(secretId, provider)
+    val pw = secret.getOrElse("password", throw new Credentials
+      .MissingSecret(s"secret '$secretId' from ${provider.name} " +
+        "carries no 'password' field"))
+    val p = baseProps(ep, pw)
+    secret.get("user").filter(_.nonEmpty)
+      .foreach(u => p.setProperty("user", u))
+    p
+  }
+
   /** The pushdown subquery for dbtable: projection + filters run ON the
     * source engine; Spark sees a narrowed relation. */
   def dbtable(plan: ReadPlan, table: String, joinExpr: String = ""): String =

@@ -49,6 +49,9 @@ object SchemaExport {
       extraPks: Map[String, Seq[String]] = Map.empty): String = {
     val byPath: Map[String, String] =
       tables.map { case (n, p) => norm(p) -> n }.toMap
+    // rehydrate every documented table's durable RELY sidecar first, so
+    // the export sees edges declared by OTHER processes (round 10)
+    tables.foreach { case (_, p) => Constraints.rehydrate(p) }
     val edges = Constraints.declared
     // declared-unique pks: every dim side of a RELY edge
     val pkOf: Map[String, Set[String]] = edges

@@ -45,6 +45,50 @@ class GovernanceSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("release semi-joins size-gate: a wide (near-key) QI set takes " +
+    "the shuffle fallback, a bounded one broadcasts — results identical") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def usedBroadcast(df: org.apache.spark.sql.DataFrame): Boolean = {
+      df.collect() // finalize AQE
+      // descend through AQE wrappers: QueryStageExec hides its plan
+      // from the children traversal
+      def find(p: SparkPlan): Boolean = p match {
+        case _: BroadcastHashJoinExec => true
+        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+        case q: QueryStageExec => find(q.plan)
+        case other => other.children.exists(find)
+      }
+      find(df.queryExecution.executedPlan)
+    }
+    // near-key QI: every row its own group — the build side is
+    // table-sized; force the fallback by shrinking the threshold
+    val wide = (0L until 5000L).map(i => (i, s"u$i", i % 3))
+      .toDF("id", "qi_key", "sens")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val expected = (0L until 5000L).toSeq
+    spark.conf.set(key, "1KB")
+    try {
+      val q = Privacy.kAnonymize(wide, Seq("qi_key"), 1)
+      assert(!usedBroadcast(q), "past the threshold the release must " +
+        "degrade to a shuffle semi-join, never a driver-side build")
+      assert(q.select("id").as[Long].collect().sorted.toSeq == expected)
+    } finally spark.conf.set(key, prev)
+    // bounded QI under the default threshold: AQE converts to broadcast
+    val q2 = Privacy.kAnonymize(wide.withColumn("qi_key",
+      col("id") % 4), Seq("qi_key"), 1)
+    assert(usedBroadcast(q2),
+      "a bounded group table must still earn the broadcast plan")
+    assert(q2.select("id").as[Long].collect().sorted.toSeq == expected)
+    // the l-diversity release shares the gate
+    val q3 = Privacy.suppressLowDiversity(wide, Seq("qi_key"), "sens",
+      k = 1, l = 1)
+    assert(q3.count() == 5000L)
+  }
+
   test("kAnonymize rejects empty QI and k < 1") {
     val df = Seq(("a", 1L)).toDF("lang", "id")
     intercept[IllegalArgumentException](Privacy.kAnonymize(df, Nil, 3))

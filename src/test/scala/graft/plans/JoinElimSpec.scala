@@ -137,4 +137,45 @@ class JoinElimSpec extends AnyFunSuite {
       } finally Constraints.drop(fact2, dim2)
     } finally Constraints.drop(fact, dim)
   }
+
+  test("durability: RELY edges rehydrate from the __fks__ sidecar after " +
+    "a simulated restart; drop deletes it and disarms for good") {
+    val (fact, dim) = fixture()
+    try {
+      assert(Files.isRegularFile(
+        java.nio.file.Paths.get(fact + ".__fks__")),
+        "declareFk must write through to the durable sidecar")
+      Constraints.resetMemory() // the restart
+      assert(Constraints.declared.isEmpty, "cache cleared")
+      val q = spark.read.parquet(fact)
+        .join(spark.read.parquet(dim), col("fk") === col("pk"), "inner")
+        .select("id", "v")
+      assert(!hasJoin(q),
+        "the optimizer must rehydrate the edge from disk and still cut")
+      assert(q.count() == 100)
+      // drop removes the sidecar: no resurrection after another restart
+      Constraints.drop(fact, dim)
+      Constraints.resetMemory()
+      val kept = spark.read.parquet(fact)
+        .join(spark.read.parquet(dim), col("fk") === col("pk"), "inner")
+        .select("id", "v")
+      assert(hasJoin(kept), "a dropped edge must stay dropped on disk")
+      // two edges on one fact table coexist in one sidecar
+      val tmp2 = Files.createTempDirectory("jelimdur")
+      val dimB = tmp2.resolve("dimB").toString
+      (0L until 10L).map(i => (i, i * 2)).toDF("pkb", "w")
+        .write.parquet(dimB)
+      Constraints.declareFk(fact, Seq("fk"), dim, Seq("pk"))
+      Constraints.declareFk(fact, Seq("fk"), dimB, Seq("pkb"))
+      try {
+        Constraints.resetMemory()
+        Constraints.rehydrate(fact)
+        assert(Constraints.declared.size == 2,
+          "one sidecar must carry every edge of its fact table")
+      } finally {
+        Constraints.drop(fact, dimB)
+        StageWriter.deleteRecursively(tmp2)
+      }
+    } finally Constraints.drop(fact, dim)
+  }
 }

@@ -75,4 +75,57 @@ class ChecksSpec extends AnyFunSuite {
       assert(ok.count() == 1996L && badRows.count() == 4L)
     } finally StageWriter.deleteRecursively(tmp)
   }
+
+  test("a guarded overwrite evaluates the incoming plan exactly once " +
+    "(validation runs on the staged bytes, not a re-evaluation)") {
+    val tmp = Files.createTempDirectory("checks3")
+    try {
+      val p = tmp.resolve("t").toString
+      Checks.declare(p, Map("v_nn" -> "v IS NOT NULL"))
+      ChecksSpecEvalCounter.evals.set(0)
+      val df = spark.range(0, 100, 1, 4)
+        .map { v => ChecksSpecEvalCounter.evals.incrementAndGet(); v }
+        .toDF("v")
+      StageWriter.overwrite(df, p)
+      assert(ChecksSpecEvalCounter.evals.get() == 100,
+        s"guarded write must evaluate the plan once (100 row-evals), " +
+          s"got ${ChecksSpecEvalCounter.evals.get()}")
+      assert(spark.read.parquet(p).count() == 100L)
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+
+  test("non-deterministic frames bind: a rand()-gated violating row " +
+    "either refuses or zero violators land, every run") {
+    val tmp = Files.createTempDirectory("checks4")
+    try {
+      val p = tmp.resolve("t").toString
+      Checks.declare(p, Map("v_pos" -> "v >= 0"))
+      // ~certain refusal: P(all 64 rows pass) = 2^-64. The staged-byte
+      // validation sees exactly the rows the swap would reveal, so the
+      // old plan-level gap (validate one draw, land another) is closed.
+      val dirty = spark.range(0, 64).select(
+        when(rand() < 0.5, lit(-1.0)).otherwise(lit(1.0)).as("v"))
+      (1 to 3).foreach { _ =>
+        val refusedOrClean = try {
+          StageWriter.overwrite(dirty, p)
+          spark.read.parquet(p).filter(col("v") < 0).count() == 0L
+        } catch { case _: Checks.CheckViolation => true }
+        assert(refusedOrClean,
+          "whatever lands must be the validated bytes — never violators")
+        assert(!Files.exists(Paths.get(p + ".__tmp__")),
+          "refusal must clean its staging dir")
+      }
+      // non-deterministic but never-violating: accepts, landed rows all
+      // satisfy the check (the accept path with rand() in the plan)
+      val clean = spark.range(0, 64).select(rand().as("v"))
+      StageWriter.overwrite(clean, p)
+      assert(spark.read.parquet(p).filter(col("v") < 0).count() == 0L)
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+}
+
+/** JVM-global row-evaluation counter (local-mode executors share the
+  * JVM); proves the guarded write path is single-evaluation. */
+object ChecksSpecEvalCounter {
+  val evals = new java.util.concurrent.atomic.AtomicInteger(0)
 }

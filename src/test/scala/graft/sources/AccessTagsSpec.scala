@@ -142,4 +142,73 @@ class AccessTagsSpec extends AnyFunSuite {
       assert(e2.getMessage.contains("no access tags"))
     } finally graft.sink.StageWriter.deleteRecursively(tmp)
   }
+
+  test("durability: tags + row policies rehydrate from sidecars after a " +
+    "simulated restart; a 'second process' sees them via the files alone") {
+    val (tmp, p) = fixture()
+    try {
+      AccessTags.tagRows(p, Map("analyst" -> "region = 'us'"))
+      val prof = AccessTags.Profile("analyst", Map(
+        "id" -> AccessTags.Tokenize, "freetext" -> AccessTags.Redact,
+        "meta" -> AccessTags.Open), key = "k1")
+      val before = AccessTags.taggedView(spark, p, prof)
+        .orderBy("uid").collect().toSeq
+      AccessTags.resetMemory() // the restart
+      assert(AccessTags.tagsOf(p).nonEmpty &&
+        AccessTags.rowPoliciesOf(p) == Map("analyst" -> "region = 'us'"),
+        "declarations must rehydrate from disk")
+      val after = AccessTags.taggedView(spark, p, prof)
+        .orderBy("uid").collect().toSeq
+      assert(after == before, "the rehydrated view must be identical")
+      assert(after.size == 1, "the row policy must survive the restart")
+      // a second process sees ONLY the files: copy the sidecars to a
+      // fresh table path never registered in this process
+      val p2 = tmp.resolve("t_other").toString
+      spark.read.parquet(p).write.parquet(p2)
+      Files.copy(java.nio.file.Paths.get(p + ".__tags__"),
+        java.nio.file.Paths.get(p2 + ".__tags__"))
+      assert(AccessTags.tagsOf(p2) == AccessTags.tagsOf(p),
+        "the sidecar file alone must carry the governance plane")
+      // untag deletes the sidecars — closed again even after restart
+      AccessTags.untagTable(p)
+      AccessTags.resetMemory()
+      intercept[IllegalArgumentException] {
+        AccessTags.taggedView(spark, p, prof)
+      }
+    } finally {
+      AccessTags.untagTable(p)
+      AccessTags.untagTable(tmp.resolve("t_other").toString)
+      graft.sink.StageWriter.deleteRecursively(tmp)
+    }
+  }
+
+  test("versioned tables: one tagTable at the root governs every " +
+    "version, asOf composes, plain tables refuse asOf") {
+    val tmp = Files.createTempDirectory("tagsv")
+    val t = tmp.resolve("vt").toString
+    try {
+      val v1 = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("uid", "note", "score")
+      graft.sink.VersionedTable.commit(v1, t)
+      AccessTags.tagTable(t, Map("uid" -> "id", "score" -> "meta"))
+      graft.sink.VersionedTable.commit(v1.filter(col("uid") =!= 2L), t)
+      val prof = AccessTags.Profile("a",
+        Map("id" -> AccessTags.Open, "meta" -> AccessTags.Open))
+      assert(AccessTags.taggedView(spark, t, prof).count() == 2L)
+      assert(AccessTags.taggedView(spark, t, prof, asOf = Some(1))
+        .count() == 3L)
+      assert(AccessTags.taggedView(spark, t, prof).columns.toSet ==
+        Set("uid", "score"), "note stays closed on every version")
+      val plain = tmp.resolve("plain").toString
+      v1.write.parquet(plain)
+      AccessTags.tagTable(plain, Map("uid" -> "id"))
+      intercept[IllegalArgumentException] {
+        AccessTags.taggedView(spark, plain, prof, asOf = Some(1))
+      }
+    } finally {
+      AccessTags.untagTable(t)
+      AccessTags.untagTable(tmp.resolve("plain").toString)
+      graft.sink.StageWriter.deleteRecursively(tmp)
+    }
+  }
 }
