@@ -1,11 +1,31 @@
 #!/usr/bin/env python3
 """Compare two BENCH_FULL-style JSONs: common-query sums, top regressions
-and improvements, new/removed queries. Usage: bench_diff.py OLD NEW"""
+and improvements, new/removed queries. Usage: bench_diff.py OLD NEW
+
+Material-regression gating uses the snapshots' per-query 'variance' map
+(max-min spread across the bench's repeat passes) as a NOISE FLOOR: a
+delta only counts as material when it clears +0.4s AND +25% AND the
+larger of the two runs' recorded spreads for that query — sub-second
+queries jittering inside their own cross-run spread are drift, not
+regressions. Snapshots without a variance map fall back to the raw
+thresholds (and say so)."""
 import json
 import sys
 
-old = json.load(open(sys.argv[1]))["queries"]
-new = json.load(open(sys.argv[2]))["queries"]
+oldj = json.load(open(sys.argv[1]))
+newj = json.load(open(sys.argv[2]))
+old, new = oldj["queries"], newj["queries"]
+vold = oldj.get("variance") or {}
+vnew = newj.get("variance") or {}
+if not (vold or vnew):
+    print("note: no variance map in either snapshot — raw thresholds only")
+
+
+def floor(q):
+    """Noise floor for q: the larger recorded cross-pass spread."""
+    return max(vold.get(q, 0.0), vnew.get(q, 0.0))
+
+
 common = sorted(set(old) & set(new))
 so = sum(old[q] for q in common)
 sn = sum(new[q] for q in common)
@@ -17,12 +37,20 @@ for d, q in deltas[:8]:
     print(f"  {q:28s} {old[q]:6.2f} -> {new[q]:6.2f}  ({d:+.2f})")
 print("top regressions:")
 for d, q in deltas[-8:]:
-    print(f"  {q:28s} {old[q]:6.2f} -> {new[q]:6.2f}  ({d:+.2f})")
+    noisy = " [inside noise floor]" if d <= floor(q) else ""
+    print(f"  {q:28s} {old[q]:6.2f} -> {new[q]:6.2f}  ({d:+.2f}){noisy}")
 material = [(q, old[q], new[q]) for d, q in deltas
-            if d > 0.4 and new[q] > old[q] * 1.25]
-print(f"material regressions (+0.4s AND +25%): {len(material)}")
+            if d > 0.4 and new[q] > old[q] * 1.25 and d > floor(q)]
+print(f"material regressions (+0.4s AND +25% AND > noise floor): "
+      f"{len(material)}")
 for q, o, n in material:
-    print(f"  {q:28s} {o:6.2f} -> {n:6.2f}")
+    print(f"  {q:28s} {o:6.2f} -> {n:6.2f}  (floor {floor(q):.2f})")
+suppressed = [(q, old[q], new[q]) for d, q in deltas
+              if d > 0.4 and new[q] > old[q] * 1.25 and d <= floor(q)]
+if suppressed:
+    print(f"suppressed by noise floor ({len(suppressed)}):")
+    for q, o, n in suppressed:
+        print(f"  {q:28s} {o:6.2f} -> {n:6.2f}  (floor {floor(q):.2f})")
 added = sorted(set(new) - set(old))
 print(f"new queries ({len(added)}): "
       f"{sum(new[q] for q in added):.1f}s total")

@@ -208,7 +208,7 @@ class MvRewrite extends Rule[LogicalPlan] {
           // counts never see it: no group row, no output row)
           Some(Cast(Coalesce(Seq(aggExpr(Sum(mvAttr("n"))), Literal(0L))),
             ae.dataType))
-        case AggregateExpression(Average(c, _), Complete, false, _, _)
+        case AggregateExpression(Average(c, em), Complete, false, _, _)
             if isValueSum(c) =>
           // Average over DECIMAL(18,2) finalizes as Divide(buffer sum
           // (28,2), count (20,0)) cast to (22,6); re-derive the SAME
@@ -216,11 +216,15 @@ class MvRewrite extends Rule[LogicalPlan] {
           // (28,2) buffer type (identical overflow edge), Sum(n) as the
           // (20,0) count — so every intermediate type, rounding point
           // and the final cast match the un-rewritten aggregate bit for
-          // bit. IEEE double avg never reaches here (isValueSum demands
-          // the exact decimal cast) — sum order would drift it.
+          // bit. The Divide inherits the Average's OWN EvalMode, so an
+          // ANSI session's error-on-overflow edge is served identically
+          // too (a hardcoded LEGACY would silently return null where
+          // the un-rewritten aggregate raises). IEEE double avg never
+          // reaches here (isValueSum demands the exact decimal cast) —
+          // sum order would drift it.
           val s28 = Cast(aggExpr(Sum(mvAttr("s"))), DecimalType(28, 2))
           val n20 = Cast(aggExpr(Sum(mvAttr("n"))), DecimalType(20, 0))
-          Some(Cast(Divide(s28, n20, EvalMode.LEGACY), ae.dataType))
+          Some(Cast(Divide(s28, n20, em), ae.dataType))
         case _ => None
       }
     // each output: grouping attr (bare or aliased) | re-expressible

@@ -26,17 +26,34 @@ object DeletionVectors {
 
   private def dvPath(path: String) = path + "._dv"
 
+  /** NET-NEW tombstones only (r10): re-running a delete (or overlapping
+    * erasure requests) must neither re-count already-tombstoned rows —
+    * the erasure ledger's `rows_erased` would overstate — nor append
+    * duplicate (file, row_index) pairs that grow the sidecar and its
+    * broadcast-size gate forever. Anti-join the found positions against
+    * the existing vector, with the same size gate as [[read]]. */
+  private def netNew(spark: SparkSession, path: String, found: DataFrame,
+      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+    if (!Files.isDirectory(Paths.get(dvPath(path)))) return found
+    val dv = spark.read.parquet(dvPath(path))
+      .select(col("file"), col("row_index")).distinct()
+    val dvBytes = StageWriter.listDataFiles(Paths.get(dvPath(path)))
+      .map(Files.size(_)).sum
+    val right = if (dvBytes <= maxBroadcastBytes) broadcast(dv) else dv
+    found.join(right, Seq("file", "row_index"), "left_anti")
+  }
+
   /** Record `predicate`-matching rows as deleted. Returns how many row
-    * positions were appended to the vector. */
+    * positions were appended to the vector (net of already-deleted). */
   def delete(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column): Long = {
-    val hits = spark.read.parquet(path)
+    val hits = netNew(spark, path, spark.read.parquet(path)
       .select(col("_metadata.file_path").as("file"),
         col("_metadata.row_index").as("row_index"),
         predicate.as("__hit"))
       .filter(col("__hit"))
       .select(element_at(split(col("file"), "/"), -1).as("file"),
-        col("row_index"))
+        col("row_index")))
     val cached = hits.cache()
     try {
       val n = cached.count()
@@ -56,18 +73,20 @@ object DeletionVectors {
     * broadcasts it while it fits and falls back to a shuffle join past
     * that — both shapes scan the table once. Returns the total appended
     * plus per-key counts (`keyCol`, `rows_deleted`; keys with no rows
-    * are absent), materialized so consumers don't re-run the scan. */
+    * are absent), materialized so consumers don't re-run the scan.
+    * Counts are NET-NEW ([[netNew]]): re-erasing a subject reports 0
+    * and appends nothing — the ledger never overstates. */
   def deleteKeys(spark: SparkSession, path: String, keys: DataFrame,
       keyCol: String): KeyDelete = {
     require(keys.columns.length == 1,
       s"keys must be a one-column frame, got ${keys.columns.mkString(",")}")
     val subj = keys.select(col(keys.columns.head).as(keyCol))
       .na.drop().distinct()
-    val hits = spark.read.parquet(path)
+    val hits = netNew(spark, path, spark.read.parquet(path)
       .select(col(keyCol),
         element_at(split(col("_metadata.file_path"), "/"), -1).as("file"),
         col("_metadata.row_index").as("row_index"))
-      .join(subj, Seq(keyCol), "left_semi")
+      .join(subj, Seq(keyCol), "left_semi"))
     val cached = hits.cache()
     try {
       val n = cached.count()

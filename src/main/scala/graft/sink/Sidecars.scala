@@ -37,10 +37,10 @@ import org.apache.spark.sql.SparkSession
   * records a column DERIVATION (valid for any file inventory), not
   * inventory-keyed state, and its one writer rewrites it with the data.
   *
-  * Refresh cost: one scan of each declared plane's column(s) over the
-  * rewritten table (stats+zone share nothing today; blooms scan the key
-  * column once) — the stats-on-write trade every Delta writer makes,
-  * paid at write cadence, never per query. */
+  * Refresh cost: stats+zone share ONE combined per-file min/max scan
+  * (r10 — see [[refreshAfterWrite]]); blooms scan the key column once —
+  * the stats-on-write trade every Delta writer makes, paid at write
+  * cadence, never per query. */
 object Sidecars {
 
   sealed trait Plane
@@ -98,14 +98,34 @@ object Sidecars {
 
   /** Rebuild every declared plane against the table's CURRENT inventory
     * — the full-rewrite hook ([[StageWriter.overwrite]] calls this after
-    * its swap). No manifest → no-op. */
-  def refreshAfterWrite(spark: SparkSession, path: String): Unit =
-    declared(path).foreach {
-      case Stats(c) => StageWriter.refreshStats(spark, path, c)
-      case Zone(cs) => ZoneMap.write(spark, path, cs)
+    * its swap). No manifest → no-op.
+    *
+    * COMBINED stats+zone refresh (r10): a table declaring one Stats and
+    * one Zone plane pays ONE per-file min/max scan covering both
+    * dialects (zone's scan also reports the stats column; the stats
+    * sidecar derived from it is byte-identical to a dedicated pass) —
+    * at write cadence that halves refresh cost whenever the stats
+    * column's footer fast-path can't serve. Any other plane mix keeps
+    * the per-plane paths. */
+  def refreshAfterWrite(spark: SparkSession, path: String): Unit = {
+    val planes = declared(path)
+    val statsPlanes = planes.collect { case s: Stats => s }
+    val zonePlanes = planes.collect { case z: Zone => z }
+    val combine = statsPlanes.size == 1 && zonePlanes.size == 1
+    if (combine) {
+      val (bounds, kinds) = ZoneMap.writeAndReport(spark, path,
+        zonePlanes.head.columns, Seq(statsPlanes.head.column))
+      StageWriter.writeStatsFromBounds(path, statsPlanes.head.column,
+        kinds(statsPlanes.head.column), bounds)
+    }
+    planes.foreach {
+      case Stats(c) if !combine => StageWriter.refreshStats(spark, path, c)
+      case Zone(cs) if !combine => ZoneMap.write(spark, path, cs)
       case Bloom(c, bits, k) =>
         Layout.writeBlooms(spark, path, c, bits, k); ()
+      case _ => () // stats/zone: served by the combined scan above
     }
+  }
 
   /** Incremental maintenance after a FILE-TARGETED rewrite: zone maps
     * patch via [[ZoneMap.maintainAfterRewrite]] (declared or not — the

@@ -1003,6 +1003,30 @@ object StageWriter {
     }
   }
 
+  /** Write the stats sidecar from bounds another plane's scan already
+    * gathered (the D190 combined stats+zone refresh — ZERO jobs here:
+    * the kind comes from the caller's one schema read, the inventory is
+    * a driver-side listing). `bounds` is ZoneMap's
+    * stringified-in-own-order report; both dialects stringify
+    * identically, so the sidecar is byte-identical to a dedicated
+    * [[refreshStats]] pass. Files absent from the report (zero-row
+    * parts) record as no-bounds, same as the scan paths. */
+  private[sink] def writeStatsFromBounds(path: String, c: String,
+      kind: String,
+      bounds: Map[String, Map[String, Option[(String, String)]]]): Unit = {
+    val files = listDataFiles(Paths.get(path)).map(_.getFileName.toString)
+    val per: Map[String, Option[(String, String)]] =
+      files.map(f =>
+        f -> bounds.getOrElse(f, Map.empty).getOrElse(c, None)).toMap
+    kind match {
+      case "string" => writeStatsStr(path, c, per)
+      case "long" => writeStats(path, c, per.map { case (f, o) =>
+        f -> o.map { case (a, b) => (a.toLong, b.toLong) } })
+      case other => throw new IllegalArgumentException(
+        s"$path: stats column $c has no stats dialect (kind $other)")
+    }
+  }
+
   /** Symlink-format manifest — the engine-neutral file inventory Delta
     * generates for Presto/Athena (light_transform.py:1394-1409 runs
     * manifest generation after every write): one line per data file under

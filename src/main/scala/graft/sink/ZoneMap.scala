@@ -43,7 +43,8 @@ object ZoneMap {
     * for every requested column (each must be integral or string).
     * Overwrites the previous map atomically. */
   private def scanBounds(spark: SparkSession, files: Seq[Path],
-      kinds: Seq[(String, String)])
+      kinds: Seq[(String, String)],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
       : Map[String, Map[String, Option[(String, String)]]] = {
     if (files.isEmpty) return Map.empty
     // aggregate in the column's OWN order, stringify the result — a
@@ -54,7 +55,10 @@ object ZoneMap {
       Seq(min(v).cast("string").as(s"mn_$c"),
         max(v).cast("string").as(s"mx_$c"))
     }
-    spark.read.parquet(files.map(_.toString): _*)
+    // a caller that already read the schema passes it down — skips the
+    // footer-inference job Spark would otherwise run per read
+    schema.map(spark.read.schema(_)).getOrElse(spark.read)
+      .parquet(files.map(_.toString): _*)
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -93,18 +97,36 @@ object ZoneMap {
     * for every requested column (each must be integral or string).
     * Overwrites the previous map atomically. */
   def write(spark: SparkSession, path: String, cols: Seq[String]): Unit = {
+    val _ = writeAndReport(spark, path, cols, Nil)
+  }
+
+  /** As [[write]], but the SAME scan also gathers bounds for `extra`
+    * columns and returns everything — the D190 combined refresh feeds
+    * the stats plane from this, so a table declaring stats AND zone
+    * pays one scan, not one per plane. Extra columns are not recorded
+    * in the map (unless also in `cols`); both dialects share the
+    * min/max-in-own-order-then-stringify discipline, so the stats
+    * sidecar derived from the report is byte-identical to a dedicated
+    * stats scan. */
+  private[sink] def writeAndReport(spark: SparkSession, path: String,
+      cols: Seq[String], extra: Seq[String])
+      : (Map[String, Map[String, Option[(String, String)]]],
+        Map[String, String]) = {
     require(cols.nonEmpty, "zone map needs at least one column")
     val files = StageWriter.listDataFiles(Paths.get(path))
     require(files.nonEmpty, s"$path has no data files")
     val schema = spark.read.parquet(path).schema
-    val kinds = cols.map { c =>
+    def kindsOf(cs: Seq[String]) = cs.map { c =>
       val dt = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"$path: no column $c")).dataType
       c -> kindOf(dt).getOrElse(throw new IllegalArgumentException(
         s"$path: column $c (${dt.simpleString}) has no zone-map dialect"))
     }
-    writeLines(path, kinds, files.map(_.getFileName.toString),
-      scanBounds(spark, files, kinds))
+    val zoneKinds = kindsOf(cols)
+    val allKinds = zoneKinds ++ kindsOf(extra.filterNot(cols.contains))
+    val bounds = scanBounds(spark, files, allKinds, Some(schema))
+    writeLines(path, zoneKinds, files.map(_.getFileName.toString), bounds)
+    (bounds, allKinds.toMap)
   }
 
   /** Incremental maintenance after a FILE-TARGETED rewrite (D163's

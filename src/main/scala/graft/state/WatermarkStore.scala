@@ -15,8 +15,14 @@ import scala.jdk.CollectionConverters._
   * 100 TB-scale data never flows through here.
   */
 /** `id` is a unique token identity: timestamps alone can collide (coarse
-  * nanoTime, concurrent savePending), and confirming/rolling back on a
-  * collided timestamp would resolve the WRONG pending entry. */
+  * clocks, concurrent savePending), and confirming/rolling back on a
+  * collided timestamp would resolve the WRONG pending entry. `ts` is
+  * WALL-CLOCK epoch millis — it exists for the retention age gate
+  * ([[FileWatermarkStore.compact]]), which must survive process
+  * restarts: a nanoTime stamp has an arbitrary per-JVM origin, so
+  * pre-restart lines would either never expire or expire instantly.
+  * Line ORDER (file append order under the key lock) is the sort;
+  * nothing orders by `ts`. */
 final case class WatermarkToken(key: String, ts: Long, value: String,
     id: String = java.util.UUID.randomUUID().toString)
 
@@ -146,7 +152,7 @@ final class FileWatermarkStore(dir: String, lockStaleMs: Long = 60000,
   def savePending(p: String, t: String, c: String, v: String) =
     synchronized {
       val tok = WatermarkToken(WatermarkStore.key(p, t, c),
-        System.nanoTime(), v)
+        System.currentTimeMillis(), v)
       withKeyLock(tok.key) { append(tok.key, tok.ts, tok.id, "PENDING", v) }
       tok
     }
@@ -196,11 +202,13 @@ final class FileWatermarkStore(dir: String, lockStaleMs: Long = 60000,
     * whose pending line was expired is already a protocol no-op (the
     * status check finds nothing), which fails SAFE: the batch simply
     * re-extracts — never a skipped batch, never a backwards watermark.
-    * `nowNs` is injectable because line timestamps are the save-side
-    * monotonic clock. */
+    * Line stamps and `nowMs` (injectable for tests) are WALL-CLOCK
+    * epoch millis, so the age gate is meaningful ACROSS process
+    * restarts — a nanoTime basis (arbitrary per-JVM origin) would
+    * retain pre-restart lines forever or drop fresh pendings early. */
   def compact(maxAgeMs: Long,
-      nowNs: Long = System.nanoTime()): Compacted = synchronized {
-    val cutoff = nowNs - maxAgeMs * 1000000L
+      nowMs: Long = System.currentTimeMillis()): Compacted = synchronized {
+    val cutoff = nowMs - maxAgeMs
     var keys = 0
     var dropped = 0L
     val logs = {

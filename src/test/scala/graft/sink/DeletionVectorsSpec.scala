@@ -28,8 +28,9 @@ class DeletionVectorsSpec extends AnyFunSuite {
       assert(DeletionVectors.read(spark, p).count() == 900)
       // plain readers of the path still see the superset (documented)
       assert(spark.read.parquet(p).count() == 1000)
-      // second delete accumulates; overlap (k=0 matches both) dedups
-      assert(DeletionVectors.delete(spark, p, col("k") < 5) == 5)
+      // second delete accumulates NET-NEW: the overlap (k=0 matched
+      // both predicates) is already tombstoned and counts nothing
+      assert(DeletionVectors.delete(spark, p, col("k") < 5) == 4)
       assert(DeletionVectors.read(spark, p).count() == 1000 - 100 - 4)
       val got = DeletionVectors.read(spark, p).select("k").as[Long]
         .collect().toSet
@@ -69,6 +70,35 @@ class DeletionVectorsSpec extends AnyFunSuite {
         .contains("broadcast"))
       assert(fallback.select("k").as[Long].collect().sorted.toSeq ==
         hinted.select("k").as[Long].collect().sorted.toSeq)
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+
+  test("re-erasing a subject (or overlapping requests) is idempotent: " +
+    "net-new counts, duplicate-free sidecar") {
+    val tmp = Files.createTempDirectory("dvr")
+    try {
+      val p = tmp.resolve("t").toString
+      spark.range(0, 200).select(col("id").as("k")).repartition(2)
+        .write.parquet(p)
+      val first = DeletionVectors.deleteKeys(spark, p,
+        Seq(1L, 2L, 3L).toDF("k"), "k")
+      assert(first.rowsDeleted == 3)
+      // the SAME subject again: ledger must not overstate
+      val again = DeletionVectors.deleteKeys(spark, p,
+        Seq(2L).toDF("k"), "k")
+      assert(again.rowsDeleted == 0 && again.perKey.isEmpty,
+        "re-erasure reports net-new only")
+      // an OVERLAPPING request counts only its new subject
+      val overlap = DeletionVectors.deleteKeys(spark, p,
+        Seq(3L, 4L).toDF("k"), "k")
+      assert(overlap.rowsDeleted == 1)
+      // sidecar stays duplicate-free: one row per tombstone
+      assert(spark.read.parquet(p + "._dv").count() == 4)
+      assert(DeletionVectors.read(spark, p).count() == 196)
+      // predicate deletes share the discipline
+      assert(DeletionVectors.delete(spark, p, col("k") <= 4) == 1,
+        "only k=0 is new under k<=4")
+      assert(spark.read.parquet(p + "._dv").count() == 5)
     } finally StageWriter.deleteRecursively(tmp)
   }
 

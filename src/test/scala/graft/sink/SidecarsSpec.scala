@@ -126,4 +126,60 @@ class SidecarsSpec extends AnyFunSuite {
       assert(Sidecars.declared(p).isEmpty)
     } finally StageWriter.deleteRecursively(tmp)
   }
+
+  test("stats+zone refresh shares ONE data pass (records-read counted) " +
+    "and writes byte-identical sidecars to the dedicated passes") {
+    val tmp = Files.createTempDirectory("sidecars4")
+    // input-records counter: schema/footer probes read 0 records, so
+    // this measures exactly how many times the DATA was passed over
+    val recs = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (t.taskMetrics != null)
+          recs.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+        ()
+      }
+    }
+    def measure(body: => Unit): Long = {
+      recs.set(0)
+      spark.sparkContext.addSparkListener(listener)
+      try { body; Thread.sleep(500) /* drain listener bus */ }
+      finally spark.sparkContext.removeSparkListener(listener)
+      recs.get()
+    }
+    try {
+      val p = tmp.resolve("t").toString
+      // string stats column with a non-ASCII bound: the footer
+      // fast-path stands down, so the dedicated pass MUST scan — the
+      // combined path's saving is real, not footer-shadowed
+      spark.range(0, 4000).select(col("id").as("k"),
+        concat(lit("sé"), lpad(col("id").cast("string"), 6, "0")).as("s"),
+        (col("id") % 50).as("b"))
+        .repartitionByRange(4, col("k"))
+        .write.parquet(p)
+      // dedicated per-plane passes → reference bytes + two data passes
+      val dedicated = measure {
+        StageWriter.refreshStats(spark, p, "s")
+        ZoneMap.write(spark, p, Seq("b", "k"))
+      }
+      assert(dedicated == 8000L,
+        s"dedicated passes read the data twice, counted $dedicated")
+      val statsRef = Files.readAllBytes(Paths.get(p + ".__stats__"))
+      val zoneRef = Files.readAllBytes(Paths.get(p + ".__zonemap__"))
+      Sidecars.declare(spark, p, Seq(
+        Sidecars.Stats("s"), Sidecars.Zone(Seq("b", "k"))))
+      Files.delete(Paths.get(p + ".__stats__"))
+      Files.delete(Paths.get(p + ".__zonemap__"))
+      val combined = measure { Sidecars.refreshAfterWrite(spark, p) }
+      assert(combined == 4000L,
+        s"stats+zone must share ONE data pass, counted $combined records")
+      assert(java.util.Arrays.equals(statsRef,
+        Files.readAllBytes(Paths.get(p + ".__stats__"))),
+        "combined stats sidecar must be byte-identical")
+      assert(java.util.Arrays.equals(zoneRef,
+        Files.readAllBytes(Paths.get(p + ".__zonemap__"))),
+        "combined zone sidecar must be byte-identical")
+    } finally StageWriter.deleteRecursively(tmp)
+  }
 }

@@ -36,7 +36,7 @@ class WatermarkCompactSpec extends AnyFunSuite {
     // everything is "old" relative to a far-future now — yet the last
     // confirmed line must survive
     val r = st.compact(maxAgeMs = 1,
-      nowNs = System.nanoTime() + 3600L * 1000000000L)
+      nowMs = System.currentTimeMillis() + 3600L * 1000L)
     assert(r.keys == 2 && r.linesDropped == 41, s"got $r")
     assert(logLines(dir).size == 1, "only the last confirmed line stays")
     assert(st.lastConfirmed("p", "t", "c").contains("20"))
@@ -53,7 +53,7 @@ class WatermarkCompactSpec extends AnyFunSuite {
     st.confirm(st.savePending("p", "t", "c", "100"))
     val stranded = st.savePending("p", "t", "c", "200")
     st.compact(maxAgeMs = 1,
-      nowNs = System.nanoTime() + 3600L * 1000000000L)
+      nowMs = System.currentTimeMillis() + 3600L * 1000L)
     st.confirm(stranded) // pending line expired → protocol no-op
     assert(st.lastConfirmed("p", "t", "c").contains("100"),
       "an expired pending must not confirm (re-extract, never skip)")
@@ -61,6 +61,24 @@ class WatermarkCompactSpec extends AnyFunSuite {
     st.compact(maxAgeMs = 24 * 3600 * 1000L) // real window: keeps it
     st.confirm(young)
     assert(st.lastConfirmed("p", "t", "c").contains("300"))
+  }
+
+  test("retention is WALL-CLOCK: a line stamped by a previous process " +
+    "expires by its age, not by this JVM's uptime") {
+    val (st, dir) = newStore()
+    st.confirm(st.savePending("p", "t", "c", "1"))
+    // a stranded PENDING from a "previous process", 100 days old — a
+    // nanoTime age gate could not see its age at all (arbitrary origin)
+    val log = Files.list(Paths.get(dir)).filter(
+      _.getFileName.toString.endsWith(".log")).findFirst().get()
+    val ancient = System.currentTimeMillis() - 100L * 86400 * 1000
+    Files.writeString(log,
+      Files.readString(log) + s"$ancient|old-id|PENDING|999\n")
+    val r = st.compact(maxAgeMs = 90L * 86400 * 1000)
+    assert(r.linesDropped == 1,
+      "exactly the 100-day-old pending expires under a 90-day TTL")
+    assert(st.lastConfirmed("p", "t", "c").contains("1"),
+      "fresh lines and the confirmed tail survive")
   }
 
   test("compacting mid-race with a live saver preserves monotonicity " +
@@ -74,13 +92,13 @@ class WatermarkCompactSpec extends AnyFunSuite {
     worker.start()
     var lastSeen = 0L
     while (worker.isAlive) {
-      st.compact(maxAgeMs = 0, nowNs = System.nanoTime())
+      st.compact(maxAgeMs = 0, nowMs = System.currentTimeMillis())
       val now = st.lastConfirmed("p", "t", "c").get.toLong
       assert(now >= lastSeen, s"watermark went backwards: $lastSeen -> $now")
       lastSeen = now
     }
     worker.join()
-    st.compact(maxAgeMs = 0, nowNs = System.nanoTime())
+    st.compact(maxAgeMs = 0, nowMs = System.currentTimeMillis())
     assert(st.lastConfirmed("p", "t", "c").contains("60"))
     assert(logLines(dir).size <= 2,
       "a zero-window compact must leave only the last confirmed tail")
