@@ -224,7 +224,13 @@ object ScaleSmoke {
       "q_check_constraints",
       // D198/D199: sidecar reads are metadata-sized; governed reads
       // stay pure projections over the plain (or versioned) scan
-      "c10_tags_durable", "c10_tags_versioned"))
+      "c10_tags_durable", "c10_tags_versioned",
+      // D202: candidate pairs require()d under the cap bound IN the
+      // gate — the boundedness invariant that holds at any corpus size
+      "sim_knn_graph",
+      // D203: one exchange + in-task sort; manifest is a 2-column
+      // read-back of the landed files
+      "llm_shuffle_shards"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

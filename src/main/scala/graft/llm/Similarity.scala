@@ -158,6 +158,70 @@ object Similarity {
         col("rank"))
   }
 
+  /** Bounded candidate-pair generation for [[knnGraph]] (SURVEY §2D,
+    * D202) — NEVER all-pairs: each vector lands in exactly ONE sign-LSH
+    * bucket per plane TABLE (independent tables raise recall the way
+    * extra hash tables do in classic LSH; the plane matrices are
+    * explicit literals so the oracle replays them), each (table,
+    * bucket) keeps at most `bucketCap` members chosen DETERMINISTICALLY
+    * by id (the Dedup banding discipline — skew in embedding space
+    * cannot mint a quadratic clique), pairs form by a shuffle self-join
+    * WITHIN (table, bucket) only, then dedup across tables. Candidate
+    * count is bounded by tables · 2^planes · cap·(cap−1) regardless of
+    * the data — the boundedness invariant ScaleSmoke asserts. */
+  def knnCandidates(df: DataFrame, idCol: String, vecCol: String,
+      tables: Seq[Seq[Seq[Double]]], bucketCap: Int): DataFrame = {
+    require(tables.nonEmpty && tables.forall(_.nonEmpty),
+      "at least one table of at least one plane")
+    require(bucketCap >= 2, s"bucketCap=$bucketCap cannot pair")
+    def dotLit(v: Column, cs: Seq[Double]): Column =
+      aggregate(zip_with(v, typedLit(cs), (x, y) => x.cast(DoubleType) * y),
+        lit(0.0), (acc, x) => acc + x)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bucketed = tables.zipWithIndex.map { case (planes, t) =>
+      val bucket = planes.zipWithIndex.map { case (cs, p) =>
+        when(dotLit(col("v"), cs) > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      base.select(lit(t).as("tbl"), bucket.as("bucket"), col("id"),
+        col("v"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("tbl"), col("bucket"))
+      .orderBy(col("id"))
+    val capped = bucketed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= bucketCap).drop("__rn")
+    capped.as("a").join(capped.as("b"),
+        col("a.tbl") === col("b.tbl") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("src_id"), col("b.id").as("dst_id"),
+        col("a.v").as("sv"), col("b.v").as("dv"))
+      .dropDuplicates("src_id", "dst_id")
+  }
+
+  /** Bounded k-nearest-neighbor GRAPH over the corpus (SURVEY §2D,
+    * D202) — the all-nodes neighbor structure that graph-based dedup /
+    * clustering (D30/D108) and NN-Descent-style refinement build on,
+    * where top-k ANN (D6/D7/D121) serves QUERIES. Candidates from
+    * [[knnCandidates]] (LSH-bucketed, per-bucket-capped — never
+    * all-pairs), exact rounded cosine on the candidates only, per-node
+    * top-k by `row_number` (ties broken by neighbor id — deterministic,
+    * oracle-replayable). Returns (src_id, dst_id, cosine4, rank),
+    * rank 1..k per src; nodes whose buckets yielded no candidate are
+    * absent (the approximate-graph contract). */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String,
+      tables: Seq[Seq[Seq[Double]]], k: Int, bucketCap: Int,
+      roundDigits: Int = 4): DataFrame = {
+    require(k >= 1)
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cosine4").desc, col("dst_id").asc)
+    knnCandidates(df, idCol, vecCol, tables, bucketCap)
+      .withColumn("cosine4", round(cosine(col("sv"), col("dv")),
+        roundDigits))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src_id"), col("dst_id"), col("cosine4"), col("rank"))
+  }
+
   /** Brute-force cosine top-k. `queries` must be small (broadcast side).
     * Returns (query_id, neighbor_id, cosine, rank), rank 1..k per query,
     * self-matches excluded. Ties broken by neighbor id for determinism.

@@ -21,6 +21,79 @@ object CurationQueries {
 
   val defs: Map[String, Entry] = Map(
 
+    // D203 — deterministic training-shard writer (llm.Shards): portable-
+    // hash shard assignment + a second keyed hash as the within-shard
+    // "shuffle" order + per-shard token manifest from the LANDED files —
+    // the last step between curation and serialization. The gate
+    // require()s one file per shard, that the landed FILE ORDER equals
+    // the portable permutation (via _metadata.row_index), that a rerun
+    // from a different partitioning assigns identically, and oracles the
+    // full per-shard manifest incl. an order checksum and first doc.
+    "llm_shuffle_shards" -> (((spark, dir) => {
+      import graft.llm.Shards
+      val tmp = java.nio.file.Files.createTempDirectory("shards_gate")
+      try {
+        val p = tmp.resolve("shards").toString
+        val docs = load(spark, dir, "documents").select("doc_id", "text")
+        val tok = size(split(lower(trim(col("text"))), "\\s+"))
+          .cast("long")
+        val manifest = Shards.write(docs, "doc_id", tok,
+          numShards = 8, seed = "epoch1", path = p)
+        require(manifest.count() == 8 && Shards.manifest(p).size == 8,
+          "every shard present in frame and sidecar")
+        (0 until 8).foreach { s =>
+          val files = graft.sink.StageWriter.listDataFiles(
+            java.nio.file.Paths.get(s"$p/shard=$s"))
+          require(files.size == 1,
+            s"shard $s must land as ONE file, got ${files.size}")
+        }
+        val landed = spark.read.parquet(p)
+          .select(col("shard").cast("int").as("shard"), col("doc_id"),
+            col("ord"), col("n_tokens"),
+            col("_metadata.row_index").as("pos"))
+        // the landed byte order IS the portable permutation
+        val wexp = Window.partitionBy("shard")
+          .orderBy(col("ord"), col("doc_id"))
+        require(landed
+          .withColumn("rk", row_number().over(wexp) - 1)
+          .filter(col("rk") =!= col("pos")).count() == 0,
+          "landed file order must equal the deterministic permutation")
+        // rerun determinism: a different input partitioning assigns
+        // every doc the identical (shard, ord)
+        val again = Shards.assigned(docs.repartition(13), "doc_id", 8,
+          "epoch1").select(col("doc_id"), col("shard").as("s2"),
+          col("ord").as("o2"))
+        require(landed.join(again, Seq("doc_id"))
+          .filter(col("shard") =!= col("s2") || col("ord") =!= col("o2"))
+          .count() == 0, "assignment must be partitioning-independent")
+        landed.groupBy("shard").agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("n_tokens"),
+            sum((col("pos") + 1) * col("doc_id")).as("order_checksum"),
+            min(struct(col("pos"), col("doc_id")))
+              .getField("doc_id").as("first_doc"))
+          .orderBy("shard")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                 || '|shard|epoch1'), 1, 15) AS BIGINT) % 8 AS INT)
+                 AS shard,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                 || '|ord|epoch1'), 1, 15) AS BIGINT) AS ord,
+               CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                 AS BIGINT) AS n_tokens
+        FROM documents),
+      r AS (SELECT *, row_number() OVER (PARTITION BY shard
+              ORDER BY ord, doc_id) AS rn FROM t)
+      SELECT shard, count(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(SUM(rn * doc_id) AS BIGINT) AS order_checksum,
+             arg_min(doc_id, rn) AS first_doc
+      FROM r GROUP BY shard ORDER BY shard"""))),
+
     // D100 — cross-doc repeated-segment removal (the C4/CCNet boilerplate
     // STRIP, not just a score): docs split into consecutive 2-word
     // segments; a segment whose hash occurs in >= 10 distinct docs is

@@ -29,6 +29,15 @@ object RetrievalQueries {
     * gate corpus size (recall floor require()d in the gate). */
   private val MpPlanes = Dedup.portablePlanes(6, 64)
 
+  /** kNN-graph plane tables: FOUR independent 5-plane matrices (32
+    * buckets each) — drawn from one portable stream, split per table,
+    * so both engines replay them as literals. Four coarse tables beat
+    * two fine ones for GRAPH recall: every node needs candidates, so
+    * coverage (union of its buckets) is the knob, and the per-bucket
+    * cap keeps the pair count bounded as the corpus grows. */
+  private val KnnTables: Seq[Seq[Seq[Double]]] =
+    Dedup.portablePlanes(20, 64).grouped(5).toSeq
+
   /** Shared ranker CTE chain (DuckDB): corpus stats + the BM25 and
     * query-likelihood ranking pipelines over `Bm25Queries`. The three
     * retrieval oracles (text_bm25 / text_ql / text_rrf) each SELECT from a
@@ -285,6 +294,82 @@ object RetrievalQueries {
         FROM cand)
       SELECT query_id, neighbor_id, cosine4, CAST(rank AS INT) AS rank
       FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+    })),
+
+    // D202 — bounded kNN-GRAPH construction (Similarity.knnGraph): the
+    // all-nodes neighbor structure graph dedup/clustering builds on.
+    // Candidates from TWO independent sign-LSH tables with
+    // deterministic per-bucket caps (NEVER all-pairs — the candidate
+    // count is require()d under the tables·buckets·cap·(cap−1) bound,
+    // the invariant that holds at ANY corpus size), exact rounded
+    // cosine on candidates only, per-node top-k heap. Recall vs brute
+    // force require()d; the full edge list oracled by replaying the
+    // pinned plane tables in SQL.
+    "sim_knn_graph" -> (((spark, dir) => {
+      val emb = load(spark, dir, "embeddings")
+      val cap = 64
+      val cand = Similarity.knnCandidates(emb, "vec_id", "embedding",
+        KnnTables, bucketCap = cap)
+      val bound = KnnTables.size.toLong * 32 * cap * (cap - 1)
+      val nCand = cand.count()
+      require(nCand <= bound && nCand > 0,
+        s"candidate pairs $nCand must stay under the cap bound $bound")
+      val g = Similarity.knnGraph(emb, "vec_id", "embedding",
+        KnnTables, k = 5, bucketCap = cap)
+      // recall floor vs brute force on a node sample: the graph is
+      // approximate by contract, but it must FIND neighbors
+      val sample = emb.filter(col("vec_id") < 40)
+      val bf = Similarity.bruteForceTopK(sample, emb, "vec_id",
+          "embedding", k = 5, roundDigits = Some(4))
+        .select(col("query_id").as("src_id"),
+          col("neighbor_id").as("dst_id"))
+        .withColumn("hit", lit(1))
+      val recall = g.filter(col("src_id") < 40)
+        .join(bf, Seq("src_id", "dst_id"), "right")
+        .agg((sum(when(col("rank").isNotNull, 1).otherwise(0)) /
+          count(lit(1))).cast("double")).head().getDouble(0)
+      require(recall >= 0.15,
+        f"kNN-graph recall@5 vs brute force = $recall%.3f — under the " +
+          "0.15 floor; add tables or raise the cap")
+      g.orderBy("src_id", "rank")
+    }, Some {
+      def dotLit(v: String, cs: Seq[Double]): String =
+        dotSql(v, cs.mkString("[", ", ", "]"))
+      def bucket(planes: Seq[Seq[Double]]): String =
+        planes.zipWithIndex.map { case (cs, p) =>
+          s"(CASE WHEN ${dotLit("v", cs)} > 0 THEN ${1 << p} ELSE 0 END)"
+        }.mkString(" + ")
+      val bSql = KnnTables.zipWithIndex.map { case (planes, t) =>
+        s"SELECT $t AS tbl, ${bucket(planes)} AS bucket, id, v FROM e"
+      }.mkString("\n            UNION ALL\n            ")
+      s"""
+      WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      b AS ($bSql),
+      capped AS (
+        SELECT tbl, bucket, id FROM (
+          SELECT tbl, bucket, id,
+                 row_number() OVER (PARTITION BY tbl, bucket
+                   ORDER BY id) AS rn
+          FROM b) WHERE rn <= 64),
+      cand AS (
+        SELECT DISTINCT a.id AS src_id, c.id AS dst_id
+        FROM capped a JOIN capped c
+          ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.id <> c.id),
+      scored AS (
+        SELECT cand.src_id, cand.dst_id,
+               round(${dotSql("s.v", "d.v")} /
+                 (sqrt(${dotSql("s.v", "s.v")}) *
+                  sqrt(${dotSql("d.v", "d.v")})), 4) AS cosine4
+        FROM cand JOIN e s ON s.id = cand.src_id
+                  JOIN e d ON d.id = cand.dst_id),
+      ranked AS (
+        SELECT src_id, dst_id, cosine4,
+               row_number() OVER (PARTITION BY src_id
+                 ORDER BY cosine4 DESC, dst_id ASC) AS rank
+        FROM scored)
+      SELECT src_id, dst_id, cosine4, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= 5 ORDER BY src_id, rank"""
     })),
 
     // Char-distribution entropy (a–z + space): counts via the

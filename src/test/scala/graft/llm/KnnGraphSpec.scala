@@ -1,0 +1,60 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** D202 — bounded kNN graph: the cap bound holds under pathological
+  * skew (never all-pairs), clustered data wires within clusters, edges
+  * are deterministic and self-free. */
+class KnnGraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val tables: Seq[Seq[Seq[Double]]] =
+    Dedup.portablePlanes(10, 8).grouped(5).toSeq // 2 tables, 32 buckets
+
+  test("skew in anger: 2000 IDENTICAL vectors fall in one bucket per " +
+    "table, and the candidate count stays at the cap bound — uncapped " +
+    "would be ~4M pairs") {
+    val same = spark.range(0, 2000).select(col("id"),
+      typedLit(Seq.fill(8)(1.0f)).as("v"))
+    val cap = 16
+    val n = Similarity.knnCandidates(same, "id", "v", tables, cap).count()
+    // both tables bucket every vector identically, and the cap keeps
+    // the SAME 16 smallest ids in each — the pair sets coincide
+    assert(n == cap.toLong * (cap - 1),
+      s"expected ${cap * (cap - 1)} capped pairs, got $n (all-pairs " +
+        "would be 3,998,000)")
+  }
+
+  test("orthogonal clusters wire within themselves; ranks 1..k, no " +
+    "self edges, deterministic across partitionings") {
+    // 3 orthogonal clusters of 20, slight per-member perturbation on a
+    // non-cluster axis so cosines are distinct but cluster-dominant
+    val rows = for {
+      c <- 0 until 3; i <- 0 until 20
+    } yield {
+      val v = Array.fill(8)(0.0f)
+      v(c) = 1.0f
+      v(4 + c) = 0.001f * i
+      (c * 20L + i, v.toSeq)
+    }
+    val df = rows.toDF("id", "v")
+    val g = Similarity.knnGraph(df, "id", "v", tables, k = 3,
+      bucketCap = 64)
+    val edges = g.select("src_id", "dst_id", "rank")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(edges.forall { case (s, d, _) => s != d }, "no self edges")
+    assert(edges.forall { case (s, d, _) => s / 20 == d / 20 },
+      "orthogonal clusters must only wire within themselves " +
+        "(cross-cluster cosine is ~0, within is ~1)")
+    assert(edges.groupBy(_._1).values.forall(es =>
+      es.map(_._3).sorted == (1 to es.size).toSeq), "dense ranks 1..k")
+    val g2 = Similarity.knnGraph(df.repartition(7), "id", "v", tables,
+      k = 3, bucketCap = 64)
+    assert(g2.collect().toSet == g.collect().toSet,
+      "the graph is a function of the data, not the partitioning")
+  }
+}
