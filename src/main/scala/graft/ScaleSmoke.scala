@@ -230,7 +230,15 @@ object ScaleSmoke {
       "sim_knn_graph",
       // D203: one exchange + in-task sort; manifest is a 2-column
       // read-back of the landed files
-      "llm_shuffle_shards"))
+      "llm_shuffle_shards",
+      // D204: O(batch) landings + O(new files) plane patches; D205:
+      // one columnar read of the staged version at the WAP point
+      "q_append_incremental", "c5_check_commit",
+      // D206: recompute bounded to affected buckets; D207: eval side
+      // broadcasts, corpus buckets by projection; D208: per-batch
+      // append cost + marker probes
+      "sim_knn_graph_incr", "llm_embed_decontaminate",
+      "evt_stream_append"))
       time(q) { qs(q)(spark, dst).count() }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----

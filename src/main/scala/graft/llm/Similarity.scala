@@ -169,7 +169,13 @@ object Similarity {
     * WITHIN (table, bucket) only, then dedup across tables. Candidate
     * count is bounded by tables · 2^planes · cap·(cap−1) regardless of
     * the data — the boundedness invariant ScaleSmoke asserts. */
-  def knnCandidates(df: DataFrame, idCol: String, vecCol: String,
+  /** (tbl, bucket, id, v): every vector's capped sign-LSH bucket
+    * memberships — the shared core of [[knnCandidates]] and the D206
+    * incremental maintenance. Cap selection is DETERMINISTIC by id
+    * (smallest ids win a full bucket), which is also what makes
+    * append-style increments exact: growing ids never displace an
+    * admitted member. */
+  private def cappedBuckets(df: DataFrame, idCol: String, vecCol: String,
       tables: Seq[Seq[Seq[Double]]], bucketCap: Int): DataFrame = {
     require(tables.nonEmpty && tables.forall(_.nonEmpty),
       "at least one table of at least one plane")
@@ -187,15 +193,74 @@ object Similarity {
     }.reduce(_ unionByName _)
     val w = Window.partitionBy(col("tbl"), col("bucket"))
       .orderBy(col("id"))
-    val capped = bucketed.withColumn("__rn", row_number().over(w))
+    bucketed.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= bucketCap).drop("__rn")
-    capped.as("a").join(capped.as("b"),
+  }
+
+  /** Within-bucket pairs of `srcSide` × `capped`, deduped across
+    * tables. */
+  private def pairsFrom(srcSide: DataFrame, capped: DataFrame)
+      : DataFrame =
+    srcSide.as("a").join(capped.as("b"),
         col("a.tbl") === col("b.tbl") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.id") =!= col("b.id"))
       .select(col("a.id").as("src_id"), col("b.id").as("dst_id"),
         col("a.v").as("sv"), col("b.v").as("dv"))
       .dropDuplicates("src_id", "dst_id")
+
+  def knnCandidates(df: DataFrame, idCol: String, vecCol: String,
+      tables: Seq[Seq[Seq[Double]]], bucketCap: Int): DataFrame = {
+    val capped = cappedBuckets(df, idCol, vecCol, tables, bucketCap)
+    pairsFrom(capped, capped)
+  }
+
+  private def topK(pairs: DataFrame, k: Int, roundDigits: Int)
+      : DataFrame = {
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cosine4").desc, col("dst_id").asc)
+    pairs
+      .withColumn("cosine4", round(cosine(col("sv"), col("dv")),
+        roundDigits))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src_id"), col("dst_id"), col("cosine4"), col("rank"))
+  }
+
+  /** Incremental kNN-graph maintenance (SURVEY §2D, D206) — the D27/
+    * D131 incremental discipline applied to the D202 graph: when a
+    * BATCH of new vectors arrives (append contract: batch ids are new
+    * and larger than every corpus id, the layout every ingest pipeline
+    * already has), only the nodes sharing a capped bucket with an
+    * ADMITTED batch member can change — their candidate set grew;
+    * everyone else's buckets are untouched because cap selection is
+    * deterministic-by-id and growing ids never displace an admitted
+    * member. Recompute edges for exactly that affected set (src side
+    * of the bucket join is affected-only — O(affected × bucket
+    * members), never a corpus rebuild) and splice: old edges for
+    * unaffected sources carry over byte-identical. The result EQUALS
+    * the full rebuild over corpus ∪ batch (gate-require()d). All
+    * driver-free: the affected set stays a frame in semi/anti joins. */
+  def knnGraphIncrement(corpus: DataFrame, batch: DataFrame,
+      oldEdges: DataFrame, idCol: String, vecCol: String,
+      tables: Seq[Seq[Seq[Double]]], k: Int, bucketCap: Int,
+      roundDigits: Int = 4): DataFrame = {
+    val union = corpus.select(col(idCol), col(vecCol))
+      .unionByName(batch.select(col(idCol), col(vecCol)))
+    val capped = cappedBuckets(union, idCol, vecCol, tables, bucketCap)
+    val batchIds = batch.select(col(idCol).as("id"))
+    // buckets where a batch member was ADMITTED (full buckets ignore it)
+    val affectedBuckets = capped.join(batchIds, Seq("id"), "left_semi")
+      .select("tbl", "bucket").distinct()
+    val affectedSrc = capped.join(affectedBuckets, Seq("tbl", "bucket"),
+      "left_semi").select("id").distinct()
+    // an affected src's candidates come from ALL its buckets, so the
+    // src side is its full capped membership — the dst side is global
+    val srcSide = capped.join(affectedSrc, Seq("id"), "left_semi")
+    val fresh = topK(pairsFrom(srcSide, capped), k, roundDigits)
+    oldEdges.join(affectedSrc.select(col("id").as("src_id")),
+        Seq("src_id"), "left_anti")
+      .unionByName(fresh)
   }
 
   /** Bounded k-nearest-neighbor GRAPH over the corpus (SURVEY §2D,
@@ -212,14 +277,50 @@ object Similarity {
       tables: Seq[Seq[Seq[Double]]], k: Int, bucketCap: Int,
       roundDigits: Int = 4): DataFrame = {
     require(k >= 1)
-    val w = Window.partitionBy(col("src_id"))
-      .orderBy(col("cosine4").desc, col("dst_id").asc)
-    knnCandidates(df, idCol, vecCol, tables, bucketCap)
-      .withColumn("cosine4", round(cosine(col("sv"), col("dv")),
-        roundDigits))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("src_id"), col("dst_id"), col("cosine4"), col("rank"))
+    topK(knnCandidates(df, idCol, vecCol, tables, bucketCap), k,
+      roundDigits)
+  }
+
+  /** Embedding-space eval-set decontamination (SURVEY §2D, D207) —
+    * D19's n-gram decontamination catches VERBATIM leakage; paraphrased
+    * or template-rewritten eval items need the embedding space (the
+    * SemDeDup observation applied to eval hygiene). The EVAL side is
+    * small by nature (benchmarks are thousands of items), so its
+    * per-table bucket memberships BROADCAST; the corpus side is
+    * bucketed by a pure projection (never shuffles on anything but the
+    * bucket join), candidates are bucket collisions across the plane
+    * tables, and a corpus doc whose best rounded cosine against any
+    * eval vector clears `threshold` is contaminated. Returns one row
+    * per contaminated corpus id: (id, eval_id, cosine4) of its BEST
+    * eval match (ties: smallest eval id) — the removal list and the
+    * audit trail in one frame. */
+  def semanticContamination(corpus: DataFrame, eval: DataFrame,
+      idCol: String, vecCol: String, tables: Seq[Seq[Seq[Double]]],
+      threshold: Double, roundDigits: Int = 4): DataFrame = {
+    require(tables.nonEmpty && tables.forall(_.nonEmpty))
+    def dotLit(v: Column, cs: Seq[Double]): Column =
+      aggregate(zip_with(v, typedLit(cs), (x, y) => x.cast(DoubleType) * y),
+        lit(0.0), (acc, x) => acc + x)
+    def buckets(df: DataFrame, as: String): DataFrame =
+      tables.zipWithIndex.map { case (planes, t) =>
+        val bucket = planes.zipWithIndex.map { case (cs, p) =>
+          when(dotLit(col(vecCol), cs) > 0, lit(1 << p)).otherwise(lit(0))
+        }.reduce(_ + _)
+        df.select(lit(t).as("tbl"), bucket.as("bucket"),
+          col(idCol).as(as), col(vecCol).as(s"${as}_v"))
+      }.reduce(_ unionByName _)
+    val c = buckets(corpus, "id")
+    val e = buckets(eval, "eval_id")
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cosine4").desc, col("eval_id").asc)
+    c.join(broadcast(e), Seq("tbl", "bucket"))
+      .select(col("id"), col("eval_id"),
+        round(cosine(col("id_v"), col("eval_id_v")), roundDigits)
+          .as("cosine4"))
+      .filter(col("cosine4") >= threshold)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("eval_id"), col("cosine4"))
   }
 
   /** Brute-force cosine top-k. `queries` must be small (broadcast side).

@@ -1349,6 +1349,88 @@ object AnalyticsQueries {
              CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM events"""))),
 
+    // D208 — exactly-once streaming APPEND into a guarded, plane-
+    // maintained table (StageWriter.appendExactlyOnce as the
+    // foreachBatch body): applied-batch markers no-op same-checkpoint
+    // replays (the commits-file surgery below forces one), a planted
+    // partial landing (crash between reveal and marker) is SWEPT by
+    // batch-id file naming before the re-append, declared CHECKs and
+    // the stats plane ride along per batch. Final content oracled.
+    "evt_stream_append" -> (((spark, dir) => withStreamPartitions(spark, 4) {
+      import org.apache.spark.sql.{Dataset, Row}
+      val tmp = java.nio.file.Files.createTempDirectory("sappend_gate")
+      try {
+        val (raw, chk, target) = (tmp.resolve("raw").toString,
+          tmp.resolve("chk").toString, tmp.resolve("t").toString)
+        val ev = load(spark, dir, "events")
+          .select("event_id", "value")
+        graft.sink.Checks.declare(target,
+          Map("ev_nn" -> "event_id IS NOT NULL"))
+        def run(): Unit = {
+          val schema = spark.read.parquet(raw).schema
+          val q = spark.readStream.schema(schema).parquet(raw)
+            .writeStream.option("checkpointLocation", chk)
+            .foreachBatch { (b: Dataset[Row], id: Long) =>
+              graft.sink.StageWriter.appendExactlyOnce(b.toDF(), target,
+                id)
+            }
+            .outputMode("update").start()
+          q.processAllAvailable(); q.stop(); q.awaitTermination()
+        }
+        // epoch 1 bootstraps the table (batch 0)
+        ev.filter(col("event_id") % 2 === 0).coalesce(4).write.parquet(raw)
+        run()
+        // the stats plane declared mid-life: appends must keep it fresh
+        graft.sink.Sidecars.declare(spark, target,
+          Seq(graft.sink.Sidecars.Stats("event_id")))
+        // plant a PARTIAL landing of the upcoming batch 1 (crash between
+        // reveal and marker): one visible + one hidden stray — the
+        // re-delivery must sweep both before landing
+        val aFile = graft.sink.StageWriter.listDataFiles(
+          java.nio.file.Paths.get(target)).head
+        java.nio.file.Files.copy(aFile, java.nio.file.Paths.get(target,
+          "ap-b1-p99999.parquet"))
+        java.nio.file.Files.copy(aFile, java.nio.file.Paths.get(target,
+          ".ap-b1-p99998.parquet"))
+        // epoch 2 (batch 1): the odd half
+        ev.filter(col("event_id") % 2 === 1).coalesce(4)
+          .write.mode("append").parquet(raw)
+        run()
+        // re-delivery: drop the LAST commit record — the restart re-runs
+        // batch 1 with the same id/content; the marker must no-op it
+        val commits = java.nio.file.Paths.get(chk, "commits")
+        val last = {
+          val s = java.nio.file.Files.list(commits)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.filter(
+              _.getFileName.toString.forall(_.isDigit))
+              .maxBy(_.getFileName.toString.toInt)
+          } finally s.close()
+        }
+        java.nio.file.Files.delete(last)
+        // the local-FS CRC shadow too, or the re-commit's rename trips
+        java.nio.file.Files.deleteIfExists(
+          last.resolveSibling("." + last.getFileName.toString + ".crc"))
+        run()
+        val landed = spark.read.parquet(target)
+        require(landed.count() == ev.count(),
+          "markers + sweep must land every event exactly once")
+        // the plane stayed fresh through appends, sweeps and replays
+        val files = graft.sink.StageWriter.listDataFiles(
+          java.nio.file.Paths.get(target))
+        require(graft.sink.StageWriter.loadStats(target, files,
+          "event_id").isDefined, "stats plane must be fresh")
+        landed.agg(count(lit(1)).as("n"),
+            count_distinct(col("event_id")).as("n_ids"),
+            dsum(col("value")).as("total"))
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT count(*) AS n, count(DISTINCT event_id) AS n_ids,
+             CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events"""))),
+
     // D103 — join-explosion guard (operators.JoinGuard): the supplier
     // self-join's hot keys (per-key pair product > 10k) are capped to 10
     // deterministic rows per side BEFORE the join; cold keys join exactly.

@@ -1334,6 +1334,137 @@ object MaintenanceQueries {
       FROM t WHERE l_orderkey < 3000
       ORDER BY l_orderkey, l_linenumber"""))),
 
+    // D204 — APPEND with incremental plane maintenance (round 10,
+    // StageWriter.append): new rows land as NEW files — existing files
+    // require()d byte-identical, cost O(batch) — while every declared
+    // pruning plane stays fresh in O(new files) (stats sidecar unions
+    // footer ranges, zone map patches, blooms hash only the new files)
+    // and D197 CHECKs validate the STAGED batch (violating append
+    // refuses with target AND planes untouched, staging cleaned).
+    "q_append_incremental" -> (((spark, dir) => {
+      import graft.sink.{Checks, Sidecars, StageWriter, ZoneMap}
+      val tmp = java.nio.file.Files.createTempDirectory("append_gate")
+      try {
+        val path = tmp.resolve("t").toString
+        val li = load(spark, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+        StageWriter.overwrite(li.filter(col("l_orderkey") <= 8000)
+          .repartitionByRange(4, col("l_orderkey")), path)
+        Sidecars.declare(spark, path, Seq(
+          Sidecars.Stats("l_orderkey"),
+          Sidecars.Zone(Seq("l_linenumber")),
+          Sidecars.Bloom("l_orderkey", bits = 1 << 16)))
+        Checks.declare(path, Map("qty_pos" -> "l_quantity >= 0"))
+        def inv() = StageWriter.listDataFiles(
+          java.nio.file.Paths.get(path))
+          .map(p => p.getFileName.toString -> java.nio.file.Files.size(p))
+          .toMap
+        val before = inv()
+        val batch = li.filter(col("l_orderkey") > 8000 &&
+          col("l_orderkey") <= 12000)
+        require(batch.limit(1).count() == 1, "batch must be non-empty")
+        // a violating append refuses pre-land, planes + files untouched
+        val e = try {
+          StageWriter.append(batch.withColumn("l_quantity", lit(-1.0)),
+            path); None
+        } catch { case v: Checks.CheckViolation => Some(v.getMessage) }
+        require(e.exists(_.contains("qty_pos")) && inv() == before,
+          "violating append must refuse with nothing landed")
+        require(!java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(path + ".__appendtmp__")),
+          "refused append must clean its staging dir")
+        // the clean append: O(batch) — existing files byte-identical
+        StageWriter.append(
+          batch.repartitionByRange(2, col("l_orderkey")), path)
+        val after = inv()
+        require(before.forall { case (f, s) => after.get(f).contains(s) },
+          "append must leave every existing file byte-identical")
+        require(after.size > before.size, "append must add files")
+        // every declared plane fresh against the NEW inventory
+        val files = StageWriter.listDataFiles(
+          java.nio.file.Paths.get(path))
+        require(StageWriter.loadStats(path, files, "l_orderkey").isDefined,
+          "range stats must be patched, not stale")
+        require(ZoneMap.load(path, files).isDefined,
+          "zone map must be patched, not stale")
+        val bloomNames = spark.read.parquet(path + ".__blooms__")
+          .select("file").collect().map(_.getString(0).split('/').last)
+          .toSet
+        require(bloomNames == files.map(_.getFileName.toString).toSet,
+          "bloom sidecar must cover exactly the new inventory")
+        spark.read.parquet(path)
+          .filter(pmod(col("l_orderkey"), lit(11)) === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").as("q"))
+          .orderBy("l_orderkey", "l_linenumber", "q")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally {
+        graft.sink.Checks.drop(tmp.resolve("t").toString)
+        graft.sink.Sidecars.drop(tmp.resolve("t").toString)
+        graft.sink.StageWriter.deleteRecursively(tmp)
+      }
+    }, Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity AS q
+      FROM lineitem
+      WHERE l_orderkey <= 12000 AND l_orderkey % 11 = 0
+      ORDER BY l_orderkey, l_linenumber, q"""))),
+
+    // D205 — CHECK constraints on the TRANSACTIONAL sink (round 10):
+    // VersionedTable.commit validates the STAGED version's bytes
+    // against the table's declared CHECKs at the WAP point — a
+    // violating commit aborts with the pointer untouched (no reader,
+    // head or AS OF, can ever see a version that broke an invariant),
+    // the claim releases, and the next clean commit lands normally.
+    "c5_check_commit" -> (((spark, dir) => {
+      import graft.sink.{Checks, VersionedTable}
+      val tmp = java.nio.file.Files.createTempDirectory("vtcheck_gate")
+      try {
+        val t = tmp.resolve("vt").toString
+        val v1 = load(spark, dir, "lineitem")
+          .filter(col("l_orderkey") <= 5000)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+        Checks.declare(t, Map(
+          "qty_range" -> "l_quantity BETWEEN 0 AND 200"))
+        VersionedTable.commit(v1, t)
+        // the violating commit: refused at the WAP point, head unmoved
+        val dirty = v1.withColumn("l_quantity",
+          when(pmod(col("l_orderkey"), lit(13)) === 0, lit(-5.0))
+            .otherwise(col("l_quantity")))
+        val e = try { VersionedTable.commit(dirty, t); None }
+          catch { case v: Checks.CheckViolation => Some(v.getMessage) }
+        require(e.exists(_.contains("qty_range")),
+          s"commit must refuse naming the check, got $e")
+        require(VersionedTable.latestVersion(t).contains(1),
+          "a refused commit must leave the head untouched")
+        require(VersionedTable.versions(t) == Seq(1),
+          "the refused version's staged dir must be cleaned")
+        // the claim released: a clean commit lands as version 2
+        val v2 = v1.filter(pmod(col("l_orderkey"), lit(2)) === 0)
+        require(VersionedTable.commit(v2, t) == 2)
+        val head = VersionedTable.read(spark, t)
+        val asOf1 = VersionedTable.read(spark, t, Some(1))
+        asOf1.agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .select(lit(1).as("v"), col("n"), col("qty"))
+          .unionByName(head
+            .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+            .select(lit(2).as("v"), col("n"), col("qty")))
+          .orderBy("v")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally {
+        graft.sink.Checks.drop(tmp.resolve("vt").toString)
+        graft.sink.StageWriter.deleteRecursively(tmp)
+      }
+    }, Some("""
+      WITH b AS (SELECT * FROM lineitem WHERE l_orderkey <= 5000)
+      SELECT 1 AS v, count(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM b
+      UNION ALL
+      SELECT 2, count(*),
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      FROM b WHERE l_orderkey % 2 = 0
+      ORDER BY v"""))),
+
     // D197 — CHECK-constraint enforcement on write (sink.Checks),
     // Delta's ADD CONSTRAINT CHECK on the parquet fallback: declared
     // boolean invariants validate in ONE codegen'd aggregation pass

@@ -38,6 +38,49 @@ object RetrievalQueries {
   private val KnnTables: Seq[Seq[Seq[Double]]] =
     Dedup.portablePlanes(20, 64).grouped(5).toSeq
 
+  /** The D202/D206 oracle: the full capped-LSH kNN graph replayed in
+    * SQL from the pinned plane tables; `extraWhere` slices the final
+    * edge list (the incremental gate outputs a modulo slice). */
+  private def knnGraphOracle(extraWhere: String): String = {
+    def dotLit(v: String, cs: Seq[Double]): String =
+      dotSql(v, cs.mkString("[", ", ", "]"))
+    def bucket(planes: Seq[Seq[Double]]): String =
+      planes.zipWithIndex.map { case (cs, p) =>
+        s"(CASE WHEN ${dotLit("v", cs)} > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+    val bSql = KnnTables.zipWithIndex.map { case (planes, t) =>
+      s"SELECT $t AS tbl, ${bucket(planes)} AS bucket, id, v FROM e"
+    }.mkString("\n            UNION ALL\n            ")
+    s"""
+      WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      b AS ($bSql),
+      capped AS (
+        SELECT tbl, bucket, id FROM (
+          SELECT tbl, bucket, id,
+                 row_number() OVER (PARTITION BY tbl, bucket
+                   ORDER BY id) AS rn
+          FROM b) WHERE rn <= 64),
+      cand AS (
+        SELECT DISTINCT a.id AS src_id, c.id AS dst_id
+        FROM capped a JOIN capped c
+          ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.id <> c.id),
+      scored AS (
+        SELECT cand.src_id, cand.dst_id,
+               round(${dotSql("s.v", "d.v")} /
+                 (sqrt(${dotSql("s.v", "s.v")}) *
+                  sqrt(${dotSql("d.v", "d.v")})), 4) AS cosine4
+        FROM cand JOIN e s ON s.id = cand.src_id
+                  JOIN e d ON d.id = cand.dst_id),
+      ranked AS (
+        SELECT src_id, dst_id, cosine4,
+               row_number() OVER (PARTITION BY src_id
+                 ORDER BY cosine4 DESC, dst_id ASC) AS rank
+        FROM scored)
+      SELECT src_id, dst_id, cosine4, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= 5 $extraWhere ORDER BY src_id, rank"""
+  }
+
   /** Shared ranker CTE chain (DuckDB): corpus stats + the BM25 and
     * query-likelihood ranking pipelines over `Bm25Queries`. The three
     * retrieval oracles (text_bm25 / text_ql / text_rrf) each SELECT from a
@@ -332,6 +375,64 @@ object RetrievalQueries {
         f"kNN-graph recall@5 vs brute force = $recall%.3f — under the " +
           "0.15 floor; add tables or raise the cap")
       g.orderBy("src_id", "rank")
+    }, Some(knnGraphOracle(extraWhere = "")))),
+
+    // D206 — INCREMENTAL kNN-graph maintenance (the D27/D131 discipline
+    // applied to D202): an appended vector batch changes only the nodes
+    // sharing a capped bucket with an admitted batch member — their
+    // edges recompute (src-side-filtered bucket join, O(affected ×
+    // bucket members)), everyone else's edges splice through untouched.
+    // The incremental result is require()d EQUAL to the full rebuild
+    // over corpus ∪ batch, locality require()d real (affected ≪ all),
+    // and the spliced graph slice is oracled like D202.
+    "sim_knn_graph_incr" -> (((spark, dir) => {
+      val emb = load(spark, dir, "embeddings")
+      val cap = 64
+      val maxId = emb.agg(max("vec_id")).head().getLong(0)
+      val cut = maxId * 4 / 5 // batch ids strictly above every corpus id
+      val corpus = emb.filter(col("vec_id") <= cut)
+      val batch = emb.filter(col("vec_id") > cut)
+      val old = Similarity.knnGraph(corpus, "vec_id", "embedding",
+        KnnTables, k = 5, bucketCap = cap)
+      val incr = Similarity.knnGraphIncrement(corpus, batch, old,
+        "vec_id", "embedding", KnnTables, k = 5, bucketCap = cap)
+        .localCheckpoint() // pin: the equality require reuses it twice
+      val full = Similarity.knnGraph(emb, "vec_id", "embedding",
+        KnnTables, k = 5, bucketCap = cap)
+      require(incr.exceptAll(full).isEmpty &&
+        full.exceptAll(incr).isEmpty,
+        "the incremental graph must EQUAL the full rebuild")
+      // locality: most sources carried over from the old graph untouched
+      val changed = incr.exceptAll(old).select("src_id").distinct().count()
+      val nodes = emb.count()
+      require(changed > 0 && changed < nodes,
+        s"increment must touch some ($changed) but not all ($nodes) nodes")
+      incr.filter(pmod(col("src_id"), lit(7)) === 0)
+        .orderBy("src_id", "rank")
+    }, Some(knnGraphOracle(extraWhere = "AND src_id % 7 = 0")))),
+
+    // D207 — embedding-space eval-set decontamination
+    // (Similarity.semanticContamination): D19 catches VERBATIM leakage
+    // by n-gram overlap; paraphrased eval items need the embedding
+    // space. The (small) eval side's bucket memberships broadcast; the
+    // corpus buckets by pure projection; candidates are bucket
+    // collisions; best eval match per contaminated doc reported. The
+    // removal split is require()d exact; the hit list oracled by the
+    // pinned-plane SQL replay.
+    "llm_embed_decontaminate" -> (((spark, dir) => {
+      val emb = load(spark, dir, "embeddings")
+      val eval = emb.filter(col("vec_id") % 50 === 0)
+      val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+      val hits = Similarity.semanticContamination(corpus, eval,
+        "vec_id", "embedding", KnnTables, threshold = 0.35)
+        .localCheckpoint() // reused by the split require below
+      val n = hits.count()
+      require(n > 0, "the threshold must catch contamination here")
+      val clean = corpus.join(hits.select(col("id").as("vec_id")),
+        Seq("vec_id"), "left_anti")
+      require(clean.count() + n == corpus.count(),
+        "clean + contaminated must partition the corpus exactly")
+      hits.orderBy("id")
     }, Some {
       def dotLit(v: String, cs: Seq[Double]): String =
         dotSql(v, cs.mkString("[", ", ", "]"))
@@ -346,30 +447,22 @@ object RetrievalQueries {
       WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
                  FROM embeddings),
       b AS ($bSql),
-      capped AS (
-        SELECT tbl, bucket, id FROM (
-          SELECT tbl, bucket, id,
-                 row_number() OVER (PARTITION BY tbl, bucket
-                   ORDER BY id) AS rn
-          FROM b) WHERE rn <= 64),
-      cand AS (
-        SELECT DISTINCT a.id AS src_id, c.id AS dst_id
-        FROM capped a JOIN capped c
-          ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.id <> c.id),
-      scored AS (
-        SELECT cand.src_id, cand.dst_id,
-               round(${dotSql("s.v", "d.v")} /
-                 (sqrt(${dotSql("s.v", "s.v")}) *
-                  sqrt(${dotSql("d.v", "d.v")})), 4) AS cosine4
-        FROM cand JOIN e s ON s.id = cand.src_id
-                  JOIN e d ON d.id = cand.dst_id),
+      ce AS (SELECT * FROM b WHERE id % 50 <> 0),
+      ee AS (SELECT tbl, bucket, id AS eval_id, v AS ev FROM b
+             WHERE id % 50 = 0),
+      hits AS (
+        SELECT DISTINCT ce.id, ee.eval_id,
+               round(${dotSql("ce.v", "ee.ev")} /
+                 (sqrt(${dotSql("ce.v", "ce.v")}) *
+                  sqrt(${dotSql("ee.ev", "ee.ev")})), 4) AS cosine4
+        FROM ce JOIN ee ON ce.tbl = ee.tbl AND ce.bucket = ee.bucket),
       ranked AS (
-        SELECT src_id, dst_id, cosine4,
-               row_number() OVER (PARTITION BY src_id
-                 ORDER BY cosine4 DESC, dst_id ASC) AS rank
-        FROM scored)
-      SELECT src_id, dst_id, cosine4, CAST(rank AS INT) AS rank
-      FROM ranked WHERE rank <= 5 ORDER BY src_id, rank"""
+        SELECT id, eval_id, cosine4,
+               row_number() OVER (PARTITION BY id
+                 ORDER BY cosine4 DESC, eval_id ASC) AS rn
+        FROM hits WHERE cosine4 >= 0.35)
+      SELECT id, eval_id, cosine4 FROM ranked WHERE rn = 1
+      ORDER BY id"""
     })),
 
     // Char-distribution entropy (a–z + space): counts via the

@@ -112,6 +112,145 @@ object StageWriter {
     finally spark.conf.set(key, prev)
   }
 
+  /** APPEND new rows as NEW files (SURVEY §2D, D204) — the ingest path
+    * for immutable event data: every existing file stays byte-identical
+    * and the cost is O(batch), where overwrite is O(table) and MERGE is
+    * the keyed-update shape. Flat tables only (the targeted-merge
+    * restriction); partitioned layouts take [[overwritePartitions]].
+    * An absent target bootstraps via [[overwrite]] (declared planes
+    * then build in full).
+    *
+    * The guard rails compose:
+    *  - D197 CHECKs validate the STAGED batch bytes — refusal deletes
+    *    the staging dir with the target and every plane untouched;
+    *  - declared pruning planes maintain INCREMENTALLY, O(new files):
+    *    zone maps patch, declared blooms hash only the new files, and
+    *    the range-stats sidecar unions the new files' (footer-first)
+    *    ranges — no plane silently stands down after an append;
+    *  - reveal is hidden-staging + per-file atomic rename (the
+    *    targeted-merge ordering): a crash mid-reveal leaves a PARTIAL
+    *    batch visible to plain readers (re-land after upstream dedup);
+    *    deployments needing atomic multi-file appends commit through
+    *    [[VersionedTable]]. */
+  def append(df: DataFrame, path: String): Unit =
+    append(df, path, None)
+
+  /** As [[append]]; `nonce` pins the landed file-name tag (default: a
+    * fresh random tag per call) — the exactly-once streaming sink keys
+    * it by batch id so a crashed attempt's partial landing is
+    * SWEEPABLE by name ([[appendExactlyOnce]]). */
+  def append(df: DataFrame, path: String, nonce: Option[String]): Unit = {
+    val dir = Paths.get(path)
+    if (!Files.isDirectory(dir)) { overwrite(df, path); return }
+    val spark = df.sparkSession
+    val preFiles = listDataFiles(dir)
+    val partitioned = {
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.exists(p => Files.isDirectory(p) &&
+          p.getFileName.toString.contains("="))
+      } finally s.close()
+    }
+    require(!partitioned,
+      s"append targets flat tables; $path has hive partition directories")
+    val tmpDir = path + ".__appendtmp__"
+    df.write.mode(SaveMode.Overwrite).parquet(tmpDir)
+    try Checks.enforceStaged(spark, tmpDir, path, df.schema)
+    catch { case t: Throwable =>
+      deleteRecursively(Paths.get(tmpDir)); throw t }
+    val parts = listDataFiles(Paths.get(tmpDir))
+    val tag = nonce.getOrElse(
+      java.util.UUID.randomUUID().toString.substring(0, 8))
+    val staged = parts.zipWithIndex.map { case (p, i) =>
+      val vis = dir.resolve(f"ap-$tag%s-p$i%05d.parquet")
+      val hid = dir.resolve("." + vis.getFileName.toString)
+      Files.move(p, hid, StandardCopyOption.ATOMIC_MOVE)
+      (hid, vis)
+    }
+    staged.foreach { case (hid, vis) =>
+      Files.move(hid, vis, StandardCopyOption.ATOMIC_MOVE) }
+    deleteRecursively(Paths.get(tmpDir))
+    val added = staged.map(_._2)
+    // range-stats plane: union the valid existing per-file ranges with
+    // the new files' (footer-first — usually zero jobs); a stale or
+    // foreign sidecar rebuilds in full rather than patching a lie
+    statsSidecarSpec(path).foreach { case (c, kind) =>
+      if (kind == "string") loadStatsStr(path, preFiles, c) match {
+        case Some(existing) =>
+          writeStatsStr(path, c, existing ++ computeStatsStr(spark, added, c))
+        case None => refreshStats(spark, path, c)
+      } else loadStats(path, preFiles, c) match {
+        case Some(existing) =>
+          writeStats(path, c, existing ++ computeStats(spark, added, c))
+        case None => refreshStats(spark, path, c)
+      }
+    }
+    // zone map patches, declared blooms hash only the new files
+    Sidecars.afterTargetedRewrite(spark, path,
+      preFiles.map(_.getFileName.toString), Set.empty, added)
+  }
+
+  /** Exactly-once streaming APPEND (SURVEY §2D, D208) — the
+    * `foreachBatch` body for ingesting a stream into a guarded,
+    * plane-maintained table. Structured Streaming replays a batch with
+    * the SAME id and content on restart from its checkpoint (the
+    * foreachBatch exactly-once contract), so:
+    *
+    *  - an applied MARKER (`path.__applied__/<batchId>`) makes replays
+    *    of committed batches no-ops;
+    *  - a crash BETWEEN reveal and marker is repaired on re-delivery:
+    *    landed file names carry the batch id (`ap-b<id>-*`), so the
+    *    retry SWEEPS any partial landing (visible or hidden) before
+    *    re-appending — duplicates cannot survive;
+    *  - the sweep may leave pruning planes stale; [[append]]'s
+    *    maintenance detects the inventory mismatch and rebuilds rather
+    *    than patching a lie (consumers stood down in the window — safe).
+    *
+    * D197 CHECKs and the O(new files) plane maintenance ride along via
+    * [[append]]. The marker dir is sibling state like every sidecar. */
+  def appendExactlyOnce(batch: DataFrame, path: String,
+      batchId: Long): Unit = {
+    val dir = Paths.get(path)
+    val markerDir = Paths.get(path + ".__applied__")
+    val marker = markerDir.resolve(batchId.toString)
+    if (Files.exists(marker)) return // replayed committed batch: no-op
+    if (Files.isDirectory(dir)) {
+      val prefix = s"ap-b$batchId-"
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith(prefix) || n.startsWith("." + prefix)
+          }
+          .foreach(Files.deleteIfExists(_))
+      } finally s.close()
+    }
+    append(batch, path, nonce = Some(s"b$batchId"))
+    Files.createDirectories(markerDir)
+    try Files.createFile(marker)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    ()
+  }
+
+  /** The stats sidecar's (column, kind) from its header line, or None
+    * when absent/unparsable. */
+  private[sink] def statsSidecarSpec(path: String)
+      : Option[(String, String)] = {
+    val f = statsFile(path)
+    if (!Files.exists(f)) return None
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(f).asScala.headOption.flatMap { h =>
+      h.split("\t").toList match {
+        case "#column" :: c :: Nil => Some((c, "long"))
+        case "#column" :: c :: "string" :: Nil => Some((c, "string"))
+        case _ => None
+      }
+    }
+  }
+
   /** Atomic-ish `path.__tmp__` → `path` swap shared by the overwrite and
     * optimize paths (see the class doc for the crash-window contract).
     * `private[graft]` so sinks that must co-publish a sidecar ATOMICALLY

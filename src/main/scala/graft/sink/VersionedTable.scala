@@ -137,6 +137,14 @@ object VersionedTable {
         }
       }
       df.write.mode(SaveMode.Overwrite).parquet(versionDir(table, next))
+      // write-time contracts bind to the transactional sink too (D205):
+      // CHECKs declared for the TABLE ROOT validate the STAGED version's
+      // bytes at this WAP point — a violating commit aborts below with
+      // the pointer untouched, so no reader (head or AS OF) can ever
+      // see a version that broke a declared invariant. No-op for
+      // undeclared tables.
+      Checks.enforceStaged(df.sparkSession, versionDir(table, next),
+        table, df.schema)
       // WAP audit point: staged data exists, nothing is visible yet —
       // a throw here lands in the cleanup below (version dir + claim
       // removed, pointer untouched)

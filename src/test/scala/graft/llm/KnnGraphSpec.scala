@@ -57,4 +57,31 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(g2.collect().toSet == g.collect().toSet,
       "the graph is a function of the data, not the partitioning")
   }
+
+  test("incremental maintenance equals the full rebuild; a batch in a " +
+    "FULL bucket changes nothing (cap admission is by id)") {
+    val mk = (id: Long, c: Int) => {
+      val v = Array.fill(8)(0.0f); v(c) = 1.0f
+      v(4 + (c % 4)) = 0.001f * (id % 17); (id, v.toSeq)
+    }
+    val corpus = ((0 until 30).map(i => mk(i.toLong, i % 2))).toDF("id", "v")
+    val batch = ((30 until 40).map(i => mk(i.toLong, i % 2))).toDF("id", "v")
+    val old = Similarity.knnGraph(corpus, "id", "v", tables, k = 3,
+      bucketCap = 64)
+    val incr = Similarity.knnGraphIncrement(corpus, batch, old, "id",
+      "v", tables, k = 3, bucketCap = 64)
+    val full = Similarity.knnGraph(corpus.unionByName(batch), "id", "v",
+      tables, k = 3, bucketCap = 64)
+    assert(incr.collect().toSet == full.collect().toSet,
+      "increment must equal the full rebuild")
+    // cap-full case: cap 8 < 15 members per cluster bucket — batch ids
+    // (largest) are NOT admitted, so the old graph carries unchanged
+    val incr8 = Similarity.knnGraphIncrement(corpus, batch,
+      Similarity.knnGraph(corpus, "id", "v", tables, k = 3, bucketCap = 8),
+      "id", "v", tables, k = 3, bucketCap = 8)
+    val full8 = Similarity.knnGraph(corpus.unionByName(batch), "id", "v",
+      tables, k = 3, bucketCap = 8)
+    assert(incr8.collect().toSet == full8.collect().toSet,
+      "full buckets: increment still equals the rebuild")
+  }
 }

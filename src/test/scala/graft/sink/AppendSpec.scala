@@ -1,0 +1,71 @@
+package graft.sink
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** D204 — append: O(batch) landings, byte-identical existing files,
+  * staged-bytes CHECKs, flat-table guard, absent-target bootstrap. */
+class AppendSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def frame(lo: Long, hi: Long) = spark.range(lo, hi)
+    .select(col("id").as("k"), (col("id") % 100).as("v"))
+
+  test("bootstrap, append, byte-identical existing files; CHECKs bind " +
+    "to the staged batch; a refused append cleans its staging") {
+    val tmp = Files.createTempDirectory("append")
+    try {
+      val p = tmp.resolve("t").toString
+      StageWriter.append(frame(0, 1000).repartition(3), p) // bootstrap
+      assert(spark.read.parquet(p).count() == 1000)
+      def inv() = StageWriter.listDataFiles(Paths.get(p))
+        .map(f => f.getFileName.toString -> Files.size(f)).toMap
+      val before = inv()
+      Checks.declare(p, Map("v_nn" -> "v IS NOT NULL"))
+      StageWriter.append(frame(1000, 1500).repartition(2), p)
+      val after = inv()
+      assert(before.forall { case (f, s) => after.get(f).contains(s) },
+        "existing files must stay byte-identical")
+      assert(spark.read.parquet(p).count() == 1500)
+      intercept[Checks.CheckViolation] {
+        StageWriter.append(frame(1500, 1600)
+          .withColumn("v", lit(null).cast("long")), p)
+      }
+      assert(!Files.isDirectory(Paths.get(p + ".__appendtmp__")))
+      assert(spark.read.parquet(p).count() == 1500,
+        "a refused append must land nothing")
+      Checks.drop(p)
+      // a partitioned layout is refused (flat-table contract)
+      val q = tmp.resolve("part").toString
+      frame(0, 100).write.partitionBy("v").parquet(q)
+      intercept[IllegalArgumentException] {
+        StageWriter.append(frame(100, 200), q)
+      }
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+
+  test("a versioned commit validates the STAGED version against the " +
+    "table's declared CHECKs before any pointer moves") {
+    val tmp = Files.createTempDirectory("vtchk")
+    try {
+      val t = tmp.resolve("vt").toString
+      Checks.declare(t, Map("v_small" -> "v < 1000"))
+      VersionedTable.commit(frame(0, 100), t)
+      val e = intercept[Checks.CheckViolation] {
+        VersionedTable.commit(frame(0, 100)
+          .withColumn("v", col("k") + 5000), t)
+      }
+      assert(e.getMessage.contains("v_small"))
+      assert(VersionedTable.latestVersion(t).contains(1) &&
+        VersionedTable.versions(t) == Seq(1),
+        "refused commit: pointer untouched, staged dir cleaned")
+      assert(VersionedTable.commit(frame(100, 150), t) == 2,
+        "the claim must be released for the next clean commit")
+      Checks.drop(t)
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+}

@@ -80,12 +80,14 @@ class PortableSpec extends AnyFunSuite {
       assert(r1 == Erasure.Erased(1, 30))
       assert(DeletionVectors.read(spark, path)
         .filter(col("user_id") === 3L).count() == 0)
-      // re-erase: the same positions re-append (delete scans the raw
-      // data by design — overlapping vectors dedup at read); the VISIBLE
-      // state is unchanged
+      // re-erase: NET-NEW counting (r10) — already-tombstoned rows
+      // count nothing, the ledger never overstates, and the sidecar
+      // stays duplicate-free; the visible state is unchanged
       val r2 = Erasure.eraseSubjects(spark, path, "user_id", subjects,
         ledger, "k1")
-      assert(r2.rows == 30)
+      assert(r2.rows == 0, "re-erasure must report net-new rows only")
+      assert(spark.read.parquet(path + "._dv").count() == 30,
+        "the sidecar must not grow on re-erasure")
       assert(DeletionVectors.read(spark, path).count() == 270)
       assert(Erasure.isErased(spark, ledger, "3", "k1"))
       assert(!Erasure.isErased(spark, ledger, "3", "WRONG-KEY"),
