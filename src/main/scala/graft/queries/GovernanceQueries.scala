@@ -339,6 +339,65 @@ object GovernanceQueries {
                   ELSE '' END AS flags
       FROM cols ORDER BY tbl, col"""))),
 
+    // D209 — GOVERNED schema export (SchemaExport × AccessTags): the
+    // DBML document now renders each column's access tags as a note —
+    // the handed-out catalog doc SAYS what is governed, like LF-Tags in
+    // the reference's console. Tags come from the durable registry
+    // (memory cleared pre-render); multi-tag columns render sorted.
+    "q_schema_export_governed" -> (((spark, dir) => {
+      import spark.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("dbmlgov_gate")
+      val docs = tmp.resolve("documents").toString
+      try {
+        load(spark, dir, "documents").write.parquet(docs)
+        graft.sources.AccessTags.tagColumns(docs, Map(
+          "doc_id" -> Set("id"),
+          "text" -> Set("quality", "freetext"), // multi-tag: sorted note
+          "source" -> Set("meta")))
+        graft.sources.AccessTags.resetMemory() // durable plane only
+        val text = graft.sources.SchemaExport.dbml(spark,
+          Seq("documents" -> docs),
+          extraPks = Map("documents" -> Seq("doc_id")))
+        require(text.contains("note: 'tags: freetext,quality'"),
+          "multi-tag columns must render a sorted tag note")
+        val rows = scala.collection.mutable.Buffer
+          .empty[(String, String, String, String)]
+        var cur = ""
+        text.linesIterator.foreach { l =>
+          if (l.startsWith("Table "))
+            cur = l.stripPrefix("Table ").stripSuffix(" {")
+          else if (l.startsWith("  ")) {
+            val body = l.trim
+            val (decl, flags) = body.indexOf(" [") match {
+              case -1 => (body, "")
+              case i => (body.substring(0, i),
+                body.substring(i + 2, body.length - 1))
+            }
+            val parts = decl.split(" ", 2)
+            rows += ((cur, parts(0), parts(1), flags))
+          }
+        }
+        rows.toSeq.toDF("tbl", "col", "typ", "flags")
+          .orderBy("tbl", "col")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally {
+        graft.sources.AccessTags.untagTable(docs)
+        graft.sink.StageWriter.deleteRecursively(tmp)
+      }
+    }, Some("""
+      SELECT 'documents' AS tbl, column_name AS col,
+             CASE lower(column_type) WHEN 'varchar' THEN 'varchar'
+                  WHEN 'integer' THEN 'int' WHEN 'bigint' THEN 'bigint'
+                  WHEN 'double' THEN 'float' ELSE lower(column_type)
+             END AS typ,
+             CASE column_name
+               WHEN 'doc_id' THEN 'pk, note: ''tags: id'''
+               WHEN 'text' THEN 'note: ''tags: freetext,quality'''
+               WHEN 'source' THEN 'note: ''tags: meta'''
+               ELSE '' END AS flags
+      FROM (DESCRIBE SELECT * FROM documents)
+      ORDER BY tbl, col"""))),
+
     // D193 — ROW-level policies (AccessTags.tagRows), the Lake Formation
     // data-cells-filter analog completing D191's column plane: per
     // profile, a SQL predicate over the RAW table restricts visible

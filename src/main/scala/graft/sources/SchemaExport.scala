@@ -70,13 +70,20 @@ object SchemaExport {
     val sb = new StringBuilder
     tables.foreach { case (name, path) =>
       val schema = spark.read.parquet(path).schema
+      // governance annotations (r10, D209): a column's access tags from
+      // the durable D198 registry render as a DBML note — the document
+      // a data team hands out now SAYS which columns are governed (the
+      // reference's LF-Tags are equally visible in its catalog console)
+      val tagsOf = AccessTags.tagsOf(path)
       sb.append(s"Table $name {\n")
       schema.fields.foreach { f =>
         val flags =
           (if (pkOf.getOrElse(name, Set.empty).contains(f.name) ||
             extraPks.getOrElse(name, Nil).contains(f.name)) Seq("pk")
           else Nil) ++
-            refOf.get((name, f.name)).map(r => s"ref: > $r").toSeq
+            refOf.get((name, f.name)).map(r => s"ref: > $r").toSeq ++
+            tagsOf.get(f.name).map(ts =>
+              s"note: 'tags: ${ts.toSeq.sorted.mkString(",")}'").toSeq
         val flagStr =
           if (flags.isEmpty) "" else s" [${flags.mkString(", ")}]"
         sb.append(s"  ${f.name} ${dbmlType(f.dataType)}$flagStr\n")
