@@ -225,21 +225,43 @@ object ScaleSmoke {
       // D198/D199: sidecar reads are metadata-sized; governed reads
       // stay pure projections over the plain (or versioned) scan
       "c10_tags_durable", "c10_tags_versioned",
-      // D202: candidate pairs require()d under the cap bound IN the
-      // gate — the boundedness invariant that holds at any corpus size
-      "sim_knn_graph",
       // D203: one exchange + in-task sort; manifest is a 2-column
       // read-back of the landed files
       "llm_shuffle_shards",
       // D204: O(batch) landings + O(new files) plane patches; D205:
       // one columnar read of the staged version at the WAP point
       "q_append_incremental", "c5_check_commit",
-      // D206: recompute bounded to affected buckets; D207: eval side
-      // broadcasts, corpus buckets by projection; D208: per-batch
-      // append cost + marker probes
-      "sim_knn_graph_incr", "llm_embed_decontaminate",
+      // D207: eval side broadcasts, corpus buckets by projection;
+      // D208: per-batch append cost + marker probes.
+      // sim_knn_graph / sim_knn_graph_incr are NOT here: key-shifted
+      // replication makes every vector 20 IDENTICAL copies, and the
+      // smallest-id bucket caps (correctly) exclude the high-id clones
+      // — the gates' recall floor measures the DATA pathology, not the
+      // plan. The D202 boundedness invariant gets its own dedicated
+      // proof below instead.
+      "llm_embed_decontaminate",
       "evt_stream_append"))
       time(q) { qs(q)(spark, dst).count() }
+
+    // ---- D202 kNN-graph boundedness: the cap bound holds at 20× ----
+    // 100k vectors (20 identical copies of each original — skew in
+    // anger for LSH buckets) still produce candidate pairs UNDER
+    // tables·2^planes·cap·(cap−1): never all-pairs, at any corpus size.
+    {
+      val knnTables = graft.llm.Dedup.portablePlanes(20, 64)
+        .grouped(5).toSeq
+      val cap = 64
+      val bound = knnTables.size.toLong * 32 * cap * (cap - 1)
+      time("knn_cap_bound") {
+        val n = graft.llm.Similarity.knnCandidates(
+          spark.read.parquet(s"$dst/embeddings.parquet"),
+          "vec_id", "embedding", knnTables, bucketCap = cap).count()
+        require(n <= bound && n > 0,
+          s"kNN candidates $n must stay under the cap bound $bound " +
+            "at 20x (uncapped identical-copy cliques would be ~10^10)")
+        n
+      }
+    }
 
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----
     // q_percentile's primary plan is the KmhSample bounded sample; its

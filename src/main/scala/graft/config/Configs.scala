@@ -83,7 +83,11 @@ final case class EndpointConfig(
     dbPort: Int,
     srcDbName: String,
     srcServerName: String,
-    srcDbUsername: String)
+    srcDbUsername: String,
+    // the SECRET'S NAME, never its value (credentials.csv SRC_DB_SECRET
+    // — the reference resolves it through Secrets Manager at connect
+    // time, extract_data.py:255; graft through a Credentials.Provider)
+    srcDbSecret: String = "")
 
 /** NEW_DATA_TYPE string → Spark DataType (reference _get_spark_type,
   * light_transform.py:1328-1354). */

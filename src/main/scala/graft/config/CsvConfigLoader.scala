@@ -76,7 +76,8 @@ object CsvConfigLoader {
       dbPort = int(row.getOrElse("DB_PORT_NUMBER", "0")),
       srcDbName = row.getOrElse("SRC_DB_NAME", "").trim,
       srcServerName = row.getOrElse("SRC_SERVER_NAME", "").trim,
-      srcDbUsername = row.getOrElse("SRC_DB_USERNAME", "").trim)
+      srcDbUsername = row.getOrElse("SRC_DB_USERNAME", "").trim,
+      srcDbSecret = row.getOrElse("SRC_DB_SECRET", "").trim)
 
   def loadTables(path: String): Seq[TableConfig] =
     parseFile(path).map(tableConfig)

@@ -139,9 +139,21 @@ object DialectQueries {
           "derby_main.user=graft_user\nderby_main.password=s3cr3t-pw\n")
         val chain = Credentials.Chain(Seq(
           Credentials.Env(), Credentials.PropsFile(secretsFile)))
-        val ep = graft.config.EndpointConfig(
-          "derby_main", "mysql", 1527, "secdb", "localhost", "cfg_user")
-        val props = JdbcSource.securedProps(ep, "derby_main", chain)
+        // the endpoint row arrives in the reference's credentials.csv
+        // shape — SRC_DB_SECRET names the secret, never carries it
+        val ep = graft.config.CsvConfigLoader.parse(
+          "ENDPOINT_NAME;BD_TYPE;DB_PORT_NUMBER;SRC_DB_NAME;" +
+            "SRC_DB_SECRET;SRC_DB_USERNAME;SRC_SERVER_NAME\n" +
+            "derby_main;mysql;1527;secdb;derby_main;cfg_user;localhost")
+          .map(graft.config.CsvConfigLoader.endpointConfig).head
+        require(ep.srcDbSecret == "derby_main",
+          "the loader must surface SRC_DB_SECRET")
+        val noSecret = try {
+          JdbcSource.securedPropsFor(ep.copy(srcDbSecret = ""), chain); ""
+        } catch { case e: IllegalArgumentException => e.getMessage }
+        require(noSecret.contains("SRC_DB_SECRET"),
+          "an endpoint without a declared secret must refuse")
+        val props = JdbcSource.securedPropsFor(ep, chain)
         require(props.getProperty("user") == "graft_user",
           "the secret's user field must override the config username")
         props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")

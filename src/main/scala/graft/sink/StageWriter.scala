@@ -215,6 +215,11 @@ object StageWriter {
     val markerDir = Paths.get(path + ".__applied__")
     val marker = markerDir.resolve(batchId.toString)
     if (Files.exists(marker)) return // replayed committed batch: no-op
+    // force the STAGED-REVEAL path even on bootstrap (an empty dir, not
+    // an overwrite): bootstrap files must carry the batch-id tag too,
+    // or a crash between the first landing and its marker could not be
+    // swept on re-delivery and batch 0 would land twice
+    Files.createDirectories(dir)
     if (Files.isDirectory(dir)) {
       val prefix = s"ap-b$batchId-"
       val s = Files.list(dir)

@@ -49,6 +49,17 @@ object JdbcSource {
     * (`extract_data.py:267-312`): the secret never lives in the config
     * row. A missing secret (or one without a `password` field) refuses
     * naming the secret and the providers consulted. */
+  /** [[securedProps]] keyed by the endpoint's OWN configured secret
+    * name (`credentials.csv` SRC_DB_SECRET) — the config-plane path a
+    * deployment actually takes; refuses when the row declares none. */
+  def securedPropsFor(ep: EndpointConfig,
+      provider: Credentials.Provider): Properties = {
+    require(ep.srcDbSecret.nonEmpty,
+      s"endpoint ${ep.endpointName} declares no SRC_DB_SECRET — " +
+        "credentials must come from a secret, never the config row")
+    securedProps(ep, ep.srcDbSecret, provider)
+  }
+
   def securedProps(ep: EndpointConfig, secretId: String,
       provider: Credentials.Provider): Properties = {
     val secret = Credentials.required(secretId, provider)

@@ -38,6 +38,27 @@ class ReferenceConfigReplaySpec extends AnyFunSuite {
     }
   }
 
+  test("every credentials.csv endpoint parses; secrets arrive as NAMES " +
+    "and resolve through a provider, never from the config row") {
+    assume(available)
+    val eps = CsvConfigLoader.loadEndpoints(s"$base/credentials.csv")
+    assert(eps.nonEmpty)
+    eps.foreach { ep =>
+      assert(ep.endpointName.nonEmpty && ep.srcServerName.nonEmpty)
+      assert(Set("mssql", "oracle", "mysql")
+        .contains(ep.bdType.trim.toLowerCase), s"${ep.endpointName}")
+      assert(ep.srcDbSecret.nonEmpty,
+        s"${ep.endpointName}: the reference always names a secret")
+      // the secret VALUE is not in the row; a provider resolves by name
+      val pw = s"pw-${ep.endpointName}"
+      val provider = graft.sources.Credentials.Static(
+        Map(ep.srcDbSecret -> Map("password" -> pw)))
+      val props = graft.sources.JdbcSource.securedPropsFor(ep, provider)
+      assert(props.getProperty("password") == pw)
+      assert(props.getProperty("user") == ep.srcDbUsername)
+    }
+  }
+
   test("all shipped column transformations compile with zero degradation") {
     assume(available)
     val rows = CsvConfigLoader.parseFile(s"$base/columns.csv")

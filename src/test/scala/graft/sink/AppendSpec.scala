@@ -48,6 +48,29 @@ class AppendSpec extends AnyFunSuite {
     } finally StageWriter.deleteRecursively(tmp)
   }
 
+  test("exactly-once sink: marker replays no-op; a partial landing " +
+    "(crash before marker) sweeps on re-delivery — including batch 0") {
+    val tmp = Files.createTempDirectory("apxo")
+    try {
+      val p = tmp.resolve("t").toString
+      // crash simulation: batch 0 landed fully, marker never written
+      Files.createDirectories(Paths.get(p))
+      StageWriter.append(frame(0, 100), p, nonce = Some("b0"))
+      assert(spark.read.parquet(p).count() == 100)
+      StageWriter.appendExactlyOnce(frame(0, 100), p, 0L)
+      assert(spark.read.parquet(p).count() == 100,
+        "re-delivery of an unmarked batch must sweep, not duplicate")
+      // marker present: replay is a no-op
+      StageWriter.appendExactlyOnce(frame(500, 600), p, 0L)
+      assert(spark.read.parquet(p).count() == 100)
+      StageWriter.appendExactlyOnce(frame(100, 150), p, 1L)
+      assert(spark.read.parquet(p).count() == 150)
+      assert(StageWriter.listDataFiles(Paths.get(p)).forall(
+        _.getFileName.toString.startsWith("ap-b")),
+        "every exactly-once landing carries its batch-id tag")
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+
   test("a versioned commit validates the STAGED version against the " +
     "table's declared CHECKs before any pointer moves") {
     val tmp = Files.createTempDirectory("vtchk")
