@@ -281,6 +281,16 @@ object Similarity {
       roundDigits)
   }
 
+  /** [[knnGraph]] from an already-materialized candidate frame — a
+    * caller that inspected the candidates (the gate's cap-bound check,
+    * an NN-Descent round) finishes the graph without re-running the
+    * bucket self-join. */
+  def knnGraphFromCandidates(candidates: DataFrame, k: Int,
+      roundDigits: Int = 4): DataFrame = {
+    require(k >= 1)
+    topK(candidates, k, roundDigits)
+  }
+
   /** Embedding-space eval-set decontamination (SURVEY §2D, D207) —
     * D19's n-gram decontamination catches VERBATIM leakage; paraphrased
     * or template-rewritten eval items need the embedding space (the

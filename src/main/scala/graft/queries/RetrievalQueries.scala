@@ -351,14 +351,15 @@ object RetrievalQueries {
     "sim_knn_graph" -> (((spark, dir) => {
       val emb = load(spark, dir, "embeddings")
       val cap = 64
+      // candidates materialize ONCE: the cap-bound check and the graph
+      // share them (the bucket self-join is the expensive stage)
       val cand = Similarity.knnCandidates(emb, "vec_id", "embedding",
-        KnnTables, bucketCap = cap)
+        KnnTables, bucketCap = cap).localCheckpoint()
       val bound = KnnTables.size.toLong * 32 * cap * (cap - 1)
       val nCand = cand.count()
       require(nCand <= bound && nCand > 0,
         s"candidate pairs $nCand must stay under the cap bound $bound")
-      val g = Similarity.knnGraph(emb, "vec_id", "embedding",
-        KnnTables, k = 5, bucketCap = cap)
+      val g = Similarity.knnGraphFromCandidates(cand, k = 5)
       // recall floor vs brute force on a node sample: the graph is
       // approximate by contract, but it must FIND neighbors
       val sample = emb.filter(col("vec_id") < 40)
@@ -392,13 +393,15 @@ object RetrievalQueries {
       val cut = maxId * 4 / 5 // batch ids strictly above every corpus id
       val corpus = emb.filter(col("vec_id") <= cut)
       val batch = emb.filter(col("vec_id") > cut)
+      // each graph materializes ONCE (old feeds the increment AND the
+      // locality except; incr and full feed two equality excepts each)
       val old = Similarity.knnGraph(corpus, "vec_id", "embedding",
-        KnnTables, k = 5, bucketCap = cap)
+        KnnTables, k = 5, bucketCap = cap).localCheckpoint()
       val incr = Similarity.knnGraphIncrement(corpus, batch, old,
         "vec_id", "embedding", KnnTables, k = 5, bucketCap = cap)
-        .localCheckpoint() // pin: the equality require reuses it twice
+        .localCheckpoint()
       val full = Similarity.knnGraph(emb, "vec_id", "embedding",
-        KnnTables, k = 5, bucketCap = cap)
+        KnnTables, k = 5, bucketCap = cap).localCheckpoint()
       require(incr.exceptAll(full).isEmpty &&
         full.exceptAll(incr).isEmpty,
         "the incremental graph must EQUAL the full rebuild")

@@ -57,7 +57,8 @@ class ConfigSpec extends AnyFunSuite {
         |EP1;mssql;1433;T;erp;PE;sec;svc;db01;I1;prod""".stripMargin
     val eps = CsvConfigLoader.parse(csv).map(CsvConfigLoader.endpointConfig)
     assert(eps == Seq(EndpointConfig("EP1", "mssql", 1433, "erp", "db01",
-      "svc")))
+      "svc", srcDbSecret = "sec")),
+      "SRC_DB_SECRET carries the secret's NAME into the endpoint row")
   }
 
   test("type mapping covers the reference NEW_DATA_TYPE surface") {

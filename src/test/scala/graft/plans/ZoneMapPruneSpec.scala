@@ -46,10 +46,14 @@ class ZoneMapPruneSpec extends AnyFunSuite {
         .filter(col("s") >= "s002000" && col("s") < "s003000")
       assert(scanFiles(sq) < total, "string column must prune")
       assert(sq.count() == 1000)
-      // both columns constrained: intersection skips at least as much
+      // both columns constrained: adding a conjunct can only prune
+      // FURTHER than the same k bound alone. (Comparing against sq is
+      // unsound — its s-range is a DIFFERENT predicate than both's
+      // s >= bound, and repartitionByRange's sampled boundaries
+      // legitimately let k<1000 straddle 2 files some runs.)
       val both = spark.read.parquet(path)
         .filter(col("k") < 1000 && col("s") >= "s000500")
-      assert(scanFiles(both) <= math.min(scanFiles(kq), scanFiles(sq)))
+      assert(scanFiles(both) <= scanFiles(kq))
       assert(both.count() == 500)
       // a predicate on an unmapped column must not prune
       assert(scanFiles(spark.read.parquet(path)
