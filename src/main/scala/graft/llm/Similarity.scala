@@ -291,6 +291,38 @@ object Similarity {
     topK(candidates, k, roundDigits)
   }
 
+  /** One NN-Descent refinement round over a kNN graph (SURVEY §2D,
+    * D210 — Dong, Moses & Li, WWW 2011: "a neighbor of a neighbor is
+    * likely a neighbor"): each node's candidates become its UNDIRECTED
+    * neighborhood's neighborhoods (forward ∪ reverse edges — reverse
+    * neighbors are the paper's key trick: a node many others point AT
+    * sees their neighborhoods too) plus its current edges, re-ranked by
+    * exact rounded cosine, keep top-k. Candidates are O(n·(2k)²) —
+    * never all-pairs, no LSH needed — and recall is MONOTONE by
+    * construction (current edges are in the candidate set, so the new
+    * top-k is at least as close). Iterate to convergence at the cost of
+    * one bounded self-join per round; the LSH graph (D202) is the
+    * standard cheap initializer. */
+  def nnDescentRound(graph: DataFrame, vectors: DataFrame, idCol: String,
+      vecCol: String, k: Int, roundDigits: Int = 4): DataFrame = {
+    require(k >= 1)
+    val fwd = graph.select(col("src_id"), col("dst_id"))
+    val und = fwd.unionByName(fwd.select(col("dst_id").as("src_id"),
+      col("src_id").as("dst_id"))).distinct()
+    val cand = und.as("a").join(und.as("b"),
+        col("a.dst_id") === col("b.src_id"))
+      .select(col("a.src_id").as("src_id"), col("b.dst_id").as("dst_id"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .unionByName(fwd)
+      .distinct()
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    topK(cand
+      .join(v.select(col("id").as("src_id"), col("v").as("sv")),
+        Seq("src_id"))
+      .join(v.select(col("id").as("dst_id"), col("v").as("dv")),
+        Seq("dst_id")), k, roundDigits)
+  }
+
   /** Embedding-space eval-set decontamination (SURVEY §2D, D207) —
     * D19's n-gram decontamination catches VERBATIM leakage; paraphrased
     * or template-rewritten eval items need the embedding space (the

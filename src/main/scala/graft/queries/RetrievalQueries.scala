@@ -38,10 +38,9 @@ object RetrievalQueries {
   private val KnnTables: Seq[Seq[Seq[Double]]] =
     Dedup.portablePlanes(20, 64).grouped(5).toSeq
 
-  /** The D202/D206 oracle: the full capped-LSH kNN graph replayed in
-    * SQL from the pinned plane tables; `extraWhere` slices the final
-    * edge list (the incremental gate outputs a modulo slice). */
-  private def knnGraphOracle(extraWhere: String): String = {
+  /** The shared D202 CTE chain: the full capped-LSH kNN graph replayed
+    * in SQL from the pinned plane tables, ending at `ranked`. */
+  private def knnGraphCtes: String = {
     def dotLit(v: String, cs: Seq[Double]): String =
       dotSql(v, cs.mkString("[", ", ", "]"))
     def bucket(planes: Seq[Seq[Double]]): String =
@@ -76,10 +75,42 @@ object RetrievalQueries {
         SELECT src_id, dst_id, cosine4,
                row_number() OVER (PARTITION BY src_id
                  ORDER BY cosine4 DESC, dst_id ASC) AS rank
-        FROM scored)
+        FROM scored)"""
+  }
+
+  /** D202/D206 oracle: the graph's edge list, optionally sliced. */
+  private def knnGraphOracle(extraWhere: String): String =
+    s"""$knnGraphCtes
       SELECT src_id, dst_id, cosine4, CAST(rank AS INT) AS rank
       FROM ranked WHERE rank <= 5 $extraWhere ORDER BY src_id, rank"""
-  }
+
+  /** D210 oracle: one NN-Descent round over the D202 graph —
+    * undirected neighborhoods, neighbor-of-neighbor candidates ∪
+    * current edges, exact re-rank, same tiebreak. */
+  private def knnRefineOracle: String =
+    s"""$knnGraphCtes,
+      g AS (SELECT src_id, dst_id FROM ranked WHERE rank <= 5),
+      und AS (SELECT src_id, dst_id FROM g
+              UNION SELECT dst_id, src_id FROM g),
+      cand2 AS (
+        SELECT a.src_id, b.dst_id
+        FROM und a JOIN und b ON a.dst_id = b.src_id
+        WHERE a.src_id <> b.dst_id
+        UNION SELECT src_id, dst_id FROM g),
+      scored2 AS (
+        SELECT cand2.src_id, cand2.dst_id,
+               round(${dotSql("s.v", "d.v")} /
+                 (sqrt(${dotSql("s.v", "s.v")}) *
+                  sqrt(${dotSql("d.v", "d.v")})), 4) AS cosine4
+        FROM cand2 JOIN e s ON s.id = cand2.src_id
+                   JOIN e d ON d.id = cand2.dst_id),
+      ranked2 AS (
+        SELECT src_id, dst_id, cosine4,
+               row_number() OVER (PARTITION BY src_id
+                 ORDER BY cosine4 DESC, dst_id ASC) AS rank
+        FROM scored2)
+      SELECT src_id, dst_id, cosine4, CAST(rank AS INT) AS rank
+      FROM ranked2 WHERE rank <= 5 ORDER BY src_id, rank"""
 
   /** Shared ranker CTE chain (DuckDB): corpus stats + the BM25 and
     * query-likelihood ranking pipelines over `Bm25Queries`. The three
@@ -413,6 +444,38 @@ object RetrievalQueries {
       incr.filter(pmod(col("src_id"), lit(7)) === 0)
         .orderBy("src_id", "rank")
     }, Some(knnGraphOracle(extraWhere = "AND src_id % 7 = 0")))),
+
+    // D210 — NN-Descent refinement round (Dong et al. 2011) over the
+    // D202 graph: candidates = undirected neighbor-of-neighbor pairs ∪
+    // current edges (O(n·(2k)²), never all-pairs, no LSH), exact
+    // re-rank, keep top-k. Recall vs brute force is require()d
+    // MONOTONE (current edges sit in the candidate set) and the round
+    // is require()d to actually move recall here; the refined edge
+    // list is oracled by the full two-stage SQL replay.
+    "sim_knn_refine" -> (((spark, dir) => {
+      val emb = load(spark, dir, "embeddings")
+      val base = Similarity.knnGraph(emb, "vec_id", "embedding",
+        KnnTables, k = 5, bucketCap = 64).localCheckpoint()
+      val refined = Similarity.nnDescentRound(base, emb, "vec_id",
+        "embedding", k = 5).localCheckpoint()
+      val sample = emb.filter(col("vec_id") < 40)
+      val bf = Similarity.bruteForceTopK(sample, emb, "vec_id",
+          "embedding", k = 5, roundDigits = Some(4))
+        .select(col("query_id").as("src_id"),
+          col("neighbor_id").as("dst_id"))
+        .withColumn("hit", lit(1))
+      def recall(g: org.apache.spark.sql.DataFrame): Double =
+        g.filter(col("src_id") < 40)
+          .join(bf, Seq("src_id", "dst_id"), "right")
+          .agg((sum(when(col("rank").isNotNull, 1).otherwise(0)) /
+            count(lit(1))).cast("double")).head().getDouble(0)
+      val (r0, r1) = (recall(base), recall(refined))
+      require(r1 >= r0,
+        f"NN-Descent recall must be monotone: $r0%.3f -> $r1%.3f")
+      require(r1 > r0,
+        f"one round must move recall on this corpus ($r0%.3f -> $r1%.3f)")
+      refined.orderBy("src_id", "rank")
+    }, Some(knnRefineOracle))),
 
     // D207 — embedding-space eval-set decontamination
     // (Similarity.semanticContamination): D19 catches VERBATIM leakage

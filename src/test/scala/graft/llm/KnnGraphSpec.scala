@@ -58,6 +58,37 @@ class KnnGraphSpec extends AnyFunSuite {
       "the graph is a function of the data, not the partitioning")
   }
 
+  test("NN-Descent round: recall is monotone (current edges stay in " +
+    "candidates), candidates are neighbor-bounded, ranks stay dense") {
+    // two clusters whose LSH graph starts with POOR wiring: tiny caps
+    // leave nodes under-connected; one refinement round recovers
+    // within-cluster edges through neighbors-of-neighbors
+    val rows = for { c <- 0 until 2; i <- 0 until 25 } yield {
+      val v = Array.fill(8)(0.0f); v(c) = 1.0f
+      v(4 + c) = 0.002f * i
+      (c * 25L + i, v.toSeq)
+    }
+    val df = rows.toDF("id", "v")
+    val base = Similarity.knnGraph(df, "id", "v", tables, k = 3,
+      bucketCap = 4)
+    val refined = Similarity.nnDescentRound(base, df, "id", "v", k = 3)
+    def pairs(g: org.apache.spark.sql.DataFrame) =
+      g.select("src_id", "dst_id").as[(Long, Long)].collect().toSet
+    // monotone per-node best cosine: every node's new rank-1 cosine is
+    // >= its old one (old edges are candidates)
+    val old1 = base.filter(col("rank") === 1)
+      .select("src_id", "cosine4").as[(Long, Double)].collect().toMap
+    val new1 = refined.filter(col("rank") === 1)
+      .select("src_id", "cosine4").as[(Long, Double)].collect().toMap
+    assert(old1.forall { case (s, c) => new1.get(s).exists(_ >= c) },
+      "rank-1 cosine must never degrade")
+    // refinement never invents cross-cluster edges here (cosine ~0
+    // loses to within-cluster ~1 on every candidate list)
+    assert(pairs(refined).forall { case (s, d) => s / 25 == d / 25 })
+    assert(refined.groupBy("src_id").count()
+      .filter(col("count") > 3).isEmpty, "k edges per node at most")
+  }
+
   test("incremental maintenance equals the full rebuild; a batch in a " +
     "FULL bucket changes nothing (cap admission is by id)") {
     val mk = (id: Long, c: Int) => {
