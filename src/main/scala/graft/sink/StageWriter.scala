@@ -208,7 +208,14 @@ object StageWriter {
     *    than patching a lie (consumers stood down in the window — safe).
     *
     * D197 CHECKs and the O(new files) plane maintenance ride along via
-    * [[append]]. The marker dir is sibling state like every sidecar. */
+    * [[append]]. The marker dir is sibling state like every sidecar.
+    *
+    * Operational contract: run COMPACTION on a quiesced table only (no
+    * in-flight streaming appends) — a full rewrite absorbs data files
+    * into new names, so a partial landing stranded in the
+    * crash-before-marker window would no longer be sweepable by batch
+    * id. The same quiesce-before-compact rule every log-structured
+    * store documents. */
   def appendExactlyOnce(batch: DataFrame, path: String,
       batchId: Long): Unit = {
     val dir = Paths.get(path)
