@@ -103,6 +103,13 @@ object TablePipeline {
       // frame decides which stage columns inherit which tags; a
       // transform that drops every governed column inherits nothing
       // (the stage table stays default-closed for governed reads).
+      // ROW policies deliberately do NOT auto-propagate: their SQL
+      // predicates reference RAW column names the transform renames,
+      // and rewriting predicates through the rename map would silently
+      // change their meaning on expression-derived columns — the
+      // fail-closed default (untagged/unpolicied stage reads refuse or
+      // see the column plane only) is the safe posture; declare stage
+      // row policies explicitly against the stage schema.
       if (graft.sources.AccessTags.tagsOf(rawPath).nonEmpty) {
         val inherited = graft.sources.AccessTags.inheritedTags(staged)
         if (inherited.nonEmpty)
