@@ -112,8 +112,20 @@ object TablePipeline {
       // row policies explicitly against the stage schema.
       if (graft.sources.AccessTags.tagsOf(rawPath).nonEmpty) {
         val inherited = graft.sources.AccessTags.inheritedTags(staged)
-        if (inherited.nonEmpty)
-          graft.sources.AccessTags.tagColumns(stagePath, inherited)
+        if (inherited.nonEmpty) {
+          // MERGE with any explicitly declared stage tags, never replace:
+          // an operator who tagged a stage column stricter than lineage
+          // implies (e.g. 'pii' where inheritance carries only 'meta')
+          // must keep that tag across re-runs — per column the tag sets
+          // union, and at read time the MOST RESTRICTIVE earned action
+          // wins, so union = most-restrictive-wins.
+          val explicit = graft.sources.AccessTags.tagsOf(stagePath)
+          val merged = (explicit.keySet ++ inherited.keySet).map { c =>
+            c -> (explicit.getOrElse(c, Set.empty[String]) ++
+              inherited.getOrElse(c, Set.empty[String]))
+          }.toMap
+          graft.sources.AccessTags.tagColumns(stagePath, merged)
+        }
       }
       (spark.read.parquet(stagePath).count(), status)
     } finally raw.unpersist()

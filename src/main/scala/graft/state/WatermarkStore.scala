@@ -205,10 +205,19 @@ final class FileWatermarkStore(dir: String, lockStaleMs: Long = 60000,
     * Line stamps and `nowMs` (injectable for tests) are WALL-CLOCK
     * epoch millis, so the age gate is meaningful ACROSS process
     * restarts — a nanoTime basis (arbitrary per-JVM origin) would
-    * retain pre-restart lines forever or drop fresh pendings early. */
+    * retain pre-restart lines forever or drop fresh pendings early.
+    * Stamps implausibly far in the FUTURE (> now + 1 day) are treated
+    * as expired: logs written before the epoch-millis switch carry
+    * nanoTime stamps (~4e14, permanently above any epoch cutoff) and
+    * would otherwise survive every retention window — the clamp
+    * retires them; the last CONFIRMED line is still kept whatever its
+    * stamp, so the watermark itself never regresses. */
   def compact(maxAgeMs: Long,
       nowMs: Long = System.currentTimeMillis()): Compacted = synchronized {
     val cutoff = nowMs - maxAgeMs
+    // plausibility ceiling: anything stamped beyond this is a legacy
+    // nanoTime stamp (or a corrupt line), not a young entry
+    val ceiling = nowMs + 86400000L
     var keys = 0
     var dropped = 0L
     val logs = {
@@ -227,7 +236,7 @@ final class FileWatermarkStore(dir: String, lockStaleMs: Long = 60000,
           val kept = lines.zipWithIndex.collect {
             case (l, i) if i == lastConfirmedIdx ||
               scala.util.Try(l.split("\\|", 4)(0).toLong)
-                .toOption.exists(_ >= cutoff) => l
+                .toOption.exists(ts => ts >= cutoff && ts <= ceiling) => l
           }
           if (kept.size < lines.size) {
             keys += 1
