@@ -175,7 +175,7 @@ object StageWriter {
     // range-stats plane: union the valid existing per-file ranges with
     // the new files' (footer-first — usually zero jobs); a stale or
     // foreign sidecar rebuilds in full rather than patching a lie
-    statsSidecarSpec(path).foreach { case (c, kind) =>
+    statsHeader(path).foreach { case (c, kind) =>
       if (kind == "string") loadStatsStr(path, preFiles, c) match {
         case Some(existing) =>
           writeStatsStr(path, c, existing ++ computeStatsStr(spark, added, c))
@@ -208,7 +208,13 @@ object StageWriter {
     *    than patching a lie (consumers stood down in the window — safe).
     *
     * D197 CHECKs and the O(new files) plane maintenance ride along via
-    * [[append]]. The marker dir is sibling state like every sidecar.
+    * [[append]]. The marker dir is sibling state like every sidecar —
+    * and BOUNDED: only a trailing window of `retainMarkers` batch ids
+    * is kept (older markers prune after each commit). Safe because the
+    * checkpoint contract only ever replays batches at or after the
+    * last uncommitted one — once a LATER batch committed, an older id
+    * can never be re-delivered, so its marker is dead weight; a
+    * million-batch stream would otherwise accrete a million files.
     *
     * Operational contract: run COMPACTION on a quiesced table only (no
     * in-flight streaming appends) — a full rewrite absorbs data files
@@ -217,7 +223,7 @@ object StageWriter {
     * id. The same quiesce-before-compact rule every log-structured
     * store documents. */
   def appendExactlyOnce(batch: DataFrame, path: String,
-      batchId: Long): Unit = {
+      batchId: Long, retainMarkers: Int = 128): Unit = {
     val dir = Paths.get(path)
     val markerDir = Paths.get(path + ".__applied__")
     val marker = markerDir.resolve(batchId.toString)
@@ -244,23 +250,20 @@ object StageWriter {
     Files.createDirectories(markerDir)
     try Files.createFile(marker)
     catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    ()
-  }
-
-  /** The stats sidecar's (column, kind) from its header line, or None
-    * when absent/unparsable. */
-  private[sink] def statsSidecarSpec(path: String)
-      : Option[(String, String)] = {
-    val f = statsFile(path)
-    if (!Files.exists(f)) return None
-    import scala.jdk.CollectionConverters._
-    Files.readAllLines(f).asScala.headOption.flatMap { h =>
-      h.split("\t").toList match {
-        case "#column" :: c :: Nil => Some((c, "long"))
-        case "#column" :: c :: "string" :: Nil => Some((c, "string"))
-        case _ => None
-      }
+    // prune the trailing window: ids at or below batchId - retain can
+    // never replay once this batch's marker is durable
+    val floor = batchId - retainMarkers.toLong
+    if (floor > 0) {
+      val s = Files.list(markerDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => scala.util.Try(p.getFileName.toString.toLong)
+            .toOption.exists(_ < floor))
+          .foreach(Files.deleteIfExists(_))
+      } finally s.close()
     }
+    ()
   }
 
   /** Atomic-ish `path.__tmp__` → `path` swap shared by the overwrite and

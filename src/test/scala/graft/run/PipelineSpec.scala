@@ -108,6 +108,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map("D1" -> "10.00", "D2" -> "25.00", "D3" -> "30.00"))
   }
 
+  test("re-running a transform MERGES inherited tags with explicit " +
+    "stage tags — an operator's stricter declaration is never " +
+    "downgraded by lineage") {
+    import graft.sources.AccessTags
+    val dir = Files.createTempDirectory("pipetagmerge")
+    val stagePath = dir.resolve("stage").toString
+    val raw = dir.resolve("raw").toString
+    val meta = Seq(
+      ColumnMetadata("id_doc", 1, false, true, true, false, "string", "t",
+        "fn_transform_ClearString(id)"),
+      ColumnMetadata("monto", 2, false, false, false, false, "numeric(13,2)",
+        "t", "fn_transform_Numeric(monto)"))
+    StageWriter0.write(Seq(("D1", "10.00")).toDF("id", "monto"), raw)
+    AccessTags.tagTable(raw, Map("id" -> "id", "monto" -> "meta"))
+    try {
+      TablePipeline.transform(spark, raw, stagePath, cfg(), meta, now)
+      assert(AccessTags.tagsOf(stagePath) == Map(
+        "id_doc" -> Set("id"), "monto" -> Set("meta")))
+      // the operator declares a STRICTER tag on a stage column
+      AccessTags.tagColumns(stagePath, AccessTags.tagsOf(stagePath) +
+        ("monto" -> Set("meta", "pii")))
+      TablePipeline.transform(spark, raw, stagePath, cfg(), meta, now)
+      assert(AccessTags.tagsOf(stagePath)("monto") == Set("meta", "pii"),
+        "the explicit 'pii' tag must survive the re-run (union, " +
+          s"most-restrictive wins), got ${AccessTags.tagsOf(stagePath)}")
+      assert(AccessTags.tagsOf(stagePath)("id_doc") == Set("id"))
+    } finally {
+      AccessTags.untagTable(raw); AccessTags.untagTable(stagePath)
+    }
+  }
+
   test("empty raw input bootstraps typed empty stage (warn-not-fail)") {
     val dir = Files.createTempDirectory("pipe3")
     val raw = dir.resolve("raw").toString

@@ -71,6 +71,34 @@ class AppendSpec extends AnyFunSuite {
     } finally StageWriter.deleteRecursively(tmp)
   }
 
+  test("exactly-once markers keep only a trailing window: old batch " +
+    "markers prune, recent replays still no-op") {
+    val tmp = Files.createTempDirectory("apret")
+    try {
+      val p = tmp.resolve("t").toString
+      def markers() = {
+        val d = Paths.get(p + ".__applied__")
+        val s = Files.list(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString.toLong)
+            .toSeq.sorted
+        } finally s.close()
+      }
+      for (b <- 0L to 6L)
+        StageWriter.appendExactlyOnce(frame(b * 10, b * 10 + 10), p, b,
+          retainMarkers = 3)
+      assert(spark.read.parquet(p).count() == 70)
+      assert(markers() == Seq(3L, 4L, 5L, 6L),
+        s"only ids >= 6 - 3 survive, got ${markers()}")
+      // a replay of a RETAINED batch is still a no-op
+      StageWriter.appendExactlyOnce(frame(900, 999), p, 5L,
+        retainMarkers = 3)
+      assert(spark.read.parquet(p).count() == 70,
+        "a retained marker must still dedupe its batch")
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+
   test("a versioned commit validates the STAGED version against the " +
     "table's declared CHECKs before any pointer moves") {
     val tmp = Files.createTempDirectory("vtchk")

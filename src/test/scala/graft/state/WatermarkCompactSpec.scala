@@ -81,6 +81,24 @@ class WatermarkCompactSpec extends AnyFunSuite {
       "fresh lines and the confirmed tail survive")
   }
 
+  test("a legacy nanoTime stamp (implausibly future) expires instead of " +
+    "surviving every window; the confirmed tail still keeps whatever " +
+    "stamp it carries") {
+    val (st, dir) = newStore()
+    st.confirm(st.savePending("p", "t", "c", "1"))
+    val log = Files.list(Paths.get(dir)).filter(
+      _.getFileName.toString.endsWith(".log")).findFirst().get()
+    // a pre-upgrade line stamped with nanoTime (~4e14): permanently
+    // above any epoch-millis cutoff, so without the plausibility
+    // ceiling it would be retained forever
+    Files.writeString(log,
+      Files.readString(log) + s"${400000000000000L}|nano-id|PENDING|7\n")
+    val r = st.compact(maxAgeMs = 90L * 86400 * 1000)
+    assert(r.linesDropped == 1,
+      "the legacy nanoTime-stamped pending must expire")
+    assert(st.lastConfirmed("p", "t", "c").contains("1"))
+  }
+
   test("compacting mid-race with a live saver preserves monotonicity " +
     "and ends with the final value") {
     val (st, dir) = newStore()
