@@ -69,6 +69,66 @@ object DslQueries {
                             coalesce(trim(n_name), '')) AS id_dash
       FROM nation ORDER BY n_nationkey"""))),
 
+    // B3 standalone — Concatenate_ws: explicit separator (last $-token),
+    // three parts, a NULL part coalesces to '' and KEEPS its separator
+    // (light_transform.py:937-951)
+    "b3_concat_ws" -> (((spark, dir) => {
+      val src = load(spark, dir, "supplier").withColumn("nat",
+        when(col("s_suppkey") % 10 === 0, lit(null))
+          .otherwise(col("s_nationkey").cast("string")))
+      TransformationEngine.apply(src, meta(
+        ("s_suppkey", "bigint", ""),
+        ("key3", "string",
+          "fn_transform_Concatenate_ws(s_suppkey, nat, s_name, $_)")))
+        .orderBy("s_suppkey")
+    }, Some("""
+      SELECT s_suppkey,
+             concat_ws('_', coalesce(trim(CAST(s_suppkey AS VARCHAR)), ''),
+                            coalesce(CASE WHEN s_suppkey % 10 = 0 THEN NULL
+                              ELSE trim(CAST(s_nationkey AS VARCHAR)) END, ''),
+                            coalesce(trim(s_name), '')) AS key3
+      FROM supplier ORDER BY s_suppkey"""))),
+
+    // B11 standalone — Case: value-list rewrite, UNMATCHED keeps the
+    // trimmed original (no default — that's B12's contract)
+    // (light_transform.py:1215-1246)
+    "b11_case" -> (((spark, dir) => {
+      TransformationEngine.apply(load(spark, dir, "part"), meta(
+        ("p_partkey", "bigint", ""),
+        ("brand_class", "string",
+          "fn_transform_Case(p_brand, Brand#11|Brand#12->tier1, Brand#55->tier5)")))
+        .orderBy("p_partkey")
+    }, Some("""
+      SELECT p_partkey,
+             CASE WHEN p_brand IN ('Brand#11','Brand#12') THEN 'tier1'
+                  WHEN p_brand = 'Brand#55' THEN 'tier5'
+                  ELSE trim(p_brand) END AS brand_class
+      FROM part ORDER BY p_partkey"""))),
+
+    // B14 standalone — Numeric: the cast takes precision/scale from the
+    // TARGET type's numeric(p,s); null input stays typed null
+    // (light_transform.py:967-971,1346-1354)
+    "b14_numeric" -> (((spark, dir) => {
+      val src = load(spark, dir, "part")
+        .withColumn("s_price", col("p_retailprice").cast("string"))
+        .withColumn("s_opt", when(col("p_partkey") % 9 === 0, lit(null))
+          .otherwise(col("p_retailprice").cast("string")))
+      TransformationEngine.apply(src, meta(
+        ("p_partkey", "bigint", ""),
+        ("price4", "numeric(18,4)", "fn_transform_Numeric(s_price)"),
+        ("price2", "numeric(8,2)", "fn_transform_Numeric(s_opt)")))
+        .withColumn("price4", col("price4").cast("string"))
+        .withColumn("price2", col("price2").cast("string"))
+        .orderBy("p_partkey")
+    }, Some("""
+      SELECT p_partkey,
+             CAST(CAST(CAST(p_retailprice AS VARCHAR) AS DECIMAL(18,4))
+               AS VARCHAR) AS price4,
+             CASE WHEN p_partkey % 9 = 0 THEN NULL
+                  ELSE CAST(CAST(CAST(p_retailprice AS VARCHAR)
+                    AS DECIMAL(8,2)) AS VARCHAR) END AS price2
+      FROM part ORDER BY p_partkey"""))),
+
     // B4 — DateMagic: magic day-number decode, null → default(to_null)
     "b4_datemagic" -> (((spark, dir) => {
       val src = load(spark, dir, "orders").withColumn("fec",

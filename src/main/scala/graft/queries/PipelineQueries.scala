@@ -250,13 +250,15 @@ object PipelineQueries {
     // read (time travel) and the latest read are compared against the
     // source-table oracle. The _latest pointer flip is the atomic commit.
     // C14 — multi-format interchange: the SAME slice written to ORC, CSV
-    // and JSON, read back through each codec, and aggregated — count,
-    // decimal-exact revenue and timestamp non-null count must survive
-    // every roundtrip (type fidelity through text formats is where
-    // ingest pipelines silently corrupt). Oracle: the parquet truth,
-    // repeated per format. Scratch dir reclaimed eagerly (c5 discipline).
+    // (plain and GZIP — the reference raw zone's compressed-chunk
+    // fallback, query_executor.py:184-208) and JSON, read back through
+    // each codec, and aggregated — count, decimal-exact revenue and
+    // timestamp non-null count must survive every roundtrip (type
+    // fidelity through text formats is where ingest pipelines silently
+    // corrupt). Oracle: the parquet truth, repeated per format. Scratch
+    // dir reclaimed eagerly (c5 discipline).
     "c14_formats" -> (((spark, dir) => {
-      // coalesce before the three codec writes: the gate proves type
+      // coalesce before the codec writes: the gate proves type
       // fidelity, not write parallelism — at input parallelism it wrote
       // 3×32 small files and the task overhead dominated the wall
       val li = load(spark, dir, "lineitem")
@@ -264,17 +266,28 @@ object PipelineQueries {
         .coalesce(8)
       val tmpRoot = java.nio.file.Files.createTempDirectory("fmt_gate")
       try {
-        val rows = Seq("csv", "json", "orc").map { f =>
-          val p = tmpRoot.resolve(f).toString
-          val w = li.write.mode("overwrite")
-          (if (f == "csv") w.option("header", "true") else w)
-            .format(f).save(p)
+        val rows = Seq("csv", "csv.gz", "json", "orc").map { f =>
+          val p = tmpRoot.resolve(f.replace('.', '_')).toString
+          val fmt = if (f == "csv.gz") "csv" else f
+          val w0 = li.write.mode("overwrite")
+          val w1 = if (fmt == "csv") w0.option("header", "true") else w0
+          (if (f == "csv.gz") w1.option("compression", "gzip") else w1)
+            .format(fmt).save(p)
+          if (f == "csv.gz") {
+            val s = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+            val hasGz = try {
+              import scala.jdk.CollectionConverters._
+              s.iterator().asScala
+                .exists(_.getFileName.toString.endsWith(".csv.gz"))
+            } finally s.close()
+            require(hasGz, "the gzip arm must land .csv.gz chunks")
+          }
           val rd = spark.read
-          val back = (f match {
+          val back = (fmt match {
             case "csv" => rd.schema(li.schema).option("header", "true")
             case "json" => rd.schema(li.schema)
             case _ => rd
-          }).format(f).load(p)
+          }).format(fmt).load(p)
           val a = back.agg(count(lit(1)).as("n"),
             dsum(col("l_extendedprice")).as("total"),
             count(col("l_shipdate")).as("n_ts")).head()
@@ -288,7 +301,8 @@ object PipelineQueries {
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                AS total,
              count(l_shipdate) AS n_ts
-      FROM lineitem CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) AS f(fmt)
+      FROM lineitem CROSS JOIN
+        (VALUES ('csv'), ('csv.gz'), ('json'), ('orc')) AS f(fmt)
       GROUP BY fmt ORDER BY fmt"""))),
 
     // C14+ — binaryFile source: the REAL ingestion path for multimodal
