@@ -2,6 +2,13 @@
 """Compare two BENCH_FULL-style JSONs: common-query sums, top regressions
 and improvements, new/removed queries. Usage: bench_diff.py OLD NEW
 
+When BOTH snapshots carry a 'phases' map ({setup, op, assert} per
+query), the comparison runs on OP time — the operator signal — instead
+of the whole-gate total, so proof-heavy gates (equality exceptAlls,
+brute-force recall baselines) stop polluting the regression picture.
+Totals are still reported for context. Snapshots without phases fall
+back to totals (and say so).
+
 Material-regression gating uses the snapshots' per-query 'variance' map
 (max-min spread across the bench's repeat passes) as a NOISE FLOOR: a
 delta only counts as material when it clears +0.4s AND +25% AND the
@@ -14,7 +21,22 @@ import sys
 
 oldj = json.load(open(sys.argv[1]))
 newj = json.load(open(sys.argv[2]))
-old, new = oldj["queries"], newj["queries"]
+pold = oldj.get("phases") or {}
+pnew = newj.get("phases") or {}
+use_op = bool(pold) and bool(pnew)
+if use_op:
+    print("comparing OP time (both snapshots carry phase splits); "
+          "totals shown for context")
+    old = {q: p["op"] for q, p in pold.items()
+           if oldj["queries"].get(q, -1) >= 0}
+    new = {q: p["op"] for q, p in pnew.items()
+           if newj["queries"].get(q, -1) >= 0}
+    tot_old = sum(v for v in oldj["queries"].values() if v >= 0)
+    tot_new = sum(v for v in newj["queries"].values() if v >= 0)
+    print(f"whole-gate totals: {tot_old:.1f}s -> {tot_new:.1f}s")
+else:
+    print("note: phases missing in one snapshot — comparing totals")
+    old, new = oldj["queries"], newj["queries"]
 vold = oldj.get("variance") or {}
 vnew = newj.get("variance") or {}
 if not (vold or vnew):

@@ -13,17 +13,26 @@ object Bench {
     // Force FULL evaluation of every output column with a noop sink —
     // df.count() lets Catalyst prune projected expressions (a projection
     // query would time a row count, not the projection).
-    // Returns elapsed seconds, or -1.0 when the query FAILED — failures are
-    // recorded explicitly, never as near-zero "successes". clearCache runs
-    // in finally so a failed query's operator-internal caches cannot leak
-    // into the next measurement.
+    // Returns (total, setup, op, assert) seconds: gates that opt into
+    // queries.Q.Phase marks get a real split, everything else reports
+    // op = total. total = -1.0 when the query FAILED — failures are
+    // recorded explicitly, never as near-zero "successes". clearCache
+    // runs in finally so a failed query's operator-internal caches
+    // cannot leak into the next measurement.
+    final case class Timing(total: Double, setup: Double, op: Double,
+      assert: Double)
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Double = {
-      val t0 = System.nanoTime()
+        : Timing = {
+      val t0 = graft.queries.Q.Phase.begin()
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      } catch { case scala.util.control.NonFatal(_) => -1.0 }
+        val df = fn(spark, sfDir)
+        val tClose = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val total = (System.nanoTime() - t0) / 1e9
+        val (setup, asrt) = graft.queries.Q.Phase.split(tClose)
+        Timing(total, setup, math.max(0.0, total - setup - asrt), asrt)
+      } catch { case scala.util.control.NonFatal(_) =>
+        Timing(-1.0, 0, 0, 0) }
       finally spark.catalog.clearCache()
     }
     // optional comma-separated subset (battery-size A/B runs: the same
@@ -36,22 +45,25 @@ object Bench {
     // untimed warmup pass: JIT + codegen caches + parquet footer reads, so
     // the timed passes measure engine throughput, not JVM startup
     queries.foreach { case (_, fn) => run(fn) }
-    // three timed passes, keep the per-query minimum: single-pass timings
-    // at this scale are GC/JIT-noise-dominated (±30% run-to-run totals;
-    // min-of-2 still drifted ~20% between runs). A failure in ANY pass
-    // marks the query -1 (failed). The per-query relative spread
-    // (max-min)/min across the three passes is recorded alongside — the
-    // within-JVM noise floor a cross-round comparison must clear before a
-    // delta means anything.
-    def timedPass(): Map[String, Double] =
+    // three timed passes, keep the per-query minimum total (and THAT
+    // pass's phase split): single-pass timings at this scale are
+    // GC/JIT-noise-dominated (±30% run-to-run totals; min-of-2 still
+    // drifted ~20% between runs). A failure in ANY pass marks the query
+    // -1 (failed). The per-query relative spread (max-min)/min across
+    // the three passes is recorded alongside — the within-JVM noise
+    // floor a cross-round comparison must clear before a delta means
+    // anything.
+    def timedPass(): Map[String, Timing] =
       queries.map { case (name, fn) => name -> run(fn) }
     val passes = Seq(timedPass(), timedPass(), timedPass())
-    val results = passes.head.keys.map { k =>
+    val best = passes.head.keys.map { k =>
       val vs = passes.map(_(k))
-      k -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
+      k -> (if (vs.exists(_.total < 0)) Timing(-1.0, 0, 0, 0)
+            else vs.minBy(_.total))
     }.toMap
+    val results = best.map { case (k, t) => k -> t.total }
     val spreads = passes.head.keys.map { k =>
-      val vs = passes.map(_(k))
+      val vs = passes.map(_(k).total)
       k -> (if (vs.exists(_ < 0) || vs.min <= 0) -1.0
             else BigDecimal((vs.max - vs.min) / vs.min)
               .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
@@ -83,8 +95,15 @@ object Bench {
     val note = s"${results.size} queries ($failures failed, as -1, " +
       "excluded from total), noop-sink full eval, min of 3 passes; " +
       "headline subset here, ALL timings + variance in BENCH_FULL.json"
+    // phase split per query: op = total for un-annotated gates; only
+    // in BENCH_FULL.json (stdout line must stay inside the driver tail)
+    val phases = best.toSeq.sortBy(_._1).map { case (k, t) =>
+      "\"" + k + "\":{\"setup\":" + r3(t.setup) + ",\"op\":" + r3(t.op) +
+        ",\"assert\":" + r3(t.assert) + "}"
+    }.mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${jmap(results)},"variance":${jmap(spreads)},""" +
+      s""""phases":$phases,""" +
       s""""failures":$failures,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes("UTF-8"))

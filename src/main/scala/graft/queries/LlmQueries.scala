@@ -680,6 +680,10 @@ object LlmQueries {
           .select(col("id1"), col("id2")))
         .write.parquet(lp)
       val labels0 = spark.read.parquet(lp)
+      // the corpus labeling is fixture state the increment consumes —
+      // everything after (pair mining on the batch + ccIncremental) is
+      // the operator under test
+      Q.Phase.setupDone()
       try {
         val crossPairs = Dedup.minhashLshNewVsCorpus(corpus, batch,
             "doc_id", "text", shingleWidth = 3, k = 32, b = 8,

@@ -1291,6 +1291,10 @@ object MaintenanceQueries {
             s"$tag: bloom pruning inactive ($bRead of $bTotal)")
         }
         requireActive("initial")
+        // table build + plane declaration + initial plane proof are the
+        // fixture; the merge/optimize refresh hooks under test follow
+        // (their own requireActive proofs stay inside op — interleaved)
+        Q.Phase.setupDone()
         // file-targeted MERGE: +100 qty on %7 keys confined to a narrow
         // key range, so only range-intersecting files rewrite. The
         // testdata's (orderkey, linenumber) is NOT unique — MERGE

@@ -111,4 +111,43 @@ object Q {
     try body
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  /** Opt-in phase clock for bench gates: a gate whose wall time is
+    * dominated by its PROOF (equality `exceptAll`s, brute-force recall,
+    * fixture writes) marks its phase boundaries so the bench reports
+    * `{setup, op, assert}` per query instead of one opaque total — the
+    * operator signal stops being polluted by proof cost, and
+    * `dev/bench_diff.py` compares op-time across rounds.
+    *
+    * Contract: [[begin]] is called by the harness; a gate calls
+    * [[setupDone]] once its fixtures/baselines are materialized and
+    * [[opDone]] once the operator-under-test's result is materialized
+    * (localCheckpoint/count — NOT a lazy frame). Everything after
+    * opDone until the gate returns is assert; the harness's final sink
+    * write of the returned frame counts toward op (for an annotated
+    * gate the frame is already checkpointed, so it is a no-op read).
+    * Un-annotated gates report op = total. Verify calls the same gates;
+    * there the marks are two nanoTime reads — harmless.
+    *
+    * Single-threaded by contract: the battery runs gates sequentially
+    * on the driver (see [[withStreamPartitions]]'s same assumption). */
+  object Phase {
+    @volatile private var t0 = 0L
+    @volatile private var tSetup = -1L
+    @volatile private var tOp = -1L
+    def begin(): Long = {
+      t0 = System.nanoTime(); tSetup = -1L; tOp = -1L; t0
+    }
+    def setupDone(): Unit = { tSetup = System.nanoTime() }
+    def opDone(): Unit = { tOp = System.nanoTime() }
+    /** (setupSec, assertSec) for the gate that just ran: `closeNs` is
+      * the closure-return stamp, boundaries clamp into [t0, closeNs]. */
+    private[graft] def split(closeNs: Long): (Double, Double) = {
+      val s = if (tSetup > t0 && tSetup <= closeNs)
+        (tSetup - t0) / 1e9 else 0.0
+      val a = if (tOp > t0 && tOp <= closeNs && tOp >= tSetup)
+        (closeNs - tOp) / 1e9 else 0.0
+      (s, a)
+    }
+  }
 }

@@ -428,9 +428,11 @@ object RetrievalQueries {
       // locality except; incr and full feed two equality excepts each)
       val old = Similarity.knnGraph(corpus, "vec_id", "embedding",
         KnnTables, k = 5, bucketCap = cap).localCheckpoint()
+      Q.Phase.setupDone() // the pre-existing graph is fixture state
       val incr = Similarity.knnGraphIncrement(corpus, batch, old,
         "vec_id", "embedding", KnnTables, k = 5, bucketCap = cap)
         .localCheckpoint()
+      Q.Phase.opDone() // what follows is the equality/locality PROOF
       val full = Similarity.knnGraph(emb, "vec_id", "embedding",
         KnnTables, k = 5, bucketCap = cap).localCheckpoint()
       require(incr.exceptAll(full).isEmpty &&
@@ -460,8 +462,10 @@ object RetrievalQueries {
       val emb = load(spark, dir, "embeddings")
       val base = Similarity.knnGraph(emb, "vec_id", "embedding",
         KnnTables, k = 5, bucketCap = 64).localCheckpoint()
+      Q.Phase.setupDone() // the initial LSH graph is the fixture
       val refined = Similarity.nnDescentRound(base, emb, "vec_id",
         "embedding", k = 5).localCheckpoint()
+      Q.Phase.opDone() // monotonicity proof follows
       val viol = base.select(col("src_id"), col("rank"),
           col("cosine4").as("c0"))
         .join(refined.select(col("src_id"), col("rank"),
