@@ -40,6 +40,67 @@ object Lineage {
         path.split('/').last.stripSuffix(".parquet"), c)
     }
 
+  /** Output columns that are PURE 1:1 RENAMES of a scan column — the
+    * value chain from output to leaf is Alias/AttributeReference only,
+    * with no-op same-type Casts allowed (the transform engine casts
+    * every column to its target type; string→string is identity). Any
+    * computing node (function call, Aggregate, Window, Generate, Union,
+    * Expand) breaks identity: a renamed-through column carries the
+    * source column's VALUES unchanged, so a predicate over the source
+    * column can be rewritten to the output name without changing its
+    * meaning — the safety condition row-policy propagation (D193+D200)
+    * rests on. Returns outCol → (srcPath, srcCol); outputs that are not
+    * pure renames are absent. Pure plan metadata — zero jobs. */
+  def renamesOf(df: DataFrame): Map[String, (String, String)] = {
+    val ident =
+      scala.collection.mutable.Map.empty[ExprId, (String, String)]
+    def strip(e: Expression): Expression = e match {
+      case c: Cast if c.child.dataType == c.dataType => strip(c.child)
+      case other => other
+    }
+    def walk(p: LogicalPlan): Unit = {
+      p.children.foreach(walk)
+      p match {
+        case lr: LogicalRelation
+            if lr.relation.isInstanceOf[HadoopFsRelation] =>
+          val roots = lr.relation.asInstanceOf[HadoopFsRelation]
+            .location.rootPaths
+          val table = roots.headOption
+            .map(_.toUri.getPath).getOrElse("?")
+          lr.output.foreach(a => ident(a.exprId) = (table, a.name))
+        case pj: Project =>
+          pj.projectList.foreach {
+            case _: AttributeReference => () // passthrough: stays bound
+            case al: Alias => strip(al.child) match {
+              case ar: AttributeReference if ident.contains(ar.exprId) =>
+                ident(al.exprId) = ident(ar.exprId)
+              case _ => () // computed: not a rename
+            }
+            case _ => ()
+          }
+        // Union REUSES the first child's exprIds for its output while
+        // the other branches contribute DIFFERENT values — unbind, or a
+        // renamed column unioned with anything would falsely qualify.
+        // Expand likewise re-emits child exprIds with grouping columns
+        // NULLed per projection row.
+        case u: Union => u.output.foreach(a => ident.remove(a.exprId))
+        case e: Expand => e.output.foreach(a => ident.remove(a.exprId))
+        // every other node either passes attributes through with values
+        // untouched (Filter/Join/Sort/Limit/Window/Generate child side —
+        // identity preserved by exprId; row multiplicity may change but
+        // per-row VALUES do not, which is the predicate-rewrite safety
+        // condition) or mints new attributes that are never seeded
+        // (Aggregate/Window expressions — correctly absent; an
+        // Aggregate GROUPING key that passes through is constant within
+        // its group, so its identity is genuine)
+        case _ => ()
+      }
+    }
+    val plan = df.queryExecution.analyzed
+    walk(plan)
+    plan.output.flatMap(a => ident.get(a.exprId).map(a.name -> _)).toMap
+  }
+
   /** As [[of]], but sources keyed by their FULL scan path — the form
     * tag propagation (D196) joins against the governance registry. */
   def ofPaths(df: DataFrame): Seq[(String, String, String)] = {

@@ -254,6 +254,105 @@ object GovernanceQueries {
                AS DOUBLE) AS importe
       FROM orders ORDER BY id_orden"""))),
 
+    // D193+D200 — row-policy propagation through the pipeline (round
+    // 11): a policied raw source's row policies follow the raw→stage
+    // transform automatically when their predicates rewrite through
+    // PURE 1:1 renames (Lineage.renamesOf — values unchanged, meaning
+    // intact); a policy touching an expression-derived column stands
+    // down and the transform REFUSES until the operator declares an
+    // explicit stage policy for that profile (fail-closed: a stage twin
+    // must never silently lose a raw row restriction). Both arms run:
+    // the refusal is require()d to land BEFORE any write, then the
+    // explicit cover is declared and the governed stage reads are
+    // oracled end-to-end for the propagated profile AND the covered
+    // one, with the plane surviving a registry reset (durability).
+    "e2e_pipeline_policies" -> (((spark, dir) => {
+      import graft.config.{ColumnMetadata, LoadType, TableConfig}
+      import graft.sources.AccessTags
+      val tmp = java.nio.file.Files.createTempDirectory("pipepol_gate")
+      try {
+        val rawPath = tmp.resolve("raw").toString
+        val stagePath = tmp.resolve("stage").toString
+        load(spark, dir, "orders")
+          .select(col("o_orderkey").cast("string").as("numdoc"),
+            col("o_orderstatus").as("estado"),
+            col("o_totalprice").cast("string").as("monto"))
+          .write.parquet(rawPath)
+        AccessTags.tagTable(rawPath, Map(
+          "numdoc" -> "id", "estado" -> "meta", "monto" -> "meta"))
+        // analyst's predicate references estado — a pure rename below,
+        // so it PROPAGATES; auditor's references monto, which the
+        // transform re-types through fn_transform_Numeric — stands down
+        AccessTags.tagRows(rawPath, Map(
+          "analyst" -> "estado = 'O'",
+          "auditor" -> "monto <> ''"))
+        val cfg = TableConfig("*", LoadType.Full, "auto", "", 0, 0,
+          "", "", "", "", "", "G1", "dbo", "orders", "m", "m_orders2",
+          "a", "1")
+        val meta = Seq(
+          ColumnMetadata("id_doc", 1, false, false, false, false,
+            "string", "t", "numdoc"), // pure rename
+          ColumnMetadata("estado_doc", 2, false, false, false, false,
+            "string", "t", "estado"), // pure rename
+          ColumnMetadata("importe", 3, false, false, false, false,
+            "numeric(18,2)", "t", "fn_transform_Numeric(monto)"))
+        val refused = try {
+          graft.run.TablePipeline.transform(spark, rawPath, stagePath,
+            cfg, meta); false
+        } catch { case _: IllegalArgumentException => true }
+        require(refused, "a stood-down policy without explicit stage " +
+          "cover must refuse the transform")
+        require(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(stagePath)),
+          "the refused transform must write NOTHING (fail-closed " +
+            "before the write)")
+        // the operator covers the auditor explicitly against the STAGE
+        // schema; the analyst policy still propagates automatically
+        AccessTags.tagRows(stagePath, Map("auditor" -> "importe >= 1000"))
+        graft.run.TablePipeline.transform(spark, rawPath, stagePath,
+          cfg, meta)
+        val got = AccessTags.rowPoliciesOf(stagePath)
+        require(got.keySet == Set("analyst", "auditor") &&
+          got("analyst").contains("estado_doc"),
+          s"propagated policy plane wrong: $got")
+        AccessTags.resetMemory() // plane durable across restart
+        val analyst = AccessTags.Profile("analyst", Map(
+          "id" -> AccessTags.Tokenize, "meta" -> AccessTags.Open),
+          key = "polkey")
+        val auditor = AccessTags.Profile("auditor", Map(
+          "meta" -> AccessTags.Open))
+        val va = AccessTags.taggedView(spark, stagePath, analyst)
+          .select(lit("analyst").as("who"), col("id_doc"),
+            col("estado_doc"),
+            col("importe").cast("double").as("importe"))
+        val vb = AccessTags.taggedView(spark, stagePath, auditor)
+          .select(lit("auditor").as("who"),
+            lit(null).cast("string").as("id_doc"), col("estado_doc"),
+            col("importe").cast("double").as("importe"))
+        va.unionByName(vb)
+          .orderBy("who", "id_doc", "estado_doc", "importe")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally {
+        graft.sources.AccessTags.untagTable(tmp.resolve("raw").toString)
+        graft.sources.AccessTags.untagTable(tmp.resolve("stage").toString)
+        graft.sink.StageWriter.deleteRecursively(tmp)
+      }
+    }, Some("""
+      WITH t AS (SELECT CAST(o_orderkey AS VARCHAR) AS numdoc,
+                        o_orderstatus AS estado,
+                        CAST(CAST(CAST(o_totalprice AS VARCHAR)
+                          AS DECIMAL(18,2)) AS DOUBLE) AS importe
+                 FROM orders)
+      SELECT * FROM (
+        SELECT 'analyst' AS who, sha256('polkey|' || numdoc) AS id_doc,
+               estado AS estado_doc, importe
+        FROM t WHERE estado = 'O'
+        UNION ALL
+        SELECT 'auditor' AS who, NULL AS id_doc, estado AS estado_doc,
+               importe
+        FROM t WHERE importe >= 1000)
+      ORDER BY who, id_doc NULLS FIRST, estado_doc, importe"""))),
+
     // D192 — schema-catalog export (sources.SchemaExport), the
     // generate_dbml twin (utils/generate_dbml/output.dbml:1-20): the
     // warehouse DBML doc from parquet-footer schemas + DECLARED RELY

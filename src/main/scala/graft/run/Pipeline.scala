@@ -91,11 +91,52 @@ object TablePipeline {
       val partitions = meta.filter(_.isPartition).map(_.columnName)
       val incremental = cfg.loadType == LoadType.Incremental ||
         cfg.loadType == LoadType.BetweenDate
+      // governance PRE-FLIGHT (fail-closed, BEFORE any write): a raw
+      // row policy (D193) propagates to the stage table when every
+      // column its predicate references passes through a pure 1:1
+      // rename — the predicate rewrites through the rename map with its
+      // meaning intact (the reference's LF data-cell filters attach per
+      // crawled stage table, crawler_stage.py:385-414). A policy
+      // touching an EXPRESSION-DERIVED column (trimmed, re-typed,
+      // case-mapped) stands down, and the transform REFUSES unless the
+      // operator declared an explicit stage policy covering that
+      // profile: silently dropping a raw row restriction on the stage
+      // twin is the one failure governance must not have. Where both an
+      // explicit stage policy and a propagated one exist, they AND —
+      // most restrictive wins, mirroring the tag-merge rule below.
+      val policyPlan: Option[Map[String, String]] = {
+        val rawPolicies = graft.sources.AccessTags.rowPoliciesOf(rawPath)
+        if (rawPolicies.isEmpty) None
+        else {
+          val (prop, stood) =
+            graft.sources.AccessTags.rewriteRowPolicies(staged, rawPath)
+          val explicitP = graft.sources.AccessTags.rowPoliciesOf(stagePath)
+          val uncovered = stood.keySet -- explicitP.keySet
+          require(uncovered.isEmpty,
+            s"row policies for profile(s) ${uncovered.toSeq.sorted
+              .mkString(", ")} on $rawPath reference expression-derived " +
+              "columns and cannot rewrite through the rename map; declare " +
+              "stage row policies for these profiles explicitly " +
+              "(AccessTags.tagRows on the stage path) before transforming")
+          val merged = (explicitP.keySet ++ prop.keySet).map { pr =>
+            pr -> ((explicitP.get(pr), prop.get(pr)) match {
+              // idempotent across re-runs: the conjunct we added last
+              // run is recognizably our own "($b)" rendering — never
+              // stack the same restriction twice
+              case (Some(a), Some(b)) =>
+                if (a == b || a.contains(s"($b)")) a else s"($a) AND ($b)"
+              case (a, b) => a.orElse(b).get
+            })
+          }.toMap
+          Some(merged).filter(_.nonEmpty)
+        }
+      }
       if (incremental && ids.nonEmpty &&
           java.nio.file.Files.exists(java.nio.file.Paths.get(stagePath)))
         StageWriter.mergeInto(spark, staged, stagePath, ids, partitions)
       else
         StageWriter.overwrite(staged, stagePath, partitions)
+      policyPlan.foreach(m => graft.sources.AccessTags.tagRows(stagePath, m))
       // automatic governance inheritance (r10): a TAGGED raw source
       // propagates its plane to the stage table without a manual call —
       // the reference attaches LF-Tags to every crawled stage table
@@ -103,13 +144,6 @@ object TablePipeline {
       // frame decides which stage columns inherit which tags; a
       // transform that drops every governed column inherits nothing
       // (the stage table stays default-closed for governed reads).
-      // ROW policies deliberately do NOT auto-propagate: their SQL
-      // predicates reference RAW column names the transform renames,
-      // and rewriting predicates through the rename map would silently
-      // change their meaning on expression-derived columns — the
-      // fail-closed default (untagged/unpolicied stage reads refuse or
-      // see the column plane only) is the safe posture; declare stage
-      // row policies explicitly against the stage schema.
       if (graft.sources.AccessTags.tagsOf(rawPath).nonEmpty) {
         val inherited = graft.sources.AccessTags.inheritedTags(staged)
         if (inherited.nonEmpty) {

@@ -215,6 +215,52 @@ object AccessTags {
     inherited
   }
 
+  /** Row-policy propagation through PURE renames (D193 composing with
+    * D200): a raw table's row policy is a SQL boolean over RAW column
+    * names; when every column it references passes to `df`'s output
+    * through a 1:1 rename ([[graft.plans.Lineage.renamesOf]] — values
+    * unchanged, so the predicate keeps its exact meaning), the
+    * predicate rewrites through the rename map and can attach to the
+    * derived table. A policy referencing any EXPRESSION-DERIVED column
+    * (trimmed, cast to a different type, case-mapped) stands down:
+    * rewriting it would silently change what it filters.
+    *
+    * Returns (propagated: profile → rewritten SQL, stoodDown: profile →
+    * original SQL). Registers nothing — the caller owns merge/refusal
+    * semantics (the pipeline refuses fail-closed when a stood-down
+    * policy has no explicit stage cover). Unparsable policies stand
+    * down too (they would refuse at read time; propagation must not
+    * guess). */
+  def rewriteRowPolicies(df: DataFrame, rawPath: String)
+      : (Map[String, String], Map[String, String]) = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val nraw = norm(rawPath)
+    // raw column → stage column, pure renames only; a raw column
+    // renamed to several outputs picks the first by name (identical
+    // values — any choice preserves the predicate's meaning)
+    val rev = graft.plans.Lineage.renamesOf(df).toSeq
+      .filter { case (_, (p, _)) => norm(p) == nraw }
+      .groupBy(_._2._2)
+      .map { case (rawCol, outs) => rawCol -> outs.map(_._1).min }
+    val results = rowPoliciesOf(rawPath).map { case (prof, sql) =>
+      val rewritten = scala.util.Try {
+        val e = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(sql)
+        val refs = e.collect { case u: UnresolvedAttribute => u }
+        val ok = refs.nonEmpty && refs.forall(u =>
+          u.nameParts.size == 1 && rev.contains(u.nameParts.head))
+        if (!ok) None
+        else Some(e.transform {
+          case u: UnresolvedAttribute if u.nameParts.size == 1 =>
+            UnresolvedAttribute(Seq(rev(u.nameParts.head)))
+        }.sql)
+      }.toOption.flatten
+      (prof, sql, rewritten)
+    }
+    (results.collect { case (p, _, Some(r)) => p -> r }.toMap,
+      results.collect { case (p, s, None) => p -> s }.toMap)
+  }
+
   /** The tags `df`'s output columns inherit from their governed source
     * columns (possibly empty) — the non-registering, non-refusing core
     * of [[propagateTags]], for callers like the pipeline's automatic

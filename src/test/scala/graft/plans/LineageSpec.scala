@@ -69,4 +69,61 @@ class LineageSpec extends AnyFunSuite {
       assert(!e.contains("n") && !e.contains("const"))
     } finally graft.sink.StageWriter.deleteRecursively(tmp)
   }
+
+  test("renamesOf: pure renames (incl. no-op casts through filters) " +
+    "qualify; computed, re-typed, aggregated and unioned columns do not") {
+    val tmp = Files.createTempDirectory("renames")
+    try {
+      val a = tmp.resolve("alpha").toString
+      Seq((1L, "x", "2.5")).toDF("k", "s", "amt").write.parquet(a)
+      val alpha = spark.read.parquet(a)
+      val df = alpha.filter(col("k") > 0).select(
+        col("s").as("name"),                      // pure rename
+        col("s").cast("string").as("name2"),      // no-op cast: still pure
+        col("amt").cast("double").as("amt_d"),    // re-typed: NOT a rename
+        trim(col("s")).as("s_trim"),              // computed: NOT a rename
+        col("k"))                                 // passthrough (same name)
+      val r = Lineage.renamesOf(df)
+      val ap = java.nio.file.Paths.get(a).toAbsolutePath.toString
+      assert(r.get("name").map(_._2).contains("s") &&
+        r.get("name2").map(_._2).contains("s") &&
+        r.get("k").map(_._2).contains("k"), s"got $r")
+      assert(r("name")._1 == ap)
+      assert(!r.contains("amt_d") && !r.contains("s_trim"), s"got $r")
+      // aggregation mints new attrs — never renames
+      val agg = alpha.groupBy("s").agg(max("k").as("k"))
+      assert(!Lineage.renamesOf(agg).contains("k"))
+      // a union output is not a single source column's identity
+      val un = alpha.select(col("s").as("u"))
+        .unionByName(alpha.select(col("amt").as("u")))
+      assert(!Lineage.renamesOf(un).contains("u"))
+    } finally graft.sink.StageWriter.deleteRecursively(tmp)
+  }
+
+  test("rewriteRowPolicies: rename-covered predicates rewrite, " +
+    "expression-derived or unparsable ones stand down") {
+    import graft.sources.AccessTags
+    val tmp = Files.createTempDirectory("polrw")
+    try {
+      val a = tmp.resolve("raw").toString
+      Seq((1L, "us", "9.99")).toDF("k", "region", "amt").write.parquet(a)
+      AccessTags.tagRows(a, Map(
+        "narrow" -> "region = 'us' AND k > 0",
+        "derived" -> "amt <> ''",
+        "broken" -> "region = = 'x'"))
+      val raw = spark.read.parquet(a)
+      val df = raw.select(col("k").as("id"), col("region").as("geo"),
+        col("amt").cast("double").as("amt_d"))
+      val (prop, stood) = AccessTags.rewriteRowPolicies(df, a)
+      assert(prop.keySet == Set("narrow") &&
+        stood.keySet == Set("derived", "broken"), s"got $prop / $stood")
+      // the rewritten predicate filters the DERIVED frame correctly
+      assert(df.filter(expr(prop("narrow"))).count() == 1)
+      assert(df.filter(expr(prop("narrow")))
+        .select("geo").head().getString(0) == "us")
+    } finally {
+      AccessTags.untagTable(tmp.resolve("raw").toString)
+      graft.sink.StageWriter.deleteRecursively(tmp)
+    }
+  }
 }
