@@ -323,6 +323,39 @@ object Similarity {
         Seq("dst_id")), k, roundDigits)
   }
 
+  /** NN-Descent iterated to its FIXED POINT (SURVEY §2D, D210+ —
+    * Dong et al. 2011 run to termination, where [[nnDescentRound]] is
+    * one sweep): repeats the round until the edge list stops changing
+    * or `maxRounds` is hit. Each round's graph localCheckpoints before
+    * feeding the next — the candidate self-join must consume a
+    * MATERIALIZED edge list, not re-derive the whole lineage chain
+    * (round r would otherwise replay rounds 1..r-1 inside its own
+    * plan, exponentially). Convergence is natural for this recurrence:
+    * each node's rank-wise cosine vector is monotone non-decreasing
+    * (current edges always sit in the candidate set) and bounded, and
+    * the deterministic tiebreak (cosine desc, dst asc) keeps equal-
+    * score candidate sets from oscillating; `maxRounds` bounds the
+    * tail regardless. Returns (graph, roundsRun) where roundsRun
+    * counts executed rounds INCLUDING the final no-change
+    * confirmation round. */
+  def nnDescentConverge(graph: DataFrame, vectors: DataFrame,
+      idCol: String, vecCol: String, k: Int, maxRounds: Int,
+      roundDigits: Int = 4): (DataFrame, Int) = {
+    require(maxRounds >= 1)
+    var cur = graph
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < maxRounds) {
+      val next = nnDescentRound(cur, vectors, idCol, vecCol, k,
+        roundDigits).localCheckpoint()
+      rounds += 1
+      changed = !(next.exceptAll(cur).isEmpty &&
+        cur.exceptAll(next).isEmpty)
+      cur = next
+    }
+    (cur, rounds)
+  }
+
   /** Embedding-space eval-set decontamination (SURVEY §2D, D207) —
     * D19's n-gram decontamination catches VERBATIM leakage; paraphrased
     * or template-rewritten eval items need the embedding space (the

@@ -84,33 +84,49 @@ object RetrievalQueries {
       SELECT src_id, dst_id, cosine4, CAST(rank AS INT) AS rank
       FROM ranked WHERE rank <= 5 $extraWhere ORDER BY src_id, rank"""
 
-  /** D210 oracle: one NN-Descent round over the D202 graph —
-    * undirected neighborhoods, neighbor-of-neighbor candidates ∪
-    * current edges, exact re-rank, same tiebreak. */
-  private def knnRefineOracle: String =
-    s"""$knnGraphCtes,
-      g AS (SELECT src_id, dst_id FROM ranked WHERE rank <= 5),
-      und AS (SELECT src_id, dst_id FROM g
-              UNION SELECT dst_id, src_id FROM g),
-      cand2 AS (
+  /** D210/D210+ oracle: `rounds` UNROLLED NN-Descent rounds over the
+    * D202 graph — per round: undirected neighborhoods, neighbor-of-
+    * neighbor candidates ∪ current edges, exact re-rank, same
+    * tiebreak. Safe as a CONVERGENCE oracle: once the recurrence hits
+    * its fixed point, further unrolled rounds are no-ops, so replaying
+    * exactly `maxRounds` rounds equals the operator whether it stopped
+    * early (converged) or ran the full budget. */
+  private def knnRoundsOracle(rounds: Int): String = {
+    val sb = new StringBuilder(knnGraphCtes)
+    sb.append(""",
+      g0 AS (SELECT src_id, dst_id, cosine4, rank
+             FROM ranked WHERE rank <= 5)""")
+    for (r <- 1 to rounds) {
+      val p = s"g${r - 1}"
+      sb.append(s""",
+      und$r AS (SELECT src_id, dst_id FROM $p
+                UNION SELECT dst_id, src_id FROM $p),
+      cand$r AS (
         SELECT a.src_id, b.dst_id
-        FROM und a JOIN und b ON a.dst_id = b.src_id
+        FROM und$r a JOIN und$r b ON a.dst_id = b.src_id
         WHERE a.src_id <> b.dst_id
-        UNION SELECT src_id, dst_id FROM g),
-      scored2 AS (
-        SELECT cand2.src_id, cand2.dst_id,
+        UNION SELECT src_id, dst_id FROM $p),
+      scored$r AS (
+        SELECT cand$r.src_id, cand$r.dst_id,
                round(${dotSql("s.v", "d.v")} /
                  (sqrt(${dotSql("s.v", "s.v")}) *
                   sqrt(${dotSql("d.v", "d.v")})), 4) AS cosine4
-        FROM cand2 JOIN e s ON s.id = cand2.src_id
-                   JOIN e d ON d.id = cand2.dst_id),
-      ranked2 AS (
-        SELECT src_id, dst_id, cosine4,
-               row_number() OVER (PARTITION BY src_id
-                 ORDER BY cosine4 DESC, dst_id ASC) AS rank
-        FROM scored2)
+        FROM cand$r JOIN e s ON s.id = cand$r.src_id
+                    JOIN e d ON d.id = cand$r.dst_id),
+      g$r AS (
+        SELECT src_id, dst_id, cosine4, rank FROM (
+          SELECT src_id, dst_id, cosine4,
+                 row_number() OVER (PARTITION BY src_id
+                   ORDER BY cosine4 DESC, dst_id ASC) AS rank
+          FROM scored$r) WHERE rank <= 5)""")
+    }
+    sb.append(s"""
       SELECT src_id, dst_id, cosine4, CAST(rank AS INT) AS rank
-      FROM ranked2 WHERE rank <= 5 ORDER BY src_id, rank"""
+      FROM g$rounds ORDER BY src_id, rank""")
+    sb.toString
+  }
+
+  private def knnRefineOracle: String = knnRoundsOracle(1)
 
   /** Shared ranker CTE chain (DuckDB): corpus stats + the BM25 and
     * query-likelihood ranking pipelines over `Bm25Queries`. The three
@@ -479,6 +495,36 @@ object RetrievalQueries {
         "one round must improve some edges on this corpus")
       refined.orderBy("src_id", "rank")
     }, Some(knnRefineOracle))),
+
+    // D210+ — NN-Descent run to CONVERGENCE (the paper's value is the
+    // fixed point, not one sweep): Similarity.nnDescentConverge stops
+    // when a round changes no edge (the confirming round counts) or at
+    // maxRounds = 3. Rank-wise cosine monotonicity base→final is
+    // require()d (sound by construction — per-round monotonicity and
+    // the no-op fixed point are pinned in KnnGraphSpec); the final
+    // graph is oracled by the 3-round unrolled SQL replay, which
+    // equals the operator whether it converged early (further rounds
+    // no-op) or ran the full budget.
+    "sim_knn_converge" -> (((spark, dir) => {
+      val emb = load(spark, dir, "embeddings")
+      val base = Similarity.knnGraph(emb, "vec_id", "embedding",
+        KnnTables, k = 5, bucketCap = 64).localCheckpoint()
+      Q.Phase.setupDone() // the initial LSH graph is the fixture
+      val (finalG, rounds) = Similarity.nnDescentConverge(base, emb,
+        "vec_id", "embedding", k = 5, maxRounds = 3)
+      Q.Phase.opDone() // monotonicity/progress proof follows
+      require(rounds >= 1 && rounds <= 3, s"rounds=$rounds")
+      val viol = base.select(col("src_id"), col("rank"),
+          col("cosine4").as("c0"))
+        .join(finalG.select(col("src_id"), col("rank"),
+          col("cosine4").as("c1")), Seq("src_id", "rank"))
+        .filter(col("c1") < col("c0")).count()
+      require(viol == 0L,
+        s"rank-wise cosine must be monotone across rounds ($viol)")
+      require(finalG.exceptAll(base).count() > 0L,
+        "convergence must improve some edges on this corpus")
+      finalG.orderBy("src_id", "rank")
+    }, Some(knnRoundsOracle(3)))),
 
     // D207 — embedding-space eval-set decontamination
     // (Similarity.semanticContamination): D19 catches VERBATIM leakage

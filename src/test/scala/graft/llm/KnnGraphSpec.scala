@@ -89,6 +89,48 @@ class KnnGraphSpec extends AnyFunSuite {
       .filter(col("count") > 3).isEmpty, "k edges per node at most")
   }
 
+  test("NN-Descent convergence: per-round rank-wise cosine monotone, " +
+    "an already-converged graph is a one-round no-op fixed point, and " +
+    "converge equals the manual round unroll") {
+    val rows = for { c <- 0 until 2; i <- 0 until 25 } yield {
+      val v = Array.fill(8)(0.0f); v(c) = 1.0f
+      v(4 + c) = 0.002f * i
+      (c * 25L + i, v.toSeq)
+    }
+    val df = rows.toDF("id", "v")
+    val base = Similarity.knnGraph(df, "id", "v", tables, k = 3,
+      bucketCap = 4).localCheckpoint()
+    // manual unroll with per-round rank-wise monotonicity (the SOUND
+    // invariant — recall vs brute force can regress on cosine4 ties,
+    // the r10 advice finding)
+    def viol(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Long =
+      a.select(col("src_id"), col("rank"), col("cosine4").as("c0"))
+        .join(b.select(col("src_id"), col("rank"),
+          col("cosine4").as("c1")), Seq("src_id", "rank"))
+        .filter(col("c1") < col("c0")).count()
+    var cur = base
+    for (_ <- 1 to 3) {
+      val next = Similarity.nnDescentRound(cur, df, "id", "v", k = 3)
+        .localCheckpoint()
+      assert(viol(cur, next) == 0L, "each round must be rank-wise monotone")
+      cur = next
+    }
+    val (conv, rounds) = Similarity.nnDescentConverge(base, df, "id",
+      "v", k = 3, maxRounds = 3)
+    assert(rounds >= 1 && rounds <= 3)
+    assert(conv.collect().toSet == cur.collect().toSet,
+      "converge must equal the manual 3-round unroll (fixed point " +
+        "makes extra rounds no-ops)")
+    // feeding the converged graph back in: one confirming round, no edits
+    val (again, r2) = Similarity.nnDescentConverge(
+      conv.localCheckpoint(), df, "id", "v", k = 3, maxRounds = 3)
+    assert(r2 == 1, s"an already-converged graph stops after the one " +
+      s"confirming round, got $r2")
+    assert(again.collect().toSet == conv.collect().toSet,
+      "the fixed point is a no-op")
+  }
+
   test("incremental maintenance equals the full rebuild; a batch in a " +
     "FULL bucket changes nothing (cap admission is by id)") {
     val mk = (id: Long, c: Int) => {
