@@ -1082,6 +1082,69 @@ object MaintenanceQueries {
       WHERE user_id % 97 <> 0 OR user_id IS NULL
       GROUP BY event_type ORDER BY event_type"""))),
 
+    // D186 × D169/D157 — erasure must not be resurrectable through a
+    // clone or time travel (Erasure.eraseVersioned): clones pinned
+    // BEFORE the request reference historical version dirs, so the
+    // erasure DV-deletes + folds EVERY retained snapshot's resolved
+    // bytes. Pinned here: (a) neither the head clone, the pre-request
+    // v1 clone, nor source asOf(1) can resurrect a subject after the
+    // fold; (b) once the source vacuums past the old clone's version,
+    // that clone fails EAGERLY with the vacuum message — never partial
+    // rows; (c) the head clone still serves the erased-subject-free
+    // snapshot, oracled.
+    "c5_erasure_clone" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("eracl_gate")
+      try {
+        val src = tmp.resolve("src").toString
+        val dst = tmp.resolve("devclone").toString
+        val dstOld = tmp.resolve("oldclone").toString
+        val ledger = tmp.resolve("ledger").toString
+        val ev = load(spark, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        graft.sink.VersionedTable.commit(
+          ev.filter(col("event_id") % 2 === 0), src) // v1
+        graft.sink.VersionedTable.commit(ev, src)    // v2 (head)
+        // clones pinned BEFORE the erasure request
+        graft.sink.VersionedTable.cloneShallow(src, dst) // pins v2
+        graft.sink.VersionedTable.cloneShallow(src, dstOld,
+          asOf = Some(1)) // pins v1
+        val subjects = ev.filter(pmod(col("user_id"), lit(97)) === 0)
+          .select("user_id").distinct()
+        val r = graft.sink.Erasure.eraseVersioned(spark, src, "user_id",
+          subjects, ledger, ledgerKey = "dsar-key")
+        require(r.subjects > 0 && r.rows > r.subjects,
+          s"versioned erasure must reach both snapshots, got $r")
+        def subjRows(df: org.apache.spark.sql.DataFrame): Long =
+          df.filter(pmod(col("user_id"), lit(97)) === 0).count()
+        require(subjRows(graft.sink.VersionedTable.read(spark, dst)) == 0,
+          "the head clone must not resurrect erased subjects")
+        require(subjRows(
+          graft.sink.VersionedTable.read(spark, dstOld)) == 0,
+          "a clone pinned BEFORE the request must not resurrect")
+        require(subjRows(
+          graft.sink.VersionedTable.read(spark, src, Some(1))) == 0,
+          "source time travel must not resurrect")
+        // retention arm: the source vacuums past the old clone's pin
+        graft.sink.VersionedTable.vacuum(src, keepLast = 1)
+        val eager = try {
+          graft.sink.VersionedTable.read(spark, dstOld).count(); false
+        } catch { case e: IllegalStateException =>
+          e.getMessage.contains("vacuum") }
+        require(eager, "a clone of a reclaimed version must fail " +
+          "eagerly with the vacuum message, never partial rows")
+        graft.sink.VersionedTable.read(spark, dst)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+          .orderBy("event_type")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events
+      WHERE user_id % 97 <> 0 OR user_id IS NULL
+      GROUP BY event_type ORDER BY event_type"""))),
+
     // D188 — MV rewrite serves avg (plans.MvRewrite): avg(cast(v AS
     // DECIMAL(18,2))) re-derives as sum(s)/sum(n) in Average's OWN
     // division shape — buffer-typed (28,2) sum over (20,0) count, cast

@@ -63,6 +63,64 @@ object Erasure {
     } finally ids.unpersist()
   }
 
+  /** Right-to-be-forgotten over a VERSIONED table (D186 composing with
+    * D157 time travel and D169 shallow clones): erasure must reach
+    * EVERY retained snapshot — `asOf` reads and clones pinned before
+    * the request reference historical version dirs, so a head-only
+    * erase would let either one resurrect the subject. For each
+    * retained version's RESOLVED data dir (clone `_ref`s resolve to
+    * the same bytes, so erasing here erases what every clone sees),
+    * the subjects DV-delete and — with `fold` (the default) — the
+    * vectors fold into the data immediately. Erasure is the one write
+    * sanctioned to break snapshot-dir immutability: the alternative
+    * (waiting for routine compaction) leaves the subject's bytes
+    * readable through every pinned snapshot in the meantime, which is
+    * exactly what a deletion request forbids. Versions already
+    * reclaimed by vacuum hold no bytes to erase; a clone of a
+    * reclaimed version fails eagerly at read (the vacuum contract).
+    *
+    * Ledger lines carry keyed pseudonyms exactly as [[eraseSubjects]];
+    * per-subject counts SUM the tombstoned row-slots across retained
+    * snapshots (a subject present in three snapshots ledgers all three
+    * slots — what was physically held, not the logical row count). */
+  def eraseVersioned(spark: SparkSession, table: String, keyCol: String,
+      subjects: DataFrame, ledgerPath: String, ledgerKey: String,
+      erasedAtMs: Long = System.currentTimeMillis,
+      fold: Boolean = true): Erased = {
+    require(subjects.columns.length == 1,
+      s"subjects must be a one-column id frame, got " +
+        subjects.columns.mkString(","))
+    val idCol = subjects.columns.head
+    val ids = subjects.select(col(idCol).as("__erase_id"))
+      .na.drop().distinct().cache()
+    try {
+      val nSubjects = ids.count()
+      require(nSubjects > 0, "no subjects to erase")
+      val dirs = VersionedTable.versions(table)
+        .map(v => VersionedTable.snapshotDataDir(table, v)).distinct
+        .filter(d => java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(d)))
+      require(dirs.nonEmpty, s"$table holds no retained snapshot dirs")
+      // per-dir deletes; perKey frames are checkpointed by deleteKeys,
+      // so folding afterwards cannot invalidate them
+      val deletes = dirs.map(d =>
+        DeletionVectors.deleteKeys(spark, d, ids, keyCol))
+      val perKey = deletes.map(_.perKey).reduce(_.unionByName(_))
+        .groupBy(keyCol).agg(sum("rows_deleted").as("rows_erased"))
+        .select(col(keyCol).as("__erase_id"), col("rows_erased"))
+      val ledger = Privacy.pseudonymizeFrame(
+        ids.join(perKey, Seq("__erase_id"), "left")
+          .select(col("__erase_id").as("subject"),
+            coalesce(col("rows_erased"), lit(0L)).as("rows_erased")),
+        Seq("subject"), ledgerKey)
+        .select(col("subject"), lit(erasedAtMs).as("erased_at_ms"),
+          col("rows_erased"))
+      ledger.write.mode(SaveMode.Append).parquet(ledgerPath)
+      if (fold) dirs.foreach(d => DeletionVectors.apply(spark, d))
+      Erased(nSubjects, deletes.map(_.rowsDeleted).sum)
+    } finally ids.unpersist()
+  }
+
   /** Has `id` been honored? The key holder's audit: pseudonymize the id
     * with the same key and look it up in the ledger. */
   def isErased(spark: SparkSession, ledgerPath: String, id: String,

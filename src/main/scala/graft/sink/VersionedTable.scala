@@ -248,6 +248,13 @@ object VersionedTable {
     if (Files.isRegularFile(ref)) Files.readString(ref).trim else vd
   }
 
+  /** The resolved data directory of a committed version — the bytes a
+    * reader (or a shallow clone's `_ref`) actually consumes. For the
+    * erasure composition ([[Erasure.eraseVersioned]]), which must reach
+    * every retained snapshot's physical bytes. */
+  private[sink] def snapshotDataDir(table: String, v: Int): String =
+    resolveDataDir(table, v)
+
   /** Shallow clone (Delta `SHALLOW CLONE` / snapshot import): commit a
     * version of `dst` that REFERENCES `src`'s resolved snapshot directory
     * — zero data copied; the new version dir holds one `_ref` pointer
