@@ -578,6 +578,7 @@ object AnalyticsQueries {
           .withColumn("event_id", -col("event_id") - 1)
           .coalesce(1).write.mode("append").parquet(src)
         val schema = spark.read.parquet(src).schema
+        Q.Phase.setupDone() // fence-augmented source fixture written
         def in = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(src)
         val joined = graft.streaming.Streams.intervalJoin(

@@ -95,7 +95,11 @@ object Q {
     * Streaming state-store instances track shuffle partitions; a
     * gate-sized stream paying 32 store instances per stateful operator
     * per micro-batch is pure overhead (measured 10.9 → 3.9 s on the
-    * left-outer interval gate). Semantics are partition-count-invariant;
+    * left-outer interval gate going 32 → 8; r11 measured 8 → 2 worth a
+    * further −0.2..0.7 s on each default-partition streaming gate,
+    * while the explicitly-4-partition protocol gates measured FLAT at
+    * 2 — their wall is merge/JDBC/shingle work, so they keep 4).
+    * Semantics are partition-count-invariant;
     * each gate owns a fresh checkpoint, so the scoped value can differ
     * per run. Restores the previous value even on failure.
     *
@@ -105,7 +109,7 @@ object Q {
     * sequentially (Verify/Bench iterate one query at a time); a parallel
     * harness must give each gate its own `spark.newSession()` clone. */
   def withStreamPartitions[T](spark: org.apache.spark.sql.SparkSession,
-      n: Int = 8)(body: => T): T = {
+      n: Int = 2)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body
