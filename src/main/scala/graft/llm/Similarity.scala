@@ -215,6 +215,27 @@ object Similarity {
     pairsFrom(capped, capped)
   }
 
+  /** The capped bucket-membership frame (tbl, bucket, id, v) — exposed
+    * so a caller deriving SEVERAL graphs from nested corpora can pay
+    * the bucketing pass ONCE. Because cap admission is deterministic
+    * by smallest id, the membership of an id-PREFIX sub-corpus is
+    * exactly this frame filtered to those ids (growing ids never
+    * displace an admitted member — the same append contract D206
+    * rests on): `membership(corpus) = membership(corpus ∪ batch)
+    * WHERE id ∈ corpus` whenever batch ids exceed corpus ids. */
+  def bucketMembership(df: DataFrame, idCol: String, vecCol: String,
+      tables: Seq[Seq[Seq[Double]]], bucketCap: Int): DataFrame =
+    cappedBuckets(df, idCol, vecCol, tables, bucketCap)
+
+  /** [[knnGraph]] from an already-computed [[bucketMembership]] frame
+    * (or an id-prefix filter of one) — the graph without re-running
+    * the bucketing pass. */
+  def knnGraphFromMembership(capped: DataFrame, k: Int,
+      roundDigits: Int = 4): DataFrame = {
+    require(k >= 1)
+    topK(pairsFrom(capped, capped), k, roundDigits)
+  }
+
   private def topK(pairs: DataFrame, k: Int, roundDigits: Int)
       : DataFrame = {
     val w = Window.partitionBy(col("src_id"))

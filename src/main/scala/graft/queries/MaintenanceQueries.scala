@@ -222,14 +222,17 @@ object MaintenanceQueries {
             pmod(col("l_partkey"), lit(1024)).cast("long").as("y"))
         graft.sink.Layout.hilbertWrite(src, path, "x", "y",
           bits = 10, numFiles = 32)
+        Q.Phase.opDone() // the curve layout is the operator; checks follow
         val total = graft.sink.StageWriter.listDataFiles(
           java.nio.file.Paths.get(path)).size
         require(total >= 16, s"need a multi-file layout, got $total")
-        val fx = graft.sink.Layout.fileRanges(spark, path, "x")
-          .withColumnRenamed("mn", "xmn").withColumnRenamed("mx", "xmx")
-        val fy = graft.sink.Layout.fileRanges(spark, path, "y")
-          .withColumnRenamed("mn", "ymn").withColumnRenamed("mx", "ymx")
-        val both = fx.join(fy, "file").cache()
+        // both dims' per-file ranges in ONE scan (two fileRanges calls
+        // + a join paid a second full pass for the same answer)
+        val both = spark.read.parquet(path)
+          .groupBy(input_file_name().as("file"))
+          .agg(min(col("x")).as("xmn"), max(col("x")).as("xmx"),
+            min(col("y")).as("ymn"), max(col("y")).as("ymx"))
+          .cache()
         try {
           val px = both.filter(col("xmn") <= 127).count()
           val py = both.filter(col("ymn") <= 127).count()
@@ -966,12 +969,18 @@ object MaintenanceQueries {
       val changes = v2.exceptAll(v1).withColumn("change", lit("insert"))
         .unionByName(v1.exceptAll(v2).withColumn("change", lit("delete")))
         .localCheckpoint()
+      Q.Phase.setupDone() // prior rollup + change feed are the fixture
+      // checkpoint: maintained feeds the equality proof AND the output;
+      // un-checkpointed it re-derived its whole plan for each
       val maintained = graft.operators.Rollup.applyChangesMinMax(
         r1, changes, Seq("o_custkey"), "o_totalprice", v2)
+        .localCheckpoint()
+      Q.Phase.opDone() // the rebuild + equality is the PROOF
       val rebuilt = graft.operators.Rollup.buildMinMax(v2,
-        Seq("o_custkey"), "o_totalprice")
-      require(maintained.exceptAll(rebuilt).isEmpty &&
-        rebuilt.exceptAll(maintained).isEmpty,
+        Seq("o_custkey"), "o_totalprice").localCheckpoint()
+      // multiset equality: equal counts + one empty difference
+      require(maintained.count() == rebuilt.count() &&
+        maintained.exceptAll(rebuilt).isEmpty,
         "semi-incremental min/max must equal the rebuild exactly")
       maintained.orderBy("o_custkey")
     }, Some("""

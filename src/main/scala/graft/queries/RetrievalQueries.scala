@@ -440,19 +440,28 @@ object RetrievalQueries {
       val cut = maxId * 4 / 5 // batch ids strictly above every corpus id
       val corpus = emb.filter(col("vec_id") <= cut)
       val batch = emb.filter(col("vec_id") > cut)
-      // each graph materializes ONCE (old feeds the increment AND the
-      // locality except; incr and full feed two equality excepts each)
-      val old = Similarity.knnGraph(corpus, "vec_id", "embedding",
-        KnnTables, k = 5, bucketCap = cap).localCheckpoint()
+      // the fixture (`old`) and the proof rebuild (`full`) share ONE
+      // bucketing pass: cap admission is deterministic by smallest id
+      // and batch ids exceed every corpus id, so the corpus membership
+      // is exactly the union membership filtered to corpus ids
+      // (Similarity.bucketMembership doc; KnnGraphSpec pins the
+      // identity). The OPERATOR under test still runs its own full
+      // path inside knnGraphIncrement.
+      val capped = Similarity.bucketMembership(emb, "vec_id",
+        "embedding", KnnTables, bucketCap = cap).localCheckpoint()
+      val old = Similarity.knnGraphFromMembership(
+        capped.filter(col("id") <= cut), k = 5).localCheckpoint()
       Q.Phase.setupDone() // the pre-existing graph is fixture state
       val incr = Similarity.knnGraphIncrement(corpus, batch, old,
         "vec_id", "embedding", KnnTables, k = 5, bucketCap = cap)
         .localCheckpoint()
       Q.Phase.opDone() // what follows is the equality/locality PROOF
-      val full = Similarity.knnGraph(emb, "vec_id", "embedding",
-        KnnTables, k = 5, bucketCap = cap).localCheckpoint()
-      require(incr.exceptAll(full).isEmpty &&
-        full.exceptAll(incr).isEmpty,
+      val full = Similarity.knnGraphFromMembership(capped, k = 5)
+        .localCheckpoint()
+      // multiset equality via count + one-sided except: equal sizes
+      // with an empty difference imply the other side is empty too
+      require(incr.count() == full.count() &&
+        incr.exceptAll(full).isEmpty,
         "the incremental graph must EQUAL the full rebuild")
       // locality: most sources carried over from the old graph untouched
       val changed = incr.exceptAll(old).select("src_id").distinct().count()

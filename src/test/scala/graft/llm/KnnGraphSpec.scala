@@ -156,5 +156,18 @@ class KnnGraphSpec extends AnyFunSuite {
       tables, k = 3, bucketCap = 8)
     assert(incr8.collect().toSet == full8.collect().toSet,
       "full buckets: increment still equals the rebuild")
+    // shared-bucketing identity (the sim_knn_graph_incr gate's fixture
+    // shortcut): an id-PREFIX sub-corpus's graph equals the union
+    // membership filtered to those ids — cap admission by smallest id
+    // means growing ids never displace an admitted member. Pin at a
+    // SMALL cap so batch members genuinely contend for slots.
+    val memb = Similarity.bucketMembership(corpus.unionByName(batch),
+      "id", "v", tables, bucketCap = 8)
+    val viaShared = Similarity.knnGraphFromMembership(
+      memb.filter(col("id") < 30), k = 3)
+    val direct = Similarity.knnGraph(corpus, "id", "v", tables, k = 3,
+      bucketCap = 8)
+    assert(viaShared.collect().toSet == direct.collect().toSet,
+      "prefix-filtered union membership must reproduce the corpus graph")
   }
 }
