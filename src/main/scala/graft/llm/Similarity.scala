@@ -808,8 +808,11 @@ object Similarity {
     * mean aggregation — all map-side-combinable; the points never
     * shuffle by anything but their own id. Returns per-cluster
     * (cid, n, csum6) after the final assignment. */
-  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int): DataFrame = {
+  /** Lloyd training core: (points, trained centroids, final assign fn).
+    * Shared by the [[kmeans]] summary and the per-point surfaces
+    * ([[kmeansAssignments]], [[clusterBalancedSample]]). */
+  private def lloydTrain(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): (DataFrame, DataFrame => DataFrame) = {
     val pts = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     def assign(cents: DataFrame): DataFrame = {
@@ -840,11 +843,48 @@ object Similarity {
           col("m")))), s => s.getField("m")).as("cv"))
         .localCheckpoint()
     }
+    (cents, assign)
+  }
+
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): DataFrame = {
+    val (cents, assign) = lloydTrain(df, idCol, vecCol, k, iters)
     assign(cents).groupBy("cid").agg(count(lit(1)).as("n"))
       .join(cents.select(col("cid"),
         round(aggregate(col("cv"), lit(0.0), (a, x) => a + x), 6)
           .as("csum6")), Seq("cid"))
       .orderBy("cid")
+  }
+
+  /** Every point's cluster under the trained centroids: (id, cid). */
+  def kmeansAssignments(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val (cents, assign) = lloydTrain(df, idCol, vecCol, k, iters)
+    assign(cents).select(col("id"), col("cid"))
+  }
+
+  /** Cluster-balanced diversity sampling (SURVEY §2D, D213 — the
+    * DataComp-era curation move): train k-means over the embedding
+    * space, then keep at most `perCluster` members PER CLUSTER, chosen
+    * by a portable hash order of ids (deterministic "random" — unbiased
+    * by id magnitude, bit-replayable by the SQL oracle). Dominant
+    * embedding modes (boilerplate templates, one over-crawled domain)
+    * stop flooding the corpus because the QUOTA caps them, while rare
+    * clusters keep everything they have — the quota, not a proportion,
+    * is the diversity knob. Cost shape: one broadcast-assignment pass
+    * over the corpus per Lloyd round + ONE per-cluster window — the
+    * shuffle carries (id, cid, hash), never vectors. Returns
+    * (id, cid, rank), rank 1..perCluster by the hash order. */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, perCluster: Int): DataFrame = {
+    require(perCluster >= 1)
+    val w = Window.partitionBy("cid")
+      .orderBy(col("__h").asc, col("id").asc)
+    kmeansAssignments(df, idCol, vecCol, k, iters)
+      .withColumn("__h", graft.llm.Dedup.portableWordHash(col("id")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perCluster)
+      .select(col("id"), col("cid"), col("rank"))
   }
 
   /** Triplet mining for contrastive/metric training (FaceNet's online

@@ -128,6 +128,37 @@ object RetrievalQueries {
 
   private def knnRefineOracle: String = knnRoundsOracle(1)
 
+  /** Shared D83 Lloyd CTE chain (2 rounds, k=8 over `embeddings`):
+    * ends at `af` (final assignment) and `c2` (trained centroids) —
+    * sim_kmeans and llm_cluster_balance both replay it. */
+  private def kmeansCtes: String = {
+    def assignSql(cents: String): String = s"""
+        SELECT id, v, cid FROM (
+          SELECT e.id, e.v, c.cid,
+                 row_number() OVER (PARTITION BY e.id ORDER BY
+                   round(${dotSql("e.v", "c.cv")} /
+                     (sqrt(${dotSql("e.v", "e.v")}) *
+                      sqrt(${dotSql("c.cv", "c.cv")})), 4) DESC,
+                   c.cid) AS rn
+          FROM e CROSS JOIN $cents c) WHERE rn = 1"""
+    def meanSql(assigned: String): String = s"""
+        SELECT cid, list(m ORDER BY i) AS cv FROM (
+          SELECT cid, i,
+                 round(CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(18,8)))
+                   AS DOUBLE) / count(*), 6) AS m
+          FROM $assigned CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+          GROUP BY cid, i) GROUP BY cid"""
+    s"""
+      WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      c0 AS (SELECT id AS cid, v AS cv FROM e ORDER BY id LIMIT 8),
+      a1 AS (${assignSql("c0")}),
+      c1 AS (${meanSql("a1")}),
+      a2 AS (${assignSql("c1")}),
+      c2 AS (${meanSql("a2")}),
+      af AS (${assignSql("c2")})"""
+  }
+
   /** Shared ranker CTE chain (DuckDB): corpus stats + the BM25 and
     * query-likelihood ranking pipelines over `Bm25Queries`. The three
     * retrieval oracles (text_bm25 / text_ql / text_rrf) each SELECT from a
@@ -657,38 +688,47 @@ object RetrievalQueries {
     "sim_kmeans" -> (((spark, dir) => {
       Similarity.kmeans(load(spark, dir, "embeddings"),
         "vec_id", "embedding", k = 8, iters = 2)
-    }, Some {
-      def assignSql(cents: String): String = s"""
-        SELECT id, v, cid FROM (
-          SELECT e.id, e.v, c.cid,
-                 row_number() OVER (PARTITION BY e.id ORDER BY
-                   round(${dotSql("e.v", "c.cv")} /
-                     (sqrt(${dotSql("e.v", "e.v")}) *
-                      sqrt(${dotSql("c.cv", "c.cv")})), 4) DESC,
-                   c.cid) AS rn
-          FROM e CROSS JOIN $cents c) WHERE rn = 1"""
-      def meanSql(assigned: String): String = s"""
-        SELECT cid, list(m ORDER BY i) AS cv FROM (
-          SELECT cid, i,
-                 round(CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(18,8)))
-                   AS DOUBLE) / count(*), 6) AS m
-          FROM $assigned CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
-          GROUP BY cid, i) GROUP BY cid"""
-      s"""
-      WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
-                 FROM embeddings),
-      c0 AS (SELECT id AS cid, v AS cv FROM e ORDER BY id LIMIT 8),
-      a1 AS (${assignSql("c0")}),
-      c1 AS (${meanSql("a1")}),
-      a2 AS (${assignSql("c1")}),
-      c2 AS (${meanSql("a2")}),
-      af AS (${assignSql("c2")}),
+    }, Some(s"""
+      $kmeansCtes,
       cs AS (SELECT cid, round(list_reduce(list_prepend(0.0, cv),
                (a, x) -> a + x), 6) AS csum6 FROM c2)
       SELECT nn.cid, nn.n, cs.csum6
       FROM (SELECT cid, count(*) AS n FROM af GROUP BY 1) nn
-      JOIN cs USING (cid) ORDER BY cid"""
-    })),
+      JOIN cs USING (cid) ORDER BY cid"""))),
+
+    // D213 — cluster-balanced diversity sampling (the DataComp-era
+    // curation move composing D83 + a quota window): at most
+    // `perCluster` members survive per k-means cluster, chosen by the
+    // portable id-hash order (deterministic "random", bit-replayable).
+    // The gate require()s the quota BINDS (≥1 capped cluster, sample
+    // smaller than corpus) and never overflows; full (vec_id, cid,
+    // rank) oracled by the unrolled Lloyd chain + the same hash window.
+    "llm_cluster_balance" -> (((spark, dir) => {
+      val emb = load(spark, dir, "embeddings")
+      val sample = Similarity.clusterBalancedSample(emb, "vec_id",
+        "embedding", k = 8, iters = 2, perCluster = 40)
+        .localCheckpoint()
+      val per = sample.groupBy("cid").agg(count(lit(1)).as("n"))
+      require(per.agg(max("n")).head().getLong(0) <= 40L,
+        "no cluster may exceed its quota")
+      require(per.filter(col("n") === 40).count() >= 1,
+        "the quota must BIND on at least one cluster of this corpus")
+      require(sample.count() < emb.count(),
+        "balanced sampling must drop rows here")
+      sample.select(col("id").as("vec_id"), col("cid"), col("rank"))
+        .orderBy("cid", "rank")
+    }, Some(s"""
+      $kmeansCtes,
+      h AS (SELECT id, cid,
+              CAST(concat('0x', substring(md5(CAST(id AS VARCHAR)),
+                1, 15)) AS BIGINT) % ${graft.llm.Dedup.PortableP} AS hh
+            FROM af),
+      r AS (SELECT id, cid,
+              row_number() OVER (PARTITION BY cid
+                ORDER BY hh ASC, id ASC) AS rank
+            FROM h)
+      SELECT id AS vec_id, cid, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 40 ORDER BY cid, rank"""))),
 
     // Cross-source boilerplate score: fraction of a doc's word-3-grams
     // that also appear in ANOTHER source — the template/boilerplate

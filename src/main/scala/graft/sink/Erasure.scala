@@ -23,6 +23,22 @@ object Erasure {
 
   final case class Erased(subjects: Long, rows: Long)
 
+  /** Pseudonymized ledger append shared by both erasure surfaces: one
+    * line per REQUESTED subject (no-row subjects ledger 0 — the
+    * request was still honored), keyed tokens only. `perKey` must be
+    * (`__erase_id`, rows_erased). */
+  private def writeLedger(ids: DataFrame, perKey: DataFrame,
+      ledgerPath: String, ledgerKey: String, erasedAtMs: Long): Unit = {
+    Privacy.pseudonymizeFrame(
+      ids.join(perKey, Seq("__erase_id"), "left")
+        .select(col("__erase_id").as("subject"),
+          coalesce(col("rows_erased"), lit(0L)).as("rows_erased")),
+      Seq("subject"), ledgerKey)
+      .select(col("subject"), lit(erasedAtMs).as("erased_at_ms"),
+        col("rows_erased"))
+      .write.mode(SaveMode.Append).parquet(ledgerPath)
+  }
+
   /** Erase `subjects` (a one-column frame of ids matching `keyCol`'s
     * type) from the keyed table at `path`; ledger entries go to
     * `ledgerPath` under pseudonyms keyed by `ledgerKey`. Idempotent in
@@ -49,16 +65,7 @@ object Erasure {
       val perKey = kd.perKey
         .select(col(keyCol).as("__erase_id"),
           col("rows_deleted").as("rows_erased"))
-      // each ledger line carries ITS subject's row count (a subject with
-      // no rows ledgers 0 — the request was still honored)
-      val ledger = Privacy.pseudonymizeFrame(
-        ids.join(perKey, Seq("__erase_id"), "left")
-          .select(col("__erase_id").as("subject"),
-            coalesce(col("rows_erased"), lit(0L)).as("rows_erased")),
-        Seq("subject"), ledgerKey)
-        .select(col("subject"), lit(erasedAtMs).as("erased_at_ms"),
-          col("rows_erased"))
-      ledger.write.mode(SaveMode.Append).parquet(ledgerPath)
+      writeLedger(ids, perKey, ledgerPath, ledgerKey, erasedAtMs)
       Erased(nSubjects, kd.rowsDeleted)
     } finally ids.unpersist()
   }
@@ -108,14 +115,7 @@ object Erasure {
       val perKey = deletes.map(_.perKey).reduce(_.unionByName(_))
         .groupBy(keyCol).agg(sum("rows_deleted").as("rows_erased"))
         .select(col(keyCol).as("__erase_id"), col("rows_erased"))
-      val ledger = Privacy.pseudonymizeFrame(
-        ids.join(perKey, Seq("__erase_id"), "left")
-          .select(col("__erase_id").as("subject"),
-            coalesce(col("rows_erased"), lit(0L)).as("rows_erased")),
-        Seq("subject"), ledgerKey)
-        .select(col("subject"), lit(erasedAtMs).as("erased_at_ms"),
-          col("rows_erased"))
-      ledger.write.mode(SaveMode.Append).parquet(ledgerPath)
+      writeLedger(ids, perKey, ledgerPath, ledgerKey, erasedAtMs)
       if (fold) dirs.foreach(d => DeletionVectors.apply(spark, d))
       Erased(nSubjects, deletes.map(_.rowsDeleted).sum)
     } finally ids.unpersist()

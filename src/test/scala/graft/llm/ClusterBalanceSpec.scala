@@ -1,0 +1,60 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** D213 — cluster-balanced diversity sampling: the quota caps dominant
+  * clusters, rare clusters keep everything, ranks are dense in the
+  * portable-hash order, and the sample is a function of the data, not
+  * the partitioning. */
+class ClusterBalanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // two orthogonal clusters, interleaved ids so Lloyd's first-k-ids
+  // init seeds one centroid in each: EVEN ids (30) on axis 0, ODD ids
+  // (5) on axis 1
+  private def corpus() = {
+    val rows =
+      (0 until 30).map { i =>
+        val v = Array.fill(8)(0.0f); v(0) = 1.0f; v(4) = 0.001f * i
+        (i * 2L, v.toSeq)
+      } ++ (0 until 5).map { i =>
+        val v = Array.fill(8)(0.0f); v(1) = 1.0f; v(5) = 0.001f * i
+        (i * 2L + 1, v.toSeq)
+      }
+    rows.toDF("id", "v")
+  }
+
+  test("dominant cluster caps at the quota, the rare cluster keeps all " +
+    "its members, ranks are dense") {
+    val df = corpus()
+    val s = Similarity.clusterBalancedSample(df, "id", "v", k = 2,
+      iters = 2, perCluster = 10)
+    val byCluster = s.groupBy("cid").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(byCluster.values.toSeq.sorted == Seq(5L, 10L),
+      s"expected sizes 5 (kept whole) and 10 (capped), got $byCluster")
+    // members keep their cluster's geometry: sampled even ids are the
+    // axis-0 cluster, odd the axis-1 one
+    val rows = s.select("id", "cid").as[(Long, Long)].collect()
+    assert(rows.groupBy(_._2).values.forall(g =>
+      g.map(_._1 % 2).distinct.size == 1),
+      "a sampled cluster must not mix the two orthogonal groups")
+    val ranks = s.select("cid", "rank").as[(Long, Int)].collect()
+      .groupBy(_._1).values
+    assert(ranks.forall(g => g.map(_._2).sorted.toSeq ==
+      (1 to g.size).toSeq), "ranks dense 1..n per cluster")
+  }
+
+  test("the sample is deterministic across partitionings") {
+    val df = corpus()
+    val a = Similarity.clusterBalancedSample(df, "id", "v", k = 2,
+      iters = 2, perCluster = 7).collect().toSet
+    val b = Similarity.clusterBalancedSample(df.repartition(13), "id",
+      "v", k = 2, iters = 2, perCluster = 7).collect().toSet
+    assert(a == b, "the sample is a function of the data")
+  }
+}
