@@ -1047,9 +1047,12 @@ object LlmQueries {
     "sim_ivfpq" -> (((spark, dir) => {
       val emb = load(spark, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
+      // checkpoint: the result feeds the recall proof AND the output —
+      // un-checkpointed it re-ran the whole train+encode+probe twice
       val pq = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
         dim = 64, k = 10, nlist = 32, nprobe = 8, m = 8, ncodes = 64,
-        rerank = 8)
+        rerank = 8).localCheckpoint()
+      Q.Phase.opDone() // brute-force recall floor is the PROOF
       val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
           k = 10, roundDigits = Some(4))
         .select(col("query_id"), col("neighbor_id"))

@@ -98,14 +98,19 @@ object MaintenanceQueries {
         val changes = graft.sink.VersionedTable.diff(spark, vt, 1, 2)
         val r1 = graft.operators.Rollup.build(
           graft.sink.VersionedTable.read(spark, vt, Some(1)),
-          Seq("o_custkey"), "o_totalprice")
+          Seq("o_custkey"), "o_totalprice").localCheckpoint()
+        Q.Phase.setupDone() // prior rollup + version diff are fixture
+        // checkpoint: maintained feeds the equality proof AND the output
         val maintained = graft.operators.Rollup.applyChanges(
           r1, changes, Seq("o_custkey"), "o_totalprice")
+          .localCheckpoint()
+        Q.Phase.opDone() // the v2 rebuild + equality is the PROOF
         val rebuilt = graft.operators.Rollup.build(
           graft.sink.VersionedTable.read(spark, vt, Some(2)),
-          Seq("o_custkey"), "o_totalprice")
-        require(maintained.exceptAll(rebuilt).isEmpty &&
-          rebuilt.exceptAll(maintained).isEmpty,
+          Seq("o_custkey"), "o_totalprice").localCheckpoint()
+        // multiset equality: equal counts + one empty difference
+        require(maintained.count() == rebuilt.count() &&
+          maintained.exceptAll(rebuilt).isEmpty,
           "maintain(diff) over build(v1) must equal build(v2) exactly")
         graft.operators.Rollup.readable(maintained)
           .orderBy("o_custkey").localCheckpoint()
