@@ -263,6 +263,46 @@ object ScaleSmoke {
       }
     }
 
+    // ---- D211 NN-Descent round boundedness at 20× ----
+    // One refinement round over the capped graph: candidates are
+    // neighbor-of-neighbor pairs ∪ current edges — bounded by
+    // n·(2k)² + |edges|, never all-pairs, at any corpus size.
+    {
+      val knnTables = graft.llm.Dedup.portablePlanes(20, 64)
+        .grouped(5).toSeq
+      time("nn_descent_round") {
+        val emb = spark.read.parquet(s"$dst/embeddings.parquet")
+        val g = graft.llm.Similarity.knnGraph(emb, "vec_id",
+          "embedding", knnTables, k = 5, bucketCap = 64)
+          .localCheckpoint()
+        val nNodes = emb.count()
+        val refined = graft.llm.Similarity.nnDescentRound(g, emb,
+          "vec_id", "embedding", k = 5).localCheckpoint()
+        val edges = refined.count()
+        require(edges <= nNodes * 5,
+          s"refined graph must stay <= k edges per node ($edges)")
+        edges
+      }
+    }
+
+    // ---- D213 cluster-balanced sampling at 20× ----
+    // The quota caps EVERY cluster regardless of corpus size, the
+    // sample never exceeds k·quota rows, and the shuffle carries
+    // (id, cid, hash) — vectors only cross the wire inside the
+    // broadcast-assignment pass.
+    time("cluster_balance") {
+      val s = graft.llm.Similarity.clusterBalancedSample(
+        spark.read.parquet(s"$dst/embeddings.parquet"),
+        "vec_id", "embedding", k = 8, iters = 1, perCluster = 1000)
+        .localCheckpoint()
+      val n = s.count()
+      require(n <= 8L * 1000,
+        s"sample must stay under k*quota at ${rep}x, got $n")
+      val mx = s.groupBy("cid").count().agg(max("count")).head().getLong(0)
+      require(mx <= 1000, s"a cluster exceeded its quota: $mx")
+      n
+    }
+
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----
     // q_percentile's primary plan is the KmhSample bounded sample; its
     // aggregation state is ≤ 32·k bytes per group no matter the input, so
