@@ -91,6 +91,34 @@ class AccessTagsSpec extends AnyFunSuite {
     }
   }
 
+  test("row policies govern VERSIONED reads too: the policy keys by " +
+    "the table root, filters every version, and composes with asOf") {
+    val tmp = Files.createTempDirectory("tagsverpol")
+    val t = tmp.resolve("vt").toString
+    try {
+      import graft.sink.VersionedTable
+      VersionedTable.commit(Seq((1L, "us", 10L), (2L, "eu", 20L),
+        (3L, "us", 30L)).toDF("uid", "region", "score"), t)
+      VersionedTable.commit(Seq((1L, "us", 11L), (2L, "eu", 21L))
+        .toDF("uid", "region", "score"), t)
+      AccessTags.tagTable(t, Map("uid" -> "id", "region" -> "meta",
+        "score" -> "meta"))
+      AccessTags.tagRows(t, Map("narrow" -> "region = 'us'"))
+      val narrow = AccessTags.Profile("narrow",
+        Map("meta" -> AccessTags.Open))
+      // head: v2 has one 'us' row; v1 had two — the SAME policy plane
+      // (keyed by root) governs both without re-attachment
+      assert(AccessTags.taggedView(spark, t, narrow).count() == 1)
+      val v1 = AccessTags.taggedView(spark, t, narrow, asOf = Some(1))
+      assert(v1.count() == 2 &&
+        v1.select("score").as[Long].collect().sorted.toSeq == Seq(10L, 30L),
+        "time travel must read through the same row policy")
+    } finally {
+      AccessTags.untagTable(t)
+      graft.sink.StageWriter.deleteRecursively(tmp)
+    }
+  }
+
   test("propagateTags: derived columns inherit source tags through " +
     "lineage, mixed columns read most-restrictively, literals stay " +
     "closed, ungoverned frames refuse") {
