@@ -1570,6 +1570,10 @@ object MaintenanceQueries {
           .map(p => p.getFileName.toString -> java.nio.file.Files.size(p))
           .toMap
         val before = inv()
+        // the clean table + declared checks are the fixture; every
+        // trial from here (refusals, WAP binding, splits) is the
+        // operator contract itself — no assert phase to separate
+        Q.Phase.setupDone()
         // a violating OVERWRITE refuses, naming constraint + count
         val dirty = base.withColumn("l_quantity",
           when(pmod(col("l_orderkey"), lit(13)) === 0, lit(-5.0))
