@@ -21,6 +21,21 @@ import sys
 
 oldj = json.load(open(sys.argv[1]))
 newj = json.load(open(sys.argv[2]))
+
+# queries that FAILED on one side must be reported, never silently
+# dropped from the comparison (a gate breaking outright is the worst
+# regression there is)
+newly_failed = sorted(q for q, v in oldj["queries"].items()
+                      if v >= 0 and newj["queries"].get(q, 0) < 0)
+newly_fixed = sorted(q for q, v in newj["queries"].items()
+                     if v >= 0 and oldj["queries"].get(q, 0) < 0)
+if newly_failed:
+    print(f"!!! NEWLY FAILED in NEW ({len(newly_failed)}): "
+          f"{', '.join(newly_failed)}")
+if newly_fixed:
+    print(f"previously failed, now passing ({len(newly_fixed)}): "
+          f"{', '.join(newly_fixed)}")
+
 pold = oldj.get("phases") or {}
 pnew = newj.get("phases") or {}
 use_op = bool(pold) and bool(pnew)
@@ -36,7 +51,8 @@ if use_op:
     print(f"whole-gate totals: {tot_old:.1f}s -> {tot_new:.1f}s")
 else:
     print("note: phases missing in one snapshot — comparing totals")
-    old, new = oldj["queries"], newj["queries"]
+    old = {q: v for q, v in oldj["queries"].items() if v >= 0}
+    new = {q: v for q, v in newj["queries"].items() if v >= 0}
 vold = oldj.get("variance") or {}
 vnew = newj.get("variance") or {}
 if not (vold or vnew):
@@ -44,8 +60,12 @@ if not (vold or vnew):
 
 
 def floor(q):
-    """Noise floor for q: the larger recorded cross-pass spread."""
-    return max(vold.get(q, 0.0), vnew.get(q, 0.0))
+    """Noise floor for q in SECONDS: the bench records variance as the
+    RELATIVE cross-pass spread (max-min)/min, so scale each side's
+    ratio by its recorded (whole-gate) time before comparing against
+    an absolute delta."""
+    return max(vold.get(q, 0.0) * oldj["queries"].get(q, 0.0),
+               vnew.get(q, 0.0) * newj["queries"].get(q, 0.0))
 
 
 common = sorted(set(old) & set(new))
@@ -73,7 +93,7 @@ if suppressed:
     print(f"suppressed by noise floor ({len(suppressed)}):")
     for q, o, n in suppressed:
         print(f"  {q:28s} {o:6.2f} -> {n:6.2f}  (floor {floor(q):.2f})")
-added = sorted(set(new) - set(old))
+added = sorted(set(new) - set(old) - set(newly_fixed))
 print(f"new queries ({len(added)}): "
       f"{sum(new[q] for q in added):.1f}s total")
 for q in added:

@@ -370,8 +370,10 @@ object Similarity {
       val next = nnDescentRound(cur, vectors, idCol, vecCol, k,
         roundDigits).localCheckpoint()
       rounds += 1
-      changed = !(next.exceptAll(cur).isEmpty &&
-        cur.exceptAll(next).isEmpty)
+      // multiset equality via count + ONE anti-join: equal sizes with
+      // an empty one-sided difference imply the other side is empty
+      changed = next.count() != cur.count() ||
+        !next.exceptAll(cur).isEmpty
       cur = next
     }
     (cur, rounds)

@@ -85,6 +85,22 @@ object Lineage {
         // NULLed per projection row.
         case u: Union => u.output.foreach(a => ident.remove(a.exprId))
         case e: Expand => e.output.foreach(a => ident.remove(a.exprId))
+        // OUTER joins null-pad the non-preserved side: those columns'
+        // per-row values are NOT the source values (a padded row holds
+        // NULL where the source never did), so predicate rewriting over
+        // them would change meaning — unbind the nullable side(s).
+        // Inner/Cross/Semi/Anti only drop or keep whole rows.
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          import org.apache.spark.sql.catalyst.plans._
+          j.joinType match {
+            case Inner | Cross | LeftSemi | LeftAnti => ()
+            case LeftOuter =>
+              j.right.output.foreach(a => ident.remove(a.exprId))
+            case RightOuter =>
+              j.left.output.foreach(a => ident.remove(a.exprId))
+            case _ => // FullOuter and anything exotic: fail safe
+              j.output.foreach(a => ident.remove(a.exprId))
+          }
         // every other node either passes attributes through with values
         // untouched (Filter/Join/Sort/Limit/Window/Generate child side —
         // identity preserved by exprId; row multiplicity may change but

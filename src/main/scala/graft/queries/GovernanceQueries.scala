@@ -307,14 +307,33 @@ object GovernanceQueries {
           "the refused transform must write NOTHING (fail-closed " +
             "before the write)")
         // the operator covers the auditor explicitly against the STAGE
-        // schema; the analyst policy still propagates automatically
+        // schema; the analyst policy still propagates automatically —
+        // onto the AUTO plane (provenance separate from declarations)
         AccessTags.tagRows(stagePath, Map("auditor" -> "importe >= 1000"))
         graft.run.TablePipeline.transform(spark, rawPath, stagePath,
           cfg, meta)
-        val got = AccessTags.rowPoliciesOf(stagePath)
-        require(got.keySet == Set("analyst", "auditor") &&
-          got("analyst").contains("estado_doc"),
-          s"propagated policy plane wrong: $got")
+        val explicitGot = AccessTags.rowPoliciesOf(stagePath)
+        val autoGot = AccessTags.autoRowPoliciesOf(stagePath)
+        require(explicitGot.keySet == Set("auditor") &&
+          autoGot.keySet == Set("analyst") &&
+          autoGot("analyst").contains("estado_doc"),
+          s"policy planes wrong: explicit=$explicitGot auto=$autoGot")
+        // PROVENANCE arm: the analyst's raw policy changes to one that
+        // STANDS DOWN — the re-run must refuse; last run's AUTO
+        // derivation must not masquerade as explicit cover
+        AccessTags.tagRows(rawPath, Map(
+          "analyst" -> "monto <> ''", "auditor" -> "monto <> ''"))
+        val refused2 = try {
+          graft.run.TablePipeline.transform(spark, rawPath, stagePath,
+            cfg, meta); false
+        } catch { case _: IllegalArgumentException => true }
+        require(refused2, "a stale auto-propagated predicate must not " +
+          "count as explicit cover on a re-run")
+        // restore and re-run to the final governed state
+        AccessTags.tagRows(rawPath, Map(
+          "analyst" -> "estado = 'O'", "auditor" -> "monto <> ''"))
+        graft.run.TablePipeline.transform(spark, rawPath, stagePath,
+          cfg, meta)
         AccessTags.resetMemory() // plane durable across restart
         val analyst = AccessTags.Profile("analyst", Map(
           "id" -> AccessTags.Tokenize, "meta" -> AccessTags.Open),

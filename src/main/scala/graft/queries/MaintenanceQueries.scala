@@ -233,10 +233,10 @@ object MaintenanceQueries {
         require(total >= 16, s"need a multi-file layout, got $total")
         // both dims' per-file ranges in ONE scan (two fileRanges calls
         // + a join paid a second full pass for the same answer)
-        val both = spark.read.parquet(path)
-          .groupBy(input_file_name().as("file"))
-          .agg(min(col("x")).as("xmn"), max(col("x")).as("xmx"),
-            min(col("y")).as("ymn"), max(col("y")).as("ymx"))
+        val both = graft.sink.Layout.fileRangesMulti(spark, path,
+            Seq("x", "y"))
+          .withColumnRenamed("x_mn", "xmn").withColumnRenamed("x_mx", "xmx")
+          .withColumnRenamed("y_mn", "ymn").withColumnRenamed("y_mx", "ymx")
           .cache()
         try {
           val px = both.filter(col("xmn") <= 127).count()

@@ -99,11 +99,17 @@ object TablePipeline {
       // crawled stage table, crawler_stage.py:385-414). A policy
       // touching an EXPRESSION-DERIVED column (trimmed, re-typed,
       // case-mapped) stands down, and the transform REFUSES unless the
-      // operator declared an explicit stage policy covering that
+      // operator declared an EXPLICIT stage policy covering that
       // profile: silently dropping a raw row restriction on the stage
-      // twin is the one failure governance must not have. Where both an
-      // explicit stage policy and a propagated one exist, they AND —
-      // most restrictive wins, mirroring the tag-merge rule below.
+      // twin is the one failure governance must not have. Propagated
+      // predicates land on the separate AUTO plane (provenance!):
+      // REPLACED wholesale each run, so a changed raw policy can never
+      // leave last run's derivation behind, and the cover check above
+      // consults only genuine operator declarations — a previously
+      // auto-propagated predicate cannot masquerade as explicit cover
+      // for a policy that now stands down. Read-time the explicit and
+      // auto planes AND (most restrictive wins), mirroring the
+      // tag-merge rule below.
       val policyPlan: Option[Map[String, String]] = {
         val rawPolicies = graft.sources.AccessTags.rowPoliciesOf(rawPath)
         if (rawPolicies.isEmpty) None
@@ -118,17 +124,7 @@ object TablePipeline {
               "columns and cannot rewrite through the rename map; declare " +
               "stage row policies for these profiles explicitly " +
               "(AccessTags.tagRows on the stage path) before transforming")
-          val merged = (explicitP.keySet ++ prop.keySet).map { pr =>
-            pr -> ((explicitP.get(pr), prop.get(pr)) match {
-              // idempotent across re-runs: the conjunct we added last
-              // run is recognizably our own "($b)" rendering — never
-              // stack the same restriction twice
-              case (Some(a), Some(b)) =>
-                if (a == b || a.contains(s"($b)")) a else s"($a) AND ($b)"
-              case (a, b) => a.orElse(b).get
-            })
-          }.toMap
-          Some(merged).filter(_.nonEmpty)
+          Some(prop)
         }
       }
       if (incremental && ids.nonEmpty &&
@@ -136,7 +132,14 @@ object TablePipeline {
         StageWriter.mergeInto(spark, staged, stagePath, ids, partitions)
       else
         StageWriter.overwrite(staged, stagePath, partitions)
-      policyPlan.foreach(m => graft.sources.AccessTags.tagRows(stagePath, m))
+      policyPlan match {
+        case Some(p) if p.nonEmpty =>
+          graft.sources.AccessTags.tagRowsAuto(stagePath, p)
+        case _ =>
+          // unpolicied source, or every policy stood down behind
+          // explicit cover: a stale derivation must not linger
+          graft.sources.AccessTags.clearAutoRows(stagePath)
+      }
       // automatic governance inheritance (r10): a TAGGED raw source
       // propagates its plane to the stage table without a manual call —
       // the reference attaches LF-Tags to every crawled stage table

@@ -88,6 +88,20 @@ object Layout {
       .agg(min(col(column).cast("long")).as("mn"),
         max(col(column).cast("long")).as("mx"))
 
+  /** Per-file [min, max] for SEVERAL columns in ONE scan — columns come
+    * back as `<col>_mn` / `<col>_mx` (the single-column form keeps its
+    * legacy `mn`/`mx` names for its pruning callers). */
+  def fileRangesMulti(spark: org.apache.spark.sql.SparkSession,
+      path: String, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "at least one column")
+    val aggs = columns.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"${c}_mn"),
+      max(col(c).cast("long")).as(s"${c}_mx")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Range-predicate read that SKIPS files whose [min, max] cannot
     * intersect [lo, hi]: the manifest is collected driver-side (file-count
     * rows — the same size class as Delta's log replay) and the surviving

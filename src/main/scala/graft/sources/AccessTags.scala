@@ -51,19 +51,31 @@ object AccessTags {
   // single-catalog-writer-per-table discipline as `__checks__`.
   private val registry =
     scala.collection.concurrent.TrieMap[String, Map[String, Set[String]]]()
-  // row policies: table → (profile name → SQL boolean over the RAW table)
+  // row policies: table → (profile name → SQL boolean over the RAW table).
+  // TWO planes with distinct PROVENANCE: the EXPLICIT plane is what an
+  // operator declared with tagRows; the AUTO plane is what the pipeline
+  // last derived through rename propagation. Keeping them separate is
+  // what makes re-runs sound — the pipeline REPLACES the auto plane
+  // wholesale (stale derivations cannot linger) and its fail-closed
+  // cover check consults only genuine operator declarations (an
+  // auto-propagated predicate must never masquerade as explicit cover
+  // for a policy that later stands down). Read-time they AND.
   private val rowPolicies =
+    scala.collection.concurrent.TrieMap[String, Map[String, String]]()
+  private val autoRowPolicies =
     scala.collection.concurrent.TrieMap[String, Map[String, String]]()
 
   private def norm(p: String) = Paths.get(p).toAbsolutePath.toString
   private def tagsFile(n: String) = Paths.get(n + ".__tags__")
   private def policiesFile(n: String) = Paths.get(n + ".__rowpolicies__")
+  private def autoPoliciesFile(n: String) =
+    Paths.get(n + ".__rowpolicies_auto__")
 
   /** Drop every in-memory cache entry (the restart simulation used by
     * specs and gates — durable state on disk is untouched and must
     * rehydrate the same governance plane). */
   def resetMemory(): Unit = {
-    registry.clear(); rowPolicies.clear()
+    registry.clear(); rowPolicies.clear(); autoRowPolicies.clear()
   }
 
   /** Attach column → tag for the table at `path` (replaces previous
@@ -105,7 +117,9 @@ object AccessTags {
     val n = norm(path)
     graft.state.TabSidecar.delete(tagsFile(n))
     graft.state.TabSidecar.delete(policiesFile(n))
-    registry.remove(n); rowPolicies.remove(n); ()
+    graft.state.TabSidecar.delete(autoPoliciesFile(n))
+    registry.remove(n); rowPolicies.remove(n)
+    autoRowPolicies.remove(n); ()
   }
 
   /** Attach ROW policies (D193, the Lake Formation data-cells-filter
@@ -116,31 +130,62 @@ object AccessTags {
     * The predicate evaluates BEFORE column shaping, so it may filter on
     * columns the profile afterwards loses (a region gate on a column
     * the reader never sees — exactly how LF filters behave). */
-  def tagRows(path: String, policies: Map[String, String]): Unit = {
-    require(policies.nonEmpty, "attach at least one row policy")
+  def tagRows(path: String, policies: Map[String, String]): Unit =
+    writePolicies(policiesFile(norm(path)), rowPolicies, norm(path),
+      policies)
+
+  /** The pipeline-derived (AUTO) policy plane — REPLACE semantics per
+    * run; never written by operators. An operator's [[tagRows]] cannot
+    * wipe it (the two planes are separate sidecars), so updating one
+    * explicit policy leaves every propagated restriction standing. */
+  private[graft] def tagRowsAuto(path: String,
+      policies: Map[String, String]): Unit =
+    writePolicies(autoPoliciesFile(norm(path)), autoRowPolicies,
+      norm(path), policies)
+
+  /** Drop the auto plane (a re-run whose source is no longer policied,
+    * or whose policies all stand down behind explicit cover, must not
+    * leave a stale derivation behind). */
+  private[graft] def clearAutoRows(path: String): Unit = {
     val n = norm(path)
-    graft.state.TabSidecar.write(policiesFile(n),
+    graft.state.TabSidecar.delete(autoPoliciesFile(n))
+    autoRowPolicies.remove(n); ()
+  }
+
+  private def writePolicies(file: java.nio.file.Path,
+      cache: scala.collection.concurrent.TrieMap[String, Map[String, String]],
+      n: String, policies: Map[String, String]): Unit = {
+    require(policies.nonEmpty, "attach at least one row policy")
+    graft.state.TabSidecar.write(file,
       policies.toSeq.sortBy(_._1).map { case (prof, sql) =>
         graft.state.TabSidecar.requireCell(prof, "profile") + "\t" +
           graft.state.TabSidecar.requireCell(sql, "policy SQL")
       })
-    rowPolicies.put(n, policies); ()
+    cache.put(n, policies); ()
   }
 
-  def rowPoliciesOf(path: String): Map[String, String] = {
-    val n = norm(path)
-    rowPolicies.getOrElse(n, {
-      val loaded = graft.state.TabSidecar.read(policiesFile(n))
+  def rowPoliciesOf(path: String): Map[String, String] =
+    readPolicies(policiesFile(norm(path)), rowPolicies, norm(path))
+
+  /** The AUTO plane's current derivations (empty when none). */
+  def autoRowPoliciesOf(path: String): Map[String, String] =
+    readPolicies(autoPoliciesFile(norm(path)), autoRowPolicies,
+      norm(path))
+
+  private def readPolicies(file: java.nio.file.Path,
+      cache: scala.collection.concurrent.TrieMap[String, Map[String, String]],
+      n: String): Map[String, String] =
+    cache.getOrElse(n, {
+      val loaded = graft.state.TabSidecar.read(file)
         .flatMap { l =>
           l.split("\t", 2) match {
             case Array(prof, sql) => Some(prof -> sql)
             case _ => None
           }
         }.toMap
-      if (loaded.nonEmpty) rowPolicies.put(n, loaded)
+      if (loaded.nonEmpty) cache.put(n, loaded)
       loaded
     })
-  }
 
   /** The table as `profile` may see it. Untagged table → every column
     * denied (an empty projection is refused loudly instead — a
@@ -167,10 +212,12 @@ object AccessTags {
     val raw =
       if (versioned) graft.sink.VersionedTable.read(spark, path, asOf)
       else spark.read.parquet(path)
-    // row policy first (on the RAW frame — may reference columns the
-    // profile loses below); no policy for this profile → unrestricted
-    val df = rowPoliciesOf(path).get(profile.name)
-      .map(p => raw.filter(expr(p))).getOrElse(raw)
+    // row policies first (on the RAW frame — they may reference columns
+    // the profile loses below); the EXPLICIT and AUTO planes AND (most
+    // restrictive wins); no policy in either plane → unrestricted
+    val df = (rowPoliciesOf(path).get(profile.name).toSeq ++
+      autoRowPoliciesOf(path).get(profile.name).toSeq)
+      .foldLeft(raw)((d, p) => d.filter(expr(p)))
     // multi-tag resolution: the MOST RESTRICTIVE action among the
     // column's tags wins (Deny > Tokenize > Redact > Open); a tag the
     // profile has no action for resolves to Deny — default closed
@@ -247,9 +294,11 @@ object AccessTags {
         val e = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
           .parseExpression(sql)
         val refs = e.collect { case u: UnresolvedAttribute => u }
-        val ok = refs.nonEmpty && refs.forall(u =>
-          u.nameParts.size == 1 && rev.contains(u.nameParts.head))
-        if (!ok) None
+        // zero references (a constant gate like '1 = 0') is
+        // rename-invariant by definition: propagate verbatim
+        if (refs.isEmpty) Some(sql)
+        else if (!refs.forall(u =>
+          u.nameParts.size == 1 && rev.contains(u.nameParts.head))) None
         else Some(e.transform {
           case u: UnresolvedAttribute if u.nameParts.size == 1 =>
             UnresolvedAttribute(Seq(rev(u.nameParts.head)))

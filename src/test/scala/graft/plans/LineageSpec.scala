@@ -97,6 +97,22 @@ class LineageSpec extends AnyFunSuite {
       val un = alpha.select(col("s").as("u"))
         .unionByName(alpha.select(col("amt").as("u")))
       assert(!Lineage.renamesOf(un).contains("u"))
+      // OUTER joins null-pad the non-preserved side: those columns are
+      // NOT renames (values change to NULL on padded rows); the
+      // preserved side keeps identity
+      val b = tmp.resolve("beta").toString
+      Seq((1L, "x")).toDF("k", "t").write.parquet(b)
+      val beta = spark.read.parquet(b)
+      val lo = alpha.join(beta, Seq("k"), "left_outer")
+        .select(col("s").as("left_s"), col("t").as("right_t"))
+      val rlo = Lineage.renamesOf(lo)
+      assert(rlo.contains("left_s") && !rlo.contains("right_t"),
+        s"left-outer: preserved side renames, padded side must not " +
+          s"($rlo)")
+      val fo = alpha.join(beta, Seq("k"), "full_outer")
+        .select(col("s").as("fs"))
+      assert(!Lineage.renamesOf(fo).contains("fs"),
+        "full-outer pads both sides — nothing is a rename")
     } finally graft.sink.StageWriter.deleteRecursively(tmp)
   }
 
@@ -110,13 +126,17 @@ class LineageSpec extends AnyFunSuite {
       AccessTags.tagRows(a, Map(
         "narrow" -> "region = 'us' AND k > 0",
         "derived" -> "amt <> ''",
-        "broken" -> "region = = 'x'"))
+        "broken" -> "region = = 'x'",
+        "locked" -> "1 = 0"))
       val raw = spark.read.parquet(a)
       val df = raw.select(col("k").as("id"), col("region").as("geo"),
         col("amt").cast("double").as("amt_d"))
       val (prop, stood) = AccessTags.rewriteRowPolicies(df, a)
-      assert(prop.keySet == Set("narrow") &&
+      assert(prop.keySet == Set("narrow", "locked") &&
         stood.keySet == Set("derived", "broken"), s"got $prop / $stood")
+      assert(prop("locked") == "1 = 0",
+        "a constant (zero-reference) policy is rename-invariant and " +
+          "propagates verbatim")
       // the rewritten predicate filters the DERIVED frame correctly
       assert(df.filter(expr(prop("narrow"))).count() == 1)
       assert(df.filter(expr(prop("narrow")))

@@ -91,6 +91,40 @@ class AccessTagsSpec extends AnyFunSuite {
     }
   }
 
+  test("explicit and AUTO policy planes stay separate: tagRows never " +
+    "wipes a propagated derivation, reads AND the planes, and the " +
+    "auto plane is durable") {
+    val (tmp, p) = fixture()
+    try {
+      val narrow = AccessTags.Profile("narrow",
+        Map("meta" -> AccessTags.Open))
+      AccessTags.tagRows(p, Map("narrow" -> "region = 'us'"))
+      AccessTags.tagRowsAuto(p, Map("narrow" -> "score <= 15"))
+      // read ANDs the planes: us AND score<=15 → exactly row uid=1
+      assert(AccessTags.taggedView(spark, p, narrow).count() == 1)
+      // an operator updating the EXPLICIT plane must not wipe the auto
+      // derivation (separate sidecars)
+      AccessTags.tagRows(p, Map("narrow" -> "region IN ('us','eu')"))
+      assert(AccessTags.autoRowPoliciesOf(p) ==
+        Map("narrow" -> "score <= 15"),
+        "tagRows wiped the auto plane")
+      assert(AccessTags.taggedView(spark, p, narrow).count() == 1,
+        "the AND of both planes must keep restricting")
+      // durability: the auto plane rehydrates from its sidecar
+      AccessTags.resetMemory()
+      assert(AccessTags.autoRowPoliciesOf(p) ==
+        Map("narrow" -> "score <= 15"))
+      // clearing removes it everywhere
+      AccessTags.clearAutoRows(p)
+      AccessTags.resetMemory()
+      assert(AccessTags.autoRowPoliciesOf(p).isEmpty &&
+        AccessTags.taggedView(spark, p, narrow).count() == 2)
+    } finally {
+      AccessTags.untagTable(p)
+      graft.sink.StageWriter.deleteRecursively(tmp)
+    }
+  }
+
   test("row policies govern VERSIONED reads too: the policy keys by " +
     "the table root, filters every version, and composes with asOf") {
     val tmp = Files.createTempDirectory("tagsverpol")
