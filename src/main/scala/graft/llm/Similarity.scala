@@ -865,6 +865,31 @@ object Similarity {
     assign(cents).select(col("id"), col("cid"))
   }
 
+  /** The trained centroids themselves: (cid, cv) — pin these to assign
+    * LATER batches without retraining (retraining re-shuffles every
+    * cluster; the D131 incremental contract). */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame =
+    lloydTrain(df, idCol, vecCol, k, iters)._1
+
+  /** Nearest-centroid assignment of `df` under PINNED centroids
+    * (cid, cv): (id, cid), same rounded-cosine + smallest-cid tiebreak
+    * as training-time assignment. */
+  def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("id")
+      .orderBy(col("cos4").desc, col("cid").asc)
+    df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cos4", round(dotHof(col("v"), col("cv")) /
+        (sqrt(dotHof(col("v"), col("v"))) *
+         sqrt(dotHof(col("cv"), col("cv")))), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("cid"))
+  }
+
   /** Cluster-balanced diversity sampling (SURVEY §2D, D213 — the
     * DataComp-era curation move): train k-means over the embedding
     * space, then keep at most `perCluster` members PER CLUSTER, chosen
@@ -880,13 +905,53 @@ object Similarity {
   def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, perCluster: Int): DataFrame = {
     require(perCluster >= 1)
+    quotaRank(kmeansAssignments(df, idCol, vecCol, k, iters), perCluster)
+  }
+
+  /** [[clusterBalancedSample]] under PINNED centroids — the serving
+    * shape the incremental maintenance composes against. */
+  def clusterBalancedFromCentroids(df: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, perCluster: Int): DataFrame = {
+    require(perCluster >= 1)
+    quotaRank(assignToCentroids(df, idCol, vecCol, centroids), perCluster)
+  }
+
+  /** The D213 quota window over an (id, cid) assignment frame. */
+  private def quotaRank(assign: DataFrame, perCluster: Int): DataFrame = {
     val w = Window.partitionBy("cid")
       .orderBy(col("__h").asc, col("id").asc)
-    kmeansAssignments(df, idCol, vecCol, k, iters)
+    assign
       .withColumn("__h", graft.llm.Dedup.portableWordHash(col("id")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= perCluster)
       .select(col("id"), col("cid"), col("rank"))
+  }
+
+  /** INCREMENTAL cluster-balanced sample maintenance (SURVEY §2D,
+    * D215 — the D27/D131/D206 discipline applied to D213): a new batch
+    * arrives, the trained centroids are PINNED (retraining would
+    * re-shuffle every cluster), and only clusters that RECEIVE batch
+    * members can change. Within an affected cluster the quota re-ranks
+    * over `oldSample ∪ batch members` ONLY — exact, because the hash
+    * order is static and the old sample is the cluster's top-quota: a
+    * corpus member already outranked by quota survivors can never
+    * re-enter when members are only ADDED. Cost is O(sample + batch);
+    * the corpus is never rescanned. Unaffected clusters' rows carry
+    * over byte-identical; require()d EQUAL to the from-scratch sample
+    * over corpus ∪ batch under the same centroids (gate). */
+  def clusterBalancedIncrement(oldSample: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, centroids: DataFrame,
+      perCluster: Int): DataFrame = {
+    require(perCluster >= 1)
+    val batchAssign = assignToCentroids(batch, idCol, vecCol, centroids)
+    val affected = batchAssign.select("cid").distinct()
+    val rerank = quotaRank(
+      oldSample.join(affected, Seq("cid"), "left_semi")
+        .select(col("id"), col("cid"))
+        .unionByName(batchAssign), perCluster)
+    oldSample.join(affected, Seq("cid"), "left_anti")
+      .unionByName(rerank)
+      .select(col("id"), col("cid"), col("rank")) // stable column order
   }
 
   /** Triplet mining for contrastive/metric training (FaceNet's online

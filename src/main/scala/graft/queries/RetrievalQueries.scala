@@ -130,9 +130,14 @@ object RetrievalQueries {
 
   /** Shared D83 Lloyd CTE chain (2 rounds, k=8 over `embeddings`):
     * ends at `af` (final assignment) and `c2` (trained centroids) —
-    * sim_kmeans and llm_cluster_balance both replay it. */
-  private def kmeansCtes: String = {
-    def assignSql(cents: String): String = s"""
+    * sim_kmeans and llm_cluster_balance both replay it. The
+    * `trainWhere` form trains on a SUB-corpus (`et`) but assigns the
+    * WHOLE table in `af` — the pinned-centroid shape the incremental
+    * gate replays. */
+  private def kmeansCtes: String = kmeansCtesWhere("")
+
+  private def kmeansCtesWhere(trainWhere: String): String = {
+    def assignSql(src: String, cents: String): String = s"""
         SELECT id, v, cid FROM (
           SELECT e.id, e.v, c.cid,
                  row_number() OVER (PARTITION BY e.id ORDER BY
@@ -140,7 +145,7 @@ object RetrievalQueries {
                      (sqrt(${dotSql("e.v", "e.v")}) *
                       sqrt(${dotSql("c.cv", "c.cv")})), 4) DESC,
                    c.cid) AS rn
-          FROM e CROSS JOIN $cents c) WHERE rn = 1"""
+          FROM $src e CROSS JOIN $cents c) WHERE rn = 1"""
     def meanSql(assigned: String): String = s"""
         SELECT cid, list(m ORDER BY i) AS cv FROM (
           SELECT cid, i,
@@ -151,12 +156,13 @@ object RetrievalQueries {
     s"""
       WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
                  FROM embeddings),
-      c0 AS (SELECT id AS cid, v AS cv FROM e ORDER BY id LIMIT 8),
-      a1 AS (${assignSql("c0")}),
+      et AS (SELECT * FROM e $trainWhere),
+      c0 AS (SELECT id AS cid, v AS cv FROM et ORDER BY id LIMIT 8),
+      a1 AS (${assignSql("et", "c0")}),
       c1 AS (${meanSql("a1")}),
-      a2 AS (${assignSql("c1")}),
+      a2 AS (${assignSql("et", "c1")}),
       c2 AS (${meanSql("a2")}),
-      af AS (${assignSql("c2")})"""
+      af AS (${assignSql("e", "c2")})"""
   }
 
   /** Shared ranker CTE chain (DuckDB): corpus stats + the BM25 and
@@ -719,6 +725,50 @@ object RetrievalQueries {
         .orderBy("cid", "rank")
     }, Some(s"""
       $kmeansCtes,
+      h AS (SELECT id, cid,
+              CAST(concat('0x', substring(md5(CAST(id AS VARCHAR)),
+                1, 15)) AS BIGINT) % ${graft.llm.Dedup.PortableP} AS hh
+            FROM af),
+      r AS (SELECT id, cid,
+              row_number() OVER (PARTITION BY cid
+                ORDER BY hh ASC, id ASC) AS rank
+            FROM h)
+      SELECT id AS vec_id, cid, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 40 ORDER BY cid, rank"""))),
+
+    // D215 — INCREMENTAL cluster-balance maintenance (the D27/D131/
+    // D206 discipline applied to D213): a batch arrives, centroids are
+    // PINNED, and only clusters receiving batch members re-rank — over
+    // oldSample ∪ batch ONLY (exact: hash order is static and the old
+    // sample is each cluster's top-quota, so an already-outranked
+    // corpus member can never re-enter when members are only added).
+    // O(sample + batch), corpus never rescanned; require()d EQUAL to
+    // the from-scratch sample under the same centroids; full output
+    // oracled by the train-on-corpus / assign-all Lloyd replay.
+    "llm_cluster_balance_incr" -> (((spark, dir) => {
+      val emb = load(spark, dir, "embeddings")
+      val corpus = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val cents = Similarity.kmeansCentroids(corpus, "vec_id",
+        "embedding", k = 8, iters = 2).localCheckpoint()
+      val old = Similarity.clusterBalancedFromCentroids(corpus,
+        "vec_id", "embedding", cents, perCluster = 40).localCheckpoint()
+      Q.Phase.setupDone() // trained centroids + prior sample = fixture
+      val incr = Similarity.clusterBalancedIncrement(old, batch,
+        "vec_id", "embedding", cents, perCluster = 40).localCheckpoint()
+      Q.Phase.opDone() // the from-scratch rebuild + equality is PROOF
+      val full = Similarity.clusterBalancedFromCentroids(emb, "vec_id",
+        "embedding", cents, perCluster = 40).localCheckpoint()
+      require(incr.count() == full.count() &&
+        incr.exceptAll(full).isEmpty,
+        "the incremental sample must EQUAL the from-scratch rebuild " +
+          "under pinned centroids")
+      require(incr.exceptAll(old).count() > 0L,
+        "the batch must actually move the sample on this corpus")
+      incr.select(col("id").as("vec_id"), col("cid"), col("rank"))
+        .orderBy("cid", "rank")
+    }, Some(s"""
+      ${kmeansCtesWhere("WHERE id % 5 <> 0")},
       h AS (SELECT id, cid,
               CAST(concat('0x', substring(md5(CAST(id AS VARCHAR)),
                 1, 15)) AS BIGINT) % ${graft.llm.Dedup.PortableP} AS hh

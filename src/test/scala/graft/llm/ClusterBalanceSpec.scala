@@ -49,6 +49,31 @@ class ClusterBalanceSpec extends AnyFunSuite {
       (1 to g.size).toSeq), "ranks dense 1..n per cluster")
   }
 
+  test("incremental maintenance under pinned centroids equals the " +
+    "from-scratch rebuild; a batch landing in ONE cluster leaves the " +
+    "other cluster's rows untouched") {
+    val df = corpus()
+    val cents = Similarity.kmeansCentroids(df, "id", "v", k = 2,
+      iters = 2).localCheckpoint()
+    val old = Similarity.clusterBalancedFromCentroids(df, "id", "v",
+      cents, perCluster = 8).localCheckpoint()
+    // batch: 6 new members of the EVEN (axis-0) cluster only
+    val batch = (100 until 106).map { i =>
+      val v = Array.fill(8)(0.0f); v(0) = 1.0f; v(4) = 0.003f * i
+      (i * 2L, v.toSeq)
+    }.toDF("id", "v")
+    val incr = Similarity.clusterBalancedIncrement(old, batch, "id",
+      "v", cents, perCluster = 8)
+    val full = Similarity.clusterBalancedFromCentroids(
+      df.unionByName(batch), "id", "v", cents, perCluster = 8)
+    assert(incr.collect().toSet == full.collect().toSet,
+      "increment must equal the rebuild under the same centroids")
+    // the odd (axis-1) cluster received nothing: its rows carry over
+    val oddOld = old.filter(col("id") % 2 === 1).collect().toSet
+    val oddNew = incr.filter(col("id") % 2 === 1).collect().toSet
+    assert(oddOld == oddNew, "an unaffected cluster must not re-rank")
+  }
+
   test("the sample is deterministic across partitionings") {
     val df = corpus()
     val a = Similarity.clusterBalancedSample(df, "id", "v", k = 2,
