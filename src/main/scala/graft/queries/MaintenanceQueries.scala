@@ -1124,8 +1124,10 @@ object MaintenanceQueries {
           asOf = Some(1)) // pins v1
         val subjects = ev.filter(pmod(col("user_id"), lit(97)) === 0)
           .select("user_id").distinct()
+        Q.Phase.setupDone() // two commits + two clones are the fixture
         val r = graft.sink.Erasure.eraseVersioned(spark, src, "user_id",
           subjects, ledger, ledgerKey = "dsar-key")
+        Q.Phase.opDone() // no-resurrect proofs across readers follow
         require(r.subjects > 0 && r.rows > r.subjects,
           s"versioned erasure must reach both snapshots, got $r")
         def subjRows(df: org.apache.spark.sql.DataFrame): Long =
