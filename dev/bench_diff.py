@@ -61,9 +61,14 @@ if not (vold or vnew):
 
 def floor(q):
     """Noise floor for q in SECONDS: the bench records variance as the
-    RELATIVE cross-pass spread (max-min)/min, so scale each side's
-    ratio by its recorded (whole-gate) time before comparing against
-    an absolute delta."""
+    RELATIVE cross-pass spread (max-min)/min of the WHOLE gate. In
+    op-compare mode the deltas are OP-time deltas, so scale each side's
+    ratio by its OP time, not the whole-gate time — a proof-heavy gate
+    (large setup/assert) would otherwise carry a floor that dwarfs any
+    plausible operator regression and silently suppress it."""
+    if use_op:
+        return max(vold.get(q, 0.0) * pold.get(q, {}).get("op", 0.0),
+                   vnew.get(q, 0.0) * pnew.get(q, {}).get("op", 0.0))
     return max(vold.get(q, 0.0) * oldj["queries"].get(q, 0.0),
                vnew.get(q, 0.0) * newj["queries"].get(q, 0.0))
 

@@ -303,6 +303,28 @@ object ScaleSmoke {
       n
     }
 
+    // ---- D213 quota is TWO-STAGE: the exact window's INPUT is bounded ----
+    // Stage 1 (BottomK heap pre-filter, the D112 discipline) must leave
+    // ≤ perCluster survivors per cluster, so the final rank window sorts
+    // ≤ perCluster × shuffle-partitions rows in total even when one
+    // cluster holds most of the corpus — the single-window plan would
+    // ship the dominant cluster whole into one task's sort.
+    time("cluster_balance_window_input") {
+      val emb = spark.read.parquet(s"$dst/embeddings.parquet")
+      val assign = graft.llm.Similarity.kmeansAssignments(
+        emb, "vec_id", "embedding", k = 8, iters = 1)
+      val hashed = assign.withColumn("__h",
+        graft.llm.Dedup.portableWordHash(col("id")))
+      val surv = graft.llm.Similarity.quotaSurvivors(hashed, 1000).count()
+      val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      require(surv <= 1000L * parts,
+        s"quota window input must be heap-bounded: $surv survivors > " +
+          s"perCluster(1000) x shuffle partitions($parts)")
+      require(surv <= 8L * 1000,
+        s"complete heap agg leaves <= perCluster per cid: $surv > 8000")
+      surv
+    }
+
     // ---- bounded-percentile proof: peak task memory FLAT as data grows ----
     // q_percentile's primary plan is the KmhSample bounded sample; its
     // aggregation state is ≤ 32·k bytes per group no matter the input, so

@@ -370,10 +370,17 @@ object Similarity {
       val next = nnDescentRound(cur, vectors, idCol, vecCol, k,
         roundDigits).localCheckpoint()
       rounds += 1
-      // multiset equality via count + ONE anti-join: equal sizes with
-      // an empty one-sided difference imply the other side is empty
-      changed = next.count() != cur.count() ||
-        !next.exceptAll(cur).isEmpty
+      // multiset equality in ONE action: signed-count union — every row
+      // carries +1 from `next` and -1 from `cur`, grouped sums are all
+      // zero iff the edge multisets match (both inputs are materialized
+      // edge lists, so this reads checkpoints, not lineage)
+      val cs = next.columns
+      changed = !next.withColumn("__s", lit(1L))
+        .unionByName(cur.withColumn("__s", lit(-1L)))
+        .groupBy(cs.head, cs.tail: _*)
+        .agg(sum(col("__s")).as("__d"))
+        .filter(col("__d") =!= 0L)
+        .isEmpty
       cur = next
     }
     (cur, rounds)
@@ -916,15 +923,63 @@ object Similarity {
     quotaRank(assignToCentroids(df, idCol, vecCol, centroids), perCluster)
   }
 
-  /** The D213 quota window over an (id, cid) assignment frame. */
+  /** The D213 quota over an (id, cid) assignment frame — TWO-STAGE so a
+    * dominant cluster never lands whole in one task:
+    *
+    *  1. heap pre-filter ([[graft.functions.BottomK]], the D112
+    *     discipline): `groupBy(cid)` with map-side partial heaps keeps
+    *     the `perCluster` smallest (hash, id) rows per cluster; the
+    *     shuffle carries ≤ perCluster rows per (map partition, cid) and
+    *     the reduce merge touches ≤ perCluster·partitions rows per cid —
+    *     never the cluster. The naive single window would sort a
+    *     boilerplate-flooded cluster (a double-digit percent of a
+    *     100 TB corpus) in ONE task.
+    *  2. the exact `row_number` window — now over ≤ perCluster rows per
+    *     cid (the completed heap's survivors), so its sort is trivially
+    *     bounded.
+    *
+    * Provably hash-identical to the single-window form: (hash, id) is a
+    * TOTAL order, so the global bottom-perCluster per cid is a pure
+    * function of the data set and both plans keep exactly those rows
+    * with the same dense ranks (ClusterBalanceSpec pins equality under
+    * a 90%-dominant cluster; ScaleSmoke bounds the window input).
+    *
+    * The heap path needs integral ids (BottomK's primitive-long heap —
+    * the same contract as D112); non-integral id frames fall back to
+    * the exact single window, documented as not skew-hardened. */
   private def quotaRank(assign: DataFrame, perCluster: Int): DataFrame = {
+    val hashed = assign
+      .withColumn("__h", graft.llm.Dedup.portableWordHash(col("id")))
+    val survivors = quotaSurvivors(hashed, perCluster)
     val w = Window.partitionBy("cid")
       .orderBy(col("__h").asc, col("id").asc)
-    assign
-      .withColumn("__h", graft.llm.Dedup.portableWordHash(col("id")))
+    survivors
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= perCluster)
       .select(col("id"), col("cid"), col("rank"))
+  }
+
+  /** Stage 1 of [[quotaRank]]: the heap-pre-filtered (id, cid, __h)
+    * survivor frame (≤ perCluster rows per cid for integral ids; the
+    * unfiltered frame on the non-integral fallback). `private[graft]`
+    * so ScaleSmoke can assert the final window's input bound. */
+  private[graft] def quotaSurvivors(hashed: DataFrame,
+      perCluster: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+      ShortType}
+    val integralId = hashed.schema("id").dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (!integralId) hashed
+    else
+      hashed.groupBy("cid")
+        .agg(graft.functions.BottomK.bottomk(col("id").cast(LongType),
+          col("__h"), perCluster).as("__keep"))
+        .select(col("cid"), explode(col("__keep")).as("__r"))
+        .select(col("__r.id").cast(hashed.schema("id").dataType)
+            .as("id"),
+          col("cid"), col("__r.v").as("__h"))
   }
 
   /** INCREMENTAL cluster-balanced sample maintenance (SURVEY §2D,

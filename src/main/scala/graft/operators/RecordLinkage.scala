@@ -60,8 +60,10 @@ object RecordLinkage {
       .agg(F.count(F.lit(1)).as("c"))
       .groupBy("f").agg(F.sum(F.col("c") * (F.col("c") - 1)).as("ap"))
     val n = base.agg(F.count(F.lit(1)).as("n"))
-    // single stats row: u_<field> = agreeing pairs / all pairs
-    val uRow = agreePairs.crossJoin(n)
+    // single stats row: u_<field> = agreeing pairs / all pairs; the
+    // 1-row count frame broadcasts EXPLICITLY — plan-guaranteed, not
+    // left to AQE's runtime size estimate
+    val uRow = agreePairs.crossJoin(F.broadcast(n))
       .select(F.col("f"),
         (F.col("ap").cast("double") /
           (F.col("n") * (F.col("n") - 1)).cast("double")).as("u"))

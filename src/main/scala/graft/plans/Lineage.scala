@@ -40,6 +40,32 @@ object Lineage {
         path.split('/').last.stripSuffix(".parquet"), c)
     }
 
+  /** Every file scan of `df`'s ANALYZED plan, one entry PER
+    * LogicalRelation instance (a self-join of a path contributes two
+    * entries for it), subqueries included. The multiplicity is the
+    * row-policy propagation safety signal: with two scans of a policied
+    * path, an output row combines TWO source rows, and a predicate
+    * rewritten onto one side's renamed columns leaves the other side's
+    * contribution unfiltered — restricted values would leak through the
+    * un-rewritten side. Pure plan metadata — zero jobs. */
+  def scanPaths(df: DataFrame): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: LogicalPlan): Unit = {
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+      p match {
+        case lr: LogicalRelation
+            if lr.relation.isInstanceOf[HadoopFsRelation] =>
+          val roots = lr.relation.asInstanceOf[HadoopFsRelation]
+            .location.rootPaths
+          out += roots.headOption.map(_.toUri.getPath).getOrElse("?")
+        case _ => ()
+      }
+    }
+    walk(df.queryExecution.analyzed)
+    out.toSeq
+  }
+
   /** Output columns that are PURE 1:1 RENAMES of a scan column — the
     * value chain from output to leaf is Alias/AttributeReference only,
     * with no-op same-type Casts allowed (the transform engine casts

@@ -329,11 +329,23 @@ object GovernanceQueries {
         } catch { case _: IllegalArgumentException => true }
         require(refused2, "a stale auto-propagated predicate must not " +
           "count as explicit cover on a re-run")
-        // restore and re-run to the final governed state
+        // restore and re-run to the final governed state — with the
+        // analyst predicate QUALIFIED by the raw table's basename
+        // (r12 arm): `raw.estado` must resolve through the rename map
+        // exactly like the bare form and rewrite to the BARE stage
+        // column (LF data-cell filters in the reference are declared
+        // against a named table, so qualified predicates are the
+        // config-audit-realistic shape)
         AccessTags.tagRows(rawPath, Map(
-          "analyst" -> "estado = 'O'", "auditor" -> "monto <> ''"))
+          "analyst" -> "raw.estado = 'O'", "auditor" -> "monto <> ''"))
         graft.run.TablePipeline.transform(spark, rawPath, stagePath,
           cfg, meta)
+        val autoQual = AccessTags.autoRowPoliciesOf(stagePath)
+        require(autoQual.keySet == Set("analyst") &&
+          autoQual("analyst").contains("estado_doc") &&
+          !autoQual("analyst").toLowerCase.contains("raw."),
+          "a qualified raw predicate must propagate with the " +
+            s"qualifier rewritten away, got $autoQual")
         AccessTags.resetMemory() // plane durable across restart
         val analyst = AccessTags.Profile("analyst", Map(
           "id" -> AccessTags.Tokenize, "meta" -> AccessTags.Open),

@@ -127,11 +127,13 @@ object TablePipeline {
           Some(prop)
         }
       }
-      if (incremental && ids.nonEmpty &&
-          java.nio.file.Files.exists(java.nio.file.Paths.get(stagePath)))
-        StageWriter.mergeInto(spark, staged, stagePath, ids, partitions)
-      else
-        StageWriter.overwrite(staged, stagePath, partitions)
+      // the auto plane lands BEFORE the data write: a crash between the
+      // two leaves the NEW policies governing the OLD data (strictly a
+      // re-run-recoverable state — the rewritten predicates reference
+      // stage column names that exist in both generations), whereas the
+      // old write-then-tag order could leave fresh data under LAST run's
+      // auto policies referencing renamed-away columns — fail-closed but
+      // unrecoverable without a manual clearAutoRows
       policyPlan match {
         case Some(p) if p.nonEmpty =>
           graft.sources.AccessTags.tagRowsAuto(stagePath, p)
@@ -140,6 +142,11 @@ object TablePipeline {
           // explicit cover: a stale derivation must not linger
           graft.sources.AccessTags.clearAutoRows(stagePath)
       }
+      if (incremental && ids.nonEmpty &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(stagePath)))
+        StageWriter.mergeInto(spark, staged, stagePath, ids, partitions)
+      else
+        StageWriter.overwrite(staged, stagePath, partitions)
       // automatic governance inheritance (r10): a TAGGED raw source
       // propagates its plane to the stage table without a manual call —
       // the reference attaches LF-Tags to every crawled stage table

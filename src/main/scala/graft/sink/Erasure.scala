@@ -103,10 +103,19 @@ object Erasure {
     try {
       val nSubjects = ids.count()
       require(nSubjects > 0, "no subjects to erase")
+      // existence resolves through the Hadoop FileSystem of each dir —
+      // the same abstraction the Spark reads below go through — so
+      // hdfs://... and s3a://... snapshot dirs survive the filter
+      // (java.nio would silently drop every non-local dir and the
+      // nonEmpty require would abort a legitimate erasure)
+      val hconf = spark.sparkContext.hadoopConfiguration
       val dirs = VersionedTable.versions(table)
         .map(v => VersionedTable.snapshotDataDir(table, v)).distinct
-        .filter(d => java.nio.file.Files.isDirectory(
-          java.nio.file.Paths.get(d)))
+        .filter { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          val fs = p.getFileSystem(hconf)
+          fs.exists(p) && fs.getFileStatus(p).isDirectory
+        }
       require(dirs.nonEmpty, s"$table holds no retained snapshot dirs")
       // per-dir deletes; perKey frames are checkpointed by deleteKeys,
       // so folding afterwards cannot invalidate them

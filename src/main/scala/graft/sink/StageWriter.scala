@@ -228,6 +228,32 @@ object StageWriter {
     val markerDir = Paths.get(path + ".__applied__")
     val marker = markerDir.resolve(batchId.toString)
     if (Files.exists(marker)) return // replayed committed batch: no-op
+    // a delivery BELOW the retained marker window is undecidable: its
+    // marker may have been pruned (committed — appending would double)
+    // or never written (genuinely new). The checkpoint contract never
+    // re-delivers below the last uncommitted id once later batches
+    // committed, so landing here means a checkpoint reset or a second
+    // writer — fail loudly instead of silently double-appending.
+    // (retainMarkers <= 0 retains forever: the multi-writer/reset
+    // escape hatch — no pruning, so this refusal can never trigger.)
+    if (retainMarkers > 0 && Files.isDirectory(markerDir)) {
+      val s = Files.list(markerDir)
+      val minId = try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .flatMap(p =>
+            scala.util.Try(p.getFileName.toString.toLong).toOption)
+          .foldLeft(Long.MaxValue)(math.min)
+      } finally s.close()
+      if (minId != Long.MaxValue && batchId < minId)
+        throw new IllegalStateException(
+          s"batch $batchId is below the retained exactly-once marker " +
+            s"window of $path (oldest surviving marker: $minId): a " +
+            "pruned committed batch and a new delivery are " +
+            "indistinguishable here; refusing to append. Deliveries " +
+            "this old indicate a checkpoint reset or a second writer " +
+            "— pass retainMarkers <= 0 (retain forever) for such setups")
+    }
     // force the STAGED-REVEAL path even on bootstrap (an empty dir, not
     // an overwrite): bootstrap files must carry the batch-id tag too,
     // or a crash between the first landing and its marker could not be
@@ -251,9 +277,10 @@ object StageWriter {
     try Files.createFile(marker)
     catch { case _: java.nio.file.FileAlreadyExistsException => () }
     // prune the trailing window: ids at or below batchId - retain can
-    // never replay once this batch's marker is durable
+    // never replay once this batch's marker is durable (retainMarkers
+    // <= 0 = retain forever, see the refusal above)
     val floor = batchId - retainMarkers.toLong
-    if (floor > 0) {
+    if (retainMarkers > 0 && floor > 0) {
       val s = Files.list(markerDir)
       try {
         import scala.jdk.CollectionConverters._

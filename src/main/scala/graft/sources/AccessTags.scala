@@ -272,6 +272,15 @@ object AccessTags {
     * (trimmed, cast to a different type, case-mapped) stands down:
     * rewriting it would silently change what it filters.
     *
+    * Predicates may qualify columns with the raw table's basename
+    * (`t.col` where `t` names the raw table): the qualifier resolves to
+    * the same rename map. Any OTHER qualifier stands down. And the plan
+    * must scan the raw path EXACTLY ONCE — a self-join combines two
+    * source rows per output row, so a predicate rewritten onto one
+    * side's renames leaves the other side's contribution unfiltered;
+    * every policy stands down on a multi-scan plan (see the unique-scan
+    * gate in the body).
+    *
     * Returns (propagated: profile → rewritten SQL, stoodDown: profile →
     * original SQL). Registers nothing — the caller owns merge/refusal
     * semantics (the pipeline refuses fail-closed when a stood-down
@@ -282,13 +291,38 @@ object AccessTags {
       : (Map[String, String], Map[String, String]) = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     val nraw = norm(rawPath)
-    // raw column → stage column, pure renames only; a raw column
-    // renamed to several outputs picks the first by name (identical
-    // values — any choice preserves the predicate's meaning)
-    val rev = graft.plans.Lineage.renamesOf(df).toSeq
-      .filter { case (_, (p, _)) => norm(p) == nraw }
-      .groupBy(_._2._2)
-      .map { case (rawCol, outs) => rawCol -> outs.map(_._1).min }
+    // UNIQUE-SCAN safety gate: a plan scanning the policied path more
+    // than once (self-join) combines TWO source rows per output row;
+    // rewriting a predicate onto one side's renamed columns leaves the
+    // other side's contribution unfiltered, so restricted values leak
+    // through the un-rewritten side's columns — renamed OR computed.
+    // Requiring a single scan of the whole path is deliberately
+    // stronger than requiring per-referenced-column scan uniqueness:
+    // the second scan leaks even when the policy's own columns rename
+    // only from the first. Every policy stands down (fail-closed: the
+    // pipeline refuses without explicit stage cover).
+    val scanCount = graft.plans.Lineage.scanPaths(df)
+      .count(p => norm(p) == nraw)
+    val rev: Map[String, String] =
+      if (scanCount > 1) Map.empty
+      else graft.plans.Lineage.renamesOf(df).toSeq
+        .filter { case (_, (p, _)) => norm(p) == nraw }
+        .groupBy(_._2._2)
+        // a raw column renamed to several outputs (of the ONE scan)
+        // picks the first by name — identical values, any choice
+        // preserves the predicate's meaning
+        .map { case (rawCol, outs) => rawCol -> outs.map(_._1).min }
+    // qualified references: `t.col` resolves iff the qualifier is the
+    // raw table's basename (the only table a RAW row policy can mean);
+    // any other qualifier stands down
+    val rawBase = nraw.split('/').last.stripSuffix(".parquet")
+    def resolve(u: UnresolvedAttribute): Option[String] =
+      u.nameParts match {
+        case Seq(c) if rev.contains(c) => Some(c)
+        case Seq(q, c) if q.equalsIgnoreCase(rawBase) &&
+          rev.contains(c) => Some(c)
+        case _ => None
+      }
     val results = rowPoliciesOf(rawPath).map { case (prof, sql) =>
       val rewritten = scala.util.Try {
         val e = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
@@ -297,11 +331,10 @@ object AccessTags {
         // zero references (a constant gate like '1 = 0') is
         // rename-invariant by definition: propagate verbatim
         if (refs.isEmpty) Some(sql)
-        else if (!refs.forall(u =>
-          u.nameParts.size == 1 && rev.contains(u.nameParts.head))) None
+        else if (!refs.forall(u => resolve(u).isDefined)) None
         else Some(e.transform {
-          case u: UnresolvedAttribute if u.nameParts.size == 1 =>
-            UnresolvedAttribute(Seq(rev(u.nameParts.head)))
+          case u: UnresolvedAttribute =>
+            UnresolvedAttribute(Seq(rev(resolve(u).get)))
         }.sql)
       }.toOption.flatten
       (prof, sql, rewritten)

@@ -82,4 +82,43 @@ class ClusterBalanceSpec extends AnyFunSuite {
       "v", k = 2, iters = 2, perCluster = 7).collect().toSet
     assert(a == b, "the sample is a function of the data")
   }
+
+  test("two-stage quota equals the single-window form under a " +
+    "90%-dominant cluster — the heap pre-filter changes the plan, " +
+    "never the sample") {
+    // 180 even ids on axis 0 (the dominant mode), 20 odd ids on axis 1
+    val rows =
+      (0 until 180).map { i =>
+        val v = Array.fill(8)(0.0f); v(0) = 1.0f; v(4) = 0.0001f * i
+        (i * 2L, v.toSeq)
+      } ++ (0 until 20).map { i =>
+        val v = Array.fill(8)(0.0f); v(1) = 1.0f; v(5) = 0.0001f * i
+        (i * 2L + 1, v.toSeq)
+      }
+    val df = rows.toDF("id", "v").repartition(7)
+    val cents = Similarity.kmeansCentroids(df, "id", "v", k = 2,
+      iters = 2).localCheckpoint()
+    val got = Similarity.clusterBalancedFromCentroids(df, "id", "v",
+      cents, perCluster = 12)
+      .select("id", "cid", "rank").as[(Long, Long, Int)].collect()
+    // the single-window REPLAY, computed independently: assignment by
+    // parity (the clusters are orthogonal), rank by the same portable
+    // hash order — rank r is the r-th smallest (hash, id) per cluster
+    val expect = rows.map(_._1).toDF("id")
+      .withColumn("grp", col("id") % 2)
+      .withColumn("h", Dedup.portableWordHash(col("id")))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._2).values.flatMap { g =>
+        g.sortBy(r => (r._3, r._1)).take(12).zipWithIndex
+          .map { case ((id, grp, _), i) => (id, grp, i + 1) }
+      }.toSet
+    // cid labels are kmeans-internal; compare per-parity (id, rank) sets
+    def keyed(s: Iterable[(Long, Long, Int)]) =
+      s.groupBy(_._1 % 2).view
+        .mapValues(_.map(r => (r._1, r._3)).toSet).toMap
+    assert(keyed(got.toSeq) == keyed(expect),
+      "two-stage quota must reproduce the exact window sample")
+    assert(got.count(_._1 % 2 == 0) == 12 && got.count(_._1 % 2 == 1) == 12,
+      "both clusters cap at the quota here")
+  }
 }

@@ -63,4 +63,19 @@ class RecordLinkageSpec extends AnyFunSuite {
     val out = link(rows, 0.9, minW = 2.0)
     assert(out.map(r => (r._1, r._2)) == Seq((1L, 2L)))
   }
+
+  test("both 1-row stats joins are PLAN-GUARANTEED broadcasts: no " +
+    "CartesianProduct, no shuffle feeding the stats side") {
+    val rows = Seq((1L, "B", "a", "p"), (2L, "B", "a", "p"),
+      (3L, "B", "b", "q"))
+    val df = RecordLinkage.linkageWeights(
+      rows.toDF("id", "blk", "x", "y"), "id", "blk",
+      Seq("x" -> col("x"), "y" -> col("y")), 0.9, 100, 0.0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "a 1-row cross join must never fall back to a cartesian shuffle:\n" +
+        plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the explicit broadcast() hint must survive into the plan:\n" + plan)
+  }
 }

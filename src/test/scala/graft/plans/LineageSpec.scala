@@ -146,4 +146,68 @@ class LineageSpec extends AnyFunSuite {
       graft.sink.StageWriter.deleteRecursively(tmp)
     }
   }
+
+  test("rewriteRowPolicies: a qualified `rawtable.col` reference " +
+    "resolves through the rename map; a foreign qualifier stands down") {
+    import graft.sources.AccessTags
+    val tmp = Files.createTempDirectory("polqual")
+    try {
+      val a = tmp.resolve("raw").toString
+      Seq((1L, "us"), (2L, "eu")).toDF("k", "region").write.parquet(a)
+      AccessTags.tagRows(a, Map(
+        "qualified" -> "raw.region = 'us' AND raw.k > 0",
+        "mixed" -> "raw.region = 'us' AND k > 0",
+        "foreign" -> "other.region = 'us'"))
+      val raw = spark.read.parquet(a)
+      val df = raw.select(col("k").as("id"), col("region").as("geo"))
+      val (prop, stood) = AccessTags.rewriteRowPolicies(df, a)
+      assert(prop.keySet == Set("qualified", "mixed") &&
+        stood.keySet == Set("foreign"), s"got $prop / $stood")
+      assert(df.filter(expr(prop("qualified"))).count() == 1)
+      assert(df.filter(expr(prop("qualified")))
+        .select("geo").head().getString(0) == "us",
+        "the qualifier must rewrite to the BARE stage column")
+    } finally {
+      AccessTags.untagTable(tmp.resolve("raw").toString)
+      graft.sink.StageWriter.deleteRecursively(tmp)
+    }
+  }
+
+  test("rewriteRowPolicies: a plan scanning the policied path TWICE " +
+    "(self-join) stands every policy down — one side's rewrite cannot " +
+    "govern the other side's contribution") {
+    import graft.sources.AccessTags
+    val tmp = Files.createTempDirectory("polselfjoin")
+    try {
+      val a = tmp.resolve("raw").toString
+      Seq((1L, "us", 10L), (2L, "eu", 20L))
+        .toDF("k", "region", "v").write.parquet(a)
+      AccessTags.tagRows(a, Map("narrow" -> "region = 'us'"))
+      val raw1 = spark.read.parquet(a)
+      val raw2 = spark.read.parquet(a)
+      // both sides rename `region`; the single-scan rule must still
+      // stand down — the rewritten predicate would filter on ONE
+      // side's value while the OTHER side's restricted values (geo2,
+      // v2) ride along unfiltered
+      val joined = raw1.select(col("k").as("id"),
+          col("region").as("geo1"))
+        .join(raw2.select(col("k").as("id2"), col("region").as("geo2"),
+          col("v").as("v2")), col("id") === col("id2") - 1)
+      val (prop, stood) = AccessTags.rewriteRowPolicies(joined, a)
+      assert(prop.isEmpty && stood.keySet == Set("narrow"),
+        s"multi-scan plans must stand down every policy, got " +
+          s"$prop / $stood")
+      // scanPaths sees both instances
+      assert(graft.plans.Lineage.scanPaths(joined)
+        .count(_.endsWith("raw")) == 2)
+      // a single-scan plan over the same path still propagates
+      val single = raw1.select(col("k").as("id"),
+        col("region").as("geo"))
+      val (p2, s2) = AccessTags.rewriteRowPolicies(single, a)
+      assert(p2.keySet == Set("narrow") && s2.isEmpty)
+    } finally {
+      AccessTags.untagTable(tmp.resolve("raw").toString)
+      graft.sink.StageWriter.deleteRecursively(tmp)
+    }
+  }
 }

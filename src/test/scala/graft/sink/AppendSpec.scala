@@ -96,6 +96,33 @@ class AppendSpec extends AnyFunSuite {
         retainMarkers = 3)
       assert(spark.read.parquet(p).count() == 70,
         "a retained marker must still dedupe its batch")
+      // a delivery BELOW the window is undecidable (pruned-committed vs
+      // new) — it must refuse loudly, never silently double-append
+      val e = intercept[IllegalStateException] {
+        StageWriter.appendExactlyOnce(frame(0, 10), p, 1L,
+          retainMarkers = 3)
+      }
+      assert(e.getMessage.contains("below the retained"))
+      assert(spark.read.parquet(p).count() == 70,
+        "the refused delivery must not have landed anything")
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+
+  test("retainMarkers <= 0 retains every marker forever: arbitrarily " +
+    "old replays stay no-ops and nothing refuses") {
+    val tmp = Files.createTempDirectory("apretfor")
+    try {
+      val p = tmp.resolve("t").toString
+      for (b <- 0L to 6L)
+        StageWriter.appendExactlyOnce(frame(b * 10, b * 10 + 10), p, b,
+          retainMarkers = 0)
+      assert(spark.read.parquet(p).count() == 70)
+      // the multi-writer / checkpoint-reset escape hatch: batch 0's
+      // marker survives, so its replay dedupes instead of refusing
+      StageWriter.appendExactlyOnce(frame(900, 999), p, 0L,
+        retainMarkers = 0)
+      assert(spark.read.parquet(p).count() == 70,
+        "an ancient replay must no-op when markers are retained forever")
     } finally StageWriter.deleteRecursively(tmp)
   }
 
