@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // timing mode: streaming gates skip their restart/replay PROOF arms
+    // (see Q.benchLean scaladoc) — Verify runs the full protocol
+    graft.queries.Q.benchLean = true
     // Force FULL evaluation of every output column with a noop sink —
     // df.count() lets Catalyst prune projected expressions (a projection
     // query would time a row count, not the projection).

@@ -783,4 +783,38 @@ object TextAnalysis {
       MojibakePairs.foldLeft(col(textCol)) { case (c, (bad, good)) =>
         org.apache.spark.sql.functions.replace(c, lit(bad), lit(good))
       })
+
+  /** Readability metrics (SURVEY §2D, D217) — the Flesch-reading-ease
+    * tier of a quality-filtering stack (Kincaid et al. 1975, public
+    * formula; Gopher/C4-style stacks gate on it alongside D10/D26/D55).
+    * Heuristic counters chosen for CROSS-ENGINE replayability:
+    *
+    *  - words: whitespace tokens ([[tokenCount]]'s grammar);
+    *  - sentences: non-empty `[.!?]+`-separated segments, floor 1;
+    *  - syllables: `[aeiouy]+` vowel GROUPS over the lowercased text —
+    *    the standard cheap proxy — floored at the word count (every
+    *    word carries ≥1 syllable, which the proxy misses for "rhythm");
+    *  - flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words),
+    *    each division a single IEEE op, rounded to 4.
+    *
+    * Adds (n_words, n_sentences, n_syllables, flesch4). Pure per-row
+    * projection inside whole-stage codegen — zero shuffles at any
+    * scale; empty/blank docs surface flesch4 = NULL (0 words). */
+  def readability(df: DataFrame, textCol: String): DataFrame = {
+    val t = lower(trim(col(textCol)))
+    df.withColumn("n_words", tokenCount(col(textCol)).cast(LongType))
+      .withColumn("n_sentences",
+        greatest(size(filter(split(t, "[.!?]+"),
+          s => length(trim(s)) > 0)), lit(1)).cast(LongType))
+      .withColumn("n_syllables",
+        greatest(size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))),
+          col("n_words")).cast(LongType))
+      .withColumn("flesch4",
+        when(col("n_words") > 0,
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast(DoubleType) /
+              col("n_sentences").cast(DoubleType))
+            - lit(84.6) * (col("n_syllables").cast(DoubleType) /
+              col("n_words").cast(DoubleType)), 4)))
+  }
 }

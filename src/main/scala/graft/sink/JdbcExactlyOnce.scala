@@ -103,15 +103,16 @@ object JdbcExactlyOnce {
         // retries idempotently (dup-key swallow below).
         c.setAutoCommit(false)
         try {
-          // multi-row VALUES inserts (100 rows per statement): an
+          // multi-row VALUES inserts (400 rows per statement): an
           // embedded driver executes addBatch elements one by one, so
           // real batching must happen in the STATEMENT — one parse/
-          // execute per 100 rows instead of per row. Duplicate
+          // execute per 400 rows instead of per row (1200 parameter
+          // markers — far under Derby's 32k limit). Duplicate
           // (batch_id, k) rows — a retried partition re-inserting — are
           // idempotent by design: a duplicate-key failure re-drives that
           // chunk row-by-row, swallowing ONLY the dup-key state so its
           // non-duplicate rows still land.
-          val n = 100
+          val n = 400
           val wide = c.prepareStatement(
             s"INSERT INTO ${table}_stg (batch_id, k, v) VALUES " +
               Seq.fill(n)("(?, ?, ?)").mkString(", "))
