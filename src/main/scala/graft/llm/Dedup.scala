@@ -825,4 +825,63 @@ object Dedup {
       count(lit(1)).as("n_words"),
       sum(col("c")).cast(LongType).as("n_removed"))
   }
+
+  /** Cross-source duplication matrix (SURVEY §2D, D219) — the source-
+    * overlap analysis a mixture designer runs BEFORE setting mixing
+    * weights (D32/D48): which sources duplicate INTO which? Takes a
+    * mined near-dup pair frame (id1, id2 — [[minhashLshPairs]] or any
+    * exact miner) and the corpus's (id, source) projection; each pair
+    * contributes one count to its UNORDERED source pair (source_a ≤
+    * source_b, so web~books and books~web land in one cell; the
+    * diagonal is within-source duplication). Scale shape: two id-keyed
+    * joins against a two-column projection + one map-side-combinable
+    * count — the pair frame is already bounded by the miner's banding/
+    * caps, and text never moves. */
+  def sourceDupMatrix(pairs: DataFrame, docs: DataFrame, idCol: String,
+      srcCol: String): DataFrame = {
+    val s = docs.select(col(idCol).as("__id"), col(srcCol).as("__src"))
+    pairs
+      .join(s.select(col("__id").as("id1"), col("__src").as("s1")),
+        "id1")
+      .join(s.select(col("__id").as("id2"), col("__src").as("s2")),
+        "id2")
+      .select(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_dup_pairs"))
+  }
+
+  /** Eval-overlap contamination REPORT (SURVEY §2D, D220) — D19's
+    * binary decontamination upgraded to the overlap FRACTION the
+    * contamination literature actually reports (what share of the eval
+    * item's n-grams appear in the training doc): for every (corpus doc,
+    * eval doc) pair, `n_shared` distinct word-`width`-gram hashes and
+    * `frac4 = n_shared / |eval grams|` rounded to 4, emitted when the
+    * rounded fraction clears `minFrac`. Scale shape: grams hash to the
+    * portable space BEFORE any exchange (shuffles carry longs + ids,
+    * never text), the EVAL side — small by nature — broadcasts twice
+    * (gram memberships and per-item totals), so the corpus scan joins
+    * without shuffling itself. The hash space is the same
+    * oracle-replayable [[portableWordHash]] contract the dedup plane
+    * uses throughout. */
+  def overlapFractions(corpus: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, width: Int, minFrac: Double): DataFrame = {
+    def grams(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+          explode(wordShingles(col(textCol), width)).as("__g"))
+        .select(col(as), portableWordHash(col("__g")).as("gh"))
+        .distinct()
+    val eg = grams(eval, "eval_id")
+    val en = eg.groupBy("eval_id").agg(count(lit(1)).as("__en"))
+    grams(corpus, "doc_id")
+      .join(broadcast(eg), "gh")
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(en), "eval_id")
+      .withColumn("frac4",
+        round(col("n_shared").cast("double") / col("__en"), 4))
+      .filter(col("frac4") >= minFrac)
+      .select(col("doc_id"), col("eval_id"), col("n_shared"),
+        col("frac4"))
+  }
 }

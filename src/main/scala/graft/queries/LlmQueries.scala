@@ -380,6 +380,38 @@ object LlmQueries {
       FROM t JOIN e USING (g)
       GROUP BY t.doc_id ORDER BY doc_id"""))),
 
+    // D220 — eval-overlap contamination REPORT (Dedup.overlapFractions):
+    // D19's binary flag upgraded to the overlap FRACTION per (corpus
+    // doc, eval doc) pair — n_shared distinct gram hashes / the eval
+    // item's gram count, rounded 4, thresholded at 0.03 (the synthetic vocab collides at low rates; real pipelines use 8-grams and higher floors). Grams hash to
+    // the portable space before any exchange; the eval side broadcasts.
+    // The oracle replays hash, counts, division and threshold exactly.
+    "llm_overlap_frac" -> (((spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      Dedup.overlapFractions(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text", width = 3, minFrac = 0.03)
+        .orderBy("doc_id", "eval_id")
+    }, Some(s"""
+      WITH g0 AS ($gram3Sql),
+      g AS (SELECT DISTINCT doc_id,
+              CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
+                % ${Dedup.PortableP} AS gh
+            FROM g0),
+      e AS (SELECT doc_id AS eval_id, gh FROM g WHERE doc_id % 100 = 0),
+      en AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n
+             FROM e GROUP BY 1),
+      t AS (SELECT doc_id, gh FROM g WHERE doc_id % 100 <> 0),
+      sh AS (SELECT t.doc_id, e.eval_id,
+               CAST(count(*) AS BIGINT) AS n_shared
+             FROM t JOIN e USING (gh) GROUP BY 1, 2)
+      SELECT sh.doc_id, sh.eval_id, sh.n_shared,
+             round(CAST(n_shared AS DOUBLE) / n, 4) AS frac4
+      FROM sh JOIN en USING (eval_id)
+      WHERE round(CAST(n_shared AS DOUBLE) / n, 4) >= 0.03
+      ORDER BY doc_id, eval_id"""))),
+
     // Deterministic hash sampling: a reproducible ~10% corpus sample keyed
     // on md5(doc_id) — the way a 100 TB pipeline samples (pure per-row
     // predicate, no RNG state, no shuffle; pushdown-friendly and stable
@@ -654,6 +686,44 @@ object LlmQueries {
     // (pairs alone mishandle chains A~B~C — the canonical survivor must be
     // chosen per component). Oracle = DuckDB recursive CTE reachability
     // over the brute-force pair set.
+    // D219 — cross-source duplication matrix (Dedup.sourceDupMatrix):
+    // the mined near-dup pairs rolled up per UNORDERED source pair —
+    // the overlap analysis a mixture designer runs before setting
+    // D32/D48 weights (which sources duplicate INTO which; the
+    // diagonal is within-source duplication). Oracle = brute-force
+    // exact-Jaccard pairs joined to sources (recall-1.0 argument as
+    // dd_minhash).
+    "dd_source_matrix" -> (((spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleWidth = 3, k = 32, b = 8, threshold = 0.8)
+        .select("id1", "id2")
+      Dedup.sourceDupMatrix(pairs, docs, "doc_id", "source")
+        .orderBy("source_a", "source_b")
+    }, Some("""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 1, 2)),
+                 i -> concat_ws(' ',
+                        string_split_regex(trim(text), '\s+')[i],
+                        string_split_regex(trim(text), '\s+')[i+1],
+                        string_split_regex(trim(text), '\s+')[i+2]))) AS g
+        FROM documents),
+      p AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+              >= 0.8),
+      s AS (SELECT doc_id, source FROM documents)
+      SELECT least(sa.source, sb.source) AS source_a,
+             greatest(sa.source, sb.source) AS source_b,
+             CAST(count(*) AS BIGINT) AS n_dup_pairs
+      FROM p JOIN s sa ON p.id1 = sa.doc_id
+             JOIN s sb ON p.id2 = sb.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2"""))),
+
     // phase: genuinely all-op — the gate runs nothing but the operator
     // chain (pair mining → connected components); no fixture, no proof
     "dd_cluster" -> (((spark, dir) => {

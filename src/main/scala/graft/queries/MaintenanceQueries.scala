@@ -1180,29 +1180,37 @@ object MaintenanceQueries {
       try {
         val src = tmp.resolve("src").toString
         val ledger = tmp.resolve("ledger").toString
+        // a third of the events: the gate proves HOLD semantics (two
+        // erase drives, each a DV+fold over every snapshot) — table
+        // size only scales the fold I/O, not the semantics
         val ev = load(spark, dir, "events")
+          .filter(col("event_id") % 3 === 0)
           .select("event_id", "user_id", "event_type", "value")
         graft.sink.VersionedTable.commit(ev, src)
         val subjects = ev.filter(pmod(col("user_id"), lit(7)) === 3)
-          .select("user_id").distinct()
+          .select("user_id").distinct().localCheckpoint()
         val held = subjects.filter(pmod(col("user_id"), lit(14)) === 3)
-        require(held.count() > 0 &&
-          held.count() < subjects.count(),
+          .localCheckpoint()
+        val (nSubjects, nHeldFix) = (subjects.count(), held.count())
+        require(nHeldFix > 0 && nHeldFix < nSubjects,
           "the fixture needs a proper held/erasable split")
         graft.sink.Erasure.declareHold(spark, src, "litigation-42", held)
         Q.Phase.setupDone() // op = the two hold-aware erasure drives
         val (r1, nHeld1) = graft.sink.Erasure.eraseVersionedWithHolds(
           spark, src, "user_id", subjects, ledger, ledgerKey = "dsar-key")
-        require(r1.subjects > 0 && nHeld1 == held.count(),
+        require(r1.subjects > 0 && nHeld1 == nHeldFix,
           s"the erasable subset must erase, the held one defer " +
             s"(got $r1 held=$nHeld1)")
-        val afterFirst = graft.sink.VersionedTable.read(spark, src)
-        require(afterFirst.filter(
-          pmod(col("user_id"), lit(14)) === 3).count() > 0,
+        // one action proves both halves of the partial erasure
+        val s1 = graft.sink.VersionedTable.read(spark, src).agg(
+          sum(when(pmod(col("user_id"), lit(14)) === 3, 1L)
+            .otherwise(0L)).as("held_rows"),
+          sum(when(pmod(col("user_id"), lit(7)) === 3 &&
+            pmod(col("user_id"), lit(14)) =!= 3, 1L)
+            .otherwise(0L)).as("erased_rows")).head()
+        require(s1.getLong(0) > 0,
           "held subjects must SURVIVE the partial erasure")
-        require(afterFirst.filter(pmod(col("user_id"), lit(7)) === 3 &&
-          pmod(col("user_id"), lit(14)) =!= 3).count() == 0,
-          "erasable subjects must be gone")
+        require(s1.getLong(1) == 0, "erasable subjects must be gone")
         val heldId = held.orderBy("user_id").limit(1)
           .collect().head.getLong(0).toString
         require(!graft.sink.Erasure.isErased(spark, ledger, heldId,
@@ -1212,7 +1220,7 @@ object MaintenanceQueries {
         graft.sink.Erasure.releaseHold(spark, src, "litigation-42")
         val (r2, nHeld2) = graft.sink.Erasure.eraseVersionedWithHolds(
           spark, src, "user_id", subjects, ledger, ledgerKey = "dsar-key")
-        require(nHeld2 == 0 && r2.subjects == subjects.count(),
+        require(nHeld2 == 0 && r2.subjects == nSubjects,
           s"after release the full request must drive (got $r2 " +
             s"held=$nHeld2)")
         require(graft.sink.Erasure.isErased(spark, ledger, heldId,
@@ -1228,7 +1236,7 @@ object MaintenanceQueries {
       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM events
-      WHERE user_id % 7 <> 3 OR user_id IS NULL
+      WHERE event_id % 3 = 0 AND (user_id % 7 <> 3 OR user_id IS NULL)
       GROUP BY event_type ORDER BY event_type"""))),
 
     // D188 — MV rewrite serves avg (plans.MvRewrite): avg(cast(v AS

@@ -791,6 +791,58 @@ object MiningQueries {
              CAST(count(*) AS BIGINT) AS n_live
       FROM documents GROUP BY lang ORDER BY lang"""))),
 
+    // D221 — snapshot-consistent GROUP clone (Txn.cloneGroup): every
+    // member of a transaction shallow-clones PINNED at that txn's
+    // versions and publishes under ONE destination pointer — the
+    // dev/test database clone, torn-read-free by construction. The
+    // gate clones txn 1 and the head, proves BOTH destination txns
+    // internally consistent (summary ≡ recount of its fact twin),
+    // proves the clone does not follow later source commits, and
+    // oracles the head clone's joined pair.
+    "c5_txn_clone" -> (((spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("txnclone_gate")
+      try {
+        val root = tmp.resolve("wh").toString
+        val dev = tmp.resolve("dev").toString
+        val docs = load(spark, dir, "documents")
+        def stats(d: org.apache.spark.sql.DataFrame) =
+          d.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"))
+        val en = docs.filter(col("lang") === "en")
+        graft.sink.Txn.commit(root,
+          Seq("docs" -> en, "stats" -> stats(en)))     // src txn 1
+        graft.sink.Txn.commit(root,
+          Seq("docs" -> docs, "stats" -> stats(docs))) // src txn 2
+        Q.Phase.setupDone() // op = the group clones + their proofs
+        graft.sink.Txn.cloneGroup(root, dev, asOfTxn = Some(1)) // dst 1
+        graft.sink.Txn.cloneGroup(root, dev)                    // dst 2
+        def consistent(txn: Int): Unit = {
+          val d = graft.sink.Txn.read(spark, dev, "docs", Some(txn))
+          val st = graft.sink.Txn.read(spark, dev, "stats", Some(txn))
+          require(Q.multisetEqual(st, d.groupBy("lang")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("chars"))),
+            s"destination txn $txn serves a TORN fact/summary pair")
+        }
+        consistent(1); consistent(2)
+        // the clone must not follow the source past its pin
+        graft.sink.Txn.commit(root, Seq("docs" -> docs.limit(50),
+          "stats" -> stats(docs.limit(50))))           // src txn 3
+        val d = graft.sink.Txn.read(spark, dev, "docs")
+        require(d.count() == docs.count(),
+          "the group clone followed a post-clone source commit")
+        graft.sink.Txn.read(spark, dev, "stats")
+          .join(d.groupBy("lang").agg(count(lit(1)).as("n_live")),
+            Seq("lang"))
+          .orderBy("lang")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars,
+             CAST(count(*) AS BIGINT) AS n_live
+      FROM documents GROUP BY lang ORDER BY lang"""))),
+
     // D159 — write-audit-publish (VersionedTable.commitAudited, the
     // Iceberg WAP pattern): data stages as the next version, the audit
     // runs against the STAGED files, and the pointer flips only on a

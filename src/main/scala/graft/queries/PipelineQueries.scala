@@ -269,6 +269,13 @@ object PipelineQueries {
         .coalesce(8)
         .cache()
       val tmpRoot = java.nio.file.Files.createTempDirectory("fmt_gate")
+      // BEST_SPEED gzip for the compressed arm: the gate proves FORMAT
+      // fidelity (values survive the codec round-trip), not deflate
+      // ratios — level 1 halves the arm's wall with identical
+      // assertions. Scoped: restored in the finally.
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val prevZlib = hconf.get("zlib.compress.level")
+      hconf.set("zlib.compress.level", "BEST_SPEED")
       try {
         li.count() // materialize the shared source
         Q.Phase.setupDone() // op = the 4 codec write+read round-trips
@@ -302,6 +309,8 @@ object PipelineQueries {
         spark.createDataFrame(rows).toDF("fmt", "n", "total", "n_ts")
           .orderBy("fmt")
       } finally {
+        if (prevZlib == null) hconf.unset("zlib.compress.level")
+        else hconf.set("zlib.compress.level", prevZlib)
         li.unpersist()
         graft.sink.StageWriter.deleteRecursively(tmpRoot)
       }

@@ -131,6 +131,55 @@ object Txn {
     released.sorted
   }
 
+  /** Snapshot-consistent GROUP clone (SURVEY §2D, D221) — the dev/test
+    * "database clone": every member of transaction `asOfTxn` (default:
+    * the latest complete one) shallow-clones into `dstRoot` PINNED at
+    * that transaction's member versions, and the whole cloned set
+    * becomes visible through ONE destination transaction pointer. Torn
+    * reads are impossible by construction twice over: the source
+    * versions come from one manifest (a consistent pair by D158), and
+    * the destination publishes them with the same single-pointer flip.
+    * Clones are `_ref` files (D169) — a 100 TB group clones in
+    * metadata time; the vacuum/eager-failure contract of per-table
+    * clones applies per member. Destination writers serialize through
+    * the same claim CAS as [[commit]]. */
+  def cloneGroup(srcRoot: String, dstRoot: String,
+      asOfTxn: Option[Int] = None): Int = {
+    val t = asOfTxn.orElse(latestTxn(srcRoot)).getOrElse(
+      throw new IllegalStateException(
+        s"$srcRoot: no committed transaction"))
+    require(latestTxn(srcRoot).exists(t <= _),
+      s"cannot clone uncommitted $srcRoot transaction $t")
+    val ms = members(srcRoot, t)
+    val base = latestTxn(dstRoot).getOrElse(0)
+    val next = base + 1
+    Files.createDirectories(Paths.get(dstRoot, "_txn_claims"))
+    try Files.createFile(claim(dstRoot, next))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new VersionedTable.ConcurrentCommitException(
+          s"$dstRoot: txn $next already claimed by a concurrent writer")
+    }
+    try {
+      val versions = ms.toSeq.sortBy(_._1).map { case (name, v) =>
+        name -> VersionedTable.cloneShallow(s"$srcRoot/$name",
+          s"$dstRoot/$name", asOf = Some(v))
+      }
+      Files.createDirectories(Paths.get(dstRoot, "_txn"))
+      Files.writeString(manifest(dstRoot, next),
+        versions.map { case (n, v) => s"$n\t$v" }.mkString("\n"))
+      val tmp = Paths.get(dstRoot, s"_txn_latest.tmp$next")
+      Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, pointer(dstRoot), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        scala.util.Try(Files.deleteIfExists(claim(dstRoot, next)))
+        throw e
+    }
+    next
+  }
+
   /** Read a member table AT a transaction (default: the latest complete
     * one) — never through the member's own pointer. */
   def read(spark: SparkSession, root: String, table: String,

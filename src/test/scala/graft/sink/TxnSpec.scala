@@ -91,4 +91,34 @@ class TxnSpec extends AnyFunSuite {
       }
     } finally StageWriter.deleteRecursively(tmp)
   }
+
+  test("cloneGroup pins every member at the source txn's versions, " +
+    "publishes under one pointer, and never follows later commits") {
+    val tmp = Files.createTempDirectory("txn4")
+    try {
+      val root = tmp.resolve("wh").toString
+      val dev = tmp.resolve("dev").toString
+      Txn.commit(root, Seq(
+        "a" -> Seq(1, 2).toDF("x"), "b" -> Seq(10).toDF("y")))
+      Txn.commit(root, Seq(
+        "a" -> Seq(1, 2, 3).toDF("x"), "b" -> Seq(10, 20).toDF("y")))
+      assert(Txn.cloneGroup(root, dev, asOfTxn = Some(1)) == 1)
+      assert(Txn.cloneGroup(root, dev) == 2) // head = src txn 2
+      assert(Txn.read(spark, dev, "a", Some(1)).count() == 2 &&
+        Txn.read(spark, dev, "b", Some(1)).count() == 1,
+        "the pinned clone must serve the txn-1 pair")
+      assert(Txn.read(spark, dev, "a").count() == 3 &&
+        Txn.read(spark, dev, "b").count() == 2)
+      // source advances; the clone must not move
+      Txn.commit(root, Seq(
+        "a" -> Seq(9).toDF("x"), "b" -> Seq(9).toDF("y")))
+      assert(Txn.read(spark, dev, "a").count() == 3,
+        "the group clone followed a post-clone source commit")
+      // an uncommitted source txn cannot be cloned
+      intercept[IllegalArgumentException] {
+        Txn.cloneGroup(root, tmp.resolve("dev2").toString,
+          asOfTxn = Some(99))
+      }
+    } finally StageWriter.deleteRecursively(tmp)
+  }
 }
