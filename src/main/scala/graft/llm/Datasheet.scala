@@ -21,7 +21,15 @@ import org.apache.spark.sql.types._
   * per-source result is catalog-sized (sources are dozens, not rows),
   * so the JSON sidecar render is a documented metadata-size-class
   * collect. The sidecar (`<path>` itself, one deterministic JSON file)
-  * lands next to the corpus like every governance plane. */
+  * lands next to the corpus like every governance plane.
+  *
+  * The one non-sketch aggregate is the exact median: Spark's
+  * `percentile` buffers a GROUP's values, so a source holding most of
+  * a 100 TB corpus buffers that source in one task. Exactness is what
+  * makes the datasheet hash-verifiable here; a petabyte deployment
+  * swaps in the t-digest (D45, `functions/TDigest`) or the bounded
+  * KMH sample (D44) for `median_chars` and keeps every other column —
+  * they are all O(1)-state partial aggregates. */
 object Datasheet {
 
   /** Per-source statistics frame (source-sorted, deterministic). */

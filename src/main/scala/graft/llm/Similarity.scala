@@ -1149,4 +1149,88 @@ object Similarity {
       .select(col("id"), col("list_id"),
         coalesce(col("dropped"), lit(0)).as("dropped"))
   }
+
+  /** One reranker candidate: relevance already scored and rounded. */
+  final case class MmrCand(query_id: Long, id: Long, rel4: Double,
+      v: Seq[Double])
+  /** One MMR pick: position `rank`'s selection and its objective —
+    * emitted at roundDigits+1 decimals: with λ = 0.5 the objective is
+    * 0.5·(a − b) over roundDigits-decimal inputs, which carries EXACTLY
+    * one more decimal digit, so the +1 rounding is the identity — a
+    * 4-digit emit would round a guaranteed .5 tie, where engines'
+    * double-rounding algorithms legitimately diverge. */
+  final case class MmrPick(query_id: Long, id: Long, rank: Int,
+      mmr5: Double)
+
+  /** Maximal-marginal-relevance reranking (SURVEY §2D, D222 —
+    * Carbonell & Goldstein, SIGIR 1998): from each query's candidate
+    * list, greedily select k items maximizing
+    * `λ·rel − (1−λ)·max_{s∈selected} cos(v, v_s)` — relevance traded
+    * against redundancy with what is already picked, the standard
+    * diversity pass between retrieval and a context window. Ties break
+    * to the smaller id; rank 1 (empty selected set) scores `λ·rel`.
+    *
+    * Scale shape: the greedy is inherently sequential PER QUERY, so it
+    * runs inside `flatMapGroups` over query-keyed groups — the
+    * sanctioned per-partition-imperative case: each group is a
+    * RETRIEVER OUTPUT (tens of candidates by construction, never the
+    * corpus), so the O(k·n·|selected|) loop touches k·n bounded rows
+    * per query and queries parallelize freely. Cosines round to
+    * `roundDigits` (HALF_UP — Spark's own round semantics) before the
+    * objective, and the dot/norm folds run left-to-right, so the SQL
+    * oracle replays every selection bit-for-bit. */
+  def mmrRerank(candidates: DataFrame, queryCol: String, idCol: String,
+      relCol: String, vecCol: String, k: Int, lambda: Double,
+      roundDigits: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val typed = candidates.select(
+      col(queryCol).cast(LongType).as("query_id"),
+      col(idCol).cast(LongType).as("id"),
+      col(relCol).cast(DoubleType).as("rel4"),
+      col(vecCol).cast("array<double>").as("v")).as[MmrCand]
+    val mu = 1.0 - lambda // the exact double the oracle must replay
+    typed.groupByKey(_.query_id).flatMapGroups { (qid, it) =>
+      def r4(x: Double): Double = BigDecimal(x)
+        .setScale(roundDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def cos4(a: Seq[Double], b: Seq[Double]): Double = {
+        var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+        while (i < a.length) {
+          d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        r4(d / (math.sqrt(na) * math.sqrt(nb)))
+      }
+      val remaining = scala.collection.mutable.ArrayBuffer(
+        it.toArray.sortBy(c => (c.id)): _*)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
+      val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+      var rank = 1
+      while (rank <= k && remaining.nonEmpty) {
+        var bi = -1; var bScore = Double.NegativeInfinity
+        var bId = Long.MaxValue
+        var i = 0
+        while (i < remaining.length) {
+          val c = remaining(i)
+          var ms = if (selected.isEmpty) 0.0 else Double.NegativeInfinity
+          selected.foreach { s =>
+            val cs = cos4(c.v, s.v); if (cs > ms) ms = cs
+          }
+          val score = lambda * c.rel4 - mu * ms
+          if (score > bScore || (score == bScore && c.id < bId)) {
+            bi = i; bScore = score; bId = c.id
+          }
+          i += 1
+        }
+        val pick = remaining.remove(bi)
+        selected += pick
+        out += MmrPick(qid, pick.id, rank, BigDecimal(bScore)
+          .setScale(roundDigits + 1, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+        rank += 1
+      }
+      out.iterator
+    }.toDF()
+  }
 }

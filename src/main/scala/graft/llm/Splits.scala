@@ -37,4 +37,47 @@ object Splits {
     }
     df.withColumn("split", split)
   }
+
+  /** Distribution-matched sampling (SURVEY §2D, D223): draw a sample
+    * whose BUCKETED profile of some numeric property matches per-bucket
+    * `quotas` — the "length-matched subset" move (match an eval set's
+    * token-length distribution, a reference corpus's domain mix) that
+    * per-row uniform sampling cannot express. Within a bucket the kept
+    * rows are the `quota` smallest by the portable id-hash order
+    * (deterministic "random", bit-replayable); a bucket with fewer rows
+    * than its quota keeps everything; buckets absent from `quotas`
+    * contribute nothing.
+    *
+    * Scale shape: the D213 two-stage quota discipline — a BottomK heap
+    * pre-filter at max(quota) bounds the shuffle to k rows per (map
+    * partition, bucket) even when one bucket holds most of the corpus
+    * (the exact skew that motivates length matching: web text piles up
+    * in two or three length bins), then the exact rank window runs over
+    * ≤ k·partitions survivors and the per-bucket quota filter lands on
+    * a broadcast map. Integral ids (the [[graft.functions.BottomK]]
+    * contract). Returns (id, bucket, rank), rank 1..quota(bucket). */
+  def matchedSample(df: DataFrame, idCol: String, bucketCol: Column,
+      quotas: Map[Long, Long]): DataFrame = {
+    require(quotas.nonEmpty && quotas.values.forall(_ >= 1),
+      "quotas must be non-empty with positive caps")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val kMax = quotas.values.max.toInt
+    val hashed = df
+      .select(col(idCol).cast("long").as("id"), bucketCol.as("bucket"))
+      .join(broadcast(quotas.toSeq.toDF("bucket", "__q")), "bucket")
+      .withColumn("__h", Dedup.portableWordHash(col("id")))
+    val survivors = hashed.groupBy("bucket", "__q")
+      .agg(graft.functions.BottomK.bottomk(col("id"), col("__h"), kMax)
+        .as("__keep"))
+      .select(col("bucket"), col("__q"), explode(col("__keep")).as("r"))
+      .select(col("r.id").as("id"), col("bucket"), col("__q"),
+        col("r.v").as("__h"))
+    val w = Window.partitionBy("bucket")
+      .orderBy(col("__h").asc, col("id").asc)
+    survivors.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= col("__q"))
+      .select(col("id"), col("bucket"), col("rank"))
+  }
 }

@@ -127,6 +127,64 @@ object CurationQueries {
                AS DOUBLE) / count(*), 4) AS short_frac4
       FROM documents GROUP BY source ORDER BY source"""))),
 
+    // D223 — distribution-matched sampling (Splits.matchedSample): a
+    // corpus sample whose token-length profile MATCHES the eval
+    // slice's — per 40-token bucket, quota = max(1, evalShare·budget),
+    // kept rows the quota smallest by portable id-hash (the D213
+    // two-stage heap+window discipline, skew-safe when one length bin
+    // holds most of the corpus). Quotas are a catalog-sized driver map
+    // (one entry per bucket); the oracle recomputes them and replays
+    // the hash window exactly.
+    "llm_length_matched" -> (((spark, dir) => {
+      import spark.implicits._
+      val docs = load(spark, dir, "documents")
+        .withColumn("tok",
+          graft.llm.TextAnalysis.tokenCount(col("text")).cast("long"))
+        .withColumn("bucket", expr("tok div 40"))
+      val eval = docs.filter(col("doc_id") % 100 === 0)
+      val corpus = docs.filter(col("doc_id") % 100 =!= 0)
+      val budget = 200L
+      val evalTotal = eval.count()
+      val quotas = eval.groupBy("bucket").agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          math.max(1L, r.getLong(1) * budget / evalTotal))
+        .toMap
+      val sample = graft.llm.Splits.matchedSample(corpus, "doc_id",
+        col("bucket"), quotas).localCheckpoint()
+      // the quota binds: no bucket overflows, and the sample is
+      // genuinely a subset shaped by the eval profile
+      val over = sample.groupBy("bucket").agg(count(lit(1)).as("n"))
+        .join(broadcast(quotas.toSeq.toDF("bucket", "q")), "bucket")
+        .filter(col("n") > col("q")).count()
+      require(over == 0, "a bucket exceeded its quota")
+      require(sample.count() < corpus.count(),
+        "matched sampling must drop rows on this corpus")
+      sample.select(col("id").as("doc_id"), col("bucket"), col("rank"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH d AS (SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END AS tok
+                 FROM documents),
+      b AS (SELECT doc_id, tok // 40 AS bucket FROM d),
+      e AS (SELECT bucket, count(*) AS n FROM b
+            WHERE doc_id % 100 = 0 GROUP BY 1),
+      et AS (SELECT count(*) AS t FROM b WHERE doc_id % 100 = 0),
+      q AS (SELECT bucket, greatest(1, n * 200 // t) AS quota
+            FROM e CROSS JOIN et),
+      c AS (SELECT doc_id, bucket,
+              CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                1, 15)) AS BIGINT) % ${graft.llm.Dedup.PortableP} AS h
+            FROM b WHERE doc_id % 100 <> 0),
+      r AS (SELECT c.doc_id, c.bucket, q.quota,
+              row_number() OVER (PARTITION BY c.bucket
+                ORDER BY h, doc_id) AS rank
+            FROM c JOIN q USING (bucket))
+      SELECT doc_id, bucket, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= quota ORDER BY doc_id"""))),
+
     // D100 — cross-doc repeated-segment removal (the C4/CCNet boilerplate
     // STRIP, not just a score): docs split into consecutive 2-word
     // segments; a segment whose hash occurs in >= 10 distinct docs is

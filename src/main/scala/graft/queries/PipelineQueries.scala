@@ -282,7 +282,11 @@ object PipelineQueries {
         val rows = Seq("csv", "csv.gz", "json", "orc").map { f =>
           val p = tmpRoot.resolve(f.replace('.', '_')).toString
           val fmt = if (f == "csv.gz") "csv" else f
-          val w0 = li.write.mode("overwrite")
+          // deflate is the one CPU-bound codec here: spread the gz arm
+          // across the full core count (cheap exchange off the cached
+          // source); the uncompressed arms keep 8 right-sized files
+          val src = if (f == "csv.gz") li.repartition(32) else li
+          val w0 = src.write.mode("overwrite")
           val w1 = if (fmt == "csv") w0.option("header", "true") else w0
           (if (f == "csv.gz") w1.option("compression", "gzip") else w1)
             .format(fmt).save(p)

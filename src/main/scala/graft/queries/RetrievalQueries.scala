@@ -78,6 +78,61 @@ object RetrievalQueries {
         FROM scored)"""
   }
 
+  /** D222 oracle: the MMR greedy UNROLLED — stage i scores every
+    * unselected candidate against sel_{i-1} (max cosine over the
+    * selected set) and picks the per-query arg-max under (score DESC,
+    * id ASC); λ = 1−λ = 0.5 are exact doubles, dot/norm folds run the
+    * engine-shared left-to-right shape, so every pick and score
+    * replays bit-for-bit. */
+  private def mmrOracle(k: Int): String = {
+    def cos(a: String, b: String) =
+      s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * " +
+        s"sqrt(${dotSql(b, b)})), 4)"
+    val stages = (2 to k).map { i =>
+      s""",
+      p$i AS (
+        SELECT c.query_id, c.id, c.rel4,
+               0.5 * c.rel4 - 0.5 * max(s.s4) AS score
+        FROM cands c
+        JOIN sim s ON s.query_id = c.query_id AND s.ia = c.id
+        JOIN sel${i - 1} t ON t.query_id = s.query_id AND t.id = s.ib
+        WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+                          WHERE x.query_id = c.query_id
+                            AND x.id = c.id)
+        GROUP BY c.query_id, c.id, c.rel4),
+      pick$i AS (SELECT query_id, id, score FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, id) AS rn FROM p$i) WHERE rn = 1),
+      sel$i AS (SELECT query_id, id FROM sel${i - 1}
+                UNION ALL SELECT query_id, id FROM pick$i)"""
+    }.mkString
+    val union = (1 to k).map(i =>
+      s"SELECT query_id, id, $i AS rank, round(score, 5) AS mmr5 " +
+        s"FROM pick$i").mkString("\n        UNION ALL\n        ")
+    s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                 FROM embeddings WHERE vec_id % 100 = 0),
+      c0 AS (SELECT q.query_id, e.vec_id AS id,
+               ${cos("q.qv", "e.embedding")} AS rel4,
+               e.embedding AS v
+             FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+      cands AS (SELECT query_id, id, rel4, v FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY rel4 DESC, id) AS rn FROM c0) WHERE rn <= 20),
+      sim AS (SELECT a.query_id, a.id AS ia, b.id AS ib,
+                ${cos("a.v", "b.v")} AS s4
+              FROM cands a JOIN cands b
+                ON a.query_id = b.query_id AND a.id <> b.id),
+      p1 AS (SELECT query_id, id, 0.5 * rel4 AS score FROM cands),
+      pick1 AS (SELECT query_id, id, score FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, id) AS rn FROM p1) WHERE rn = 1),
+      sel1 AS (SELECT query_id, id FROM pick1)$stages
+      SELECT * FROM (
+        $union)
+      ORDER BY query_id, rank"""
+  }
+
   /** D202/D206 oracle: the graph's edge list, optionally sliced. */
   private def knnGraphOracle(extraWhere: String): String =
     s"""$knnGraphCtes
@@ -362,6 +417,50 @@ object RetrievalQueries {
     // multi-probe recalls strictly more candidates than single-probe
     // would rank identically only by luck — via a recall floor vs brute
     // force, the sim_recall harness contract.
+    // D222 — MMR diversity reranking (Similarity.mmrRerank, Carbonell
+    // & Goldstein 1998): per query, the brute-force top-20 candidates
+    // greedily re-select by λ·rel − (1−λ)·max-sim-to-selected (λ=0.5 —
+    // both multipliers exact doubles), ties to the smaller id. The
+    // greedy runs per-query inside flatMapGroups (bounded retriever
+    // output, the sanctioned imperative case); the oracle UNROLLS all
+    // five selection stages in SQL and replays every pick and score.
+    "sim_mmr" -> (((spark, dir) => {
+      val emb = load(spark, dir, "embeddings")
+      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val cands = Similarity.bruteForceTopK(queries, emb, "vec_id",
+          "embedding", k = 20, roundDigits = Some(4))
+        .select(col("query_id"), col("neighbor_id").as("id"),
+          col("cosine").as("rel4"))
+        .join(emb.select(col("vec_id").as("id"),
+          col("embedding").as("v")), "id")
+      val picks = Similarity.mmrRerank(cands, "query_id", "id", "rel4",
+        "v", k = 5, lambda = 0.5).localCheckpoint()
+      Q.Phase.opDone() // the diversity proof below is PROOF
+      // the diversity property itself: the MMR set's mean pairwise
+      // similarity must not exceed the top-k-by-relevance set's (the
+      // whole point of the pass) — checked corpus-wide in one action
+      val topk = cands.withColumn("rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id")
+            .orderBy(col("rel4").desc, col("id").asc)))
+        .filter(col("rn") <= 5).select(col("query_id"), col("id"))
+      def meanPairSim(sel: org.apache.spark.sql.DataFrame): Double = {
+        val v = cands.select(col("query_id"), col("id"), col("v"))
+        val s = sel.join(v, Seq("query_id", "id"))
+        s.as("a").join(s.as("b"),
+            col("a.query_id") === col("b.query_id") &&
+              col("a.id") < col("b.id"))
+          .select(round(Similarity.dot(col("a.v"), col("b.v")) /
+            (sqrt(Similarity.dot(col("a.v"), col("a.v"))) *
+              sqrt(Similarity.dot(col("b.v"), col("b.v")))), 4).as("s"))
+          .agg(avg(col("s"))).head().getDouble(0)
+      }
+      require(meanPairSim(picks.select("query_id", "id")) <=
+        meanPairSim(topk) + 1e-12,
+        "MMR must not be LESS diverse than pure relevance top-k")
+      picks.orderBy("query_id", "rank")
+    }, Some(mmrOracle(5)))),
+
     "sim_multiprobe" -> (((spark, dir) => {
       val emb = load(spark, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
