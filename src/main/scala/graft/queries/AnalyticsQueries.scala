@@ -1570,7 +1570,7 @@ object AnalyticsQueries {
     // count — the classic IVM bug, separately spec'd). The oracle is the
     // full from-scratch join, so maintenance ≡ rebuild is hash-proven.
     "q_join_view_incr" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("jv_gate")
+      val tmp = Q.scratchDir("jv_gate")
       try {
         val v = tmp.resolve("view").toString
         val ords = load(spark, dir, "orders")

@@ -736,7 +736,7 @@ object BenchQueries {
     // against the partition's own file count (PartitionPruneSpec pins
     // the plan shape under a fixed session).
     "q_partition_prune" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("ppart_gate")
+      val tmp = Q.scratchDir("ppart_gate")
       try {
         val p = tmp.resolve("ev").toString
         graft.sink.StageWriter.overwrite(
@@ -771,7 +771,7 @@ object BenchQueries {
     // survive 5 probes into 32 custkey-clustered files) and the rows match
     // the full-scan oracle.
     "q_bloom_file_prune" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("bloom_gate")
+      val tmp = Q.scratchDir("bloom_gate")
       try {
         val p = tmp.resolve("ord").toString
         load(spark, dir, "orders")
@@ -836,7 +836,7 @@ object BenchQueries {
     // session-layout-dependent, so LayoutSpec pins those under a fixed
     // session instead).
     "q_file_prune" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("prune_gate")
+      val tmp = Q.scratchDir("prune_gate")
       try {
         val p = tmp.resolve("li").toString
         graft.sink.Layout.zorderWrite(

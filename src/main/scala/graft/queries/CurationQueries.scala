@@ -31,7 +31,7 @@ object CurationQueries {
     // full per-shard manifest incl. an order checksum and first doc.
     "llm_shuffle_shards" -> (((spark, dir) => {
       import graft.llm.Shards
-      val tmp = java.nio.file.Files.createTempDirectory("shards_gate")
+      val tmp = Q.scratchDir("shards_gate")
       try {
         val p = tmp.resolve("shards").toString
         val docs = load(spark, dir, "documents").select("doc_id", "text")
@@ -102,7 +102,7 @@ object CurationQueries {
     // sidecar round-trips byte-exactly back into the stats frame (the
     // restart/audit surface) and oracles every per-source number.
     "llm_datasheet" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("datasheet_gate")
+      val tmp = Q.scratchDir("datasheet_gate")
       try {
         val sc = tmp.resolve("datasheet.json").toString
         val stats = graft.llm.Datasheet.build(

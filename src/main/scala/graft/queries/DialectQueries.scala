@@ -100,7 +100,7 @@ object DialectQueries {
     // consulted.
     "a16_secret_roundtrip" -> (((spark, dir) => {
       import graft.sources.{Credentials, JdbcSource}
-      val tmp = java.nio.file.Files.createTempDirectory("secret_gate")
+      val tmp = Q.scratchDir("secret_gate")
       try {
         val dbDir = tmp.resolve("secdb").toString
         val secUrl = s"jdbc:derby:$dbDir"

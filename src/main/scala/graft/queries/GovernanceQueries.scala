@@ -28,7 +28,7 @@ object GovernanceQueries {
     // never omission. Both views oracled in one frame.
     "c10_tags" -> (((spark, dir) => {
       import graft.sources.AccessTags
-      val tmp = java.nio.file.Files.createTempDirectory("tags_gate")
+      val tmp = Q.scratchDir("tags_gate")
       try {
         val path = tmp.resolve("docs").toString
         load(spark, dir, "documents").write.parquet(path)
@@ -91,7 +91,7 @@ object GovernanceQueries {
     // and the read fails CLOSED again.
     "c10_tags_durable" -> (((spark, dir) => {
       import graft.sources.AccessTags
-      val tmp = java.nio.file.Files.createTempDirectory("tagsdur_gate")
+      val tmp = Q.scratchDir("tagsdur_gate")
       try {
         val path = tmp.resolve("docs").toString
         load(spark, dir, "documents").write.parquet(path)
@@ -146,7 +146,7 @@ object GovernanceQueries {
     // asOf(v1) both served through the SAME tag plane and oracled.
     "c10_tags_versioned" -> (((spark, dir) => {
       import graft.sources.AccessTags
-      val tmp = java.nio.file.Files.createTempDirectory("tagsver_gate")
+      val tmp = Q.scratchDir("tagsver_gate")
       try {
         val table = tmp.resolve("docs_v").toString
         val docs = load(spark, dir, "documents")
@@ -204,7 +204,7 @@ object GovernanceQueries {
     "e2e_pipeline_tags" -> (((spark, dir) => {
       import graft.config.{ColumnMetadata, LoadType, TableConfig}
       import graft.sources.AccessTags
-      val tmp = java.nio.file.Files.createTempDirectory("pipetags_gate")
+      val tmp = Q.scratchDir("pipetags_gate")
       try {
         val rawPath = tmp.resolve("raw").toString
         val stagePath = tmp.resolve("stage").toString
@@ -269,7 +269,7 @@ object GovernanceQueries {
     "e2e_pipeline_policies" -> (((spark, dir) => {
       import graft.config.{ColumnMetadata, LoadType, TableConfig}
       import graft.sources.AccessTags
-      val tmp = java.nio.file.Files.createTempDirectory("pipepol_gate")
+      val tmp = Q.scratchDir("pipepol_gate")
       try {
         val rawPath = tmp.resolve("raw").toString
         val stagePath = tmp.resolve("stage").toString
@@ -400,7 +400,7 @@ object GovernanceQueries {
       // declarations write through to durable `__fks__` sidecars
       // (round 10) — declare on warehouse copies, never the read-only
       // source dir (governance attaches where the catalog can write)
-      val tmp = java.nio.file.Files.createTempDirectory("dbml_gate")
+      val tmp = Q.scratchDir("dbml_gate")
       val nation = tmp.resolve("nation").toString
       val region = tmp.resolve("region").toString
       val customer = tmp.resolve("customer").toString
@@ -479,7 +479,7 @@ object GovernanceQueries {
     // (memory cleared pre-render); multi-tag columns render sorted.
     "q_schema_export_governed" -> (((spark, dir) => {
       import spark.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("dbmlgov_gate")
+      val tmp = Q.scratchDir("dbmlgov_gate")
       val docs = tmp.resolve("documents").toString
       try {
         load(spark, dir, "documents").write.parquet(docs)
@@ -540,7 +540,7 @@ object GovernanceQueries {
     // every row the column plane allows. Both profiles oracled.
     "c10_rls" -> (((spark, dir) => {
       import graft.sources.AccessTags
-      val tmp = java.nio.file.Files.createTempDirectory("rls_gate")
+      val tmp = Q.scratchDir("rls_gate")
       try {
         val path = tmp.resolve("docs").toString
         load(spark, dir, "documents").write.parquet(path)
@@ -591,7 +591,7 @@ object GovernanceQueries {
     // read are require()d; the view is oracled.
     "c10_tag_propagation" -> (((spark, dir) => {
       import graft.sources.AccessTags
-      val tmp = java.nio.file.Files.createTempDirectory("tagprop_gate")
+      val tmp = Q.scratchDir("tagprop_gate")
       try {
         val base = tmp.resolve("docs").toString
         val derived = tmp.resolve("derived").toString
@@ -889,7 +889,7 @@ object GovernanceQueries {
     // hash-matches the aggregate against the full-table oracle — a
     // mis-prune loses rows and fails the hash.
     "q_auto_prune" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("autoprune")
+      val tmp = Q.scratchDir("autoprune")
       try {
         val path = tmp.resolve("orders").toString
         load(spark, dir, "orders")

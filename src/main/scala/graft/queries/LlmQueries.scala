@@ -752,7 +752,7 @@ object LlmQueries {
       // plan's constraints, and the CC plan's internal self-union
       // attributes then crash Spark's union constraint rewrite when the
       // labeling is composed into the next run ("key not found: u#...")
-      val tmp = java.nio.file.Files.createTempDirectory("cc_incr")
+      val tmp = Q.scratchDir("cc_incr")
       val lp = tmp.resolve("labels").toString
       Dedup.connectedComponents(
         Dedup.minhashLshPairs(corpus, "doc_id", "text",
@@ -867,7 +867,7 @@ object LlmQueries {
         col("doc_id") % 5 =!= 4)
       val batch1 = docs.filter(col("doc_id") % 5 === 4)
       val batch2 = docs.filter(col("doc_id") % 5 === 0)
-      val tmp = java.nio.file.Files.createTempDirectory("incr_bands")
+      val tmp = Q.scratchDir("incr_bands")
       try {
         val bt = tmp.resolve("bands").toString
         Dedup.bandTableFor(corpus0, "doc_id", "text").write.parquet(bt)
@@ -1158,7 +1158,7 @@ object LlmQueries {
     "sim_ivfpq_stored" -> (((spark, dir) => {
       val emb = load(spark, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
-      val tmp = java.nio.file.Files.createTempDirectory("ivfpq_idx")
+      val tmp = Q.scratchDir("ivfpq_idx")
       try {
         val (cents, cb, codes) = Similarity.ivfPqBuild(emb, "vec_id",
           "embedding", dim = 64, nlist = 32, m = 8, ncodes = 64)

@@ -26,7 +26,7 @@ object MaintenanceQueries {
     "q_mv_rewrite" -> (((spark, dir) => {
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
         LogicalRelation}
-      val tmp = java.nio.file.Files.createTempDirectory("mv_gate")
+      val tmp = Q.scratchDir("mv_gate")
       try {
         val base = tmp.resolve("base").toString
         val mvp = tmp.resolve("mv").toString
@@ -84,7 +84,7 @@ object MaintenanceQueries {
     // exceptAll) without rescanning the base. Keys fully retracted
     // leave the rollup entirely.
     "q_rollup_cdc" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("rollcdc_gate")
+      val tmp = Q.scratchDir("rollcdc_gate")
       try {
         val vt = tmp.resolve("orders").toString
         val orders = load(spark, dir, "orders")
@@ -132,7 +132,7 @@ object MaintenanceQueries {
     // miss→hit→invalidate transitions, hit ≡ miss row equality, and that
     // the post-write answer carries the fresh row.
     "q_result_cache" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("rescache_gate")
+      val tmp = Q.scratchDir("rescache_gate")
       try {
         val base = tmp.resolve("base").toString
         val cache = tmp.resolve("cache").toString
@@ -217,7 +217,7 @@ object MaintenanceQueries {
     // rectangle touches ≤ max(3, files/4) files, then oracle-matches the
     // rectangle rows themselves (layout must never change results).
     "q_hilbert" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("hilbert_gate")
+      val tmp = Q.scratchDir("hilbert_gate")
       try {
         val path = tmp.resolve("t").toString
         val src = load(spark, dir, "lineitem")
@@ -271,7 +271,7 @@ object MaintenanceQueries {
     // pinned version readable. Final doubled-price clone state oracled
     // against the raw table.
     "c5_clone" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("clone_gate")
+      val tmp = Q.scratchDir("clone_gate")
       try {
         val src = tmp.resolve("src").toString
         val dst = tmp.resolve("dev").toString
@@ -319,7 +319,7 @@ object MaintenanceQueries {
     "q_mv_incremental" -> (((spark, dir) => {
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
         LogicalRelation}
-      val tmp = java.nio.file.Files.createTempDirectory("mvincr_gate")
+      val tmp = Q.scratchDir("mvincr_gate")
       try {
         val vt = tmp.resolve("orders").toString
         val mv = tmp.resolve("mv").toString
@@ -380,7 +380,7 @@ object MaintenanceQueries {
     // the negative leg require()s a dim-referencing query keeps its join.
     "q_join_elim" -> (((spark, dir) => {
       import org.apache.spark.sql.catalyst.plans.logical.Join
-      val tmp = java.nio.file.Files.createTempDirectory("jelim_gate")
+      val tmp = Q.scratchDir("jelim_gate")
       try {
         val fact = tmp.resolve("orders").toString
         val dim = tmp.resolve("customer").toString
@@ -532,7 +532,7 @@ object MaintenanceQueries {
     // rows, 1 duplicated pk) and require()s the exact violation counts
     // plus a clean valid/orphan split.
     "q_fk_validate" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("fkval_gate")
+      val tmp = Q.scratchDir("fkval_gate")
       val fact = tmp.resolve("orders").toString
       val dim = tmp.resolve("customer").toString
       try {
@@ -603,7 +603,7 @@ object MaintenanceQueries {
     // the rows match the full-scan oracle. The gate require()s strictly
     // fewer files scanned than the directory holds.
     "q_auto_prune_string" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("apstr_gate")
+      val tmp = Q.scratchDir("apstr_gate")
       try {
         val path = tmp.resolve("t").toString
         load(spark, dir, "customer")
@@ -641,7 +641,7 @@ object MaintenanceQueries {
     // require import to REFUSE naming that file, repair, then require
     // the clean import to round-trip exactly (oracled rows).
     "q_portable_bundle" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("bundle_gate")
+      val tmp = Q.scratchDir("bundle_gate")
       try {
         val src = tmp.resolve("src").toString
         val bundle = tmp.resolve("bundle").toString
@@ -678,7 +678,7 @@ object MaintenanceQueries {
     // metadata work, surviving partitions require()d byte-stable, and
     // the remaining rows oracled against the day filter.
     "q_partition_ttl" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("ttl_gate")
+      val tmp = Q.scratchDir("ttl_gate")
       try {
         val path = tmp.resolve("events").toString
         val ev = load(spark, dir, "events").select("event_id", "ts")
@@ -928,7 +928,7 @@ object MaintenanceQueries {
     // zone map for both, and require()s file skipping for an x-only AND
     // a y-only predicate before oracling the y-filter rows.
     "q_zonemap" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("zonemap_gate")
+      val tmp = Q.scratchDir("zonemap_gate")
       try {
         val path = tmp.resolve("t").toString
         graft.sink.Layout.hilbertWrite(
@@ -1011,7 +1011,7 @@ object MaintenanceQueries {
     // scan naming it and PASSES the pruned one, with zero jobs launched
     // for the refusal; then oracles the pruned rows.
     "q_scan_guard" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("guard_gate")
+      val tmp = Q.scratchDir("guard_gate")
       try {
         val path = tmp.resolve("t").toString
         load(spark, dir, "lineitem")
@@ -1054,7 +1054,7 @@ object MaintenanceQueries {
     // X honored?" to the key holder while require()d to never carry the
     // raw id. Survivor aggregate oracled.
     "c5_erasure" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("erasure_gate")
+      val tmp = Q.scratchDir("erasure_gate")
       try {
         val path = tmp.resolve("events").toString
         val ledger = tmp.resolve("ledger").toString
@@ -1114,7 +1114,7 @@ object MaintenanceQueries {
     // rows; (c) the head clone still serves the erased-subject-free
     // snapshot, oracled.
     "c5_erasure_clone" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("eracl_gate")
+      val tmp = Q.scratchDir("eracl_gate")
       try {
         val src = tmp.resolve("src").toString
         val dst = tmp.resolve("devclone").toString
@@ -1176,7 +1176,7 @@ object MaintenanceQueries {
     // lie). After releaseHold the re-driven request completes and the
     // ledger certifies the formerly-held subject. Survivors oracled.
     "c5_erasure_hold" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("erhold_gate")
+      val tmp = Q.scratchDir("erhold_gate")
       try {
         val src = tmp.resolve("src").toString
         val ledger = tmp.resolve("ledger").toString
@@ -1252,7 +1252,7 @@ object MaintenanceQueries {
     "q_mv_rewrite_avg" -> (((spark, dir) => {
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
         LogicalRelation}
-      val tmp = java.nio.file.Files.createTempDirectory("mvavg_gate")
+      val tmp = Q.scratchDir("mvavg_gate")
       try {
         val base = tmp.resolve("base").toString
         val mvp = tmp.resolve("mv").toString
@@ -1319,7 +1319,7 @@ object MaintenanceQueries {
     "q_mv_rewrite_minmax" -> (((spark, dir) => {
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
         LogicalRelation}
-      val tmp = java.nio.file.Files.createTempDirectory("mvmm_gate")
+      val tmp = Q.scratchDir("mvmm_gate")
       try {
         val base = tmp.resolve("base").toString
         val mvp = tmp.resolve("mv").toString
@@ -1379,7 +1379,7 @@ object MaintenanceQueries {
     "q_sidecar_fresh" -> (((spark, dir) => {
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
         LogicalRelation}
-      val tmp = java.nio.file.Files.createTempDirectory("sidecar_gate")
+      val tmp = Q.scratchDir("sidecar_gate")
       try {
         val path = tmp.resolve("t").toString
         load(spark, dir, "lineitem")
@@ -1504,7 +1504,7 @@ object MaintenanceQueries {
     // refuses with target AND planes untouched, staging cleaned).
     "q_append_incremental" -> (((spark, dir) => {
       import graft.sink.{Checks, Sidecars, StageWriter, ZoneMap}
-      val tmp = java.nio.file.Files.createTempDirectory("append_gate")
+      val tmp = Q.scratchDir("append_gate")
       try {
         val path = tmp.resolve("t").toString
         val li = load(spark, dir, "lineitem")
@@ -1578,7 +1578,7 @@ object MaintenanceQueries {
     // the claim releases, and the next clean commit lands normally.
     "c5_check_commit" -> (((spark, dir) => {
       import graft.sink.{Checks, VersionedTable}
-      val tmp = java.nio.file.Files.createTempDirectory("vtcheck_gate")
+      val tmp = Q.scratchDir("vtcheck_gate")
       try {
         val t = tmp.resolve("vt").toString
         val v1 = load(spark, dir, "lineitem")
@@ -1635,7 +1635,7 @@ object MaintenanceQueries {
     // split routes bad rows aside when refusing isn't the policy.
     // Clean writes land; merged values oracled via the CASE mirror.
     "q_check_constraints" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("checks_gate")
+      val tmp = Q.scratchDir("checks_gate")
       try {
         val path = tmp.resolve("t").toString
         val base = load(spark, dir, "lineitem")

@@ -182,7 +182,7 @@ object MiningQueries {
     // and that quarantined raws really are the broken lines.
     "q_json_quarantine" -> (((spark, dir) => {
       import org.apache.spark.sql.types._
-      val tmp = java.nio.file.Files.createTempDirectory("jsonq_gate")
+      val tmp = Q.scratchDir("jsonq_gate")
       val feedPath = tmp.resolve("feed").toString
       try {
         val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
@@ -402,7 +402,7 @@ object MiningQueries {
     // file inventory (names + sizes) byte-stable, then oracle-matches the
     // final table. Write cost O(touched partition), never O(table).
     "q_partition_overwrite" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("dynov_gate")
+      val tmp = Q.scratchDir("dynov_gate")
       try {
         val p = tmp.resolve("ev").toString
         val ev = load(spark, dir, "events")
@@ -642,7 +642,7 @@ object MiningQueries {
     // file skip actually happened and hash-matches the full-scan oracle.
     "q_derived_prune" -> (((spark, dir) => {
       val day = 86400000000000L
-      val tmp = java.nio.file.Files.createTempDirectory("dprune_gate")
+      val tmp = Q.scratchDir("dprune_gate")
       try {
         val p = tmp.resolve("ev").toString
         graft.sink.StageWriter.writeDerivedPartitioned(
@@ -679,7 +679,7 @@ object MiningQueries {
     // applied a DELTA (< half the table) and oracle-matches the final
     // replica against a from-scratch replay.
     "c5_cdc_egress" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("egress_gate")
+      val tmp = Q.scratchDir("egress_gate")
       try {
         val t = tmp.resolve("src").toString
         val rep = tmp.resolve("replica").toString
@@ -723,7 +723,7 @@ object MiningQueries {
     // AS OF 2500 (→ the middle state) and AS OF 1000 (inclusive
     // boundary → the first), and oracle-replays both.
     "c5_asof_ts" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("asof_gate")
+      val tmp = Q.scratchDir("asof_gate")
       try {
         val t = tmp.resolve("docs").toString
         val docs = load(spark, dir, "documents")
@@ -761,7 +761,7 @@ object MiningQueries {
     // recounting the corpus against the published summary — the oracle
     // computes both sides from scratch, so any skew fails the hash.
     "c5_multi_txn" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("txn_gate")
+      val tmp = Q.scratchDir("txn_gate")
       try {
         val root = tmp.resolve("wh").toString
         val docs = load(spark, dir, "documents")
@@ -800,7 +800,7 @@ object MiningQueries {
     // proves the clone does not follow later source commits, and
     // oracles the head clone's joined pair.
     "c5_txn_clone" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("txnclone_gate")
+      val tmp = Q.scratchDir("txnclone_gate")
       try {
         val root = tmp.resolve("wh").toString
         val dev = tmp.resolve("dev").toString
@@ -852,7 +852,7 @@ object MiningQueries {
     // dirty batch was vetoed with the head unchanged, then publishes a
     // corrected batch (claim demonstrably released).
     "c5_wap" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("wap_gate")
+      val tmp = Q.scratchDir("wap_gate")
       try {
         val t = tmp.resolve("docs").toString
         val docs = load(spark, dir, "documents")
@@ -945,7 +945,7 @@ object MiningQueries {
     // before oracle-matching the result.
     "q_partition_evolution" -> (((spark, dir) => {
       val day = 86400000000000L
-      val tmp = java.nio.file.Files.createTempDirectory("pevo_gate")
+      val tmp = Q.scratchDir("pevo_gate")
       try {
         val root = tmp.resolve("ev").toString
         val feed = load(spark, dir, "events")
@@ -983,7 +983,7 @@ object MiningQueries {
     // subtract via one broadcast anti-join on _metadata.row_index; the
     // physical fold (compaction) must agree with the vectorized view.
     "q_deletion_vectors" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("dv_gate")
+      val tmp = Q.scratchDir("dv_gate")
       try {
         val p = tmp.resolve("ev").toString
         load(spark, dir, "events")

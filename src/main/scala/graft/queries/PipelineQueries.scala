@@ -97,7 +97,7 @@ object PipelineQueries {
       val orders = load(spark, dir, "orders")
       val delta = orders.filter(col("o_orderkey") <= 15000)
         .withColumn("o_totalprice", col("o_totalprice") + 1000)
-      val tmp = java.nio.file.Files.createTempDirectory("merge_gate")
+      val tmp = Q.scratchDir("merge_gate")
       try {
         val t = tmp.resolve("orders").toString
         StageWriter.mergeInto(spark, orders, t, Seq("o_orderkey"))
@@ -135,7 +135,7 @@ object PipelineQueries {
       val delta = base.filter(col("c_key") <= "c_00000100")
         .withColumn("bal", col("bal") + 10.0)
         .unionByName(Seq(("c_zzz_insert", 999.5)).toDF("c_key", "bal"))
-      val tmp = java.nio.file.Files.createTempDirectory("merge_str_gate")
+      val tmp = Q.scratchDir("merge_str_gate")
       try {
         val t = tmp.resolve("cust").toString
         base.repartitionByRange(4, col("c_key")).write.parquet(t)
@@ -187,7 +187,7 @@ object PipelineQueries {
       val later = orders.filter(col("o_orderkey") >= 14000)
         .withColumn("o_totalprice", col("o_totalprice") + 500)
         .withColumn("o_channel", lit("late"))
-      val tmp = java.nio.file.Files.createTempDirectory("evolve_gate")
+      val tmp = Q.scratchDir("evolve_gate")
       try {
         val t = tmp.resolve("orders").toString
         StageWriter.mergeInto(spark, orders, t, Seq("o_orderkey"))
@@ -268,7 +268,7 @@ object PipelineQueries {
         .select("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate")
         .coalesce(8)
         .cache()
-      val tmpRoot = java.nio.file.Files.createTempDirectory("fmt_gate")
+      val tmpRoot = Q.scratchDir("fmt_gate")
       // BEST_SPEED gzip for the compressed arm: the gate proves FORMAT
       // fidelity (values survive the codec round-trip), not deflate
       // ratios — level 1 halves the arm's wall with identical
@@ -333,7 +333,7 @@ object PipelineQueries {
     // bytes derive from the part table, so the oracle recomputes length +
     // md5 from the same derivation without touching the filesystem.
     "c14_binary_source" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("bin_gate")
+      val tmp = Q.scratchDir("bin_gate")
       try {
         val names = load(spark, dir, "part").filter(col("p_partkey") <= 20)
           .select(col("p_partkey").cast("long"), col("p_name"))
@@ -357,7 +357,7 @@ object PipelineQueries {
       FROM part WHERE p_partkey <= 20 ORDER BY k"""))),
 
     "c5_time_travel" -> (((spark, dir) => {
-      val tmpRoot = java.nio.file.Files.createTempDirectory("vt_gate")
+      val tmpRoot = Q.scratchDir("vt_gate")
       try {
         val t = tmpRoot.resolve("docs").toString
         val docs = load(spark, dir, "documents")
@@ -382,7 +382,7 @@ object PipelineQueries {
     // Delta CDF read twin): v1 = English docs, v2 = all docs; the diff
     // must be exactly the non-English inserts and nothing else.
     "c5_diff" -> (((spark, dir) => {
-      val tmpRoot = java.nio.file.Files.createTempDirectory("vt_diff")
+      val tmpRoot = Q.scratchDir("vt_diff")
       try {
         val t = tmpRoot.resolve("docs").toString
         val docs = load(spark, dir, "documents")
@@ -406,7 +406,7 @@ object PipelineQueries {
     // independent (oracle-able); head_version = 3 pins exactly one commit
     // per writer (base + two merges) regardless of interleaving.
     "c5_merge_txn" -> (((spark, dir) => {
-      val tmpRoot = java.nio.file.Files.createTempDirectory("vt_merge")
+      val tmpRoot = Q.scratchDir("vt_merge")
       try {
         val t = tmpRoot.resolve("cust").toString
         val cust = load(spark, dir, "customer")
@@ -469,7 +469,7 @@ object PipelineQueries {
     // resolution, not a path read, is what the oracle matches.
     "c10_catalog" -> (((spark, dir) => {
       import graft.sources.Catalog
-      val tmp = java.nio.file.Files.createTempDirectory("catalog_gate")
+      val tmp = Q.scratchDir("catalog_gate")
       val db = Catalog.databaseName("graft", "tpch", "main", "stage")
       try {
         val loc = tmp.resolve("nation").toString
@@ -508,7 +508,7 @@ object PipelineQueries {
     // full-scan filter. File counts are layout-dependent → require()'d;
     // the oracle matches the aggregate.
     "c7_optimize" -> (((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("optimize_gate")
+      val tmp = Q.scratchDir("optimize_gate")
       try {
         val p = tmp.resolve("li").toString
         load(spark, dir, "lineitem")
@@ -598,7 +598,7 @@ object PipelineQueries {
         java.time.ZoneId.of("UTC"))
       val extracted = plan.applySql(spark, load(spark, dir, "orders"),
         "c13_orders_src", Map("customer" -> load(spark, dir, "customer")))
-      val tmp = java.nio.file.Files.createTempDirectory("cfg_gate")
+      val tmp = Q.scratchDir("cfg_gate")
       try {
         val rawPath = tmp.resolve("raw").toString
         StageWriter.overwrite(
@@ -652,7 +652,7 @@ object PipelineQueries {
         .filter(col("event_id") % 5 === 0)
         .withColumn("ts", expr("(ts div 1000000) * 1000000")) // whole millis
         .select("event_id", "user_id", "ts", "value")
-      val tmp = java.nio.file.Files.createTempDirectory("tsann_gate")
+      val tmp = Q.scratchDir("tsann_gate")
       try {
         ev.write.parquet(tmp.resolve("nanos").toString) // long nanos column
         val prevOut = spark.conf.get("spark.sql.parquet.outputTimestampType")
@@ -695,7 +695,7 @@ object PipelineQueries {
       import spark.implicits._
       import graft.run.{GroupScheduler, TablePipeline}
       import graft.config.{ColumnMetadata, LoadMode, LoadType, TableConfig}
-      val work = java.nio.file.Files.createTempDirectory("grp").toString
+      val work = Q.scratchDir("grp").toString
       // the whole group runs under the ambient scan-budget rail (D185
       // session enforcement): a generous default proves enforcement-on
       // costs nothing on healthy plans — the spec proves the refusal arm
