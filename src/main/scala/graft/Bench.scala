@@ -97,7 +97,9 @@ object Bench {
     val qs = jmap(headline.map(k => k -> results(k)).toMap)
     val note = s"${results.size} queries ($failures failed, as -1, " +
       "excluded from total), noop-sink full eval, min of 3 passes; " +
-      "headline subset here, ALL timings + variance in BENCH_FULL.json"
+      "timing mode (Q.benchLean): restart/replay PROOF arms run in " +
+      "Verify, not here; headline subset here, ALL timings + variance " +
+      "in BENCH_FULL.json"
     // phase split per query: op = total for un-annotated gates; only
     // in BENCH_FULL.json (stdout line must stay inside the driver tail)
     val phases = best.toSeq.sortBy(_._1).map { case (k, t) =>

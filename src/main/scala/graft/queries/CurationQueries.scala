@@ -185,6 +185,83 @@ object CurationQueries {
       SELECT doc_id, bucket, CAST(rank AS INT) AS rank
       FROM r WHERE rank <= quota ORDER BY doc_id"""))),
 
+    // D225 — STREAMING quota admission (Streams.matchedAdmitStream),
+    // the online twin of D223: docs stream in two epochs through a
+    // checkpoint restart, at most quota(bucket) are EVER admitted per
+    // bucket (one counter of state per bucket), absent buckets admit
+    // nothing. Admission is first-arrival by design (the admitted set
+    // depends on the epoch layout), so the gate does NOT branch on
+    // Q.benchLean; the oracle unrolls both epochs — epoch-1 hash-rank
+    // admissions, then epoch 2 into the remaining quota.
+    "llm_stream_matched" -> (((spark, dir) => withStreamPartitions(spark) {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = Q.scratchDir("smatched_gate")
+      val (raw, outp, chk) = (tmp.resolve("raw").toString,
+        tmp.resolve("out").toString, tmp.resolve("chk").toString)
+      try {
+        val docs = load(spark, dir, "documents")
+          .withColumn("tok",
+            graft.llm.TextAnalysis.tokenCount(col("text")).cast("long"))
+          .withColumn("bucket", expr("tok div 40"))
+          .select("doc_id", "bucket")
+        val quotas = Map(0L -> 120L, 1L -> 120L)
+        Q.FixtureCache.link(spark, s"$dir|smatched_e1", raw)(
+          docs.filter(col("doc_id") % 2 === 0).coalesce(1))
+        val schema = spark.read.parquet(raw).schema
+        def run(): Unit = {
+          val in = spark.readStream.schema(schema).parquet(raw)
+          val q = graft.streaming.Streams
+            .matchedAdmitStream(in, "doc_id", col("bucket"), quotas)
+            .toDF().writeStream.format("parquet").option("path", outp)
+            .option("checkpointLocation", chk)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        run() // epoch 1: even ids — counters land in the state store
+        Q.FixtureCache.link(spark, s"$dir|smatched_e2", raw)(
+          docs.filter(col("doc_id") % 2 =!= 0).coalesce(1))
+        run() // epoch 2 (restart): only the REMAINING quota admits
+        val admitted = spark.read.parquet(outp)
+        require(admitted.count() == quotas.values.sum,
+          "every quota must fill on this corpus (both buckets " +
+            "oversubscribed at both SFs)")
+        admitted.select(col("id").as("doc_id"), col("bucket"),
+            col("seq"))
+          .orderBy("bucket", "seq")
+          .localCheckpoint() // materialize before the sink dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some(s"""
+      WITH d AS (SELECT doc_id,
+                   (CASE WHEN len(trim(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(text), '\\s+'))
+                    END) // 40 AS bucket
+                 FROM documents),
+      q(bucket, quota) AS (VALUES (0, 120), (1, 120)),
+      h AS (SELECT doc_id, bucket,
+              CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                1, 15)) AS BIGINT) % ${graft.llm.Dedup.PortableP} AS h
+            FROM d),
+      e1 AS (SELECT doc_id, bucket,
+               row_number() OVER (PARTITION BY bucket
+                 ORDER BY h, doc_id) AS rk
+             FROM h WHERE doc_id % 2 = 0),
+      a1 AS (SELECT doc_id, e1.bucket, CAST(rk AS BIGINT) AS seq
+             FROM e1 JOIN q ON e1.bucket = q.bucket WHERE rk <= quota),
+      c1 AS (SELECT bucket, count(*) AS n1 FROM a1 GROUP BY 1),
+      e2 AS (SELECT doc_id, bucket,
+               row_number() OVER (PARTITION BY bucket
+                 ORDER BY h, doc_id) AS rk
+             FROM h WHERE doc_id % 2 <> 0),
+      a2 AS (SELECT e2.doc_id, e2.bucket,
+               CAST(COALESCE(c1.n1, 0) + rk AS BIGINT) AS seq
+             FROM e2 JOIN q ON e2.bucket = q.bucket
+               LEFT JOIN c1 ON e2.bucket = c1.bucket
+             WHERE COALESCE(c1.n1, 0) + rk <= quota)
+      SELECT doc_id, bucket, seq FROM a1
+      UNION ALL
+      SELECT doc_id, bucket, seq FROM a2
+      ORDER BY bucket, seq"""))),
+
     // D100 — cross-doc repeated-segment removal (the C4/CCNet boilerplate
     // STRIP, not just a score): docs split into consecutive 2-word
     // segments; a segment whose hash occurs in >= 10 distinct docs is

@@ -593,6 +593,56 @@ object Streams {
       .start()
   }
 
+  /** One admission-stream input row: bucket, id, portable id-hash. */
+  final case class AdmitIn(bucket: Long, id: Long, h: Long)
+  /** Per-bucket admission state: how many were ever admitted. */
+  final case class AdmitState(n: Long)
+  /** One admitted row: `seq` = admission order within the bucket. */
+  final case class Admitted(bucket: Long, id: Long, seq: Long)
+
+  /** Streaming QUOTA ADMISSION (SURVEY §2D, D225) — the online twin of
+    * `Splits.matchedSample` (D223): documents arrive as a stream and at
+    * most `quotas(bucket)` are ever admitted per bucket; buckets absent
+    * from the quota map admit nothing. Admission is FIRST-ARRIVAL by
+    * design — an online sampler cannot hold a slot for a better-hash
+    * row that may never come — so unlike the batch matcher the admitted
+    * SET depends on the epoch layout; WITHIN a micro-batch ties order
+    * by the same portable (hash, id) the batch sampler uses, so a given
+    * epoch layout admits one exact, replayable set (the gate's 2-epoch
+    * SQL oracle unrolls it). State per bucket is ONE counter — bytes,
+    * not rows — and never times out (a quota is forever).
+    *
+    * NOTE: deliberately NOT [[graft.queries.Q.benchLean]]-branchable —
+    * the result depends on epoch boundaries by the operator's own
+    * semantics, so the bench runs the same full protocol Verify does. */
+  def matchedAdmitStream(docs: DataFrame, idCol: String,
+      bucketCol: org.apache.spark.sql.Column,
+      quotas: Map[Long, Long]): Dataset[Admitted] = {
+    import docs.sparkSession.implicits._
+    require(quotas.nonEmpty && quotas.values.forall(_ >= 1),
+      "quotas must be non-empty with positive caps")
+    val qb = quotas // catalog-sized; ships in the task closure
+    docs.select(bucketCol.cast("long").as("bucket"),
+        col(idCol).cast("long").as("id"),
+        graft.llm.Dedup.portableWordHash(col(idCol)).as("h"))
+      .as[AdmitIn]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[AdmitState, Admitted](OutputMode.Append,
+        GroupStateTimeout.NoTimeout) { (bucket, rows, state) =>
+        val quota = qb.getOrElse(bucket, 0L)
+        var n = state.getOption.map(_.n).getOrElse(0L)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Admitted]
+        val it = rows.toArray.sortBy(r => (r.h, r.id)).iterator
+        while (n < quota && it.hasNext) {
+          val r = it.next()
+          n += 1
+          out += Admitted(bucket, r.id, n)
+        }
+        state.update(AdmitState(n))
+        out.iterator
+      }
+  }
+
   /** Incremental micro-batch runner: file-source stream over a raw-zone
     * directory → transform → parquet sink with checkpoint. The streaming
     * twin of the watermark-incremental batch loop (exactly-once via the
