@@ -51,13 +51,33 @@ object Datasheet {
           .as("short_frac4"))
       .orderBy("source")
 
+  /** RFC 8259 string escaping — source names are user data (quotes,
+    * backslashes, control characters) and an unescaped interpolation
+    * would emit an invalid sidecar, breaking the [[read]] round-trip
+    * this artifact exists for. */
+  private def jsonEscape(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'  => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\b' => b.append("\\b")
+      case '\f' => b.append("\\f")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
   /** Render `stats` (a [[build]] result) as ONE deterministic JSON
     * document at `sidecarPath` and return the frame. The render
     * collects the per-source rows — catalog-sized by construction
     * (one row per source), never corpus-sized. */
   def write(stats: DataFrame, sidecarPath: String): DataFrame = {
     val rows = stats.collect().map { r =>
-      s"""{"source":"${r.getString(0)}","n_docs":${r.getLong(1)},""" +
+      s"""{"source":"${jsonEscape(r.getString(0))}","n_docs":${r.getLong(1)},""" +
         s""""n_chars":${r.getLong(2)},"n_tokens":${r.getLong(3)},""" +
         s""""n_langs":${r.getLong(4)},"median_chars":${r.getDouble(5)},""" +
         s""""short_frac4":${r.getDouble(6)}}"""

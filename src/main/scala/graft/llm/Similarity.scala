@@ -1204,6 +1204,18 @@ object Similarity {
       }
       val remaining = scala.collection.mutable.ArrayBuffer(
         it.toArray.sortBy(c => (c.id)): _*)
+      // validate on entry so the failure NAMES the bad input: a
+      // zero-norm vector makes cos = 0/0 = NaN and a NaN relevance
+      // poisons every score — both would otherwise die opaquely deep
+      // inside the greedy loop (BigDecimal(NaN) / remove(-1))
+      remaining.foreach { c =>
+        require(!c.rel4.isNaN,
+          s"mmrRerank: NaN relevance for query=$qid id=${c.id}")
+        require(!c.v.exists(_.isNaN),
+          s"mmrRerank: NaN vector component for query=$qid id=${c.id}")
+        require(c.v.exists(_ != 0.0),
+          s"mmrRerank: zero-norm vector for query=$qid id=${c.id}")
+      }
       val selected = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
       val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
       var rank = 1

@@ -54,26 +54,45 @@ object Splits {
     * (the exact skew that motivates length matching: web text piles up
     * in two or three length bins), then the exact rank window runs over
     * ≤ k·partitions survivors and the per-bucket quota filter lands on
-    * a broadcast map. Integral ids (the [[graft.functions.BottomK]]
-    * contract). Returns (id, bucket, rank), rank 1..quota(bucket). */
+    * a broadcast map. The heap path needs INTEGRAL ids (BottomK's
+    * primitive-long heap, the D112/D213 contract) — a non-integral id
+    * column falls back to the exact single-window plan (documented as
+    * not skew-hardened) instead of casting to long, which would turn
+    * string ids into nulls and corrupt the hash order silently.
+    * Returns (id, bucket, rank), rank 1..quota(bucket). */
   def matchedSample(df: DataFrame, idCol: String, bucketCol: Column,
       quotas: Map[Long, Long]): DataFrame = {
     require(quotas.nonEmpty && quotas.values.forall(_ >= 1),
       "quotas must be non-empty with positive caps")
     val spark = df.sparkSession
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+      ShortType}
     import spark.implicits._
     val kMax = quotas.values.max.toInt
+    val integralId = df.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    // the hash keys on the id AS A LONG on the heap path (bit-replayable
+    // in SQL) and on the id's string form on the fallback — never a
+    // lossy cast: a string id cast to long is null, which would corrupt
+    // the hash order silently
+    val idExpr =
+      if (integralId) col(idCol).cast("long").as("id")
+      else col(idCol).as("id")
     val hashed = df
-      .select(col(idCol).cast("long").as("id"), bucketCol.as("bucket"))
+      .select(idExpr, bucketCol.as("bucket"))
       .join(broadcast(quotas.toSeq.toDF("bucket", "__q")), "bucket")
       .withColumn("__h", Dedup.portableWordHash(col("id")))
-    val survivors = hashed.groupBy("bucket", "__q")
-      .agg(graft.functions.BottomK.bottomk(col("id"), col("__h"), kMax)
-        .as("__keep"))
-      .select(col("bucket"), col("__q"), explode(col("__keep")).as("r"))
-      .select(col("r.id").as("id"), col("bucket"), col("__q"),
-        col("r.v").as("__h"))
+    val survivors =
+      if (!integralId) hashed
+      else hashed.groupBy("bucket", "__q")
+        .agg(graft.functions.BottomK.bottomk(col("id"), col("__h"), kMax)
+          .as("__keep"))
+        .select(col("bucket"), col("__q"), explode(col("__keep")).as("r"))
+        .select(col("r.id").as("id"), col("bucket"), col("__q"),
+          col("r.v").as("__h"))
     val w = Window.partitionBy("bucket")
       .orderBy(col("__h").asc, col("id").asc)
     survivors.withColumn("rank", row_number().over(w))

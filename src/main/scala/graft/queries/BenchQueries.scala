@@ -394,6 +394,8 @@ object BenchQueries {
     // still equals the plain join). The chosen strategy is a RESULT column
     // pinned by the oracle — a mis-decision fails the hash match; the
     // physical-plan shape per strategy is asserted in PlanShapeSpec.
+    // phase: genuinely all-op — THREE AdaptiveJoin calls (sketch probe +
+    // chosen join each) are the operator under test; no fixture, no proof
     "q_adaptive_join" -> (((spark, dir) => {
       import graft.operators.AdaptiveJoin
       val o = load(spark, dir, "orders")

@@ -907,6 +907,8 @@ object LlmQueries {
     // full pipeline — hash → 64 bit-sums → chunk banding → hamming filter —
     // is DuckDB-verified; simhashPairs (xxhash64) is the production twin
     // with the same shape.
+    // phase: genuinely all-op — ONE operator call over the source table
+    // (hash → bit-sums → banding → hamming filter); no fixture, no proof
     "dd_simhash" -> (((spark, dir) => {
       Dedup.simhashPairsPortable(load(spark, dir, "documents"), "doc_id",
           "text", maxHamming = 3, maxBucket = SimhashMaxBucket)

@@ -852,6 +852,8 @@ object RetrievalQueries {
       val sample = Similarity.clusterBalancedSample(emb, "vec_id",
         "embedding", k = 8, iters = 2, perCluster = 40)
         .localCheckpoint()
+      Q.Phase.opDone() // k-means + quota window materialized above;
+      // the quota-binding requires below are assert-phase proof
       val per = sample.groupBy("cid").agg(count(lit(1)).as("n"))
       require(per.agg(max("n")).head().getLong(0) <= 40L,
         "no cluster may exceed its quota")

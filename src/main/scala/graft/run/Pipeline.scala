@@ -127,26 +127,26 @@ object TablePipeline {
           Some(prop)
         }
       }
-      // the auto plane lands BEFORE the data write: a crash between the
-      // two leaves the NEW policies governing the OLD data (strictly a
-      // re-run-recoverable state — the rewritten predicates reference
-      // stage column names that exist in both generations), whereas the
-      // old write-then-tag order could leave fresh data under LAST run's
-      // auto policies referencing renamed-away columns — fail-closed but
-      // unrecoverable without a manual clearAutoRows
-      policyPlan match {
-        case Some(p) if p.nonEmpty =>
-          graft.sources.AccessTags.tagRowsAuto(stagePath, p)
-        case _ =>
-          // unpolicied source, or every policy stood down behind
-          // explicit cover: a stale derivation must not linger
-          graft.sources.AccessTags.clearAutoRows(stagePath)
-      }
+      // two-phase policy flip: the derived auto plane is STAGED before
+      // the data write and promoted live atomically only after the
+      // write succeeds. Neither single-step order is crash-safe on a
+      // governance plane (tag-then-write leaves OLD data under NEW —
+      // possibly loosened — policies; write-then-tag leaves NEW data
+      // under OLD ones), so reads that find a leftover staged sidecar
+      // AND both planes — fail-closed in both directions — until the
+      // next successful run repairs the window (AccessTags.stageAutoRows
+      // scaladoc carries the full argument). An empty plan stages an
+      // empty plane, whose promotion clears the live plane: unpolicied
+      // source, or every policy stood down behind explicit cover — a
+      // stale derivation must not linger.
+      graft.sources.AccessTags.stageAutoRows(stagePath,
+        policyPlan.getOrElse(Map.empty))
       if (incremental && ids.nonEmpty &&
           java.nio.file.Files.exists(java.nio.file.Paths.get(stagePath)))
         StageWriter.mergeInto(spark, staged, stagePath, ids, partitions)
       else
         StageWriter.overwrite(staged, stagePath, partitions)
+      graft.sources.AccessTags.promoteAutoRows(stagePath)
       // automatic governance inheritance (r10): a TAGGED raw source
       // propagates its plane to the stage table without a manual call —
       // the reference attaches LF-Tags to every crawled stage table

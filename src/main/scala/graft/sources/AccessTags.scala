@@ -70,6 +70,8 @@ object AccessTags {
   private def policiesFile(n: String) = Paths.get(n + ".__rowpolicies__")
   private def autoPoliciesFile(n: String) =
     Paths.get(n + ".__rowpolicies_auto__")
+  private def stagedAutoPoliciesFile(n: String) =
+    Paths.get(n + ".__rowpolicies_auto_staged__")
 
   /** Drop every in-memory cache entry (the restart simulation used by
     * specs and gates — durable state on disk is untouched and must
@@ -118,6 +120,7 @@ object AccessTags {
     graft.state.TabSidecar.delete(tagsFile(n))
     graft.state.TabSidecar.delete(policiesFile(n))
     graft.state.TabSidecar.delete(autoPoliciesFile(n))
+    graft.state.TabSidecar.delete(stagedAutoPoliciesFile(n))
     registry.remove(n); rowPolicies.remove(n)
     autoRowPolicies.remove(n); ()
   }
@@ -152,6 +155,49 @@ object AccessTags {
     autoRowPolicies.remove(n); ()
   }
 
+  /** Stage the NEXT run's auto plane without making it live (two-phase
+    * flip for the pipeline's policy-then-data ordering problem): the
+    * staged sidecar is written BEFORE the stage data write and
+    * [[promoteAutoRows]] flips it live atomically AFTER the write
+    * succeeds. Neither ordering of a two-resource update is safe by
+    * itself — tag-then-write leaves OLD data under NEW (possibly
+    * loosened) policies across a crash; write-then-tag leaves NEW data
+    * under OLD (possibly loosened-relative-to-tightened) policies — so
+    * [[autoRowPoliciesOf]] detects a leftover staged sidecar (the crash
+    * window) and ANDs BOTH planes: policies only restrict, so the
+    * window is fail-closed in both directions, and the next successful
+    * run repairs it. An EMPTY staged plane (unpolicied source, or every
+    * policy stood down behind explicit cover) promotes to a delete of
+    * the live plane — a stale derivation must not linger. */
+  private[graft] def stageAutoRows(path: String,
+      policies: Map[String, String]): Unit = {
+    val n = norm(path)
+    graft.state.TabSidecar.write(stagedAutoPoliciesFile(n),
+      policies.toSeq.sortBy(_._1).map { case (prof, sql) =>
+        graft.state.TabSidecar.requireCell(prof, "profile") + "\t" +
+          graft.state.TabSidecar.requireCell(sql, "policy SQL")
+      })
+  }
+
+  /** Flip a [[stageAutoRows]] plane live (one atomic rename — readers
+    * never observe a torn flip). No-op when nothing is staged. */
+  private[graft] def promoteAutoRows(path: String): Unit = {
+    val n = norm(path)
+    val staged = stagedAutoPoliciesFile(n)
+    if (!java.nio.file.Files.isRegularFile(staged)) return
+    val pols = parsePolicies(graft.state.TabSidecar.read(staged))
+    if (pols.isEmpty) {
+      graft.state.TabSidecar.delete(autoPoliciesFile(n))
+      graft.state.TabSidecar.delete(staged)
+      autoRowPolicies.remove(n); ()
+    } else {
+      java.nio.file.Files.move(staged, autoPoliciesFile(n),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      autoRowPolicies.put(n, pols); ()
+    }
+  }
+
   private def writePolicies(file: java.nio.file.Path,
       cache: scala.collection.concurrent.TrieMap[String, Map[String, String]],
       n: String, policies: Map[String, String]): Unit = {
@@ -167,22 +213,41 @@ object AccessTags {
   def rowPoliciesOf(path: String): Map[String, String] =
     readPolicies(policiesFile(norm(path)), rowPolicies, norm(path))
 
-  /** The AUTO plane's current derivations (empty when none). */
-  def autoRowPoliciesOf(path: String): Map[String, String] =
-    readPolicies(autoPoliciesFile(norm(path)), autoRowPolicies,
-      norm(path))
+  /** The AUTO plane's current derivations (empty when none). A leftover
+    * STAGED sidecar means a crash landed between the data write and the
+    * [[promoteAutoRows]] flip — reads inside that window AND the live
+    * and staged planes per profile (most restrictive wins, both
+    * directions fail-closed) and are never cached (the next successful
+    * run resolves the window). */
+  def autoRowPoliciesOf(path: String): Map[String, String] = {
+    val n = norm(path)
+    val staged = stagedAutoPoliciesFile(n)
+    if (java.nio.file.Files.isRegularFile(staged)) {
+      val live = parsePolicies(
+        graft.state.TabSidecar.read(autoPoliciesFile(n)))
+      val next = parsePolicies(graft.state.TabSidecar.read(staged))
+      (live.keySet ++ next.keySet).iterator.map { prof =>
+        (live.get(prof), next.get(prof)) match {
+          case (Some(a), Some(b)) if a != b => prof -> s"($a) AND ($b)"
+          case (a, b) => prof -> a.orElse(b).get
+        }
+      }.toMap
+    } else readPolicies(autoPoliciesFile(n), autoRowPolicies, n)
+  }
+
+  private def parsePolicies(lines: Seq[String]): Map[String, String] =
+    lines.flatMap { l =>
+      l.split("\t", 2) match {
+        case Array(prof, sql) => Some(prof -> sql)
+        case _ => None
+      }
+    }.toMap
 
   private def readPolicies(file: java.nio.file.Path,
       cache: scala.collection.concurrent.TrieMap[String, Map[String, String]],
       n: String): Map[String, String] =
     cache.getOrElse(n, {
-      val loaded = graft.state.TabSidecar.read(file)
-        .flatMap { l =>
-          l.split("\t", 2) match {
-            case Array(prof, sql) => Some(prof -> sql)
-            case _ => None
-          }
-        }.toMap
+      val loaded = parsePolicies(graft.state.TabSidecar.read(file))
       if (loaded.nonEmpty) cache.put(n, loaded)
       loaded
     })

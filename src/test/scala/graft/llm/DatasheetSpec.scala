@@ -66,4 +66,25 @@ class DatasheetSpec extends AnyFunSuite {
         "sidecar must round-trip the exact stats frame")
     } finally graft.sink.StageWriter.deleteRecursively(tmp)
   }
+
+  test("datasheet sidecar escapes source names: quotes, backslashes " +
+    "and control characters survive the write/read round-trip") {
+    val tmp = Files.createTempDirectory("datasheet_esc")
+    try {
+      val evil = "web \"quoted\" \\ tab\there"
+      val docs = Seq(
+        (1L, evil, "en", "short doc"),
+        (2L, "plain", "en", "another doc")).toDF(
+        "doc_id", "source", "lang", "text")
+      val stats = Datasheet.build(docs, "source", "text", "lang")
+        .localCheckpoint()
+      val sc = tmp.resolve("ds.json").toString
+      Datasheet.write(stats, sc)
+      val back = Datasheet.read(spark, sc)
+      assert(back.collect().toSet == stats.collect().toSet,
+        "special-character source names must round-trip exactly")
+      assert(back.select("source").as[String].collect().toSet
+        .contains(evil))
+    } finally graft.sink.StageWriter.deleteRecursively(tmp)
+  }
 }

@@ -55,4 +55,25 @@ class MatchedSampleSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect().toSet
     assert(again == got, "the sample is a function of the data")
   }
+
+  test("a NON-INTEGRAL id column takes the exact-window fallback " +
+    "instead of a lossy long cast (which nulls string ids and " +
+    "corrupts the hash order silently)") {
+    val df = (1L to 40L).map(i => (s"doc_$i", i % 2))
+      .toDF("id", "b")
+    val got = Splits.matchedSample(df.repartition(5), "id", col("b"),
+        Map(0L -> 6L, 1L -> 6L))
+      .as[(String, Long, Int)].collect().toSet
+    // replay: per bucket, quota smallest by (portable hash of the
+    // STRING id, id)
+    val expect = df.withColumn("h", Dedup.portableWordHash(col("id")))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._2).toSeq.flatMap { case (_, g) =>
+        g.sortBy(r => (r._3, r._1)).take(6).zipWithIndex
+          .map { case ((id, bb, _), i) => (id, bb, i + 1) }
+      }.toSet
+    assert(got == expect,
+      "string ids must sample by their own hash order, never null")
+    assert(got.size == 12 && got.forall(_._1.startsWith("doc_")))
+  }
 }

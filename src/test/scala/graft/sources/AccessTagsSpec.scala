@@ -125,6 +125,45 @@ class AccessTagsSpec extends AnyFunSuite {
     }
   }
 
+  test("two-phase auto-plane flip: a staged plane is invisible until " +
+    "promoted except inside the crash window, where reads AND both " +
+    "planes (fail-closed in both directions)") {
+    val (tmp, p) = fixture()
+    try {
+      val narrow = AccessTags.Profile("narrow",
+        Map("meta" -> AccessTags.Open))
+      AccessTags.tagRowsAuto(p, Map("narrow" -> "region = 'us'"))
+      // stage a LOOSER derivation (the raw policy was loosened between
+      // runs — the exact case the old orderings leaked on)
+      AccessTags.stageAutoRows(p, Map("narrow" -> "score <= 25"))
+      // crash window: the staged sidecar exists, nothing promoted —
+      // reads AND live and staged → us AND score<=25 → only uid=1
+      assert(AccessTags.autoRowPoliciesOf(p) ==
+        Map("narrow" -> "(region = 'us') AND (score <= 25)"))
+      assert(AccessTags.taggedView(spark, p, narrow).count() == 1,
+        "the crash window must stay fail-closed under a loosened policy")
+      // promote = the data write succeeded: only the new plane governs
+      AccessTags.promoteAutoRows(p)
+      assert(AccessTags.autoRowPoliciesOf(p) ==
+        Map("narrow" -> "score <= 25"))
+      assert(AccessTags.taggedView(spark, p, narrow).count() == 2)
+      // durable across restart, and a second promote is a no-op
+      AccessTags.resetMemory()
+      AccessTags.promoteAutoRows(p)
+      assert(AccessTags.autoRowPoliciesOf(p) ==
+        Map("narrow" -> "score <= 25"))
+      // an EMPTY staged plane (source un-policied / all stood down)
+      // promotes to a clear — no stale derivation lingers
+      AccessTags.stageAutoRows(p, Map.empty)
+      AccessTags.promoteAutoRows(p)
+      AccessTags.resetMemory()
+      assert(AccessTags.autoRowPoliciesOf(p).isEmpty)
+    } finally {
+      AccessTags.untagTable(p)
+      graft.sink.StageWriter.deleteRecursively(tmp)
+    }
+  }
+
   test("row policies govern VERSIONED reads too: the policy keys by " +
     "the table root, filters every version, and composes with asOf") {
     val tmp = Files.createTempDirectory("tagsverpol")
