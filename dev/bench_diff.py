@@ -59,14 +59,24 @@ if not (vold or vnew):
     print("note: no variance map in either snapshot — raw thresholds only")
 
 
+pvold = oldj.get("phase_variance") or {}
+pvnew = newj.get("phase_variance") or {}
+
+
 def floor(q):
-    """Noise floor for q in SECONDS: the bench records variance as the
-    RELATIVE cross-pass spread (max-min)/min of the WHOLE gate. In
-    op-compare mode the deltas are OP-time deltas, so scale each side's
-    ratio by its OP time, not the whole-gate time — a proof-heavy gate
+    """Noise floor for q in SECONDS. Preferred source in op-compare
+    mode: the snapshots' per-PHASE 'phase_variance' map — the OP
+    phase's own measured cross-pass spread, scaled by the OP time
+    (negative sentinel = not computable, fall through). Fallback: the
+    whole-gate relative spread scaled by OP share — a proof-heavy gate
     (large setup/assert) would otherwise carry a floor that dwarfs any
     plausible operator regression and silently suppress it."""
     if use_op:
+        ov = pvold.get(q, {}).get("op", -1.0)
+        nv = pvnew.get(q, {}).get("op", -1.0)
+        if ov >= 0 and nv >= 0:
+            return max(ov * pold.get(q, {}).get("op", 0.0),
+                       nv * pnew.get(q, {}).get("op", 0.0))
         return max(vold.get(q, 0.0) * pold.get(q, {}).get("op", 0.0),
                    vnew.get(q, 0.0) * pnew.get(q, {}).get("op", 0.0))
     return max(vold.get(q, 0.0) * oldj["queries"].get(q, 0.0),
