@@ -125,6 +125,83 @@ object MaintenanceQueries {
              CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM v2 GROUP BY o_custkey ORDER BY o_custkey"""))),
 
+    // D226 — PUBLIC change-data-feed read (VersionedTable.readChangeFeed,
+    // the Delta table_changes(from, to) consumer surface): D165's
+    // applyChanges is fed FROM the public API across TWO commits
+    // (deletes + updates + re-inserts), the bootstrap arm (fromV=0, the
+    // new-consumer path: the snapshot as pure inserts over an empty
+    // rollup) lands on the same contract, and an invalid range refuses
+    // loudly. maintain(feed) ≡ rebuild require()d both arms; the output
+    // is the maintained v3 rollup, recomputed from scratch by the oracle.
+    "c5_change_feed" -> (((spark, dir) => {
+      val tmp = Q.scratchDir("cdf_gate")
+      try {
+        val vt = tmp.resolve("orders").toString
+        val orders = load(spark, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val v2 = orders.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+          .withColumn("o_totalprice",
+            when(pmod(col("o_orderkey"), lit(11)) === 0,
+              col("o_totalprice") + 100.0).otherwise(col("o_totalprice")))
+        val v3 = v2.withColumn("o_totalprice",
+            when(pmod(col("o_orderkey"), lit(13)) === 0,
+              col("o_totalprice") + 50.0).otherwise(col("o_totalprice")))
+          .unionByName(orders
+            .filter(pmod(col("o_orderkey"), lit(7)) === 0 &&
+              pmod(col("o_orderkey"), lit(2)) === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1000.0))
+        graft.sink.VersionedTable.commit(orders, vt)
+        graft.sink.VersionedTable.commit(v2, vt)
+        graft.sink.VersionedTable.commit(v3, vt)
+        val r1 = graft.operators.Rollup.build(
+          graft.sink.VersionedTable.read(spark, vt, Some(1)),
+          Seq("o_custkey"), "o_totalprice").localCheckpoint()
+        Q.Phase.setupDone() // three commits + the prior rollup = fixture
+        val feed = graft.sink.VersionedTable
+          .readChangeFeed(spark, vt, 1, 3)
+        val maintained = graft.operators.Rollup.applyChanges(
+          r1, feed, Seq("o_custkey"), "o_totalprice").localCheckpoint()
+        Q.Phase.opDone() // rebuild-equality + bootstrap + refusal = PROOF
+        val rebuilt = graft.operators.Rollup.build(
+          graft.sink.VersionedTable.read(spark, vt, Some(3)),
+          Seq("o_custkey"), "o_totalprice").localCheckpoint()
+        require(Q.multisetEqual(maintained, rebuilt),
+          "maintain(readChangeFeed(1,3)) over build(v1) must equal " +
+            "build(v3) exactly")
+        // bootstrap arm: fromV=0 delivers the snapshot as pure inserts —
+        // applying it to an EMPTY rollup must also equal the rebuild
+        val boot = graft.operators.Rollup.applyChanges(r1.limit(0),
+          graft.sink.VersionedTable.readChangeFeed(spark, vt, 0, 3),
+          Seq("o_custkey"), "o_totalprice")
+        require(Q.multisetEqual(boot, rebuilt),
+          "the fromV=0 bootstrap feed must rebuild the rollup exactly")
+        // refusal arm: an empty or out-of-range window is a config
+        // error, never an empty feed
+        val refused = try {
+          graft.sink.VersionedTable.readChangeFeed(spark, vt, 3, 3)
+          false
+        } catch { case _: IllegalArgumentException => true }
+        require(refused, "from >= to must refuse, not return empty")
+        graft.operators.Rollup.readable(maintained)
+          .orderBy("o_custkey").localCheckpoint()
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      WITH v3 AS (
+        SELECT o_custkey,
+               CASE WHEN o_orderkey % 13 = 0 THEN base + 50.0
+                    ELSE base END AS p
+        FROM (SELECT o_orderkey, o_custkey,
+                     CASE WHEN o_orderkey % 11 = 0
+                          THEN o_totalprice + 100.0
+                          ELSE o_totalprice END AS base
+              FROM orders WHERE o_orderkey % 7 <> 0) t
+        UNION ALL
+        SELECT o_custkey, o_totalprice + 1000.0 AS p
+        FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 2 = 0)
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM v3 GROUP BY o_custkey ORDER BY o_custkey"""))),
+
     // D166 — plan-fingerprint result cache (sink.ResultCache): a repeat
     // ask of the same canonicalized plan over the same input state reads
     // the materialized result; ANY base write changes the inventory
@@ -920,6 +997,91 @@ object MaintenanceQueries {
       SELECT g, CAST(count(*) AS BIGINT) AS n,
              CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM v2 GROUP BY g ORDER BY g"""))),
+
+    // D227 — METADATA-ONLY aggregate answering (sink.MetadataAgg): the
+    // Delta/Iceberg "metadata-only query" — count(*), min/max of the
+    // stats column, and per-partition counts served from the D190/D107
+    // sidecar planes with ZERO Spark jobs (asserted via the job-group
+    // tracker behind a listener-bus sentinel). Freshness is the D190
+    // contract, proven adversarially: a file smuggled in behind the
+    // sidecar's back makes every metadata answer stand DOWN (None) and
+    // the full-scan fallback return the now-different truth — a stale
+    // plane can degrade the answer path, never corrupt it. Oracle: the
+    // same aggregates recomputed by a full scan of the source table.
+    "q_metadata_only" -> (((spark, dir) => {
+      val tmp = Q.scratchDir("meta_gate")
+      try {
+        val flat = tmp.resolve("ord").toString
+        val part = tmp.resolve("ordp").toString
+        val slice = load(spark, dir, "orders")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        slice.select("o_orderkey", "o_totalprice")
+          .repartition(8).write.parquet(flat)
+        slice.write.partitionBy("o_orderpriority").parquet(part)
+        graft.sink.Sidecars.declare(spark, flat, Seq(
+          graft.sink.Sidecars.Stats("o_orderkey"),
+          graft.sink.Sidecars.Counts))
+        graft.sink.Sidecars.declare(spark, part,
+          Seq(graft.sink.Sidecars.Counts))
+        Q.Phase.setupDone() // tables + declared sidecar planes = fixture
+        val sc = spark.sparkContext
+        sc.setJobGroup("meta_only", "metadata-only answers", false)
+        val n = graft.sink.MetadataAgg.count(flat)
+        val mm = graft.sink.MetadataAgg.minMax(flat, "o_orderkey")
+        val parts = graft.sink.MetadataAgg.partitionCounts(part)
+        sc.clearJobGroup()
+        Q.Phase.opDone() // zero-job assert + staleness arm = PROOF
+        require(n.nonEmpty && mm.nonEmpty && parts.nonEmpty,
+          "fresh sidecars must answer all three metadata-only forms")
+        // zero-data-read proof: flush the async listener bus with a
+        // sentinel job in ANOTHER group (the bus is FIFO — once the
+        // sentinel is visible, every earlier event has landed), then
+        // require the metadata group launched NOTHING
+        sc.setJobGroup("meta_sentinel", "bus flush", false)
+        spark.range(1).count()
+        sc.clearJobGroup()
+        val st = sc.statusTracker
+        val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+        while (st.getJobIdsForGroup("meta_sentinel").isEmpty &&
+          System.nanoTime < deadline) Thread.sleep(5)
+        require(st.getJobIdsForGroup("meta_sentinel").nonEmpty,
+          "listener bus never drained")
+        require(st.getJobIdsForGroup("meta_only").isEmpty,
+          "metadata-only answers must launch ZERO Spark jobs")
+        // staleness arm: smuggle a duplicate part file in behind the
+        // sidecars — every metadata answer must stand down, and the
+        // scan fallback returns the (now larger) truth
+        val smuggled = {
+          val files = graft.sink.StageWriter.listDataFiles(
+            java.nio.file.Paths.get(flat))
+          val src = files.head
+          val dst = src.getParent.resolve("zz_smuggled.parquet")
+          java.nio.file.Files.copy(src, dst)
+          spark.read.parquet(dst.toString).count()
+        }
+        require(graft.sink.MetadataAgg.count(flat).isEmpty &&
+          graft.sink.MetadataAgg.minMax(flat, "o_orderkey").isEmpty,
+          "a foreign file must stand the metadata plane down")
+        require(spark.read.parquet(flat).count() == n.get + smuggled,
+          "the stand-down fallback is the full scan — and it sees " +
+            "the smuggled rows")
+        val rows = Seq(
+          ("count", n.get), ("min", mm.get._1), ("max", mm.get._2)) ++
+          parts.get.toSeq.map { case (d, c) =>
+            ("part:" + d.substring(d.indexOf('=') + 1), c)
+          }
+        spark.createDataFrame(rows).toDF("metric", "value")
+          .orderBy("metric").coalesce(1).localCheckpoint()
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT 'count' AS metric, CAST(count(*) AS BIGINT) AS value
+      FROM orders
+      UNION ALL SELECT 'min', CAST(min(o_orderkey) AS BIGINT) FROM orders
+      UNION ALL SELECT 'max', CAST(max(o_orderkey) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'part:' || o_orderpriority, CAST(count(*) AS BIGINT)
+      FROM orders GROUP BY o_orderpriority
+      ORDER BY metric"""))),
 
     // D183 — multi-column zone map + automatic pruning (sink.ZoneMap +
     // plans.ZoneMapPrune): the read-side payoff of the D168 Hilbert

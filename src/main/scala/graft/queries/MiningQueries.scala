@@ -299,6 +299,73 @@ object MiningQueries {
       ORDER BY item"""
     })),
 
+    // D228 — streaming windowed quantile sketch
+    // (Streams.tdigestWindowStream): the t-digest (D45) as per-window
+    // flatMapGroupsWithState state — the streaming dashboard twin of
+    // evt_window_distinct, closing the batch↔stream pattern for the
+    // quantile family. Two epochs through a checkpoint RESTART prove
+    // the digest survives the state store; per the D45 contract the
+    // estimates are merge-order-dependent within the error bound, so
+    // the oracle is a TOLERANCE band against the exact per-day batch
+    // percentile (the q_tdigest pattern — band-identical under any
+    // epoch layout, which is what makes the benchLean skip sound).
+    "evt_stream_tdigest" -> (((spark, dir) => withStreamPartitions(spark) {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.expressions.Window
+      val tmp = Q.scratchDir("std_gate")
+      val (raw, outp, chk) = (tmp.resolve("raw").toString,
+        tmp.resolve("out").toString, tmp.resolve("chk").toString)
+      try {
+        val feed = load(spark, dir, "events")
+          .select(col("event_id"), expr("ts div 86400000000000").as("d"),
+            col("value"))
+        Q.FixtureCache.link(spark, s"$dir|std_e1", raw)(
+          feed.filter(col("event_id") % 2 === 0).coalesce(1))
+        val schema = spark.read.parquet(raw).schema
+        def run(): Unit = {
+          val in = spark.readStream.schema(schema).parquet(raw)
+          val q = graft.streaming.Streams
+            .tdigestWindowStream(in, "d", "value", compression = 300,
+              qs = Seq(0.25, 0.5, 0.75))
+            .toDF().writeStream.format("parquet").option("path", outp)
+            .option("checkpointLocation", chk)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        if (!Q.benchLean) run() // epoch 0: even event ids
+        Q.FixtureCache.link(spark, s"$dir|std_e2", raw)(
+          feed.filter(col("event_id") % 2 === 1).coalesce(1))
+        run() // epoch 1: odds fold into checkpointed digest state
+        // latest emission per window (max ver = the current estimate)
+        val latest = spark.read.parquet(outp)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("w").orderBy(col("ver").desc)))
+          .filter(col("rn") === 1)
+          .select(col("w").as("d"), col("est"))
+        val exact = feed.groupBy("d")
+          .agg(percentile(col("value"),
+            array(lit(0.25), lit(0.5), lit(0.75))).as("ps"))
+        val out = latest.join(exact, "d")
+          .select(col("d") +: (1 to 3).flatMap(i =>
+            Seq(round(element_at(col("ps"), i), 4).as(s"p$i"),
+              (abs(element_at(col("est"), i) - element_at(col("ps"), i))
+                <= element_at(col("ps"), i) * 0.05).as(s"p${i}_ok"))): _*)
+          .orderBy("d").localCheckpoint()
+        require(out.count() == exact.count(),
+          "every window must carry a digest emission")
+        require(out.filter(!col("p1_ok") || !col("p2_ok") ||
+          !col("p3_ok")).isEmpty,
+          "a restart-spanning digest left the 5% band of the exact " +
+            "batch percentile")
+        out
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT epoch_ns(ts) // 86400000000000 AS d,
+             round(quantile_cont("value", 0.25), 4) AS p1, TRUE AS p1_ok,
+             round(quantile_cont("value", 0.50), 4) AS p2, TRUE AS p2_ok,
+             round(quantile_cont("value", 0.75), 4) AS p3, TRUE AS p3_ok
+      FROM events GROUP BY 1 ORDER BY d"""))),
+
     // D150 — (ε,δ)-DP released counts over an UNKNOWN domain
     // (llm.Privacy.dpCountsStable — the stability histogram): daily
     // per-event-type counts + two-sided geometric noise (the discrete

@@ -1,0 +1,138 @@
+package graft.sink
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Metadata-only aggregate answering (SURVEY §2D, D227) — the
+  * Delta/Iceberg "metadata-only query" served from the sidecar planes
+  * the engine already maintains: `count(*)`, per-partition counts, and
+  * the stats column's min/max answered WITHOUT scanning a single data
+  * page. The reference stack gets this for free from the Glue/Delta
+  * catalogs; the parquet-fallback answer is a per-file row-count
+  * sidecar (`path.__counts__`, built from parquet FOOTER record counts
+  * — driver-side metadata reads, zero Spark jobs) declared and
+  * refreshed through [[Sidecars]] like every other plane, plus the
+  * D107 `__stats__` ranges for min/max.
+  *
+  * Freshness is the D190 contract: every read here validates its
+  * sidecar against the EXACT current file inventory and returns `None`
+  * on any mismatch — the caller stands down to the full scan, never a
+  * wrong count. A foreign writer that ignores this sink therefore
+  * degrades the answer path, never corrupts it.
+  *
+  * Scale shape: at 100 TB the sidecar is file-inventory-sized (one
+  * line per file), the answers are pure driver-side folds over it, and
+  * the footer pass that builds it is paid at WRITE cadence — the same
+  * stats-on-write trade every lakehouse writer makes. */
+object MetadataAgg {
+
+  private def countsFile(path: String) = Paths.get(path + ".__counts__")
+
+  /** (root-relative path, file) for every visible parquet data file,
+    * recursing through partition directories (`col=value/...`); hidden
+    * and `_`-prefixed entries skipped — the [[StageWriter
+    * .listDataFiles]] visibility rule, extended below the root. */
+  private[sink] def listRel(root: Path): Seq[(String, Path)] = {
+    def walk(dir: Path, prefix: String): Seq[(String, Path)] = {
+      if (!Files.isDirectory(dir)) return Nil
+      val s = Files.list(dir)
+      try s.toArray.map(_.asInstanceOf[Path]).toSeq.flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith(".") || n.startsWith("_")) Nil
+        else if (Files.isDirectory(p)) walk(p, prefix + n + "/")
+        else if (n.endsWith(".parquet") && Files.isRegularFile(p))
+          Seq((prefix + n, p))
+        else Nil
+      }.sortBy(_._1)
+      finally s.close()
+    }
+    walk(root, "")
+  }
+
+  private def footerCount(p: Path): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri), conf))
+    try r.getRecordCount finally r.close()
+  }
+
+  private def writeSidecar(path: String,
+      counts: Map[String, Long]): Unit = {
+    val lines = counts.toSeq.sortBy(_._1)
+      .map { case (rel, n) => s"$rel\t$n" }
+    val target = countsFile(path)
+    val tmp = Files.createTempFile(
+      target.toAbsolutePath.getParent, ".counts", ".tmp")
+    Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Build/refresh the row-count sidecar from parquet footers — zero
+    * Spark jobs; O(files) driver metadata reads at write cadence. */
+  def writeCounts(path: String): Unit =
+    writeSidecar(path,
+      listRel(Paths.get(path)).map { case (rel, p) =>
+        rel -> footerCount(p)
+      }.toMap)
+
+  /** O(changed files) maintenance after a file-targeted rewrite: drop
+    * the removed names, footer-count only the added files. Falls back
+    * to a full rebuild when the existing sidecar is absent or stale. */
+  private[sink] def maintainCountsAfterRewrite(path: String,
+      removed: Set[String], added: Seq[Path]): Unit =
+    loadRaw(path) match {
+      case Some(m) =>
+        writeSidecar(path, (m -- removed) ++
+          added.map(p => p.getFileName.toString -> footerCount(p)))
+      case None => writeCounts(path)
+    }
+
+  private def loadRaw(path: String): Option[Map[String, Long]] = {
+    val f = countsFile(path)
+    if (!Files.isRegularFile(f)) return None
+    import scala.jdk.CollectionConverters._
+    Some(Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty)
+      .flatMap { l =>
+        l.split("\t", 2) match {
+          case Array(rel, n) => scala.util.Try(rel -> n.toLong).toOption
+          case _ => None
+        }
+      }.toMap)
+  }
+
+  /** Inventory-validated per-file counts: `Some` iff the sidecar covers
+    * the CURRENT file inventory exactly — any added, removed or renamed
+    * file stands the whole plane down (`None`). */
+  def loadCounts(path: String): Option[Map[String, Long]] =
+    loadRaw(path).filter(m =>
+      m.keySet == listRel(Paths.get(path)).map(_._1).toSet)
+
+  /** Metadata-only `count(*)`: `None` = stand down to the scan. */
+  def count(path: String): Option[Long] =
+    loadCounts(path).map(_.values.sum)
+
+  /** Metadata-only per-partition counts for a `col=value` directory
+    * layout: keys are the first-level partition directory names
+    * (`col=value`); files at the root count under `""`. `None` = stand
+    * down. */
+  def partitionCounts(path: String): Option[Map[String, Long]] =
+    loadCounts(path).map(_.toSeq.groupBy { case (rel, _) =>
+      val i = rel.indexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }.map { case (part, fs) => part -> fs.map(_._2).sum })
+
+  /** Metadata-only min/max of the D107 stats column, folded from the
+    * inventory-validated `__stats__` sidecar (long dialect). `None` =
+    * no sidecar, different column, stale inventory, or a table whose
+    * files hold no non-null keys — every case stands down to the scan
+    * rather than guessing. */
+  def minMax(path: String, column: String): Option[(Long, Long)] = {
+    val files = StageWriter.listDataFiles(Paths.get(path))
+    StageWriter.loadStats(path, files, column).flatMap { st =>
+      val bounds = st.values.flatten
+      if (bounds.isEmpty) None
+      else Some((bounds.map(_._1).min, bounds.map(_._2).max))
+    }
+  }
+}

@@ -52,6 +52,9 @@ object Sidecars {
     * probe and build must agree). */
   final case class Bloom(column: String, bits: Int = 8192, k: Int = 3)
     extends Plane
+  /** D227 per-file row counts ([[MetadataAgg]]) — metadata-only
+    * count(*) / per-partition counts. */
+  case object Counts extends Plane
 
   private def manifestFile(path: String): Path =
     Paths.get(path + ".__sidecars__")
@@ -65,6 +68,7 @@ object Sidecars {
       case Stats(c) => s"stats\t$c"
       case Zone(cs) => s"zone\t${cs.mkString(",")}"
       case Bloom(c, bits, k) => s"bloom\t$c\t$bits\t$k"
+      case Counts => "counts"
     }
     val target = manifestFile(path)
     val tmp = Files.createTempFile(
@@ -87,6 +91,7 @@ object Sidecars {
         case "zone" :: cs :: Nil => Some(Zone(cs.split(',').toSeq))
         case "bloom" :: c :: b :: k :: Nil =>
           scala.util.Try(Bloom(c, b.toInt, k.toInt)).toOption
+        case "counts" :: Nil => Some(Counts)
         case _ => None // unknown plane line: ignore, never guess
       }
     }
@@ -123,6 +128,7 @@ object Sidecars {
       case Zone(cs) if !combine => ZoneMap.write(spark, path, cs)
       case Bloom(c, bits, k) =>
         Layout.writeBlooms(spark, path, c, bits, k); ()
+      case Counts => MetadataAgg.writeCounts(path)
       case _ => () // stats/zone: served by the combined scan above
     }
   }
@@ -141,6 +147,8 @@ object Sidecars {
       case Bloom(c, bits, k) =>
         Layout.maintainBloomsAfterRewrite(spark, path, removed, added,
           c, bits, k)
+      case Counts =>
+        MetadataAgg.maintainCountsAfterRewrite(path, removed, added)
       case _ => () // stats: maintained inline by targetedCommit; zone: above
     }
   }

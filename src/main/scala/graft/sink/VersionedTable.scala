@@ -348,6 +348,44 @@ object VersionedTable {
       .unionByName(a.exceptAll(b).withColumn("change", lit("delete")))
   }
 
+  /** PUBLIC change-data-feed read (SURVEY §2D, D226 — the Delta
+    * `table_changes(from, to)` consumer surface): the row-level op
+    * stream between two committed versions in the engine-wide
+    * change-feed convention — a `change` column ∈ {insert, delete}
+    * carrying full rows, an UPDATE traveling as its delete+insert
+    * pair — the exact shape D165's `Rollup.applyChanges`, D184's
+    * min/max maintenance and the CDC-egress replica path consume, now
+    * one public contract instead of an internal detail of each.
+    *
+    * `fromV = 0` is the new-consumer bootstrap: the `toV` snapshot as
+    * pure inserts (nothing existed before version 1). Both endpoints
+    * must still EXIST — a feed across a vacuumed snapshot refuses
+    * loudly instead of returning a silently-partial feed (the one
+    * failure a change-feed consumer cannot detect downstream).
+    *
+    * Scale shape: the feed recomputes from the two snapshots (the
+    * storage trade of not persisting per-commit change files,
+    * documented at [[replicateTo]]); what multiplies across consumers
+    * is the APPLY side, which stays delta-proportional. */
+  def readChangeFeed(spark: SparkSession, table: String, fromV: Int,
+      toV: Int): DataFrame = {
+    val head = latestVersion(table).getOrElse(
+      throw new IllegalStateException(s"no committed version at $table"))
+    require(fromV >= 0 && fromV < toV && toV <= head,
+      s"$table: change feed needs 0 <= from < to <= head=$head " +
+        s"(got from=$fromV, to=$toV)")
+    val have = versions(table).toSet
+    require(fromV == 0 || have.contains(fromV),
+      s"$table: version $fromV no longer exists (vacuumed?) — " +
+        "a partial change feed would silently corrupt every consumer")
+    require(have.contains(toV),
+      s"$table: version $toV does not exist")
+    import org.apache.spark.sql.functions._
+    if (fromV == 0)
+      read(spark, table, Some(toV)).withColumn("change", lit("insert"))
+    else diff(spark, table, fromV, toV)
+  }
+
   /** Restore an old snapshot as the NEW head (Delta RESTORE twin): commits
     * version `v`'s data as the next version — history is preserved (the
     * restore is itself a commit), readers flip atomically, and the
@@ -441,16 +479,15 @@ object VersionedTable {
       if (Files.isRegularFile(marker)) Files.readString(marker).trim.toInt
       else 0
     if (last >= head) return ReplicaSync(head, 0L)
-    val delta =
-      if (last == 0) read(spark, table, Some(head)).withColumn("op", lit("U"))
-      else {
-        val d = diff(spark, table, last, head)
-        val ins = d.filter(col("change") === "insert").drop("change")
-        val delOnly = d.filter(col("change") === "delete").drop("change")
-          .join(ins.select(keys.map(col): _*), keys, "left_anti")
-        ins.withColumn("op", lit("U"))
-          .unionByName(delOnly.withColumn("op", lit("D")))
-      }
+    // consume the PUBLIC change-feed contract (D226) and collapse the
+    // row-level feed to key-level CDC ops: a key with a replacement row
+    // is an upsert, a key whose rows only disappeared is a delete
+    val d = readChangeFeed(spark, table, last, head)
+    val ins = d.filter(col("change") === "insert").drop("change")
+    val delOnly = d.filter(col("change") === "delete").drop("change")
+      .join(ins.select(keys.map(col): _*), keys, "left_anti")
+    val delta = ins.withColumn("op", lit("U"))
+      .unionByName(delOnly.withColumn("op", lit("D")))
     val cached = delta.cache()
     val applied = cached.count()
     try {

@@ -643,6 +643,56 @@ object Streams {
       }
   }
 
+  /** One windowed-quantile emission: window key, `ver` = total values
+    * the window's digest has absorbed (monotonic — `max(ver)` per
+    * window downstream selects the CURRENT estimate, the D149/D152
+    * emission convention), and the quantile estimates. */
+  final case class TdEmit(w: Long, ver: Long, est: Seq[Double])
+
+  /** Streaming windowed quantile sketch (SURVEY §2D, D228) — the
+    * t-digest (D45, [[graft.functions.TDigest]]) as
+    * `flatMapGroupsWithState` per-window state: the streaming dashboard
+    * twin of `evt_window_distinct`, closing the batch↔stream pattern
+    * for the quantile family (D17/D44/D45/D74/D128 were batch-only).
+    * State per window is ONE digest — ≤ ~compression/2 centroids + the
+    * singleton buffer, a few KB at ANY window cardinality, where exact
+    * per-window percentile state grows with the data. Each batch folds
+    * its values into the window's digest (absorb-then-emit: the
+    * emission is a pure function of prior state ∪ whole batch) and
+    * emits one row carrying the updated estimates.
+    *
+    * t-digest estimates are merge-order-dependent WITHIN the error
+    * bound, so downstream gating is a tolerance band against the exact
+    * batch percentile (the q_tdigest / q_approx_percentile pattern),
+    * never value replay — which also makes the result band-identical
+    * under any epoch layout (the [[graft.queries.Q.benchLean]]
+    * contract: the proof arms establish the band holds through a
+    * restart; the band, not the bits, is the result). No timeout:
+    * a dashboard window's digest lives as long as the stream. */
+  def tdigestWindowStream(values: DataFrame, windowCol: String,
+      valueCol: String, compression: Double,
+      qs: Seq[Double]): Dataset[TdEmit] = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    val agg = new graft.functions.TDigest(compression, qs.toArray)
+    implicit val stEnc: org.apache.spark.sql.Encoder[
+      graft.functions.TDigestState] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    values.select(col(windowCol).cast("long").as("w"),
+        col(valueCol).cast("double").as("v"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[graft.functions.TDigestState, TdEmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (w, rows, state) =>
+          var s = state.getOption.getOrElse(agg.zero)
+          rows.foreach { case (_, v) => s = agg.reduce(s, v) }
+          state.update(s)
+          val ver = (s.weight.sum + s.nBuf).toLong
+          Iterator.single(TdEmit(w, ver, agg.finish(s).toSeq))
+      }
+  }
+
   /** Incremental micro-batch runner: file-source stream over a raw-zone
     * directory → transform → parquet sink with checkpoint. The streaming
     * twin of the watermark-incremental batch loop (exactly-once via the

@@ -1,0 +1,79 @@
+package graft.sink
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** D227 — metadata-only aggregate answering: counts/min/max/partition
+  * counts from the sidecar planes with zero Spark jobs; ANY inventory
+  * mismatch stands the answers down (None), never a wrong number; the
+  * counts plane stays fresh through every declared writer path. */
+class MetadataAggSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fresh sidecars answer count/min-max/partition counts; a foreign " +
+    "file stands every answer down") {
+    val tmp = Files.createTempDirectory("metaagg")
+    try {
+      val p = tmp.resolve("t").toString
+      spark.range(0, 1000).select(col("id").as("k"),
+          (col("id") % 4).as("part"))
+        .repartition(4).write.parquet(p)
+      Sidecars.declare(spark, p,
+        Seq(Sidecars.Stats("k"), Sidecars.Counts))
+      assert(MetadataAgg.count(p).contains(1000L))
+      assert(MetadataAgg.minMax(p, "k").contains((0L, 999L)))
+      // a column the stats sidecar does not describe stands down
+      assert(MetadataAgg.minMax(p, "part").isEmpty)
+      // foreign file: answers stand down rather than double-count
+      val f = StageWriter.listDataFiles(tmp.resolve("t")).head
+      Files.copy(f, f.getParent.resolve("zz_foreign.parquet"))
+      assert(MetadataAgg.count(p).isEmpty &&
+        MetadataAgg.minMax(p, "k").isEmpty,
+        "a smuggled file must invalidate the whole metadata plane")
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+
+  test("partition counts group by the first-level col=value directory") {
+    val tmp = Files.createTempDirectory("metaagg_part")
+    try {
+      val p = tmp.resolve("t").toString
+      spark.range(0, 90).select(col("id").as("k"),
+          when(col("id") < 10, "a small").otherwise("b").as("g"))
+        .write.partitionBy("g").parquet(p)
+      MetadataAgg.writeCounts(p)
+      val parts = MetadataAgg.partitionCounts(p).get
+      assert(parts == Map("g=a small" -> 10L, "g=b" -> 80L),
+        s"got $parts")
+      assert(MetadataAgg.count(p).contains(90L))
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+
+  test("the counts plane stays fresh through overwrite and the " +
+    "file-targeted merge (O(changed files) maintenance)") {
+    val tmp = Files.createTempDirectory("metaagg_fresh")
+    try {
+      val p = tmp.resolve("t").toString
+      def frame(n: Int) = spark.range(0, n)
+        .select(col("id").as("k"), (col("id") * 2).as("v"))
+      StageWriter.mergeInto(spark, frame(500), p, Seq("k"))
+      Sidecars.declare(spark, p,
+        Seq(Sidecars.Stats("k"), Sidecars.Counts))
+      assert(MetadataAgg.count(p).contains(500L))
+      // targeted merge: upsert 10 existing + 20 new keys
+      val delta = spark.range(490, 520)
+        .select(col("id").as("k"), lit(-1L).as("v"))
+      StageWriter.mergeInto(spark, delta, p, Seq("k"))
+      assert(MetadataAgg.count(p).contains(520L),
+        "counts must stay fresh after a targeted merge")
+      // full rewrite
+      StageWriter.overwrite(frame(100), p)
+      assert(MetadataAgg.count(p).contains(100L),
+        "counts must stay fresh after an overwrite")
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+}

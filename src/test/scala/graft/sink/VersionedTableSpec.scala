@@ -180,6 +180,37 @@ class VersionedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("readChangeFeed: the public change-feed contract — update pairs " +
+    "between committed versions, the fromV=0 bootstrap as pure inserts, " +
+    "and loud refusal on invalid or vacuumed windows") {
+    val t = freshTable()
+    VersionedTable.commit(Seq(1, 2, 3).toDF("x"), t)
+    VersionedTable.commit(Seq(2, 3, 4).toDF("x"), t) // -1, +4
+    VersionedTable.commit(Seq(3, 4, 5).toDF("x"), t) // -2, +5
+    val f13 = VersionedTable.readChangeFeed(spark, t, 1, 3)
+      .as[(Int, String)].collect().toSet
+    assert(f13 == Set((4, "insert"), (5, "insert"),
+      (1, "delete"), (2, "delete")),
+      "the multi-commit feed nets intermediate churn")
+    val boot = VersionedTable.readChangeFeed(spark, t, 0, 2)
+      .as[(Int, String)].collect().toSet
+    assert(boot == Set((2, "insert"), (3, "insert"), (4, "insert")),
+      "fromV=0 delivers the snapshot as pure inserts")
+    intercept[IllegalArgumentException] {
+      VersionedTable.readChangeFeed(spark, t, 2, 2) // empty window
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.readChangeFeed(spark, t, 1, 9) // beyond head
+    }
+    // a vacuumed endpoint must refuse — a silently-partial feed is the
+    // one failure a downstream consumer cannot detect
+    VersionedTable.vacuum(t, keepLast = 2)
+    intercept[IllegalArgumentException] {
+      VersionedTable.readChangeFeed(spark, t, 1, 3)
+    }
+    assert(VersionedTable.readChangeFeed(spark, t, 2, 3).count() == 2)
+  }
+
   test("vacuum keeps the newest K committed versions") {
     val t = freshTable()
     (1 to 5).foreach(i => VersionedTable.commit(Seq(i).toDF("x"), t))
