@@ -175,25 +175,33 @@ object Similarity {
     * (smallest ids win a full bucket), which is also what makes
     * append-style increments exact: growing ids never displace an
     * admitted member. */
-  private def cappedBuckets(df: DataFrame, idCol: String, vecCol: String,
-      tables: Seq[Seq[Seq[Double]]], bucketCap: Int): DataFrame = {
+  /** The UN-capped (tbl, bucket, id, v) sign-LSH membership frame — the
+    * shared bucketing expressions of [[cappedBuckets]] and the
+    * [[ScaleConfig]] histogram measurement. */
+  private[llm] def signBuckets(df: DataFrame, idCol: String,
+      vecCol: String, tables: Seq[Seq[Seq[Double]]]): DataFrame = {
     require(tables.nonEmpty && tables.forall(_.nonEmpty),
       "at least one table of at least one plane")
-    require(bucketCap >= 2, s"bucketCap=$bucketCap cannot pair")
     def dotLit(v: Column, cs: Seq[Double]): Column =
       aggregate(zip_with(v, typedLit(cs), (x, y) => x.cast(DoubleType) * y),
         lit(0.0), (acc, x) => acc + x)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val bucketed = tables.zipWithIndex.map { case (planes, t) =>
+    tables.zipWithIndex.map { case (planes, t) =>
       val bucket = planes.zipWithIndex.map { case (cs, p) =>
         when(dotLit(col("v"), cs) > 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
       base.select(lit(t).as("tbl"), bucket.as("bucket"), col("id"),
         col("v"))
     }.reduce(_ unionByName _)
+  }
+
+  private def cappedBuckets(df: DataFrame, idCol: String, vecCol: String,
+      tables: Seq[Seq[Seq[Double]]], bucketCap: Int): DataFrame = {
+    require(bucketCap >= 2, s"bucketCap=$bucketCap cannot pair")
     val w = Window.partitionBy(col("tbl"), col("bucket"))
       .orderBy(col("id"))
-    bucketed.withColumn("__rn", row_number().over(w))
+    signBuckets(df, idCol, vecCol, tables)
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= bucketCap).drop("__rn")
   }
 

@@ -1002,6 +1002,14 @@ object LlmQueries {
           transform(col("embedding"), x => x * lit(1.1f)).as("embedding"))
       val base = emb.select(col("vec_id"), col("embedding"))
         .unionByName(planted)
+      // ScaleConfig pin (r13): nlist 16 is a DEFAULT, not law — the
+      // uniform-shard derivation under the budget today's constant
+      // spends (⌈n²/16⌉) must reproduce it on this corpus
+      val n = base.count()
+      val derived = graft.llm.ScaleConfig.nlistFor(n, (n * n + 15) / 16)
+      require(derived == 16,
+        s"derived nlist $derived must reproduce the constant 16 under " +
+          "its own budget — the uniform-shard derivation drifted")
       Similarity.semanticDedup(base, "vec_id", "embedding",
           nlist = 16, tau = 0.9)
         .withColumnRenamed("id", "vec_id")

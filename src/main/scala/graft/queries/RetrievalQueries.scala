@@ -534,6 +534,22 @@ object RetrievalQueries {
     "sim_knn_graph" -> (((spark, dir) => {
       val emb = load(spark, dir, "embeddings")
       val cap = 64
+      // ScaleConfig derivation pin (r13): the default cap 64 is a
+      // DEFAULT, not law — given the budget today's constant spends on
+      // the MEASURED bucket histogram (one count agg), the derived cap
+      // must reproduce its behavior exactly. Equal pair cost forces
+      // equal per-bucket member counts (termwise-monotone sum), and
+      // deterministic admission makes equal counts the identical
+      // membership — so cost equality IS bit-for-bit reproduction.
+      val hist = graft.llm.ScaleConfig.bucketHistogram(emb, "vec_id",
+        "embedding", KnnTables)
+      val derived = graft.llm.ScaleConfig.bucketCapFor(hist,
+        graft.llm.ScaleConfig.pairCost(hist, cap))
+      require(derived <= cap &&
+        graft.llm.ScaleConfig.pairCost(hist, derived) ==
+          graft.llm.ScaleConfig.pairCost(hist, cap),
+        s"derived cap $derived must spend exactly what cap $cap spends " +
+          "on this corpus — the budget derivation drifted")
       // candidates materialize ONCE: the cap-bound check and the graph
       // share them (the bucket self-join is the expensive stage)
       val cand = Similarity.knnCandidates(emb, "vec_id", "embedding",
