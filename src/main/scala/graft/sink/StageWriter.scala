@@ -365,6 +365,50 @@ object StageWriter {
 
   private def seqFile(path: String) = Paths.get(path + ".__seq__")
   private def claimsDir(path: String) = Paths.get(path + ".__claims__")
+  private def dropAfterFile(path: String, seq: Long) =
+    Paths.get(path + s".__dropafter__$seq")
+
+  /** Persist the touched-file drop list for commit `seq` — written
+    * BEFORE the reveal, consumed (idempotently) AFTER the sequence
+    * flip; the durable half of the drop-after commit protocol (see
+    * [[targetedCommit]]'s ordering scaladoc). */
+  private def writeDropAfter(path: String, seq: Long,
+      names: Seq[String]): Unit =
+    graft.state.TabSidecar.write(dropAfterFile(path, seq), names.sorted)
+
+  /** Finish commit `seq`'s post-flip deletion: drop every file the
+    * marker names (idempotent — deleteIfExists), then the marker. */
+  private def completeDrop(path: String, seq: Long): Unit = {
+    val f = dropAfterFile(path, seq)
+    if (!Files.isRegularFile(f)) return
+    val dir = Paths.get(path)
+    graft.state.TabSidecar.read(f)
+      .foreach(n => Files.deleteIfExists(dir.resolve(n)))
+    Files.deleteIfExists(f); ()
+  }
+
+  private def pendingDropSeqs(path: String): Seq[Long] = {
+    val parent = Paths.get(path).toAbsolutePath.getParent
+    val prefix = Paths.get(path).getFileName.toString + ".__dropafter__"
+    if (parent == null || !Files.isDirectory(parent)) return Nil
+    val s = Files.list(parent)
+    try s.toArray.map(_.asInstanceOf[Path]).toSeq
+      .map(_.getFileName.toString)
+      .filter(_.startsWith(prefix))
+      .flatMap(n => scala.util.Try(n.drop(prefix.length).toLong).toOption)
+      .sorted
+    finally s.close()
+  }
+
+  /** Replay every COMMITTED drop marker (seq ≤ the committed sequence):
+    * a crash between the flip and the deletion left duplicates the
+    * marker names exactly — every later claimant (and the vacuum sweep)
+    * finishes them before doing anything else. */
+  private[sink] def replayPendingDrops(path: String): Unit = {
+    val committed = committedSeq(path)
+    pendingDropSeqs(path).filter(_ <= committed)
+      .foreach(completeDrop(path, _))
+  }
 
   /** Committed merge sequence of a stage path (0 = never CAS-merged —
     * includes tables written only by `overwrite`). */
@@ -500,6 +544,11 @@ object StageWriter {
         // safe even after a partial reveal, because the next claimant of
         // this same sequence rolls the attempt back below.
         try {
+          // finish any COMMITTED-but-undropped predecessor first (the
+          // post-flip crash window), then roll back THIS sequence's
+          // crashed attempt — order matters: the replay acts on history,
+          // the rollback on our own uncommitted generation
+          replayPendingDrops(path)
           rollbackAttempt(path, next)
           val old =
             if (Files.exists(Paths.get(path))) Some(spark.read.parquet(path))
@@ -546,6 +595,9 @@ object StageWriter {
             next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           Files.move(tmp, seqFile(path), StandardCopyOption.ATOMIC_MOVE,
             StandardCopyOption.REPLACE_EXISTING)
+          // THE commit point was the flip above; the touched files drop
+          // only now, replayable from the marker if we die mid-way
+          completeDrop(path, next)
           return
         } catch {
           case scala.util.control.NonFatal(e) =>
@@ -582,6 +634,10 @@ object StageWriter {
       } finally s.close()
     }
     deleteRecursively(Paths.get(path + s".__mergetmp__$next"))
+    // the crashed attempt's drop list is moot: its generation never
+    // committed and its touched files were never deleted (deletion is
+    // strictly post-flip), so the marker must not linger and replay
+    Files.deleteIfExists(dropAfterFile(path, next)); ()
   }
 
   /** Row-budgeted output file count; Long math first — at 100 TB
@@ -865,22 +921,31 @@ object StageWriter {
     * in place. Cost is O(delta + touched), never O(table) — at 100 TB a
     * 1 GB delta rewrites gigabytes, not the table.
     *
-    * Commit ordering inside the held claim: new files are moved in HIDDEN
-    * (dot-prefixed — invisible to Parquet readers), revealed by atomic
-    * per-file rename, and ONLY THEN are the touched files deleted. A crash
-    * (or in-process failure) inside the reveal→delete window leaves
-    * duplicate rows for the touched keys; recovery is AUTOMATIC and exact:
-    * the next claimant of the same sequence first rolls the partial
-    * attempt back ([[rollbackAttempt]] in [[casMerge]] — every revealed
-    * file carries its sequence number in its name, and a visible file at
-    * an UNCOMMITTED sequence can only be a partial reveal, because a
-    * successful attempt flips the sequence before releasing the claim).
-    * Staged names also carry a per-attempt nonce so a retry's reveal can
-    * never collide with a crashed attempt's leftovers even before the
-    * rollback sweep runs. Readers racing the reveal (or arriving between
-    * a failure and the repairing re-merge) see transient duplication; the
-    * documented Parquet-fallback reader gap ([[VersionedTable]] closes
-    * it). */
+    * Commit ordering inside the held claim (r13 — the drop-after-marker
+    * protocol): new files are moved in HIDDEN (dot-prefixed — invisible
+    * to Parquet readers); the touched-file list is persisted to a
+    * `__dropafter__` marker; the new files are revealed by atomic
+    * per-file rename; the sequence flips (THE commit point); and only
+    * then are the touched files deleted and the marker removed. Every
+    * crash window recovers exactly:
+    *
+    *  - before the flip (staged, marker written, or revealed): the next
+    *    claimant of the same sequence rolls the attempt back
+    *    ([[rollbackAttempt]]) — generation files + marker deleted,
+    *    touched files ALL still present (deletion is strictly
+    *    post-flip), so the committed snapshot is byte-identical;
+    *  - after the flip, mid-deletion: the marker names exactly what
+    *    remains to drop, and [[replayPendingDrops]] (run by every later
+    *    claimant and by the vacuum sweep) finishes it idempotently.
+    *
+    * The PREVIOUS ordering (delete touched before the flip) could not
+    * distinguish "partial reveal" from "complete reveal + partial
+    * delete" and its rollback LOST the already-deleted files' rows —
+    * MergeCrashSpec pins both windows now. Staged names carry a
+    * per-attempt nonce so a retry's reveal never collides with a
+    * crashed attempt's leftovers. Readers racing the post-flip deletion
+    * see transient duplication; the documented Parquet-fallback reader
+    * gap ([[VersionedTable]] closes it). */
   private def targetedCommit(spark: SparkSession, path: String,
       base: DataFrame, t: Targeted, next: Long): Unit = {
     val dir = Paths.get(path)
@@ -961,9 +1026,13 @@ object StageWriter {
         Files.move(p, hid, StandardCopyOption.ATOMIC_MOVE)
         (hid, vis, p.getFileName.toString)
       }
+      // durable drop list BEFORE the reveal: deletion of the touched
+      // files happens strictly AFTER the sequence flip (casMerge), and
+      // this marker is what makes that deletion replayable across a
+      // crash (see the commit-ordering scaladoc above)
+      writeDropAfter(path, next, touchedPaths.map(_.getFileName.toString))
       staged.foreach { case (hid, vis, _) =>
         Files.move(hid, vis, StandardCopyOption.ATOMIC_MOVE) }
-      touchedPaths.foreach(Files.deleteIfExists(_))
       deleteRecursively(Paths.get(tmpDir))
       val kept: FileStatsS =
         stats.filter { case (f, _) => !touched(f) } ++
@@ -1270,6 +1339,30 @@ object StageWriter {
             Files.deleteIfExists(p)
         }
       } finally st.close()
+    }
+    // drop-after markers: COMMITTED ones replay immediately (finishing
+    // a crashed post-flip deletion is always safe and always owed);
+    // markers AHEAD of the sequence belong to a crashed (or live)
+    // attempt — reclaim them and their revealed generation files only
+    // past the retention, the same live-writer guard as the claims
+    replayPendingDrops(path)
+    pendingDropSeqs(path).filter(_ > committedSeq(path)).foreach { sq =>
+      val marker = dropAfterFile(path, sq)
+      if (Files.getLastModifiedTime(marker).toMillis < cutoff) {
+        if (Files.isDirectory(dataDir)) {
+          val st = Files.list(dataDir)
+          try {
+            val it = st.iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              val n = p.getFileName.toString
+              if (n.startsWith(s"m$sq-") && n.endsWith(".parquet"))
+                Files.deleteIfExists(p)
+            }
+          } finally st.close()
+        }
+        Files.deleteIfExists(marker)
+      }
     }
     // merge-claim sidecars: claims <= the committed sequence are history
     // (no merger ever re-attempts them — drop immediately); a claim AHEAD
