@@ -998,6 +998,76 @@ object MaintenanceQueries {
              CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM v2 GROUP BY g ORDER BY g"""))),
 
+    // D230 — INCREMENTAL small-file compaction (StageWriter.compactSmall,
+    // Delta OPTIMIZE's bin-packing shape): ONLY the small-file tail
+    // rewrites — right-sized files stay byte-identical in place (names +
+    // sizes require()d), selection is driver-side metadata, and every
+    // pruning plane (stats + counts) stays fresh through the commit. A
+    // second pass is require()d a no-op (idempotent maintenance). The
+    // oracle proves content preservation: the compacted table reads back
+    // exactly the source rows.
+    "q_compact_small" -> (((spark, dir) => {
+      val tmp = Q.scratchDir("csmall_gate")
+      try {
+        val t = tmp.resolve("ord").toString
+        val orders = load(spark, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        orders.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+          .coalesce(1).write.parquet(t)
+        val big = graft.sink.StageWriter.listDataFiles(
+          java.nio.file.Paths.get(t))
+        orders.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+          .repartition(24).write.mode("append").parquet(t)
+        graft.sink.Sidecars.declare(spark, t, Seq(
+          graft.sink.Sidecars.Stats("o_orderkey"),
+          graft.sink.Sidecars.Counts))
+        val before = graft.sink.StageWriter.listDataFiles(
+          java.nio.file.Paths.get(t))
+        val bigNames = big.map(_.getFileName.toString).toSet
+        val small = before.filterNot(p =>
+          bigNames(p.getFileName.toString))
+        // the size threshold is MEASURED, never guessed: strictly
+        // between the largest straggler and the smallest head file, at
+        // every SF the battery runs
+        val smallMax = small.map(java.nio.file.Files.size(_)).max
+        val bigMin = big.map(java.nio.file.Files.size(_)).min
+        require(smallMax < bigMin,
+          s"fixture degenerate: straggler $smallMax !< head $bigMin")
+        val minBytes = (smallMax + bigMin) / 2
+        val bigSizes = big.map(p =>
+          p.getFileName.toString -> java.nio.file.Files.size(p)).toMap
+        Q.Phase.setupDone() // mixed-layout table + declared planes
+        // one bin (huge target): the packed output always clears the
+        // threshold count (<= 1 small file short-circuits pass 2)
+        val rep = graft.sink.StageWriter.compactSmall(spark, t,
+          targetFileBytes = Long.MaxValue / 4, minFileBytes = minBytes)
+        Q.Phase.opDone() // untouched/fresh/no-op proofs below
+        require(rep.rewritten == small.size &&
+          rep.filesBefore == before.size,
+          s"exactly the small tail must rewrite (got $rep)")
+        require(rep.filesAfter == big.size + 1,
+          "bin-packing must land the tail in one file")
+        big.foreach { p =>
+          require(java.nio.file.Files.exists(p) &&
+            java.nio.file.Files.size(p) ==
+              bigSizes(p.getFileName.toString),
+            s"right-sized file ${p.getFileName} must stay byte-identical")
+        }
+        require(graft.sink.MetadataAgg.count(t).nonEmpty &&
+          graft.sink.MetadataAgg.minMax(t, "o_orderkey").nonEmpty,
+          "every metadata plane must stay fresh through the compaction")
+        val again = graft.sink.StageWriter.compactSmall(spark, t,
+          targetFileBytes = Long.MaxValue / 4, minFileBytes = minBytes)
+        require(again.rewritten == 0,
+          s"a second pass must be a no-op (got $again)")
+        spark.read.parquet(t)
+          .select(col("o_orderkey"), col("o_totalprice").as("total"))
+          .orderBy("o_orderkey").localCheckpoint()
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT o_orderkey, o_totalprice AS total
+      FROM orders ORDER BY o_orderkey"""))),
+
     // D227 — METADATA-ONLY aggregate answering (sink.MetadataAgg): the
     // Delta/Iceberg "metadata-only query" — count(*), min/max of the
     // stats column, and per-partition counts served from the D190/D107

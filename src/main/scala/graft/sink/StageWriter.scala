@@ -1175,6 +1175,126 @@ object StageWriter {
     compacted.unpersist()
   }
 
+  /** What one incremental compaction pass did. */
+  final case class CompactReport(filesBefore: Int, filesAfter: Int,
+      rewritten: Int, bytesRewritten: Long)
+
+  /** INCREMENTAL small-file compaction (SURVEY §2D, D230) — Delta
+    * OPTIMIZE's bin-packing shape: rewrite ONLY the files under
+    * `minFileBytes`, bin-packed into `targetFileBytes` outputs, leaving
+    * every right-sized file byte-identical in place. [[compact]] /
+    * [[optimize]] rewrite the whole table — correct, but at 100 TB an
+    * OPTIMIZE pass that rewrites 100 TB to fix a thousand stragglers
+    * from the last micro-append is the wrong cost shape; this pass is
+    * O(small tail), the cadence-maintenance twin of the targeted merge.
+    *
+    * Concurrency + crash safety: the same claim/sequence CAS and
+    * drop-after-marker commit as [[mergeInto]] — compaction claims the
+    * next sequence (mergers and compactors exclude each other), stages
+    * hidden `m$seq-` generation files, persists the drop list, reveals,
+    * flips the sequence (THE commit point), then drops the rewritten
+    * small files replayably. Every pruning plane stays fresh: the stats
+    * sidecar patches O(new files) (footer-first), declared zone/bloom/
+    * counts planes patch through [[Sidecars.afterTargetedRewrite]].
+    *
+    * File-size selection is driver-side metadata (Files.size), never a
+    * data scan; the only data read is the small tail itself. */
+  def compactSmall(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      minFileBytes: Long = 0L,
+      maxRetries: Int = 10, backoffMs: Long = 200): CompactReport = {
+    val minBytes = if (minFileBytes > 0) minFileBytes
+      else targetFileBytes / 2
+    var attempt = 0
+    var lastBase = -1L
+    while (true) {
+      val base = committedSeq(path)
+      if (base != lastBase) { attempt = 0; lastBase = base }
+      val next = base + 1
+      Files.createDirectories(claimsDir(path))
+      val claimed =
+        try { Files.createFile(claimsDir(path).resolve(next.toString)); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      if (!claimed) {
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new ConcurrentMergeException(
+            s"$path: compaction could not claim sequence $next through " +
+              s"$maxRetries retries with no committed progress")
+        Thread.sleep(backoffMs * math.min(attempt, 5))
+      } else {
+        try {
+          replayPendingDrops(path)
+          rollbackAttempt(path, next)
+          val dir = Paths.get(path)
+          val all = listDataFiles(dir)
+          val small = all.filter(p => Files.size(p) < minBytes)
+          if (small.size <= 1) {
+            // nothing to pack: release the claim, change nothing
+            Files.deleteIfExists(claimsDir(path).resolve(next.toString))
+            return CompactReport(all.size, all.size, 0, 0L)
+          }
+          val smallBytes = small.map(Files.size(_)).sum
+          val nOut = math.max(1L,
+            (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
+          val df = spark.read.parquet(small.map(_.toString): _*)
+            .coalesce(nOut).cache()
+          val tmpDir = path + s".__mergetmp__$next"
+          try {
+            df.count() // materialize before any file moves
+            df.write.mode(SaveMode.Overwrite).parquet(tmpDir)
+          } finally df.unpersist()
+          val parts = listDataFiles(Paths.get(tmpDir))
+          val nonce = java.util.UUID.randomUUID().toString.substring(0, 8)
+          val staged = parts.zipWithIndex.map { case (p, i) =>
+            val vis = dir.resolve(f"m$next-$nonce%s-p$i%05d.parquet")
+            val hid = dir.resolve("." + vis.getFileName.toString)
+            Files.move(p, hid, StandardCopyOption.ATOMIC_MOVE)
+            (hid, vis, p.getFileName.toString)
+          }
+          val smallNames = small.map(_.getFileName.toString).toSet
+          writeDropAfter(path, next, smallNames.toSeq)
+          staged.foreach { case (hid, vis, _) =>
+            Files.move(hid, vis, StandardCopyOption.ATOMIC_MOVE) }
+          deleteRecursively(Paths.get(tmpDir))
+          // keep the stats plane fresh: patch O(new files), footer-first
+          statsHeader(path).foreach { case (c, kind) =>
+            val newPaths = staged.map(_._2)
+            if (kind == "long")
+              loadStats(path, all, c).foreach { st =>
+                writeStats(path, c,
+                  st.filter { case (f, _) => !smallNames(f) } ++
+                    computeStats(spark, newPaths, c))
+              }
+            else
+              loadStatsStr(path, all, c).foreach { st =>
+                writeStatsStr(path, c,
+                  st.filter { case (f, _) => !smallNames(f) } ++
+                    computeStatsStr(spark, newPaths, c))
+              }
+          }
+          Sidecars.afterTargetedRewrite(spark, path,
+            all.map(_.getFileName.toString), smallNames,
+            staged.map(_._2))
+          val tmp = Paths.get(path + s".__seq__.tmp$next")
+          Files.write(tmp,
+            next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          Files.move(tmp, seqFile(path), StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+          completeDrop(path, next)
+          return CompactReport(all.size,
+            all.size - small.size + staged.size, small.size, smallBytes)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            scala.util.Try(
+              Files.deleteIfExists(claimsDir(path).resolve(next.toString)))
+            throw e
+        }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** What one OPTIMIZE pass did. */
   final case class OptimizeReport(filesBefore: Int, filesAfter: Int,
       bytes: Long)
