@@ -87,7 +87,7 @@ object KmvDistinct {
     udaf(new KmvDistinct(k, normalizer)).apply(hashCol)
 
   /** Sorted insert keeping the k smallest DISTINCT values. */
-  private[functions] def insert(buf: Array[Long], h: Long,
+  private[graft] def insert(buf: Array[Long], h: Long,
       k: Int): Array[Long] = {
     val idx = java.util.Arrays.binarySearch(buf, h)
     if (idx >= 0) buf // already present — KMV tracks DISTINCT minima

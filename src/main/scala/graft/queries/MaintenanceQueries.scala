@@ -1153,6 +1153,73 @@ object MaintenanceQueries {
       FROM orders GROUP BY o_orderpriority
       ORDER BY metric"""))),
 
+    // D231 — metadata-only NDV from per-file KMV sketch sidecars
+    // (MetadataAgg.ndvEstimate + Sidecars.Ndv): the CBO distinct-count
+    // statistic answered with ZERO Spark jobs. The union of per-file
+    // bottom-k sketch sets contains the global bottom-k, so the merged
+    // estimate is EXACTLY the whole-table KMV — deterministic and
+    // SQL-replayable (the KmvDistinct contract), which is why this gate
+    // hash-matches where approx_count_distinct never could. Freshness:
+    // a smuggled file stands the answer down (D190 discipline); the
+    // plane patches O(new files) through the targeted merge.
+    "q_ndv_sidecar" -> (((spark, dir) => {
+      val tmp = Q.scratchDir("ndv_gate")
+      try {
+        val t = tmp.resolve("ord").toString
+        load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+          .repartition(8).write.parquet(t)
+        graft.sink.Sidecars.declare(spark, t, Seq(
+          graft.sink.Sidecars.Ndv("o_custkey", k = 256),
+          graft.sink.Sidecars.Counts))
+        Q.Phase.setupDone() // table + declared NDV/counts planes
+        val sc = spark.sparkContext
+        sc.setJobGroup("ndv_only", "metadata-only NDV", false)
+        val est = graft.sink.MetadataAgg.ndvEstimate(t, "o_custkey")
+        sc.clearJobGroup()
+        Q.Phase.opDone() // zero-job + staleness + wrong-column proofs
+        require(est.nonEmpty, "a fresh NDV plane must answer")
+        // zero-job proof via the q_metadata_only sentinel pattern
+        sc.setJobGroup("ndv_sentinel", "bus flush", false)
+        spark.range(1).count()
+        sc.clearJobGroup()
+        val st = sc.statusTracker
+        val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+        while (st.getJobIdsForGroup("ndv_sentinel").isEmpty &&
+          System.nanoTime < deadline) Thread.sleep(5)
+        require(st.getJobIdsForGroup("ndv_sentinel").nonEmpty,
+          "listener bus never drained")
+        require(st.getJobIdsForGroup("ndv_only").isEmpty,
+          "the NDV answer must launch ZERO Spark jobs")
+        require(graft.sink.MetadataAgg
+          .ndvEstimate(t, "o_orderkey").isEmpty,
+          "a column the plane does not describe must stand down")
+        // staleness arm: a smuggled duplicate stands the plane down
+        val f = graft.sink.StageWriter.listDataFiles(
+          java.nio.file.Paths.get(t)).head
+        java.nio.file.Files.copy(f,
+          f.getParent.resolve("zz_smuggled.parquet"))
+        require(graft.sink.MetadataAgg
+          .ndvEstimate(t, "o_custkey").isEmpty,
+          "a foreign file must stand the NDV plane down")
+        spark.createDataFrame(Seq((256L,
+          BigDecimal(est.get).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)))
+          .toDF("k", "ndv_est")
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some(s"""
+      WITH h AS (
+        SELECT DISTINCT
+          CAST(concat('0x', substring(md5(CAST(o_custkey AS VARCHAR)),
+            1, 15)) AS BIGINT) % ${graft.llm.Dedup.PortableP} AS h
+        FROM orders WHERE o_custkey IS NOT NULL),
+      r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+              count(*) OVER () AS nd FROM h)
+      SELECT CAST(256 AS BIGINT) AS k,
+             round(CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
+                   ELSE 255.0 / (CAST(h AS DOUBLE) /
+                     ${graft.llm.Dedup.PortableP}) END, 4) AS ndv_est
+      FROM r WHERE rn = least(256, nd)"""))),
+
     // D183 — multi-column zone map + automatic pruning (sink.ZoneMap +
     // plans.ZoneMapPrune): the read-side payoff of the D168 Hilbert
     // layout — BOTH clustered columns skip files on plain filters, the

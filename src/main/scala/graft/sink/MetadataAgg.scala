@@ -135,4 +135,132 @@ object MetadataAgg {
       else Some((bounds.map(_._1).min, bounds.map(_._2).max))
     }
   }
+
+  // ---- NDV plane (SURVEY §2D, D231): per-file KMV sketches -----------
+  //
+  // The distinct-count twin of the counts plane: each file carries the
+  // k smallest DISTINCT portable hashes of the declared column, and
+  // because the union of per-file bottom-k sets contains the GLOBAL
+  // bottom-k, merging the sidecar rows reproduces the whole-table KMV
+  // estimate EXACTLY — deterministic, SQL-replayable (the KmvDistinct
+  // contract), and servable with zero Spark jobs. This is the NDV
+  // statistic Delta/Iceberg keep for CBO, here as a sidecar the D154
+  // join planner could consume without a scan.
+
+  private def ndvFile(path: String) = Paths.get(path + ".__ndv__")
+
+  /** Build/refresh the per-file NDV plane — ONE scan of the column at
+    * write cadence (the bloom plane's cost class); flat layouts only
+    * (the `__stats__` scope). */
+  def writeNdv(spark: org.apache.spark.sql.SparkSession, path: String,
+      colName: String, k: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val sketches = spark.read.parquet(path)
+      .select(input_file_name().as("f"),
+        graft.llm.Dedup.portableWordHash(col(colName)).as("h"))
+      .where(col("h").isNotNull)
+      .groupBy("f")
+      .agg(udaf(new graft.functions.KmvSketch(k)).apply(col("h"))
+        .as("sk"))
+      .collect()
+      .map(r => r.getString(0).split('/').last ->
+        r.getSeq[Long](1).toArray)
+      .toMap
+    // files whose column is all-null never reach the groupBy: they
+    // carry an EMPTY sketch (contributing nothing), not a missing line
+    // (which would read as a stale inventory)
+    val names = StageWriter.listDataFiles(Paths.get(path))
+      .map(_.getFileName.toString)
+    writeNdvSidecar(path, colName, k,
+      names.map(n => n -> sketches.getOrElse(n, Array.emptyLongArray))
+        .toMap)
+  }
+
+  private def writeNdvSidecar(path: String, colName: String, k: Int,
+      sketches: Map[String, Array[Long]]): Unit = {
+    val lines = s"#column\t$colName\t$k" +:
+      sketches.toSeq.sortBy(_._1).map { case (n, sk) =>
+        n + "\t" + sk.mkString(",")
+      }
+    val target = ndvFile(path)
+    val tmp = Files.createTempFile(
+      target.toAbsolutePath.getParent, ".ndv", ".tmp")
+    Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def loadNdvRaw(path: String)
+      : Option[(String, Int, Map[String, Array[Long]])] = {
+    val f = ndvFile(path)
+    if (!Files.isRegularFile(f)) return None
+    import scala.jdk.CollectionConverters._
+    val lines = Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty)
+    lines.headOption.flatMap { h =>
+      h.split("\t") match {
+        case Array("#column", c, k) =>
+          scala.util.Try(k.toInt).toOption.map { kk =>
+            (c, kk, lines.tail.flatMap { l =>
+              l.split("\t", 2) match {
+                case Array(n, sk) => Some(n -> (if (sk.isEmpty)
+                  Array.emptyLongArray
+                else sk.split(',').map(_.toLong)))
+                case Array(n) => Some(n -> Array.emptyLongArray)
+                case _ => None
+              }
+            }.toMap)
+          }
+        case _ => None
+      }
+    }
+  }
+
+  /** O(changed files) NDV maintenance after a targeted rewrite. */
+  private[sink] def maintainNdvAfterRewrite(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      removed: Set[String], added: Seq[Path]): Unit =
+    loadNdvRaw(path) match {
+      case Some((c, k, m)) if added.nonEmpty || removed.nonEmpty =>
+        import org.apache.spark.sql.functions._
+        val fresh: Map[String, Array[Long]] =
+          if (added.isEmpty) Map.empty
+          else spark.read.parquet(added.map(_.toString): _*)
+            .select(input_file_name().as("f"),
+              graft.llm.Dedup.portableWordHash(col(c)).as("h"))
+            .where(col("h").isNotNull)
+            .groupBy("f")
+            .agg(udaf(new graft.functions.KmvSketch(k)).apply(col("h"))
+              .as("sk"))
+            .collect()
+            .map(r => r.getString(0).split('/').last ->
+              r.getSeq[Long](1).toArray).toMap
+        writeNdvSidecar(path, c, k, (m -- removed) ++
+          added.map(_.getFileName.toString)
+            .map(n => n -> fresh.getOrElse(n, Array.emptyLongArray)))
+      case _ => ()
+    }
+
+  /** Metadata-only approximate-distinct estimate of the declared NDV
+    * column: merge the inventory-validated per-file sketches (k
+    * smallest distinct hashes of the union = the whole-table KMV state)
+    * and apply the deterministic KMV estimator. `None` = no plane,
+    * different column, or stale inventory — stand down to the scan. */
+  def ndvEstimate(path: String, colName: String): Option[Double] =
+    loadNdvRaw(path).flatMap { case (c, k, m) =>
+      if (c != colName) None
+      else {
+        val inv = StageWriter.listDataFiles(Paths.get(path))
+          .map(_.getFileName.toString).toSet
+        if (m.keySet != inv) None
+        else {
+          val merged = m.values.foldLeft(Array.emptyLongArray) {
+            (acc, sk) => sk.foldLeft(acc)(
+              graft.functions.KmvDistinct.insert(_, _, k))
+          }
+          Some(if (merged.length < k) merged.length.toDouble
+          else (k - 1).toDouble /
+            (merged.last.toDouble / graft.llm.Dedup.PortableP.toDouble))
+        }
+      }
+    }
 }

@@ -55,6 +55,10 @@ object Sidecars {
   /** D227 per-file row counts ([[MetadataAgg]]) — metadata-only
     * count(*) / per-partition counts. */
   case object Counts extends Plane
+  /** D231 per-file KMV distinct sketches ([[MetadataAgg.ndvEstimate]])
+    * — metadata-only NDV, the CBO statistic, deterministic and
+    * SQL-replayable by the KMV contract. */
+  final case class Ndv(column: String, k: Int = 256) extends Plane
 
   private def manifestFile(path: String): Path =
     Paths.get(path + ".__sidecars__")
@@ -69,6 +73,7 @@ object Sidecars {
       case Zone(cs) => s"zone\t${cs.mkString(",")}"
       case Bloom(c, bits, k) => s"bloom\t$c\t$bits\t$k"
       case Counts => "counts"
+      case Ndv(c, k) => s"ndv\t$c\t$k"
     }
     val target = manifestFile(path)
     val tmp = Files.createTempFile(
@@ -92,6 +97,8 @@ object Sidecars {
         case "bloom" :: c :: b :: k :: Nil =>
           scala.util.Try(Bloom(c, b.toInt, k.toInt)).toOption
         case "counts" :: Nil => Some(Counts)
+        case "ndv" :: c :: k :: Nil =>
+          scala.util.Try(Ndv(c, k.toInt)).toOption
         case _ => None // unknown plane line: ignore, never guess
       }
     }
@@ -129,6 +136,7 @@ object Sidecars {
       case Bloom(c, bits, k) =>
         Layout.writeBlooms(spark, path, c, bits, k); ()
       case Counts => MetadataAgg.writeCounts(path)
+      case Ndv(c, k) => MetadataAgg.writeNdv(spark, path, c, k)
       case _ => () // stats/zone: served by the combined scan above
     }
   }
@@ -149,6 +157,8 @@ object Sidecars {
           c, bits, k)
       case Counts =>
         MetadataAgg.maintainCountsAfterRewrite(path, removed, added)
+      case Ndv(_, _) =>
+        MetadataAgg.maintainNdvAfterRewrite(spark, path, removed, added)
       case _ => () // stats: maintained inline by targetedCommit; zone: above
     }
   }

@@ -53,6 +53,38 @@ class MetadataAggSpec extends AnyFunSuite {
     } finally StageWriter.deleteRecursively(tmp)
   }
 
+  test("NDV plane: the merged per-file sketches equal the whole-table " +
+    "KMV exactly, stay fresh through the targeted merge, and stand " +
+    "down on wrong column or stale inventory") {
+    val tmp = Files.createTempDirectory("metaagg_ndv")
+    try {
+      val p = tmp.resolve("t").toString
+      def frame(lo: Long, hi: Long) = spark.range(lo, hi)
+        .select(col("id").as("k"), (col("id") % 777).as("u"))
+      StageWriter.mergeInto(spark, frame(0, 5000), p, Seq("k"))
+      Sidecars.declare(spark, p,
+        Seq(Sidecars.Stats("k"), Sidecars.Ndv("u", k = 64)))
+      def wholeTableKmv(): Double = spark.read.parquet(p)
+        .select(graft.llm.Dedup.portableWordHash(col("u")).as("h"))
+        .agg(graft.functions.KmvDistinct.kmv(col("h"), 64,
+          graft.llm.Dedup.PortableP.toDouble)).head().getDouble(0)
+      assert(MetadataAgg.ndvEstimate(p, "u").contains(wholeTableKmv()),
+        "merged sidecar sketches must equal the whole-table KMV")
+      assert(MetadataAgg.ndvEstimate(p, "k").isEmpty,
+        "an undescribed column stands down")
+      // targeted merge introduces new u values; the plane must patch
+      StageWriter.mergeInto(spark, spark.range(4990, 5100)
+        .select(col("id").as("k"), (col("id") % 991 + 10000).as("u")),
+        p, Seq("k"))
+      assert(MetadataAgg.ndvEstimate(p, "u").contains(wholeTableKmv()),
+        "the NDV plane must stay exact through a targeted merge")
+      val f = StageWriter.listDataFiles(tmp.resolve("t")).head
+      Files.copy(f, f.getParent.resolve("zz_foreign.parquet"))
+      assert(MetadataAgg.ndvEstimate(p, "u").isEmpty,
+        "stale inventory stands the plane down")
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+
   test("the counts plane stays fresh through overwrite and the " +
     "file-targeted merge (O(changed files) maintenance)") {
     val tmp = Files.createTempDirectory("metaagg_fresh")
