@@ -172,6 +172,10 @@ object AccessTags {
   private[graft] def stageAutoRows(path: String,
       policies: Map[String, String]): Unit = {
     val n = norm(path)
+    // the staged sidecar lands BEFORE the data write, so on a first run
+    // the table's parent directory may not exist yet
+    val parent = stagedAutoPoliciesFile(n).toAbsolutePath.getParent
+    if (parent != null) java.nio.file.Files.createDirectories(parent)
     graft.state.TabSidecar.write(stagedAutoPoliciesFile(n),
       policies.toSeq.sortBy(_._1).map { case (prof, sql) =>
         graft.state.TabSidecar.requireCell(prof, "profile") + "\t" +
