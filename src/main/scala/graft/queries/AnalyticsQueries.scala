@@ -130,6 +130,56 @@ object AnalyticsQueries {
              max(l_extendedprice) AS hi
       FROM lineitem GROUP BY 1 ORDER BY 1"""))),
 
+    // D233 — functional-dependency + candidate-key verification
+    // (operators.FuncDeps): the profiling step schema inference and
+    // MERGE-key validation rest on — A→B holds iff every non-null A
+    // maps to ONE distinct B; per pair one map-side-combinable distinct
+    // over the (A,B) domain (the shuffle carries the domain, never the
+    // table). One holding and two violated dependencies across two
+    // tables, violation counts exact; the key check require()s the
+    // known key/non-key split in-gate.
+    "q_fd_discover" -> (((spark, dir) => {
+      val fd = graft.operators.FuncDeps.check(load(spark, dir, "orders"),
+          Seq(("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderpriority")))
+        .unionByName(graft.operators.FuncDeps.check(
+          load(spark, dir, "lineitem"),
+          Seq(("l_orderkey", "l_returnflag"))))
+      val keys = graft.operators.FuncDeps.keyCheck(
+        load(spark, dir, "orders"), Seq("o_orderkey", "o_custkey"))
+        .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+      require(keys("o_orderkey") && !keys("o_custkey"),
+        s"key check must split the known key from the repeating " +
+          s"column (got $keys)")
+      fd.orderBy("det", "dep")
+    }, Some("""
+      WITH f1 AS (SELECT dv, count(*) AS ndep FROM
+               (SELECT DISTINCT o_orderkey AS dv, o_custkey AS pv
+                FROM orders WHERE o_orderkey IS NOT NULL) GROUP BY dv),
+      f2 AS (SELECT dv, count(*) AS ndep FROM
+               (SELECT DISTINCT o_custkey AS dv, o_orderpriority AS pv
+                FROM orders WHERE o_custkey IS NOT NULL) GROUP BY dv),
+      f3 AS (SELECT dv, count(*) AS ndep FROM
+               (SELECT DISTINCT l_orderkey AS dv, l_returnflag AS pv
+                FROM lineitem WHERE l_orderkey IS NOT NULL) GROUP BY dv)
+      SELECT 'o_orderkey' AS det, 'o_custkey' AS dep,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0 AS holds
+      FROM f1
+      UNION ALL
+      SELECT 'o_custkey', 'o_orderpriority', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0
+      FROM f2
+      UNION ALL
+      SELECT 'l_orderkey', 'l_returnflag', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0
+      FROM f3
+      ORDER BY det, dep"""))),
+
     // Column profiling summary (long format): rows / nulls / exact NDV /
     // min / max in ONE scan (stack pivots the single agg row). Exact NDV
     // shuffles distinct values — the approx twin for 100 TB casual use is

@@ -1220,6 +1220,73 @@ object MaintenanceQueries {
                      ${graft.llm.Dedup.PortableP}) END, 4) AS ndv_est
       FROM r WHERE rn = least(256, nd)"""))),
 
+    // D232 — metadata-only QUANTILES from per-file KMH sample sidecars
+    // (MetadataAgg.kmhQuantiles + Sidecars.Kmh): the quantile member of
+    // the metadata-only family. Any row in the global bottom-k by the
+    // portable (hash, key) order is in its own file's bottom-k, so the
+    // merged sidecar re-taken at k IS the whole-table D44 KMH sample —
+    // deterministic, and the estimate replays in SQL exactly
+    // (q_percentile's math, zero Spark jobs to serve). Staleness stands
+    // down per the D190 contract.
+    "q_kmh_sidecar" -> (((spark, dir) => {
+      val tmp = Q.scratchDir("kmh_gate")
+      try {
+        val t = tmp.resolve("li").toString
+        load(spark, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .repartition(8).write.parquet(t)
+        graft.sink.Sidecars.declare(spark, t, Seq(
+          graft.sink.Sidecars.Kmh("l_extendedprice", "l_orderkey",
+            "l_linenumber", k = 1024)))
+        Q.Phase.setupDone() // table + declared KMH plane = fixture
+        val sc = spark.sparkContext
+        sc.setJobGroup("kmh_only", "metadata-only quantiles", false)
+        val est = graft.sink.MetadataAgg.kmhQuantiles(t,
+          "l_extendedprice", Seq(0.25, 0.5, 0.75))
+        sc.clearJobGroup()
+        Q.Phase.opDone() // zero-job + staleness proofs below
+        require(est.nonEmpty, "a fresh KMH plane must answer")
+        sc.setJobGroup("kmh_sentinel", "bus flush", false)
+        spark.range(1).count()
+        sc.clearJobGroup()
+        val st = sc.statusTracker
+        val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+        while (st.getJobIdsForGroup("kmh_sentinel").isEmpty &&
+          System.nanoTime < deadline) Thread.sleep(5)
+        require(st.getJobIdsForGroup("kmh_sentinel").nonEmpty,
+          "listener bus never drained")
+        require(st.getJobIdsForGroup("kmh_only").isEmpty,
+          "the quantile answer must launch ZERO Spark jobs")
+        require(graft.sink.MetadataAgg.kmhQuantiles(t, "l_orderkey",
+          Seq(0.5)).isEmpty,
+          "a column the plane does not describe must stand down")
+        val f = graft.sink.StageWriter.listDataFiles(
+          java.nio.file.Paths.get(t)).head
+        java.nio.file.Files.copy(f,
+          f.getParent.resolve("zz_smuggled.parquet"))
+        require(graft.sink.MetadataAgg.kmhQuantiles(t,
+          "l_extendedprice", Seq(0.5)).isEmpty,
+          "a foreign file must stand the KMH plane down")
+        def r4(x: Double) = BigDecimal(x)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        spark.createDataFrame(Seq((r4(est.get.head), r4(est.get(1)),
+          r4(est.get(2))))).toDF("p25", "p50", "p75")
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      WITH h AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+               l_orderkey, l_linenumber,
+               CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)
+                 || '|' || CAST(l_linenumber AS VARCHAR)), 1, 15)
+                 AS BIGINT) AS hk
+        FROM lineitem),
+      r AS (SELECT *, row_number() OVER
+              (ORDER BY hk, l_orderkey, l_linenumber) AS rn FROM h)
+      SELECT round(quantile_cont(v, 0.25), 4) AS p25,
+             round(quantile_cont(v, 0.50), 4) AS p50,
+             round(quantile_cont(v, 0.75), 4) AS p75
+      FROM r WHERE rn <= 1024"""))),
+
     // D183 — multi-column zone map + automatic pruning (sink.ZoneMap +
     // plans.ZoneMapPrune): the read-side payoff of the D168 Hilbert
     // layout — BOTH clustered columns skip files on plain filters, the

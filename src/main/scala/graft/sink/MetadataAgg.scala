@@ -263,4 +263,157 @@ object MetadataAgg {
         }
       }
     }
+
+  // ---- KMH quantile-sample plane (SURVEY §2D, D232) ------------------
+  //
+  // The quantile twin of the NDV plane, completing the metadata-only
+  // family (count / partition counts / min-max / NDV / quantiles): each
+  // file carries its k smallest rows by the portable (hash, key1, key2)
+  // total order, with the declared value column alongside. Any row in
+  // the global bottom-k is in its own file's bottom-k, so merging the
+  // sidecars and re-taking the k smallest reproduces the whole-table
+  // D44 KMH sample EXACTLY — the deterministic "random" sample
+  // q_percentile replays in SQL — and quantiles over it serve with zero
+  // Spark jobs. Honest size note: the sidecar is files×k rows; past
+  // ~10k files (post-compaction at 128 MB that is a ~TB table) read it
+  // as a dataset and fold with one sidecar-sized Spark job — the
+  // stand-down contract keeps every path correct either way.
+
+  private def kmhFile(path: String) = Paths.get(path + ".__kmh__")
+
+  /** One sidecar sample row. */
+  private[sink] final case class KmhRow(h: Long, k1: Long, k2: Long,
+    v: Double)
+
+  /** Build/refresh the per-file KMH plane: one window pass per file at
+    * write cadence (the zorder cost class); flat layouts only. */
+  def writeKmh(spark: org.apache.spark.sql.SparkSession, path: String,
+      valueCol: String, key1: String, key2: String, k: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rows = spark.read.parquet(path)
+      .select(input_file_name().as("f"),
+        graft.queries.Q.portableHash60(col(key1), col(key2)).as("h"),
+        col(key1).cast("long").as("k1"), col(key2).cast("long").as("k2"),
+        col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("f").orderBy("h", "k1", "k2")))
+      .filter(col("rn") <= k)
+      .select("f", "h", "k1", "k2", "v")
+      .collect()
+      .groupBy(r => r.getString(0).split('/').last)
+      .map { case (n, rs) => n -> rs.map(r => KmhRow(r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq }
+    val names = StageWriter.listDataFiles(Paths.get(path))
+      .map(_.getFileName.toString)
+    writeKmhSidecar(path, valueCol, key1, key2, k,
+      names.map(n => n -> rows.getOrElse(n, Seq.empty)).toMap)
+  }
+
+  private def writeKmhSidecar(path: String, valueCol: String,
+      key1: String, key2: String, k: Int,
+      samples: Map[String, Seq[KmhRow]]): Unit = {
+    val lines = s"#kmh\t$valueCol\t$key1\t$key2\t$k" +:
+      samples.toSeq.sortBy(_._1).map { case (n, rs) =>
+        n + "\t" + rs.map(r =>
+          s"${r.h}:${r.k1}:${r.k2}:${java.lang.Double
+            .doubleToRawLongBits(r.v)}").mkString(",")
+      }
+    val target = kmhFile(path)
+    val tmp = Files.createTempFile(
+      target.toAbsolutePath.getParent, ".kmh", ".tmp")
+    Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def loadKmhRaw(path: String): Option[(String, String, String,
+      Int, Map[String, Seq[KmhRow]])] = {
+    val f = kmhFile(path)
+    if (!Files.isRegularFile(f)) return None
+    import scala.jdk.CollectionConverters._
+    val lines = Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty)
+    lines.headOption.flatMap { h =>
+      h.split("\t") match {
+        case Array("#kmh", vc, c1, c2, k) =>
+          scala.util.Try(k.toInt).toOption.map { kk =>
+            (vc, c1, c2, kk, lines.tail.flatMap { l =>
+              l.split("\t", 2) match {
+                case Array(n, body) => Some(n ->
+                  (if (body.isEmpty) Seq.empty[KmhRow]
+                  else body.split(',').toSeq.map { cell =>
+                    val p = cell.split(':')
+                    KmhRow(p(0).toLong, p(1).toLong, p(2).toLong,
+                      java.lang.Double.longBitsToDouble(p(3).toLong))
+                  }))
+                case Array(n) => Some(n -> Seq.empty[KmhRow])
+                case _ => None
+              }
+            }.toMap)
+          }
+        case _ => None
+      }
+    }
+  }
+
+  /** O(changed files) KMH maintenance after a targeted rewrite. */
+  private[sink] def maintainKmhAfterRewrite(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      removed: Set[String], added: Seq[Path]): Unit =
+    loadKmhRaw(path) match {
+      case Some((vc, c1, c2, k, m)) =>
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val fresh: Map[String, Seq[KmhRow]] =
+          if (added.isEmpty) Map.empty
+          else spark.read.parquet(added.map(_.toString): _*)
+            .select(input_file_name().as("f"),
+              graft.queries.Q.portableHash60(col(c1), col(c2)).as("h"),
+              col(c1).cast("long").as("k1"),
+              col(c2).cast("long").as("k2"),
+              col(vc).cast("double").as("v"))
+            .where(col("v").isNotNull)
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("f").orderBy("h", "k1", "k2")))
+            .filter(col("rn") <= k)
+            .select("f", "h", "k1", "k2", "v")
+            .collect()
+            .groupBy(r => r.getString(0).split('/').last)
+            .map { case (n, rs) => n -> rs.map(r => KmhRow(r.getLong(1),
+              r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq }
+        writeKmhSidecar(path, vc, c1, c2, k, (m -- removed) ++
+          added.map(_.getFileName.toString)
+            .map(n => n -> fresh.getOrElse(n, Seq.empty)))
+      case _ => ()
+    }
+
+  /** Metadata-only quantiles of the declared value column: merge the
+    * inventory-validated per-file samples, re-take the k smallest by
+    * (hash, key1, key2) — exactly the whole-table D44 KMH sample — and
+    * interpolate (the `percentile` / `quantile_cont` linear rule, so
+    * the SQL replay hash-matches). `None` = no plane, wrong column, or
+    * stale inventory. */
+  def kmhQuantiles(path: String, valueCol: String,
+      qs: Seq[Double]): Option[Seq[Double]] =
+    loadKmhRaw(path).flatMap { case (vc, _, _, k, m) =>
+      if (vc != valueCol) None
+      else {
+        val inv = StageWriter.listDataFiles(Paths.get(path))
+          .map(_.getFileName.toString).toSet
+        if (m.keySet != inv) None
+        else {
+          val sample = m.values.flatten.toArray
+            .sortBy(r => (r.h, r.k1, r.k2)).take(k).map(_.v).sorted
+          if (sample.isEmpty) None
+          else Some(qs.map { q =>
+            val pos = q * (sample.length - 1)
+            val lo = math.floor(pos).toInt
+            val hi = math.ceil(pos).toInt
+            if (lo == hi) sample(lo)
+            else sample(lo) + (pos - lo) * (sample(hi) - sample(lo))
+          })
+        }
+      }
+    }
 }

@@ -59,6 +59,10 @@ object Sidecars {
     * — metadata-only NDV, the CBO statistic, deterministic and
     * SQL-replayable by the KMV contract. */
   final case class Ndv(column: String, k: Int = 256) extends Plane
+  /** D232 per-file KMH quantile samples ([[MetadataAgg.kmhQuantiles]])
+    * — metadata-only percentiles over the deterministic D44 sample. */
+  final case class Kmh(valueColumn: String, key1: String, key2: String,
+    k: Int = 1024) extends Plane
 
   private def manifestFile(path: String): Path =
     Paths.get(path + ".__sidecars__")
@@ -74,6 +78,7 @@ object Sidecars {
       case Bloom(c, bits, k) => s"bloom\t$c\t$bits\t$k"
       case Counts => "counts"
       case Ndv(c, k) => s"ndv\t$c\t$k"
+      case Kmh(vc, c1, c2, k) => s"kmh\t$vc\t$c1\t$c2\t$k"
     }
     val target = manifestFile(path)
     val tmp = Files.createTempFile(
@@ -99,6 +104,8 @@ object Sidecars {
         case "counts" :: Nil => Some(Counts)
         case "ndv" :: c :: k :: Nil =>
           scala.util.Try(Ndv(c, k.toInt)).toOption
+        case "kmh" :: vc :: c1 :: c2 :: k :: Nil =>
+          scala.util.Try(Kmh(vc, c1, c2, k.toInt)).toOption
         case _ => None // unknown plane line: ignore, never guess
       }
     }
@@ -137,6 +144,8 @@ object Sidecars {
         Layout.writeBlooms(spark, path, c, bits, k); ()
       case Counts => MetadataAgg.writeCounts(path)
       case Ndv(c, k) => MetadataAgg.writeNdv(spark, path, c, k)
+      case Kmh(vc, c1, c2, k) =>
+        MetadataAgg.writeKmh(spark, path, vc, c1, c2, k)
       case _ => () // stats/zone: served by the combined scan above
     }
   }
@@ -159,6 +168,8 @@ object Sidecars {
         MetadataAgg.maintainCountsAfterRewrite(path, removed, added)
       case Ndv(_, _) =>
         MetadataAgg.maintainNdvAfterRewrite(spark, path, removed, added)
+      case Kmh(_, _, _, _) =>
+        MetadataAgg.maintainKmhAfterRewrite(spark, path, removed, added)
       case _ => () // stats: maintained inline by targetedCommit; zone: above
     }
   }

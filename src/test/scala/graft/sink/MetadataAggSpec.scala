@@ -85,6 +85,45 @@ class MetadataAggSpec extends AnyFunSuite {
     } finally StageWriter.deleteRecursively(tmp)
   }
 
+  test("KMH plane: merged per-file samples quantile-match Spark's own " +
+    "percentile over the true global bottom-k, stay fresh through the " +
+    "targeted merge, and stand down on staleness") {
+    val tmp = Files.createTempDirectory("metaagg_kmh")
+    try {
+      val p = tmp.resolve("t").toString
+      def frame(lo: Long, hi: Long) = spark.range(lo, hi)
+        .select(col("id").as("k1"), (col("id") % 7).as("k2"),
+          (col("id") * 13 % 997).cast("double").as("v"))
+      StageWriter.mergeInto(spark, frame(0, 5000), p, Seq("k1"))
+      Sidecars.declare(spark, p,
+        Seq(Sidecars.Stats("k1"), Sidecars.Kmh("v", "k1", "k2", k = 128)))
+      def expected(): Seq[Double] = {
+        import org.apache.spark.sql.expressions.Window
+        spark.read.parquet(p)
+          .withColumn("h",
+            graft.queries.Q.portableHash60(col("k1"), col("k2")))
+          .withColumn("rn", row_number().over(
+            Window.orderBy("h", "k1", "k2")))
+          .filter(col("rn") <= 128)
+          .agg(percentile(col("v"),
+            array(lit(0.25), lit(0.5), lit(0.75))))
+          .head().getSeq[Double](0).toSeq
+      }
+      assert(MetadataAgg.kmhQuantiles(p, "v", Seq(0.25, 0.5, 0.75))
+        .contains(expected()),
+        "merged sidecar must equal Spark percentile over the true " +
+          "global bottom-k")
+      StageWriter.mergeInto(spark, frame(4950, 5200), p, Seq("k1"))
+      assert(MetadataAgg.kmhQuantiles(p, "v", Seq(0.25, 0.5, 0.75))
+        .contains(expected()),
+        "the KMH plane must stay exact through a targeted merge")
+      assert(MetadataAgg.kmhQuantiles(p, "k2", Seq(0.5)).isEmpty)
+      val f = StageWriter.listDataFiles(tmp.resolve("t")).head
+      Files.copy(f, f.getParent.resolve("zz_foreign.parquet"))
+      assert(MetadataAgg.kmhQuantiles(p, "v", Seq(0.5)).isEmpty)
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+
   test("the counts plane stays fresh through overwrite and the " +
     "file-targeted merge (O(changed files) maintenance)") {
     val tmp = Files.createTempDirectory("metaagg_fresh")
