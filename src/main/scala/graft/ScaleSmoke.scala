@@ -720,6 +720,72 @@ object ScaleSmoke {
     assert(seqN == 9L, s"bootstrap + 8 merges must commit sequence 9, got $seqN")
     assert(claims.max == seqN,
       s"stranded claim ${claims.max} ahead of committed $seqN")
+
+    // ---- metadata-only planes (D227/D231/D232) at replicated scale ----
+    // Build counts + NDV + KMH sidecars on the replicated orders, then
+    // require the ANSWERS come back (a) equal to their scan-side truth
+    // and (b) in driver-only time — the planes' whole point is that the
+    // serve path never scales with the data.
+    val metaPath = s"$dst/_meta_proof.parquet"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(metaPath)))
+      spark.read.parquet(s"$dst/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(64).write.parquet(metaPath)
+    val tMb = System.nanoTime()
+    graft.sink.Sidecars.declare(spark, metaPath, Seq(
+      graft.sink.Sidecars.Stats("o_orderkey"),
+      graft.sink.Sidecars.Counts,
+      graft.sink.Sidecars.Ndv("o_custkey", k = 256),
+      graft.sink.Sidecars.Kmh("o_totalprice", "o_orderkey", "o_custkey",
+        k = 1024)))
+    val metaBuildWall = (System.nanoTime() - tMb) / 1e9
+    val tMa = System.nanoTime()
+    val mCount = graft.sink.MetadataAgg.count(metaPath).get
+    val mMm = graft.sink.MetadataAgg.minMax(metaPath, "o_orderkey").get
+    val mNdv = graft.sink.MetadataAgg.ndvEstimate(metaPath, "o_custkey").get
+    val mQ = graft.sink.MetadataAgg.kmhQuantiles(metaPath, "o_totalprice",
+      Seq(0.5)).get.head
+    val answerWall = (System.nanoTime() - tMa) / 1e9
+    val scanN = spark.read.parquet(metaPath).count()
+    println(f"[scale] metadata planes ${rep}x  build $metaBuildWall%.2f s, " +
+      f"answers $answerWall%.3f s  ($mCount rows, ndv ${mNdv}%.0f, " +
+      f"p50 $mQ%.2f)")
+    assert(mCount == scanN,
+      s"metadata count $mCount != scan count $scanN")
+    assert(mMm._1 >= 0 && mMm._2 > mMm._1, s"degenerate min/max $mMm")
+    assert(answerWall < 2.0,
+      f"metadata answers took $answerWall%.2f s at ${rep}x — the serve " +
+        "path must stay driver-only")
+
+    // ---- incremental compaction (D230) at replicated scale ------------
+    // 64 right-sized files + 64 appended stragglers: compactSmall must
+    // rewrite ONLY the stragglers (bytesRewritten ≈ straggler bytes,
+    // a small fraction of the table), preserve the row count, and keep
+    // the planes above fresh.
+    val headBytes = graft.sink.StageWriter.listDataFiles(
+      java.nio.file.Paths.get(metaPath)).map(java.nio.file.Files.size(_))
+    spark.read.parquet(s"$dst/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .filter(col("o_orderkey") % 997 === 0)
+      .repartition(64).write.mode("append").parquet(metaPath)
+    val tCp = System.nanoTime()
+    val repC = graft.sink.StageWriter.compactSmall(spark, metaPath,
+      targetFileBytes = 256L * 1024 * 1024, minFileBytes = headBytes.min)
+    val cpWall = (System.nanoTime() - tCp) / 1e9
+    val afterN = spark.read.parquet(metaPath).count()
+    println(f"[scale] compact small ${rep}x   $cpWall%8.2f s  " +
+      s"(rewrote ${repC.rewritten} files / ${repC.bytesRewritten} B; " +
+      s"${repC.filesBefore} -> ${repC.filesAfter} files)")
+    assert(repC.rewritten == 64,
+      s"exactly the 64 stragglers must rewrite (got ${repC.rewritten})")
+    assert(repC.bytesRewritten * 20 < headBytes.sum,
+      "the rewritten tail must be a small fraction of the table")
+    assert(afterN > scanN && afterN == mCount +
+      spark.read.parquet(s"$dst/orders.parquet")
+        .filter(col("o_orderkey") % 997 === 0).count(),
+      "compaction must preserve every appended row")
+    assert(graft.sink.MetadataAgg.count(metaPath).contains(afterN),
+      "the counts plane must stay fresh through append + compaction")
     spark.stop()
   }
 }
