@@ -293,7 +293,8 @@ object MetadataAgg {
     import org.apache.spark.sql.expressions.Window
     val rows = spark.read.parquet(path)
       .select(input_file_name().as("f"),
-        graft.queries.Q.portableHash60(col(key1), col(key2)).as("h"),
+        graft.llm.Dedup.portableHash60(
+          concat_ws("|", col(key1), col(key2))).as("h"),
         col(key1).cast("long").as("k1"), col(key2).cast("long").as("k2"),
         col(valueCol).cast("double").as("v"))
       .where(col("v").isNotNull)
@@ -369,7 +370,8 @@ object MetadataAgg {
           if (added.isEmpty) Map.empty
           else spark.read.parquet(added.map(_.toString): _*)
             .select(input_file_name().as("f"),
-              graft.queries.Q.portableHash60(col(c1), col(c2)).as("h"),
+              graft.llm.Dedup.portableHash60(
+                concat_ws("|", col(c1), col(c2))).as("h"),
               col(c1).cast("long").as("k1"),
               col(c2).cast("long").as("k2"),
               col(vc).cast("double").as("v"))
