@@ -44,9 +44,20 @@ object ScaleConfig {
       .select("n").collect().map(_.getLong(0)).toSeq
 
   /** The within-bucket candidate-pair cost of cap `c` under measured
-    * histogram `hist`: Σ_b min(n_b, c)·(min(n_b, c)−1). */
+    * histogram `hist`: Σ_b min(n_b, c)·(min(n_b, c)−1). SATURATING at
+    * Long.MaxValue — at the histogram sizes this targets a naive sum
+    * wraps negative, which would break the monotonicity the binary
+    * search in [[bucketCapFor]] depends on and silently derive a cap
+    * far over budget; saturation preserves monotone order. */
   def pairCost(hist: Seq[Long], c: Int): Long =
-    hist.map { n => val m = math.min(n, c.toLong); m * (m - 1) }.sum
+    hist.foldLeft(0L) { (acc, n) =>
+      val m = math.min(n, c.toLong)
+      val term =
+        try math.multiplyExact(m, m - 1)
+        catch { case _: ArithmeticException => Long.MaxValue }
+      try math.addExact(acc, term)
+      catch { case _: ArithmeticException => Long.MaxValue }
+    }
 
   /** Largest cap whose measured pair cost fits `pairBudget`, clamped to
     * [2, largest bucket]: raising the cap past the largest bucket
@@ -73,12 +84,19 @@ object ScaleConfig {
 
   /** Smallest power-of-two `nlist` whose uniform-shard pair cost
     * n²/nlist fits `pairBudget` (≥ `floor`, the quantizer's minimum
-    * useful grid). */
+    * useful grid). n² is computed in BigInt — at the corpus sizes this
+    * derivation targets, Long n·n wraps and would silently return the
+    * floor; a grid beyond 2^30 shards refuses loudly (no IVF quantizer
+    * runs there — raise the budget or shard the corpus first). */
   def nlistFor(n: Long, pairBudget: Long, floor: Int = 2): Int = {
     require(n >= 0 && pairBudget >= 1 && floor >= 1)
-    val need = math.max(1L, (n * n + pairBudget - 1) / pairBudget)
-    var nl = floor
-    while (nl.toLong < need) nl <<= 1
-    nl
+    val need = ((BigInt(n) * BigInt(n) + pairBudget - 1) / pairBudget)
+      .max(BigInt(1))
+    require(need <= (BigInt(1) << 30),
+      s"nlistFor(n=$n, budget=$pairBudget) needs ~$need shards — " +
+        "beyond any practical IVF grid; raise the pair budget")
+    var nl = floor.toLong
+    while (nl < need.toLong) nl <<= 1
+    nl.toInt
   }
 }

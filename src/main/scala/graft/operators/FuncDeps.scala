@@ -34,8 +34,13 @@ object FuncDeps {
         .where(col("dv").isNotNull)
         .distinct()
         .groupBy("dv").agg(count(lit(1)).as("ndep"))
+        // coalesce: a pair whose determinant has ZERO non-null rows
+        // aggregates over nothing and sum() is NULL — the contract is
+        // one non-null row per pair, with the vacuous dependency
+        // holding (0 keys, 0 violations), never a NULL boolean
         .agg(count(lit(1)).as("n_keys"),
-          sum(when(col("ndep") > 1, 1L).otherwise(0L)).as("n_violating"))
+          coalesce(sum(when(col("ndep") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("n_violating"))
         .select(lit(a).as("det"), lit(b).as("dep"), col("n_keys"),
           col("n_violating"), (col("n_violating") === 0).as("holds"))
     }.reduce(_ unionByName _)

@@ -1094,30 +1094,14 @@ object MaintenanceQueries {
         graft.sink.Sidecars.declare(spark, part,
           Seq(graft.sink.Sidecars.Counts))
         Q.Phase.setupDone() // tables + declared sidecar planes = fixture
-        val sc = spark.sparkContext
-        sc.setJobGroup("meta_only", "metadata-only answers", false)
-        val n = graft.sink.MetadataAgg.count(flat)
-        val mm = graft.sink.MetadataAgg.minMax(flat, "o_orderkey")
-        val parts = graft.sink.MetadataAgg.partitionCounts(part)
-        sc.clearJobGroup()
-        Q.Phase.opDone() // zero-job assert + staleness arm = PROOF
+        val (n, mm, parts) = Q.requireZeroJobs(spark, "meta_only") {
+          (graft.sink.MetadataAgg.count(flat),
+            graft.sink.MetadataAgg.minMax(flat, "o_orderkey"),
+            graft.sink.MetadataAgg.partitionCounts(part))
+        }
+        Q.Phase.opDone() // staleness arm below = PROOF
         require(n.nonEmpty && mm.nonEmpty && parts.nonEmpty,
           "fresh sidecars must answer all three metadata-only forms")
-        // zero-data-read proof: flush the async listener bus with a
-        // sentinel job in ANOTHER group (the bus is FIFO — once the
-        // sentinel is visible, every earlier event has landed), then
-        // require the metadata group launched NOTHING
-        sc.setJobGroup("meta_sentinel", "bus flush", false)
-        spark.range(1).count()
-        sc.clearJobGroup()
-        val st = sc.statusTracker
-        val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
-        while (st.getJobIdsForGroup("meta_sentinel").isEmpty &&
-          System.nanoTime < deadline) Thread.sleep(5)
-        require(st.getJobIdsForGroup("meta_sentinel").nonEmpty,
-          "listener bus never drained")
-        require(st.getJobIdsForGroup("meta_only").isEmpty,
-          "metadata-only answers must launch ZERO Spark jobs")
         // staleness arm: smuggle a duplicate part file in behind the
         // sidecars — every metadata answer must stand down, and the
         // scan fallback returns the (now larger) truth
@@ -1172,24 +1156,11 @@ object MaintenanceQueries {
           graft.sink.Sidecars.Ndv("o_custkey", k = 256),
           graft.sink.Sidecars.Counts))
         Q.Phase.setupDone() // table + declared NDV/counts planes
-        val sc = spark.sparkContext
-        sc.setJobGroup("ndv_only", "metadata-only NDV", false)
-        val est = graft.sink.MetadataAgg.ndvEstimate(t, "o_custkey")
-        sc.clearJobGroup()
-        Q.Phase.opDone() // zero-job + staleness + wrong-column proofs
+        val est = Q.requireZeroJobs(spark, "ndv_only") {
+          graft.sink.MetadataAgg.ndvEstimate(t, "o_custkey")
+        }
+        Q.Phase.opDone() // staleness + wrong-column proofs below
         require(est.nonEmpty, "a fresh NDV plane must answer")
-        // zero-job proof via the q_metadata_only sentinel pattern
-        sc.setJobGroup("ndv_sentinel", "bus flush", false)
-        spark.range(1).count()
-        sc.clearJobGroup()
-        val st = sc.statusTracker
-        val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
-        while (st.getJobIdsForGroup("ndv_sentinel").isEmpty &&
-          System.nanoTime < deadline) Thread.sleep(5)
-        require(st.getJobIdsForGroup("ndv_sentinel").nonEmpty,
-          "listener bus never drained")
-        require(st.getJobIdsForGroup("ndv_only").isEmpty,
-          "the NDV answer must launch ZERO Spark jobs")
         require(graft.sink.MetadataAgg
           .ndvEstimate(t, "o_orderkey").isEmpty,
           "a column the plane does not describe must stand down")
@@ -1239,24 +1210,12 @@ object MaintenanceQueries {
           graft.sink.Sidecars.Kmh("l_extendedprice", "l_orderkey",
             "l_linenumber", k = 1024)))
         Q.Phase.setupDone() // table + declared KMH plane = fixture
-        val sc = spark.sparkContext
-        sc.setJobGroup("kmh_only", "metadata-only quantiles", false)
-        val est = graft.sink.MetadataAgg.kmhQuantiles(t,
-          "l_extendedprice", Seq(0.25, 0.5, 0.75))
-        sc.clearJobGroup()
-        Q.Phase.opDone() // zero-job + staleness proofs below
+        val est = Q.requireZeroJobs(spark, "kmh_only") {
+          graft.sink.MetadataAgg.kmhQuantiles(t,
+            "l_extendedprice", Seq(0.25, 0.5, 0.75))
+        }
+        Q.Phase.opDone() // staleness proofs below
         require(est.nonEmpty, "a fresh KMH plane must answer")
-        sc.setJobGroup("kmh_sentinel", "bus flush", false)
-        spark.range(1).count()
-        sc.clearJobGroup()
-        val st = sc.statusTracker
-        val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
-        while (st.getJobIdsForGroup("kmh_sentinel").isEmpty &&
-          System.nanoTime < deadline) Thread.sleep(5)
-        require(st.getJobIdsForGroup("kmh_sentinel").nonEmpty,
-          "listener bus never drained")
-        require(st.getJobIdsForGroup("kmh_only").isEmpty,
-          "the quantile answer must launch ZERO Spark jobs")
         require(graft.sink.MetadataAgg.kmhQuantiles(t, "l_orderkey",
           Seq(0.5)).isEmpty,
           "a column the plane does not describe must stand down")

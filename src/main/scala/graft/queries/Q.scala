@@ -235,6 +235,29 @@ object Q {
     }
   }
 
+  /** Run `f` under a named job group and PROVE it launched ZERO Spark
+    * jobs — the assertion discipline of the metadata-only gates
+    * (D227/D231/D232). The listener bus is async, so absence alone is
+    * unsound: a sentinel job in a SECOND group flushes it (the bus is
+    * FIFO — once the sentinel is visible, every earlier event has
+    * landed), and only then is the group required empty. */
+  def requireZeroJobs[A](spark: SparkSession, group: String)(f: => A): A = {
+    val sc = spark.sparkContext
+    sc.setJobGroup(group, "metadata-only answer", false)
+    val out = try f finally sc.clearJobGroup()
+    sc.setJobGroup(group + "_sentinel", "bus flush", false)
+    try { spark.range(1).count(); () } finally sc.clearJobGroup()
+    val st = sc.statusTracker
+    val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+    while (st.getJobIdsForGroup(group + "_sentinel").isEmpty &&
+      System.nanoTime < deadline) Thread.sleep(5)
+    require(st.getJobIdsForGroup(group + "_sentinel").nonEmpty,
+      "listener bus never drained")
+    require(st.getJobIdsForGroup(group).isEmpty,
+      s"$group: the answer must launch ZERO Spark jobs")
+    out
+  }
+
   /** Opt-in phase clock for bench gates: a gate whose wall time is
     * dominated by its PROOF (equality `exceptAll`s, brute-force recall,
     * fixture writes) marks its phase boundaries so the bench reports

@@ -57,16 +57,9 @@ object MetadataAgg {
   }
 
   private def writeSidecar(path: String,
-      counts: Map[String, Long]): Unit = {
-    val lines = counts.toSeq.sortBy(_._1)
-      .map { case (rel, n) => s"$rel\t$n" }
-    val target = countsFile(path)
-    val tmp = Files.createTempFile(
-      target.toAbsolutePath.getParent, ".counts", ".tmp")
-    Files.writeString(tmp, lines.mkString("", "\n", "\n"))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+      counts: Map[String, Long]): Unit =
+    graft.state.TabSidecar.write(countsFile(path),
+      counts.toSeq.sortBy(_._1).map { case (rel, n) => s"$rel\t$n" })
 
   /** Build/refresh the row-count sidecar from parquet footers — zero
     * Spark jobs; O(files) driver metadata reads at write cadence. */
@@ -177,18 +170,12 @@ object MetadataAgg {
   }
 
   private def writeNdvSidecar(path: String, colName: String, k: Int,
-      sketches: Map[String, Array[Long]]): Unit = {
-    val lines = s"#column\t$colName\t$k" +:
-      sketches.toSeq.sortBy(_._1).map { case (n, sk) =>
-        n + "\t" + sk.mkString(",")
-      }
-    val target = ndvFile(path)
-    val tmp = Files.createTempFile(
-      target.toAbsolutePath.getParent, ".ndv", ".tmp")
-    Files.writeString(tmp, lines.mkString("", "\n", "\n"))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+      sketches: Map[String, Array[Long]]): Unit =
+    graft.state.TabSidecar.write(ndvFile(path),
+      s"#column\t$colName\t$k" +:
+        sketches.toSeq.sortBy(_._1).map { case (n, sk) =>
+          n + "\t" + sk.mkString(",")
+        })
 
   private def loadNdvRaw(path: String)
       : Option[(String, Int, Map[String, Array[Long]])] = {
@@ -314,20 +301,14 @@ object MetadataAgg {
 
   private def writeKmhSidecar(path: String, valueCol: String,
       key1: String, key2: String, k: Int,
-      samples: Map[String, Seq[KmhRow]]): Unit = {
-    val lines = s"#kmh\t$valueCol\t$key1\t$key2\t$k" +:
-      samples.toSeq.sortBy(_._1).map { case (n, rs) =>
-        n + "\t" + rs.map(r =>
-          s"${r.h}:${r.k1}:${r.k2}:${java.lang.Double
-            .doubleToRawLongBits(r.v)}").mkString(",")
-      }
-    val target = kmhFile(path)
-    val tmp = Files.createTempFile(
-      target.toAbsolutePath.getParent, ".kmh", ".tmp")
-    Files.writeString(tmp, lines.mkString("", "\n", "\n"))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+      samples: Map[String, Seq[KmhRow]]): Unit =
+    graft.state.TabSidecar.write(kmhFile(path),
+      s"#kmh\t$valueCol\t$key1\t$key2\t$k" +:
+        samples.toSeq.sortBy(_._1).map { case (n, rs) =>
+          n + "\t" + rs.map(r =>
+            s"${r.h}:${r.k1}:${r.k2}:${java.lang.Double
+              .doubleToRawLongBits(r.v)}").mkString(",")
+        })
 
   private def loadKmhRaw(path: String): Option[(String, String, String,
       Int, Map[String, Seq[KmhRow]])] = {
@@ -363,7 +344,8 @@ object MetadataAgg {
       spark: org.apache.spark.sql.SparkSession, path: String,
       removed: Set[String], added: Seq[Path]): Unit =
     loadKmhRaw(path) match {
-      case Some((vc, c1, c2, k, m)) =>
+      case Some((vc, c1, c2, k, m))
+          if added.nonEmpty || removed.nonEmpty =>
         import org.apache.spark.sql.functions._
         import org.apache.spark.sql.expressions.Window
         val fresh: Map[String, Seq[KmhRow]] =
@@ -397,7 +379,9 @@ object MetadataAgg {
     * the SQL replay hash-matches). `None` = no plane, wrong column, or
     * stale inventory. */
   def kmhQuantiles(path: String, valueCol: String,
-      qs: Seq[Double]): Option[Seq[Double]] =
+      qs: Seq[Double]): Option[Seq[Double]] = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1], got $qs")
     loadKmhRaw(path).flatMap { case (vc, _, _, k, m) =>
       if (vc != valueCol) None
       else {
@@ -418,4 +402,5 @@ object MetadataAgg {
         }
       }
     }
+  }
 }

@@ -49,6 +49,23 @@ class ScaleConfigSpec extends AnyFunSuite {
         "rounded up to a power of two")
   }
 
+  test("overflow safety: pairCost saturates (order preserved) so huge " +
+    "histograms cannot wrap the budget check; nlistFor computes n² in " +
+    "BigInt and refuses impractical grids instead of silently " +
+    "returning the floor") {
+    val huge = Seq.fill(9)(2000000000L)
+    assert(ScaleConfig.pairCost(huge, Int.MaxValue) == Long.MaxValue,
+      "the wrapped-negative cost would defeat the budget contract")
+    assert(ScaleConfig.bucketCapFor(huge, 10000000L) < 2000,
+      "a 1e7 budget over 2e9-row buckets must derive a small cap")
+    // n = 1e10 rows: Long n*n wraps; BigInt math must still derive
+    assert(ScaleConfig.nlistFor(10000000000L,
+      (BigInt(10000000000L).pow(2) / 1024).toLong) == 1024)
+    intercept[IllegalArgumentException] {
+      ScaleConfig.nlistFor(10000000L, 1L) // needs ~1e14 shards
+    }
+  }
+
   test("equal pair cost means the identical capped membership on real " +
     "bucketing (the gate's reproduction argument, checked end-to-end)") {
     val planes = Dedup.portablePlanes(10, 8).grouped(5).toSeq
