@@ -757,6 +757,34 @@ object ScaleSmoke {
       f"metadata answers took $answerWall%.2f s at ${rep}x — the serve " +
         "path must stay driver-only")
 
+    // ---- distributed counts rebuild (r14) ------------------------------
+    // The INITIAL footer pass over a multi-million-file table must not
+    // serialize on the driver: writeCountsDistributed parallelizes the
+    // file list and returns only sidecar lines. Pin that (a) it runs as
+    // a real Spark job — not a driver loop — and (b) the sidecar is
+    // byte-identical to the serial builder's.
+    val countsSidecar = java.nio.file.Paths.get(metaPath + ".__counts__")
+    val serialCountBytes = java.nio.file.Files.readAllBytes(countsSidecar)
+    spark.sparkContext.setJobGroup("dist_counts",
+      "distributed footer rebuild", false)
+    val tDr = System.nanoTime()
+    try graft.sink.MetadataAgg.writeCountsDistributed(spark, metaPath)
+    finally spark.sparkContext.clearJobGroup()
+    val drWall = (System.nanoTime() - tDr) / 1e9
+    val drDeadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+    while (spark.sparkContext.statusTracker
+      .getJobIdsForGroup("dist_counts").isEmpty &&
+      System.nanoTime < drDeadline) Thread.sleep(5)
+    println(f"[scale] dist counts rebuild $drWall%6.2f s  " +
+      s"(${spark.sparkContext.statusTracker
+        .getJobIdsForGroup("dist_counts").length} job(s))")
+    assert(spark.sparkContext.statusTracker
+      .getJobIdsForGroup("dist_counts").nonEmpty,
+      "the full counts rebuild must run as a distributed job")
+    assert(java.util.Arrays.equals(serialCountBytes,
+      java.nio.file.Files.readAllBytes(countsSidecar)),
+      "distributed and serial rebuilds must write identical sidecars")
+
     // ---- incremental compaction (D230) at replicated scale ------------
     // 64 right-sized files + 64 appended stragglers: compactSmall must
     // rewrite ONLY the stragglers (bytesRewritten ≈ straggler bytes,

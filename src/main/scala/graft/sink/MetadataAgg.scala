@@ -48,6 +48,25 @@ object MetadataAgg {
     walk(root, "")
   }
 
+  /** True iff `path` is a FLAT layout — no visible subdirectories. The
+    * `__ndv__`/`__kmh__` planes key their sidecars by
+    * [[StageWriter.listDataFiles]] (root-level only), so on a
+    * partitioned table both the sidecar keyset and the inventory would
+    * be empty and the freshness equality would pass VACUOUSLY — the one
+    * shape where a metadata plane could return a wrong answer (an empty
+    * merge read as NDV 0) instead of degrading. Enforced at declare /
+    * write time (refuse) AND at read time (stand down), so a layout
+    * that grows partitions after declaration degrades safely too. */
+  private[sink] def flatLayout(path: String): Boolean = {
+    val dir = Paths.get(path)
+    if (!Files.isDirectory(dir)) return true
+    val s = Files.list(dir)
+    try !s.toArray.map(_.asInstanceOf[Path]).exists { p =>
+      val n = p.getFileName.toString
+      Files.isDirectory(p) && !n.startsWith(".") && !n.startsWith("_")
+    } finally s.close()
+  }
+
   private def footerCount(p: Path): Long = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -62,23 +81,80 @@ object MetadataAgg {
       counts.toSeq.sortBy(_._1).map { case (rel, n) => s"$rel\t$n" })
 
   /** Build/refresh the row-count sidecar from parquet footers — zero
-    * Spark jobs; O(files) driver metadata reads at write cadence. */
+    * Spark jobs; O(files) driver metadata reads at write cadence. Fine
+    * at battery file counts; a multi-million-file initial build must
+    * not serialize on the driver — that is
+    * [[writeCountsDistributed]]'s job. */
   def writeCounts(path: String): Unit =
     writeSidecar(path,
       listRel(Paths.get(path)).map { case (rel, p) =>
         rel -> footerCount(p)
       }.toMap)
 
+  /** Driver-loop → distributed cutover for the full rebuild: past this
+    * many files the serial footer pass is the bottleneck, below it a
+    * Spark job is pure overhead. */
+  private[sink] val DistributedRebuildCutover = 256
+
+  /** Build/refresh the counts sidecar, reading footers AS A SPARK JOB
+    * when the inventory is large: the file list parallelizes across
+    * executors, each task opens its footers where the scheduler placed
+    * it, and only (relative name, row count) pairs — the sidecar's own
+    * lines — return to the driver. Sidecar bytes are identical to the
+    * serial path (same inventory walk, same sorted tab format); only
+    * the footer pass moves off the driver. Small inventories keep the
+    * zero-job serial path — a Spark job per small-table refresh would
+    * tax every battery gate for a scale problem they don't have. */
+  def writeCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val files = listRel(Paths.get(path))
+    if (files.size <= DistributedRebuildCutover)
+      writeSidecar(path,
+        files.map { case (rel, p) => rel -> footerCount(p) }.toMap)
+    else writeCountsDistributed(spark, path, files)
+  }
+
+  /** The distributed rebuild itself, cutover-free — specs and ScaleSmoke
+    * pin that this runs as a real job (at ANY file count) and writes a
+    * sidecar byte-identical to the serial path's. */
+  def writeCountsDistributed(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    writeCountsDistributed(spark, path, listRel(Paths.get(path)))
+
+  private[sink] def writeCountsDistributed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      files: Seq[(String, Path)]): Unit = {
+    val rels = files.map { case (rel, p) => (rel, p.toString) }
+    val slices = math.max(1, math.min(rels.size,
+      spark.sparkContext.defaultParallelism))
+    val counted = spark.sparkContext.parallelize(rels, slices)
+      .map { case (rel, abs) => rel -> footerCount(Paths.get(abs)) }
+      .collect()
+    writeSidecar(path, counted.toMap)
+  }
+
   /** O(changed files) maintenance after a file-targeted rewrite: drop
     * the removed names, footer-count only the added files. Falls back
-    * to a full rebuild when the existing sidecar is absent or stale. */
+    * to a full rebuild when the existing sidecar is absent — and that
+    * rebuild must ALSO exclude `removed`: this hook runs pre-flip
+    * (post-reveal, pre-deletion) from [[Sidecars.afterTargetedRewrite]],
+    * so the touched files are still on disk and a raw inventory
+    * snapshot would bake them in, leaving the sidecar permanently stale
+    * once the commit's `completeDrop` deletes them. */
   private[sink] def maintainCountsAfterRewrite(path: String,
       removed: Set[String], added: Seq[Path]): Unit =
     loadRaw(path) match {
       case Some(m) =>
         writeSidecar(path, (m -- removed) ++
           added.map(p => p.getFileName.toString -> footerCount(p)))
-      case None => writeCounts(path)
+      case None =>
+        val addedNames = added.map(_.getFileName.toString).toSet
+        val kept = listRel(Paths.get(path)).filterNot { case (rel, _) =>
+          removed.contains(rel) || addedNames.contains(rel)
+        }
+        writeSidecar(path,
+          kept.map { case (rel, p) => rel -> footerCount(p) }.toMap ++
+            added.map(p => p.getFileName.toString -> footerCount(p)))
     }
 
   private def loadRaw(path: String): Option[Map[String, Long]] = {
@@ -147,6 +223,9 @@ object MetadataAgg {
     * (the `__stats__` scope). */
   def writeNdv(spark: org.apache.spark.sql.SparkSession, path: String,
       colName: String, k: Int): Unit = {
+    require(flatLayout(path),
+      s"the NDV plane covers flat layouts only (the __stats__ scope); " +
+        s"$path has partition subdirectories its inventory cannot key")
     import org.apache.spark.sql.functions._
     val sketches = spark.read.parquet(path)
       .select(input_file_name().as("f"),
@@ -234,7 +313,7 @@ object MetadataAgg {
     * different column, or stale inventory — stand down to the scan. */
   def ndvEstimate(path: String, colName: String): Option[Double] =
     loadNdvRaw(path).flatMap { case (c, k, m) =>
-      if (c != colName) None
+      if (c != colName || !flatLayout(path)) None
       else {
         val inv = StageWriter.listDataFiles(Paths.get(path))
           .map(_.getFileName.toString).toSet
@@ -276,6 +355,9 @@ object MetadataAgg {
     * write cadence (the zorder cost class); flat layouts only. */
   def writeKmh(spark: org.apache.spark.sql.SparkSession, path: String,
       valueCol: String, key1: String, key2: String, k: Int): Unit = {
+    require(flatLayout(path),
+      s"the KMH plane covers flat layouts only (the __stats__ scope); " +
+        s"$path has partition subdirectories its inventory cannot key")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val rows = spark.read.parquet(path)
@@ -383,7 +465,7 @@ object MetadataAgg {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be in [0,1], got $qs")
     loadKmhRaw(path).flatMap { case (vc, _, _, k, m) =>
-      if (vc != valueCol) None
+      if (vc != valueCol || !flatLayout(path)) None
       else {
         val inv = StageWriter.listDataFiles(Paths.get(path))
           .map(_.getFileName.toString).toSet

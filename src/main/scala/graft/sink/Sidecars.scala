@@ -72,6 +72,14 @@ object Sidecars {
   def declare(spark: SparkSession, path: String,
       planes: Seq[Plane]): Unit = {
     require(planes.nonEmpty, "declare at least one plane")
+    // the listDataFiles-keyed planes cover flat layouts only: on a
+    // partitioned table their (empty) inventory check would pass
+    // vacuously — refuse at declare time rather than write a sidecar
+    // whose freshness contract cannot bind
+    require(!planes.exists(p =>
+        p.isInstanceOf[Ndv] || p.isInstanceOf[Kmh]) ||
+      MetadataAgg.flatLayout(path),
+      s"Ndv/Kmh planes cover flat layouts only; $path is partitioned")
     val lines = planes.map {
       case Stats(c) => s"stats\t$c"
       case Zone(cs) => s"zone\t${cs.mkString(",")}"
@@ -142,7 +150,7 @@ object Sidecars {
       case Zone(cs) if !combine => ZoneMap.write(spark, path, cs)
       case Bloom(c, bits, k) =>
         Layout.writeBlooms(spark, path, c, bits, k); ()
-      case Counts => MetadataAgg.writeCounts(path)
+      case Counts => MetadataAgg.writeCounts(spark, path)
       case Ndv(c, k) => MetadataAgg.writeNdv(spark, path, c, k)
       case Kmh(vc, c1, c2, k) =>
         MetadataAgg.writeKmh(spark, path, vc, c1, c2, k)

@@ -124,6 +124,99 @@ class MetadataAggSpec extends AnyFunSuite {
     } finally StageWriter.deleteRecursively(tmp)
   }
 
+  test("NDV/KMH planes refuse partitioned layouts at declare time and " +
+    "stand down when partitions appear after the sidecar was built") {
+    val tmp = Files.createTempDirectory("metaagg_flat")
+    try {
+      // declare-time refusal: a partitioned table's root-level file
+      // inventory is EMPTY, so the freshness equality would pass
+      // vacuously and an empty sketch merge would read as NDV 0 — the
+      // one wrong-answer shape in the metadata family
+      val part = tmp.resolve("p").toString
+      spark.range(0, 100).select(col("id").as("k"),
+          (col("id") % 3).as("g"))
+        .write.partitionBy("g").parquet(part)
+      intercept[IllegalArgumentException] {
+        Sidecars.declare(spark, part, Seq(Sidecars.Ndv("k", k = 64)))
+      }
+      intercept[IllegalArgumentException] {
+        MetadataAgg.writeNdv(spark, part, "k", 64)
+      }
+      intercept[IllegalArgumentException] {
+        MetadataAgg.writeKmh(spark, part, "k", "k", "g", 64)
+      }
+      // read-time stand-down: a flat table grows a partition directory
+      // AFTER the plane was built — root inventory goes empty, but the
+      // estimate must return None, never Some(0.0)
+      val flat = tmp.resolve("f").toString
+      spark.range(0, 200).select(col("id").as("k"))
+        .coalesce(2).write.parquet(flat)
+      Sidecars.declare(spark, flat, Seq(Sidecars.Ndv("k", k = 64)))
+      assert(MetadataAgg.ndvEstimate(flat, "k").nonEmpty)
+      val sub = tmp.resolve("f").resolve("g=1")
+      Files.createDirectory(sub)
+      StageWriter.listDataFiles(tmp.resolve("f")).foreach { f =>
+        Files.move(f, sub.resolve(f.getFileName))
+      }
+      assert(MetadataAgg.ndvEstimate(flat, "k").isEmpty,
+        "a layout that grew partitions must stand down, not answer 0")
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+
+  test("the missing-sidecar rebuild inside targeted-rewrite maintenance " +
+    "excludes the not-yet-dropped files (pre-flip inventory)") {
+    val tmp = Files.createTempDirectory("metaagg_preflip")
+    try {
+      val p = tmp.resolve("t").toString
+      spark.range(0, 300).select(col("id").as("k"))
+        .repartition(3).write.parquet(p)
+      val files = StageWriter.listDataFiles(tmp.resolve("t"))
+      assert(files.size == 3)
+      // the targeted commit's post-reveal / pre-deletion state: file 0
+      // is logically replaced by file 2's content, file 0 STILL on
+      // disk, and no counts sidecar exists → the fallback rebuild must
+      // not bake file 0 in
+      val removedName = files.head.getFileName.toString
+      MetadataAgg.maintainCountsAfterRewrite(p,
+        Set(removedName), Seq(files(2)))
+      // the commit completes its drop
+      Files.delete(files.head)
+      val n = spark.read.parquet(p).count()
+      assert(MetadataAgg.count(p).contains(n),
+        "the rebuilt sidecar must match the post-drop inventory " +
+          "(a raw pre-drop snapshot would be permanently stale)")
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+
+  test("the distributed full rebuild writes a byte-identical sidecar " +
+    "and runs as a Spark job, not a driver loop") {
+    val tmp = Files.createTempDirectory("metaagg_dist")
+    try {
+      val p = tmp.resolve("t").toString
+      spark.range(0, 4000).select(col("id").as("k"),
+          (col("id") % 5).as("part"))
+        .repartition(16).write.parquet(p)
+      MetadataAgg.writeCounts(p) // serial reference
+      val sidecar = java.nio.file.Paths.get(p + ".__counts__")
+      val serialBytes = Files.readAllBytes(sidecar)
+      Files.delete(sidecar)
+      val sc = spark.sparkContext
+      sc.setJobGroup("dist_rebuild", "footer pass", false)
+      try MetadataAgg.writeCountsDistributed(spark, p,
+        MetadataAgg.listRel(tmp.resolve("t")))
+      finally sc.clearJobGroup()
+      assert(java.util.Arrays.equals(serialBytes,
+        Files.readAllBytes(sidecar)),
+        "distributed and serial rebuilds must write identical sidecars")
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      while (sc.statusTracker.getJobIdsForGroup("dist_rebuild").isEmpty &&
+        System.nanoTime < deadline) Thread.sleep(5)
+      assert(sc.statusTracker.getJobIdsForGroup("dist_rebuild").nonEmpty,
+        "the distributed rebuild must run as a Spark job")
+      assert(MetadataAgg.count(p).contains(4000L))
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+
   test("the counts plane stays fresh through overwrite and the " +
     "file-targeted merge (O(changed files) maintenance)") {
     val tmp = Files.createTempDirectory("metaagg_fresh")

@@ -63,4 +63,31 @@ class TdigestStreamSpec extends AnyFunSuite {
     assert(w9.map(_._2) == Seq(50L) && w9.head._3.head == 5.0,
       s"an idle window emits nothing on later batches (got $w9)")
   }
+
+  test("null window keys / values are filtered, never fatal (the batch " +
+    "planes' isNotNull discipline)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("tdstream_null").toString
+    val schema = StructType(Seq(StructField("w", LongType, true),
+      StructField("v", DoubleType, true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(7L, 1.0), Row(null, 2.0),
+        Row(7L, null), Row(7L, 3.0)), 1), schema)
+      .write.parquet(s"$dir/raw")
+    val in = spark.readStream.schema(schema).parquet(s"$dir/raw")
+    val q = Streams.tdigestWindowStream(in, "w", "v",
+        compression = 100, qs = Seq(0.5))
+      .toDF().writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/chk")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$dir/out")
+      .as[(Long, Long, Seq[Double])].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((7L, 2L)),
+      s"only the two non-null (w, v) rows may reach the digest ($got)")
+    assert(got.head._3.head >= 1.0 && got.head._3.head <= 3.0,
+      s"median of {1, 3} must land inside the band (got $got)")
+  }
 }
