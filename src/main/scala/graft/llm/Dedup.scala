@@ -141,15 +141,32 @@ object Dedup {
       .select(col("bb.band").as("band"), col("bb.bh").as("bh"), col("id"))
   }
 
+  /** Resolve a cap parameter: explicit values pass through; the
+    * [[ScaleConfig.Auto]] default measures the bucketed frame's OWN
+    * histogram (one count aggregation) and derives the largest cap
+    * whose candidate cost fits the default pair budget. The frame is
+    * localCheckpoint'd in the auto path — the histogram materializes
+    * it anyway, and the pair stage then reuses it instead of
+    * recomputing the banding. */
+  private def resolveCap(bucketed: DataFrame, keys: Seq[String],
+      cap: Int): (DataFrame, Int) =
+    if (cap != ScaleConfig.Auto) (bucketed, cap)
+    else {
+      val mat = bucketed.localCheckpoint()
+      (mat, ScaleConfig.deriveCap(mat, keys))
+    }
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, k: Int = 32, b: Int = 8,
-      threshold: Double = 0.8, maxBucket: Int = 64): DataFrame = {
+      threshold: Double = 0.8,
+      maxBucket: Int = ScaleConfig.Auto): DataFrame = {
     val shingles = shingleRows(df, idCol, textCol, shingleWidth)
-    val banded = bandTable(shingles, k, b)
+    val (banded, cap) = resolveCap(bandTable(shingles, k, b),
+      Seq("band", "bh"), maxBucket)
     // intra-bucket pair generation via bounded sorted id list (skew-guarded
     // BEFORE the aggregation buffer fills — see cappedBuckets)
     val pairs = cappedBuckets(banded, Seq("band", "bh"), col("id"), "id",
-        maxBucket)
+        cap)
       .select(explode(expr(
         """flatten(transform(m, (x, i) ->
           |  transform(slice(m, i + 2, size(m)), y ->
@@ -420,21 +437,24 @@ object Dedup {
   /** SimHash near-duplicate pairs via pigeonhole banding on 4×16-bit chunks
     * (hamming distance ≤ 3 ⇒ at least one chunk equal). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = ScaleConfig.Auto): DataFrame = {
     // 4 chunks pigeonhole at most 3 differing bits: maxHamming = 4 would
     // need 5 chunks or recall silently drops (1 differing bit per chunk
     // means NO chunk matches and the pair is never a candidate)
     require(maxHamming <= 3,
       s"maxHamming=$maxHamming exceeds the 4-chunk pigeonhole bound (3)")
     val sh = simhashTable(df, idCol, textCol)
-    val chunked = sh.select(col("id"), col("simhash"),
+    val chunked0 = sh.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(i => struct(lit(i).as("chunk"),
         shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))
           .as("ch"))): _*)).as("c"))
       .select(col("c.chunk").as("chunk"), col("c.ch").as("ch"),
         col("id"), col("simhash"))
+    val (chunked, cap) = resolveCap(chunked0, Seq("chunk", "ch"),
+      maxBucket)
     val pairs = cappedBuckets(chunked, Seq("chunk", "ch"),
-        struct(col("id"), col("simhash")), "id", maxBucket)
+        struct(col("id"), col("simhash")), "id", cap)
       .select(explode(expr(
         """flatten(transform(m, (x, i) ->
           |  transform(slice(m, i + 2, size(m)), y ->
@@ -515,19 +535,22 @@ object Dedup {
   /** Portable-simhash near-duplicate pairs (pigeonhole banding on the four
     * 16-bit chunks; hamming ≤ maxHamming ⇒ at least one chunk equal). */
   def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = ScaleConfig.Auto): DataFrame = {
     require(maxHamming <= 3,
       s"maxHamming=$maxHamming exceeds the 4-chunk pigeonhole bound (3)")
     val sh = simhashChunksPortable(df, idCol, textCol)
-    val chunked = sh.select(col("id"), col("c0"), col("c1"), col("c2"),
+    val chunked0 = sh.select(col("id"), col("c0"), col("c1"), col("c2"),
       col("c3"),
       explode(array((0 until 4).map(i => struct(lit(i).as("chunk"),
         col(s"c$i").as("ch"))): _*)).as("cc"))
       .select(col("cc.chunk").as("chunk"), col("cc.ch").as("ch"),
         col("id"), col("c0"), col("c1"), col("c2"), col("c3"))
+    val (chunked, cap) = resolveCap(chunked0, Seq("chunk", "ch"),
+      maxBucket)
     val rec = struct(col("id"), col("c0"), col("c1"), col("c2"), col("c3"))
     val pairs = cappedBuckets(chunked, Seq("chunk", "ch"), rec, "id",
-        maxBucket)
+        cap)
       .select(explode(expr(
         """flatten(transform(m, (x, i) ->
           |  transform(slice(m, i + 2, size(m)), y ->

@@ -35,6 +35,21 @@ import org.apache.spark.sql.functions._
   * folds over that histogram. */
 object ScaleConfig {
 
+  /** Sentinel cap value: "derive from the measured histogram". The
+    * bucketed generators (D2/D3/D58/D202) default their cap parameters
+    * to this, so a cap-LESS call measures its own bucket histogram and
+    * derives the largest cap that fits [[DefaultPairBudget]] — fixed
+    * constants become explicit overrides instead of the default a
+    * 100 TB run must remember to change. */
+  val Auto: Int = -1
+
+  /** Default per-call candidate-pair budget for [[Auto]] derivation.
+    * Generous at battery SFs — there the derived cap clamps to the
+    * largest bucket, capping is a no-op and behavior matches today's
+    * constants (gate-pinned) — while still a real quadratic bound at
+    * corpus scale. */
+  val DefaultPairBudget: Long = 64L * 1000 * 1000
+
   /** Per-(table, bucket) member counts for the D202 generator — ONE
     * count aggregation over the shared bucketing expressions. */
   def bucketHistogram(df: DataFrame, idCol: String, vecCol: String,
@@ -42,6 +57,18 @@ object ScaleConfig {
     Similarity.signBuckets(df, idCol, vecCol, tables)
       .groupBy("tbl", "bucket").agg(count(lit(1)).as("n"))
       .select("n").collect().map(_.getLong(0)).toSeq
+
+  /** Measure an arbitrary bucketed frame's histogram (one map-side-
+    * combinable count aggregation over `keys`, collected driver-side —
+    * buckets-sized, never data-sized) and derive its cap. An EMPTY
+    * frame derives the minimum cap 2: nothing can pair either way. */
+  def deriveCap(bucketed: DataFrame, keys: Seq[String],
+      pairBudget: Long = DefaultPairBudget): Int = {
+    val hist = bucketed.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select("n").collect().map(_.getLong(0)).toSeq
+    if (hist.isEmpty) 2 else bucketCapFor(hist, pairBudget)
+  }
 
   /** The within-bucket candidate-pair cost of cap `c` under measured
     * histogram `hist`: Σ_b min(n_b, c)·(min(n_b, c)−1). SATURATING at

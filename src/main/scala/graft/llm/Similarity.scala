@@ -197,12 +197,23 @@ object Similarity {
 
   private def cappedBuckets(df: DataFrame, idCol: String, vecCol: String,
       tables: Seq[Seq[Seq[Double]]], bucketCap: Int): DataFrame = {
-    require(bucketCap >= 2, s"bucketCap=$bucketCap cannot pair")
+    // ScaleConfig.Auto (the cap-less default): measure this call's own
+    // (tbl, bucket) histogram — one count aggregation over the
+    // localCheckpoint'd membership frame, which the pair stage then
+    // reuses — and derive the largest cap fitting the default pair
+    // budget. Explicit caps stay the override.
+    val (src, cap) =
+      if (bucketCap != ScaleConfig.Auto)
+        (signBuckets(df, idCol, vecCol, tables), bucketCap)
+      else {
+        val mat = signBuckets(df, idCol, vecCol, tables).localCheckpoint()
+        (mat, ScaleConfig.deriveCap(mat, Seq("tbl", "bucket")))
+      }
+    require(cap >= 2, s"bucketCap=$cap cannot pair")
     val w = Window.partitionBy(col("tbl"), col("bucket"))
       .orderBy(col("id"))
-    signBuckets(df, idCol, vecCol, tables)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= bucketCap).drop("__rn")
+    src.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap).drop("__rn")
   }
 
   /** Within-bucket pairs of `srcSide` × `capped`, deduped across
@@ -218,7 +229,8 @@ object Similarity {
       .dropDuplicates("src_id", "dst_id")
 
   def knnCandidates(df: DataFrame, idCol: String, vecCol: String,
-      tables: Seq[Seq[Seq[Double]]], bucketCap: Int): DataFrame = {
+      tables: Seq[Seq[Seq[Double]]],
+      bucketCap: Int = ScaleConfig.Auto): DataFrame = {
     val capped = cappedBuckets(df, idCol, vecCol, tables, bucketCap)
     pairsFrom(capped, capped)
   }
@@ -232,7 +244,8 @@ object Similarity {
     * rests on): `membership(corpus) = membership(corpus ∪ batch)
     * WHERE id ∈ corpus` whenever batch ids exceed corpus ids. */
   def bucketMembership(df: DataFrame, idCol: String, vecCol: String,
-      tables: Seq[Seq[Seq[Double]]], bucketCap: Int): DataFrame =
+      tables: Seq[Seq[Seq[Double]]],
+      bucketCap: Int = ScaleConfig.Auto): DataFrame =
     cappedBuckets(df, idCol, vecCol, tables, bucketCap)
 
   /** [[knnGraph]] from an already-computed [[bucketMembership]] frame
@@ -272,7 +285,8 @@ object Similarity {
     * driver-free: the affected set stays a frame in semi/anti joins. */
   def knnGraphIncrement(corpus: DataFrame, batch: DataFrame,
       oldEdges: DataFrame, idCol: String, vecCol: String,
-      tables: Seq[Seq[Seq[Double]]], k: Int, bucketCap: Int,
+      tables: Seq[Seq[Seq[Double]]], k: Int,
+      bucketCap: Int = ScaleConfig.Auto,
       roundDigits: Int = 4): DataFrame = {
     val union = corpus.select(col(idCol), col(vecCol))
       .unionByName(batch.select(col(idCol), col(vecCol)))
@@ -303,7 +317,8 @@ object Similarity {
     * rank 1..k per src; nodes whose buckets yielded no candidate are
     * absent (the approximate-graph contract). */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String,
-      tables: Seq[Seq[Seq[Double]]], k: Int, bucketCap: Int,
+      tables: Seq[Seq[Seq[Double]]], k: Int,
+      bucketCap: Int = ScaleConfig.Auto,
       roundDigits: Int = 4): DataFrame = {
     require(k >= 1)
     topK(knnCandidates(df, idCol, vecCol, tables, bucketCap), k,
@@ -1140,8 +1155,14 @@ object Similarity {
     * decimals so cross-engine fp noise cannot flip a drop decision.
     * Returns (id, list_id, dropped). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, tau: Double, roundDigits: Int = 4): DataFrame = {
-    val assigned = ivfAssign(df, idCol, vecCol, nlist)
+      nlist: Int = ScaleConfig.Auto, tau: Double = 0.9,
+      roundDigits: Int = 4): DataFrame = {
+    // nlist-less default: size the IVF grid from the corpus count and
+    // the default pair budget (ScaleConfig's uniform-shard model) —
+    // the one count() job only runs in the auto path
+    val nl = if (nlist != ScaleConfig.Auto) nlist
+      else ScaleConfig.nlistFor(df.count(), ScaleConfig.DefaultPairBudget)
+    val assigned = ivfAssign(df, idCol, vecCol, nl)
     val a = assigned.select(col("list_id"), col(idCol).as("id1"),
       col(vecCol).as("v1"), col(NormCol).as("n1"))
     val b = assigned.select(col("list_id"), col(idCol).as("id2"),

@@ -312,6 +312,28 @@ object LlmQueries {
 
   /** DuckDB twin of TextAnalysis.qualityScore — shared by `text_quality`
     * and the curation queries so the exact same arithmetic ranks both. */
+  /** Brute-force exact word-3-shingle-Jaccard pairs ≥ 0.8 — the shared
+    * oracle of dd_minhash and dd_cap_default (the LSH result matches
+    * iff recall is 1.0 on this corpus). */
+  private val minhashExactOracleSql: String = """
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 1, 2)),
+                 i -> concat_ws(' ',
+                        string_split_regex(trim(text), '\s+')[i],
+                        string_split_regex(trim(text), '\s+')[i+1],
+                        string_split_regex(trim(text), '\s+')[i+2]))) AS g
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               len(list_intersect(a.g, b.g)) AS i,
+               len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS u
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id1, id2, round(CAST(i AS DOUBLE) / u, 4) AS j4
+      FROM pairs WHERE CAST(i AS DOUBLE) / u >= 0.8
+      ORDER BY id1, id2"""
+
   private val qualityOracleBody: String = """
       WITH f AS (
         SELECT doc_id,
@@ -575,29 +597,40 @@ object LlmQueries {
     // Oracle = brute-force exact-Jaccard pairs: matches iff LSH recall is
     // 1.0 on this corpus (validated on the fixed testdata; threshold 0.8
     // with k=32,b=8 ⇒ collision prob ≥ 0.985 per qualifying pair).
+    // Cap-less since r14: the call takes the ScaleConfig.Auto default, so
+    // the battery's flagship dedup gate exercises the DERIVED-cap path —
+    // at this corpus the derivation clamps to the largest band bucket,
+    // capping is a no-op, and the oracle match pins recall stays 1.0.
     "dd_minhash" -> (((spark, dir) => {
       Dedup.minhashLshPairs(load(spark, dir, "documents"), "doc_id", "text",
           shingleWidth = 3, k = 32, b = 8, threshold = 0.8)
         .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("j4"))
         .orderBy("id1", "id2")
-    }, Some("""
-      WITH sh AS (
-        SELECT doc_id,
-               list_distinct(list_transform(
-                 range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 1, 2)),
-                 i -> concat_ws(' ',
-                        string_split_regex(trim(text), '\s+')[i],
-                        string_split_regex(trim(text), '\s+')[i+1],
-                        string_split_regex(trim(text), '\s+')[i+2]))) AS g
-        FROM documents),
-      pairs AS (
-        SELECT a.doc_id AS id1, b.doc_id AS id2,
-               len(list_intersect(a.g, b.g)) AS i,
-               len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS u
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-      SELECT id1, id2, round(CAST(i AS DOUBLE) / u, 4) AS j4
-      FROM pairs WHERE CAST(i AS DOUBLE) / u >= 0.8
-      ORDER BY id1, id2"""))),
+    }, Some(minhashExactOracleSql))),
+
+    // D229 — derived caps are the DEFAULT, not an opt-in: the cap-less
+    // run above must emit EXACTLY the pairs of an explicit maxBucket=64
+    // run (today's constant) — the budget derivation clamps to the
+    // largest bucket at battery SFs, so equal membership frames, equal
+    // pairs, and the exact-Jaccard oracle replays the result. A drifted
+    // derivation (cap below a real bucket) would break the equality
+    // require before it could silently ship fewer pairs.
+    "dd_cap_default" -> (((spark, dir) => {
+      val docs = load(spark, dir, "documents")
+      val auto = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          shingleWidth = 3, k = 32, b = 8, threshold = 0.8)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("j4"))
+        .localCheckpoint()
+      Q.Phase.opDone() // explicit-cap equality proof below
+      val explicit = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          shingleWidth = 3, k = 32, b = 8, threshold = 0.8,
+          maxBucket = 64)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("j4"))
+      require(auto.exceptAll(explicit).isEmpty &&
+        explicit.exceptAll(auto).isEmpty,
+        "the cap-less (derived) run must equal the explicit cap-64 run")
+      auto.orderBy("id1", "id2")
+    }, Some(minhashExactOracleSql))),
 
     // D124 — STREAMING near-dup dedup (Streams.nearDupStream): documents
     // arrive as a stream in two epochs (ids < 250, then the rest appended

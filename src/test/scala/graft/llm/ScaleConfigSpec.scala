@@ -87,4 +87,35 @@ class ScaleConfigSpec extends AnyFunSuite {
       .as[(Int, Int, Long)].collect().toSet
     assert(a == b, "equal cost must mean the identical membership")
   }
+
+  test("cap-LESS entry points derive their own caps (r14 default): " +
+    "knnGraph / bucketMembership / semanticDedup called without a cap " +
+    "equal generous explicit-cap runs on a corpus no bucket of which " +
+    "can exhaust the default budget") {
+    val planes = Dedup.portablePlanes(10, 8).grouped(5).toSeq
+    val vecs = (1L to 300L).map { i =>
+      (i, (0 until 8).map(j =>
+        math.sin(i * 31 + j * 7).toFloat).toArray)
+    }.toDF("id", "v")
+    // derived cap clamps to the largest bucket → identical membership
+    val auto = Similarity.bucketMembership(vecs, "id", "v", planes)
+      .select("tbl", "bucket", "id").as[(Int, Int, Long)].collect().toSet
+    val explicit = Similarity.bucketMembership(vecs, "id", "v", planes,
+        bucketCap = 100000)
+      .select("tbl", "bucket", "id").as[(Int, Int, Long)].collect().toSet
+    assert(auto == explicit,
+      "cap-less membership must equal the effectively-uncapped run")
+    val gAuto = Similarity.knnGraph(vecs, "id", "v", planes, k = 3)
+      .collect().map(_.toSeq).toSet
+    val gExp = Similarity.knnGraph(vecs, "id", "v", planes, k = 3,
+        bucketCap = 100000)
+      .collect().map(_.toSeq).toSet
+    assert(gAuto == gExp, "cap-less knnGraph must equal the explicit run")
+    // semanticDedup sizes its IVF grid from the corpus count: 300 rows
+    // under the 64M default budget needs nlist 2 (the floor)
+    val sd = Similarity.semanticDedup(vecs, "id", "v", tau = 0.99)
+    assert(sd.select("list_id").distinct().count() <= 2,
+      "300 vectors under the default budget must derive the floor grid")
+    assert(sd.count() == 300L)
+  }
 }
