@@ -1,0 +1,113 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Complete, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation,
+  LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+import org.apache.spark.sql.types.LongType
+
+import graft.sink.{MetadataAgg, Sidecars}
+
+/** Transparent metadata-only aggregate answering (SURVEY §2D, D234) —
+  * the optimizer face of the D227/D107 planes: a GLOBAL
+  * `count(*)` / `min` / `max` aggregate over a whole-table scan of a
+  * table that DECLARES the counts/stats sidecars ([[Sidecars]]) is
+  * rewritten to a [[LocalRelation]] holding the sidecar's answer —
+  * zero Spark jobs at execution (a `LocalTableScan` collects on the
+  * driver), the way Delta/Iceberg serve `SELECT count(*)` from the
+  * transaction log. D227's explicit [[MetadataAgg]] API keeps working;
+  * this rule lets the USER'S OWN QUERY take the metadata path without
+  * knowing the planes exist — the D164 MvRewrite pattern applied to
+  * the sidecar family.
+  *
+  * Stand-down contract (identical to the explicit API, because it IS
+  * the explicit API underneath): every answer is inventory-validated —
+  * a foreign file, a stale sidecar, an undeclared plane, a filter under
+  * the aggregate, a grouped aggregate, a non-stats column, or ANY
+  * aggregate in the list the planes cannot serve leaves the plan
+  * untouched and the full scan answers. Partial rewrites never happen:
+  * all-or-nothing per Aggregate node, so a query mixing `count(*)`
+  * with `sum(x)` scans once instead of scanning AND folding.
+  *
+  * Scope (deliberately narrow — a rewrite must be exactly equivalent):
+  * ungrouped `count(1)` (non-distinct) via the counts plane, and
+  * `min`/`max` of the declared LONG stats column via the D107 ranges.
+  * Both reproduce the scan bit-for-bit: counts are exact per-file
+  * footer sums, and per-file min/max fold to the global extrema. */
+object MetadataRewrite {
+  def ensureInstalled(spark: SparkSession): Unit =
+    RuleInstall.ensure(spark)(_.isInstanceOf[MetadataRewrite],
+      new MetadataRewrite)
+}
+
+class MetadataRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case agg: Aggregate if agg.groupingExpressions.isEmpty =>
+      rewrite(agg).getOrElse(agg)
+  }
+
+  /** The whole-table scan under the aggregate — a bare relation or the
+    * Project column pruning inserts; ANY other child (a Filter, a join)
+    * disqualifies: the sidecars describe the unfiltered table only. */
+  private def scanOf(child: LogicalPlan): Option[LogicalRelation] =
+    child match {
+      case lr: LogicalRelation
+          if lr.relation.isInstanceOf[HadoopFsRelation] => Some(lr)
+      case Project(projList, lr: LogicalRelation)
+          if lr.relation.isInstanceOf[HadoopFsRelation] &&
+            projList.forall(_.isInstanceOf[AttributeReference]) =>
+        Some(lr)
+      case _ => None
+    }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val lr = scanOf(agg.child).getOrElse(return None)
+    val rel = lr.relation.asInstanceOf[HadoopFsRelation]
+    val roots = rel.location.rootPaths
+    if (roots.size != 1) return None
+    val dir = roots.head.toUri.getPath
+    // only DECLARED planes serve (the manifest is the opt-in; an
+    // undeclared table never pays the listing) — and only the declared
+    // stats column may answer min/max
+    val planes = Sidecars.declared(dir)
+    val hasCounts = planes.contains(Sidecars.Counts)
+    val statsCols = planes.collect { case Sidecars.Stats(c) => c }.toSet
+    if (!hasCounts && statsCols.isEmpty) return None
+
+    // lazily answer each plane ONCE per Aggregate (count + min and max
+    // share their folds); None anywhere = stale/missing → stand down
+    lazy val countAnswer: Option[Long] =
+      if (hasCounts) MetadataAgg.count(dir) else None
+    val mmCache = scala.collection.mutable.Map[String, Option[(Long, Long)]]()
+    def minMaxOf(c: String): Option[(Long, Long)] =
+      mmCache.getOrElseUpdate(c,
+        if (statsCols.contains(c)) MetadataAgg.minMax(dir, c) else None)
+
+    def serve(ae: AggregateExpression): Option[Long] = ae match {
+      case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false,
+          _, _) => countAnswer
+      case AggregateExpression(Min(a: AttributeReference), Complete, false,
+          _, _) if a.dataType == LongType => minMaxOf(a.name).map(_._1)
+      case AggregateExpression(Max(a: AttributeReference), Complete, false,
+          _, _) if a.dataType == LongType => minMaxOf(a.name).map(_._2)
+      case _ => None
+    }
+    val values: Seq[Long] = agg.aggregateExpressions.map {
+      case Alias(ae: AggregateExpression, _) =>
+        serve(ae).getOrElse(return None)
+      case ae: AggregateExpression => serve(ae).getOrElse(return None)
+      case _ => return None
+    }
+    // the answer, under the aggregate's EXACT output attributes (ids,
+    // names, types) so parents never see the substitution
+    Some(LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
+      Seq(InternalRow(values: _*))))
+  }
+}

@@ -1137,6 +1137,69 @@ object MaintenanceQueries {
       FROM orders GROUP BY o_orderpriority
       ORDER BY metric"""))),
 
+    // D234 — TRANSPARENT metadata-only rewrite (plans.MetadataRewrite):
+    // the optimizer face of D227 — the user's own count(*)/min/max
+    // aggregate over a declared-plane table collapses to a
+    // LocalRelation holding the sidecar answer (the D164 MvRewrite
+    // pattern over the sidecar family), with ZERO Spark jobs at
+    // execution, proven by the listener-bus sentinel AND by the
+    // optimized plan shape. Freshness is adversarial like
+    // q_metadata_only: a smuggled file makes the SAME query keep its
+    // scan (plan shape checked), launch real jobs, and return the
+    // now-larger truth — the rewrite can degrade to the scan, never
+    // serve stale. Oracle: the fresh aggregates recomputed by a full
+    // scan of the source table.
+    "q_metadata_rewrite" -> (((spark, dir) => {
+      val tmp = Q.scratchDir("meta_rw")
+      try {
+        val t = tmp.resolve("ord").toString
+        load(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+          .repartition(8).write.parquet(t)
+        graft.sink.Sidecars.declare(spark, t, Seq(
+          graft.sink.Sidecars.Stats("o_orderkey"),
+          graft.sink.Sidecars.Counts))
+        graft.plans.MetadataRewrite.ensureInstalled(spark)
+        def q() = spark.read.parquet(t).agg(
+          count(lit(1)).as("cnt"), min("o_orderkey").as("mn"),
+          max("o_orderkey").as("mx"))
+        Q.Phase.setupDone() // table + planes + installed rule = fixture
+        def isLocal(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.optimizedPlan.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+        // analyze/optimize OUTSIDE the sentinel (spark.read's listing /
+        // schema inference may job); the ANSWER — optimized plan to
+        // collected row — is the zero-jobs claim
+        val fresh = q()
+        require(isLocal(fresh),
+          "the fresh-plane aggregate must collapse to a LocalRelation")
+        val r1 = Q.requireZeroJobs(spark, "meta_rw") {
+          fresh.collect().head
+        }
+        Q.Phase.opDone() // staleness arm below = PROOF
+        // foreign writer: the SAME query must keep its scan and see the
+        // smuggled rows — the rewrite stands down exactly as the
+        // explicit API does
+        val smuggled = {
+          val f = graft.sink.StageWriter.listDataFiles(
+            java.nio.file.Paths.get(t)).head
+          val dst = f.getParent.resolve("zz_smuggled.parquet")
+          java.nio.file.Files.copy(f, dst)
+          spark.read.parquet(dst.toString).count()
+        }
+        require(!isLocal(q()),
+          "a foreign file must keep the scan in the plan (stand down)")
+        val r2 = q().collect().head
+        require(r2.getLong(0) == r1.getLong(0) + smuggled &&
+          r2.getLong(1) == r1.getLong(1) && r2.getLong(2) == r1.getLong(2),
+          s"the stand-down answer must be the scan's truth ($r1 -> $r2)")
+        spark.createDataFrame(Seq((r1.getLong(0), r1.getLong(1),
+          r1.getLong(2)))).toDF("cnt", "mn", "mx")
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT count(*) AS cnt, min(o_orderkey) AS mn,
+             max(o_orderkey) AS mx
+      FROM orders"""))),
+
     // D231 — metadata-only NDV from per-file KMV sketch sidecars
     // (MetadataAgg.ndvEstimate + Sidecars.Ndv): the CBO distinct-count
     // statistic answered with ZERO Spark jobs. The union of per-file

@@ -1,0 +1,91 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sink.{Sidecars, StageWriter}
+
+/** D234 — transparent metadata-only rewrite: eligible global
+  * count/min/max aggregates over declared-plane tables collapse to a
+  * LocalRelation with the sidecar answer; every disqualifier (filter,
+  * grouping, unsupported aggregate, undeclared table, stale inventory)
+  * keeps the scan and the scan's truth. */
+class MetadataRewriteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def isLocal(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.isInstanceOf[LocalRelation]
+
+  test("global count/min/max over declared planes collapse to a " +
+    "LocalRelation whose answer equals the scan's") {
+    val tmp = Files.createTempDirectory("metarw")
+    try {
+      val p = tmp.resolve("t").toString
+      spark.range(0, 1000).select(col("id").as("k"),
+          (col("id") % 7).as("v"))
+        .repartition(4).write.parquet(p)
+      Sidecars.declare(spark, p, Seq(Sidecars.Stats("k"), Sidecars.Counts))
+      MetadataRewrite.ensureInstalled(spark)
+      val q = spark.read.parquet(p).agg(count(lit(1)).as("c"),
+        min("k").as("mn"), max("k").as("mx"))
+      assert(isLocal(q), "the eligible aggregate must rewrite")
+      assert(q.collect().head.toSeq == Seq(1000L, 0L, 999L))
+      // count-only and min-only shapes rewrite too
+      val c = spark.read.parquet(p).agg(count(lit(1)).as("c"))
+      assert(isLocal(c) && c.collect().head.getLong(0) == 1000L)
+      // a partitioned table with ONLY the counts plane serves count(*)
+      val pp = tmp.resolve("part").toString
+      spark.range(0, 90).select(col("id").as("k"), (col("id") % 3).as("g"))
+        .write.partitionBy("g").parquet(pp)
+      Sidecars.declare(spark, pp, Seq(Sidecars.Counts))
+      val pc = spark.read.parquet(pp).agg(count(lit(1)).as("c"))
+      assert(isLocal(pc) && pc.collect().head.getLong(0) == 90L)
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+
+  test("disqualifiers keep the scan: filter, grouping, unsupported " +
+    "aggregate, non-stats column, undeclared table, stale inventory") {
+    val tmp = Files.createTempDirectory("metarw_neg")
+    try {
+      val p = tmp.resolve("t").toString
+      spark.range(0, 500).select(col("id").as("k"), (col("id") % 7).as("v"))
+        .repartition(2).write.parquet(p)
+      Sidecars.declare(spark, p, Seq(Sidecars.Stats("k"), Sidecars.Counts))
+      MetadataRewrite.ensureInstalled(spark)
+      def t = spark.read.parquet(p)
+      // a filter under the aggregate: sidecars describe the whole table
+      val f = t.filter(col("k") > 100).agg(count(lit(1)).as("c"))
+      assert(!isLocal(f) && f.collect().head.getLong(0) == 399L)
+      // grouping
+      val g = t.groupBy("v").agg(count(lit(1)).as("c"))
+      assert(!isLocal(g) && g.count() == 7L)
+      // an aggregate the planes cannot serve poisons the WHOLE node
+      // (all-or-nothing — no partial rewrite)
+      val s = t.agg(count(lit(1)).as("c"), sum("v").as("s"))
+      assert(!isLocal(s))
+      assert(s.collect().head.toSeq(0) == 500L)
+      // min/max of a column the stats plane does not describe
+      val nv = t.agg(min("v").as("mn"))
+      assert(!isLocal(nv) && nv.collect().head.getLong(0) == 0L)
+      // an undeclared table never rewrites (and never pays a listing)
+      val u = tmp.resolve("u").toString
+      spark.range(10).toDF("k").write.parquet(u)
+      val uq = spark.read.parquet(u).agg(count(lit(1)).as("c"))
+      assert(!isLocal(uq) && uq.collect().head.getLong(0) == 10L)
+      // stale inventory: the same eligible query stands down and the
+      // scan sees the smuggled rows
+      val q0 = t.agg(count(lit(1)).as("c"))
+      assert(isLocal(q0))
+      val file = StageWriter.listDataFiles(tmp.resolve("t")).head
+      Files.copy(file, file.getParent.resolve("zz_foreign.parquet"))
+      val q1 = spark.read.parquet(p).agg(count(lit(1)).as("c"))
+      assert(!isLocal(q1), "stale planes must keep the scan")
+      assert(q1.collect().head.getLong(0) > 500L)
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+}
