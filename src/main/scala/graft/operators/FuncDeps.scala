@@ -46,6 +46,74 @@ object FuncDeps {
     }.reduce(_ unionByName _)
   }
 
+  /** Bounded single-column FD DISCOVERY (SURVEY §2D, D235) — the
+    * candidate-generation half TANE/HyFD put in front of verification,
+    * restricted to single-column determinants (the warehouse-profiling
+    * workhorse; lattice levels beyond 1 explode combinatorially and are
+    * out of scope by design). Every ordered pair over `cols` is a
+    * candidate, pruned BEFORE any data pass by the classic NDV rule:
+    * when A is null-free, A→B implies ndv(B) ≤ ndv(A) (each non-null A
+    * value contributes one image; distinct non-null B values inject
+    * into the images), so ndv(B) > ndv(A) refutes without verifying.
+    * A determinant WITH nulls never prunes (B values on its null rows
+    * are invisible to the dependency), keeping the rule sound.
+    * Survivors are verified EXACTLY by [[check]] — pruning only ever
+    * cuts cost, never changes the verdict set.
+    *
+    * The profile feeding the rule is either measured here — ONE
+    * multi-aggregate pass over just `cols` — or supplied via
+    * `ndvHints` (e.g. the D231 [[graft.sink.MetadataAgg.ndvEstimate]]
+    * sidecar estimate: metadata-priced, zero scan). Hinted NDVs are
+    * ESTIMATES, so their prunes apply `slack` (default 1.25 ≫ the KMV
+    * error at battery k) — an estimate must never prune a true
+    * dependency; hinted columns also need a `nullFreeHints` entry to
+    * act as determinant-side pruners (null-freeness is schema
+    * knowledge — NOT NULL contracts, D197 checks — not derivable from
+    * a sketch). Returns [[check]]'s verdict rows for the surviving
+    * candidates (empty frame, same schema, when nothing survives). */
+  def mine(df: DataFrame, cols: Seq[String],
+      ndvHints: Map[String, Double] = Map.empty,
+      nullFreeHints: Set[String] = Set.empty,
+      slack: Double = 1.25): DataFrame = {
+    require(cols.size >= 2, "mining needs at least two columns")
+    require(slack >= 1.0, s"slack=$slack would prune true dependencies")
+    val unhinted = cols.filterNot(ndvHints.contains)
+    val measured: Map[String, (Long, Long)] =
+      if (unhinted.isEmpty) Map.empty
+      else {
+        val aggs = unhinted.flatMap(c => Seq(
+          count_distinct(col(c)).as(s"__ndv_$c"),
+          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+            .as(s"__nul_$c")))
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        unhinted.map(c => c -> (r.getAs[Long](s"__ndv_$c"),
+          r.getAs[Long](s"__nul_$c"))).toMap
+      }
+    val ndv: Map[String, Double] =
+      ndvHints ++ measured.map { case (c, (n, _)) => c -> n.toDouble }
+    val nullFree: Set[String] = nullFreeHints ++
+      measured.collect { case (c, (_, 0L)) => c }
+    val estimated = ndvHints.keySet
+    val survivors = for {
+      a <- cols; b <- cols if a != b
+      s = if (estimated(a) || estimated(b)) slack else 1.0
+      if !nullFree(a) || ndv(b) <= ndv(a) * s
+    } yield (a, b)
+    // survivors is provably non-empty: pruning (a, b) needs
+    // ndv(b) > ndv(a)·s with s ≥ 1, which makes the reverse pair
+    // unprunable — check()'s nonEmpty contract always holds
+    check(df, survivors)
+  }
+
+  /** The NDV-pruned candidate list alone (the cost story a caller or
+    * gate inspects: pairs the profile refuted without a data pass). */
+  def prunedPairs(cols: Seq[String], ndv: Map[String, Double],
+      nullFree: Set[String]): Seq[(String, String)] =
+    for {
+      a <- cols; b <- cols if a != b
+      if nullFree(a) && ndv(b) > ndv(a)
+    } yield (a, b)
+
   /** Candidate-key verification: a column is a key iff it is non-null
     * everywhere and never repeats. One row per column. */
   def keyCheck(df: DataFrame, cols: Seq[String]): DataFrame = {

@@ -12,6 +12,23 @@ import Q._
   */
 object AnalyticsQueries {
 
+  /** q_fd_mine's column lattice and its exhaustive single-column oracle:
+    * every ordered pair verified from scratch in SQL, held pairs only —
+    * what D235's pruned-then-verified mine must reproduce exactly. */
+  private val FdMineCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+  private val fdMineOracleSql: String = {
+    val arms = for { a <- FdMineCols; b <- FdMineCols if a != b } yield s"""
+      SELECT '$a' AS det, '$b' AS dep,
+             coalesce(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END), 0) = 0
+               AS holds
+      FROM (SELECT dv, count(*) AS ndep FROM
+             (SELECT DISTINCT $a AS dv, $b AS pv FROM orders
+              WHERE $a IS NOT NULL) GROUP BY dv)"""
+    s"""SELECT det, dep FROM (${arms.mkString(" UNION ALL ")})
+      WHERE holds ORDER BY det, dep"""
+  }
+
   val defs: Map[String, Entry] = Map(
 
     // Bloom-pruned selective join (operators.BloomPrune): the dim keys are
@@ -179,6 +196,54 @@ object AnalyticsQueries {
              sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0
       FROM f3
       ORDER BY det, dep"""))),
+
+    // D235 — bounded single-column FD DISCOVERY (FuncDeps.mine): the
+    // candidate-generation half in front of D233's verification. Every
+    // ordered pair over four orders columns, pruned BEFORE any data
+    // pass by the NDV rule (null-free A: ndv(B) > ndv(A) refutes A→B),
+    // survivors verified exactly by check(). In-gate proofs: pruning
+    // refuted a real share of the lattice; an exhaustive check over the
+    // pruned pairs finds ZERO holding (the rule is sound); and the
+    // metadata-priced arm — the o_custkey NDV supplied by a D231
+    // sidecar ESTIMATE instead of a scan — discovers the identical
+    // held set. Oracle: the exhaustive single-column scan in SQL.
+    "q_fd_mine" -> (((spark, dir) => {
+      val ord = load(spark, dir, "orders").select(FdMineCols.map(col): _*)
+      val mined = graft.operators.FuncDeps.mine(ord, FdMineCols)
+        .localCheckpoint()
+      Q.Phase.opDone() // soundness + metadata-arm proofs below
+      val all = for { a <- FdMineCols; b <- FdMineCols if a != b }
+        yield (a, b)
+      val survivors = mined.select("det", "dep").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      require(survivors.size < all.size,
+        s"the NDV rule must refute part of the lattice " +
+          s"(${survivors.size}/${all.size} survived)")
+      val pruned = all.filterNot(survivors)
+      require(graft.operators.FuncDeps.check(ord, pruned)
+        .filter(col("holds")).count() == 0L,
+        "the NDV rule must never prune a true dependency")
+      // metadata-priced arm: the determinant profile for o_custkey comes
+      // from the D231 KMV sidecar (zero scan for that column), slack
+      // absorbs the estimate error, held set must not move
+      val tmp = Q.scratchDir("fd_mine")
+      try {
+        val t = tmp.resolve("ord").toString
+        ord.coalesce(4).write.parquet(t)
+        graft.sink.Sidecars.declare(spark, t,
+          Seq(graft.sink.Sidecars.Ndv("o_custkey", k = 256)))
+        val est = graft.sink.MetadataAgg.ndvEstimate(t, "o_custkey").get
+        val hinted = graft.operators.FuncDeps.mine(ord, FdMineCols,
+          ndvHints = Map("o_custkey" -> est),
+          nullFreeHints = Set("o_custkey"))
+        val h1 = mined.filter(col("holds")).select("det", "dep")
+        val h2 = hinted.filter(col("holds")).select("det", "dep")
+        require(h1.exceptAll(h2).isEmpty && h2.exceptAll(h1).isEmpty,
+          "the sidecar-hinted mine must discover the same held set")
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+      mined.filter(col("holds")).select("det", "dep")
+        .orderBy("det", "dep")
+    }, Some(fdMineOracleSql))),
 
     // Column profiling summary (long format): rows / nulls / exact NDV /
     // min / max in ONE scan (stack pivots the single agg row). Exact NDV
