@@ -1208,6 +1208,8 @@ object LlmQueries {
         cents.write.parquet(tmp.resolve("centroids").toString)
         cb.write.parquet(tmp.resolve("codebook").toString)
         codes.write.parquet(tmp.resolve("codes").toString)
+        Q.Phase.setupDone() // offline build + persist = fixture; op =
+                            // the serving path (load index + query)
         Similarity.ivfPqQuery(q,
             spark.read.parquet(tmp.resolve("centroids").toString),
             spark.read.parquet(tmp.resolve("codebook").toString),
@@ -1231,10 +1233,16 @@ object LlmQueries {
       val q = emb.filter(col("vec_id") < 8)
       val base = emb.filter(col("vec_id") < 100)
       val add = emb.filter(col("vec_id") >= 100)
-      val (cents, cb, codes0) = Similarity.ivfPqBuild(base, "vec_id",
+      val (cents0, cb0, codesBase0) = Similarity.ivfPqBuild(base, "vec_id",
         "embedding", dim = 64, nlist = 32, m = 8, ncodes = 64)
-      val codes = codes0.unionByName(Similarity.ivfPqEncode(add, cents, cb,
-        "vec_id", "embedding", dim = 64, m = 8))
+      // the frozen base-epoch model is the fixture: materialize it so
+      // the op phase measures encode-append + query, not the k-means
+      val cents = cents0.localCheckpoint()
+      val cb = cb0.localCheckpoint()
+      val codesBase = codesBase0.localCheckpoint()
+      Q.Phase.setupDone()
+      val codes = codesBase.unionByName(Similarity.ivfPqEncode(add, cents,
+        cb, "vec_id", "embedding", dim = 64, m = 8))
       Similarity.ivfPqQuery(q, cents, cb, codes, emb, "vec_id", "embedding",
         dim = 64, k = 10, nprobe = 8, m = 8, rerank = 8)
         .orderBy("query_id", "rank")

@@ -782,7 +782,10 @@ object RetrievalQueries {
 
     // Char-distribution entropy (a–z + space): counts via the
     // length-minus-translate identity, one bound 27-count array, fixed-
-    // order -Σ p·ln p fold — per-row codegen map, zero shuffles
+    // order -Σ p·ln p fold — per-row codegen map, zero shuffles.
+    // >3 s in battery yet GENUINELY ALL-OP (the dd-heavy discipline):
+    // no setup, no proof arm — the cost is the 27 per-character string
+    // traversals per row; a phase split would report setup=assert=0.
     "text_entropy" -> (((spark, dir) => {
       load(spark, dir, "documents")
         .select(col("doc_id"),
