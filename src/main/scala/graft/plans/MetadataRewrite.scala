@@ -5,12 +5,13 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Complete, Count, Max, Min}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation,
-  LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+  LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.sink.{MetadataAgg, Sidecars}
 
@@ -50,7 +51,8 @@ class MetadataRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case agg: Aggregate if agg.groupingExpressions.isEmpty =>
-      rewrite(agg).getOrElse(agg)
+      rewrite(agg).orElse(rewriteFilteredCount(agg)).getOrElse(agg)
+    case agg: Aggregate => rewriteGrouped(agg).getOrElse(agg)
   }
 
   /** The whole-table scan under the aggregate — a bare relation or the
@@ -109,5 +111,106 @@ class MetadataRewrite extends Rule[LogicalPlan] {
     // names, types) so parents never see the substitution
     Some(LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
       Seq(InternalRow(values: _*))))
+  }
+
+  /** The root dir of a single-root whole-table scan, or None. */
+  private def dirOf(child: LogicalPlan): Option[String] =
+    scanOf(child).flatMap { lr =>
+      val roots = lr.relation.asInstanceOf[HadoopFsRelation]
+        .location.rootPaths
+      if (roots.size == 1) Some(roots.head.toUri.getPath) else None
+    }
+
+  private def isCount1(ae: AggregateExpression): Boolean = ae match {
+    case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false,
+        _, _) => true
+    case _ => false
+  }
+
+  /** `count(*) WHERE histCol = 'v'` over a declared D236 histogram
+    * plane: the one filtered shape a per-value histogram answers
+    * exactly. The Filter may sit under/over the pruning Project. */
+  private def rewriteFilteredCount(agg: Aggregate): Option[LogicalPlan] = {
+    def stripProject(p: LogicalPlan): LogicalPlan = p match {
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        stripProject(c)
+      case other => other
+    }
+    val (cond, below) = stripProject(agg.child) match {
+      case Filter(c, ch) => (c, ch)
+      case _ => return None
+    }
+    val dir = dirOf(stripProject(below)).getOrElse(return None)
+    // the optimizer rewrites `g = 'v'` to `isnotnull(g) AND g = 'v'`
+    // (null-intolerance inference): accept exactly one string equality
+    // plus any IsNotNull conjuncts on the SAME attribute (redundant
+    // under the equality — dropping them changes nothing)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val cs = conjuncts(cond)
+    val eqs = cs.collect {
+      case EqualTo(a: AttributeReference, Literal(v: UTF8String, StringType)) =>
+        (a, v.toString)
+      case EqualTo(Literal(v: UTF8String, StringType), a: AttributeReference) =>
+        (a, v.toString)
+    }
+    if (eqs.size != 1) return None
+    val (attr, value) = eqs.head
+    val colName = attr.name
+    val othersOk = cs.forall {
+      case _: EqualTo => true // the one collected above
+      case IsNotNull(a: AttributeReference) => a.semanticEquals(attr)
+      case _ => false
+    }
+    if (!othersOk) return None
+    if (!Sidecars.declared(dir).exists {
+      case Sidecars.Hist(c, _) => c == colName; case _ => false
+    }) return None
+    val n = MetadataAgg.countWhere(dir, colName, value)
+      .getOrElse(return None) // stale → stand down
+    val values: Seq[Long] = agg.aggregateExpressions.map {
+      case Alias(ae: AggregateExpression, _) if isCount1(ae) => n
+      case ae: AggregateExpression if isCount1(ae) => n
+      case _ => return None
+    }
+    Some(LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
+      Seq(InternalRow(values: _*))))
+  }
+
+  /** `GROUP BY histCol` + `count(1)` over a declared D236 histogram
+    * plane: one LocalRelation row per value (the NULL group included —
+    * the histogram tracks it, exactly as GROUP BY does). */
+  private def rewriteGrouped(agg: Aggregate): Option[LogicalPlan] = {
+    val dir = dirOf(agg.child).getOrElse(return None)
+    val groupAttr = agg.groupingExpressions match {
+      case Seq(a: AttributeReference) if a.dataType == StringType => a
+      case _ => return None
+    }
+    if (!Sidecars.declared(dir).exists {
+      case Sidecars.Hist(c, _) => c == groupAttr.name; case _ => false
+    }) return None
+    val hist = MetadataAgg.histCounts(dir, groupAttr.name)
+      .getOrElse(return None) // stale → stand down
+    // each output: the grouping attr (bare or aliased) | count(1)
+    sealed trait Slot
+    case object GroupSlot extends Slot
+    case object CountSlot extends Slot
+    val slots: Seq[Slot] = agg.aggregateExpressions.map {
+      case a: AttributeReference if a.semanticEquals(groupAttr) => GroupSlot
+      case Alias(a: AttributeReference, _)
+          if a.semanticEquals(groupAttr) => GroupSlot
+      case Alias(ae: AggregateExpression, _) if isCount1(ae) => CountSlot
+      case ae: AggregateExpression if isCount1(ae) => CountSlot
+      case _ => return None
+    }
+    val rows = hist.toSeq.sortBy(_._1.getOrElse("")).map { case (v, n) =>
+      InternalRow(slots.map {
+        case GroupSlot => v.map(UTF8String.fromString).orNull
+        case CountSlot => n
+      }: _*)
+    }
+    Some(LocalRelation(agg.aggregateExpressions.map(_.toAttribute), rows))
   }
 }

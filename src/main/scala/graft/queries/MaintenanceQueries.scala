@@ -1200,6 +1200,77 @@ object MaintenanceQueries {
              max(o_orderkey) AS mx
       FROM orders"""))),
 
+    // D236 — metadata-only GROUP BY via per-file categorical histogram
+    // sidecars (MetadataAgg.histCounts + Sidecars.Hist): each file
+    // carries exact per-value counts of one declared low-cardinality
+    // column; histograms add, so grouped counts and
+    // `count(*) WHERE c = v` serve with ZERO Spark jobs — exactly.
+    // Both the explicit API and the D234 TRANSPARENT rewrite arms are
+    // proven (grouped + filtered plans collapse to LocalRelation,
+    // zero-jobs sentinel); a smuggled file stands the plane down and
+    // the same plans keep their scans; a never-occurring value answers
+    // 0 (a valid exact answer, not a stand-down). Oracle: the grouped
+    // counts recomputed by a full scan of the source table.
+    "q_hist_sidecar" -> (((spark, dir) => {
+      val tmp = Q.scratchDir("hist_gate")
+      try {
+        val t = tmp.resolve("ord").toString
+        load(spark, dir, "orders").select("o_orderkey", "o_orderpriority")
+          .repartition(8).write.parquet(t)
+        graft.sink.Sidecars.declare(spark, t, Seq(
+          graft.sink.Sidecars.Hist("o_orderpriority", maxDistinct = 16)))
+        graft.plans.MetadataRewrite.ensureInstalled(spark)
+        def grouped() = spark.read.parquet(t)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+        def filtered() = spark.read.parquet(t)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .agg(count(lit(1)).as("n"))
+        def isLocal(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.optimizedPlan.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+        Q.Phase.setupDone() // table + plane + installed rule = fixture
+        val (g, f, api) = {
+          val gq = grouped(); val fq = filtered()
+          require(isLocal(gq) && isLocal(fq),
+            "grouped + filtered counts must collapse to LocalRelation")
+          Q.requireZeroJobs(spark, "hist_only") {
+            (gq.collect(), fq.collect().head.getLong(0),
+              graft.sink.MetadataAgg.histCounts(t, "o_orderpriority"))
+          }
+        }
+        Q.Phase.opDone() // stand-down proofs below
+        require(api.nonEmpty, "the explicit API must answer when fresh")
+        require(graft.sink.MetadataAgg.countWhere(t, "o_orderpriority",
+          "9-NO-SUCH").contains(0L),
+          "a never-occurring value answers 0 exactly, not a stand-down")
+        val fApi = api.get.getOrElse(Some("1-URGENT"), 0L)
+        require(f == fApi,
+          s"rewrite and explicit API must agree ($f vs $fApi)")
+        // staleness arm: smuggle a file — both plans keep their scans,
+        // the fallback sees the duplicate rows
+        val file = graft.sink.StageWriter.listDataFiles(
+          java.nio.file.Paths.get(t)).head
+        java.nio.file.Files.copy(file,
+          file.getParent.resolve("zz_smuggled.parquet"))
+        require(!isLocal(grouped()) && !isLocal(filtered()),
+          "a foreign file must keep the scan in both plans")
+        require(graft.sink.MetadataAgg
+          .histCounts(t, "o_orderpriority").isEmpty,
+          "the explicit API stands down too")
+        val total = g.map(_.getLong(1)).sum
+        require(grouped().agg(sum(col("n"))).head().getLong(0) > total,
+          "the stand-down fallback must see the smuggled rows")
+        spark.createDataFrame(g.map(r =>
+            (r.getString(0), r.getLong(1))).toSeq)
+          .toDF("o_orderpriority", "n")
+          .orderBy("o_orderpriority").coalesce(1).localCheckpoint()
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT o_orderpriority, count(*) AS n
+      FROM orders GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))),
+
     // D231 — metadata-only NDV from per-file KMV sketch sidecars
     // (MetadataAgg.ndvEstimate + Sidecars.Ndv): the CBO distinct-count
     // statistic answered with ZERO Spark jobs. The union of per-file

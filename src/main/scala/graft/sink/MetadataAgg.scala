@@ -205,6 +205,145 @@ object MetadataAgg {
     }
   }
 
+  // ---- categorical histogram plane (SURVEY §2D, D236) ----------------
+  //
+  // The GROUP-BY twin of the counts plane: each file carries the exact
+  // per-value row counts of ONE declared low-cardinality column (a
+  // status / priority / dict column — the shape warehouse zone maps
+  // cannot serve but a histogram trivially can). Per-file histograms
+  // add, so merging the sidecar answers `GROUP BY c` counts and
+  // `count(*) WHERE c = v` with ZERO Spark jobs — exactly, not
+  // approximately. Cardinality is a declared bound enforced at write
+  // time (refuse loudly, never a silently-huge sidecar); NULL is a
+  // tracked bucket (SQL GROUP BY has a NULL group). Flat layouts only
+  // (the __stats__ scope), same freshness contract as every plane.
+
+  private def histFile(path: String) = Paths.get(path + ".__hist__")
+
+  private def encHist(v: Option[String]): String = v match {
+    case None => " " // never url-encoded output: cannot collide
+    case Some(s) => java.net.URLEncoder.encode(s, "UTF-8")
+  }
+  private def decHist(s: String): Option[String] =
+    if (s == " ") None
+    else Some(java.net.URLDecoder.decode(s, "UTF-8"))
+
+  /** Build/refresh the per-file value-histogram plane: ONE
+    * (file, value) count aggregation at write cadence. Refuses when
+    * the column's observed cardinality exceeds `maxDistinct` — a
+    * histogram plane on a high-NDV column is a config error. */
+  def writeHist(spark: org.apache.spark.sql.SparkSession, path: String,
+      colName: String, maxDistinct: Int = 64): Unit = {
+    require(flatLayout(path),
+      s"the histogram plane covers flat layouts only; $path is " +
+        "partitioned")
+    import org.apache.spark.sql.functions._
+    val rows = spark.read.parquet(path)
+      .select(input_file_name().as("f"),
+        col(colName).cast("string").as("v"))
+      .groupBy("f", "v").agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect()
+    val values = rows.map(r => Option(r.getString(1))).distinct
+    require(values.size <= maxDistinct,
+      s"$colName carries ${values.size} distinct values — above the " +
+        s"declared histogram bound $maxDistinct; raise it or drop the " +
+        "plane")
+    val byFile = rows.groupBy(_.getString(0).split('/').last)
+      .map { case (f, rs) =>
+        f -> rs.map(r => Option(r.getString(1)) -> r.getLong(2)).toSeq
+      }
+    val names = StageWriter.listDataFiles(Paths.get(path))
+      .map(_.getFileName.toString)
+    writeHistSidecar(path, colName, maxDistinct,
+      names.map(n => n -> byFile.getOrElse(n, Seq.empty)).toMap)
+  }
+
+  private def writeHistSidecar(path: String, colName: String,
+      maxDistinct: Int,
+      hists: Map[String, Seq[(Option[String], Long)]]): Unit =
+    graft.state.TabSidecar.write(histFile(path),
+      s"#hist\t$colName\t$maxDistinct" +:
+        hists.toSeq.sortBy(_._1).map { case (n, vs) =>
+          n + "\t" + vs.sortBy(p => p._1.getOrElse(""))
+            .map { case (v, c) => s"${encHist(v)}:$c" }.mkString(",")
+        })
+
+  private def loadHistRaw(path: String): Option[(String, Int,
+      Map[String, Seq[(Option[String], Long)]])] = {
+    val f = histFile(path)
+    if (!Files.isRegularFile(f)) return None
+    import scala.jdk.CollectionConverters._
+    val lines = Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty)
+    lines.headOption.flatMap { h =>
+      h.split("\t") match {
+        case Array("#hist", c, k) =>
+          scala.util.Try(k.toInt).toOption.map { kk =>
+            (c, kk, lines.tail.flatMap { l =>
+              l.split("\t", 2) match {
+                case Array(n, body) => Some(n ->
+                  (if (body.isEmpty) Seq.empty[(Option[String], Long)]
+                  else body.split(',').toSeq.map { cell =>
+                    val i = cell.lastIndexOf(':')
+                    decHist(cell.substring(0, i)) ->
+                      cell.substring(i + 1).toLong
+                  }))
+                case Array(n) =>
+                  Some(n -> Seq.empty[(Option[String], Long)])
+                case _ => None
+              }
+            }.toMap)
+          }
+        case _ => None
+      }
+    }
+  }
+
+  /** O(changed files) histogram maintenance after a targeted rewrite. */
+  private[sink] def maintainHistAfterRewrite(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      removed: Set[String], added: Seq[Path]): Unit =
+    loadHistRaw(path) match {
+      case Some((c, k, m)) if added.nonEmpty || removed.nonEmpty =>
+        import org.apache.spark.sql.functions._
+        val fresh: Map[String, Seq[(Option[String], Long)]] =
+          if (added.isEmpty) Map.empty
+          else spark.read.parquet(added.map(_.toString): _*)
+            .select(input_file_name().as("f"),
+              col(c).cast("string").as("v"))
+            .groupBy("f", "v").agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+            .collect()
+            .groupBy(_.getString(0).split('/').last)
+            .map { case (f, rs) => f ->
+              rs.map(r => Option(r.getString(1)) -> r.getLong(2)).toSeq }
+        writeHistSidecar(path, c, k, (m -- removed) ++
+          added.map(_.getFileName.toString)
+            .map(n => n -> fresh.getOrElse(n, Seq.empty)))
+      case _ => ()
+    }
+
+  /** Metadata-only `GROUP BY column` row counts (the NULL group under
+    * `None`): merge the inventory-validated per-file histograms.
+    * `None` = no plane, wrong column, partitioned layout, or stale
+    * inventory — stand down to the scan. */
+  def histCounts(path: String,
+      colName: String): Option[Map[Option[String], Long]] =
+    loadHistRaw(path).flatMap { case (c, _, m) =>
+      if (c != colName || !flatLayout(path)) None
+      else {
+        val inv = StageWriter.listDataFiles(Paths.get(path))
+          .map(_.getFileName.toString).toSet
+        if (m.keySet != inv) None
+        else Some(m.values.flatten
+          .groupBy(_._1).map { case (v, cs) => v -> cs.map(_._2).sum })
+      }
+    }
+
+  /** Metadata-only `count(*) WHERE column = value` (0 when the value
+    * never occurs — a valid exact answer, not a stand-down). */
+  def countWhere(path: String, colName: String,
+      value: String): Option[Long] =
+    histCounts(path, colName).map(_.getOrElse(Some(value), 0L))
+
   // ---- NDV plane (SURVEY §2D, D231): per-file KMV sketches -----------
   //
   // The distinct-count twin of the counts plane: each file carries the

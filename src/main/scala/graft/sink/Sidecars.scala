@@ -63,6 +63,11 @@ object Sidecars {
     * — metadata-only percentiles over the deterministic D44 sample. */
   final case class Kmh(valueColumn: String, key1: String, key2: String,
     k: Int = 1024) extends Plane
+  /** D236 per-file categorical value histogram
+    * ([[MetadataAgg.histCounts]]) — metadata-only GROUP BY /
+    * filtered counts on one declared low-cardinality column. */
+  final case class Hist(column: String, maxDistinct: Int = 64)
+    extends Plane
 
   private def manifestFile(path: String): Path =
     Paths.get(path + ".__sidecars__")
@@ -76,10 +81,11 @@ object Sidecars {
     // partitioned table their (empty) inventory check would pass
     // vacuously — refuse at declare time rather than write a sidecar
     // whose freshness contract cannot bind
-    require(!planes.exists(p =>
-        p.isInstanceOf[Ndv] || p.isInstanceOf[Kmh]) ||
+    require(!planes.exists(p => p.isInstanceOf[Ndv] ||
+        p.isInstanceOf[Kmh] || p.isInstanceOf[Hist]) ||
       MetadataAgg.flatLayout(path),
-      s"Ndv/Kmh planes cover flat layouts only; $path is partitioned")
+      s"Ndv/Kmh/Hist planes cover flat layouts only; $path is " +
+        "partitioned")
     val lines = planes.map {
       case Stats(c) => s"stats\t$c"
       case Zone(cs) => s"zone\t${cs.mkString(",")}"
@@ -87,6 +93,7 @@ object Sidecars {
       case Counts => "counts"
       case Ndv(c, k) => s"ndv\t$c\t$k"
       case Kmh(vc, c1, c2, k) => s"kmh\t$vc\t$c1\t$c2\t$k"
+      case Hist(c, k) => s"hist\t$c\t$k"
     }
     val target = manifestFile(path)
     val tmp = Files.createTempFile(
@@ -114,6 +121,8 @@ object Sidecars {
           scala.util.Try(Ndv(c, k.toInt)).toOption
         case "kmh" :: vc :: c1 :: c2 :: k :: Nil =>
           scala.util.Try(Kmh(vc, c1, c2, k.toInt)).toOption
+        case "hist" :: c :: k :: Nil =>
+          scala.util.Try(Hist(c, k.toInt)).toOption
         case _ => None // unknown plane line: ignore, never guess
       }
     }
@@ -154,6 +163,7 @@ object Sidecars {
       case Ndv(c, k) => MetadataAgg.writeNdv(spark, path, c, k)
       case Kmh(vc, c1, c2, k) =>
         MetadataAgg.writeKmh(spark, path, vc, c1, c2, k)
+      case Hist(c, k) => MetadataAgg.writeHist(spark, path, c, k)
       case _ => () // stats/zone: served by the combined scan above
     }
   }
@@ -178,6 +188,8 @@ object Sidecars {
         MetadataAgg.maintainNdvAfterRewrite(spark, path, removed, added)
       case Kmh(_, _, _, _) =>
         MetadataAgg.maintainKmhAfterRewrite(spark, path, removed, added)
+      case Hist(_, _) =>
+        MetadataAgg.maintainHistAfterRewrite(spark, path, removed, added)
       case _ => () // stats: maintained inline by targetedCommit; zone: above
     }
   }

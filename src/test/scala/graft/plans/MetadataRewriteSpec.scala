@@ -48,6 +48,41 @@ class MetadataRewriteSpec extends AnyFunSuite {
     } finally StageWriter.deleteRecursively(tmp)
   }
 
+  test("D236 histogram plane: GROUP BY counts and filtered counts " +
+    "collapse to LocalRelation (null group included); other filters " +
+    "and grouped aggregates keep the scan") {
+    val tmp = Files.createTempDirectory("metarw_hist")
+    try {
+      val p = tmp.resolve("t").toString
+      spark.range(0, 900).select(col("id").as("k"),
+          when(col("id") % 9 === 0, lit(null))
+            .otherwise(concat(lit("g"), col("id") % 4)).as("g"))
+        .repartition(3).write.parquet(p)
+      graft.sink.Sidecars.declare(spark, p,
+        Seq(graft.sink.Sidecars.Hist("g", maxDistinct = 8)))
+      MetadataRewrite.ensureInstalled(spark)
+      def t = spark.read.parquet(p)
+      val grouped = t.groupBy("g").agg(count(lit(1)).as("n"))
+      assert(isLocal(grouped), "grouped counts must rewrite")
+      val scan = t.groupBy("g").agg(count(lit(1)).as("n"))
+        .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+      val got = grouped.collect()
+        .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+      assert(got == scan && got.contains(None),
+        s"rewritten groups must equal the scan incl. the NULL group")
+      val filtered = t.filter(col("g") === "g2").agg(count(lit(1)).as("n"))
+      assert(isLocal(filtered))
+      assert(filtered.collect().head.getLong(0) == scan(Some("g2")))
+      val missing = t.filter(col("g") === "zz").agg(count(lit(1)).as("n"))
+      assert(isLocal(missing) && missing.collect().head.getLong(0) == 0L)
+      // a range filter / a non-count aggregate / grouping by another
+      // column: the histogram cannot serve — scan stays
+      assert(!isLocal(t.filter(col("k") > 10).agg(count(lit(1)).as("n"))))
+      assert(!isLocal(t.groupBy("g").agg(sum("k").as("s"))))
+      assert(!isLocal(t.groupBy("k").agg(count(lit(1)).as("n"))))
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+
   test("disqualifiers keep the scan: filter, grouping, unsupported " +
     "aggregate, non-stats column, undeclared table, stale inventory") {
     val tmp = Files.createTempDirectory("metarw_neg")

@@ -217,6 +217,53 @@ class MetadataAggSpec extends AnyFunSuite {
     } finally StageWriter.deleteRecursively(tmp)
   }
 
+  test("histogram plane: merged per-file value counts equal the scan's " +
+    "GROUP BY (null bucket included), survive the targeted merge, " +
+    "refuse high cardinality, and stand down on staleness") {
+    val tmp = Files.createTempDirectory("metaagg_hist")
+    try {
+      val p = tmp.resolve("t").toString
+      def frame(lo: Long, hi: Long) = spark.range(lo, hi)
+        .select(col("id").as("k"),
+          when(col("id") % 11 === 0, lit(null))
+            .otherwise(concat(lit("s"), col("id") % 5)).as("s"))
+      StageWriter.mergeInto(spark, frame(0, 3000), p, Seq("k"))
+      Sidecars.declare(spark, p,
+        Seq(Sidecars.Stats("k"), Sidecars.Hist("s", maxDistinct = 8)))
+      def scanCounts(): Map[Option[String], Long] =
+        spark.read.parquet(p).groupBy("s").count().collect()
+          .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+      assert(MetadataAgg.histCounts(p, "s").contains(scanCounts()),
+        "merged histograms must equal the scan's GROUP BY with nulls")
+      assert(MetadataAgg.countWhere(p, "s", "s3")
+        .contains(scanCounts()(Some("s3"))))
+      assert(MetadataAgg.countWhere(p, "s", "nope").contains(0L))
+      assert(MetadataAgg.histCounts(p, "k").isEmpty,
+        "an undescribed column stands down")
+      // targeted merge changes value frequencies; the plane must patch
+      StageWriter.mergeInto(spark, spark.range(2990, 3100)
+        .select(col("id").as("k"), lit("s0").as("s")), p, Seq("k"))
+      assert(MetadataAgg.histCounts(p, "s").contains(scanCounts()),
+        "the histogram plane must stay exact through a targeted merge")
+      // a value with a tab/colon round-trips through the encoding
+      val weird = tmp.resolve("w").toString
+      spark.range(0, 10).select(col("id").as("k"),
+          lit("a:b\tc,d e%").as("s"))
+        .coalesce(1).write.parquet(weird)
+      MetadataAgg.writeHist(spark, weird, "s", 4)
+      assert(MetadataAgg.countWhere(weird, "s", "a:b\tc,d e%")
+        .contains(10L))
+      // cardinality refusal
+      intercept[IllegalArgumentException] {
+        MetadataAgg.writeHist(spark, p, "k", 16)
+      }
+      // staleness
+      val f = StageWriter.listDataFiles(tmp.resolve("t")).head
+      Files.copy(f, f.getParent.resolve("zz_foreign.parquet"))
+      assert(MetadataAgg.histCounts(p, "s").isEmpty)
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+
   test("the counts plane stays fresh through overwrite and the " +
     "file-targeted merge (O(changed files) maintenance)") {
     val tmp = Files.createTempDirectory("metaagg_fresh")
