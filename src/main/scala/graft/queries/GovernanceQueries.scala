@@ -811,6 +811,88 @@ object GovernanceQueries {
              max(i_end - i_start) AS longest
       FROM merged GROUP BY user_id ORDER BY user_id"""))),
 
+    // D237 — STREAMING session windows (Streams.sessionStream), the
+    // watermark-fenced twin of evt_sessionize: events arrive out of
+    // order across micro-batches (odd users before even, one file per
+    // trigger), per-key state holds only the OPEN sessions (an event
+    // merges everything within the 1 h gap — possibly bridging two
+    // sessions — so the result is a function of the event-time
+    // multiset, arrival-order-independent), and a session is emitted
+    // exactly when the watermark passes end + gap. Totals ride exact
+    // DECIMAL(18,2) cents through state so the batch twin's decimal
+    // fold replays bit-for-bit. Oracle: the batch gaps-and-islands
+    // sessionizer reshaped to (start, end, n, total).
+    "evt_stream_sessions" -> (((spark, dir) =>
+        withStreamPartitions(spark) {
+      import org.apache.spark.sql.streaming.Trigger
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = Q.scratchDir("sess_gate")
+      try {
+        val src = tmp.resolve("src").toString
+        val ev = load(spark, dir, "events")
+        val se = ev.select(col("user_id"), col("ts"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents"))
+          .withColumn("event_time",
+            timestamp_micros((col("ts") / 1000).cast("long")))
+        Q.FixtureCache.link(spark, s"$dir|sess_odd", src)(
+          se.filter(col("user_id") % 2 === 1).coalesce(1))
+        Q.FixtureCache.link(spark, s"$dir|sess_even", src)(
+          se.filter(col("user_id") % 2 === 0).coalesce(1))
+        // sentinel: pushes the final watermark past every real
+        // session's end + gap (+200 d − 180 d lateness = +20 d)
+        Q.FixtureCache.link(spark, s"$dir|sess_sentinel", src) {
+          val mx = ev.agg(max(col("ts"))).head().getLong(0)
+          val sNs = mx + 200L * 86400 * 1000000000L
+          spark.range(1).select(lit(-999L).as("user_id"),
+              lit(sNs).as("ts"), lit(0L).as("cents"),
+              timestamp_micros(lit(sNs / 1000)).as("event_time"))
+            .coalesce(1)
+        }
+        val schema = spark.read.parquet(src).schema
+        // one-file-per-batch forces incremental watermark advancement;
+        // in one batch the final no-data micro-batch flushes the same
+        // sessions at the same watermark (Q.benchLean contract)
+        val in = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger",
+            if (Q.benchLean) "1000" else "1")
+          .parquet(src)
+        val sessions = graft.streaming.Streams.sessionStream(
+          in.as[graft.streaming.Streams.SessEvent](
+            org.apache.spark.sql.Encoders.product),
+          gapNs = 3600L * 1000000000L, lateness = "180 days")
+        val sink = s"evt_stream_sess_${Q.nextSinkId()}"
+        val q = sessions.toDF().writeStream.format("memory")
+          .queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        spark.table(sink)
+          .filter(col("user_id") =!= -999L)
+          .select(col("user_id"), expr("start_ns div 1000").as("start_us"),
+            expr("end_ns div 1000").as("end_us"), col("n_events"),
+            (col("cents") / lit(100.0)).as("total"))
+          .orderBy("user_id", "start_us")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      WITH marked AS (
+        SELECT user_id, epoch_ns(ts) AS tsn, "value",
+               CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+                      (PARTITION BY user_id ORDER BY epoch_ns(ts))
+                    > 3600 * CAST(1000000000 AS BIGINT)
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      sess AS (
+        SELECT user_id, tsn, "value",
+               CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsn
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM marked)
+      SELECT user_id, min(tsn) // 1000 AS start_us,
+             max(tsn) // 1000 AS end_us, count(*) AS n_events,
+             CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM sess GROUP BY user_id, session_id
+      ORDER BY user_id, start_us"""))),
+
     // Battery hardening (not a SURVEY row): VALUE-based (RANGE) window
     // frames — every other window gate is row-framed; a trailing-hour
     // frame is defined by the ORDER value, includes ties symmetrically

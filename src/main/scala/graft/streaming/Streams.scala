@@ -153,6 +153,78 @@ object Streams {
         })
   }
 
+  /** One session-stream input event: `ts` in nanos (the Q.load dialect),
+    * `cents` = the event's value pre-cast to DECIMAL(18,2) hundredths so
+    * state sums a Long and the emitted total replays the batch twin's
+    * exact decimal fold; `event_time` = ts at micro precision (the
+    * watermark column the caller derives). */
+  final case class SessEvent(user_id: Long, ts: Long, cents: Long,
+    event_time: java.sql.Timestamp)
+  /** Open sessions of one key: (start, end, n, cents), sorted,
+    * pairwise more than `gap` apart. */
+  final case class SessionsState(open: List[(Long, Long, Long, Long)])
+  /** One CLOSED gap-session (final by the watermark fence). */
+  final case class GapSession(user_id: Long, start_ns: Long, end_ns: Long,
+    n_events: Long, cents: Long)
+
+  /** Streaming session windows (SURVEY §2D, D237) — the watermark-fenced
+    * twin of the batch gaps-and-islands sessionizer (`evt_sessionize`):
+    * events arrive IN ANY ORDER across micro-batches; per-key state
+    * holds only the currently-open sessions (an event merges every
+    * session within `gapNs` of it, possibly bridging two — exactly the
+    * lag-over-sorted semantics, which makes the result a function of
+    * the event-time multiset, independent of arrival order); a session
+    * is emitted exactly when the watermark passes `end + gap` — no
+    * admissible future event can still attach, so emission is final and
+    * exactly-once without ever buffering raw events.
+    *
+    * State per key = open sessions only, bounded by (lateness horizon /
+    * gap), independent of stream length. An EventTimeTimeout re-visits
+    * keys whose events stopped, the [[coverageStream]] discipline —
+    * without it a closed session would wait forever for a batch that
+    * never comes. */
+  def sessionStream(events: Dataset[SessEvent], gapNs: Long,
+      lateness: String): Dataset[GapSession] = {
+    import events.sparkSession.implicits._
+    // attach t to every session with distance ≤ gap (strictly-greater
+    // gaps split — the batch twin's `ts - lag(ts) > gap` rule)
+    def insert(sorted: List[(Long, Long, Long, Long)], t: Long,
+        c: Long): List[(Long, Long, Long, Long)] = {
+      val (before, rest) = sorted.span(_._2 < t - gapNs)
+      val (overlap, after) = rest.span(_._1 <= t + gapNs)
+      val merged =
+        if (overlap.isEmpty) (t, t, 1L, c)
+        else (math.min(t, overlap.head._1),
+          math.max(t, overlap.map(_._2).max),
+          overlap.map(_._3).sum + 1L, overlap.map(_._4).sum + c)
+      before ::: merged :: after
+    }
+    events.withWatermark("event_time", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, rows: Iterator[SessEvent],
+         state: GroupState[SessionsState]) => {
+          var open = state.getOption.map(_.open).getOrElse(Nil)
+          rows.foreach(r => open = insert(open, r.ts, r.cents))
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmNs = wmMs * 1000000L
+          val (closed, still) = open.partition(_._2 + gapNs < wmNs)
+          if (still.isEmpty) state.remove()
+          else {
+            state.update(SessionsState(still))
+            // wake when the watermark can first fence the earliest open
+            // session's end + gap (never at-or-before the current
+            // watermark — Spark rejects a non-advancing timeout)
+            state.setTimeoutTimestamp(math.max(
+              (still.map(_._2).min + gapNs) / 1000000L + 1L, wmMs + 1L))
+          }
+          closed.iterator.map { case (s, e, n, c) =>
+            GapSession(uid, s, e, n, c)
+          }
+        })
+  }
+
   /** Streaming exact dedup: drops re-deliveries of the same key within the
     * watermark horizon — state stays bounded by `lateness` instead of
     * growing with the stream (the streaming twin of Dedup.exact). */
