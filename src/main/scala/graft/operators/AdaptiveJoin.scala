@@ -84,6 +84,69 @@ object AdaptiveJoin {
     Profile(ln, rn, lmax, rmax, est, strategy)
   }
 
+  /** Metadata-priced strategy choice (SURVEY §2D, D238) — the D110
+    * decision served from the D227/D231 sidecar planes with ZERO Spark
+    * jobs: row counts from the counts plane, join cardinality from the
+    * classic uniform-frequency estimate |L ⋈ R| ≈ |L|·|R| / max(ndv_L,
+    * ndv_R) (the System R formula every CBO ships) over the KMV NDV
+    * planes — the "join planner consumes the catalog statistics" path a
+    * lakehouse CBO runs, here against the engine's own sidecars. The
+    * exact max-frequency skew guard is not derivable from metadata, so
+    * `maxFreq*` report -1 (not measured) and the capped arm keys off
+    * the estimate alone. `None` = any plane missing/stale on either
+    * side — fall back to the measured [[choose]], the stand-down
+    * discipline of every metadata consumer. */
+  def chooseFromSidecars(leftPath: String, leftKey: String,
+      rightPath: String, rightKey: String,
+      broadcastRows: Long = 1L << 20,
+      maxEstRows: Long = Long.MaxValue): Option[Profile] =
+    for {
+      ln <- graft.sink.MetadataAgg.count(leftPath)
+      rn <- graft.sink.MetadataAgg.count(rightPath)
+      lndv <- graft.sink.MetadataAgg.ndvEstimate(leftPath, leftKey)
+      rndv <- graft.sink.MetadataAgg.ndvEstimate(rightPath, rightKey)
+    } yield {
+      val maxNdv = math.max(lndv, rndv)
+      val est =
+        if (maxNdv <= 0.0) 0L
+        else {
+          val e = ln.toDouble * rn.toDouble / maxNdv
+          if (e >= Long.MaxValue.toDouble) Long.MaxValue else e.toLong
+        }
+      val strategy =
+        if (math.min(ln, rn) <= broadcastRows) "broadcast"
+        else if (est > maxEstRows) "capped"
+        else "shuffle"
+      Profile(ln, rn, -1L, -1L, est, strategy)
+    }
+
+  /** [[chooseFromSidecars]], then execute against the two table paths
+    * (right key renamed to the left's for the equi-join). `None` = a
+    * plane stood down — the caller falls back to the measured
+    * [[join]]. */
+  def joinFromSidecars(spark: org.apache.spark.sql.SparkSession,
+      leftPath: String, leftKey: String, rightPath: String,
+      rightKey: String, capEach: Int = 10000,
+      broadcastRows: Long = 1L << 20,
+      maxEstRows: Long = Long.MaxValue): Option[(DataFrame, Profile)] =
+    chooseFromSidecars(leftPath, leftKey, rightPath, rightKey,
+        broadcastRows, maxEstRows).map { p =>
+      val left = spark.read.parquet(leftPath)
+      val right = spark.read.parquet(rightPath)
+        .withColumnRenamed(rightKey, leftKey)
+      val joined = p.strategy match {
+        case "broadcast" =>
+          if (p.leftRows <= p.rightRows)
+            broadcast(left).join(right, Seq(leftKey), "inner")
+          else left.join(broadcast(right), Seq(leftKey), "inner")
+        case "capped" =>
+          JoinGuard.cappedJoin(left, right, leftKey, maxEstRows, capEach,
+            Nil, Nil)
+        case _ => left.join(right, Seq(leftKey), "inner")
+      }
+      (joined, p)
+    }
+
   /** Choose, then execute: broadcast hints the smaller side; capped runs
     * [[JoinGuard.cappedJoin]] (tiebreaks make the cap deterministic);
     * shuffle leaves the plan to Catalyst + AQE. Returns the joined frame

@@ -699,6 +699,89 @@ object MiningQueries {
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE p_size < 3"""))),
 
+    // D238 — metadata-priced join planning (AdaptiveJoin
+    // .chooseFromSidecars): the D110 decision served from the
+    // D227/D231 sidecar planes with ZERO Spark jobs — counts give the
+    // side sizes, the KMV NDV planes feed the System R uniform
+    // cardinality estimate |L|·|R|/max(ndv). On the lineitem⋈part key-
+    // FK join the estimate is near-EXACT by construction (max ndv =
+    // |part|, so est ≈ |lineitem| — require()d within KMV error), the
+    // executed plan must actually broadcast, and tightening the
+    // thresholds flips the same metadata into shuffle/capped verdicts.
+    // A smuggled file stands the metadata path down (None) and the
+    // measured chooser takes over with the same verdict. Oracle: the
+    // unfiltered join aggregate.
+    "q_cbo_sidecar" -> (((spark, dir) => {
+      val tmp = Q.scratchDir("cbo_sc")
+      try {
+        val dimP = tmp.resolve("dim").toString
+        val factP = tmp.resolve("fact").toString
+        load(spark, dir, "part").select("p_partkey", "p_size")
+          .coalesce(2).write.parquet(dimP)
+        load(spark, dir, "lineitem")
+          .select("l_partkey", "l_extendedprice", "l_discount")
+          .repartition(8).write.parquet(factP)
+        graft.sink.Sidecars.declare(spark, dimP, Seq(
+          graft.sink.Sidecars.Counts,
+          graft.sink.Sidecars.Ndv("p_partkey", k = 256)))
+        graft.sink.Sidecars.declare(spark, factP, Seq(
+          graft.sink.Sidecars.Counts,
+          graft.sink.Sidecars.Ndv("l_partkey", k = 256)))
+        Q.Phase.setupDone() // tables + declared planes = fixture
+        val p = Q.requireZeroJobs(spark, "cbo_sc") {
+          graft.operators.AdaptiveJoin.chooseFromSidecars(
+            factP, "l_partkey", dimP, "p_partkey").get
+        }
+        Q.Phase.opDone() // decision-quality + stand-down proofs below
+        require(p.strategy == "broadcast",
+          s"the dim side must broadcast under the default budget ($p)")
+        val exact = spark.read.parquet(factP).count()
+        require(math.abs(p.estJoinRows - exact) <= exact / 5,
+          s"the uniform estimate must be near-exact on a key-FK join " +
+            s"(est ${p.estJoinRows} vs exact $exact)")
+        // the same metadata, tighter budgets: shuffle, then capped
+        require(graft.operators.AdaptiveJoin.chooseFromSidecars(
+          factP, "l_partkey", dimP, "p_partkey",
+          broadcastRows = 10).get.strategy == "shuffle")
+        require(graft.operators.AdaptiveJoin.chooseFromSidecars(
+          factP, "l_partkey", dimP, "p_partkey", broadcastRows = 10,
+          maxEstRows = exact / 2).get.strategy == "capped")
+        // execute the decision: the physical plan must BROADCAST
+        val (joined, _) = graft.operators.AdaptiveJoin.joinFromSidecars(
+          spark, factP, "l_partkey", dimP, "p_partkey").get
+        val agg = joined.agg(count(lit(1)).as("n"),
+          sum((d18(col("l_extendedprice")) *
+            (lit(1) - col("l_discount").cast("decimal(3,2)")))
+            .cast("decimal(18,4)")).cast("double").as("rev"))
+          .withColumn("strategy", lit(p.strategy))
+          .localCheckpoint()
+        val bhj = joined.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin")
+        require(bhj, "the executed plan must broadcast the dim side")
+        // stand-down arm: a foreign file in the dim table → metadata
+        // path None, the measured chooser reaches the same verdict
+        val f = graft.sink.StageWriter.listDataFiles(
+          java.nio.file.Paths.get(dimP)).head
+        java.nio.file.Files.copy(f,
+          f.getParent.resolve("zz_smuggled.parquet"))
+        require(graft.operators.AdaptiveJoin.chooseFromSidecars(
+          factP, "l_partkey", dimP, "p_partkey").isEmpty,
+          "a stale plane must stand the metadata path down")
+        require(graft.operators.AdaptiveJoin.choose(
+          spark.read.parquet(factP), spark.read.parquet(dimP)
+            .withColumnRenamed("p_partkey", "l_partkey"),
+          "l_partkey").strategy == "broadcast",
+          "the measured fallback must reach the same verdict")
+        agg
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (1 - CAST(l_discount AS DECIMAL(3,2)))
+               AS DECIMAL(18,4))) AS DOUBLE) AS rev,
+             'broadcast' AS strategy
+      FROM lineitem JOIN part ON l_partkey = p_partkey"""))),
+
     // D155 — derived-partition pruning (plans.DerivedPartitionPrune +
     // StageWriter.writeDerivedPartitioned): the table is day-partitioned
     // by `d = ts div 86400e9` with the derivation recorded in a sidecar;

@@ -103,4 +103,42 @@ class AdaptiveJoinSpec extends AnyFunSuite {
     assert(p.leftRows == 0 && p.estJoinRows == 0)
     assert(p.strategy == "broadcast")
   }
+
+  test("chooseFromSidecars (D238): counts + NDV planes decide without " +
+    "a scan, the uniform estimate is exact on a key-FK join, and a " +
+    "stale plane stands down to None") {
+    val tmp = java.nio.file.Files.createTempDirectory("cbo_sc_spec")
+    try {
+      val dimP = tmp.resolve("dim").toString
+      val factP = tmp.resolve("fact").toString
+      dim.withColumn("k", col("k").cast("long"))
+        .coalesce(1).write.parquet(dimP)
+      fact.withColumn("k", col("k").cast("long"))
+        .coalesce(2).write.parquet(factP)
+      graft.sink.Sidecars.declare(spark, dimP, Seq(
+        graft.sink.Sidecars.Counts, graft.sink.Sidecars.Ndv("k", 64)))
+      graft.sink.Sidecars.declare(spark, factP, Seq(
+        graft.sink.Sidecars.Counts, graft.sink.Sidecars.Ndv("k", 64)))
+      val p = AdaptiveJoin.chooseFromSidecars(factP, "k", dimP, "k",
+        broadcastRows = 10).get
+      assert(p.strategy == "broadcast" &&
+        p.leftRows == 200 && p.rightRows == 5)
+      // 64 ≥ both domains → KMV exact: est = 200·5/5 = 200 = |join|
+      assert(p.estJoinRows == 200, s"got ${p.estJoinRows}")
+      assert(p.maxFreqLeft == -1L, "metadata path reports no max-freq")
+      assert(AdaptiveJoin.chooseFromSidecars(factP, "k", dimP, "k",
+        broadcastRows = 2).get.strategy == "shuffle")
+      assert(AdaptiveJoin.chooseFromSidecars(factP, "k", dimP, "k",
+        broadcastRows = 2, maxEstRows = 100).get.strategy == "capped")
+      val (joined, _) = AdaptiveJoin.joinFromSidecars(spark,
+        factP, "k", dimP, "k", broadcastRows = 10).get
+      assert(joined.count() == 200)
+      // stale inventory on one side → the whole metadata path is None
+      val f = graft.sink.StageWriter.listDataFiles(tmp.resolve("dim")).head
+      java.nio.file.Files.copy(f,
+        f.getParent.resolve("zz_foreign.parquet"))
+      assert(AdaptiveJoin.chooseFromSidecars(factP, "k", dimP, "k")
+        .isEmpty)
+    } finally graft.sink.StageWriter.deleteRecursively(tmp)
+  }
 }
