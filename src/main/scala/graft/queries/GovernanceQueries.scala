@@ -1313,6 +1313,53 @@ object GovernanceQueries {
              count(*) AS n_islands,
              CAST(sum(i_end - i_start) AS BIGINT) AS covered,
              max(i_end - i_start) AS longest
-      FROM merged GROUP BY user_id ORDER BY user_id""")))
+      FROM merged GROUP BY user_id ORDER BY user_id"""))),
+
+    // D239 — binned point-in-interval join (operators.IntervalJoin):
+    // the range-join shape Spark plans as BNL/cartesian-with-filter
+    // becomes ONE shuffled equi-join on (user_id, bin) — intervals
+    // explode to the 1 h bins they cover, points map to their one bin,
+    // the exact BETWEEN filter closes; each pair meets exactly once
+    // (in the point's bin), so no dedup pass. The gate require()s the
+    // plan carries NO BNL/cartesian before oracling the per-user match
+    // aggregate against DuckDB's native BETWEEN join. Errors probe
+    // click-activity windows: every 'error' event joined to the
+    // [ts, ts + value·60 s] windows of the same user's 'click' events.
+    "evt_binned_range_join" -> (((spark, dir) => {
+      val ev = load(spark, dir, "events")
+      val points = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("t"),
+          col("event_id").as("err_id"))
+      val iv = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("s"),
+          (col("ts") + floor(col("value") * 60) * 1000000000L).as("e"))
+      val joined = graft.operators.IntervalJoin.pointInInterval(
+        points, iv, keys = Seq("user_id"), ptCol = "t",
+        sCol = "s", eCol = "e", binWidth = 3600L * 1000000000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        "the binned join must plan as an equi-join, never a BNL")
+      joined.groupBy("user_id")
+        .agg(count(lit(1)).as("n_matches"),
+          countDistinct(col("err_id")).as("n_errors_in_window"),
+          expr("min(t - s)").as("min_after_open"))
+        .orderBy("user_id")
+    }, Some("""
+      WITH pts AS (
+        SELECT user_id, epoch_ns(ts) AS t, event_id AS err_id
+        FROM events WHERE event_type = 'error'),
+      iv AS (
+        SELECT user_id, epoch_ns(ts) AS s,
+               epoch_ns(ts) + CAST(floor("value" * 60) AS BIGINT)
+                 * 1000000000 AS e
+        FROM events WHERE event_type = 'click')
+      SELECT p.user_id, count(*) AS n_matches,
+             CAST(count(DISTINCT p.err_id) AS BIGINT)
+               AS n_errors_in_window,
+             min(p.t - i.s) AS min_after_open
+      FROM pts p JOIN iv i
+        ON p.user_id = i.user_id AND p.t BETWEEN i.s AND i.e
+      GROUP BY p.user_id ORDER BY p.user_id""")))
   )
 }
