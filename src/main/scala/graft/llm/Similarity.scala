@@ -285,9 +285,14 @@ object Similarity {
     * driver-free: the affected set stays a frame in semi/anti joins. */
   def knnGraphIncrement(corpus: DataFrame, batch: DataFrame,
       oldEdges: DataFrame, idCol: String, vecCol: String,
-      tables: Seq[Seq[Seq[Double]]], k: Int,
-      bucketCap: Int = ScaleConfig.Auto,
+      tables: Seq[Seq[Seq[Double]]], k: Int, bucketCap: Int,
       roundDigits: Int = 4): DataFrame = {
+    // bucketCap is deliberately REQUIRED here (no Auto default): the
+    // splice identity `increment == rebuild` only holds under the SAME
+    // cap the old edges were built with — an Auto re-derivation over
+    // the union histogram could derive a smaller cap once the budget
+    // binds and silently break it. Derive once (ScaleConfig) and
+    // thread the cap through both calls.
     val union = corpus.select(col(idCol), col(vecCol))
       .unionByName(batch.select(col(idCol), col(vecCol)))
     val capped = cappedBuckets(union, idCol, vecCol, tables, bucketCap)

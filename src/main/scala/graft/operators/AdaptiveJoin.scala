@@ -123,12 +123,19 @@ object AdaptiveJoin {
   /** [[chooseFromSidecars]], then execute against the two table paths
     * (right key renamed to the left's for the equi-join). `None` = a
     * plane stood down — the caller falls back to the measured
-    * [[join]]. */
+    * [[join]]. The capped arm passes `maxProduct` — the PER-KEY
+    * frequency-product offender threshold [[JoinGuard.cappedJoin]]
+    * profiles against (maxEstRows is a TOTAL-output budget; feeding it
+    * to the per-key guard would find zero offenders and cap nothing) —
+    * and therefore necessarily runs JoinGuard's measured offender
+    * profiling: metadata prices the DECISION, the cap itself needs the
+    * per-key view metadata cannot carry. */
   def joinFromSidecars(spark: org.apache.spark.sql.SparkSession,
       leftPath: String, leftKey: String, rightPath: String,
       rightKey: String, capEach: Int = 10000,
       broadcastRows: Long = 1L << 20,
-      maxEstRows: Long = Long.MaxValue): Option[(DataFrame, Profile)] =
+      maxEstRows: Long = Long.MaxValue,
+      maxProduct: Long = 1L << 22): Option[(DataFrame, Profile)] =
     chooseFromSidecars(leftPath, leftKey, rightPath, rightKey,
         broadcastRows, maxEstRows).map { p =>
       val left = spark.read.parquet(leftPath)
@@ -140,7 +147,7 @@ object AdaptiveJoin {
             broadcast(left).join(right, Seq(leftKey), "inner")
           else left.join(broadcast(right), Seq(leftKey), "inner")
         case "capped" =>
-          JoinGuard.cappedJoin(left, right, leftKey, maxEstRows, capEach,
+          JoinGuard.cappedJoin(left, right, leftKey, maxProduct, capEach,
             Nil, Nil)
         case _ => left.join(right, Seq(leftKey), "inner")
       }

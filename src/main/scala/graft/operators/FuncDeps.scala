@@ -105,15 +105,6 @@ object FuncDeps {
     check(df, survivors)
   }
 
-  /** The NDV-pruned candidate list alone (the cost story a caller or
-    * gate inspects: pairs the profile refuted without a data pass). */
-  def prunedPairs(cols: Seq[String], ndv: Map[String, Double],
-      nullFree: Set[String]): Seq[(String, String)] =
-    for {
-      a <- cols; b <- cols if a != b
-      if nullFree(a) && ndv(b) > ndv(a)
-    } yield (a, b)
-
   /** Candidate-key verification: a column is a key iff it is non-null
     * everywhere and never repeats. One row per column. */
   def keyCheck(df: DataFrame, cols: Seq[String]): DataFrame = {

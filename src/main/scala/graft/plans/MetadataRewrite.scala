@@ -92,13 +92,15 @@ class MetadataRewrite extends Rule[LogicalPlan] {
       mmCache.getOrElseUpdate(c,
         if (statsCols.contains(c)) MetadataAgg.minMax(dir, c) else None)
 
+    // the 4th slot is the aggregate's FILTER clause: anything but None
+    // means `count(*) FILTER (WHERE ...)` — the sidecars cannot serve it
     def serve(ae: AggregateExpression): Option[Long] = ae match {
       case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false,
-          _, _) => countAnswer
+          None, _) => countAnswer
       case AggregateExpression(Min(a: AttributeReference), Complete, false,
-          _, _) if a.dataType == LongType => minMaxOf(a.name).map(_._1)
+          None, _) if a.dataType == LongType => minMaxOf(a.name).map(_._1)
       case AggregateExpression(Max(a: AttributeReference), Complete, false,
-          _, _) if a.dataType == LongType => minMaxOf(a.name).map(_._2)
+          None, _) if a.dataType == LongType => minMaxOf(a.name).map(_._2)
       case _ => None
     }
     val values: Seq[Long] = agg.aggregateExpressions.map {
@@ -122,8 +124,9 @@ class MetadataRewrite extends Rule[LogicalPlan] {
     }
 
   private def isCount1(ae: AggregateExpression): Boolean = ae match {
+    // filter slot None: a FILTER-clause count is NOT a plain count(1)
     case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false,
-        _, _) => true
+        None, _) => true
     case _ => false
   }
 
@@ -151,18 +154,23 @@ class MetadataRewrite extends Rule[LogicalPlan] {
     }
     val cs = conjuncts(cond)
     val eqs = cs.collect {
-      case EqualTo(a: AttributeReference, Literal(v: UTF8String, StringType)) =>
-        (a, v.toString)
-      case EqualTo(Literal(v: UTF8String, StringType), a: AttributeReference) =>
-        (a, v.toString)
+      case eq @ EqualTo(a: AttributeReference,
+          Literal(v: UTF8String, StringType)) => (eq, a, v.toString)
+      case eq @ EqualTo(Literal(v: UTF8String, StringType),
+          a: AttributeReference) => (eq, a, v.toString)
     }
     if (eqs.size != 1) return None
-    val (attr, value) = eqs.head
+    val (eqExpr, attr, value) = eqs.head
     val colName = attr.name
-    val othersOk = cs.forall {
-      case _: EqualTo => true // the one collected above
-      case IsNotNull(a: AttributeReference) => a.semanticEquals(attr)
-      case _ => false
+    // every OTHER conjunct must be the redundant inferred IsNotNull on
+    // the SAME attribute — any further predicate (another equality, a
+    // range, a null-tolerant expression) stands the rewrite down: the
+    // histogram cannot see it, so serving would overcount
+    val othersOk = cs.forall { c =>
+      (c eq eqExpr) || (c match {
+        case IsNotNull(a: AttributeReference) => a.semanticEquals(attr)
+        case _ => false
+      })
     }
     if (!othersOk) return None
     if (!Sidecars.declared(dir).exists {

@@ -155,6 +155,9 @@ class MvRewrite extends Rule[LogicalPlan] {
       .view.flatMap(mv => tryMv(agg, rel, mv)).headOption
   }
 
+  // every aggregate pattern below requires the FILTER slot to be None:
+  // `sum(x) FILTER (WHERE ...)` aggregates a SUBSET the rollup cannot
+  // see — rewriting it would serve the unfiltered answer (r14 fix)
   private def tryMv(agg: Aggregate, rel: HadoopFsRelation,
       mv: Mv): Option[Aggregate] = {
     // every grouping expression: a bare key column of the MV
@@ -191,24 +194,24 @@ class MvRewrite extends Rule[LogicalPlan] {
     def reagg(ae: AggregateExpression): Option[Expression] =
       if (mv.kind == "minmax") ae match {
         case AggregateExpression(Min(a: AttributeReference), Complete,
-            false, _, _) if a.name == mv.valueCol =>
+            false, None, _) if a.name == mv.valueCol =>
           Some(Cast(aggExpr(Min(mvAttr("mn"))), ae.dataType))
         case AggregateExpression(Max(a: AttributeReference), Complete,
-            false, _, _) if a.name == mv.valueCol =>
+            false, None, _) if a.name == mv.valueCol =>
           Some(Cast(aggExpr(Max(mvAttr("mx"))), ae.dataType))
         case _ => None
       } else ae match {
-        case AggregateExpression(Sum(c, _), Complete, false, _, _)
+        case AggregateExpression(Sum(c, _), Complete, false, None, _)
             if isValueSum(c) =>
           Some(Cast(aggExpr(Sum(mvAttr("s"))), ae.dataType))
         case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false,
-            _, _) =>
+            None, _) =>
           // a GLOBAL count over an EMPTY rollup: sum(n) is NULL where
           // count(1) must be 0 — coalesce closes the value edge (grouped
           // counts never see it: no group row, no output row)
           Some(Cast(Coalesce(Seq(aggExpr(Sum(mvAttr("n"))), Literal(0L))),
             ae.dataType))
-        case AggregateExpression(Average(c, em), Complete, false, _, _)
+        case AggregateExpression(Average(c, em), Complete, false, None, _)
             if isValueSum(c) =>
           // Average over DECIMAL(18,2) finalizes as Divide(buffer sum
           // (28,2), count (20,0)) cast to (22,6); re-derive the SAME

@@ -221,11 +221,11 @@ object MetadataAgg {
   private def histFile(path: String) = Paths.get(path + ".__hist__")
 
   private def encHist(v: Option[String]): String = v match {
-    case None => " " // never url-encoded output: cannot collide
+    case None => " " // a SPACE: URLEncoder emits "+" for it, never a raw space
     case Some(s) => java.net.URLEncoder.encode(s, "UTF-8")
   }
   private def decHist(s: String): Option[String] =
-    if (s == " ") None
+    if (s == " ") None
     else Some(java.net.URLDecoder.decode(s, "UTF-8"))
 
   /** Build/refresh the per-file value-histogram plane: ONE
@@ -298,28 +298,60 @@ object MetadataAgg {
     }
   }
 
-  /** O(changed files) histogram maintenance after a targeted rewrite. */
+  /** Per-file value histograms of an explicit FILE LIST. */
+  private def histOfFiles(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[Path], c: String)
+      : Map[String, Seq[(Option[String], Long)]] =
+    if (files.isEmpty) Map.empty
+    else {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(files.map(_.toString): _*)
+        .select(input_file_name().as("f"),
+          col(c).cast("string").as("v"))
+        .groupBy("f", "v")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getString(0).split('/').last)
+        .map { case (f, rs) => f ->
+          rs.map(r => Option(r.getString(1)) -> r.getLong(2)).toSeq }
+    }
+
+  /** The post-rewrite (pre-flip) file inventory: on-disk files minus the
+    * logically-removed names, plus the added files — what the table will
+    * hold once the commit's drop completes (the counts-plane fallback
+    * discipline; see [[maintainCountsAfterRewrite]]). */
+  private def postRewriteFiles(path: String, removed: Set[String],
+      added: Seq[Path]): Seq[Path] = {
+    val addedNames = added.map(_.getFileName.toString).toSet
+    StageWriter.listDataFiles(Paths.get(path)).filterNot { p =>
+      val n = p.getFileName.toString
+      removed.contains(n) || addedNames.contains(n)
+    } ++ added
+  }
+
+  /** O(changed files) histogram maintenance after a targeted rewrite;
+    * a MISSING sidecar rebuilds from the post-rewrite inventory (the
+    * declared column/bound) instead of leaving the plane dead until
+    * the next full rewrite. */
   private[sink] def maintainHistAfterRewrite(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      removed: Set[String], added: Seq[Path]): Unit =
+      removed: Set[String], added: Seq[Path], declaredCol: String,
+      declaredMax: Int): Unit = {
+    if (added.isEmpty && removed.isEmpty) return
     loadHistRaw(path) match {
-      case Some((c, k, m)) if added.nonEmpty || removed.nonEmpty =>
-        import org.apache.spark.sql.functions._
-        val fresh: Map[String, Seq[(Option[String], Long)]] =
-          if (added.isEmpty) Map.empty
-          else spark.read.parquet(added.map(_.toString): _*)
-            .select(input_file_name().as("f"),
-              col(c).cast("string").as("v"))
-            .groupBy("f", "v").agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
-            .collect()
-            .groupBy(_.getString(0).split('/').last)
-            .map { case (f, rs) => f ->
-              rs.map(r => Option(r.getString(1)) -> r.getLong(2)).toSeq }
+      case Some((c, k, m)) =>
+        val fresh = histOfFiles(spark, added, c)
         writeHistSidecar(path, c, k, (m -- removed) ++
           added.map(_.getFileName.toString)
             .map(n => n -> fresh.getOrElse(n, Seq.empty)))
-      case _ => ()
+      case None =>
+        val files = postRewriteFiles(path, removed, added)
+        val fresh = histOfFiles(spark, files, declaredCol)
+        writeHistSidecar(path, declaredCol, declaredMax,
+          files.map(_.getFileName.toString)
+            .map(n => n -> fresh.getOrElse(n, Seq.empty)).toMap)
     }
+  }
 
   /** Metadata-only `GROUP BY column` row counts (the NULL group under
     * `None`): merge the inventory-validated per-file histograms.
@@ -420,30 +452,46 @@ object MetadataAgg {
     }
   }
 
-  /** O(changed files) NDV maintenance after a targeted rewrite. */
+  /** Per-file KMV sketches of an explicit FILE LIST. */
+  private def ndvOfFiles(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[Path], c: String, k: Int): Map[String, Array[Long]] =
+    if (files.isEmpty) Map.empty
+    else {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(files.map(_.toString): _*)
+        .select(input_file_name().as("f"),
+          graft.llm.Dedup.portableWordHash(col(c)).as("h"))
+        .where(col("h").isNotNull)
+        .groupBy("f")
+        .agg(udaf(new graft.functions.KmvSketch(k)).apply(col("h"))
+          .as("sk"))
+        .collect()
+        .map(r => r.getString(0).split('/').last ->
+          r.getSeq[Long](1).toArray).toMap
+    }
+
+  /** O(changed files) NDV maintenance after a targeted rewrite; a
+    * MISSING sidecar rebuilds from the post-rewrite inventory. */
   private[sink] def maintainNdvAfterRewrite(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      removed: Set[String], added: Seq[Path]): Unit =
+      removed: Set[String], added: Seq[Path], declaredCol: String,
+      declaredK: Int): Unit = {
+    if (added.isEmpty && removed.isEmpty) return
     loadNdvRaw(path) match {
-      case Some((c, k, m)) if added.nonEmpty || removed.nonEmpty =>
-        import org.apache.spark.sql.functions._
-        val fresh: Map[String, Array[Long]] =
-          if (added.isEmpty) Map.empty
-          else spark.read.parquet(added.map(_.toString): _*)
-            .select(input_file_name().as("f"),
-              graft.llm.Dedup.portableWordHash(col(c)).as("h"))
-            .where(col("h").isNotNull)
-            .groupBy("f")
-            .agg(udaf(new graft.functions.KmvSketch(k)).apply(col("h"))
-              .as("sk"))
-            .collect()
-            .map(r => r.getString(0).split('/').last ->
-              r.getSeq[Long](1).toArray).toMap
+      case Some((c, k, m)) =>
+        val fresh = ndvOfFiles(spark, added, c, k)
         writeNdvSidecar(path, c, k, (m -- removed) ++
           added.map(_.getFileName.toString)
             .map(n => n -> fresh.getOrElse(n, Array.emptyLongArray)))
-      case _ => ()
+      case None =>
+        val files = postRewriteFiles(path, removed, added)
+        val fresh = ndvOfFiles(spark, files, declaredCol, declaredK)
+        writeNdvSidecar(path, declaredCol, declaredK,
+          files.map(_.getFileName.toString)
+            .map(n => n -> fresh.getOrElse(n, Array.emptyLongArray))
+            .toMap)
     }
+  }
 
   /** Metadata-only approximate-distinct estimate of the declared NDV
     * column: merge the inventory-validated per-file sketches (k
@@ -560,38 +608,54 @@ object MetadataAgg {
     }
   }
 
-  /** O(changed files) KMH maintenance after a targeted rewrite. */
+  /** Per-file KMH bottom-k samples of an explicit FILE LIST. */
+  private def kmhOfFiles(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[Path], vc: String, c1: String, c2: String,
+      k: Int): Map[String, Seq[KmhRow]] =
+    if (files.isEmpty) Map.empty
+    else {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      spark.read.parquet(files.map(_.toString): _*)
+        .select(input_file_name().as("f"),
+          graft.llm.Dedup.portableHash60(
+            concat_ws("|", col(c1), col(c2))).as("h"),
+          col(c1).cast("long").as("k1"),
+          col(c2).cast("long").as("k2"),
+          col(vc).cast("double").as("v"))
+        .where(col("v").isNotNull)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("f").orderBy("h", "k1", "k2")))
+        .filter(col("rn") <= k)
+        .select("f", "h", "k1", "k2", "v")
+        .collect()
+        .groupBy(r => r.getString(0).split('/').last)
+        .map { case (n, rs) => n -> rs.map(r => KmhRow(r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq }
+    }
+
+  /** O(changed files) KMH maintenance after a targeted rewrite; a
+    * MISSING sidecar rebuilds from the post-rewrite inventory. */
   private[sink] def maintainKmhAfterRewrite(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      removed: Set[String], added: Seq[Path]): Unit =
+      removed: Set[String], added: Seq[Path], declaredVc: String,
+      declaredK1: String, declaredK2: String, declaredK: Int): Unit = {
+    if (added.isEmpty && removed.isEmpty) return
     loadKmhRaw(path) match {
-      case Some((vc, c1, c2, k, m))
-          if added.nonEmpty || removed.nonEmpty =>
-        import org.apache.spark.sql.functions._
-        import org.apache.spark.sql.expressions.Window
-        val fresh: Map[String, Seq[KmhRow]] =
-          if (added.isEmpty) Map.empty
-          else spark.read.parquet(added.map(_.toString): _*)
-            .select(input_file_name().as("f"),
-              graft.llm.Dedup.portableHash60(
-                concat_ws("|", col(c1), col(c2))).as("h"),
-              col(c1).cast("long").as("k1"),
-              col(c2).cast("long").as("k2"),
-              col(vc).cast("double").as("v"))
-            .where(col("v").isNotNull)
-            .withColumn("rn", row_number().over(
-              Window.partitionBy("f").orderBy("h", "k1", "k2")))
-            .filter(col("rn") <= k)
-            .select("f", "h", "k1", "k2", "v")
-            .collect()
-            .groupBy(r => r.getString(0).split('/').last)
-            .map { case (n, rs) => n -> rs.map(r => KmhRow(r.getLong(1),
-              r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq }
+      case Some((vc, c1, c2, k, m)) =>
+        val fresh = kmhOfFiles(spark, added, vc, c1, c2, k)
         writeKmhSidecar(path, vc, c1, c2, k, (m -- removed) ++
           added.map(_.getFileName.toString)
             .map(n => n -> fresh.getOrElse(n, Seq.empty)))
-      case _ => ()
+      case None =>
+        val files = postRewriteFiles(path, removed, added)
+        val fresh = kmhOfFiles(spark, files, declaredVc, declaredK1,
+          declaredK2, declaredK)
+        writeKmhSidecar(path, declaredVc, declaredK1, declaredK2,
+          declaredK, files.map(_.getFileName.toString)
+            .map(n => n -> fresh.getOrElse(n, Seq.empty)).toMap)
     }
+  }
 
   /** Metadata-only quantiles of the declared value column: merge the
     * inventory-validated per-file samples, re-take the k smallest by

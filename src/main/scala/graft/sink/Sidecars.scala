@@ -184,12 +184,15 @@ object Sidecars {
           c, bits, k)
       case Counts =>
         MetadataAgg.maintainCountsAfterRewrite(path, removed, added)
-      case Ndv(_, _) =>
-        MetadataAgg.maintainNdvAfterRewrite(spark, path, removed, added)
-      case Kmh(_, _, _, _) =>
-        MetadataAgg.maintainKmhAfterRewrite(spark, path, removed, added)
-      case Hist(_, _) =>
-        MetadataAgg.maintainHistAfterRewrite(spark, path, removed, added)
+      case Ndv(c, k) =>
+        MetadataAgg.maintainNdvAfterRewrite(spark, path, removed, added,
+          c, k)
+      case Kmh(vc, c1, c2, k) =>
+        MetadataAgg.maintainKmhAfterRewrite(spark, path, removed, added,
+          vc, c1, c2, k)
+      case Hist(c, k) =>
+        MetadataAgg.maintainHistAfterRewrite(spark, path, removed, added,
+          c, k)
       case _ => () // stats: maintained inline by targetedCommit; zone: above
     }
   }

@@ -80,6 +80,48 @@ class MetadataRewriteSpec extends AnyFunSuite {
       assert(!isLocal(t.filter(col("k") > 10).agg(count(lit(1)).as("n"))))
       assert(!isLocal(t.groupBy("g").agg(sum("k").as("s"))))
       assert(!isLocal(t.groupBy("k").agg(count(lit(1)).as("n"))))
+      // an EXTRA predicate next to the equality: the histogram cannot
+      // see it — serving would overcount, the scan must stay (and the
+      // scan's answer is the filtered truth)
+      val multi = t.filter(col("g") === "g2" && col("k") > 400)
+        .agg(count(lit(1)).as("n"))
+      assert(!isLocal(multi), "a second conjunct must stand down")
+      assert(multi.collect().head.getLong(0) ==
+        t.filter(col("g") === "g2" && col("k") > 400).count())
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+
+  test("FILTER-clause aggregates never rewrite: the sidecars describe " +
+    "the whole table, a filtered count/min/max aggregates a subset") {
+    val tmp = Files.createTempDirectory("metarw_filter")
+    try {
+      val p = tmp.resolve("t").toString
+      spark.range(0, 400).select(col("id").as("k"),
+          concat(lit("h"), col("id") % 3).as("h"))
+        .repartition(2).write.parquet(p)
+      graft.sink.Sidecars.declare(spark, p, Seq(
+        graft.sink.Sidecars.Stats("k"), graft.sink.Sidecars.Counts,
+        graft.sink.Sidecars.Hist("h", maxDistinct = 8)))
+      MetadataRewrite.ensureInstalled(spark)
+      def t = spark.read.parquet(p)
+      // sanity: the plain shapes DO rewrite on this fixture
+      assert(isLocal(t.agg(count(lit(1)).as("c"))))
+      assert(isLocal(t.groupBy("h").agg(count(lit(1)).as("n"))))
+      // count(*)/min/max FILTER (WHERE ...) — SQL route (the DataFrame
+      // API has no FILTER clause): must keep the scan and answer the
+      // filtered truth, never the whole-table sidecar value
+      t.createOrReplaceTempView("mrw_t")
+      val fc = spark.sql(
+        "SELECT count(*) FILTER (WHERE k > 100) AS c FROM mrw_t")
+      assert(!isLocal(fc), "a FILTER-clause count must not rewrite")
+      assert(fc.collect().head.getLong(0) == 299L)
+      val fm = spark.sql(
+        "SELECT min(k) FILTER (WHERE k > 100) AS mn FROM mrw_t")
+      assert(!isLocal(fm) && fm.collect().head.getLong(0) == 101L)
+      val fg = spark.sql("SELECT h, count(*) FILTER (WHERE k > 100) " +
+        "AS n FROM mrw_t GROUP BY h")
+      assert(!isLocal(fg), "a FILTER-clause grouped count must not " +
+        "rewrite off the histogram")
     } finally StageWriter.deleteRecursively(tmp)
   }
 

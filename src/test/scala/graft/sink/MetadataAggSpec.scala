@@ -257,6 +257,15 @@ class MetadataAggSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         MetadataAgg.writeHist(spark, p, "k", 16)
       }
+      // a LOST sidecar rebuilds through the next targeted rewrite
+      // instead of leaving the plane dead (the counts-plane fallback
+      // discipline, r14 review fix)
+      Files.delete(java.nio.file.Paths.get(p + ".__hist__"))
+      assert(MetadataAgg.histCounts(p, "s").isEmpty)
+      StageWriter.mergeInto(spark, spark.range(3100, 3150)
+        .select(col("id").as("k"), lit("s1").as("s")), p, Seq("k"))
+      assert(MetadataAgg.histCounts(p, "s").contains(scanCounts()),
+        "the maintenance hook must rebuild a missing sidecar")
       // staleness
       val f = StageWriter.listDataFiles(tmp.resolve("t")).head
       Files.copy(f, f.getParent.resolve("zz_foreign.parquet"))
