@@ -194,7 +194,13 @@ object Dedup {
     * PRECOMPUTED and stored bucketed on (band, bh), so each ingest batch
     * joins without reshuffling the corpus). The corpus side of each bucket
     * is capped pre-join by the same row_number guard as the intra-corpus
-    * miners. Returns (batch_id, corpus_id, jaccard). */
+    * miners. `maxBucket` here deliberately keeps a FIXED default (no
+    * [[ScaleConfig.Auto]], unlike the one-shot miners): the incremental
+    * contract — batch-vs-stored ≡ from-scratch, and increments splice —
+    * only holds when every call caps with the SAME value, which an Auto
+    * re-derivation over a grown corpus would silently change. Derive
+    * once ([[ScaleConfig.bucketCapFor]]) and thread it through.
+    * Returns (batch_id, corpus_id, jaccard). */
   def minhashLshNewVsCorpus(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, shingleWidth: Int = 3, k: Int = 32,
       b: Int = 8, threshold: Double = 0.8, maxBucket: Int = 256): DataFrame = {
