@@ -187,20 +187,48 @@ class MetadataRewrite extends Rule[LogicalPlan] {
       Seq(InternalRow(values: _*))))
   }
 
-  /** `GROUP BY histCol` + `count(1)` over a declared D236 histogram
-    * plane: one LocalRelation row per value (the NULL group included —
-    * the histogram tracks it, exactly as GROUP BY does). */
+  /** `GROUP BY c` + `count(1)` served from metadata: `c` is either a
+    * declared D236 histogram column (one LocalRelation row per value,
+    * the NULL group included — the histogram tracks it, exactly as
+    * GROUP BY does), or — D240 — the FIRST partition column of a
+    * Counts-declared partitioned layout, served from the per-partition
+    * file counts (the `SHOW PARTITIONS`-priced answer). Partition
+    * values stand down when any first-level dir name carries a
+    * percent-escape (Spark's escapePathName dialect — decoding it here
+    * would re-implement a private format; narrow beats wrong);
+    * `__HIVE_DEFAULT_PARTITION__` reads back as the NULL group, as the
+    * scan does. */
   private def rewriteGrouped(agg: Aggregate): Option[LogicalPlan] = {
+    val lr = scanOf(agg.child).getOrElse(return None)
     val dir = dirOf(agg.child).getOrElse(return None)
     val groupAttr = agg.groupingExpressions match {
       case Seq(a: AttributeReference) if a.dataType == StringType => a
       case _ => return None
     }
-    if (!Sidecars.declared(dir).exists {
+    val planes = Sidecars.declared(dir)
+    val fromHist = planes.exists {
       case Sidecars.Hist(c, _) => c == groupAttr.name; case _ => false
-    }) return None
-    val hist = MetadataAgg.histCounts(dir, groupAttr.name)
-      .getOrElse(return None) // stale → stand down
+    }
+    val fromPartitions = !fromHist && planes.contains(Sidecars.Counts) &&
+      lr.relation.asInstanceOf[HadoopFsRelation].partitionSchema
+        .headOption.exists(_.name == groupAttr.name)
+    val hist: Map[Option[String], Long] =
+      if (fromHist)
+        MetadataAgg.histCounts(dir, groupAttr.name)
+          .getOrElse(return None) // stale → stand down
+      else if (fromPartitions) {
+        val parts = MetadataAgg.partitionCounts(dir)
+          .getOrElse(return None)
+        val prefix = groupAttr.name + "="
+        // every first-level key must be THIS column's dir; any
+        // percent-escaped value (or a stray root-level file) stands down
+        if (!parts.keys.forall(k => k.startsWith(prefix) &&
+            !k.contains('%'))) return None
+        parts.map { case (k, n) =>
+          val v = k.substring(prefix.length)
+          (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v)) -> n
+        }
+      } else return None
     // each output: the grouping attr (bare or aliased) | count(1)
     sealed trait Slot
     case object GroupSlot extends Slot

@@ -1200,6 +1200,69 @@ object MaintenanceQueries {
              max(o_orderkey) AS mx
       FROM orders"""))),
 
+    // D240 — transparent PARTITION-grouped counts (MetadataRewrite's
+    // partition arm): `GROUP BY <first partition column>` + count(*)
+    // over a Counts-declared partitioned layout collapses to a
+    // LocalRelation from the per-partition file counts — the
+    // SHOW-PARTITIONS-priced answer to the most common partitioned
+    // GROUP BY, zero Spark jobs, the NULL partition served as the NULL
+    // group exactly as the scan would. A file smuggled into one
+    // partition dir stands the whole plane down (plan keeps the scan,
+    // fallback sees the extra rows). Oracle: the grouped counts
+    // recomputed by a full scan of the source table.
+    "q_metadata_rewrite_part" -> (((spark, dir) => {
+      val tmp = Q.scratchDir("meta_rw_part")
+      try {
+        val t = tmp.resolve("ord").toString
+        load(spark, dir, "orders")
+          .select("o_orderkey", "o_orderpriority")
+          .write.partitionBy("o_orderpriority").parquet(t)
+        graft.sink.Sidecars.declare(spark, t,
+          Seq(graft.sink.Sidecars.Counts))
+        graft.plans.MetadataRewrite.ensureInstalled(spark)
+        def q() = spark.read.parquet(t)
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        def isLocal(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.optimizedPlan.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+        Q.Phase.setupDone() // table + counts plane + rule = fixture
+        val fresh = q()
+        require(isLocal(fresh),
+          "the partition-grouped count must collapse to a LocalRelation")
+        val rows = Q.requireZeroJobs(spark, "meta_rw_part") {
+          fresh.collect()
+        }
+        Q.Phase.opDone() // staleness arm below = PROOF
+        // smuggle a duplicate file into ONE partition dir: the same
+        // query must keep its scan and see the extra rows there
+        val pDir = java.nio.file.Paths.get(t)
+          .resolve("o_orderpriority=1-URGENT")
+        val f = graft.sink.StageWriter.listDataFiles(pDir).head
+        val smuggled = {
+          java.nio.file.Files.copy(f,
+            f.getParent.resolve("zz_smuggled.parquet"))
+          spark.read.parquet(
+            f.getParent.resolve("zz_smuggled.parquet").toString).count()
+        }
+        val stale = q()
+        require(!isLocal(stale),
+          "a foreign file must keep the scan in the plan")
+        val urgentFresh = rows.find(_.getString(0) == "1-URGENT")
+          .get.getLong(1)
+        val urgentStale = stale.collect()
+          .find(_.getString(0) == "1-URGENT").get.getLong(1)
+        require(urgentStale == urgentFresh + smuggled,
+          "the stand-down fallback must see the smuggled rows")
+        spark.createDataFrame(rows.map(r =>
+            (r.getString(0), r.getLong(1))).toSeq)
+          .toDF("o_orderpriority", "n")
+          .orderBy("o_orderpriority").coalesce(1).localCheckpoint()
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some("""
+      SELECT o_orderpriority, count(*) AS n
+      FROM orders GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))),
+
     // D236 — metadata-only GROUP BY via per-file categorical histogram
     // sidecars (MetadataAgg.histCounts + Sidecars.Hist): each file
     // carries exact per-value counts of one declared low-cardinality

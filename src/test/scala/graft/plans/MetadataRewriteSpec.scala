@@ -91,6 +91,49 @@ class MetadataRewriteSpec extends AnyFunSuite {
     } finally StageWriter.deleteRecursively(tmp)
   }
 
+  test("D240: GROUP BY the first partition column of a Counts-declared " +
+    "partitioned layout serves from per-partition counts; escaped " +
+    "values, other columns and staleness keep the scan") {
+    val tmp = Files.createTempDirectory("metarw_part")
+    try {
+      val p = tmp.resolve("t").toString
+      spark.range(0, 600).select(col("id").as("k"),
+          when(col("id") % 5 === 0, lit(null))
+            .otherwise(concat(lit("g"), col("id") % 3)).as("g"))
+        .write.partitionBy("g").parquet(p)
+      graft.sink.Sidecars.declare(spark, p,
+        Seq(graft.sink.Sidecars.Counts))
+      MetadataRewrite.ensureInstalled(spark)
+      def t = spark.read.parquet(p)
+      val grouped = t.groupBy("g").agg(count(lit(1)).as("n"))
+      assert(isLocal(grouped), "partition-grouped counts must rewrite")
+      val scan = t.groupBy("g").agg(count(lit(1)).as("n")).collect()
+        .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+      val got = grouped.collect()
+        .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+      assert(got == scan && got.contains(None),
+        s"must equal the scan incl. the NULL partition ($got vs $scan)")
+      // grouping by a NON-partition column: nothing can serve
+      assert(!isLocal(t.groupBy("k").agg(count(lit(1)).as("n"))))
+      // a percent-escaped partition value: decoding is Spark-private,
+      // the rewrite must stand down rather than serve a wrong string
+      val esc = tmp.resolve("esc").toString
+      spark.range(0, 10).select(col("id").as("k"), lit("x:y").as("g"))
+        .write.partitionBy("g").parquet(esc)
+      graft.sink.Sidecars.declare(spark, esc,
+        Seq(graft.sink.Sidecars.Counts))
+      val eg = spark.read.parquet(esc).groupBy("g")
+        .agg(count(lit(1)).as("n"))
+      assert(!isLocal(eg), "an escaped partition dir must stand down")
+      assert(eg.collect().head.getString(0) == "x:y")
+      // staleness: a file smuggled into one partition dir
+      val sub = StageWriter.listDataFiles(
+        tmp.resolve("t").resolve("g=g1")).head
+      Files.copy(sub, sub.getParent.resolve("zz_foreign.parquet"))
+      assert(!isLocal(t.groupBy("g").agg(count(lit(1)).as("n"))))
+    } finally StageWriter.deleteRecursively(tmp)
+  }
+
   test("FILTER-clause aggregates never rewrite: the sidecars describe " +
     "the whole table, a filtered count/min/max aggregates a subset") {
     val tmp = Files.createTempDirectory("metarw_filter")
