@@ -584,6 +584,67 @@ object LlmQueries {
       FROM ranked WHERE rank_in_lang <= 3
       ORDER BY lang, rank_in_lang"""))),
 
+    // D241 — difficulty-binned curriculum interleaving (llm.Curriculum):
+    // the training-order scheduler between curation and the D203 shard
+    // writer. Docs bin by exact word-count quartiles (t-digest
+    // cutpoints at corpus scale), then the stride schedule gives bin
+    // element i of n the key i/(n+1) — every prefix of the
+    // (sched_key, bin, bin_rank) order carries each bin in proportion
+    // to its corpus share. The gate require()s that contract EXACTLY
+    // (the half-prefix holds n_b/2 ± 1 of every bin) and oracles the
+    // full (bin, rank, key) assignment via the SQL replay; no global
+    // window anywhere in the operator — one shuffle keyed by bin.
+    "llm_curriculum" -> (((spark, dir) => {
+      val docs = load(spark, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("double").as("nw"))
+      val thr = docs.agg(percentile(col("nw"),
+          array(lit(0.25), lit(0.5), lit(0.75))))
+        .head().getSeq[Double](0)
+      val sched = graft.llm.Curriculum.interleave(
+          graft.llm.Curriculum.binByThresholds(docs, col("nw"), thr),
+          "bin", "doc_id")
+        .localCheckpoint()
+      Q.Phase.opDone() // prefix-balance proof below
+      val perBin = sched.groupBy("bin").agg(count(lit(1)).as("n"),
+          sum(when(col("sched_key") <= 0.5, 1L).otherwise(0L))
+            .as("half"))
+        .collect()
+      require(perBin.length == 4, s"expected 4 quartile bins, got " +
+        s"${perBin.length}")
+      perBin.foreach { r =>
+        val (n, half) = (r.getLong(1), r.getLong(2))
+        require(math.abs(half - n / 2.0) <= 1.0,
+          s"prefix balance broken for bin ${r.get(0)}: $half of $n")
+      }
+      sched.select(col("doc_id"), col("bin"), col("bin_rank"),
+          col("sched_key"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+'))
+                    END AS DOUBLE) AS nw
+        FROM documents),
+      q AS (SELECT quantile_cont(nw, 0.25) AS q1,
+                   quantile_cont(nw, 0.50) AS q2,
+                   quantile_cont(nw, 0.75) AS q3 FROM t),
+      b AS (SELECT doc_id,
+              1 + CASE WHEN nw > q1 THEN 1 ELSE 0 END
+                + CASE WHEN nw > q2 THEN 1 ELSE 0 END
+                + CASE WHEN nw > q3 THEN 1 ELSE 0 END AS bin
+            FROM t, q),
+      r AS (SELECT doc_id, bin,
+              row_number() OVER (PARTITION BY bin ORDER BY doc_id)
+                AS bin_rank,
+              count(*) OVER (PARTITION BY bin) AS n
+            FROM b)
+      SELECT doc_id, CAST(bin AS INT) AS bin,
+             CAST(bin_rank AS INT) AS bin_rank,
+             round(CAST(bin_rank AS DOUBLE) / (n + 1), 9) AS sched_key
+      FROM r ORDER BY doc_id"""))),
+
     // Exact dedup on content hash
     "dd_exact" -> (((spark, dir) => {
       Dedup.exact(load(spark, dir, "documents"), "doc_id", "text")
