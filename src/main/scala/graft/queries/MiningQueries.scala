@@ -366,6 +366,107 @@ object MiningQueries {
              round(quantile_cont("value", 0.75), 4) AS p3, TRUE AS p3_ok
       FROM events GROUP BY 1 ORDER BY d"""))),
 
+    // D242 — streaming PSI drift monitor (Streams.psiDriftStream): the
+    // Population Stability Index per event-time window against the
+    // FIRST day's value profile — the standard production drift score,
+    // streamed with one 10-long counts array per window. Add-half
+    // smoothing on both sides makes the statistic exactly
+    // SQL-replayable (per-bin contributions in mirrored double
+    // arithmetic, rounded to 6, summed exactly), so unlike the
+    // t-digest twin this gate HASH-matches, not band-matches. Two
+    // epochs through a checkpoint restart; the reference day's own
+    // window must score exactly 0 (its profile IS the reference).
+    "evt_stream_psi" -> (((spark, dir) => withStreamPartitions(spark) {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.expressions.Window
+      val tmp = Q.scratchDir("psi_gate")
+      val (raw, outp, chk) = (tmp.resolve("raw").toString,
+        tmp.resolve("out").toString, tmp.resolve("chk").toString)
+      try {
+        val thresholds = Seq(5.0, 15.0, 30.0, 60.0, 100.0, 150.0,
+          220.0, 300.0, 400.0)
+        val feed = load(spark, dir, "events")
+          .select(col("event_id"), expr("ts div 86400000000000").as("d"),
+            col("value"))
+        val d0 = feed.agg(min("d")).head().getLong(0)
+        val binExpr = thresholds.foldLeft(lit(1)) { (acc, t) =>
+          acc + when(col("value") > t, 1).otherwise(0)
+        }
+        val refMap = feed.filter(col("d") === d0)
+          .select(binExpr.as("bin")).groupBy("bin")
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val ref = (1 to thresholds.size + 1)
+          .map(b => refMap.getOrElse(b, 0L))
+        Q.FixtureCache.link(spark, s"$dir|psi_e1", raw)(
+          feed.filter(col("event_id") % 2 === 0).coalesce(1))
+        val schema = spark.read.parquet(raw).schema
+        def run(): Unit = {
+          val in = spark.readStream.schema(schema).parquet(raw)
+          val q = graft.streaming.Streams
+            .psiDriftStream(in, "d", "value", thresholds, ref)
+            .toDF().writeStream.format("parquet").option("path", outp)
+            .option("checkpointLocation", chk)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        Q.Phase.setupDone() // reference profile + fixture files
+        if (!Q.benchLean) run() // epoch 0: even event ids
+        Q.FixtureCache.link(spark, s"$dir|psi_e2", raw)(
+          feed.filter(col("event_id") % 2 === 1).coalesce(1))
+        run() // epoch 1: odds fold into checkpointed counts
+        Q.Phase.opDone() // reference-day + coverage proofs below
+        val latest = spark.read.parquet(outp)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("w").orderBy(col("ver").desc)))
+          .filter(col("rn") === 1)
+          .select(col("w").as("d"), col("ver").as("n_values"),
+            col("psi6"))
+          .localCheckpoint()
+        require(latest.count() == feed.select("d").distinct().count(),
+          "every window must carry a PSI emission")
+        val refDay = latest.filter(col("d") === d0)
+          .head().getDouble(2)
+        require(refDay == 0.0,
+          s"the reference day's own PSI must be exactly 0 (got $refDay)")
+        latest.orderBy("d")
+      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+    }, Some {
+      val binSql = "1" + Seq(5, 15, 30, 60, 100, 150, 220, 300, 400)
+        .map(t => s""" + CASE WHEN "value" > $t THEN 1 ELSE 0 END""")
+        .mkString
+      s"""
+      WITH ev AS (SELECT epoch_ns(ts) // 86400000000000 AS d,
+                         $binSql AS bin
+                  FROM events),
+      dzero AS (SELECT min(d) AS d0 FROM ev),
+      bins AS (SELECT unnest(range(1, 11)) AS bin),
+      ref AS (SELECT b.bin, CAST(count(e.bin) AS BIGINT) AS rc
+              FROM bins b LEFT JOIN
+                (SELECT bin FROM ev, dzero WHERE d = d0) e USING (bin)
+              GROUP BY 1),
+      tref AS (SELECT CAST(sum(rc) AS BIGINT) AS tb FROM ref),
+      wc AS (SELECT d, bin, CAST(count(*) AS BIGINT) AS oa
+             FROM ev GROUP BY 1, 2),
+      tw AS (SELECT d, CAST(sum(oa) AS BIGINT) AS ta FROM wc GROUP BY 1),
+      grid AS (SELECT t.d, t.ta, r.bin, r.rc, coalesce(w.oa, 0) AS oa
+               FROM tw t CROSS JOIN ref r
+               LEFT JOIN wc w ON w.d = t.d AND w.bin = r.bin),
+      contrib AS (SELECT d, ta,
+        CAST(round(
+          ((CAST(oa AS DOUBLE) + 0.5) / (CAST(ta AS DOUBLE) + 0.5 * 10)
+           - (CAST(rc AS DOUBLE) + 0.5) /
+             (CAST(tref.tb AS DOUBLE) + 0.5 * 10)) *
+          ln(((CAST(oa AS DOUBLE) + 0.5) /
+              (CAST(ta AS DOUBLE) + 0.5 * 10)) /
+             ((CAST(rc AS DOUBLE) + 0.5) /
+              (CAST(tref.tb AS DOUBLE) + 0.5 * 10))), 6)
+          AS DECIMAL(28,6)) AS c6
+        FROM grid, tref)
+      SELECT d, ta AS n_values, CAST(SUM(c6) AS DOUBLE) AS psi6
+      FROM contrib GROUP BY d, ta ORDER BY d"""
+    })),
+
     // D150 — (ε,δ)-DP released counts over an UNKNOWN domain
     // (llm.Privacy.dpCountsStable — the stability histogram): daily
     // per-event-type counts + two-sided geometric noise (the discrete

@@ -769,6 +769,71 @@ object Streams {
       }
   }
 
+  final case class PsiState(counts: Array[Long])
+  final case class PsiEmit(w: Long, ver: Long, psi6: Double)
+
+  /** Streaming PSI drift monitor (SURVEY §2D, D242) — the Population
+    * Stability Index, the standard production drift score for a scored
+    * feature, per event-time window against a FIXED reference profile:
+    * PSI = Σ_bins (p_win − p_ref)·ln(p_win / p_ref) over fixed value
+    * bins, add-half smoothed on BOTH sides (the D81 discipline) so
+    * empty cells never divide by zero and the statistic is exactly
+    * SQL-replayable. State per window is ONE counts array of
+    * `thresholds.size + 1` longs — bytes at any window cardinality —
+    * absorbed-then-emitted each batch with a monotone version (the
+    * [[tdigestWindowStream]] protocol: the max-version row per window
+    * is the whole-stream answer under ANY epoch layout).
+    *
+    * Determinism across engines: each bin's contribution is computed
+    * in mirrored double arithmetic, rounded to 6 decimals, and summed
+    * EXACTLY (BigDecimal here, DECIMAL(28,6) in the replay) — the sum
+    * order can never move the result. */
+  def psiDriftStream(values: DataFrame, windowCol: String,
+      valueCol: String, thresholds: Seq[Double],
+      ref: Seq[Long]): Dataset[PsiEmit] = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted,
+      s"cutpoints must be sorted, got $thresholds")
+    require(ref.size == thresholds.size + 1,
+      s"reference profile needs ${thresholds.size + 1} bins, " +
+        s"got ${ref.size}")
+    require(ref.forall(_ >= 0) && ref.sum > 0,
+      "the reference profile must hold counts")
+    val spark = values.sparkSession
+    import spark.implicits._
+    val k = ref.size
+    val tb = ref.sum
+    values.select(col(windowCol).cast("long").as("w"),
+        col(valueCol).cast("double").as("v"))
+      .where(col("w").isNotNull && col("v").isNotNull)
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PsiState, PsiEmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (w, rows, state) =>
+          val counts = state.getOption.map(_.counts)
+            .getOrElse(new Array[Long](k))
+          rows.foreach { case (_, v) =>
+            var b = 0
+            while (b < thresholds.size && v > thresholds(b)) b += 1
+            counts(b) += 1
+          }
+          state.update(PsiState(counts))
+          val ta = counts.sum
+          var acc = BigDecimal(0)
+          var i = 0
+          while (i < k) {
+            // mirrored in the SQL replay operation for operation
+            val pa = (counts(i) + 0.5) / (ta + 0.5 * k)
+            val pr = (ref(i) + 0.5) / (tb + 0.5 * k)
+            val c = (pa - pr) * math.log(pa / pr)
+            acc += BigDecimal(c).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP)
+            i += 1
+          }
+          Iterator.single(PsiEmit(w, ta, acc.toDouble))
+      }
+  }
+
   /** Incremental micro-batch runner: file-source stream over a raw-zone
     * directory → transform → parquet sink with checkpoint. The streaming
     * twin of the watermark-incremental batch loop (exactly-once via the
