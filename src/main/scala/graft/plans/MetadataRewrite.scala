@@ -200,7 +200,12 @@ class MetadataRewrite extends Rule[LogicalPlan] {
     * scan does. */
   private def rewriteGrouped(agg: Aggregate): Option[LogicalPlan] = {
     val lr = scanOf(agg.child).getOrElse(return None)
-    val dir = dirOf(agg.child).getOrElse(return None)
+    val rel = lr.relation.asInstanceOf[HadoopFsRelation]
+    val dir = {
+      val roots = rel.location.rootPaths
+      if (roots.size != 1) return None
+      roots.head.toUri.getPath
+    }
     val groupAttr = agg.groupingExpressions match {
       case Seq(a: AttributeReference) if a.dataType == StringType => a
       case _ => return None
@@ -210,8 +215,7 @@ class MetadataRewrite extends Rule[LogicalPlan] {
       case Sidecars.Hist(c, _) => c == groupAttr.name; case _ => false
     }
     val fromPartitions = !fromHist && planes.contains(Sidecars.Counts) &&
-      lr.relation.asInstanceOf[HadoopFsRelation].partitionSchema
-        .headOption.exists(_.name == groupAttr.name)
+      rel.partitionSchema.headOption.exists(_.name == groupAttr.name)
     val hist: Map[Option[String], Long] =
       if (fromHist)
         MetadataAgg.histCounts(dir, groupAttr.name)

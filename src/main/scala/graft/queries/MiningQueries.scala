@@ -389,12 +389,11 @@ object MiningQueries {
           .select(col("event_id"), expr("ts div 86400000000000").as("d"),
             col("value"))
         val d0 = feed.agg(min("d")).head().getLong(0)
-        val binExpr = thresholds.foldLeft(lit(1)) { (acc, t) =>
-          acc + when(col("value") > t, 1).otherwise(0)
-        }
-        val refMap = feed.filter(col("d") === d0)
-          .select(binExpr.as("bin")).groupBy("bin")
-          .agg(count(lit(1)).as("n")).collect()
+        // the D241 bin grammar IS the reference binning (strict-greater,
+        // ties low) — one definition, two consumers
+        val refMap = graft.llm.Curriculum.binByThresholds(
+            feed.filter(col("d") === d0), col("value"), thresholds)
+          .groupBy("bin").agg(count(lit(1)).as("n")).collect()
           .map(r => r.getInt(0) -> r.getLong(1)).toMap
         val ref = (1 to thresholds.size + 1)
           .map(b => refMap.getOrElse(b, 0L))
@@ -438,7 +437,8 @@ object MiningQueries {
       s"""
       WITH ev AS (SELECT epoch_ns(ts) // 86400000000000 AS d,
                          $binSql AS bin
-                  FROM events),
+                  FROM events
+                  WHERE ts IS NOT NULL AND "value" IS NOT NULL),
       dzero AS (SELECT min(d) AS d0 FROM ev),
       bins AS (SELECT unnest(range(1, 11)) AS bin),
       ref AS (SELECT b.bin, CAST(count(e.bin) AS BIGINT) AS rc

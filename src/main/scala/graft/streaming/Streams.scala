@@ -813,6 +813,9 @@ object Streams {
           val counts = state.getOption.map(_.counts)
             .getOrElse(new Array[Long](k))
           rows.foreach { case (_, v) =>
+            // row-side twin of Curriculum.binByThresholds' strict-
+            // greater / ties-low grammar (a Column can't run inside
+            // the state function) — keep the two in lockstep
             var b = 0
             while (b < thresholds.size && v > thresholds(b)) b += 1
             counts(b) += 1
