@@ -334,11 +334,19 @@ object Dedup {
   private[graft] def ccWithRounds(pairs: DataFrame, maxIter: Int = 20)
       : (DataFrame, Int) = {
     val wU = Window.partitionBy("u")
-    val nodes = pairs.select(col("id1").as("id"))
-      .unionByName(pairs.select(col("id2").as("id")))
+    // materialize the INPUT pair frame once: `nodes` and `edges` below
+    // are two separate actions over `pairs`, so an expensive upstream
+    // miner (minhash band + jaccard verification) would be evaluated
+    // twice — measured as two full pipeline re-runs under dd_cluster.
+    // The pair frame is the SMALL end of the funnel (ids + score, post-
+    // banding/cap), so materializing it is cheap at any scale (opt
+    // guide §5: cache only reused-and-expensive intermediates).
+    val p = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    val nodes = p.select(col("id1").as("id"))
+      .unionByName(p.select(col("id2").as("id")))
       .distinct().localCheckpoint()
     // canonical big→small orientation; self-loops carry no connectivity
-    var edges = pairs
+    var edges = p
       .select(greatest(col("id1"), col("id2")).as("u"),
         least(col("id1"), col("id2")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
@@ -731,8 +739,18 @@ object Dedup {
     }
     val g = df.select(col(idCol).as("id"), explode(grams).as("gram"))
       .select(col("id"), portableHash60(col("gram")).as("h"))
-    val nd = g.groupBy("h").agg(countDistinct(col("id")).as("nd"))
-    val perDoc = g.join(nd, "h")
+    // distinct-doc count per hash as WINDOW functions over ONE h-keyed
+    // exchange (max(dense_rank) ≡ countDistinct, null-corrected), not
+    // groupBy + join-back: the join shape evaluates `g` — the md5 gram
+    // scan, the expensive stage here — TWICE (aggregate branch + probe
+    // branch; exchanges differ, so no reuse). Measured as two full
+    // 1-task gram stages under dd_dup_spans. One evaluation, one
+    // exchange, same rows out (opt guide §2.4: share the exchange).
+    val wH = Window.partitionBy("h")
+    val perDoc = g
+      .withColumn("__dr", dense_rank().over(wH.orderBy(col("id"))))
+      .withColumn("nd", max(col("__dr")).over(wH) -
+        max(when(col("id").isNull, 1).otherwise(0)).over(wH))
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("nd") >= 2, 1).otherwise(0)).as("n_dup"))
@@ -832,10 +850,14 @@ object Dedup {
     val g = df.select(col(idCol).as("id"), posexplode(grams))
       .select(col("id"), (col("pos") + 1).as("s"),
         portableHash60(col("col")).as("h"))
-    val dupHashes = g.groupBy("h")
-      .agg(countDistinct(col("id")).as("nd"))
-      .filter(col("nd") >= minDocs).select("h")
-    val dupStarts = g.join(dupHashes, "h")
+    // same exchange-sharing rewrite as [[dupSpanStats]]: the groupBy +
+    // join-back shape evaluated the md5 gram scan twice
+    val wH = Window.partitionBy("h")
+    val dupStarts = g
+      .withColumn("__dr", dense_rank().over(wH.orderBy(col("id"))))
+      .withColumn("__nd", max(col("__dr")).over(wH) -
+        max(when(col("id").isNull, 1).otherwise(0)).over(wH))
+      .filter(col("__nd") >= minDocs)
       .select(col("id"), col("s")).distinct()
       .withColumn("flag", lit(1))
     val covW = Window.partitionBy("id").orderBy("p")

@@ -32,10 +32,72 @@ object Q {
   type Entry = (QueryFn, Option[String])
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    val df =
+      if (name == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
+      } else spark.read.parquet(s"$dir/$name.parquet")
+    // spread only the per-row-COMPUTE-heavy corpora (text shingling/
+    // hashing, vector math): relational tables' gates are join/agg/
+    // write-bound — their pre-exchange work is cheap and an extra
+    // repartition exchange measured as pure overhead (subset A/B in
+    // OPTIMIZATION_r14.md: q_assoc_rules/q5_starjoin/a5_join all
+    // regressed under a blanket spread, every documents/embeddings
+    // gate won)
+    if (name == "documents" || name == "embeddings")
+      spreadSmallScan(spark, df, s"$dir/$name.parquet")
+    else df
+  }
+
+  /** Parallelism floor for SMALL unsplittable inputs (opt guide §2.5
+    * "input skew … repartition immediately after the read"): the battery
+    * tables are single-file single-ROW-GROUP parquet, so the file-split
+    * machinery (maxPartitionBytes/openCostInBytes) cannot parallelize
+    * them — EVERY pre-exchange operator (the scan, per-row hash/shingle
+    * projections, partial aggregations) runs as ONE task while the other
+    * cores idle; measured 1.4-1.5 s single-task stages under text gates
+    * at sf0.1 on local[32]. Below `smallInputBytes` (default 64 MB,
+    * conf-overridable) a round-robin repartition to
+    * min(defaultParallelism, ceil(bytes/16 KB)) costs one trivial
+    * shuffle of the small table and parallelizes everything downstream;
+    * LARGER inputs are left untouched — at production scale a table has
+    * many files/row groups and the split machinery already yields
+    * full-width scans, so this floor self-disables exactly where a
+    * blanket repartition would hurt. Partition count derives from input
+    * size and the session's core count — nothing is pinned to local[32],
+    * and the driver's low-core scaling runs see proportionally fewer
+    * partitions. Filters/column pruning push through Repartition
+    * (PushDownPredicates/ColumnPruning), so PushedFilters/ReadSchema at
+    * the scan are unchanged; results are unchanged (the battery's
+    * deterministic ORDER BY / sorted-aggregate discipline is
+    * partition-layout-invariant, re-proven by Verify after the change). */
+  def spreadSmallScan(spark: SparkSession, df: DataFrame,
+      path: String): DataFrame = {
+    val bytes =
+      try java.nio.file.Files.size(java.nio.file.Paths.get(path))
+      catch { case _: Exception => Long.MaxValue }
+    val limit = spark.conf.getOption("spark.graft.smallInputBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+    if (bytes >= limit) df
+    else {
+      // ~128 KB of compressed input per partition: measured sweet spot on
+      // the battery's compute-heavy small scans — fewer partitions leave
+      // cores idle under per-row hash/HOF work, while fanning a tiny
+      // table to EVERY core inflates aggregate CPU superlinearly
+      // (allocation/GC contention: signature-agg exec 0.5 s at n=2-4 vs
+      // 11 s at n=32 for identical rows, wall ~flat past n≈4)
+      val per = spark.conf.getOption("spark.graft.smallInputPartBytes")
+        .map(_.toLong).getOrElse(128L * 1024)
+      // cap at cores/4, not cores: fanning a small table across EVERY
+      // core regressed the join/write-path gates (32-way writes shatter
+      // sink tables into 32 files; 32x32 shuffle blocks; allocation
+      // contention) while the compute-heavy gates' wins saturate by
+      // ~cores/4 — measured on a 26-gate subset, see OPTIMIZATION_r14.md
+      val cap = math.max(2, spark.sparkContext.defaultParallelism / 4)
+      val n = math.min(cap.toLong,
+        math.max(1L, (bytes + per - 1) / per)).toInt
+      if (n <= 1) df else df.repartition(n)
+    }
   }
 
   /** `ts` as nanos-since-epoch bigint regardless of the source annotation.

@@ -952,9 +952,13 @@ object RetrievalQueries {
           explode(Dedup.wordShingles(col("text"), 3)).as("g"))
         .select(col("doc_id"), col("source"),
           Dedup.portableWordHash(col("g")).as("gh"))
-      val gsrc = sh.groupBy("gh")
-        .agg(count_distinct(col("source")).as("n_src"))
-      sh.join(gsrc, "gh")
+      // distinct-source count per gram as window functions over ONE
+      // gh-keyed exchange (max(dense_rank) ≡ count_distinct; source is
+      // non-null in this corpus and the oracle already rests on that):
+      // the groupBy + join-back shape evaluated the md5 gram scan twice
+      val wGh = Window.partitionBy("gh")
+      sh.withColumn("__dr", dense_rank().over(wGh.orderBy(col("source"))))
+        .withColumn("n_src", max(col("__dr")).over(wGh))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           round(avg(when(col("n_src") >= 2, 1.0).otherwise(0.0)), 4)

@@ -23,6 +23,26 @@ object Erasure {
 
   final case class Erased(subjects: Long, rows: Long)
 
+  /** Ordered map over independent per-snapshot actions through a small
+    * fixed pool (2-4 jobs in flight is plenty — guide §2.6): Spark's
+    * scheduler runs concurrent jobs FIFO, so a later dir's tasks
+    * back-fill executors freed by the current dir's tail. Results come
+    * back in input order; a failure in any element propagates. */
+  private def parMap[A, B](xs: Seq[A], maxThreads: Int = 4)
+      (f: A => B): Seq[B] = {
+    if (xs.size <= 1) return xs.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(maxThreads, xs.size))
+    try {
+      val futs = xs.map { x =>
+        pool.submit(new java.util.concurrent.Callable[B] {
+          def call(): B = f(x)
+        })
+      }
+      futs.map(_.get())
+    } finally pool.shutdown()
+  }
+
   /** Pseudonymized ledger append shared by both erasure surfaces: one
     * line per REQUESTED subject (no-row subjects ledger 0 — the
     * request was still honored), keyed tokens only. `perKey` must be
@@ -118,14 +138,19 @@ object Erasure {
         }
       require(dirs.nonEmpty, s"$table holds no retained snapshot dirs")
       // per-dir deletes; perKey frames are checkpointed by deleteKeys,
-      // so folding afterwards cannot invalidate them
-      val deletes = dirs.map(d =>
+      // so folding afterwards cannot invalidate them. Snapshot dirs are
+      // INDEPENDENT (dirs is distinct on resolved paths), so the per-dir
+      // delete scans — and below, the folds — overlap in a small driver
+      // pool (opt guide §2.6: actions are only sequential because the
+      // driver calls them sequentially); each dir's protocol is
+      // unchanged, only the idle tail between dirs goes away.
+      val deletes = parMap(dirs)(d =>
         DeletionVectors.deleteKeys(spark, d, ids, keyCol))
       val perKey = deletes.map(_.perKey).reduce(_.unionByName(_))
         .groupBy(keyCol).agg(sum("rows_deleted").as("rows_erased"))
         .select(col(keyCol).as("__erase_id"), col("rows_erased"))
       writeLedger(ids, perKey, ledgerPath, ledgerKey, erasedAtMs)
-      if (fold) dirs.foreach(d => DeletionVectors.apply(spark, d))
+      if (fold) { parMap(dirs)(d => DeletionVectors.apply(spark, d)); () }
       Erased(nSubjects, deletes.map(_.rowsDeleted).sum)
     } finally ids.unpersist()
   }
