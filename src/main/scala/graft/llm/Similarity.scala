@@ -217,22 +217,31 @@ object Similarity {
   }
 
   /** Within-bucket pairs of `srcSide` × `capped`, deduped across
-    * tables. */
-  private def pairsFrom(srcSide: DataFrame, capped: DataFrame)
-      : DataFrame =
+    * tables, scored with the exact rounded cosine. The cosine is
+    * computed BEFORE the cross-table dedup so the dedup exchange
+    * carries (src_id, dst_id, cosine4) — three scalars — instead of
+    * both embedding vectors (opt guide §2.3/§8: shuffle keys and
+    * scores, never payloads). A pair surfacing in several tables
+    * recomputes its cosine once per occurrence — a bounded, cheap
+    * per-row fold — and the duplicates are identical rows (the cosine
+    * is a pure function of the pair), so the deduped frame is exactly
+    * what score-after-dedup produced. */
+  private def pairsFrom(srcSide: DataFrame, capped: DataFrame,
+      roundDigits: Int = 4): DataFrame =
     srcSide.as("a").join(capped.as("b"),
         col("a.tbl") === col("b.tbl") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.id") =!= col("b.id"))
       .select(col("a.id").as("src_id"), col("b.id").as("dst_id"),
-        col("a.v").as("sv"), col("b.v").as("dv"))
+        round(cosine(col("a.v"), col("b.v")), roundDigits).as("cosine4"))
       .dropDuplicates("src_id", "dst_id")
 
   def knnCandidates(df: DataFrame, idCol: String, vecCol: String,
       tables: Seq[Seq[Seq[Double]]],
-      bucketCap: Int = ScaleConfig.Auto): DataFrame = {
+      bucketCap: Int = ScaleConfig.Auto,
+      roundDigits: Int = 4): DataFrame = {
     val capped = cappedBuckets(df, idCol, vecCol, tables, bucketCap)
-    pairsFrom(capped, capped)
+    pairsFrom(capped, capped, roundDigits)
   }
 
   /** The capped bucket-membership frame (tbl, bucket, id, v) — exposed
@@ -254,20 +263,27 @@ object Similarity {
   def knnGraphFromMembership(capped: DataFrame, k: Int,
       roundDigits: Int = 4): DataFrame = {
     require(k >= 1)
-    topK(pairsFrom(capped, capped), k, roundDigits)
+    topK(pairsFrom(capped, capped, roundDigits), k)
   }
 
-  private def topK(pairs: DataFrame, k: Int, roundDigits: Int)
-      : DataFrame = {
+  /** Per-src top-k over an already-scored (src_id, dst_id, cosine4)
+    * frame. Callers whose pair frames still carry vectors score them
+    * first ([[scorePairs]]). */
+  private def topK(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("src_id"))
       .orderBy(col("cosine4").desc, col("dst_id").asc)
     pairs
-      .withColumn("cosine4", round(cosine(col("sv"), col("dv")),
-        roundDigits))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("src_id"), col("dst_id"), col("cosine4"), col("rank"))
   }
+
+  /** Exact rounded cosine for a (…, sv, dv) pair frame; drops the
+    * vectors. */
+  private def scorePairs(pairs: DataFrame, roundDigits: Int): DataFrame =
+    pairs.withColumn("cosine4",
+        round(cosine(col("sv"), col("dv")), roundDigits))
+      .drop("sv", "dv")
 
   /** Incremental kNN-graph maintenance (SURVEY §2D, D206) — the D27/
     * D131 incremental discipline applied to the D202 graph: when a
@@ -305,7 +321,7 @@ object Similarity {
     // an affected src's candidates come from ALL its buckets, so the
     // src side is its full capped membership — the dst side is global
     val srcSide = capped.join(affectedSrc, Seq("id"), "left_semi")
-    val fresh = topK(pairsFrom(srcSide, capped), k, roundDigits)
+    val fresh = topK(pairsFrom(srcSide, capped, roundDigits), k)
     oldEdges.join(affectedSrc.select(col("id").as("src_id")),
         Seq("src_id"), "left_anti")
       .unionByName(fresh)
@@ -326,8 +342,8 @@ object Similarity {
       bucketCap: Int = ScaleConfig.Auto,
       roundDigits: Int = 4): DataFrame = {
     require(k >= 1)
-    topK(knnCandidates(df, idCol, vecCol, tables, bucketCap), k,
-      roundDigits)
+    topK(knnCandidates(df, idCol, vecCol, tables, bucketCap,
+      roundDigits), k)
   }
 
   /** [[knnGraph]] from an already-materialized candidate frame — a
@@ -337,7 +353,7 @@ object Similarity {
   def knnGraphFromCandidates(candidates: DataFrame, k: Int,
       roundDigits: Int = 4): DataFrame = {
     require(k >= 1)
-    topK(candidates, k, roundDigits)
+    topK(candidates, k)
   }
 
   /** One NN-Descent refinement round over a kNN graph (SURVEY §2D,
@@ -365,11 +381,11 @@ object Similarity {
       .unionByName(fwd)
       .distinct()
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-    topK(cand
+    topK(scorePairs(cand
       .join(v.select(col("id").as("src_id"), col("v").as("sv")),
         Seq("src_id"))
       .join(v.select(col("id").as("dst_id"), col("v").as("dv")),
-        Seq("dst_id")), k, roundDigits)
+        Seq("dst_id")), roundDigits), k)
   }
 
   /** NN-Descent iterated to its FIXED POINT (SURVEY §2D, D210+ —
