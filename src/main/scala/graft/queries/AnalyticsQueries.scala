@@ -212,35 +212,41 @@ object AnalyticsQueries {
       val mined = graft.operators.FuncDeps.mine(ord, FdMineCols)
         .localCheckpoint()
       Q.Phase.opDone() // soundness + metadata-arm proofs below
-      val all = for { a <- FdMineCols; b <- FdMineCols if a != b }
-        yield (a, b)
-      val survivors = mined.select("det", "dep").collect()
-        .map(r => (r.getString(0), r.getString(1))).toSet
-      require(survivors.size < all.size,
-        s"the NDV rule must refute part of the lattice " +
-          s"(${survivors.size}/${all.size} survived)")
-      val pruned = all.filterNot(survivors)
-      require(graft.operators.FuncDeps.check(ord, pruned)
-        .filter(col("holds")).count() == 0L,
-        "the NDV rule must never prune a true dependency")
-      // metadata-priced arm: the determinant profile for o_custkey comes
-      // from the D231 KMV sidecar (zero scan for that column), slack
-      // absorbs the estimate error, held set must not move
-      val tmp = Q.scratchDir("fd_mine")
-      try {
-        val t = tmp.resolve("ord").toString
-        ord.coalesce(4).write.parquet(t)
-        graft.sink.Sidecars.declare(spark, t,
-          Seq(graft.sink.Sidecars.Ndv("o_custkey", k = 256)))
-        val est = graft.sink.MetadataAgg.ndvEstimate(t, "o_custkey").get
-        val hinted = graft.operators.FuncDeps.mine(ord, FdMineCols,
-          ndvHints = Map("o_custkey" -> est),
-          nullFreeHints = Set("o_custkey"))
-        val h1 = mined.filter(col("holds")).select("det", "dep")
-        val h2 = hinted.filter(col("holds")).select("det", "dep")
-        require(h1.exceptAll(h2).isEmpty && h2.exceptAll(h1).isEmpty,
-          "the sidecar-hinted mine must discover the same held set")
-      } finally graft.sink.StageWriter.deleteRecursively(tmp)
+      // PROOF arms run at correctness SF only (the Q.benchLean contract
+      // sim_knn_graph_incr already follows): the soundness sweep is a
+      // second full scan and the metadata arm a full re-mine — pure
+      // proof, computed strictly after the checkpointed result frame
+      if (!Q.benchLean) {
+        val all = for { a <- FdMineCols; b <- FdMineCols if a != b }
+          yield (a, b)
+        val survivors = mined.select("det", "dep").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+        require(survivors.size < all.size,
+          s"the NDV rule must refute part of the lattice " +
+            s"(${survivors.size}/${all.size} survived)")
+        val pruned = all.filterNot(survivors)
+        require(graft.operators.FuncDeps.check(ord, pruned)
+          .filter(col("holds")).count() == 0L,
+          "the NDV rule must never prune a true dependency")
+        // metadata-priced arm: the determinant profile for o_custkey
+        // comes from the D231 KMV sidecar (zero scan for that column),
+        // slack absorbs the estimate error, held set must not move
+        val tmp = Q.scratchDir("fd_mine")
+        try {
+          val t = tmp.resolve("ord").toString
+          ord.coalesce(4).write.parquet(t)
+          graft.sink.Sidecars.declare(spark, t,
+            Seq(graft.sink.Sidecars.Ndv("o_custkey", k = 256)))
+          val est = graft.sink.MetadataAgg.ndvEstimate(t, "o_custkey").get
+          val hinted = graft.operators.FuncDeps.mine(ord, FdMineCols,
+            ndvHints = Map("o_custkey" -> est),
+            nullFreeHints = Set("o_custkey"))
+          val h1 = mined.filter(col("holds")).select("det", "dep")
+          val h2 = hinted.filter(col("holds")).select("det", "dep")
+          require(h1.exceptAll(h2).isEmpty && h2.exceptAll(h1).isEmpty,
+            "the sidecar-hinted mine must discover the same held set")
+        } finally graft.sink.StageWriter.deleteRecursively(tmp)
+      }
       mined.filter(col("holds")).select("det", "dep")
         .orderBy("det", "dep")
     }, Some(fdMineOracleSql))),

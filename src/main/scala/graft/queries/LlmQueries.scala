@@ -683,13 +683,20 @@ object LlmQueries {
         .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("j4"))
         .localCheckpoint()
       Q.Phase.opDone() // explicit-cap equality proof below
-      val explicit = Dedup.minhashLshPairs(docs, "doc_id", "text",
-          shingleWidth = 3, k = 32, b = 8, threshold = 0.8,
-          maxBucket = 64)
-        .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("j4"))
-      require(auto.exceptAll(explicit).isEmpty &&
-        explicit.exceptAll(auto).isEmpty,
-        "the cap-less (derived) run must equal the explicit cap-64 run")
+      // equality proof at correctness SF only (Q.benchLean contract):
+      // the explicit-cap arm is a full second mine that exists purely
+      // to prove the derived cap reproduces it — Verify runs it every
+      // round, the bench times the derived-cap mine itself
+      if (!Q.benchLean) {
+        val explicit = Dedup.minhashLshPairs(docs, "doc_id", "text",
+            shingleWidth = 3, k = 32, b = 8, threshold = 0.8,
+            maxBucket = 64)
+          .select(col("id1"), col("id2"),
+            round(col("jaccard"), 4).as("j4"))
+        require(auto.exceptAll(explicit).isEmpty &&
+          explicit.exceptAll(auto).isEmpty,
+          "the cap-less (derived) run must equal the explicit cap-64 run")
+      }
       auto.orderBy("id1", "id2")
     }, Some(minhashExactOracleSql))),
 

@@ -162,26 +162,31 @@ object MaintenanceQueries {
         val maintained = graft.operators.Rollup.applyChanges(
           r1, feed, Seq("o_custkey"), "o_totalprice").localCheckpoint()
         Q.Phase.opDone() // rebuild-equality + bootstrap + refusal = PROOF
-        val rebuilt = graft.operators.Rollup.build(
-          graft.sink.VersionedTable.read(spark, vt, Some(3)),
-          Seq("o_custkey"), "o_totalprice").localCheckpoint()
-        require(Q.multisetEqual(maintained, rebuilt),
-          "maintain(readChangeFeed(1,3)) over build(v1) must equal " +
-            "build(v3) exactly")
-        // bootstrap arm: fromV=0 delivers the snapshot as pure inserts —
-        // applying it to an EMPTY rollup must also equal the rebuild
-        val boot = graft.operators.Rollup.applyChanges(r1.limit(0),
-          graft.sink.VersionedTable.readChangeFeed(spark, vt, 0, 3),
-          Seq("o_custkey"), "o_totalprice")
-        require(Q.multisetEqual(boot, rebuilt),
-          "the fromV=0 bootstrap feed must rebuild the rollup exactly")
-        // refusal arm: an empty or out-of-range window is a config
-        // error, never an empty feed
-        val refused = try {
-          graft.sink.VersionedTable.readChangeFeed(spark, vt, 3, 3)
-          false
-        } catch { case _: IllegalArgumentException => true }
-        require(refused, "from >= to must refuse, not return empty")
+        // proof arms at correctness SF only (Q.benchLean contract): the
+        // rebuild and bootstrap exist purely to prove the maintained
+        // rollup — Verify runs the full protocol every round
+        if (!Q.benchLean) {
+          val rebuilt = graft.operators.Rollup.build(
+            graft.sink.VersionedTable.read(spark, vt, Some(3)),
+            Seq("o_custkey"), "o_totalprice").localCheckpoint()
+          require(Q.multisetEqual(maintained, rebuilt),
+            "maintain(readChangeFeed(1,3)) over build(v1) must equal " +
+              "build(v3) exactly")
+          // bootstrap arm: fromV=0 delivers the snapshot as pure inserts
+          // — applying it to an EMPTY rollup must also equal the rebuild
+          val boot = graft.operators.Rollup.applyChanges(r1.limit(0),
+            graft.sink.VersionedTable.readChangeFeed(spark, vt, 0, 3),
+            Seq("o_custkey"), "o_totalprice")
+          require(Q.multisetEqual(boot, rebuilt),
+            "the fromV=0 bootstrap feed must rebuild the rollup exactly")
+          // refusal arm: an empty or out-of-range window is a config
+          // error, never an empty feed
+          val refused = try {
+            graft.sink.VersionedTable.readChangeFeed(spark, vt, 3, 3)
+            false
+          } catch { case _: IllegalArgumentException => true }
+          require(refused, "from >= to must refuse, not return empty")
+        }
         graft.operators.Rollup.readable(maintained)
           .orderBy("o_custkey").localCheckpoint()
       } finally graft.sink.StageWriter.deleteRecursively(tmp)
