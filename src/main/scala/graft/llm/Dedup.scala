@@ -216,6 +216,13 @@ object Dedup {
     val pairs = batchBands.join(corpusBands, Seq("band", "bh"))
       .select(col("batch_id"), col("corpus_id"))
       .dropDuplicates("batch_id", "corpus_id")
+    // NOTE (r14): semi-join-pruning these set builds to candidate ids
+    // (the minhashLshBatchVsStoredBands discipline) was A/B'd here and
+    // REGRESSED the gates (+0.5-1.0 s): the prune needs the pair frame
+    // materialized (or re-mined per branch), which costs more than the
+    // unpruned collect_set at this shape. The production ingest loop
+    // (stored bands) already prunes; this from-scratch variant keeps
+    // the single-pass shape.
     val corpusSets = corpusShingles.groupBy("id")
       .agg(collect_set(col("s")).as("sh_c"))
       .withColumnRenamed("id", "corpus_id")
@@ -636,11 +643,16 @@ object Dedup {
           |  transform(slice(m, i + 2, size(m)), y ->
           |    struct(x.id as id1, x.v as v1, y.id as id2, y.v as v2))))"""
           .stripMargin)).as("p"))
-      .select(col("p.id1"), col("p.id2"), col("p.v1"), col("p.v2"))
+      // score BEFORE the cross-bucket dedup so the dedup exchange
+      // carries (id1, id2, c4) — three scalars — instead of both
+      // vectors (the knn pairsFrom discipline); duplicate occurrences
+      // produce identical rows since c4 is a pure function of the pair
+      .select(col("p.id1"), col("p.id2"),
+        round(dot(col("p.v1"), col("p.v2")) /
+          (sqrt(dot(col("p.v1"), col("p.v1"))) *
+            sqrt(dot(col("p.v2"), col("p.v2")))), 4).as("c4"))
       .dropDuplicates("id1", "id2")
     pairs
-      .withColumn("c4", round(dot(col("v1"), col("v2")) /
-        (sqrt(dot(col("v1"), col("v1"))) * sqrt(dot(col("v2"), col("v2")))), 4))
       .filter(col("c4") >= threshold)
       .select(col("id1"), col("id2"), col("c4"))
   }
@@ -660,10 +672,12 @@ object Dedup {
           |  transform(slice(m, i + 2, size(m)), y ->
           |    struct(x.id as id1, x.v as v1, y.id as id2, y.v as v2))))"""
           .stripMargin)).as("p"))
-      .select(col("p.id1"), col("p.id2"), col("p.v1"), col("p.v2"))
+      // score before the dedup exchange (knn pairsFrom discipline):
+      // shuffle three scalars, not two vectors; duplicates identical
+      .select(col("p.id1"), col("p.id2"),
+        Similarity.cosine(col("p.v1"), col("p.v2")).as("cosine"))
       .dropDuplicates("id1", "id2")
     pairs
-      .withColumn("cosine", Similarity.cosine(col("v1"), col("v2")))
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))
   }
