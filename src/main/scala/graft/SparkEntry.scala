@@ -31,6 +31,15 @@ object SparkEntry {
     // stage partition columns are business codes ("011"); never re-infer
     // them as ints when reading a partitioned layout back
     .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    // commit algorithm v2: task outputs move to the destination at task
+    // commit instead of a sequential driver-side rename pass at job
+    // commit. The engine's sinks provide their own atomicity (hidden
+    // staging dir + atomic reveal/swap — StageWriter/VersionedTable), so
+    // v1's job-commit rename adds latency, not safety, on every one of
+    // the battery's scratch/table writes (r14 A/B on the 14-gate
+    // write-path subset: 58.2 → 55.3 s)
+    .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+      "2")
 
   private val all: Map[String, Q.Entry] =
     ExtractionQueries.defs ++ DslQueries.defs ++ PipelineQueries.defs ++

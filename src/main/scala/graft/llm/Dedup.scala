@@ -511,7 +511,15 @@ object Dedup {
     * definition (word hashes here, row-sampling hashes in queries.Q) so a
     * change lands everywhere at once. */
   def portableHash60(c: Column): Column =
-    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+    // native single-step twin of
+    // conv(substring(md5(c), 1, 15), 16, 10).cast(long) — bit-identical
+    // (Md5Prefix60Spec pins it against this exact legacy chain), one
+    // digest instead of hex-encode + substring + radix parse per row
+    // (r14 same-subset A/B: 20.5 → 19.0 s over 17 hash-heavy gates)
+    org.apache.spark.sql.graftx.Bridge.column(
+      graft.functions.Md5Prefix60(
+        org.apache.spark.sql.graftx.Bridge.expression(
+          c.cast(StringType))))
 
   /** Portable word hash: the 60-bit core mod 1e9+7 (keeps every later
     * affine-permutation step below 2^63 for the SQL twin). */
