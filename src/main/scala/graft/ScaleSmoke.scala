@@ -402,6 +402,58 @@ object ScaleSmoke {
       f"inverted-index peak memory ${memPostSkew}%.1f MB vs organic " +
         f"${memPostOrg}%.1f MB — posting cap not bounding state")
 
+    // ---- dup-span de-skew: hot grams shuffle (gram, doc) rows, never ----
+    // ---- occurrences (the r15 pre-reduce pin) ----
+    // Every doc = one 8-word sentence repeated 12x plus a doc-unique tail
+    // word: 90 gram POSITIONS per doc but only 9 DISTINCT grams (the 8
+    // sentence rotations + one tail gram), and the rotation grams are hot
+    // across the whole corpus (the Zipfian stop-word-shingle shape).
+    // dupSpanStats' groupBy(h, id) pre-reduce
+    // must collapse the multiplicity map-side, so total shuffle-READ
+    // records across the job track distinct (gram, doc) pairs — the r14
+    // single-window shape shipped every occurrence to the hot hash's one
+    // task and would read ~1x the position count here.
+    val shufRead = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null)
+            shufRead.addAndGet(m.shuffleReadMetrics.recordsRead)
+        }
+      })
+    val sent = (1 to 8).map(i => s"span$i").mkString(" ")
+    val spanDocs = spark.range(4000L * rep).select(
+      col("id").as("doc_id"),
+      concat(lit((Seq.fill(12)(sent)).mkString(" ") + " uniq"),
+        col("id").cast("string")).as("text"))
+    val tSpan = System.nanoTime()
+    Thread.sleep(1000) // drain prior queries' task-end events
+    shufRead.set(0)
+    val spanStats = graft.llm.Dedup.dupSpanStats(spanDocs, "doc_id", "text")
+      .agg(sum("n_grams"), sum("n_dup"), min("dup_frac"), max("dup_frac"))
+      .head()
+    Thread.sleep(1000) // let this run's task-end events land
+    val spanShuf = shufRead.get()
+    val occ = spanStats.getLong(0)
+    println(f"[scale] dup-span hot grams  ${(System.nanoTime() - tSpan) / 1e9}%8.2f s  " +
+      f"($occ positions, shuffle-read $spanShuf records)")
+    // 12x multiplicity collapses before the exchange: all shuffles of the
+    // job together (the (h,id) agg, the h window, the per-doc rollup, the
+    // final id join) must stay well under ONE pass of the positions
+    assert(spanShuf < occ / 2,
+      s"dup-span shuffled $spanShuf records for $occ gram positions — " +
+        "occurrence multiplicity is reaching the exchange (pre-reduce " +
+        "lost); hot grams would straggle at corpus scale")
+    // correctness pin: 89 of each doc's 90 positions carry corpus-hot
+    // rotation grams; only position 90's gram touches the doc-unique
+    // word and occurs nowhere else → dup_frac = round(89/90, 4)
+    assert(spanStats.getDouble(2) == spanStats.getDouble(3) &&
+      math.abs(spanStats.getDouble(2) - 0.9889) < 1e-9,
+      s"dup-span frac ${spanStats.getDouble(2)}..${spanStats.getDouble(3)}" +
+        " != 0.9889 — de-skew rewrite changed the metric")
+
     // ---- JoinGuard hot key in anger: output cap is the invariant ----
     // 20% of ALL lineitem rows get ONE shared join key on both sides: the
     // uncapped join would emit ~|hotL|·|hotR| ≈ 5·10^10 pairs at 10× for

@@ -37,7 +37,15 @@ object SparkEntry {
     // staging dir + atomic reveal/swap — StageWriter/VersionedTable), so
     // v1's job-commit rename adds latency, not safety, on every one of
     // the battery's scratch/table writes (r14 A/B on the 14-gate
-    // write-path subset: 58.2 → 55.3 s)
+    // write-path subset: 58.2 → 55.3 s).
+    // DISTRIBUTED CAVEAT (MAPREDUCE-7282): v2's task commit is not
+    // atomic under task RETRIES/SPECULATION — a retried task can leave
+    // duplicate/partial files in the write's destination dir, which for
+    // the staged sinks is the staging dir the swap then reveals. This
+    // local battery runs with no retries and no speculation, where v2
+    // is safe; a distributed deployment enabling either must revert to
+    // v1 (override the conf at session build) — the sinks' swap
+    // atomicity covers job-level failure, not v2's task-commit gap.
     .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
       "2")
 

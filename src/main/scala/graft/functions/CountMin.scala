@@ -91,12 +91,18 @@ object CountMin {
       .cast("long"), lit(w.toLong)).cast("int")
   }
 
-  /** All d buckets for a key, as the array the Aggregator consumes. The d
-    * md5 calls share one digest via whole-stage-codegen subexpression
-    * elimination — one hash per key, not d. */
+  /** All d buckets for a key, as the array the Aggregator consumes —
+    * ONE native digest + d unsigned-int chunk reads ([[Md5Buckets]]),
+    * bit-identical per row to the legacy conv(substring(md5)) chain
+    * above (Md5BucketsSpec pins it), so every DuckDB oracle twin stays
+    * valid. The legacy form shared the digest via codegen subexpression
+    * elimination but still paid hex encode + substring + radix parse
+    * per hash row per key. */
   def buckets(key: Column, d: Int, w: Int): Column = {
     require(d <= 4, s"one md5 digest supplies at most 4 hash rows, got d=$d")
-    array((0 until d).map(bucket(_, key, w)): _*)
+    org.apache.spark.sql.graftx.Bridge.column(
+      Md5Buckets(org.apache.spark.sql.graftx.Bridge.expression(
+        key.cast(StringType)), d, w))
   }
 
   /** Sketch an entire keys column into one d×w counter row. */

@@ -349,25 +349,33 @@ object Dedup {
     // banding/cap), so materializing it is cheap at any scale (opt
     // guide §5: cache only reused-and-expensive intermediates).
     val p = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    // no checkpoint: `nodes` is consumed exactly once (the final label
+    // join) and reads from p's checkpoint — materializing it was a whole
+    // extra job per CC invocation for nothing (r15, guide §5)
     val nodes = p.select(col("id1").as("id"))
       .unionByName(p.select(col("id2").as("id")))
-      .distinct().localCheckpoint()
-    // canonical big→small orientation; self-loops carry no connectivity
-    var edges = p
-      .select(greatest(col("id1"), col("id2")).as("u"),
-        least(col("id1"), col("id2")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .distinct()
     // fixpoint detection by (count, hash-sum) fingerprint of the edge SET,
     // collected by observe() DURING the per-round checkpoint
     // materialization — zero extra jobs, vs a full-shuffle set-difference
     // per round (a collision would need two different edge sets with equal
     // count AND equal 64-bit hash sum — the same uniform-hash assumption
     // the sketch family already rests on)
-    def fingerprint(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    var fp = fingerprint(edges)
+    def obsFp(row: Map[String, Any]): (Long, Long) =
+      (row("n").asInstanceOf[Long],
+        Option(row("h")).fold(0L)(_.asInstanceOf[Long]))
+    // canonical big→small orientation; self-loops carry no connectivity.
+    // The initial fingerprint rides this checkpoint's materialization
+    // (observe), not a separate aggregation job (r15).
+    val obs0 = org.apache.spark.sql.Observation("cc_fp_init")
+    var edges = p
+      .select(greatest(col("id1"), col("id2")).as("u"),
+        least(col("id1"), col("id2")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .observe(obs0, count(lit(1)).as("n"),
+        sum(xxhash64(col("u"), col("v"))).as("h"))
+      .localCheckpoint()
+    var fp = obsFp(obs0.get)
     var converged = fp._1 == 0
     var rounds = 0
     while (!converged && rounds < maxIter) {
@@ -382,19 +390,28 @@ object Dedup {
         .filter(col("v") > col("u")) // bigger neighbors re-attach to m
         .select(col("v").as("u"), col("m").as("v"))
       // small-star: neighbors are all < u here; u and every non-min
-      // neighbor attach to the minimum — orientation stays big→small
+      // neighbor attach to the minimum — orientation stays big→small.
+      // Both output rows of a star edge — (u, m) always, (v, m) when
+      // v ≠ m — are emitted by ONE explode over the window output: the
+      // previous self-UNION shape put two copies of the whole window
+      // subtree in the plan, and only the exchange is runtime-reused, so
+      // the post-shuffle sort + window exec ran TWICE per round (r15,
+      // guide §2.4: share the exchange — and the operator above it).
+      // Row multiset is identical to the union (distinct follows).
       val withMin = large.withColumn("m", min("v").over(wU))
       val obs = org.apache.spark.sql.Observation(s"cc_fp_$rounds")
-      val small = withMin.select(col("u"), col("m").as("v"))
-        .unionByName(withMin.filter(col("v") =!= col("m"))
-          .select(col("v").as("u"), col("m").as("v")))
+      val small = withMin
+        .select(explode(when(col("v") =!= col("m"),
+            array(struct(col("u").as("u"), col("m").as("v")),
+              struct(col("v").as("u"), col("m").as("v"))))
+          .otherwise(array(struct(col("u").as("u"), col("m").as("v")))))
+          .as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .distinct()
         .observe(obs, count(lit(1)).as("n"),
           sum(xxhash64(col("u"), col("v"))).as("h"))
         .localCheckpoint() // the action that fills the observation
-      val row = obs.get
-      val fpNext = (row("n").asInstanceOf[Long],
-        Option(row("h")).fold(0L)(_.asInstanceOf[Long]))
+      val fpNext = obsFp(obs.get)
       converged = fpNext == fp
       edges = small
       fp = fpNext
@@ -761,21 +778,28 @@ object Dedup {
     }
     val g = df.select(col(idCol).as("id"), explode(grams).as("gram"))
       .select(col("id"), portableHash60(col("gram")).as("h"))
-    // distinct-doc count per hash as WINDOW functions over ONE h-keyed
-    // exchange (max(dense_rank) ≡ countDistinct, null-corrected), not
-    // groupBy + join-back: the join shape evaluates `g` — the md5 gram
-    // scan, the expensive stage here — TWICE (aggregate branch + probe
-    // branch; exchanges differ, so no reuse). Measured as two full
-    // 1-task gram stages under dd_dup_spans. One evaluation, one
-    // exchange, same rows out (opt guide §2.4: share the exchange).
+    // distinct-doc count per hash over PRE-REDUCED (h, id) rows — one
+    // evaluation of `g` (the md5 gram scan; the old groupBy + join-back
+    // evaluated it twice) AND map-side reduction of occurrence
+    // multiplicity (r15 de-skew): the r14 single-window shape routed
+    // EVERY occurrence row of a hot gram hash to one task — gram
+    // frequencies are Zipfian, so at corpus scale a stop-word shingle's
+    // hash was a straggler partition. groupBy(h, id) partial-aggregates
+    // the positions map-side (guide §2.3 "aggregate before you
+    // shuffle"), so the h-keyed window that counts distinct docs sees at
+    // most one row per (gram, doc) — the same bound the two-phase
+    // countDistinct had. count(*) over distinct (h, id) rows ≡
+    // countDistinct(id), minus one when a NULL id group is present
+    // (countDistinct excludes nulls).
     val wH = Window.partitionBy("h")
     val perDoc = g
-      .withColumn("__dr", dense_rank().over(wH.orderBy(col("id"))))
-      .withColumn("nd", max(col("__dr")).over(wH) -
+      .groupBy("h", "id").agg(count(lit(1)).as("cnt"))
+      .withColumn("nd", count(lit(1)).over(wH) -
         max(when(col("id").isNull, 1).otherwise(0)).over(wH))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("nd") >= 2, 1).otherwise(0)).as("n_dup"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(when(col("nd") >= 2, col("cnt")).otherwise(lit(0L)))
+          .as("n_dup"))
     df.select(col(idCol).as("id"))
       .join(perDoc, Seq("id"), "left")
       .select(col("id"),
@@ -872,15 +896,20 @@ object Dedup {
     val g = df.select(col(idCol).as("id"), posexplode(grams))
       .select(col("id"), (col("pos") + 1).as("s"),
         portableHash60(col("col")).as("h"))
-    // same exchange-sharing rewrite as [[dupSpanStats]]: the groupBy +
-    // join-back shape evaluated the md5 gram scan twice
+    // same single-evaluation + pre-reduced shape as [[dupSpanStats]]
+    // (r15 de-skew): start positions ride the (h, id) partial aggregate
+    // as a collect_set — bounded by the document's gram count — so the
+    // h-keyed window sees one row per (gram, doc), never per occurrence.
+    // A position has exactly ONE gram (hence one h), so exploding the
+    // per-(h, id) position sets yields distinct (id, s) pairs directly —
+    // the old .distinct() exchange is structurally redundant now.
     val wH = Window.partitionBy("h")
     val dupStarts = g
-      .withColumn("__dr", dense_rank().over(wH.orderBy(col("id"))))
-      .withColumn("__nd", max(col("__dr")).over(wH) -
+      .groupBy("h", "id").agg(collect_set(col("s")).as("ss"))
+      .withColumn("__nd", count(lit(1)).over(wH) -
         max(when(col("id").isNull, 1).otherwise(0)).over(wH))
       .filter(col("__nd") >= minDocs)
-      .select(col("id"), col("s")).distinct()
+      .select(col("id"), explode(col("ss")).as("s"))
       .withColumn("flag", lit(1))
     val covW = Window.partitionBy("id").orderBy("p")
       .rowsBetween(-(width - 1), Window.currentRow)

@@ -349,11 +349,20 @@ object Similarity {
   /** [[knnGraph]] from an already-materialized candidate frame — a
     * caller that inspected the candidates (the gate's cap-bound check,
     * an NN-Descent round) finishes the graph without re-running the
-    * bucket self-join. */
+    * bucket self-join. Accepts EITHER the pre-scored
+    * (src_id, dst_id, cosine4) shape [[knnCandidates]] emits since the
+    * score-before-dedup rewrite (roundDigits is then unused) or a
+    * legacy vector-carrying (src_id, dst_id, sv, dv) frame, which is
+    * scored here at `roundDigits` first. */
   def knnGraphFromCandidates(candidates: DataFrame, k: Int,
       roundDigits: Int = 4): DataFrame = {
     require(k >= 1)
-    topK(candidates, k)
+    val scored =
+      if (candidates.columns.contains("sv") &&
+        candidates.columns.contains("dv"))
+        scorePairs(candidates, roundDigits)
+      else candidates
+    topK(scored, k)
   }
 
   /** One NN-Descent refinement round over a kNN graph (SURVEY §2D,

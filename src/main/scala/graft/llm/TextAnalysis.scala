@@ -577,17 +577,23 @@ object TextAnalysis {
     * inside codegen with a deterministic summation order any engine
     * replays. Returns NULL-free doubles rounded to `roundDigits`. */
   def charEntropy(textCol: Column, roundDigits: Int = 6): Column = {
-    val alphabet = ('a' to 'z').map(_.toString) :+ " "
-    bindOnce(lower(textCol)) { t =>
-      bindOnce(array(alphabet.map(c =>
-        (length(t) - length(translate(t, c, ""))).cast("long")): _*)) { cs =>
-        bindOnce(aggregate(cs, lit(0L), (acc, x) => acc + x)) { n =>
-          when(n === 0, lit(0.0)).otherwise(
-            round(-aggregate(transform(cs, c =>
-              when(c > 0, (c.cast(DoubleType) / n) *
-                log(c.cast(DoubleType) / n)).otherwise(lit(0.0))),
-              lit(0.0), (acc, x) => acc + x), roundDigits))
-        }
+    val alphabet = ('a' to 'z').mkString + " "
+    // counts in ONE native byte scan (AsciiCharCounts) instead of 27
+    // length-minus-translate passes per row — count-identical by the
+    // ASCII/UTF-8 byte argument (spec-pinned old ≡ new, interpreted ≡
+    // codegen); the -Σ p·ln p fold below is UNCHANGED, so the doubles
+    // (and their fold order) are bit-identical to the r14 shape
+    val counts = org.apache.spark.sql.graftx.Bridge.column(
+      graft.functions.AsciiCharCounts(
+        org.apache.spark.sql.graftx.Bridge.expression(
+          lower(textCol).cast(StringType)), alphabet))
+    bindOnce(counts) { cs =>
+      bindOnce(aggregate(cs, lit(0L), (acc, x) => acc + x)) { n =>
+        when(n === 0, lit(0.0)).otherwise(
+          round(-aggregate(transform(cs, c =>
+            when(c > 0, (c.cast(DoubleType) / n) *
+              log(c.cast(DoubleType) / n)).otherwise(lit(0.0))),
+            lit(0.0), (acc, x) => acc + x), roundDigits))
       }
     }
   }

@@ -203,9 +203,20 @@ object BenchQueries {
     // pipeline actually consumes sketches (exact distinct of a high-card
     // column forces a massive shuffle; the sketch is one pass, mergeable)
     "q_approx_distinct" -> (((spark, dir) => {
+      // reduce to DISTINCT (flag, partkey) rows first, then count + HLL
+      // over the reduced frame (r15): the mixed distinct/non-distinct
+      // aggregate planned as an Expand + partial-agg whose HLL buffer
+      // allocated PER EXPANDED GROUP — ~200k sketch buffers for 3 output
+      // rows, the allocation-contention signature behind this gate's
+      // 8-core-beats-32 inverse scaling. HLL register state is a pure
+      // function of the input SET (duplicate-insensitive), and count()
+      // over distinct non-null rows ≡ count_distinct, so the estimate
+      // and the output are IDENTICAL — now with map-side distinct
+      // reduction and exactly 3 HLL buffers per task (guide §2.3).
       load(spark, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey")).distinct()
         .groupBy("l_returnflag")
-        .agg(count_distinct(col("l_partkey")).as("exact_nd"),
+        .agg(count(col("l_partkey")).as("exact_nd"),
           approx_count_distinct(col("l_partkey")).as("approx"))
         .select(col("l_returnflag"), col("exact_nd"),
           (abs(col("approx") - col("exact_nd")) <=

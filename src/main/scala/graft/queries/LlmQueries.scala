@@ -855,11 +855,19 @@ object LlmQueries {
       // labeling is composed into the next run ("key not found: u#...")
       val tmp = Q.scratchDir("cc_incr")
       val lp = tmp.resolve("labels").toString
-      Dedup.connectedComponents(
-        Dedup.minhashLshPairs(corpus, "doc_id", "text",
-          shingleWidth = 3, k = 32, b = 8, threshold = 0.8)
-          .select(col("id1"), col("id2")))
-        .write.parquet(lp)
+      // the stored labeling is FIXTURE state (setup, not the operator):
+      // build it once per JVM and hardlink into this pass's scratch dir
+      // (the streaming gates' FixtureCache discipline — VERDICT r14 #6),
+      // so the timed passes measure the INCREMENT, not a re-mine + CC of
+      // the corpus per pass. Labels are deterministic (cluster = min id
+      // of the component, partitioning-invariant), so every pass links
+      // byte-identical fixture rows; Verify builds it fresh per JVM too.
+      Q.FixtureCache.link(spark, s"$dir|dd_cluster_incr_labels", lp) {
+        Dedup.connectedComponents(
+          Dedup.minhashLshPairs(corpus, "doc_id", "text",
+            shingleWidth = 3, k = 32, b = 8, threshold = 0.8)
+            .select(col("id1"), col("id2")))
+      }
       val labels0 = spark.read.parquet(lp)
       // the corpus labeling is fixture state the increment consumes —
       // everything after (pair mining on the batch + ccIncremental) is
@@ -1271,13 +1279,22 @@ object LlmQueries {
       val q = emb.filter(col("vec_id") < 8)
       val tmp = Q.scratchDir("ivfpq_idx")
       try {
-        val (cents, cb, codes) = Similarity.ivfPqBuild(emb, "vec_id",
+        // offline build + persist = fixture; op = the serving path
+        // (load index + query). The build is deterministic (pinned
+        // k-means, SQL-replayed by the oracle), so the persisted index
+        // is FixtureCache'd per JVM and hardlinked per pass — timed
+        // passes measure SERVING, not four re-builds of the same index
+        // (r15 methodology note). The lazy triple is built at most once
+        // per JVM (first cache miss).
+        lazy val built = Similarity.ivfPqBuild(emb, "vec_id",
           "embedding", dim = 64, nlist = 32, m = 8, ncodes = 64)
-        cents.write.parquet(tmp.resolve("centroids").toString)
-        cb.write.parquet(tmp.resolve("codebook").toString)
-        codes.write.parquet(tmp.resolve("codes").toString)
-        Q.Phase.setupDone() // offline build + persist = fixture; op =
-                            // the serving path (load index + query)
+        Q.FixtureCache.link(spark, s"$dir|ivfpq_stored_cents",
+          tmp.resolve("centroids").toString) { built._1 }
+        Q.FixtureCache.link(spark, s"$dir|ivfpq_stored_cb",
+          tmp.resolve("codebook").toString) { built._2 }
+        Q.FixtureCache.link(spark, s"$dir|ivfpq_stored_codes",
+          tmp.resolve("codes").toString) { built._3 }
+        Q.Phase.setupDone()
         Similarity.ivfPqQuery(q,
             spark.read.parquet(tmp.resolve("centroids").toString),
             spark.read.parquet(tmp.resolve("codebook").toString),

@@ -74,7 +74,18 @@ object Q {
   def spreadSmallScan(spark: SparkSession, df: DataFrame,
       path: String): DataFrame = {
     val bytes =
-      try java.nio.file.Files.size(java.nio.file.Paths.get(path))
+      try {
+        val p = java.nio.file.Paths.get(path)
+        // a DIRECTORY layout's Files.size is the directory-entry size
+        // (~4 KB — the floor would silently self-disable on real data);
+        // sum the visible data files instead. Multi-file dirs also have
+        // real splits, but the 64 MB limit below — not the layout —
+        // stays the arbiter, measured the same way for both layouts.
+        if (java.nio.file.Files.isDirectory(p))
+          graft.sink.StageWriter.listDataFiles(p)
+            .map(java.nio.file.Files.size(_)).sum
+        else java.nio.file.Files.size(p)
+      }
       catch { case _: Exception => Long.MaxValue }
     val limit = spark.conf.getOption("spark.graft.smallInputBytes")
       .map(_.toLong).getOrElse(64L * 1024 * 1024)

@@ -594,18 +594,23 @@ object RetrievalQueries {
       val cut = maxId * 4 / 5 // batch ids strictly above every corpus id
       val corpus = emb.filter(col("vec_id") <= cut)
       val batch = emb.filter(col("vec_id") > cut)
-      // the fixture (`old`) and the proof rebuild (`full`) share ONE
-      // bucketing pass: cap admission is deterministic by smallest id
-      // and batch ids exceed every corpus id, so the corpus membership
-      // is exactly the union membership filtered to corpus ids
-      // (Similarity.bucketMembership doc; KnnGraphSpec pins the
-      // identity). The OPERATOR under test still runs its own full
-      // path inside knnGraphIncrement.
-      val capped = Similarity.bucketMembership(emb, "vec_id",
-        "embedding", KnnTables, bucketCap = cap).localCheckpoint()
-      val old = Similarity.knnGraphFromMembership(
-        capped.filter(col("id") <= cut), k = 5).localCheckpoint()
-      Q.Phase.setupDone() // the pre-existing graph is fixture state
+      // the pre-existing graph is FIXTURE state the increment consumes:
+      // built once per JVM and hardlinked per pass (FixtureCache, the
+      // dd_cluster_incr discipline — r15 methodology note in
+      // OPTIMIZATION_r15.md), so timed passes measure the INCREMENT.
+      // Deterministic: cap admission is by smallest id and batch ids
+      // exceed every corpus id, so the corpus membership is exactly the
+      // union membership filtered to corpus ids (bucketMembership doc;
+      // KnnGraphSpec pins the identity). The OPERATOR under test still
+      // runs its own full path inside knnGraphIncrement.
+      val op = Q.scratchDir("knn_incr").resolve("old").toString
+      Q.FixtureCache.link(spark, s"$dir|sim_knn_graph_incr_old", op) {
+        Similarity.knnGraphFromMembership(
+          Similarity.bucketMembership(emb, "vec_id", "embedding",
+            KnnTables, bucketCap = cap).filter(col("id") <= cut), k = 5)
+      }
+      val old = spark.read.parquet(op)
+      Q.Phase.setupDone()
       val incr = Similarity.knnGraphIncrement(corpus, batch, old,
         "vec_id", "embedding", KnnTables, k = 5, bucketCap = cap)
         .localCheckpoint()
@@ -614,7 +619,9 @@ object RetrievalQueries {
       // contract): the rebuild exists purely to prove the increment —
       // the bench times the increment, Verify proves it every round
       if (!Q.benchLean) {
-        val full = Similarity.knnGraphFromMembership(capped, k = 5)
+        val full = Similarity.knnGraphFromMembership(
+          Similarity.bucketMembership(emb, "vec_id", "embedding",
+            KnnTables, bucketCap = cap), k = 5)
           .localCheckpoint()
         require(Q.multisetEqual(incr, full),
           "the incremental graph must EQUAL the full rebuild")
@@ -644,9 +651,16 @@ object RetrievalQueries {
     // two-stage SQL replay.
     "sim_knn_refine" -> (((spark, dir) => {
       val emb = load(spark, dir, "embeddings")
-      val base = Similarity.knnGraph(emb, "vec_id", "embedding",
-        KnnTables, k = 5, bucketCap = 64).localCheckpoint()
-      Q.Phase.setupDone() // the initial LSH graph is the fixture
+      // the initial LSH graph is the fixture: FixtureCache'd per JVM
+      // (key SHARED with sim_knn_converge — identical construction), so
+      // timed passes measure the refinement round (r15 methodology note)
+      val bp = Q.scratchDir("knn_base").resolve("base").toString
+      Q.FixtureCache.link(spark, s"$dir|sim_knn_base_k5_cap64", bp) {
+        Similarity.knnGraph(emb, "vec_id", "embedding", KnnTables,
+          k = 5, bucketCap = 64)
+      }
+      val base = spark.read.parquet(bp)
+      Q.Phase.setupDone()
       val refined = Similarity.nnDescentRound(base, emb, "vec_id",
         "embedding", k = 5).localCheckpoint()
       Q.Phase.opDone() // monotonicity proof follows
@@ -675,9 +689,15 @@ object RetrievalQueries {
     // no-op) or ran the full budget.
     "sim_knn_converge" -> (((spark, dir) => {
       val emb = load(spark, dir, "embeddings")
-      val base = Similarity.knnGraph(emb, "vec_id", "embedding",
-        KnnTables, k = 5, bucketCap = 64).localCheckpoint()
-      Q.Phase.setupDone() // the initial LSH graph is the fixture
+      // fixture shared with sim_knn_refine (same cache key — built once
+      // per JVM for both gates; r15 methodology note)
+      val bp = Q.scratchDir("knn_base").resolve("base").toString
+      Q.FixtureCache.link(spark, s"$dir|sim_knn_base_k5_cap64", bp) {
+        Similarity.knnGraph(emb, "vec_id", "embedding", KnnTables,
+          k = 5, bucketCap = 64)
+      }
+      val base = spark.read.parquet(bp)
+      Q.Phase.setupDone()
       val (finalG, rounds) = Similarity.nnDescentConverge(base, emb,
         "vec_id", "embedding", k = 5, maxRounds = 3)
       Q.Phase.opDone() // monotonicity/progress proof follows
@@ -908,11 +928,24 @@ object RetrievalQueries {
       val emb = load(spark, dir, "embeddings")
       val corpus = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
       val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
-      val cents = Similarity.kmeansCentroids(corpus, "vec_id",
-        "embedding", k = 8, iters = 2).localCheckpoint()
-      val old = Similarity.clusterBalancedFromCentroids(corpus,
-        "vec_id", "embedding", cents, perCluster = 40).localCheckpoint()
-      Q.Phase.setupDone() // trained centroids + prior sample = fixture
+      // trained centroids + prior sample = fixture, FixtureCache'd per
+      // JVM (r15 methodology note): both are deterministic (pinned-init
+      // Lloyd; hash-ranked quota sample — the oracle replays each in
+      // SQL), so every pass links byte-identical fixture rows
+      val tmpCb = Q.scratchDir("cbal_incr")
+      val cp = tmpCb.resolve("cents").toString
+      Q.FixtureCache.link(spark, s"$dir|llm_cbal_cents_k8i2", cp) {
+        Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
+          k = 8, iters = 2)
+      }
+      val cents = spark.read.parquet(cp)
+      val sp = tmpCb.resolve("old").toString
+      Q.FixtureCache.link(spark, s"$dir|llm_cbal_old_pc40", sp) {
+        Similarity.clusterBalancedFromCentroids(corpus,
+          "vec_id", "embedding", cents, perCluster = 40)
+      }
+      val old = spark.read.parquet(sp)
+      Q.Phase.setupDone()
       val incr = Similarity.clusterBalancedIncrement(old, batch,
         "vec_id", "embedding", cents, perCluster = 40).localCheckpoint()
       Q.Phase.opDone() // the from-scratch rebuild + equality is PROOF
@@ -960,7 +993,11 @@ object RetrievalQueries {
       // distinct-source count per gram as window functions over ONE
       // gh-keyed exchange (max(dense_rank) ≡ count_distinct; source is
       // non-null in this corpus and the oracle already rests on that):
-      // the groupBy + join-back shape evaluated the md5 gram scan twice
+      // the groupBy + join-back shape evaluated the md5 gram scan twice.
+      // Skew note (r15): wordShingles is array_distinct per doc, so the
+      // window's rows per gh are already at most one per (gram, doc) —
+      // the same pre-reduced bound the dd_dup_spans r15 rewrite restores;
+      // a hot gram costs O(docs containing it), never O(occurrences)
       val wGh = Window.partitionBy("gh")
       sh.withColumn("__dr", dense_rank().over(wGh.orderBy(col("source"))))
         .withColumn("n_src", max(col("__dr")).over(wGh))

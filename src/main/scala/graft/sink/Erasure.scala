@@ -23,25 +23,12 @@ object Erasure {
 
   final case class Erased(subjects: Long, rows: Long)
 
-  /** Ordered map over independent per-snapshot actions through a small
-    * fixed pool (2-4 jobs in flight is plenty — guide §2.6): Spark's
-    * scheduler runs concurrent jobs FIFO, so a later dir's tasks
-    * back-fill executors freed by the current dir's tail. Results come
-    * back in input order; a failure in any element propagates. */
+  /** Ordered map over independent per-snapshot actions — the shared
+    * bounded-pool overlap of [[Par.map]] (guide §2.6): results come back
+    * in input order; the first failure cancels outstanding snapshots and
+    * propagates the ORIGINAL exception, not the pool's wrapper. */
   private def parMap[A, B](xs: Seq[A], maxThreads: Int = 4)
-      (f: A => B): Seq[B] = {
-    if (xs.size <= 1) return xs.map(f)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(maxThreads, xs.size))
-    try {
-      val futs = xs.map { x =>
-        pool.submit(new java.util.concurrent.Callable[B] {
-          def call(): B = f(x)
-        })
-      }
-      futs.map(_.get())
-    } finally pool.shutdown()
-  }
+      (f: A => B): Seq[B] = Par.map(xs, maxThreads)(f)
 
   /** Pseudonymized ledger append shared by both erasure surfaces: one
     * line per REQUESTED subject (no-row subjects ledger 0 — the

@@ -223,27 +223,31 @@ object Layout {
       column: String, keys: Seq[Any], bits: Int = 8192, k: Int = 3,
       sidecarPath: Option[String] = None): (DataFrame, Int, Int) = {
     import spark.implicits._
-    val fromDisk = sidecarPath.map(spark.read.parquet(_))
-    val blooms = fromDisk
-      .filter { side => // inventory check: sidecar must cover exactly.
-        // Compared by BASENAME against the directory LISTING — an O(files)
-        // metadata call, never a data scan (part-file names are
-        // uuid-unique, the same identity the D107 stats sidecar keys on)
-        val have = side.select("file").as[String].collect()
-          .map(_.split('/').last).toSet
-        val now = java.nio.file.Files.list(java.nio.file.Paths.get(path))
-          .toArray.map(_.toString.split('/').last)
-          .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
-          .toSet
-        have == now
-      }
+    // inventory check: sidecar must cover exactly. Compared by BASENAME
+    // against the directory LISTING — an O(files) metadata call, never a
+    // data scan (part-file names are uuid-unique, the same identity the
+    // D107 stats sidecar keys on). The collected inventory doubles as
+    // the file TOTAL, so the valid-sidecar path never pays a separate
+    // count job (r15 — one job per probe instead of two).
+    val fromDisk = sidecarPath.flatMap { sp =>
+      val side = spark.read.parquet(sp)
+      val have = side.select("file").as[String].collect()
+        .map(_.split('/').last).toSet
+      val now = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+        .toArray.map(_.toString.split('/').last)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+        .toSet
+      if (have == now) Some((side, have.size)) else None
+    }
+    val blooms = fromDisk.map(_._1)
       .getOrElse(fileBlooms(spark, path, column, bits, k))
     // canonical string form on the probe side too (see bloomPositions)
     val probes = keys.map(_.toString).toDF(column)
       .select(bloomPositions(col(column), bits, k).as("ps"))
     val keep = blooms.join(broadcast(probes), ProbeHit)
       .select("file").distinct().as[String].collect()
-    val total = blooms.select("file").distinct().count().toInt
+    val total = fromDisk.map(_._2)
+      .getOrElse(blooms.select("file").distinct().count().toInt)
     val df =
       if (keep.isEmpty) spark.read.parquet(path).filter(lit(false))
       else spark.read.parquet(keep.toIndexedSeq: _*)

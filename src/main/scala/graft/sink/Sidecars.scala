@@ -145,27 +145,35 @@ object Sidecars {
     * the per-plane paths. */
   def refreshAfterWrite(spark: SparkSession, path: String): Unit = {
     val planes = declared(path)
+    if (planes.isEmpty) return
     val statsPlanes = planes.collect { case s: Stats => s }
     val zonePlanes = planes.collect { case z: Zone => z }
     val combine = statsPlanes.size == 1 && zonePlanes.size == 1
-    if (combine) {
-      val (bounds, kinds) = ZoneMap.writeAndReport(spark, path,
-        zonePlanes.head.columns, Seq(statsPlanes.head.column))
-      StageWriter.writeStatsFromBounds(path, statsPlanes.head.column,
-        kinds(statsPlanes.head.column), bounds)
-    }
-    planes.foreach {
-      case Stats(c) if !combine => StageWriter.refreshStats(spark, path, c)
-      case Zone(cs) if !combine => ZoneMap.write(spark, path, cs)
+    val combined: Seq[() => Unit] =
+      if (!combine) Nil
+      else Seq(() => {
+        val (bounds, kinds) = ZoneMap.writeAndReport(spark, path,
+          zonePlanes.head.columns, Seq(statsPlanes.head.column))
+        StageWriter.writeStatsFromBounds(path, statsPlanes.head.column,
+          kinds(statsPlanes.head.column), bounds)
+      })
+    val rest: Seq[() => Unit] = planes.collect {
+      case Stats(c) if !combine =>
+        () => StageWriter.refreshStats(spark, path, c)
+      case Zone(cs) if !combine =>
+        () => ZoneMap.write(spark, path, cs)
       case Bloom(c, bits, k) =>
-        Layout.writeBlooms(spark, path, c, bits, k); ()
-      case Counts => MetadataAgg.writeCounts(spark, path)
-      case Ndv(c, k) => MetadataAgg.writeNdv(spark, path, c, k)
+        () => { Layout.writeBlooms(spark, path, c, bits, k); () }
+      case Counts => () => MetadataAgg.writeCounts(spark, path)
+      case Ndv(c, k) => () => MetadataAgg.writeNdv(spark, path, c, k)
       case Kmh(vc, c1, c2, k) =>
-        MetadataAgg.writeKmh(spark, path, vc, c1, c2, k)
-      case Hist(c, k) => MetadataAgg.writeHist(spark, path, c, k)
-      case _ => () // stats/zone: served by the combined scan above
+        () => MetadataAgg.writeKmh(spark, path, vc, c1, c2, k)
+      case Hist(c, k) => () => MetadataAgg.writeHist(spark, path, c, k)
     }
+    // each rebuild is an independent action writing its OWN sidecar
+    // atomically — overlap them through the shared bounded pool
+    // (guide §2.6) instead of paying each scan's task tail serially
+    Par.map(combined ++ rest)(_.apply()); ()
   }
 
   /** Incremental maintenance after a FILE-TARGETED rewrite: zone maps
@@ -177,23 +185,28 @@ object Sidecars {
   def afterTargetedRewrite(spark: SparkSession, path: String,
       preNames: Seq[String], removed: Set[String],
       added: Seq[Path]): Unit = {
-    ZoneMap.maintainAfterRewrite(spark, path, preNames, removed, added)
-    declared(path).foreach {
+    val zone: Seq[() => Unit] = Seq(() =>
+      ZoneMap.maintainAfterRewrite(spark, path, preNames, removed, added))
+    // stats: maintained inline by targetedCommit; zone: unconditional
+    // (the map itself is the declaration there)
+    val rest: Seq[() => Unit] = declared(path).collect {
       case Bloom(c, bits, k) =>
-        Layout.maintainBloomsAfterRewrite(spark, path, removed, added,
-          c, bits, k)
+        () => Layout.maintainBloomsAfterRewrite(spark, path, removed,
+          added, c, bits, k)
       case Counts =>
-        MetadataAgg.maintainCountsAfterRewrite(path, removed, added)
+        () => MetadataAgg.maintainCountsAfterRewrite(path, removed, added)
       case Ndv(c, k) =>
-        MetadataAgg.maintainNdvAfterRewrite(spark, path, removed, added,
-          c, k)
+        () => MetadataAgg.maintainNdvAfterRewrite(spark, path, removed,
+          added, c, k)
       case Kmh(vc, c1, c2, k) =>
-        MetadataAgg.maintainKmhAfterRewrite(spark, path, removed, added,
-          vc, c1, c2, k)
+        () => MetadataAgg.maintainKmhAfterRewrite(spark, path, removed,
+          added, vc, c1, c2, k)
       case Hist(c, k) =>
-        MetadataAgg.maintainHistAfterRewrite(spark, path, removed, added,
-          c, k)
-      case _ => () // stats: maintained inline by targetedCommit; zone: above
+        () => MetadataAgg.maintainHistAfterRewrite(spark, path, removed,
+          added, c, k)
     }
+    // independent O(new files) patches of distinct sidecars — overlapped
+    // like the full-rewrite hook (guide §2.6)
+    Par.map(zone ++ rest)(_.apply()); ()
   }
 }

@@ -450,7 +450,8 @@ object StageWriter {
       keys: Seq[String], partitionBy: Seq[String] = Nil,
       maxRetries: Int = 20, backoffMs: Long = 150): Unit =
     casMerge(spark, path, partitionBy, maxRetries, backoffMs,
-      Some(Targeted(df, Nil, keys, touched => merge(touched, df, keys)))) {
+      Some(Targeted(df, Nil, keys,
+        (touched, d) => merge(touched, d, keys)))) {
       case Some(old) => merge(old, df, keys)
       case None => df.dropDuplicates(keys)
     }
@@ -464,7 +465,7 @@ object StageWriter {
       backoffMs: Long = 150): Unit =
     casMerge(spark, path, partitionBy, maxRetries, backoffMs,
       Some(Targeted(delta, Seq(opCol), keys,
-        touched => mergeCdc(touched, delta, keys, opCol)))) { old =>
+        (touched, d) => mergeCdc(touched, d, keys, opCol)))) { old =>
       val base = old.getOrElse(
         delta.drop(opCol).limit(0)) // typed empty bootstrap
       mergeCdc(base, delta, keys, opCol)
@@ -473,9 +474,13 @@ object StageWriter {
   /** File-targeted merge inputs: the raw delta (for key extraction and
     * schema-parity checks), columns to ignore on the delta side (the CDC op
     * column), the merge keys, and the merge applied to ONLY the touched
-    * slice of the base. */
+    * slice of the base. `localMerge` receives (touched base slice,
+    * MATERIALIZED delta) — the commit evaluates the caller's delta frame
+    * exactly once (see [[targetedCommit]]), so an expensive delta plan
+    * (a window over the base, a mined pair frame) never runs twice. */
   private final case class Targeted(delta: DataFrame, dropCols: Seq[String],
-      keys: Seq[String], localMerge: DataFrame => DataFrame)
+      keys: Seq[String],
+      localMerge: (DataFrame, DataFrame) => DataFrame)
 
   /** Stats dialect of a merge key's type: integral and string keys each
     * have a per-file (min, max) manifest plane; anything else (None)
@@ -952,6 +957,14 @@ object StageWriter {
     val key1 = t.keys.head
     val kind = statsKind(base.schema(key1).dataType).get
     val dataFiles = listDataFiles(dir)
+    // evaluate the caller's delta plan ONCE: it feeds BOTH the
+    // touched-file probe and the merge itself, so an expensive delta
+    // (q_sidecar_fresh's is a window over the whole base) used to run
+    // fully twice. The checkpoint also pins the snapshot this commit
+    // acts on — probe and merge can never see different delta rows. The
+    // delta is O(batch) by the merge's own cost model, so materializing
+    // it is bounded at any scale (opt guide §5).
+    val delta = t.delta.localCheckpoint()
     // both stats planes normalize to string-encoded bounds internally;
     // the integral plane persists in its legacy sidecar dialect so
     // StatsFilePrune and existing sidecars keep working unchanged
@@ -979,8 +992,8 @@ object StageWriter {
               (f, mn, mx) }.toDF("f", "mn", "mx")
         val deltaKeys =
           if (kind == "long")
-            t.delta.select(col(key1).cast("long").as("__k"))
-          else t.delta.select(col(key1).cast("string").as("__k"))
+            delta.select(col(key1).cast("long").as("__k"))
+          else delta.select(col(key1).cast("string").as("__k"))
         deltaKeys.na.drop().distinct()
           .join(broadcast(rangesDf),
             col("__k") >= col("mn") && col("__k") <= col("mx"))
@@ -993,7 +1006,7 @@ object StageWriter {
         .parquet(touchedPaths.map(_.toString): _*)
     // schema parity was pre-checked (targetedEligible), so the merged
     // output re-selects into the base column order and types
-    val merged = t.localMerge(touchedBase)
+    val merged = t.localMerge(touchedBase, delta)
       .select(base.columns.map(col).toIndexedSeq: _*).cache()
     try {
       val n = merged.count()
@@ -1165,14 +1178,17 @@ object StageWriter {
     // column, compaction must pay the range shuffle to keep files
     // key-disjoint; that shuffle IS the product (clustering maintenance),
     // not overhead.
-    val compacted = (clusterBy match {
+    val compacted = clusterBy match {
       case Some(c) => df.repartitionByRange(files.toInt, col(c))
         .sortWithinPartitions(c)
       case None => df.coalesce(files.toInt)
-    }).cache()
-    compacted.count()
+    }
+    // no cache/count: overwrite's staged write is the ONLY consumer, and
+    // it fully materializes into `path.__tmp__` BEFORE the swap touches
+    // the source files — the old cache+count was a second full
+    // materialization with no reuse (opt guide §5: cache only
+    // reused-and-expensive intermediates)
     overwrite(compacted, path)
-    compacted.unpersist()
   }
 
   /** What one incremental compaction pass did. */
@@ -1343,7 +1359,12 @@ object StageWriter {
       case None => compact(spark, path, targetFileBytes, statsColumn)
     }
     val after = listDataFiles(dir)
-    statsColumn.foreach(refreshStats(spark, path, _))
+    // a DECLARED Stats(statsColumn) plane was (or is about to be, zorder
+    // arm) rebuilt by refreshAfterWrite against this same inventory —
+    // re-deriving it here would be a second identical footer/scan pass
+    val statsDeclared = statsColumn.exists(c =>
+      Sidecars.declared(path).contains(Sidecars.Stats(c)))
+    if (!statsDeclared) statsColumn.foreach(refreshStats(spark, path, _))
     // the zorder arm swaps directly (no overwrite hook) — declared
     // planes refresh here; the compact arm already refreshed via
     // overwrite, and refreshAfterWrite is a no-op without a manifest

@@ -47,6 +47,18 @@ object ZoneMap {
       schema: Option[org.apache.spark.sql.types.StructType] = None)
       : Map[String, Map[String, Option[(String, String)]]] = {
     if (files.isEmpty) return Map.empty
+    // ALL-integral column sets read their bounds from parquet FOOTER
+    // row-group statistics — zero Spark jobs, driver-side metadata only
+    // (opt guide §6: the writer just wrote these min/max down; a data
+    // scan re-deriving them is a whole job per refresh, and at 100 TB a
+    // scan of everything just written). Integral stats are exact in the
+    // footer; STRING stats can be truncated by writers, so any string
+    // column keeps the scan path. Falls back on any missing/odd footer.
+    if (kinds.forall(_._2 == "long"))
+      footerBounds(files, kinds.map(_._1)) match {
+        case Some(b) => return b
+        case None => ()
+      }
     // aggregate in the column's OWN order, stringify the result — a
     // min/max over the string CAST of a long column is lexicographic
     // ("99" > "100") and records inverted bounds that mis-prune
@@ -70,6 +82,57 @@ object ZoneMap {
             else Some((mn, r.getAs[String](s"mx_$c"))))
         }.toMap
       }.toMap
+  }
+
+  /** Per-(file, column) bounds of INTEGRAL columns from parquet footer
+    * statistics — the zero-job twin of the scan above, stringified from
+    * the exact long values so the sidecar bytes are identical to a scan's
+    * (a long's min/max stringify the same whether read from a footer or
+    * aggregated by Spark). None on ANY file whose footer lacks usable
+    * integral stats for a requested column — never guesses, the caller
+    * falls back to the scan. Files with zero non-null values (or zero row
+    * groups) record no-bounds, matching the scan's "never emitted a row"
+    * rule. */
+  private def footerBounds(files: Seq[Path], cols: Seq[String])
+      : Option[Map[String, Map[String, Option[(String, String)]]]] = {
+    import org.apache.parquet.column.statistics.{IntStatistics,
+      LongStatistics}
+    val conf = new org.apache.hadoop.conf.Configuration()
+    try {
+      Some(files.map { p =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p.toUri), conf))
+        try {
+          val mn = scala.collection.mutable.Map.empty[String, Long]
+          val mx = scala.collection.mutable.Map.empty[String, Long]
+          val want = cols.toSet
+          reader.getFooter.getBlocks.forEach { b =>
+            b.getColumns.forEach { c =>
+              val name = c.getPath.toDotString
+              if (want(name)) {
+                val st = c.getStatistics
+                if (st == null) throw new IllegalStateException("no stats")
+                if (st.hasNonNullValue) {
+                  val (lo, hi) = st match {
+                    case l: LongStatistics => (l.getMin, l.getMax)
+                    case i: IntStatistics =>
+                      (i.getMin.toLong, i.getMax.toLong)
+                    case _ => throw new IllegalStateException(
+                      s"non-integral stats: ${st.getClass.getSimpleName}")
+                  }
+                  mn(name) = math.min(mn.getOrElse(name, Long.MaxValue), lo)
+                  mx(name) = math.max(mx.getOrElse(name, Long.MinValue), hi)
+                }
+              }
+            }
+          }
+          p.getFileName.toString -> cols.map { c =>
+            c -> mn.get(c).map(lo => (lo.toString, mx(c).toString))
+          }.toMap
+        } finally reader.close()
+      }.toMap)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   private def writeLines(path: String, kinds: Seq[(String, String)],

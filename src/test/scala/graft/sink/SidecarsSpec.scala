@@ -158,13 +158,17 @@ class SidecarsSpec extends AnyFunSuite {
         (col("id") % 50).as("b"))
         .repartitionByRange(4, col("k"))
         .write.parquet(p)
-      // dedicated per-plane passes → reference bytes + two data passes
+      // dedicated per-plane passes → reference bytes. The string stats
+      // column scans (4000 records); the ALL-INTEGRAL zone pass is
+      // footer-served since r15 (ZoneMap.footerBounds — zero records,
+      // zero jobs), which this count also pins.
       val dedicated = measure {
         StageWriter.refreshStats(spark, p, "s")
         ZoneMap.write(spark, p, Seq("b", "k"))
       }
-      assert(dedicated == 8000L,
-        s"dedicated passes read the data twice, counted $dedicated")
+      assert(dedicated == 4000L,
+        s"string stats must scan once and the all-integral zone pass " +
+          s"must be footer-served (zero records), counted $dedicated")
       val statsRef = Files.readAllBytes(Paths.get(p + ".__stats__"))
       val zoneRef = Files.readAllBytes(Paths.get(p + ".__zonemap__"))
       Sidecars.declare(spark, p, Seq(
